@@ -1,0 +1,162 @@
+"""Actor-pool batch stages — the warm-engine workers.
+
+Reference analogue: ``init(datapath, language)`` loads models ONCE per
+engine (``src/api.rs:71-97``), ``try_clone()`` replicates the config to
+more threads (``src/api.rs:1423-1446``).  Ours: a callable class whose
+``__init__`` builds the warm state (lang-detect tables, compiled
+regexes, vocab) from a frozen ``ExtractionConfig``, passed to
+``ds.map_batches(Extractor, fn_constructor_kwargs=..., concurrency=N)``
+— Ray constructs N actors, each running ``__call__`` per batch.  Every
+``__call__`` is stateless w.r.t. the previous batch (the ``clear()``
+rule, ``src/api.rs:971-992``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from .config import DEFAULT_CONFIG, ExtractionConfig
+from .extract import extract_document
+from .hierarchy import explode_blocks
+from .langdetect import LangDetector
+
+SPAN_T = pa.list_(pa.struct([("start", pa.int64()), ("end", pa.int64())]))
+
+EXTRACTED_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("content_text", pa.string()),
+    ("content_spans", SPAN_T),
+    ("doc_kind", pa.string()),
+    ("lang_detected", pa.string()),
+    ("lang_conf", pa.float32()),
+    ("text_dir", pa.string()),
+    ("mean_conf", pa.float32()),
+    ("n_blocks_kept", pa.int32()),
+    ("n_blocks_dropped", pa.int32()),
+    ("status", pa.string()),
+    ("error", pa.string()),
+    ("html_len", pa.int64()),
+])
+
+BLOCKS_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("block_id", pa.int32()),
+    ("parent_path", pa.string()),
+    ("level", pa.string()),
+    ("block_type", pa.string()),
+    ("text", pa.string()),
+    ("span_start", pa.int64()),
+    ("span_end", pa.int64()),
+    ("is_content", pa.bool_()),
+    ("confidence", pa.float32()),
+    ("link_density", pa.float32()),
+    ("text_density", pa.float32()),
+    ("depth", pa.int32()),
+    ("justification", pa.string()),
+    ("is_list_item", pa.bool_()),
+    ("is_bold", pa.bool_()),
+    ("is_italic", pa.bool_()),
+    ("is_mono", pa.bool_()),
+    ("has_sup", pa.bool_()),
+    ("has_sub", pa.bool_()),
+    ("heading_level", pa.int32()),
+    ("lang", pa.string()),
+    ("line_id", pa.int32()),
+    ("word_id", pa.int32()),
+    ("is_first_in_parent", pa.bool_()),
+    ("is_last_in_parent", pa.bool_()),
+    ("is_dict_word", pa.bool_()),
+    ("is_numeric", pa.bool_()),
+])
+
+
+def _col(batch: pa.Table, name: str) -> Optional[list]:
+    return batch[name].to_pylist() if name in batch.column_names else None
+
+
+class Extractor:
+    """Stateful extraction worker: one instance per actor, state built once.
+
+    ``loaded_langs()`` mirrors ``get_loaded_languages``
+    (``src/api.rs:882-922``)."""
+
+    def __init__(self, cfg: ExtractionConfig | str = DEFAULT_CONFIG) -> None:
+        if isinstance(cfg, str):
+            cfg = ExtractionConfig.from_json(cfg)
+        self.cfg = cfg
+        self.detector = LangDetector(margin=cfg.lang_conf_margin)  # warm tables
+        self._n_docs = 0  # renderer image-counter analogue (progress metric)
+
+    def loaded_langs(self) -> tuple[str, ...]:
+        return self.detector.langs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        tss = _col(batch, "warc_ts") or [None] * len(urls)
+        htmls = _col(batch, "html") or [None] * len(urls)
+        texts = _col(batch, "text") or [None] * len(urls)
+        langs = _col(batch, "lang") or [None] * len(urls)
+        cols: dict[str, list] = {n: [] for n in EXTRACTED_SCHEMA.names}
+        for url, ts, html, text, lang in zip(urls, tss, htmls, texts, langs):
+            if url is None or url == "":
+                r: dict[str, Any] = {
+                    "content_text": "", "content_spans": [], "doc_kind": "error",
+                    "lang_detected": "und", "lang_conf": 0.0, "text_dir": "ltr",
+                    "mean_conf": 0.0, "n_blocks_kept": 0, "n_blocks_dropped": 0,
+                    "status": "invalid", "error": "null url",
+                }
+            else:
+                r = extract_document(html, text, lang, self.cfg,
+                                     detector=self.detector)
+            cols["url"].append(url or "")
+            cols["warc_ts"].append(ts)
+            cols["content_text"].append(r["content_text"])
+            cols["content_spans"].append(
+                [{"start": s, "end": e} for s, e in r["content_spans"]])
+            cols["doc_kind"].append(r["doc_kind"])
+            cols["lang_detected"].append(r["lang_detected"])
+            cols["lang_conf"].append(r["lang_conf"])
+            cols["text_dir"].append(r["text_dir"])
+            cols["mean_conf"].append(r["mean_conf"])
+            cols["n_blocks_kept"].append(r["n_blocks_kept"])
+            cols["n_blocks_dropped"].append(r["n_blocks_dropped"])
+            cols["status"].append(r["status"])
+            cols["error"].append(r["error"])
+            cols["html_len"].append(len(html) if html else 0)
+        self._n_docs += len(urls)
+        return pa.Table.from_pydict(
+            {n: pa.array(cols[n], type=EXTRACTED_SCHEMA.field(n).type)
+             for n in EXTRACTED_SCHEMA.names})
+
+
+class BlocksExploder:
+    """Actor stage: pages → hierarchy rows (H1-H17).  ``levels`` selects
+    which RIL levels to emit; ``segment_only`` in the config gives the
+    analyse_layout (structure-only) pass."""
+
+    def __init__(self, cfg: ExtractionConfig | str = DEFAULT_CONFIG,
+                 levels: tuple[str, ...] = ("block",)) -> None:
+        if isinstance(cfg, str):
+            cfg = ExtractionConfig.from_json(cfg)
+        self.cfg = cfg
+        self.levels = tuple(levels)
+        self.detector = LangDetector(margin=cfg.lang_conf_margin)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = _col(batch, "html") or [None] * len(urls)
+        texts = _col(batch, "text") or [None] * len(urls)
+        rows: list[dict] = []
+        for url, html, text in zip(urls, htmls, texts):
+            if not url:
+                continue
+            r = extract_document(html, text, None, self.cfg,
+                                 detector=self.detector, collect_blocks=True)
+            rows.extend(explode_blocks(url, r["blocks"], self.levels))
+        if not rows:
+            return BLOCKS_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=BLOCKS_SCHEMA)

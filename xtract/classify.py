@@ -1,0 +1,123 @@
+"""Block-type taxonomy + keep/drop boilerplate classification.
+
+The analogue of the reference's 16-class ``TessPolyBlockType``
+(``src/enums.rs:72-89``) — a "keep/drop + role" labelling of segmented
+blocks — driven by text-density / link-density features in the style of
+Boilerpipe / Readability (public algorithms; BASELINE.json north rule).
+
+Every decision is an integer / rational comparison — never a float
+threshold — so classification is bit-stable across machines and
+parallelism levels (SURVEY §4.3 determinism rule).  Confidence is an
+integer 0–100 (reference confidence range, ``src/result_iterator.rs:65-71``).
+"""
+
+from __future__ import annotations
+
+from .config import ExtractionConfig
+from .segment import Block
+
+# Block taxonomy (SURVEY §1.2 blocks schema)
+FLOWING_TEXT = "FLOWING_TEXT"
+HEADING_TEXT = "HEADING_TEXT"
+PULLOUT_TEXT = "PULLOUT_TEXT"   # blockquote
+TABLE = "TABLE"
+CAPTION_TEXT = "CAPTION_TEXT"
+LIST = "LIST"
+TITLE = "TITLE"
+NAV = "NAV"
+BOILERPLATE = "BOILERPLATE"
+NOISE = "NOISE"
+UNKNOWN = "UNKNOWN"
+
+BLOCK_TYPES = (
+    FLOWING_TEXT, HEADING_TEXT, PULLOUT_TEXT, TABLE, CAPTION_TEXT, LIST,
+    TITLE, NAV, BOILERPLATE, NOISE, UNKNOWN,
+)
+
+
+def assign_type(b: Block) -> str:
+    """Role classification from structural context (pure function)."""
+    if b.is_title:
+        return TITLE
+    if b.heading_level > 0:
+        return HEADING_TEXT
+    if b.is_caption:
+        return CAPTION_TEXT
+    if b.in_table:
+        return TABLE
+    if b.is_list_item:
+        return LIST
+    if b.in_boiler:
+        # link-dominated boiler container → NAV, else generic boilerplate
+        return NAV if 2 * b.n_link_chars >= b.n_chars else BOILERPLATE
+    if b.in_blockquote:
+        return PULLOUT_TEXT
+    if b.n_chars == 0:
+        return NOISE
+    return FLOWING_TEXT
+
+
+def is_content(b: Block, cfg: ExtractionConfig) -> bool:
+    """Keep/drop decision — integer arithmetic only.
+
+    Link-density rule: drop when
+    ``n_link_chars * den > n_chars * num`` (i.e. link density strictly
+    greater than num/den); the rational comparison avoids float division
+    (SURVEY §4.3)."""
+    if cfg.seg_mode == "raw":
+        return not b.is_title
+    t = b.block_type
+    if t == TITLE:
+        return False
+    if t in (NAV, BOILERPLATE, NOISE):
+        return False
+    if t == HEADING_TEXT:
+        return cfg.keep_headings
+    if t == CAPTION_TEXT:
+        return cfg.keep_captions
+    if t == TABLE and not cfg.keep_tables:
+        return False
+    if t == LIST and not cfg.keep_lists:
+        return False
+    # link-density drop (strict rational compare)
+    if b.n_link_chars * cfg.max_link_density_den > b.n_chars * cfg.max_link_density_num:
+        return False
+    # short-block drop — but headings/captions already returned above, and a
+    # short block sandwiched by content is kept by the sparse mode only
+    if b.n_chars < cfg.min_block_chars:
+        return cfg.seg_mode == "sparse"
+    if cfg.min_text_density > 0 and b.n_words > 0:
+        # text density proxy: average word length * words per "line" of 80
+        # chars — integer: chars per line-count where lines = ceil(chars/80)
+        lines = (b.n_chars + 79) // 80
+        if b.n_chars < cfg.min_text_density * lines:
+            return False
+    return True
+
+
+def confidence(b: Block) -> int:
+    """Integer confidence 0–100: margin-style score from the same integer
+    features the keep/drop rule uses (reference conf range 0-100,
+    ``src/api.rs:114-120``)."""
+    score = 30
+    score += min(40, 2 * b.n_words)
+    if b.n_chars > 0 and 3 * b.n_link_chars <= b.n_chars:
+        score += 20
+    if b.block_type in (FLOWING_TEXT, HEADING_TEXT):
+        score += 10
+    elif b.block_type in (NAV, BOILERPLATE, NOISE):
+        score -= 20
+    return max(0, min(100, score))
+
+
+def classify_blocks(blocks: list[Block], cfg: ExtractionConfig) -> None:
+    """Label every block in place: type, keep/drop, confidence.
+
+    ``scope_prefix`` restricts content to a tag-path subtree — the
+    ``set_rectangle`` region-of-interest analogue (``src/api.rs:1289-1296``)."""
+    for b in blocks:
+        b.block_type = assign_type(b)
+        b.is_content = is_content(b, cfg)
+        if cfg.scope_prefix and not b.parent_path.startswith(cfg.scope_prefix):
+            b.is_content = False
+        b.confidence = confidence(b)

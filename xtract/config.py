@@ -1,0 +1,138 @@
+"""ExtractionConfig — the replayable engine recipe.
+
+Reference analogue: ``TesseractConfiguration { datapath, language,
+variables }`` (reference ``src/api.rs:12-17``) replayed onto fresh
+engines by ``try_clone()`` (``src/api.rs:1423-1446``).  Ours is a frozen
+dataclass serialized into actor constructors: replicate *config*, not
+state.  Variable get/set with a registry of known keys mirrors
+``set_variable`` validation (``src/api.rs:132-153``; unknown-key error
+tested at reference ``tests/integration_test.rs:244-246``).
+
+All thresholds are integers or rationals (numerator/denominator pairs)
+so classification decisions never depend on float rounding — a
+requirement for byte-identical output under parallelism (SURVEY §4.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+class ConfigError(ValueError):
+    """Unknown or ill-typed configuration key (src/error.rs:6-41 analogue)."""
+
+
+#: Segmentation modes — the PSM analogue (reference ``src/enums.rs:4-20``,
+#: ``set_page_seg_mode`` ``src/api.rs:259-280``).
+SEG_MODES = ("auto", "article", "single_block", "lines", "sparse", "raw")
+
+#: Registry of user-settable variables (the ``set_variable`` surface).
+#: name -> (type, default).  Unknown names raise ConfigError.
+VARIABLE_REGISTRY: dict[str, tuple[type, Any]] = {
+    "char_whitelist": (str, ""),
+    "char_blacklist": (str, ""),
+    "min_block_chars": (int, 10),
+    "max_link_density_num": (int, 1),   # drop block if link_chars*den > chars*num
+    "max_link_density_den": (int, 3),
+    "min_text_density": (int, 0),
+    "seg_mode": (str, "auto"),
+    "timeout_ms": (int, 0),             # 0 = no per-row deadline
+    "lang_conf_margin": (int, 2),       # min integer score for a lang call, else 'und'
+    "keep_headings": (bool, True),
+    "keep_lists": (bool, True),
+    "keep_tables": (bool, True),
+    "keep_captions": (bool, True),
+    "debug": (bool, False),
+    "scope_prefix": (str, ""),          # tag-path prefix filter (set_rectangle analogue, src/api.rs:1289-1296)
+    "segment_only": (bool, False),      # analyse_layout analogue (src/api.rs:1353-1364)
+}
+
+
+@dataclass(frozen=True)
+class ExtractionConfig:
+    """Frozen recipe for one extraction engine worker."""
+
+    langs: tuple[str, ...] = ("en",)
+    char_whitelist: str = ""
+    char_blacklist: str = ""
+    min_block_chars: int = 10
+    max_link_density_num: int = 1
+    max_link_density_den: int = 3
+    min_text_density: int = 0
+    seg_mode: str = "auto"
+    timeout_ms: int = 0
+    lang_conf_margin: int = 2
+    keep_headings: bool = True
+    keep_lists: bool = True
+    keep_tables: bool = True
+    keep_captions: bool = True
+    debug: bool = False
+    scope_prefix: str = ""
+    segment_only: bool = False
+
+    def __post_init__(self) -> None:
+        if self.seg_mode not in SEG_MODES:
+            raise ConfigError(f"unknown seg_mode {self.seg_mode!r}; want one of {SEG_MODES}")
+        if self.max_link_density_den <= 0:
+            raise ConfigError("max_link_density_den must be > 0")
+        if self.min_block_chars < 0 or self.timeout_ms < 0:
+            raise ConfigError("negative thresholds not allowed")
+
+    # -- set_variable / get_*_variable analogues ------------------------------
+    def with_variable(self, name: str, value: Any) -> "ExtractionConfig":
+        """Return a new config with one variable changed (configs are frozen
+        before launch — no mid-run mutation, mirroring config replay)."""
+        if name == "langs":
+            return dataclasses.replace(self, langs=tuple(value))
+        if name not in VARIABLE_REGISTRY:
+            raise ConfigError(f"unknown variable {name!r}")
+        typ, _ = VARIABLE_REGISTRY[name]
+        if typ is bool and isinstance(value, str):
+            value = value.lower() in ("1", "true", "yes", "on")
+        try:
+            value = typ(value)
+        except (TypeError, ValueError) as exc:
+            raise ConfigError(f"variable {name!r} expects {typ.__name__}: {exc}") from exc
+        return dataclasses.replace(self, **{name: value})
+
+    def get_variable(self, name: str) -> Any:
+        if name == "langs":
+            return self.langs
+        if name not in VARIABLE_REGISTRY:
+            raise ConfigError(f"unknown variable {name!r}")
+        return getattr(self, name)
+
+    # -- config-file surface (read_config_file analogue, src/api.rs:791-818) --
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["langs"] = list(self.langs)
+        return json.dumps(d, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ExtractionConfig":
+        d = json.loads(s)
+        d["langs"] = tuple(d.get("langs", ("en",)))
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - known
+        if unknown:
+            raise ConfigError(f"unknown config keys: {sorted(unknown)}")
+        return cls(**d)
+
+    def config_hash(self) -> str:
+        """Stable hash recorded in lineage manifests (reproducibility)."""
+        import hashlib
+
+        return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
+
+    def describe(self) -> dict[str, Any]:
+        """pipeline_describe() — typed config introspection (src/api.rs:164-248)."""
+        d = dataclasses.asdict(self)
+        d["langs"] = list(self.langs)
+        d["config_hash"] = self.config_hash()
+        return d
+
+
+DEFAULT_CONFIG = ExtractionConfig()

@@ -1,0 +1,106 @@
+"""Deterministic language identification (the ``detect_os`` analogue).
+
+Reference: document-level script detection ``detect_os()`` →
+``(orientation, orient_conf, script_name, script_conf)``
+(``src/api.rs:599-629``) and per-word recognition language
+(``src/result_iterator.rs:78-89``), backed by per-worker trained model
+tables.  Ours: small stopword + distinctive-character tables per
+language, integer scoring, single final division for the reported
+confidence.  Tables are module constants (generated-at-build-time data,
+the ``assets/`` analogue of build.rs:480-515); the actor builds its
+lookup structures once in ``__init__``.
+
+``set_min_orientation_margin`` analogue: a score below
+``cfg.lang_conf_margin`` yields ``'und'`` (``src/api.rs:640-647``).
+"""
+
+from __future__ import annotations
+
+import re
+
+STOPWORDS: dict[str, frozenset] = {
+    "en": frozenset("the and of to a in is it you that he was for on are with as his they be at one have this from or had by word but what some we can out other were all there when up use your how said an each she".split()),
+    "tr": frozenset("bir ve bu da de için ile olarak çok daha ama gibi en ne var olan sonra kadar her iki ben sen biz onlar mi mu değil ki diye yok oldu şu o ya hem ise".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf für ist im dem nicht ein eine als auch es an werden aus er hat dass sie nach wird bei einer um am sind noch wie einem über".split()),
+    "fr": frozenset("le de la et les des en un du une que est pour qui dans a par plus pas au sur ne se ce il sont son avec être mais comme ou si leur y dont elle deux".split()),
+    "es": frozenset("de la que el en y a los del se las por un para con no una su al lo como más pero sus le ya o este sí porque esta entre cuando muy sin sobre también".split()),
+    "it": frozenset("di e il la che in un per è una sono non con si da come lo anche le più nel questo ha gli alla dei essere sul della suo".split()),
+    "pt": frozenset("de a o que e do da em um para é com não uma os no se na por mais as dos como mas foi ao ele das tem seu sua ou ser quando".split()),
+    "nl": frozenset("de het een en van in is dat op te zijn met voor niet aan er ook als bij maar om uit dan zij naar dit toe door over ze hij".split()),
+}
+
+#: Distinctive characters: strong evidence for a language (integer weight 3
+#: per occurrence, capped).
+CHAR_EVIDENCE: dict[str, str] = {
+    "tr": "ğışİıçĞŞÇ",
+    "de": "ßäöüÄÖÜ",
+    "fr": "àâæçéèêëîïôœùûüÿ",
+    "es": "ñ¿¡áéíóú",
+    "pt": "ãõáâêç",
+}
+
+LANGS = tuple(sorted(STOPWORDS))
+
+_TOKEN_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+class LangDetector:
+    """Warm per-worker detector: lookup dicts built once (actor state)."""
+
+    def __init__(self, langs: tuple[str, ...] = LANGS, margin: int = 2) -> None:
+        self.langs = tuple(l for l in langs if l in STOPWORDS) or LANGS
+        self.margin = margin
+        self.stop = {l: STOPWORDS[l] for l in self.langs}
+        self.chars = {l: frozenset(CHAR_EVIDENCE.get(l, "")) for l in self.langs}
+
+    def detect(self, text: str, max_tokens: int = 400) -> tuple[str, float]:
+        """→ (lang, conf).  Integer scoring; deterministic tie-break by
+        alphabetical language code; conf = best/total as float32-safe
+        single division."""
+        toks = _TOKEN_RE.findall(text.lower())[:max_tokens]
+        if not toks:
+            return "und", 0.0
+        scores = {l: 0 for l in self.langs}
+        for t in toks:
+            for l in self.langs:
+                if t in self.stop[l]:
+                    scores[l] += 2
+                cs = self.chars[l]
+                if cs:
+                    hits = sum(1 for c in t if c in cs)
+                    if hits:
+                        scores[l] += min(3, hits) * 3
+        best = max(self.langs, key=lambda l: (scores[l], ), default="und")
+        # alphabetical tie-break: max() on the sorted tuple keeps first max
+        best_score = scores[best]
+        if best_score < self.margin:
+            return "und", 0.0
+        total = sum(scores.values())
+        return best, best_score / total if total else 0.0
+
+
+_DEFAULT = None
+
+
+def detect_lang(text: str, margin: int = 2) -> tuple[str, float]:
+    """Module-level convenience using a shared default detector."""
+    global _DEFAULT
+    if _DEFAULT is None or _DEFAULT.margin != margin:
+        _DEFAULT = LangDetector(margin=margin)
+    return _DEFAULT.detect(text)
+
+
+_RTL_RANGES = ((0x0590, 0x08FF), (0xFB1D, 0xFDFF), (0xFE70, 0xFEFF))
+
+
+def text_direction(text: str, sample: int = 500) -> str:
+    """'ltr' | 'rtl' from Unicode-range tallies (deterministic) —
+    ``get_text_direction`` analogue (``src/api.rs:1017-1028``)."""
+    rtl = ltr = 0
+    for ch in text[:sample]:
+        o = ord(ch)
+        if any(a <= o <= b for a, b in _RTL_RANGES):
+            rtl += 1
+        elif ch.isalpha():
+            ltr += 1
+    return "rtl" if rtl > ltr else "ltr"

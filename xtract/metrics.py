@@ -1,0 +1,78 @@
+"""Corpus-level aggregations: checksum, dedup, metrics (SURVEY §2.5).
+
+G1/G2: per-document confidence stats come out of the extract stage with
+no shuffle (computed inside the per-doc pass, the ``mean_text_conf``
+analogue ``src/api.rs:114-120``).  G3: global counters via tiny
+``aggregate`` reductions.  G4 (north rule): full-corpus checksum via
+groupby-url — exact url-dedup (hash partition + per-group first) then a
+commutative digest sum, so the result is independent of partitioning
+and parallelism.
+
+Scale notes: the only all-to-all exchange here is the ``groupby('url')``
+— key cardinality ≈ corpus size, uniform after hashing, no hot keys.
+Digest summing is a per-batch combiner (one partial row per batch)
+before a driver-side merge of a handful of rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+
+from .pipeline import _shard_digest_partial, merge_checksum_partials
+
+
+def dedup_by_url(extracted_ds):
+    """Exact dedup: keep one row per url — deterministic winner (min
+    warc_ts, then stable) — hash-partition groupby + per-group first."""
+    import pyarrow.compute as pc
+
+    def first(g: pa.Table) -> pa.Table:
+        # pyarrow batch format: nested columns (content_spans) survive
+        if "warc_ts" in g.column_names and len(g) > 1:
+            return g.take(pc.sort_indices(g, sort_keys=[("warc_ts", "ascending")])[:1])
+        return g.slice(0, 1)
+
+    return extracted_ds.groupby("url").map_groups(first, batch_format="pyarrow")
+
+
+def corpus_checksum(extracted_ds, dedup: bool = True) -> str:
+    """North-rule G4: groupby-url dedup → per-batch digest partials →
+    merge.  Matches ``oracle.corpus_checksum`` over url-unique oracle
+    results bit-for-bit."""
+    ds = dedup_by_url(extracted_ds) if dedup else extracted_ds
+    parts = ds.map_batches(_shard_digest_partial, batch_format="pyarrow").take_all()
+    return merge_checksum_partials([(r["partial"], r["n"]) for r in parts])
+
+
+def status_counts(extracted_ds) -> pd.DataFrame:
+    from ray.data.aggregate import Count
+
+    out = extracted_ds.groupby("status").aggregate(Count(alias_name="n")).to_pandas()
+    return out.sort_values("status").reset_index(drop=True)
+
+
+def corpus_metrics(extracted_ds) -> dict:
+    """Global extraction metrics (blocks kept/dropped, parse failures,
+    bytes) — the run report (north rule: extraction metrics)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    row = extracted_ds.aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_blocks_kept", alias_name="blocks_kept"),
+        Sum("n_blocks_dropped", alias_name="blocks_dropped"),
+        Sum("html_len", alias_name="html_bytes"),
+        Mean("mean_conf", alias_name="mean_conf"),
+    )
+    st = status_counts(extracted_ds)
+    row["status_counts"] = dict(zip(st["status"], (int(x) for x in st["n"])))
+    return row
+
+
+def lowest_confidence(extracted_ds, k: int = 20):
+    """QA view: top-k lowest-confidence documents (global sort + limit,
+    O3 — metrics/report only, never on the hot path)."""
+    return extracted_ds.select_columns(
+        ["url", "mean_conf", "status", "n_blocks_kept"]).sort("mean_conf").limit(k)

@@ -1,0 +1,237 @@
+"""Dataset pipelines: source → validate → skew-split → extract → sinks.
+
+The job-driver analogue of ``process_pages`` (``src/api.rs:844-875``,
+SURVEY §3.3), expressed Ray-Data-first: a lazy streaming pipeline of
+``map_batches`` stages with explicit skew handling (html byte-size
+buckets — SURVEY §4.3) and manifest-per-shard resumable output (the
+"skip if already downloaded" pattern of ``build.rs:492-513``).
+
+Scale notes (100 TB design): the read prunes to the five input columns;
+the size split routes multi-MB documents to a small-batch actor pool so
+one task never holds many huge pages; shards map to input-file groups
+so a restarted job skips finished shards by manifest; nothing
+materializes the full dataset — every sink is write_parquet or a tiny
+aggregated result.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+import time
+from typing import Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import __version__
+from .actors import BlocksExploder, Extractor
+from .config import DEFAULT_CONFIG, ExtractionConfig
+
+#: html byte-size above which a row is routed to the huge-document pool
+HUGE_THRESHOLD = 1 << 18  # 256 KiB
+
+PAGE_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def validate_pages(batch: pa.Table) -> pa.Table:
+    """Vectorized validation stage (set_image validation analogue,
+    ``src/api.rs:1204-1221``): html byte length + log2 size bucket
+    columns; no Python row loop."""
+    if "html" in batch.column_names:
+        lens = pc.coalesce(pc.binary_length(batch["html"]), pa.scalar(0, pa.int32()))
+        lens = pc.cast(lens, pa.int64())
+    else:
+        lens = pa.array([0] * len(batch), pa.int64())
+    import numpy as np
+
+    ln = lens.to_numpy(zero_copy_only=False)
+    bucket = np.zeros(len(ln), dtype=np.int8)
+    nz = ln > 0
+    bucket[nz] = np.floor(np.log2(ln[nz])).astype(np.int8)
+    out = batch
+    for name in ("html_len", "size_bucket"):
+        if name in out.column_names:
+            out = out.drop_columns([name])
+    return out.append_column("html_len", lens).append_column(
+        "size_bucket", pa.array(bucket, pa.int8()))
+
+
+def read_pages(paths, columns: Optional[Sequence[str]] = None, **kw):
+    """Column-pruned Parquet source for the pages table."""
+    import ray.data as rd
+
+    return rd.read_parquet(paths, columns=list(columns or PAGE_COLUMNS), **kw)
+
+
+def extract_pages(
+    ds,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    batch_size: int = 64,
+    concurrency=(2, 8),
+    huge_threshold: int = HUGE_THRESHOLD,
+    huge_batch_size: int = 4,
+):
+    """pages Dataset → extracted Dataset (lazy).
+
+    Skew handling: rows are split by html size; the huge bucket runs
+    through the same actor class with a tiny batch size so a multi-MB
+    page never shares a batch with dozens of its kind (SURVEY §4.3:
+    "repartition by html byte-size buckets").  Both branches use the
+    same frozen config → identical per-row output regardless of route.
+    """
+    ds = ds.map_batches(validate_pages, batch_format="pyarrow")
+    cfg_json = cfg.to_json()
+    normal = ds.map_batches(
+        lambda t: t.filter(pc.less(t["html_len"], huge_threshold)),
+        batch_format="pyarrow")
+    huge = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["html_len"], huge_threshold)),
+        batch_format="pyarrow")
+    ex_normal = normal.map_batches(
+        Extractor, fn_constructor_args=(cfg_json,), batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+    ex_huge = huge.map_batches(
+        Extractor, fn_constructor_args=(cfg_json,), batch_format="pyarrow",
+        batch_size=huge_batch_size, concurrency=(1, max(2, concurrency[1] // 4))
+        if isinstance(concurrency, tuple) else 2, num_cpus=1)
+    return ex_normal.union(ex_huge)
+
+
+def explode_pages(
+    ds,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    levels: tuple[str, ...] = ("block",),
+    batch_size: int = 32,
+    concurrency=(2, 8),
+):
+    """pages Dataset → blocks hierarchy Dataset (H1-H17)."""
+    return ds.map_batches(
+        BlocksExploder, fn_constructor_args=(cfg.to_json(), levels),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# Resumable sharded job driver (manifest per shard, atomic rename)
+# ---------------------------------------------------------------------------
+
+def _shard_digest_partial(batch: pa.Table) -> pa.Table:
+    """Combiner: per-batch commutative checksum partial (sum of per-row
+    sha256(url||content_text) mod 2^256) — merged later; avoids shipping
+    every digest to the driver."""
+    total = 0
+    urls = batch["url"].to_pylist()
+    texts = batch["content_text"].to_pylist()
+    for u, t in zip(urls, texts):
+        h = hashlib.sha256()
+        h.update(u.encode("utf-8"))
+        h.update(b"\x00")
+        h.update((t or "").encode("utf-8"))
+        total = (total + int.from_bytes(h.digest(), "big")) % (1 << 256)
+    return pa.table({"partial": [f"{total:064x}"], "n": [len(urls)]})
+
+
+def merge_checksum_partials(partials: list[tuple[str, int]]) -> str:
+    total = 0
+    n = 0
+    for p, c in partials:
+        total = (total + int(p, 16)) % (1 << 256)
+        n += int(c)
+    return f"{n}:{total:064x}"
+
+
+def read_extracted(out_dir: str, columns: Optional[Sequence[str]] = None):
+    """Read a job's output across all completed shards (read_parquet takes
+    a list of files, not of directories)."""
+    import glob
+
+    import ray.data as rd
+
+    files = sorted(glob.glob(os.path.join(out_dir, "shard=*", "data", "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no shard data under {out_dir}")
+    return rd.read_parquet(files, columns=list(columns) if columns else None)
+
+
+def manifest_path(out_dir: str, shard_id: str) -> str:
+    return os.path.join(out_dir, f"shard={shard_id}", "manifest.json")
+
+
+def shard_is_done(out_dir: str, shard_id: str) -> bool:
+    p = manifest_path(out_dir, shard_id)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            m = json.load(f)
+        return bool(m.get("complete"))
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def run_extraction_job(
+    input_files: Sequence[str],
+    out_dir: str,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    shard_size: int = 8,
+    write_blocks: bool = False,
+    **extract_kw,
+):
+    """Resumable extraction job: input parquet files grouped into shards;
+    each shard streams read→extract→write into ``out/shard=<id>/`` with
+    an atomically-renamed data dir + manifest (lineage: input files,
+    row count, corpus checksum partial, config hash, engine version —
+    the renderer-metadata analogue S8).  A rerun skips shards whose
+    manifest says complete.  Returns the list of shard manifests.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    manifests = []
+    groups = [list(input_files[i:i + shard_size])
+              for i in range(0, len(input_files), shard_size)]
+    for gi, files in enumerate(groups):
+        sid = f"{gi:05d}"
+        if shard_is_done(out_dir, sid):
+            with open(manifest_path(out_dir, sid)) as f:
+                manifests.append(json.load(f))
+            continue
+        shard_dir = os.path.join(out_dir, f"shard={sid}")
+        tmp_dir = tempfile.mkdtemp(prefix=f".shard-{sid}-", dir=out_dir)
+        t0 = time.monotonic()
+        ds = read_pages(files)
+        ex = extract_pages(ds, cfg, **extract_kw)
+        ex.write_parquet(os.path.join(tmp_dir, "data"))
+        if write_blocks:
+            explode_pages(read_pages(files), cfg).write_parquet(
+                os.path.join(tmp_dir, "blocks"))
+        # lineage metrics from the written data (column-pruned re-read)
+        import ray.data as rd
+
+        done = rd.read_parquet(os.path.join(tmp_dir, "data"),
+                               columns=["url", "content_text", "status", "html_len"])
+        parts = done.map_batches(_shard_digest_partial,
+                                 batch_format="pyarrow").take_all()
+        checksum = merge_checksum_partials([(r["partial"], r["n"]) for r in parts])
+        n_rows = sum(int(r["n"]) for r in parts)
+        manifest = {
+            "shard_id": sid,
+            "input_files": files,
+            "n_rows": n_rows,
+            "checksum": checksum,
+            "config_hash": cfg.config_hash(),
+            "config": json.loads(cfg.to_json()),
+            "engine_version": __version__,
+            "wall_s": round(time.monotonic() - t0, 3),
+            "complete": True,
+        }
+        with open(os.path.join(tmp_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        if os.path.exists(shard_dir):  # stale partial output from a dead run
+            import shutil
+
+            shutil.rmtree(shard_dir)
+        os.rename(tmp_dir, shard_dir)
+        manifests.append(manifest)
+    return manifests
