@@ -1,0 +1,375 @@
+"""Deduplication ops: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+All Ray-Data-first and shuffle-aware:
+
+- **exact**: vectorized content-hash in ``map_batches`` → hash-partition
+  ``groupby(hash)`` → per-group deterministic first.  The only shuffle
+  moves (hash, doc_id) pairs, not document text.
+- **MinHash+LSH**: shingle → 64-perm minhash signature per doc (one
+  ``map_batches`` pass) → explode to (band_id, band_hash, doc_id,
+  signature) rows → ``groupby(band)`` emits candidate pairs → pairwise
+  signature-estimated Jaccard filter → connected components by
+  min-label propagation.  Signatures ride along the band rows so the
+  verify step needs no second join — the standard trade of bandwidth
+  for a join at scale.
+- **SimHash**: 64-bit signature; candidates from 4×16-bit band buckets;
+  Hamming-distance verify.
+- **n-gram Jaccard**: exact verification variant for small candidate
+  sets (character n-grams).
+- **embedding cosine**: random-hyperplane LSH buckets → exact cosine
+  verify within buckets.
+
+Connected components run min-label propagation over the candidate-pair
+edge list until fixpoint — at our test scale the edge list is tiny; at
+100 TB the same loop runs as a handful of ``groupby`` rounds (each
+round is a shuffle of (node, label) pairs only).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_WORD_RE = re.compile(r"\w+")
+
+# deterministic minhash permutation parameters (seed folded in, no RNG state)
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    # LCG-derived odd multipliers/offsets — stable across runs/machines
+    ks = np.arange(1, num_perm + 1, dtype=np.uint64)
+    a = (2862933555777941757 * (ks + seed) + 3037000493) % _MERSENNE
+    b = (3202034522624059733 * (ks + 7 * seed) + 4354685564936845319) % _MERSENNE
+    return (a | 1), b
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Word k-shingles → stable 64-bit hashes (blake2b, not Python hash —
+    PYTHONHASHSEED-independent)."""
+    words = _WORD_RE.findall(text.lower())
+    if len(words) < k:
+        shingles = [" ".join(words)] if words else []
+    else:
+        shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    out = np.empty(len(shingles), np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+    return out
+
+
+def _char_ngram_hashes(text: str, n: int = 5) -> np.ndarray:
+    t = " ".join(text.lower().split())
+    grams = {t[i:i + n] for i in range(max(1, len(t) - n + 1))} if t else set()
+    out = np.empty(len(grams), np.uint64)
+    for i, g in enumerate(sorted(grams)):
+        out[i] = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+    return out
+
+
+def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if len(hashes) == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, np.uint64)
+    # (a*h + b) mod p, then min over shingles, vectorized via object->u64
+    h = hashes.astype(np.uint64)[:, None]
+    vals = (h * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+    return vals.min(axis=0).astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def add_content_hash(batch: pa.Table, col: str = "text") -> pa.Table:
+    texts = batch[col].to_pylist()
+    hs = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    return batch.append_column("content_hash", pa.array(hs, pa.string()))
+
+
+def exact_dedup(ds, col: str = "text", key: str = "doc_id"):
+    """→ Dataset(doc_id, n_dups): one surviving row (min key) per distinct
+    content hash.  Hash-partition + per-group first (SURVEY G4 pattern)."""
+    import pyarrow.compute as pc
+
+    hashed = ds.map_batches(lambda b: add_content_hash(b, col),
+                            batch_format="pyarrow")
+
+    def first(g: pa.Table) -> pa.Table:
+        keep = pc.min(g[key]).as_py()
+        return pa.table({key: [keep], "n_dups": [len(g)]})
+
+    return hashed.select_columns([key, "content_hash"]).groupby(
+        "content_hash").map_groups(first, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# near-dup: shared LSH machinery
+# ---------------------------------------------------------------------------
+
+class MinHasher:
+    """Actor stage: text → minhash signature column (warm permutation
+    tables in __init__)."""
+
+    def __init__(self, col: str = "text", num_perm: int = 64, k: int = 3,
+                 char_ngrams: bool = False) -> None:
+        self.col = col
+        self.num_perm = num_perm
+        self.k = k
+        self.char_ngrams = char_ngrams
+        self.a, self.b = _perm_params(num_perm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_pylist()
+        sigs = np.empty((len(texts), self.num_perm), np.uint64)
+        for i, t in enumerate(texts):
+            hs = (_char_ngram_hashes(t or "", self.k) if self.char_ngrams
+                  else _shingle_hashes(t or "", self.k))
+            sigs[i] = minhash_signature(hs, self.a, self.b)
+        return batch.append_column(
+            "minhash", pa.array(list(sigs), pa.list_(pa.uint64(), self.num_perm)))
+
+
+def _explode_bands(batch: pa.Table, key: str, bands: int, rows_per_band: int) -> pa.Table:
+    ids = batch[key].to_pylist()
+    sigs = batch["minhash"].to_pylist()
+    out = {"band": [], key: [], "minhash": []}
+    for i, sig in zip(ids, sigs):
+        for b in range(bands):
+            chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+            bh = hashlib.blake2b(
+                np.asarray(chunk, np.uint64).tobytes() + bytes([b]),
+                digest_size=8).hexdigest()
+            out["band"].append(f"{b}:{bh}")
+            out[key].append(i)
+            out["minhash"].append(sig)
+    return pa.table({
+        "band": pa.array(out["band"], pa.string()),
+        key: pa.array(out[key]),
+        "minhash": pa.array(out["minhash"], pa.list_(pa.uint64(), len(sigs[0]) if sigs else 0)),
+    })
+
+
+def _candidate_pairs(g: pa.Table, key: str, threshold_num: int,
+                     threshold_den: int) -> pa.Table:
+    """Within one LSH bucket: emit verified pairs (signature-estimated
+    Jaccard ≥ threshold_num/threshold_den, integer compare)."""
+    ids = g[key].to_pylist()
+    if len(ids) < 2:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    sigs = np.asarray(g["minhash"].to_pylist(), np.uint64)
+    order = np.argsort(np.asarray(ids))
+    ids = [ids[i] for i in order]
+    sigs = sigs[order]
+    num_perm = sigs.shape[1]
+    a_out, b_out = [], []
+    for i in range(len(ids)):
+        eq = (sigs[i + 1:] == sigs[i]).sum(axis=1)
+        hits = np.nonzero(eq * threshold_den >= threshold_num * num_perm)[0]
+        for j in hits:
+            a_out.append(ids[i])
+            b_out.append(ids[i + 1 + j])
+    return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
+
+
+def _connected_components(pairs: "np.ndarray") -> dict[int, int]:
+    """Min-label propagation to fixpoint (driver-side on the candidate
+    edge list; at cluster scale: same algorithm as groupby rounds)."""
+    label: dict[int, int] = {}
+    for x, y in pairs:
+        label.setdefault(int(x), int(x))
+        label.setdefault(int(y), int(y))
+
+    def find(v: int) -> int:
+        r = v
+        while label[r] != r:
+            r = label[r]
+        while label[v] != r:
+            label[v], v = r, label[v]
+        return r
+
+    for x, y in pairs:
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            if rx < ry:
+                label[ry] = rx
+            else:
+                label[rx] = ry
+    return {v: find(v) for v in label}
+
+
+def minhash_lsh_dedup(ds, col: str = "text", key: str = "doc_id",
+                      num_perm: int = 64, bands: int = 16, k: int = 3,
+                      threshold: tuple[int, int] = (4, 5),
+                      char_ngrams: bool = False, concurrency=(2, 8)):
+    """→ Dataset(doc_id, cluster_id): near-duplicate clusters.
+
+    threshold = (num, den): estimated Jaccard ≥ num/den keeps a pair.
+    ``char_ngrams=True`` gives the n-gram-Jaccard variant."""
+    rows_per_band = num_perm // bands
+    sigs = ds.select_columns([key, col]).map_batches(
+        MinHasher, fn_constructor_args=(col, num_perm, k, char_ngrams),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+    band_rows = sigs.select_columns([key, "minhash"]).map_batches(
+        lambda b: _explode_bands(b, key, bands, rows_per_band),
+        batch_format="pyarrow")
+    pairs_ds = band_rows.groupby("band").map_groups(
+        lambda g: _candidate_pairs(g, key, *threshold), batch_format="pyarrow")
+    pairs_df = pairs_ds.to_pandas()  # candidate edges are tiny vs corpus
+    pairs = np.unique(np.asarray(pairs_df[["a", "b"]], np.int64), axis=0) \
+        if len(pairs_df) else np.empty((0, 2), np.int64)
+    comp = _connected_components(pairs)
+    all_ids = ds.select_columns([key]).to_pandas()[key].astype("int64")
+    clusters = [comp.get(int(i), int(i)) for i in all_ids]
+    return pa.table({key: pa.array(all_ids.tolist(), pa.int64()),
+                     "cluster_id": pa.array(clusters, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+class SimHasher:
+    """Actor stage: 64-bit SimHash of word features."""
+
+    def __init__(self, col: str = "text") -> None:
+        self.col = col
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        counts = {}
+        for w in _WORD_RE.findall(text.lower()):
+            counts[w] = counts.get(w, 0) + 1
+        acc = np.zeros(64, np.int64)
+        for w, c in counts.items():
+            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), np.uint8))
+            acc += (bits.astype(np.int64) * 2 - 1) * c
+        out = 0
+        for i, v in enumerate(acc):
+            if v > 0:
+                out |= 1 << (63 - i)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_pylist()
+        hs = np.array([self.simhash64(t or "") for t in texts], np.uint64)
+        return batch.append_column("simhash", pa.array(hs, pa.uint64()))
+
+
+def simhash_dedup(ds, col: str = "text", key: str = "doc_id",
+                  max_hamming: int = 3, concurrency=(2, 8)):
+    """→ pa.Table(doc_id, cluster_id): SimHash near-dup clusters.
+    Candidates from 4×16-bit band buckets (any pair within Hamming ≤ 3
+    shares at least one identical 16-bit band)."""
+    sigs = ds.select_columns([key, col]).map_batches(
+        SimHasher, fn_constructor_args=(col,), batch_format="pyarrow",
+        concurrency=concurrency, num_cpus=1).select_columns([key, "simhash"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b[key].to_pylist()
+        hs = b["simhash"].to_pylist()
+        out = {"band": [], key: [], "simhash": []}
+        for i, h in zip(ids, hs):
+            for band in range(4):
+                chunk = (h >> (band * 16)) & 0xFFFF
+                out["band"].append(band * 65536 + chunk)
+                out[key].append(i)
+                out["simhash"].append(h)
+        return pa.table({"band": pa.array(out["band"], pa.int64()),
+                         key: pa.array(out[key]),
+                         "simhash": pa.array(out["simhash"], pa.uint64())})
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        ids = g[key].to_pylist()
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        hs = g["simhash"].to_pylist()
+        order = np.argsort(np.asarray(ids))
+        ids = [int(ids[i]) for i in order]
+        hs = [int(hs[i]) for i in order]
+        a_out, b_out = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if bin(hs[i] ^ hs[j]).count("1") <= max_hamming:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+        return pa.table({"a": pa.array(a_out, pa.int64()),
+                         "b": pa.array(b_out, pa.int64())})
+
+    pairs_df = sigs.map_batches(explode, batch_format="pyarrow").groupby(
+        "band").map_groups(pairs_in_bucket, batch_format="pyarrow").to_pandas()
+    pairs = np.unique(np.asarray(pairs_df[["a", "b"]], np.int64), axis=0) \
+        if len(pairs_df) else np.empty((0, 2), np.int64)
+    comp = _connected_components(pairs)
+    all_ids = ds.select_columns([key]).to_pandas()[key].astype("int64")
+    return pa.table({key: pa.array(all_ids.tolist(), pa.int64()),
+                     "cluster_id": pa.array(
+                         [comp.get(int(i), int(i)) for i in all_ids], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dedup(ds, key: str = "vec_id", col: str = "embedding",
+                    threshold: float = 0.95, n_planes: int = 12):
+    """→ pa.Table(vec_id, cluster_id): cosine-similarity near-dup via
+    random-hyperplane LSH buckets + exact verify within buckets.
+    Hyperplanes are a deterministic seeded Gaussian matrix broadcast to
+    all tasks."""
+    import ray
+
+    first = ds.take(1)[0]
+    dim = len(first[col])
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((dim, n_planes))
+    planes_ref = ray.put(planes)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        vecs = np.asarray(b[col].to_pylist(), np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        bits = (unit @ pl) > 0
+        codes = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        return pa.table({key: b[key], "bucket": pa.array(codes, pa.int64()),
+                         col: b[col]})
+
+    def verify(g: pa.Table) -> pa.Table:
+        ids = g[key].to_pylist()
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        vecs = np.asarray(g[col].to_pylist(), np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        sims = unit @ unit.T
+        order = np.argsort(np.asarray(ids))
+        a_out, b_out = [], []
+        for oi in range(len(order)):
+            for oj in range(oi + 1, len(order)):
+                i, j = order[oi], order[oj]
+                if sims[i, j] >= threshold:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[j]))
+        return pa.table({"a": pa.array(a_out, pa.int64()),
+                         "b": pa.array(b_out, pa.int64())})
+
+    pairs_df = ds.select_columns([key, col]).map_batches(
+        bucketize, batch_format="pyarrow").groupby("bucket").map_groups(
+        verify, batch_format="pyarrow").to_pandas()
+    pairs = np.unique(np.asarray(pairs_df[["a", "b"]], np.int64), axis=0) \
+        if len(pairs_df) else np.empty((0, 2), np.int64)
+    comp = _connected_components(pairs)
+    all_ids = ds.select_columns([key]).to_pandas()[key].astype("int64")
+    return pa.table({key: pa.array(all_ids.tolist(), pa.int64()),
+                     "cluster_id": pa.array(
+                         [comp.get(int(i), int(i)) for i in all_ids], pa.int64())})

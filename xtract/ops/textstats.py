@@ -1,0 +1,150 @@
+"""Text analysis ops: token counts, char-class stats, quality score,
+fingerprints, language ID — over a ``documents(doc_id, text, ...)`` table.
+
+The SQL-checkable stats use exactly the character classes / trim /
+split semantics that the DuckDB oracle SQL in ``__ray_entry__.py``
+uses, so row values hash-match bit-for-bit: ASCII regex classes only,
+``[ \\t\\n\\r]+`` tokenization of text trimmed on `` \\t\\n\\r``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_TOKEN_SPLIT = re.compile(r"[ \t\n\r]+")
+_ALPHA = re.compile(r"[A-Za-z]")
+_DIGIT = re.compile(r"[0-9]")
+_PUNCT = re.compile(r"[.!?,;:]")
+_UPPER = re.compile(r"[A-Z]")
+_TRIM = " \t\n\r"
+
+#: BPE-ish token pattern (public GPT-2 style pre-tokenizer shape):
+#: word pieces, numbers, punctuation runs, whitespace collapsed
+_BPEISH = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+")
+
+
+def token_count(text: str) -> int:
+    t = text.strip(_TRIM)
+    return 0 if not t else len(_TOKEN_SPLIT.split(t))
+
+
+def bpeish_count(text: str) -> int:
+    return len(_BPEISH.findall(text))
+
+
+def text_stats_batch(batch: pa.Table) -> pa.Table:
+    """map_batches: add n_tokens / char-class counts / md5 fingerprint.
+    Exactly mirrors the oracle SQL expressions (see __ray_entry__)."""
+    texts = batch["text"].to_pylist()
+    n = len(texts)
+    n_tokens = np.empty(n, np.int64)
+    n_alpha = np.empty(n, np.int64)
+    n_digit = np.empty(n, np.int64)
+    n_punct = np.empty(n, np.int64)
+    n_upper = np.empty(n, np.int64)
+    fp = []
+    for i, t in enumerate(texts):
+        t = t or ""
+        n_tokens[i] = token_count(t)
+        n_alpha[i] = len(_ALPHA.findall(t))
+        n_digit[i] = len(_DIGIT.findall(t))
+        n_punct[i] = len(_PUNCT.findall(t))
+        n_upper[i] = len(_UPPER.findall(t))
+        fp.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+    out = batch
+    for name, arr in (("n_tokens", n_tokens), ("n_alpha", n_alpha),
+                      ("n_digit", n_digit), ("n_punct", n_punct),
+                      ("n_upper", n_upper)):
+        out = out.append_column(name, pa.array(arr))
+    return out.append_column("fingerprint", pa.array(fp, pa.string()))
+
+
+class QualityScorer:
+    """Actor stage: composite quality score for filtering training data.
+    Stopword table + compiled regexes are per-actor warm state."""
+
+    def __init__(self) -> None:
+        from ..langdetect import STOPWORDS
+
+        self.stop = frozenset().union(*STOPWORDS.values())
+        self.word_re = re.compile(r"[a-zA-Z]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        scores = np.empty(len(texts), np.float64)
+        stop_ratio = np.empty(len(texts), np.float64)
+        mean_wlen = np.empty(len(texts), np.float64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            words = self.word_re.findall(t.lower())
+            nw = len(words)
+            sw = sum(1 for w in words if w in self.stop)
+            stop_ratio[i] = sw / nw if nw else 0.0
+            mean_wlen[i] = (sum(len(w) for w in words) / nw) if nw else 0.0
+            # deterministic integer-ish composite scaled to 0-100
+            s = 0
+            if 20 <= nw <= 100000:
+                s += 40
+            if nw and 3 * sw >= nw:       # stopword ratio >= 1/3
+                s += 30
+            if nw and 3.0 <= mean_wlen[i] <= 10.0:
+                s += 30
+            scores[i] = float(s)
+        return (batch.append_column("quality_score", pa.array(scores))
+                     .append_column("stopword_ratio", pa.array(stop_ratio))
+                     .append_column("mean_word_len", pa.array(mean_wlen)))
+
+
+class DocLangId:
+    """Actor stage: language-ID columns over documents.text (warm
+    trigram/stopword tables — A10 analogue applied to the corpus)."""
+
+    def __init__(self, margin: int = 2) -> None:
+        from ..langdetect import LangDetector
+
+        self.det = LangDetector(margin=margin)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        langs, confs = [], np.empty(len(texts), np.float32)
+        for i, t in enumerate(texts):
+            l, c = self.det.detect((t or "")[:2000])
+            langs.append(l)
+            confs[i] = c
+        return (batch.append_column("lang_detected", pa.array(langs, pa.string()))
+                     .append_column("lang_conf", pa.array(confs)))
+
+
+def rolling_fingerprint(text: str, window: int = 64,
+                        mod: int = (1 << 61) - 1, base: int = 257) -> int:
+    """Deterministic rolling-hash document fingerprint: min of rolling
+    polynomial hashes over byte windows (content-defined sampling —
+    robust to small edits, unlike md5)."""
+    data = text.encode("utf-8")
+    if not data:
+        return 0
+    if len(data) <= window:
+        h = 0
+        for b in data:
+            h = (h * base + b) % mod
+        return h
+    h = 0
+    pw = pow(base, window - 1, mod)
+    best = mod
+    for i, b in enumerate(data):
+        if i >= window:
+            h = (h - data[i - window] * pw) % mod
+        h = (h * base + b) % mod
+        if i >= window - 1 and h < best:
+            best = h
+    return best
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    fps = np.array([rolling_fingerprint(t or "") for t in texts], np.uint64)
+    return batch.append_column("rolling_fp", pa.array(fps, pa.uint64()))

@@ -1,0 +1,168 @@
+"""Multi-format output renderers (M3-M7, S5-S7) + pluggable registry.
+
+The reference projects ONE recognition result into 8 formats
+(``get_hocr_text`` ``src/api.rs:309-322``, ``get_alto_text`` ``:333-346``,
+``get_tsv_text`` ``:357-370``, box variants ``:467-528``,
+``get_unlv_text`` ``:535-548``; streaming renderers sharing one
+begin/add/end protocol, ``src/result_renderer.rs:25-134``).  Ours render
+a document's classified blocks into format strings; the registry lets
+users add formats without touching the pipeline (SURVEY §2.10).
+
+Renderers run as a stateless projection stage — no shuffle: the actor
+extracts blocks and renders in the same pass.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from typing import Callable
+from xml.sax.saxutils import escape, quoteattr
+
+from .config import DEFAULT_CONFIG, ExtractionConfig
+from .segment import Block
+
+
+def render_text(url: str, blocks: list[Block]) -> str:
+    """Plain text projection (the txt renderer, S5)."""
+    return "\n\n".join(b.text for b in blocks if b.is_content)
+
+
+def render_hocr(url: str, blocks: list[Block]) -> str:
+    """hOCR-like XML: structure + spans-as-boxes + confidences
+    (``get_hocr_text`` analogue; bbox = byte span)."""
+    out = [
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>",
+        f"<html><body><div class='ocr_page' id='page_1' title={quoteattr('url ' + url)}>",
+    ]
+    for b in blocks:
+        out.append(
+            f"  <div class='ocr_carea' id='block_{b.block_id}' "
+            f"title='bbox {b.span_start} 0 {b.span_end} 1; x_wconf {b.confidence}' "
+            f"data-type={quoteattr(b.block_type)} data-content={quoteattr(str(b.is_content).lower())}>"
+        )
+        for li, line in enumerate(b.text.split("\n")):
+            out.append(f"    <span class='ocr_line' id='line_{b.block_id}_{li}'>"
+                       f"{escape(line)}</span>")
+        out.append("  </div>")
+    out.append("</div></body></html>")
+    return "\n".join(out)
+
+
+def render_alto(url: str, blocks: list[Block]) -> str:
+    """ALTO-like XML (``get_alto_text`` analogue)."""
+    out = [
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>",
+        "<alto><Layout><Page ID=\"P1\">",
+    ]
+    for b in blocks:
+        out.append(f"  <TextBlock ID=\"B{b.block_id}\" HPOS=\"{b.span_start}\" "
+                   f"WIDTH=\"{max(0, b.span_end - b.span_start)}\" "
+                   f"TYPE={quoteattr(b.block_type)}>")
+        for line in b.text.split("\n"):
+            words = "".join(f"<String CONTENT={quoteattr(w)}/>" for w in line.split(" ") if w)
+            out.append(f"    <TextLine>{words}</TextLine>")
+        out.append("  </TextBlock>")
+    out.append("</Page></Layout></alto>")
+    return "\n".join(out)
+
+
+def render_tsv(url: str, blocks: list[Block]) -> str:
+    """TSV projection: one row per block — literally the blocks table
+    (``get_tsv_text`` analogue)."""
+    rows = ["block_id\tblock_type\tis_content\tconfidence\tspan_start\tspan_end\ttext"]
+    for b in blocks:
+        text = b.text.replace("\t", " ").replace("\n", "\\n")
+        rows.append(f"{b.block_id}\t{b.block_type}\t{int(b.is_content)}\t"
+                    f"{b.confidence}\t{b.span_start}\t{b.span_end}\t{text}")
+    return "\n".join(rows)
+
+
+def render_box(url: str, blocks: list[Block]) -> str:
+    """Word box projection (``get_box_text`` family): word, char-span in
+    block text, block id."""
+    out = []
+    for b in blocks:
+        cursor = 0
+        for w in b.text.replace("\n", " ").split(" "):
+            if not w:
+                continue
+            s = b.text.replace("\n", " ").index(w, cursor)
+            e = s + len(w)
+            cursor = e
+            out.append(f"{w} {s} {e} {b.block_id}")
+    return "\n".join(out)
+
+
+def render_unlv(url: str, blocks: list[Block]) -> str:
+    """UNLV-style projection: accent-folded ASCII-ish text via the
+    deterministic NFKD table (``get_unlv_text`` analogue)."""
+    text = render_text(url, blocks)
+    folded = unicodedata.normalize("NFKD", text)
+    return "".join(c for c in folded if ord(c) < 128)
+
+
+RENDERERS: dict[str, Callable[[str, list[Block]], str]] = {
+    "text": render_text,
+    "hocr": render_hocr,
+    "alto": render_alto,
+    "tsv": render_tsv,
+    "box": render_box,
+    "unlv": render_unlv,
+}
+
+#: sink self-description (get_extension analogue, src/result_renderer.rs:141-185)
+EXTENSIONS = {"text": "txt", "hocr": "hocr", "alto": "xml", "tsv": "tsv",
+              "box": "box", "unlv": "unlv"}
+
+
+def register_renderer(name: str, fn: Callable[[str, list[Block]], str],
+                      extension: str = "txt") -> None:
+    RENDERERS[name] = fn
+    EXTENSIONS[name] = extension
+
+
+class RenderStage:
+    """Actor stage: pages → (url, format, payload) — extract + render in
+    one pass, no shuffle."""
+
+    def __init__(self, cfg: ExtractionConfig | str = DEFAULT_CONFIG,
+                 formats: tuple[str, ...] = ("hocr",)) -> None:
+        if isinstance(cfg, str):
+            cfg = ExtractionConfig.from_json(cfg)
+        self.cfg = cfg
+        self.formats = tuple(formats)
+        unknown = [f for f in self.formats if f not in RENDERERS]
+        if unknown:
+            raise ValueError(f"unknown renderers {unknown}; known: {sorted(RENDERERS)}")
+        from .langdetect import LangDetector
+
+        self.detector = LangDetector(margin=cfg.lang_conf_margin)
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        from .extract import extract_document
+
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist() if "html" in batch.column_names else [None] * len(urls)
+        texts = batch["text"].to_pylist() if "text" in batch.column_names else [None] * len(urls)
+        out = {"url": [], "format": [], "payload": []}
+        for url, html, text in zip(urls, htmls, texts):
+            if not url:
+                continue
+            r = extract_document(html, text, None, self.cfg,
+                                 detector=self.detector, collect_blocks=True)
+            for fmt in self.formats:
+                out["url"].append(url)
+                out["format"].append(fmt)
+                out["payload"].append(RENDERERS[fmt](url, r["blocks"]))
+        return pa.table(out)
+
+
+def render_pages(ds, cfg: ExtractionConfig = DEFAULT_CONFIG,
+                 formats: tuple[str, ...] = ("hocr",), batch_size: int = 32,
+                 concurrency=(2, 8)):
+    """pages Dataset → rendered Dataset (url, format, payload)."""
+    return ds.map_batches(RenderStage, fn_constructor_args=(cfg.to_json(), formats),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)
