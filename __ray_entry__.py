@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline; ``queries()`` exposes
+one callable per implemented operator/pipeline (SURVEY.md §2 + the
+training-data ops); ``oracle_sql()`` gives DuckDB-equivalent SQL for the
+SQL-expressible ones (extraction / LSH / ANN entries are non-SQL →
+rows-only check).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — no
+ray.init()/ray.shutdown() here or in the library code these use.
 """
 
 from __future__ import annotations
@@ -18,27 +15,392 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _pages(sf_dir: str):
+    from xtract.synth import synth_pages_dataset
+
+    return synth_pages_dataset(sf_dir)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthesize Common-Crawl-style pages from sf0.001 and run
+    the full extraction pipeline (validate → skew split → actor-pool
+    extract).  Returns the extracted Dataset."""
+    from xtract.pipeline import extract_pages
+
+    return extract_pages(_pages("/root/testdata/sf0.001"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_doc_lang_histogram(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    out = _docs(sf_dir, ["lang"]).groupby("lang").aggregate(
+        Count(alias_name="n_docs"))
+    return out.to_pandas()
+
+
+def _q_doc_source_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    return _docs(sf_dir, ["source", "n_chars"]).groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    ).to_pandas()
+
+
+def _q_doc_token_stats(sf_dir: str):
+    from xtract.ops.textstats import text_stats_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        text_stats_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens", "n_alpha", "n_digit", "n_punct", "n_upper"])
+
+
+def _q_doc_fingerprint(sf_dir: str):
+    from xtract.ops.textstats import text_stats_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        text_stats_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"])
+
+
+def _q_doc_exact_dedup(sf_dir: str):
+    from xtract.ops.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_events_by_type(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    df = ev.groupby("event_type").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value")
+    ).to_pandas()
+    df["total_value"] = df["total_value"].round(2)
+    return df
+
+
+def _q_events_daily(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    ev = ev.map_batches(
+        lambda b: pa.table({"day": pc.strftime(b["ts"], format="%Y-%m-%d")}),
+        batch_format="pyarrow")
+    return ev.groupby("day").aggregate(Count(alias_name="n_events")).to_pandas()
+
+
+def _q_lineitem_pricing(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    df = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Count(alias_name="n_rows"),
+    ).to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_price"] = df["sum_price"].round(2)
+    return df
+
+
+def _q_top_customers(sf_dir: str):
+    """Broadcast hash join: customer is the small side — shipped once via
+    ray.put, looked up per batch (no shuffle join; SURVEY §2.5)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust.c_custkey.astype("int64"), cust.c_name)))
+
+    def attach(b: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        keys = b["o_custkey"].to_pylist()
+        return b.append_column("c_name", pa.array([lk.get(k) for k in keys],
+                                                  pa.string()))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    df = orders.map_batches(attach, batch_format="pyarrow").groupby(
+        ["o_custkey", "c_name"]).aggregate(
+        Sum("o_totalprice", alias_name="total_spend"),
+        Count(alias_name="n_orders"),
+    ).to_pandas()
+    df = df.rename(columns={"o_custkey": "c_custkey"})
+    df["total_spend"] = df["total_spend"].round(2)
+    df = df.sort_values(["total_spend", "c_custkey"],
+                        ascending=[False, True], kind="mergesort").head(10)
+    return df.reset_index(drop=True)
+
+
+def _q_part_brand_stats(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Mean
+
+    pt = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_brand", "p_retailprice", "p_size"])
+    df = pt.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Mean("p_retailprice", alias_name="avg_price"),
+        Max("p_size", alias_name="max_size"),
+    ).to_pandas()
+    df["avg_price"] = df["avg_price"].round(2)
+    return df
+
+
+def _q_supplier_nation(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(nat.n_nationkey.astype("int64"), nat.n_name)))
+
+    def attach(b: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        return pa.table({"n_name": pa.array(
+            [lk.get(k) for k in b["s_nationkey"].to_pylist()], pa.string())})
+
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"])
+    return sup.map_batches(attach, batch_format="pyarrow").groupby(
+        "n_name").aggregate(Count(alias_name="n_suppliers")).to_pandas()
+
+
+def _q_embedding_knn(sf_dir: str):
+    """Brute-force cosine top-10 of the vec_id=0 embedding (exact ANN
+    baseline; float scores excluded from the compared output)."""
+    from xtract.ops.similarity import knn_bruteforce
+
+    emb = _emb(sf_dir)
+    q0 = [r["embedding"] for r in emb.take(1)][0]
+    out = knn_bruteforce(emb, np.asarray([q0], np.float64), k=10).to_pandas()
+    return out[["rank", "vec_id"]]
+
+
+# -- non-SQL (rows-only check) ----------------------------------------------
+
+def _q_extract_pages(sf_dir: str):
+    from xtract.pipeline import extract_pages
+
+    return extract_pages(_pages(sf_dir)).select_columns(
+        ["url", "doc_kind", "status", "lang_detected", "text_dir",
+         "n_blocks_kept", "n_blocks_dropped", "content_text"])
+
+
+def _q_extract_blocks(sf_dir: str):
+    from xtract.pipeline import explode_pages
+
+    return explode_pages(_pages(sf_dir), levels=("block",))
+
+
+def _q_extract_words(sf_dir: str):
+    from xtract.pipeline import explode_pages
+
+    ds = _pages(sf_dir).limit(200)
+    return explode_pages(ds, levels=("line", "word"))
+
+
+def _q_corpus_checksum(sf_dir: str):
+    from xtract.metrics import corpus_checksum
+    from xtract.pipeline import extract_pages
+
+    c = corpus_checksum(extract_pages(_pages(sf_dir)))
+    n, digest = c.split(":")
+    return pa.table({"n_urls": pa.array([int(n)], pa.int64()),
+                     "checksum": pa.array([digest], pa.string())})
+
+
+def _q_render_formats(sf_dir: str):
+    from xtract.render import render_pages
+
+    return render_pages(_pages(sf_dir).limit(40), formats=("hocr", "tsv", "alto"))
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from xtract.ops.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_simhash_dedup(sf_dir: str):
+    from xtract.ops.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_ngram_dedup(sf_dir: str):
+    from xtract.ops.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]),
+                             char_ngrams=True, k=5)
+
+
+def _q_embedding_dedup(sf_dir: str):
+    from xtract.ops.dedup import embedding_dedup
+
+    return embedding_dedup(_emb(sf_dir))
+
+
+def _q_knn_ivf(sf_dir: str):
+    from xtract.ops.similarity import knn_ivf
+
+    emb = _emb(sf_dir)
+    q0 = [r["embedding"] for r in emb.take(1)][0]
+    return knn_ivf(emb, np.asarray([q0], np.float64), k=10)
+
+
+def _q_doc_quality(sf_dir: str):
+    from xtract.ops.textstats import QualityScorer
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        QualityScorer, batch_format="pyarrow", concurrency=2,
+        num_cpus=1).select_columns(
+        ["doc_id", "quality_score", "stopword_ratio", "mean_word_len"])
+
+
+def _q_doc_langid(sf_dir: str):
+    from xtract.ops.textstats import DocLangId
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        DocLangId, batch_format="pyarrow", concurrency=2,
+        num_cpus=1).select_columns(["doc_id", "lang_detected", "lang_conf"])
+
+
+def _q_doc_rolling_fp(sf_dir: str):
+    from xtract.ops.textstats import fingerprint_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "rolling_fp"])
+
+
+def _q_media_features(sf_dir: str):
+    from xtract.ops.multimodal import decode_media, synth_media_batch
+
+    media = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth_media_batch, batch_format="pyarrow")
+    return decode_media(media).select_columns(
+        ["media_id", "kind", "decode_status"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # SQL-checked
+        "doc_lang_histogram": _q_doc_lang_histogram,
+        "doc_source_stats": _q_doc_source_stats,
+        "doc_token_stats": _q_doc_token_stats,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "events_by_type": _q_events_by_type,
+        "events_daily": _q_events_daily,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "top_customers": _q_top_customers,
+        "part_brand_stats": _q_part_brand_stats,
+        "supplier_nation": _q_supplier_nation,
+        "embedding_knn": _q_embedding_knn,
+        # extraction + ops (non-SQL → rows-only)
+        "extract_pages": _q_extract_pages,
+        "extract_blocks": _q_extract_blocks,
+        "extract_words": _q_extract_words,
+        "corpus_checksum": _q_corpus_checksum,
+        "render_formats": _q_render_formats,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "ngram_dedup": _q_ngram_dedup,
+        "embedding_dedup": _q_embedding_dedup,
+        "knn_ivf": _q_knn_ivf,
+        "doc_quality": _q_doc_quality,
+        "doc_langid": _q_doc_langid,
+        "doc_rolling_fp": _q_doc_rolling_fp,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TRIM = "' ' || chr(9) || chr(10) || chr(13)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_lang_histogram":
+            "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "doc_source_stats":
+            "SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars, "
+            "min(n_chars) AS min_chars, max(n_chars) AS max_chars "
+            "FROM documents GROUP BY source",
+        "doc_token_stats":
+            f"SELECT doc_id, "
+            f"CASE WHEN trim(coalesce(text,''), {_TRIM}) = '' THEN 0 "
+            f"ELSE len(regexp_split_to_array(trim(coalesce(text,''), {_TRIM}), "
+            f"'[ \t\n\r]+')) END AS n_tokens, "
+            "length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g')) AS n_alpha, "
+            "length(regexp_replace(coalesce(text,''), '[^0-9]', '', 'g')) AS n_digit, "
+            "length(regexp_replace(coalesce(text,''), '[^.!?,;:]', '', 'g')) AS n_punct, "
+            "length(regexp_replace(coalesce(text,''), '[^A-Z]', '', 'g')) AS n_upper "
+            "FROM documents",
+        "doc_fingerprint":
+            "SELECT doc_id, md5(coalesce(text,'')) AS fingerprint FROM documents",
+        "doc_exact_dedup":
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_dups "
+            "FROM documents GROUP BY md5(coalesce(text,''))",
+        "events_by_type":
+            "SELECT event_type, count(*) AS n_events, "
+            "round(sum(value), 2) AS total_value FROM events GROUP BY event_type",
+        "events_daily":
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events "
+            "FROM events GROUP BY 1",
+        "lineitem_pricing":
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+        "top_customers":
+            "SELECT o_custkey AS c_custkey, c_name, "
+            "round(sum(o_totalprice), 2) AS total_spend, count(*) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY o_custkey, c_name "
+            "ORDER BY round(sum(o_totalprice), 2) DESC, c_custkey LIMIT 10",
+        "part_brand_stats":
+            "SELECT p_brand, count(*) AS n_parts, "
+            "round(avg(p_retailprice), 2) AS avg_price, max(p_size) AS max_size "
+            "FROM part GROUP BY p_brand",
+        "supplier_nation":
+            "SELECT n_name, count(*) AS n_suppliers FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name",
+        "embedding_knn":
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+            "scored AS (SELECT e.vec_id, "
+            "list_cosine_similarity(e.embedding, q.qe) AS score "
+            "FROM embeddings e CROSS JOIN q) "
+            "SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rank, vec_id "
+            "FROM scored ORDER BY score DESC, vec_id LIMIT 10",
+    }

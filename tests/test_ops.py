@@ -1,0 +1,167 @@
+"""Training-data ops: dedup family, similarity search, text stats,
+multimodal plumbing — with planted duplicates/near-duplicates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from xtract.ops.dedup import (
+    SimHasher,
+    embedding_dedup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash_dedup,
+)
+from xtract.ops.similarity import knn_bruteforce, knn_ivf
+from xtract.ops.textstats import (
+    bpeish_count,
+    rolling_fingerprint,
+    text_stats_batch,
+    token_count,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the morning light")
+
+
+@pytest.fixture(scope="module")
+def planted_docs(ray_session):
+    import ray.data as rd
+
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": f"unique document number {i} " +
+                     " ".join(f"tok{i}x{j}" for j in range(30))})
+    rows.append({"doc_id": 100, "text": BASE})
+    rows.append({"doc_id": 101, "text": BASE})                       # exact dup
+    rows.append({"doc_id": 102, "text": BASE.replace("dog", "hound")})  # near dup
+    return rd.from_items(rows)
+
+
+def test_exact_dedup_finds_planted(planted_docs):
+    out = exact_dedup(planted_docs).to_pandas()
+    assert len(out) == 42  # 43 rows, one exact dup collapsed
+    grp = out[out.doc_id == 100]
+    assert int(grp.n_dups.iloc[0]) == 2
+
+
+def test_minhash_clusters_near_dups(planted_docs):
+    # one-word edit of a ~25-word doc → true Jaccard ≈ 0.77; use 0.7 threshold
+    out = minhash_lsh_dedup(planted_docs, threshold=(7, 10)).to_pandas()
+    c = dict(zip(out.doc_id, out.cluster_id))
+    assert c[100] == c[101] == c[102]          # exact + near dup share cluster
+    assert c[0] != c[100] and c[0] != c[1]     # unique docs stay apart
+
+
+def test_minhash_default_threshold_excludes_weak_pair(planted_docs):
+    out = minhash_lsh_dedup(planted_docs).to_pandas()  # default 0.8
+    c = dict(zip(out.doc_id, out.cluster_id))
+    assert c[100] == c[101]                    # exact dup always clusters
+
+
+def test_ngram_jaccard_variant(planted_docs):
+    out = minhash_lsh_dedup(planted_docs, char_ngrams=True, k=5).to_pandas()
+    c = dict(zip(out.doc_id, out.cluster_id))
+    assert c[100] == c[101]
+
+
+def test_simhash_clusters(planted_docs):
+    out = simhash_dedup(planted_docs).to_pandas()
+    c = dict(zip(out.doc_id, out.cluster_id))
+    assert c[100] == c[101]
+    assert c[0] != c[100]
+
+
+def test_simhash64_deterministic():
+    a = SimHasher.simhash64(BASE)
+    assert a == SimHasher.simhash64(BASE)
+    assert bin(a ^ SimHasher.simhash64(BASE.replace("dog", "hound"))).count("1") <= 12
+
+
+def test_embedding_dedup(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((30, 16))
+    vecs[21] = vecs[20] + 0.001                   # planted near-identical pair
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                        for i in range(30)])
+    out = embedding_dedup(ds, threshold=0.99).to_pandas()
+    c = dict(zip(out.vec_id, out.cluster_id))
+    assert c[20] == c[21]
+    assert len(set(c.values())) == 29
+
+
+def test_knn_bruteforce_exact(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((100, 16))
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                        for i in range(100)])
+    q = vecs[:2]
+    out = knn_bruteforce(ds, q, k=5).to_pandas()
+    # numpy reference
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qu = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qu @ unit.T
+    for qi in range(2):
+        expect = np.lexsort((np.arange(100), -sims[qi]))[:5].tolist()
+        got = out[out.query_id == qi].sort_values("rank").vec_id.tolist()
+        assert got == expect
+    assert out[out.query_id == 0].iloc[0].vec_id == 0  # self is rank 1
+
+
+def test_knn_ivf_contains_self(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((200, 16))
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                        for i in range(200)])
+    out = knn_ivf(ds, vecs[:1], k=5, n_cells=8, nprobe=3).to_pandas()
+    assert out.iloc[0].vec_id == 0 and out.iloc[0]["rank"] == 1
+
+
+def test_token_count_semantics():
+    assert token_count("") == 0
+    assert token_count("   ") == 0
+    assert token_count(" a  b\t\nc ") == 3
+    assert bpeish_count("hello, world 42") == 5  # hello , world 4 2
+
+
+def test_rolling_fingerprint_stability():
+    assert rolling_fingerprint(BASE) == rolling_fingerprint(BASE)
+    # min-of-windows is intentionally robust to small appends; disjoint
+    # content must differ
+    assert rolling_fingerprint(BASE) != rolling_fingerprint(
+        "completely different words drawn from another vocabulary entirely")
+    assert rolling_fingerprint("") == 0
+
+
+def test_text_stats_batch_columns():
+    t = pa.table({"text": ["Hello, World! 42", ""]})
+    out = text_stats_batch(t)
+    assert out["n_tokens"].to_pylist() == [3, 0]
+    assert out["n_alpha"].to_pylist() == [10, 0]
+    assert out["n_digit"].to_pylist() == [2, 0]
+    assert out["n_upper"].to_pylist() == [2, 0]
+    assert len(out["fingerprint"][0].as_py()) == 32
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.multimodal import DecodeStage, decode_media, synth_media_batch
+
+    docs = rd.from_items([{"doc_id": i} for i in range(12)])
+    media = docs.map_batches(synth_media_batch, batch_format="pyarrow")
+    feats = decode_media(media, fake=True, batch_size=4).to_pandas()
+    assert len(feats) == 12
+    assert set(feats.decode_status) == {"ok"}
+    assert all(len(f) == 32 for f in feats.features)
+    # honest stub path raises per-row and reports unsupported_codec
+    t = media.limit(2).to_pandas()
+    stage = DecodeStage(fake=False)
+    out = stage(pa.Table.from_pandas(t)).to_pydict()
+    assert set(out["decode_status"]) == {"unsupported_codec"}

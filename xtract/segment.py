@@ -346,15 +346,15 @@ class Segmenter:
     def end_tag(self, tag: str) -> None:
         if tag == "br" or tag in VOID_ELEMENTS:
             return
-        if tag in BLOCK_ELEMENTS:
-            self.flush()
-        # find nearest matching open tag; ignore stray end tags
+        # find nearest matching open tag; a stray end tag (not open) is
+        # ignored entirely — no flush, no pop (HTML5-ish recovery rule)
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
+                if tag in BLOCK_ELEMENTS:
+                    self.flush()
                 while len(self.stack) > i:
                     self._pop()
                 return
-        # not open → ignored (deterministic recovery rule)
 
     def finish(self) -> list[Block]:
         self.flush()
