@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline extraction pipeline + per-op timings.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_s": ...,
+   "mb_html_per_s": ...}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+
+--scaling: run the headline pipeline in TWO fresh processes
+(num_cpus=8, then 32) on the same input and report both throughputs +
+scaling efficiency (the sandbox substitute for N-vs-4N cluster sizes —
+SURVEY §4.3); result also recorded in BASELINE.md.
+
+The pages input is synthesized once per (sf, expand, repeat) into a
+cached parquet dir so the timed pipeline is the real product path:
+read_parquet → validate → skew-split → actor-pool extract → checksum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+EXPAND = int(os.environ.get("XTRACT_BENCH_EXPAND", "8"))
+REPEAT = int(os.environ.get("XTRACT_BENCH_REPEAT", "10"))
+
+
+def ensure_pages(sf_dir: str) -> str:
+    """Synthesize the pages corpus once (cached across processes/runs)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/xtract_bench_pages_{tag}_e{EXPAND}_r{REPEAT}"
+    done = os.path.join(out, "_SYNTH_DONE")
+    if os.path.exists(done):
+        return out
+    from xtract.synth import synth_pages_dataset
+
+    ds = synth_pages_dataset(sf_dir, repeat=REPEAT, expand=EXPAND)
+    ds.write_parquet(out)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def bench_once() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from xtract.metrics import corpus_checksum
+    from xtract.ops.dedup import minhash_lsh_dedup
+    from xtract.ops.similarity import knn_bruteforce
+    from xtract.ops.textstats import text_stats_batch
+    from xtract.pipeline import extract_pages, explode_pages, read_pages
+
+    pages_dir = ensure_pages(SF_DIR)
+    queries: dict[str, float] = {}
+
+    # warm the OS page cache (untimed) + input stats
+    stats = read_pages(pages_dir).map_batches(
+        lambda b: __import__("pyarrow").table({
+            "n": [len(b)],
+            "bytes": [int(__import__("pyarrow").compute.sum(
+                __import__("pyarrow").compute.binary_length(b["html"])).as_py() or 0)],
+        }), batch_format="pyarrow").to_pandas()
+    n_docs, html_bytes = int(stats.n.sum()), int(stats.bytes.sum())
+
+    # headline: read → validate → extract (warm per-worker state, elastic
+    # tasks) → count consumed streaming (no driver materialization)
+    t0 = time.perf_counter()
+    ex = extract_pages(read_pages(pages_dir))
+    n_out = ex.count()
+    t_extract = time.perf_counter() - t0
+    queries["extract"] = round(t_extract, 3)
+
+    if os.environ.get("XTRACT_BENCH_EXTRACT_ONLY"):
+        ray.shutdown()
+        return {
+            "metric": "extracted documents/sec (byte-identical text per url)",
+            "value": round(t_extract, 3), "unit": "sec", "queries": queries,
+            "sf": SF_DIR, "num_cpus": NUM_CPUS, "n_docs": n_docs,
+            "n_out": n_out, "html_mb": round(html_bytes / 1e6, 1),
+            "docs_per_s": round(n_out / t_extract, 1),
+            "mb_html_per_s": round(html_bytes / 1e6 / t_extract, 2),
+        }
+
+    # checksum aggregation (extract + groupby-url dedup + digest partials)
+    t0 = time.perf_counter()
+    corpus_checksum(extract_pages(read_pages(pages_dir)))
+    queries["extract_checksum"] = round(time.perf_counter() - t0, 3)
+
+    # blocks hierarchy explode on a slice
+    t0 = time.perf_counter()
+    explode_pages(read_pages(pages_dir).limit(2000), levels=("block",),
+                  concurrency=(2, max(2, NUM_CPUS // 2))).count()
+    queries["blocks_explode_2k"] = round(time.perf_counter() - t0, 3)
+
+    # training-data ops over the driver tables
+    t0 = time.perf_counter()
+    rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                    columns=["doc_id", "text"]).map_batches(
+        text_stats_batch, batch_format="pyarrow").count()
+    queries["doc_token_stats"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    minhash_lsh_dedup(rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                      columns=["doc_id", "text"]),
+                      concurrency=(2, max(2, NUM_CPUS // 2)))
+    queries["minhash_dedup"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    import numpy as np
+
+    q0 = np.asarray([r["embedding"] for r in emb.take(4)], np.float64)
+    knn_bruteforce(emb, q0, k=10)
+    queries["knn_bruteforce"] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "extracted documents/sec (byte-identical text per url)",
+        "value": round(t_extract, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "n_out": n_out,
+        "html_mb": round(html_bytes / 1e6, 1),
+        "docs_per_s": round(n_out / t_extract, 1),
+        "mb_html_per_s": round(html_bytes / 1e6 / t_extract, 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_subprocess(ncpu: int, extract_only: bool = True) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    if extract_only:
+        env["XTRACT_BENCH_EXTRACT_ONLY"] = "1"
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                         capture_output=True, text=True, check=True,
+                         cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i % 7
+    return s
+
+
+def hardware_ceiling(lo: int, hi: int) -> float:
+    """Raw CPU scaling of this box between the two worker counts (pure
+    integer burn via multiprocessing) — the efficiency ceiling any
+    CPU-bound pipeline can reach here (virtualized cores share turbo/
+    bandwidth; on a real N→4N *node* cluster this ceiling is ~1.0)."""
+    import multiprocessing as mp
+
+    def run(workers: int) -> float:
+        t0 = time.perf_counter()
+        with mp.Pool(workers) as p:
+            p.map(_burn, [2_000_000] * 64)
+        return time.perf_counter() - t0
+
+    return (run(lo) / run(hi)) / (hi / lo)
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        # best of 2 fresh processes per level (single-node timing noise)
+        r_lo = min((run_subprocess(lo) for _ in range(2)),
+                   key=lambda r: r["value"])
+        r_hi = min((run_subprocess(hi) for _ in range(2)),
+                   key=lambda r: r["value"])
+        thr_lo, thr_hi = r_lo["docs_per_s"], r_hi["docs_per_s"]
+        eff = (thr_hi / thr_lo) / (hi / lo)
+        ceiling = hardware_ceiling(lo, hi)
+        print(json.dumps({
+            "metric": "scaling efficiency (docs/s at 8 vs 32 cpus)",
+            "value": round(eff, 3), "unit": "efficiency",
+            "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+            "docs_per_s_8": thr_lo, "docs_per_s_32": thr_hi,
+            "mb_per_s_8": r_lo["mb_html_per_s"], "mb_per_s_32": r_hi["mb_html_per_s"],
+            "hardware_ceiling": round(ceiling, 3),
+            "normalized_efficiency": round(eff / ceiling, 3),
+            "sf": SF_DIR, "n_docs": r_hi["n_docs"],
+        }))
+        return
+    print(json.dumps(bench_once()))
+
+
+if __name__ == "__main__":
+    main()

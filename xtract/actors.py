@@ -133,6 +133,24 @@ class Extractor:
              for n in EXTRACTED_SCHEMA.names})
 
 
+_WORKER_EXTRACTORS: dict[str, "Extractor"] = {}
+
+
+def extract_batch_task(batch: pa.Table, cfg_json: str) -> pa.Table:
+    """Stateless-task variant of the Extractor stage with WARM per-worker
+    state: Ray worker processes persist across tasks, so the configured
+    engine (lang tables, compiled regexes) is built once per worker
+    process and reused for every subsequent batch — the same
+    warm-across-batches property as an actor pool (A1/A7), with the
+    elasticity of tasks (no pool ramp, no reserved CPUs).  Used for the
+    throughput-critical flagship path; the ``Extractor`` actor class
+    remains the pattern for heavy state (models too big to rebuild)."""
+    ex = _WORKER_EXTRACTORS.get(cfg_json)
+    if ex is None:
+        ex = _WORKER_EXTRACTORS[cfg_json] = Extractor(cfg_json)
+    return ex(batch)
+
+
 class BlocksExploder:
     """Actor stage: pages → hierarchy rows (H1-H17).  ``levels`` selects
     which RIL levels to emit; ``segment_only`` in the config gives the

@@ -158,9 +158,12 @@ def _finish(out, blocks, cfg, det, collect_blocks, t0):
         out["lang_detected"] = lang
         out["lang_conf"] = conf
         out["text_dir"] = text_direction(text)
-        # per-block language for mixed pages (word_recognition_language analogue)
-        for b in kept:
-            b.lang, _ = det.detect(b.text[:400])
+        # per-block language (word_recognition_language analogue) is only
+        # needed when blocks are emitted — skipping it in the content path
+        # halves extraction cost (profiled)
+        if collect_blocks:
+            for b in kept:
+                b.lang, _ = det.detect(b.text[:400])
     if cfg.timeout_ms and (time.monotonic() - t0) * 1000.0 > cfg.timeout_ms:
         # operational flag only — content stays deterministic (SURVEY C1)
         out["status"] = "timeout"

@@ -45,37 +45,53 @@ _TOKEN_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
 
 
 class LangDetector:
-    """Warm per-worker detector: lookup dicts built once (actor state)."""
+    """Warm per-worker detector: lookup dicts built once (actor state).
+
+    Hot-path layout (profiled): ONE dict lookup per token
+    (word → lang-index tuple) instead of a per-language set probe, and
+    character evidence consulted only for non-ASCII tokens."""
 
     def __init__(self, langs: tuple[str, ...] = LANGS, margin: int = 2) -> None:
         self.langs = tuple(l for l in langs if l in STOPWORDS) or LANGS
         self.margin = margin
-        self.stop = {l: STOPWORDS[l] for l in self.langs}
-        self.chars = {l: frozenset(CHAR_EVIDENCE.get(l, "")) for l in self.langs}
+        idx = {l: i for i, l in enumerate(self.langs)}
+        word_langs: dict[str, tuple[int, ...]] = {}
+        for l in self.langs:
+            for w in STOPWORDS[l]:
+                word_langs[w] = word_langs.get(w, ()) + (idx[l],)
+        self.word_langs = word_langs
+        char_langs: dict[str, tuple[int, ...]] = {}
+        for l in self.langs:
+            for c in CHAR_EVIDENCE.get(l, ""):
+                char_langs[c] = char_langs.get(c, ()) + (idx[l],)
+        self.char_langs = char_langs
 
     def detect(self, text: str, max_tokens: int = 400) -> tuple[str, float]:
-        """→ (lang, conf).  Integer scoring; deterministic tie-break by
-        alphabetical language code; conf = best/total as float32-safe
-        single division."""
+        """→ (lang, conf).  Integer scoring (stopword hit = +2, evidence
+        char = +3); deterministic tie-break by alphabetical language code
+        (self.langs is sorted); conf = best/total, single division."""
         toks = _TOKEN_RE.findall(text.lower())[:max_tokens]
         if not toks:
             return "und", 0.0
-        scores = {l: 0 for l in self.langs}
+        scores = [0] * len(self.langs)
+        wl = self.word_langs
+        cl = self.char_langs
         for t in toks:
-            for l in self.langs:
-                if t in self.stop[l]:
-                    scores[l] += 2
-                cs = self.chars[l]
-                if cs:
-                    hits = sum(1 for c in t if c in cs)
-                    if hits:
-                        scores[l] += min(3, hits) * 3
-        best = max(self.langs, key=lambda l: (scores[l], ), default="und")
-        # alphabetical tie-break: max() on the sorted tuple keeps first max
-        best_score = scores[best]
+            hit = wl.get(t)
+            if hit is not None:
+                for li in hit:
+                    scores[li] += 2
+            if not t.isascii():
+                for c in t:
+                    chit = cl.get(c)
+                    if chit is not None:
+                        for li in chit:
+                            scores[li] += 3
+        best_score = max(scores)
         if best_score < self.margin:
             return "und", 0.0
-        total = sum(scores.values())
+        best = self.langs[scores.index(best_score)]
+        total = sum(scores)
         return best, best_score / total if total else 0.0
 
 
@@ -90,17 +106,14 @@ def detect_lang(text: str, margin: int = 2) -> tuple[str, float]:
     return _DEFAULT.detect(text)
 
 
-_RTL_RANGES = ((0x0590, 0x08FF), (0xFB1D, 0xFDFF), (0xFE70, 0xFEFF))
+_RTL_RE = re.compile("[\u0590-\u08FF\uFB1D-\uFDFF\uFE70-\uFEFF]")
+_ALPHA_RE = re.compile(r"[^\W\d_]", re.UNICODE)
 
 
 def text_direction(text: str, sample: int = 500) -> str:
     """'ltr' | 'rtl' from Unicode-range tallies (deterministic) —
     ``get_text_direction`` analogue (``src/api.rs:1017-1028``)."""
-    rtl = ltr = 0
-    for ch in text[:sample]:
-        o = ord(ch)
-        if any(a <= o <= b for a, b in _RTL_RANGES):
-            rtl += 1
-        elif ch.isalpha():
-            ltr += 1
+    s = text[:sample]
+    rtl = len(_RTL_RE.findall(s))
+    ltr = len(_ALPHA_RE.findall(s)) - rtl
     return "rtl" if rtl > ltr else "ltr"

@@ -121,6 +121,7 @@ class Segmenter:
         self.caption_d = 0
         self.bq_d = 0
         self.title_d = 0
+        self.p_open = 0   # open <p> count (fast CLOSES_P check)
         self.heading = 0  # innermost heading level
         self._cur: Optional[Block] = None
         self._parts: list[str] = []
@@ -226,7 +227,8 @@ class Segmenter:
         except UnicodeDecodeError:
             # doc-level strict validation happens upstream; per-run we replace
             s = raw.decode("utf-8", "replace")
-        s = unescape(s)
+        if "&" in s:
+            s = unescape(s)
         collapsed = _WS_RE.sub(" ", s)
         if collapsed == " " or collapsed == "":
             if self._cur is not None and self._parts and self._parts[-1] not in (" ", "\n"):
@@ -286,6 +288,8 @@ class Segmenter:
         top.child_counts[tag] = idx
         path = f"{top.path}/{tag}[{idx}]" if top.path else f"{tag}[{idx}]"
         o = _Open(tag, path)
+        if tag == "p":
+            self.p_open += 1
         if attrs_b and _ALIGN_RE.search(attrs_b):
             attrs = parse_attrs(attrs_b)
             just = attrs.get("align", "")
@@ -301,6 +305,8 @@ class Segmenter:
     def _pop(self) -> None:
         if len(self.stack) > 1:
             o = self.stack.pop()
+            if o.tag == "p":
+                self.p_open -= 1
             self._leave(o.tag)
 
     def _close_through(self, tag: str) -> None:
@@ -316,7 +322,7 @@ class Segmenter:
         if is_block:
             self.flush()
         # implied end tags
-        if tag in CLOSES_P and any(o.tag == "p" for o in self.stack):
+        if self.p_open and tag in CLOSES_P:
             # only close a p that is "near" — no block barrier between
             for i in range(len(self.stack) - 1, 0, -1):
                 t = self.stack[i].tag
