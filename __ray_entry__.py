@@ -208,7 +208,67 @@ def _q_embedding_knn(sf_dir: str):
     return out[["rank", "vec_id"]]
 
 
+def _q_events_hourly_by_type(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from xtract.ops.joins import tumbling_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    df = tumbling_window(ev, "ts", every="hour", keys=["event_type"],
+                         aggs=[Count(alias_name="n_events"),
+                               Sum("value", alias_name="total_value")]).to_pandas()
+    df["total_value"] = df["total_value"].round(2)
+    return df
+
+
+def _q_user_running_total(sf_dir: str):
+    import ray.data as rd
+
+    from xtract.ops.joins import windowed_running
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+    return windowed_running(ev, "user_id", "ts", "value")
+
+
+def _q_last_order_before_event(sf_dir: str):
+    """As-of join: each event matched to the user's most recent order at
+    or before the event time (custom operator — broadcast + per-key
+    searchsorted; SURVEY §2.5 note on joins)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from xtract.ops.joins import asof_join_broadcast
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"]).to_pandas()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    joined = asof_join_broadcast(ev, orders, "user_id", "ts",
+                                 "o_custkey", "o_orderdate", ["o_orderdate"])
+
+    def fmt(b: pa.Table) -> pa.Table:
+        dates = b["o_orderdate_asof"].to_pylist()
+        return pa.table({
+            "event_id": b["event_id"],
+            "last_order_date": pa.array(
+                [None if d is None else pd.Timestamp(d).strftime("%Y-%m-%d")
+                 for d in dates], pa.string()),
+        })
+
+    return joined.map_batches(fmt, batch_format="pyarrow")
+
+
 # -- non-SQL (rows-only check) ----------------------------------------------
+
+def _q_extract_retry(sf_dir: str):
+    from xtract.pipeline import extract_pages_with_retry
+
+    return extract_pages_with_retry(_pages(sf_dir)).select_columns(
+        ["url", "doc_kind", "status", "content_text"])
+
 
 def _q_extract_pages(sf_dir: str):
     from xtract.pipeline import extract_pages
@@ -328,9 +388,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _q_top_customers,
         "part_brand_stats": _q_part_brand_stats,
         "supplier_nation": _q_supplier_nation,
+        "events_hourly_by_type":
+            "SELECT strftime(ts, '%Y-%m-%d %H:00') AS window, event_type, "
+            "count(*) AS n_events, round(sum(value), 2) AS total_value "
+            "FROM events GROUP BY 1, 2",
+        "user_running_total":
+            "SELECT user_id, event_id, "
+            "row_number() OVER w AS seq, "
+            "round(sum(value) OVER w, 2) AS running_value FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)",
+        "last_order_before_event":
+            "SELECT e.event_id, "
+            "(SELECT strftime(max(o.o_orderdate), '%Y-%m-%d') FROM orders o "
+            "WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) "
+            "AS last_order_date FROM events e",
         "embedding_knn": _q_embedding_knn,
+        "events_hourly_by_type": _q_events_hourly_by_type,
+        "user_running_total": _q_user_running_total,
+        "last_order_before_event": _q_last_order_before_event,
         # extraction + ops (non-SQL → rows-only)
         "extract_pages": _q_extract_pages,
+        "extract_retry": _q_extract_retry,
         "extract_blocks": _q_extract_blocks,
         "extract_words": _q_extract_words,
         "corpus_checksum": _q_corpus_checksum,
@@ -396,6 +475,21 @@ def oracle_sql() -> dict[str, str]:
         "supplier_nation":
             "SELECT n_name, count(*) AS n_suppliers FROM supplier "
             "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name",
+        "events_hourly_by_type":
+            "SELECT strftime(ts, '%Y-%m-%d %H:00') AS window, event_type, "
+            "count(*) AS n_events, round(sum(value), 2) AS total_value "
+            "FROM events GROUP BY 1, 2",
+        "user_running_total":
+            "SELECT user_id, event_id, "
+            "row_number() OVER w AS seq, "
+            "round(sum(value) OVER w, 2) AS running_value FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)",
+        "last_order_before_event":
+            "SELECT e.event_id, "
+            "(SELECT strftime(max(o.o_orderdate), '%Y-%m-%d') FROM orders o "
+            "WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) "
+            "AS last_order_date FROM events e",
         "embedding_knn":
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
             "scored AS (SELECT e.vec_id, "

@@ -40,6 +40,8 @@ EXTRACTED_SCHEMA = pa.schema([
     ("status", pa.string()),
     ("error", pa.string()),
     ("html_len", pa.int64()),
+    ("lang_alternatives",
+     pa.list_(pa.struct([("lang", pa.string()), ("conf", pa.float32())]))),
 ])
 
 BLOCKS_SCHEMA = pa.schema([
@@ -84,10 +86,12 @@ class Extractor:
     ``loaded_langs()`` mirrors ``get_loaded_languages``
     (``src/api.rs:882-922``)."""
 
-    def __init__(self, cfg: ExtractionConfig | str = DEFAULT_CONFIG) -> None:
+    def __init__(self, cfg: ExtractionConfig | str = DEFAULT_CONFIG,
+                 lenient: bool = False) -> None:
         if isinstance(cfg, str):
             cfg = ExtractionConfig.from_json(cfg)
         self.cfg = cfg
+        self.lenient = lenient  # retry-config pass (C2)
         self.detector = LangDetector(margin=cfg.lang_conf_margin)  # warm tables
         self._n_docs = 0  # renderer image-counter analogue (progress metric)
 
@@ -108,10 +112,12 @@ class Extractor:
                     "lang_detected": "und", "lang_conf": 0.0, "text_dir": "ltr",
                     "mean_conf": 0.0, "n_blocks_kept": 0, "n_blocks_dropped": 0,
                     "status": "invalid", "error": "null url",
+                    "lang_alternatives": [],
                 }
             else:
                 r = extract_document(html, text, lang, self.cfg,
-                                     detector=self.detector)
+                                     detector=self.detector,
+                                     lenient=self.lenient)
             cols["url"].append(url or "")
             cols["warc_ts"].append(ts)
             cols["content_text"].append(r["content_text"])
@@ -127,6 +133,8 @@ class Extractor:
             cols["status"].append(r["status"])
             cols["error"].append(r["error"])
             cols["html_len"].append(len(html) if html else 0)
+            cols["lang_alternatives"].append(
+                [{"lang": l, "conf": c} for l, c in r.get("lang_alternatives", [])])
         self._n_docs += len(urls)
         return pa.Table.from_pydict(
             {n: pa.array(cols[n], type=EXTRACTED_SCHEMA.field(n).type)

@@ -1,0 +1,89 @@
+"""CLI job driver: ``python -m xtract --input pages/ --out out/``.
+
+The ``ray job submit`` entry point (SURVEY §3.1): builds the frozen
+ExtractionConfig, runs the resumable sharded extraction job, prints the
+run metrics.  Owns its Ray session (library code never calls
+ray.init — the session belongs to entry points only)."""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+from .config import DEFAULT_CONFIG, ExtractionConfig
+from .pipeline import run_extraction_job
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m xtract",
+        description="Distributed web-text main-content extraction over "
+                    "Parquet pages tables (url, warc_ts, html, text, lang).")
+    p.add_argument("--input", required=True,
+                   help="input parquet file, directory, or glob")
+    p.add_argument("--out", required=True, help="output directory (sharded)")
+    p.add_argument("--config", help="ExtractionConfig JSON file")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="override a config variable (repeatable; "
+                        "unknown keys are rejected)")
+    p.add_argument("--shard-size", type=int, default=8,
+                   help="input files per output shard (resume granularity)")
+    p.add_argument("--blocks", action="store_true",
+                   help="also write the blocks hierarchy table per shard")
+    p.add_argument("--num-cpus", type=int,
+                   default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    return p
+
+
+def resolve_inputs(spec: str) -> list[str]:
+    if os.path.isdir(spec):
+        files = sorted(glob.glob(os.path.join(spec, "*.parquet")))
+    elif any(c in spec for c in "*?["):
+        files = sorted(glob.glob(spec))
+    else:
+        files = [spec]
+    if not files:
+        raise SystemExit(f"no input parquet files match {spec!r}")
+    return files
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = DEFAULT_CONFIG
+    if args.config:
+        with open(args.config) as f:
+            cfg = ExtractionConfig.from_json(f.read())
+    for kv in args.set:
+        key, _, value = kv.partition("=")
+        cfg = cfg.with_variable(key, value)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        manifests = run_extraction_job(
+            resolve_inputs(args.input), args.out, cfg,
+            shard_size=args.shard_size, write_blocks=args.blocks)
+        summary = {
+            "shards": len(manifests),
+            "n_rows": sum(m["n_rows"] for m in manifests),
+            "config_hash": cfg.config_hash(),
+            "out": args.out,
+            "engine_version": manifests[0]["engine_version"] if manifests else None,
+        }
+        print(json.dumps(summary))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -77,9 +77,17 @@ def extract_document(
     cfg: ExtractionConfig,
     detector: Optional[LangDetector] = None,
     collect_blocks: bool = False,
+    lenient: bool = False,
 ) -> dict[str, Any]:
     """→ dict matching the ``extracted`` output schema (SURVEY §1.2), plus
-    ``blocks`` (list[Block]) when ``collect_blocks``."""
+    ``blocks`` (list[Block]) when ``collect_blocks``.
+
+    ``lenient=True`` is the retry-configuration pass (the
+    ``process_pages(retry_config)`` analogue, reference
+    ``src/api.rs:844-875``): documents that fail strict UTF-8 validation
+    are re-decoded with replacement characters and extracted anyway
+    (status ``'ok_lenient'``), instead of stopping at
+    ``'bad_encoding'``."""
     t0 = time.monotonic() if cfg.timeout_ms else 0.0
     det = detector or _default_detector(cfg)
     out: dict[str, Any] = {
@@ -124,9 +132,14 @@ def extract_document(
             try:
                 html.decode("utf-8", "strict")
             except UnicodeDecodeError as exc:
-                out["status"] = "bad_encoding"
-                out["error"] = f"invalid utf-8 at byte {exc.start}"
-                return _finish(out, blocks, cfg, det, collect_blocks, t0)
+                if not lenient:
+                    out["status"] = "bad_encoding"
+                    out["error"] = f"invalid utf-8 at byte {exc.start}"
+                    return _finish(out, blocks, cfg, det, collect_blocks, t0)
+                # retry-config pass: deterministic replacement decode
+                html = html.decode("utf-8", "replace").encode("utf-8")
+                out["status"] = "ok_lenient"
+                out["error"] = f"lenient decode at byte {exc.start}"
             blocks = segment(html)
             classify_blocks(blocks, cfg)
             if cfg.segment_only:
@@ -139,6 +152,8 @@ def extract_document(
                 out["content_spans"] = spans
                 if not text:
                     out["status"] = "empty"
+                elif out["status"] == "ok_lenient":
+                    pass  # keep the lenient marker
     except Exception as exc:  # never abort the job for one document
         out["status"] = "parse_error"
         out["error"] = f"{type(exc).__name__}: {exc}"
@@ -153,10 +168,12 @@ def _finish(out, blocks, cfg, det, collect_blocks, t0):
     if kept:
         out["mean_conf"] = sum(b.confidence for b in kept) / len(kept)
     text = out["content_text"]
+    out["lang_alternatives"] = []
     if text:
         lang, conf = det.detect(text[:2000])
         out["lang_detected"] = lang
         out["lang_conf"] = conf
+        out["lang_alternatives"] = det.detect_alternatives(text[:2000])
         out["text_dir"] = text_direction(text)
         # per-block language (word_recognition_language analogue) is only
         # needed when blocks are emitted — skipping it in the content path

@@ -94,6 +94,35 @@ class LangDetector:
         total = sum(scores)
         return best, best_score / total if total else 0.0
 
+    def detect_alternatives(self, text: str, k: int = 3,
+                            max_tokens: int = 400) -> list[tuple[str, float]]:
+        """Ordered language alternatives, confidence descending with
+        deterministic tie-break by language code — the ChoiceIterator
+        analogue (reference src/choice_iterator.rs:30-71; ordering
+        contract tested at tests/test_iterators.rs:736-769)."""
+        toks = _TOKEN_RE.findall(text.lower())[:max_tokens]
+        if not toks:
+            return []
+        scores = [0] * len(self.langs)
+        wl, cl = self.word_langs, self.char_langs
+        for t in toks:
+            hit = wl.get(t)
+            if hit is not None:
+                for li in hit:
+                    scores[li] += 2
+            if not t.isascii():
+                for c in t:
+                    chit = cl.get(c)
+                    if chit is not None:
+                        for li in chit:
+                            scores[li] += 3
+        total = sum(scores)
+        if total == 0:
+            return []
+        ranked = sorted(((s, l) for l, s in zip(self.langs, scores) if s > 0),
+                        key=lambda p: (-p[0], p[1]))
+        return [(l, s / total) for s, l in ranked[:k]]
+
 
 _DEFAULT = None
 

@@ -1,0 +1,122 @@
+"""Relational composition ops Ray Data lacks natively: broadcast hash
+join, as-of join, windowed aggregates over an event log.
+
+Partitioning assumptions (documented per the custom-operator rule):
+
+- ``broadcast_join``: the right side fits in the object store on every
+  node (dimension tables).  One ``ray.put``, lookups per batch — no
+  shuffle.
+- ``asof_join_broadcast``: same broadcast assumption; the right side is
+  pre-sorted per key ONCE in the driver, each batch does a vectorized
+  ``np.searchsorted`` per key group.  For a large right side, the scale
+  path is bucket-by-key + ``merge_asof`` inside ``map_groups``
+  (both sides hash-partitioned on the key, sorted by ts within bucket).
+- ``tumbling_window``: keyless time bucketing is embarrassingly
+  parallel (a strftime/floor inside map_batches); the groupby that
+  follows shuffles only (window, key, partial) rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def broadcast_join(ds, right_df: "pd.DataFrame", left_key: str, right_key: str,
+                   columns: list[str]):
+    """Left join a small dimension table onto a Dataset without a
+    shuffle: ship once via ray.put, dict-lookup per batch."""
+    import ray
+
+    lookup = {k: tuple(vals) for k, *vals in
+              right_df[[right_key] + columns].itertuples(index=False)}
+    ref = ray.put(lookup)
+
+    def attach(b: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        keys = b[left_key].to_pylist()
+        rows = [lk.get(k) for k in keys]
+        out = b
+        for ci, cname in enumerate(columns):
+            out = out.append_column(
+                cname, pa.array([r[ci] if r else None for r in rows]))
+        return out
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def asof_join_broadcast(ds, right_df: "pd.DataFrame", left_key: str,
+                        left_ts: str, right_key: str, right_ts: str,
+                        value_cols: list[str], suffix: str = "_asof"):
+    """As-of join: for each left row, the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` within the same key.  Right side is
+    broadcast; per key the timestamps are pre-sorted so each batch is a
+    vectorized searchsorted."""
+    import ray
+
+    prepared: dict = {}
+    for k, g in right_df.sort_values(right_ts).groupby(right_key):
+        prepared[k] = (g[right_ts].to_numpy(),
+                       {c: g[c].to_numpy() for c in value_cols})
+    ref = ray.put(prepared)
+
+    def attach(b: pa.Table) -> pa.Table:
+        pre = ray.get(ref)
+        keys = b[left_key].to_pylist()
+        tss = b[left_ts].to_pylist()
+        out_vals: dict[str, list] = {c: [] for c in value_cols}
+        for k, t in zip(keys, tss):
+            entry = pre.get(k)
+            if entry is None:
+                for c in value_cols:
+                    out_vals[c].append(None)
+                continue
+            ts_arr, cols = entry
+            i = int(np.searchsorted(ts_arr, np.datetime64(t, "us")
+                                    if not isinstance(t, (int, float)) else t,
+                                    side="right")) - 1
+            for c in value_cols:
+                out_vals[c].append(cols[c][i] if i >= 0 else None)
+        out = b
+        for c in value_cols:
+            out = out.append_column(c + suffix, pa.array(out_vals[c]))
+        return out
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def tumbling_window(ds, ts_col: str, every: str = "day",
+                    keys: list[str] | None = None, aggs=None):
+    """Tumbling event-time window: bucket ts (strftime) inside
+    map_batches, then a small grouped aggregate over (window, keys)."""
+    from ray.data.aggregate import Count
+
+    fmt = {"hour": "%Y-%m-%d %H:00", "day": "%Y-%m-%d",
+           "month": "%Y-%m"}[every]
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("window", pc.strftime(b[ts_col], format=fmt))
+
+    g = ds.map_batches(bucket, batch_format="pyarrow").groupby(
+        ["window"] + (keys or []))
+    return g.aggregate(*(aggs or [Count(alias_name="n_events")]))
+
+
+def windowed_running(ds, key: str, ts_col: str, value_col: str,
+                     round_to: int = 2):
+    """Per-key ordered running aggregate (row_number + cumulative sum) —
+    the window-function composition via groupby(key).map_groups over
+    ts-sorted groups (the guide's streaming-shaped pattern)."""
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, "event_id"], kind="mergesort").reset_index(drop=True)
+        out = pd.DataFrame({
+            key: g[key],
+            "event_id": g["event_id"],
+            "seq": np.arange(1, len(g) + 1, dtype=np.int64),
+            "running_value": g[value_col].cumsum().round(round_to),
+        })
+        return out
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")

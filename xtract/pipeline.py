@@ -144,6 +144,49 @@ def extract_pages(
     return ex_normal.union(ex_huge)
 
 
+def extract_pages_with_retry(
+    ds,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    retry_statuses: tuple[str, ...] = ("bad_encoding", "parse_error"),
+    **kw,
+):
+    """Two-phase routing (C2, the ``process_pages(retry_config)``
+    analogue, reference ``src/api.rs:844-875``): strict pass first; rows
+    that failed with a retryable status re-enter a lenient pass
+    (replacement decode) and replace the failed rows in the output.
+
+    The retry subset is tiny (bad bytes are rare), so the second pass is
+    a small actor-pool stage; union keeps everything streaming."""
+    from .actors import Extractor
+
+    strict = extract_pages(ds, cfg, **kw)
+    ok = strict.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(
+            t["status"], value_set=pa.array(list(retry_statuses))))),
+        batch_format="pyarrow")
+    # lenient pass re-extracts the failed urls from the source rows
+    failed_val = ds.map_batches(validate_pages, batch_format="pyarrow")
+    strict_status = extract_pages(ds, cfg, **kw).select_columns(["url", "status"])
+    retry_urls = strict_status.map_batches(
+        lambda t: t.filter(pc.is_in(t["status"],
+                                    value_set=pa.array(list(retry_statuses)))),
+        batch_format="pyarrow").select_columns(["url"])
+    import ray
+
+    urls = {r["url"] for r in retry_urls.take_all()}  # tiny set
+    urls_ref = ray.put(urls)
+
+    def keep_failed(t: pa.Table) -> pa.Table:
+        u = ray.get(urls_ref)
+        mask = pa.array([x in u for x in t["url"].to_pylist()], pa.bool_())
+        return t.filter(mask)
+
+    lenient = failed_val.map_batches(keep_failed, batch_format="pyarrow").map_batches(
+        Extractor, fn_constructor_args=(cfg.to_json(), True),
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 4), num_cpus=1)
+    return ok.union(lenient)
+
+
 def explode_pages(
     ds,
     cfg: ExtractionConfig = DEFAULT_CONFIG,
