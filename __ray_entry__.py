@@ -261,6 +261,12 @@ def _q_last_order_before_event(sf_dir: str):
     return joined.map_batches(fmt, batch_format="pyarrow")
 
 
+def _q_vocab_top_tokens(sf_dir: str):
+    from xtract.ops.vocab import build_vocab
+
+    return build_vocab(_docs(sf_dir, ["text"]), size=100)
+
+
 # -- non-SQL (rows-only check) ----------------------------------------------
 
 def _q_extract_retry(sf_dir: str):
@@ -365,6 +371,21 @@ def _q_doc_rolling_fp(sf_dir: str):
         ["doc_id", "rolling_fp"])
 
 
+def _q_doc_oov_rate(sf_dir: str):
+    from xtract.ops.vocab import build_vocab, oov_rate
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    vocab = build_vocab(docs, size=50)
+    return oov_rate(docs, vocab)
+
+
+def _q_lowest_confidence_docs(sf_dir: str):
+    from xtract.metrics import lowest_confidence
+    from xtract.pipeline import extract_pages
+
+    return lowest_confidence(extract_pages(_pages(sf_dir)), k=20)
+
+
 def _q_media_features(sf_dir: str):
     from xtract.ops.multimodal import decode_media, synth_media_batch
 
@@ -407,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_by_type": _q_events_hourly_by_type,
         "user_running_total": _q_user_running_total,
         "last_order_before_event": _q_last_order_before_event,
+        "vocab_top_tokens": _q_vocab_top_tokens,
         # extraction + ops (non-SQL → rows-only)
         "extract_pages": _q_extract_pages,
         "extract_retry": _q_extract_retry,
@@ -423,6 +445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": _q_doc_langid,
         "doc_rolling_fp": _q_doc_rolling_fp,
         "media_features": _q_media_features,
+        "doc_oov_rate": _q_doc_oov_rate,
+        "lowest_confidence_docs": _q_lowest_confidence_docs,
     }
 
 
@@ -490,6 +514,14 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT strftime(max(o.o_orderdate), '%Y-%m-%d') FROM orders o "
             "WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) "
             "AS last_order_date FROM events e",
+        "vocab_top_tokens":
+            "WITH toks AS (SELECT unnest(regexp_split_to_array(lower("
+            "coalesce(text,'')), '[^a-z]+')) AS token FROM documents), "
+            "counted AS (SELECT token, count(*) AS n FROM toks "
+            "WHERE token != '' GROUP BY token "
+            "ORDER BY n DESC, token LIMIT 100) "
+            "SELECT row_number() OVER (ORDER BY n DESC, token) - 1 "
+            "AS token_id, token, n FROM counted",
         "embedding_knn":
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
             "scored AS (SELECT e.vec_id, "

@@ -144,6 +144,17 @@ class Extractor:
 _WORKER_EXTRACTORS: dict[str, "Extractor"] = {}
 
 
+def clear_worker_cache() -> int:
+    """Reset the per-worker engine cache (the
+    ``clear_adaptive_classifier`` analogue, reference
+    ``src/api.rs:957-964``): cached state is derived-deterministic only,
+    so clearing can never change outputs — it just frees memory /
+    forces rebuild after an asset update.  Returns entries dropped."""
+    n = len(_WORKER_EXTRACTORS)
+    _WORKER_EXTRACTORS.clear()
+    return n
+
+
 def extract_batch_task(batch: pa.Table, cfg_json: str) -> pa.Table:
     """Stateless-task variant of the Extractor stage with WARM per-worker
     state: Ray worker processes persist across tasks, so the configured

@@ -38,12 +38,50 @@ def dedup_by_url(extracted_ds):
     return extracted_ds.groupby("url").map_groups(first, batch_format="pyarrow")
 
 
+def add_digest(batch: pa.Table) -> pa.Table:
+    """Vectorized-ish per-row digest column: sha256(url || content_text)
+    as a 64-hex string."""
+    urls = batch["url"].to_pylist()
+    texts = batch["content_text"].to_pylist()
+    digests = []
+    for u, t in zip(urls, texts):
+        h = hashlib.sha256()
+        h.update(u.encode("utf-8"))
+        h.update(b"\x00")
+        h.update((t or "").encode("utf-8"))
+        digests.append(h.hexdigest())
+    return batch.append_column("digest", pa.array(digests, pa.string()))
+
+
 def corpus_checksum(extracted_ds, dedup: bool = True) -> str:
-    """North-rule G4: groupby-url dedup → per-batch digest partials →
-    merge.  Matches ``oracle.corpus_checksum`` over url-unique oracle
-    results bit-for-bit."""
-    ds = dedup_by_url(extracted_ds) if dedup else extracted_ds
-    parts = ds.map_batches(_shard_digest_partial, batch_format="pyarrow").take_all()
+    """North-rule G4: per-row digest FIRST, then project to
+    (url, warc_ts, digest) before the groupby-url dedup — the shuffle
+    moves 3 slim columns instead of the full extracted rows (multi-KB
+    content_text stays put; pre-aggregate-before-shuffle rule).  Matches
+    ``oracle.corpus_checksum`` over url-unique oracle results
+    bit-for-bit."""
+    ds = extracted_ds.map_batches(add_digest, batch_format="pyarrow")
+    cols = [c for c in ("url", "warc_ts", "digest")
+            if c in extracted_ds.schema().names or c == "digest"]
+    ds = ds.select_columns(cols)
+    if dedup:
+        import pyarrow.compute as pc
+
+        def first(g: pa.Table) -> pa.Table:
+            if "warc_ts" in g.column_names and len(g) > 1:
+                return g.take(pc.sort_indices(
+                    g, sort_keys=[("warc_ts", "ascending")])[:1])
+            return g.slice(0, 1)
+
+        ds = ds.groupby("url").map_groups(first, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        total = 0
+        for d in b["digest"].to_pylist():
+            total = (total + int(d, 16)) % (1 << 256)
+        return pa.table({"partial": [f"{total:064x}"], "n": [len(b)]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
     return merge_checksum_partials([(r["partial"], r["n"]) for r in parts])
 
 

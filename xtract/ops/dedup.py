@@ -91,20 +91,47 @@ def add_content_hash(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("content_hash", pa.array(hs, pa.string()))
 
 
-def exact_dedup(ds, col: str = "text", key: str = "doc_id"):
+def exact_dedup(ds, col: str = "text", key: str = "doc_id",
+                salt_buckets: int = 16):
     """→ Dataset(doc_id, n_dups): one surviving row (min key) per distinct
-    content hash.  Hash-partition + per-group first (SURVEY G4 pattern)."""
+    content hash.
+
+    Two-phase SALTED aggregation (the hot-key rule, SURVEY §4.3): a
+    pathological corpus can have millions of rows sharing one hash (one
+    viral page) which would pin a single reducer.  Phase 1 groups by
+    (hash, salt = key % B) and emits one (hash, min key, count) partial
+    per salted group; phase 2 groups the ≤B partials per hash.  Result
+    identical to the unsalted groupby (min of mins, sum of counts)."""
     import pyarrow.compute as pc
 
     hashed = ds.map_batches(lambda b: add_content_hash(b, col),
                             batch_format="pyarrow")
 
-    def first(g: pa.Table) -> pa.Table:
-        keep = pc.min(g[key]).as_py()
-        return pa.table({key: [keep], "n_dups": [len(g)]})
+    def add_salt(b: pa.Table) -> pa.Table:
+        salts = (b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+                 % salt_buckets)
+        salted = [f"{h}:{s}" for h, s in
+                  zip(b["content_hash"].to_pylist(), salts)]
+        return b.append_column("salted_hash", pa.array(salted, pa.string()))
 
-    return hashed.select_columns([key, "content_hash"]).groupby(
-        "content_hash").map_groups(first, batch_format="pyarrow")
+    def phase1(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "content_hash": [g["content_hash"][0].as_py()],
+            key: [pc.min(g[key]).as_py()],
+            "n_dups": [len(g)],
+        })
+
+    def phase2(g: pa.Table) -> pa.Table:
+        return pa.table({
+            key: [pc.min(g[key]).as_py()],
+            "n_dups": [int(pc.sum(g["n_dups"]).as_py())],
+        })
+
+    partials = hashed.select_columns([key, "content_hash"]).map_batches(
+        add_salt, batch_format="pyarrow").groupby("salted_hash").map_groups(
+        phase1, batch_format="pyarrow")
+    return partials.groupby("content_hash").map_groups(
+        phase2, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
