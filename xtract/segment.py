@@ -222,6 +222,13 @@ class Segmenter:
 
     def text_run(self, start: int, end: int) -> None:
         raw = self.html[start:end]
+        # fast path: pure-ASCII-whitespace run (the inter-tag newlines that
+        # dominate rendered HTML) — no decode, no unescape, no regex
+        if raw.isspace():
+            if self._cur is not None and self._parts and                     self._parts[-1] not in (" ", "\n"):
+                self._parts.append(" ")
+                self._link_flags.append(False)
+            return
         try:
             s = raw.decode("utf-8")
         except UnicodeDecodeError:
