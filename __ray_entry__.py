@@ -261,6 +261,16 @@ def _q_last_order_before_event(sf_dir: str):
     return joined.map_batches(fmt, batch_format="pyarrow")
 
 
+def _q_user_sessions(sf_dir: str):
+    import ray.data as rd
+
+    from xtract.ops.joins import session_windows
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+    return session_windows(ev, "user_id", "ts", gap_minutes=30)
+
+
 def _q_vocab_top_tokens(sf_dir: str):
     from xtract.ops.vocab import build_vocab
 
@@ -429,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_total": _q_user_running_total,
         "last_order_before_event": _q_last_order_before_event,
         "vocab_top_tokens": _q_vocab_top_tokens,
+        "user_sessions": _q_user_sessions,
         # extraction + ops (non-SQL → rows-only)
         "extract_pages": _q_extract_pages,
         "extract_retry": _q_extract_retry,
@@ -514,6 +525,17 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT strftime(max(o.o_orderdate), '%Y-%m-%d') FROM orders o "
             "WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) "
             "AS last_order_date FROM events e",
+        "user_sessions":
+            "WITH marked AS (SELECT user_id, event_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+            "AS new_s FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "sess AS (SELECT user_id, "
+            "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_id FROM marked) "
+            "SELECT user_id, session_id, count(*) AS n_events "
+            "FROM sess GROUP BY user_id, session_id",
         "vocab_top_tokens":
             "WITH toks AS (SELECT unnest(regexp_split_to_array(lower("
             "coalesce(text,'')), '[^a-z]+')) AS token FROM documents), "

@@ -155,3 +155,56 @@ def test_cli_rejects_unknown_variable(tmp_path):
 
     with pytest.raises(SystemExit):
         main(["--input", "/nonexistent*", "--out", str(tmp_path)])
+
+
+def test_session_windows(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from xtract.ops.joins import session_windows
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = [
+        {"user_id": 1, "event_id": 1, "ts": base},
+        {"user_id": 1, "event_id": 2, "ts": base + pd.Timedelta(minutes=10)},
+        {"user_id": 1, "event_id": 3, "ts": base + pd.Timedelta(hours=2)},
+        {"user_id": 2, "event_id": 4, "ts": base},
+    ]
+    out = session_windows(rd.from_items(rows), "user_id", "ts").to_pandas()
+    u1 = out[out.user_id == 1].sort_values("session_id")
+    assert u1.n_events.tolist() == [2, 1]          # gap > 30min splits
+    assert out[out.user_id == 2].n_events.tolist() == [1]
+
+
+def test_article_mode_keeps_densest_chain():
+    from xtract.config import ExtractionConfig
+    from xtract.oracle import oracle_extract
+
+    farm = b"".join(b'<div><a href="/x%d">promo link %d</a></div>' % (i, i)
+                    for i in range(6))
+    html = (b"<p>Unrelated teaser far away from the body with many words filling space.</p>"
+            + farm + b"<div>" + b"".join(
+                b"<p>Main article paragraph %d with plenty of running text words here.</p>" % i
+                for i in range(6)) + b"</div>" + farm +
+            b"<p>Lone trailing promo with a few words passing the base filter.</p>")
+    auto = oracle_extract(html, cfg=ExtractionConfig(seg_mode="auto"))
+    art = oracle_extract(html, cfg=ExtractionConfig(seg_mode="article"))
+    assert "Main article paragraph 0" in art["content_text"]
+    assert auto["n_blocks_kept"] > art["n_blocks_kept"]
+
+
+def test_quality_gopher_signals(ray_session):
+    import pyarrow as pa
+
+    from xtract.ops.textstats import QualityScorer
+
+    q = QualityScorer()
+    t = pa.table({"text": [
+        "the cat sat on the mat and it was a good day for all of the cats in town",
+        "spam spam spam spam spam spam spam spam spam spam",
+        "",
+    ]})
+    out = q(t).to_pydict()
+    assert out["max_word_run"][1] >= 10
+    assert out["compression_ratio"][1] < out["compression_ratio"][0]
+    assert out["quality_score"][0] > out["quality_score"][1]

@@ -110,6 +110,36 @@ def confidence(b: Block) -> int:
     return max(0, min(100, score))
 
 
+def _article_refine(blocks: list[Block]) -> None:
+    """``seg_mode='article'``: keep only the densest contiguous chain of
+    content blocks (Readability-style main-content locate), all in
+    integer arithmetic.
+
+    Score per block: +n_chars if kept, −40 per dropped block in a gap.
+    The maximum-sum contiguous window (Kadane over block scores) is the
+    article body; kept blocks outside it are demoted — headings directly
+    adjacent to the window survive."""
+    scores = [(b.n_chars if b.is_content else -40) for b in blocks]
+    best_sum = cur_sum = 0
+    best_lo = best_hi = cur_lo = 0
+    for i, s in enumerate(scores):
+        if cur_sum <= 0:
+            cur_sum = s
+            cur_lo = i
+        else:
+            cur_sum += s
+        if cur_sum > best_sum:
+            best_sum, best_lo, best_hi = cur_sum, cur_lo, i
+    if best_sum <= 0:
+        return
+    for i, b in enumerate(blocks):
+        if b.is_content and not (best_lo <= i <= best_hi):
+            # adjacent heading just before the window survives
+            if b.block_type == HEADING_TEXT and i == best_lo - 1:
+                continue
+            b.is_content = False
+
+
 def classify_blocks(blocks: list[Block], cfg: ExtractionConfig) -> None:
     """Label every block in place: type, keep/drop, confidence.
 
@@ -121,3 +151,5 @@ def classify_blocks(blocks: list[Block], cfg: ExtractionConfig) -> None:
         if cfg.scope_prefix and not b.parent_path.startswith(cfg.scope_prefix):
             b.is_content = False
         b.confidence = confidence(b)
+    if cfg.seg_mode == "article":
+        _article_refine(blocks)

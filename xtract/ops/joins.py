@@ -104,6 +104,29 @@ def tumbling_window(ds, ts_col: str, every: str = "day",
     return g.aggregate(*(aggs or [Count(alias_name="n_events")]))
 
 
+def session_windows(ds, key: str, ts_col: str, gap_minutes: int = 30):
+    """Session windows over an event log: per key, events sorted by
+    (ts, event_id); a gap > ``gap_minutes`` starts a new session.
+    → (key, session_id, n_events) — the classic gap-based session
+    assignment as groupby(key).map_groups over ts-sorted groups.
+    Partitioning assumption: one key's events fit in one group (holds
+    for per-user web logs; a hotter key needs ts-range pre-bucketing)."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, "event_id"], kind="mergesort")
+        ts = g[ts_col].to_numpy()
+        new_session = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            new_session[1:] = (np.diff(ts) > gap).astype(np.int64)
+        session_id = np.cumsum(new_session)
+        out = pd.DataFrame({key: g[key].to_numpy(), "session_id": session_id})
+        return (out.groupby([key, "session_id"], sort=True)
+                .size().rename("n_events").reset_index())
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
 def windowed_running(ds, key: str, ts_col: str, value_col: str,
                      round_to: int = 2):
     """Per-key ordered running aggregate (row_number + cumulative sum) —

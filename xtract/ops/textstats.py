@@ -74,10 +74,16 @@ class QualityScorer:
         self.word_re = re.compile(r"[a-zA-Z]+")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
         texts = batch["text"].to_pylist()
-        scores = np.empty(len(texts), np.float64)
-        stop_ratio = np.empty(len(texts), np.float64)
-        mean_wlen = np.empty(len(texts), np.float64)
+        n = len(texts)
+        scores = np.empty(n, np.float64)
+        stop_ratio = np.empty(n, np.float64)
+        mean_wlen = np.empty(n, np.float64)
+        comp_ratio = np.empty(n, np.float64)
+        bullet_frac = np.empty(n, np.float64)
+        max_rep = np.empty(n, np.int64)
         for i, t in enumerate(texts):
             t = t or ""
             words = self.word_re.findall(t.lower())
@@ -85,18 +91,40 @@ class QualityScorer:
             sw = sum(1 for w in words if w in self.stop)
             stop_ratio[i] = sw / nw if nw else 0.0
             mean_wlen[i] = (sum(len(w) for w in words) / nw) if nw else 0.0
-            # deterministic integer-ish composite scaled to 0-100
+            # Gopher-style signals (deterministic):
+            raw = t.encode("utf-8")
+            comp_ratio[i] = (len(zlib.compress(raw, 6)) / len(raw)) if raw else 1.0
+            lines = [l for l in t.split("\n") if l.strip()]
+            bullet_frac[i] = (sum(1 for l in lines if l.lstrip().startswith(
+                ("-", "*", "•"))) / len(lines)) if lines else 0.0
+            # longest run of one repeated word
+            run = best = 0
+            prev = None
+            for w in words:
+                run = run + 1 if w == prev else 1
+                prev = w
+                if run > best:
+                    best = run
+            max_rep[i] = best
+            # deterministic integer composite scaled to 0-100
             s = 0
             if 20 <= nw <= 100000:
-                s += 40
+                s += 30
             if nw and 3 * sw >= nw:       # stopword ratio >= 1/3
-                s += 30
+                s += 25
             if nw and 3.0 <= mean_wlen[i] <= 10.0:
-                s += 30
+                s += 25
+            if raw and 10 * len(zlib.compress(raw, 6)) >= 3 * len(raw):
+                s += 10                    # not trivially repetitive
+            if best <= 4:
+                s += 10
             scores[i] = float(s)
         return (batch.append_column("quality_score", pa.array(scores))
                      .append_column("stopword_ratio", pa.array(stop_ratio))
-                     .append_column("mean_word_len", pa.array(mean_wlen)))
+                     .append_column("mean_word_len", pa.array(mean_wlen))
+                     .append_column("compression_ratio", pa.array(comp_ratio))
+                     .append_column("bullet_line_frac", pa.array(bullet_frac))
+                     .append_column("max_word_run", pa.array(max_rep)))
 
 
 class DocLangId:
