@@ -396,6 +396,34 @@ def _q_lowest_confidence_docs(sf_dir: str):
     return lowest_confidence(extract_pages(_pages(sf_dir)), k=20)
 
 
+def _q_extract_warc(sf_dir: str):
+    """WARC ingest path: synthesize a WARC file from pages rows, then run
+    the ingest → extract pipeline over it (Common-Crawl container
+    format)."""
+    import os
+    import tempfile
+
+    from xtract.pipeline import extract_pages
+    from xtract.sources import read_pages_warc, write_warc
+
+    rows = [r for r in _pages(sf_dir).limit(100).take_all()
+            if r["html"] is not None]
+    d = tempfile.mkdtemp(prefix="xtract_warc_")
+    write_warc(rows, os.path.join(d, "sample.warc"))
+    return extract_pages(read_pages_warc(os.path.join(d, "sample.warc"))
+                         ).select_columns(["url", "doc_kind", "status",
+                                           "content_text"])
+
+
+def _q_line_dedup(sf_dir: str):
+    """Corpus-level repeated-line removal over extracted content."""
+    from xtract.ops.linedup import drop_repeated_lines
+    from xtract.pipeline import extract_pages
+
+    ex = extract_pages(_pages(sf_dir)).select_columns(["url", "content_text"])
+    return drop_repeated_lines(ex, max_docs=20)
+
+
 def _q_media_features(sf_dir: str):
     from xtract.ops.multimodal import decode_media, synth_media_batch
 
@@ -456,6 +484,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": _q_doc_langid,
         "doc_rolling_fp": _q_doc_rolling_fp,
         "media_features": _q_media_features,
+        "extract_warc": _q_extract_warc,
+        "line_dedup": _q_line_dedup,
         "doc_oov_rate": _q_doc_oov_rate,
         "lowest_confidence_docs": _q_lowest_confidence_docs,
     }

@@ -69,6 +69,113 @@ def read_pages_csv(paths, **kw):
         _normalize_batch, batch_format="pyarrow")
 
 
+_WARC_SEP = b"\r\n\r\n"
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Minimal WARC/1.0 parser (public ISO 28500 format — the actual
+    Common-Crawl container): split on record boundaries, keep
+    ``response`` records, read WARC-Target-URI / WARC-Date headers, and
+    strip the HTTP response header block from the payload.  Deterministic;
+    unsupported records are skipped, never fatal."""
+    from datetime import datetime, timezone
+
+    rows = []
+    # records are separated by \r\n\r\n after Content-Length payload bytes
+    pos = 0
+    n = len(data)
+    while pos < n:
+        head_end = data.find(_WARC_SEP, pos)
+        if head_end < 0:
+            break
+        header_blob = data[pos:head_end]
+        if not header_blob.lstrip().startswith(b"WARC/"):
+            break
+        headers: dict[str, str] = {}
+        for line in header_blob.split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.decode("latin-1").strip().lower()] = \
+                v.decode("latin-1").strip()
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            break
+        body = data[head_end + 4:head_end + 4 + length]
+        pos = head_end + 4 + length
+        while data[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri", "")
+        ts = EPOCH_US
+        date = headers.get("warc-date")
+        if date:
+            try:
+                dt = datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ")
+                ts = int(dt.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+            except ValueError:
+                pass
+        # payload may include an HTTP response header block
+        if body.startswith(b"HTTP/"):
+            http_end = body.find(_WARC_SEP)
+            if http_end >= 0:
+                body = body[http_end + 4:]
+        rows.append({"url": url, "warc_ts": ts, "html": body,
+                     "text": None, "lang": None})
+    return rows
+
+
+def read_pages_warc(paths, **kw):
+    """WARC source: one or more ``.warc`` / ``.warc.gz`` files → pages
+    rows.  Each file parses inside a task (``read_binary_files``), so a
+    directory of WARCs streams with file-level parallelism — the shape
+    of a real Common-Crawl ingest."""
+    import gzip
+
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True, **kw)
+
+    def parse_batch(batch: pa.Table) -> pa.Table:
+        rows = []
+        for path, blob in zip(batch["path"].to_pylist(),
+                              batch["bytes"].to_pylist()):
+            if blob[:2] == b"\x1f\x8b":  # still gzip (Ray auto-decompresses
+                try:                     # .gz by extension; sniff, don't trust)
+                    blob = gzip.decompress(blob)
+                except OSError:
+                    continue
+            rows.extend(parse_warc(blob))
+        if not rows:
+            return PAGES_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    return ds.map_batches(parse_batch, batch_format="pyarrow", batch_size=1)
+
+
+def write_warc(rows: list[dict], path: str) -> None:
+    """Serialize pages rows to a WARC/1.0 file (test/synthesis helper —
+    the inverse of parse_warc, deterministic)."""
+    from datetime import datetime, timezone
+
+    out = bytearray()
+    for r in rows:
+        body = r.get("html") or b""
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        ts = r.get("warc_ts") or EPOCH_US
+        if isinstance(ts, datetime):
+            dt = ts if ts.tzinfo else ts.replace(tzinfo=timezone.utc)
+        else:
+            dt = datetime.fromtimestamp(ts / 1e6, tz=timezone.utc)
+        head = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: {r['url']}\r\n"
+                f"WARC-Date: {dt.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+                f"Content-Length: {len(http)}").encode("latin-1")
+        out += head + _WARC_SEP + http + b"\r\n\r\n"
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
 def read_pages_files(paths, **kw):
     """Raw-file directory source: one document per file, url = file path
     (``read_binary_files(include_paths=True)`` — the provenance columns
