@@ -100,12 +100,26 @@ class Extractor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
-        tss = _col(batch, "warc_ts") or [None] * len(urls)
-        htmls = _col(batch, "html") or [None] * len(urls)
-        texts = _col(batch, "text") or [None] * len(urls)
-        langs = _col(batch, "lang") or [None] * len(urls)
-        cols: dict[str, list] = {n: [] for n in EXTRACTED_SCHEMA.names}
-        for url, ts, html, text, lang in zip(urls, tss, htmls, texts, langs):
+        n = len(urls)
+        tss = _col(batch, "warc_ts") or [None] * n
+        htmls = _col(batch, "html") or [None] * n
+        texts = _col(batch, "text") or [None] * n
+        langs = _col(batch, "lang") or [None] * n
+        cols: dict[str, list] = {name: [] for name in (
+            "content_text", "doc_kind", "lang_detected", "lang_conf",
+            "text_dir", "mean_conf", "n_blocks_kept", "n_blocks_dropped",
+            "status", "error", "html_len")}
+        # nested columns built flat (offsets + child arrays): no per-row
+        # Python dicts on the hot path
+        span_offsets = np.empty(n + 1, np.int32)
+        span_offsets[0] = 0
+        span_starts: list[int] = []
+        span_ends: list[int] = []
+        alt_offsets = np.empty(n + 1, np.int32)
+        alt_offsets[0] = 0
+        alt_langs: list[str] = []
+        alt_confs: list[float] = []
+        for i, (url, html, text, lang) in enumerate(zip(urls, htmls, texts, langs)):
             if url is None or url == "":
                 r: dict[str, Any] = {
                     "content_text": "", "content_spans": [], "doc_kind": "error",
@@ -118,11 +132,15 @@ class Extractor:
                 r = extract_document(html, text, lang, self.cfg,
                                      detector=self.detector,
                                      lenient=self.lenient)
-            cols["url"].append(url or "")
-            cols["warc_ts"].append(ts)
+            for s, e in r["content_spans"]:
+                span_starts.append(s)
+                span_ends.append(e)
+            span_offsets[i + 1] = len(span_starts)
+            for l, c in r.get("lang_alternatives", []):
+                alt_langs.append(l)
+                alt_confs.append(c)
+            alt_offsets[i + 1] = len(alt_langs)
             cols["content_text"].append(r["content_text"])
-            cols["content_spans"].append(
-                [{"start": s, "end": e} for s, e in r["content_spans"]])
             cols["doc_kind"].append(r["doc_kind"])
             cols["lang_detected"].append(r["lang_detected"])
             cols["lang_conf"].append(r["lang_conf"])
@@ -133,12 +151,35 @@ class Extractor:
             cols["status"].append(r["status"])
             cols["error"].append(r["error"])
             cols["html_len"].append(len(html) if html else 0)
-            cols["lang_alternatives"].append(
-                [{"lang": l, "conf": c} for l, c in r.get("lang_alternatives", [])])
-        self._n_docs += len(urls)
-        return pa.Table.from_pydict(
-            {n: pa.array(cols[n], type=EXTRACTED_SCHEMA.field(n).type)
-             for n in EXTRACTED_SCHEMA.names})
+        self._n_docs += n
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(span_offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(span_starts, pa.int64()),
+                 pa.array(span_ends, pa.int64())], ["start", "end"]))
+        alts_arr = pa.ListArray.from_arrays(
+            pa.array(alt_offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(alt_langs, pa.string()),
+                 pa.array(alt_confs, pa.float32())], ["lang", "conf"]))
+        arrays = [
+            pa.array([u or "" for u in urls], pa.string()),
+            pa.array(tss, pa.timestamp("us")),
+            pa.array(cols["content_text"], pa.string()),
+            spans_arr,
+            pa.array(cols["doc_kind"], pa.string()),
+            pa.array(cols["lang_detected"], pa.string()),
+            pa.array(cols["lang_conf"], pa.float32()),
+            pa.array(cols["text_dir"], pa.string()),
+            pa.array(cols["mean_conf"], pa.float32()),
+            pa.array(cols["n_blocks_kept"], pa.int32()),
+            pa.array(cols["n_blocks_dropped"], pa.int32()),
+            pa.array(cols["status"], pa.string()),
+            pa.array(cols["error"], pa.string()),
+            pa.array(cols["html_len"], pa.int64()),
+            alts_arr,
+        ]
+        return pa.Table.from_arrays(arrays, schema=EXTRACTED_SCHEMA)
 
 
 _WORKER_EXTRACTORS: dict[str, "Extractor"] = {}
