@@ -377,17 +377,75 @@ class Segmenter:
 
 
 def segment(html: bytes) -> list[Block]:
-    """Tokenize + segment one HTML document into ordered blocks."""
+    """Tokenize + segment one HTML document into ordered blocks.
+
+    The token scan is inlined (same rules as ``html_tokenizer.tokenize``
+    — that module remains the standalone tokenizer surface and its tests
+    pin the shared grammar) so the hot path allocates no token tuples."""
+    from .html_tokenizer import (
+        _COMMENT_RE,
+        _DECL_RE,
+        _PI_RE,
+        _RAW_END_RES,
+        _TAG_RE,
+        RAW_TEXT_ELEMENTS,
+        RAW_TEXT_KEPT,
+    )
+
     seg = Segmenter(html)
-    for tok in tokenize(html):
-        kind = tok[0]
-        if kind == "text":
-            # drop content of non-kept raw elements (script/style handled by
-            # tokenizer emitting their text only for kept elements)
-            seg.text_run(tok[1], tok[2])
-        elif kind == "start":
-            seg.start_tag(tok[3], tok[4], tok[5], tok[1])
-        elif kind == "end":
-            seg.end_tag(tok[3])
-        # comment/decl/pi dropped
+    text_run = seg.text_run
+    start_tag = seg.start_tag
+    end_tag = seg.end_tag
+    n = len(html)
+    pos = 0
+    find = html.find
+    while pos < n:
+        lt = find(b"<", pos)
+        if lt < 0:
+            text_run(pos, n)
+            break
+        if lt > pos:
+            text_run(pos, lt)
+        if html.startswith(b"<!--", lt):
+            m = _COMMENT_RE.match(html, lt)
+            if m is None:
+                break  # unterminated comment → rest is dropped
+            pos = m.end()
+            continue
+        if html.startswith(b"<!", lt):
+            m = _DECL_RE.match(html, lt)
+            if m is None:
+                break
+            pos = m.end()
+            continue
+        if html.startswith(b"<?", lt):
+            m = _PI_RE.match(html, lt)
+            if m is None:
+                break
+            pos = m.end()
+            continue
+        m = _TAG_RE.match(html, lt)
+        if m is None:
+            text_run(lt, lt + 1)  # literal '<' is text
+            pos = lt + 1
+            continue
+        closing, name_b, attrs_b, selfclose = (
+            m.group(1), m.group(2), m.group(3), m.group(4))
+        tag = name_b.decode("ascii").lower()
+        pos = m.end()
+        if closing:
+            end_tag(tag)
+            continue
+        start_tag(tag, attrs_b, bool(selfclose), lt)
+        if tag in RAW_TEXT_ELEMENTS and not selfclose:
+            em = _RAW_END_RES[tag].search(html, pos)
+            if em is None:
+                if tag in RAW_TEXT_KEPT and pos < n:
+                    text_run(pos, n)
+                end_tag(tag)
+                break
+            if tag in RAW_TEXT_KEPT and em.start() > pos:
+                text_run(pos, em.start())
+            end_tag(tag)
+            pos = em.end()
     return seg.finish()
