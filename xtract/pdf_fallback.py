@@ -115,8 +115,11 @@ def extract_pdf_text(data: bytes) -> tuple[str, list[tuple[int, int]], str]:
         hdr, body = m.group(1), m.group(2)
         saw_stream = True
         if b"FlateDecode" in hdr:
+            # decompressobj tolerates trailing junk after the deflate
+            # stream (the \r\n before `endstream`); NEVER rstrip the body —
+            # a compressed stream can legitimately end in 0x0a/0x0d bytes
             try:
-                body = zlib.decompress(body.rstrip(b"\r\n"))
+                body = zlib.decompressobj().decompress(body)
             except zlib.error:
                 return "", [], "unsupported_binary"
         elif re.search(rb"/Filter", hdr):
