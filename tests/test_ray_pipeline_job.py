@@ -65,3 +65,24 @@ def test_validate_adds_size_buckets(ray_session, sf_dir):
     out = validate_pages(t)
     assert out["html_len"].to_pylist() == [1024, 0]
     assert out["size_bucket"].to_pylist() == [10, 0]
+
+
+def test_job_retry_shard(ray_session, sf_dir, tmp_path):
+    from xtract.pipeline import read_extracted, run_extraction_job
+    from xtract.synth import synth_pages_dataset
+
+    in_dir = str(tmp_path / "in")
+    synth_pages_dataset(sf_dir).repartition(2).write_parquet(in_dir)
+    files = sorted(os.path.join(in_dir, f) for f in os.listdir(in_dir)
+                   if f.endswith(".parquet"))
+    out_dir = str(tmp_path / "out")
+    mans = run_extraction_job(files, out_dir, DEFAULT_CONFIG, shard_size=2,
+                              retry_failed=True)
+    retry = [m for m in mans if m["shard_id"] == "retry"]
+    assert retry and retry[0]["n_rows"] > 0 and retry[0]["lenient"]
+    rows = read_extracted(out_dir, columns=["url", "status"]).to_pandas()
+    recovered = rows[rows.status == "ok_lenient"]
+    assert len(recovered) == retry[0]["n_rows"]
+    # every failed url has a recovered counterpart
+    failed = set(rows[rows.status == "bad_encoding"].url)
+    assert failed <= set(recovered.url)

@@ -275,6 +275,7 @@ def run_extraction_job(
     manifest says complete.  Returns the list of shard manifests.
     """
     os.makedirs(out_dir, exist_ok=True)
+    retry_failed = extract_kw.pop("retry_failed", False)
     manifests = []
     groups = [list(input_files[i:i + shard_size])
               for i in range(0, len(input_files), shard_size)]
@@ -321,4 +322,72 @@ def run_extraction_job(
             shutil.rmtree(shard_dir)
         os.rename(tmp_dir, shard_dir)
         manifests.append(manifest)
+    if retry_failed:
+        m = _run_retry_shard(input_files, out_dir, cfg)
+        if m is not None:
+            manifests.append(m)
     return manifests
+
+
+def _run_retry_shard(input_files, out_dir: str, cfg: ExtractionConfig):
+    """Job-level retry pass (C2 at the job driver, the efficient shape):
+    scan the ALREADY-WRITTEN shard outputs for retryable statuses (a
+    cheap 2-column read — no re-extraction), broadcast the failed url
+    set, lenient-extract only those source rows into ``shard=retry/``.
+    Consumers read the retry shard's rows as replacements for the same
+    urls in the base shards (latest-status-wins by shard name)."""
+    import ray
+    import ray.data as rd
+
+    from .actors import Extractor
+
+    sid = "retry"
+    if shard_is_done(out_dir, sid):
+        with open(manifest_path(out_dir, sid)) as f:
+            return json.load(f)
+    failed = read_extracted(out_dir, columns=["url", "status"]).map_batches(
+        lambda t: t.filter(pc.is_in(
+            t["status"], value_set=pa.array(["bad_encoding", "parse_error"]))),
+        batch_format="pyarrow").select_columns(["url"]).take_all()
+    urls = {r["url"] for r in failed}
+    if not urls:
+        return None
+    urls_ref = ray.put(urls)
+
+    def keep_failed(t: pa.Table) -> pa.Table:
+        u = ray.get(urls_ref)
+        mask = pa.array([x in u for x in t["url"].to_pylist()], pa.bool_())
+        return t.filter(mask)
+
+    tmp_dir = tempfile.mkdtemp(prefix=".shard-retry-", dir=out_dir)
+    t0 = time.monotonic()
+    lenient = read_pages(input_files).map_batches(
+        keep_failed, batch_format="pyarrow").map_batches(
+        Extractor, fn_constructor_args=(cfg.to_json(), True),
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 4), num_cpus=1)
+    lenient.write_parquet(os.path.join(tmp_dir, "data"))
+    done = rd.read_parquet(glob_data(tmp_dir), columns=["url", "content_text"])
+    parts = done.map_batches(_shard_digest_partial, batch_format="pyarrow").take_all()
+    manifest = {
+        "shard_id": sid, "input_files": list(input_files),
+        "n_rows": sum(int(r["n"]) for r in parts),
+        "checksum": merge_checksum_partials([(r["partial"], r["n"]) for r in parts]),
+        "config_hash": cfg.config_hash(), "lenient": True,
+        "engine_version": __version__,
+        "wall_s": round(time.monotonic() - t0, 3), "complete": True,
+    }
+    with open(os.path.join(tmp_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    shard_dir = os.path.join(out_dir, f"shard={sid}")
+    if os.path.exists(shard_dir):
+        import shutil
+
+        shutil.rmtree(shard_dir)
+    os.rename(tmp_dir, shard_dir)
+    return manifest
+
+
+def glob_data(shard_tmp_dir: str) -> list:
+    import glob as _glob
+
+    return sorted(_glob.glob(os.path.join(shard_tmp_dir, "data", "*.parquet")))
