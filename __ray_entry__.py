@@ -286,6 +286,15 @@ def _q_extract_retry(sf_dir: str):
         ["url", "doc_kind", "status", "content_text"])
 
 
+def _q_webtext_pipeline(sf_dir: str):
+    """Composed training-data chain: extract → line scrub → quality gate
+    → exact dedup (the flagship end-to-end showpiece)."""
+    from xtract.pipelines import webtext_pipeline
+
+    clean, _ = webtext_pipeline(_pages(sf_dir))
+    return clean
+
+
 def _q_extract_pages(sf_dir: str):
     from xtract.pipeline import extract_pages
 
@@ -470,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q_user_sessions,
         # extraction + ops (non-SQL → rows-only)
         "extract_pages": _q_extract_pages,
+        "webtext_pipeline": _q_webtext_pipeline,
         "extract_retry": _q_extract_retry,
         "extract_blocks": _q_extract_blocks,
         "extract_words": _q_extract_words,

