@@ -300,7 +300,7 @@ def _q_extract_pages(sf_dir: str):
 
     return extract_pages(_pages(sf_dir)).select_columns(
         ["url", "doc_kind", "status", "lang_detected", "text_dir",
-         "n_blocks_kept", "n_blocks_dropped", "content_text"])
+         "script", "n_blocks_kept", "n_blocks_dropped", "content_text"])
 
 
 def _q_extract_blocks(sf_dir: str):

@@ -68,3 +68,15 @@ def test_langdetect_deterministic():
 def test_text_direction():
     assert text_direction("hello world") == "ltr"
     assert text_direction("שלום עולם") == "rtl"
+
+
+def test_detect_script():
+    from xtract.langdetect import detect_script
+
+    assert detect_script("hello world")[0] == "Latin"
+    assert detect_script("你好世界")[0] == "Han"
+    assert detect_script("Привет")[0] == "Cyrillic"
+    assert detect_script("שלום")[0] == "Hebrew"
+    assert detect_script("123 !!!") == ("Unknown", 0.0)
+    s, conf = detect_script("hello 你好世界吗吗吗")
+    assert s == "Han" and 0 < conf < 1

@@ -34,6 +34,8 @@ EXTRACTED_SCHEMA = pa.schema([
     ("lang_detected", pa.string()),
     ("lang_conf", pa.float32()),
     ("text_dir", pa.string()),
+    ("script", pa.string()),
+    ("script_conf", pa.float32()),
     ("mean_conf", pa.float32()),
     ("n_blocks_kept", pa.int32()),
     ("n_blocks_dropped", pa.int32()),
@@ -107,8 +109,9 @@ class Extractor:
         langs = _col(batch, "lang") or [None] * n
         cols: dict[str, list] = {name: [] for name in (
             "content_text", "doc_kind", "lang_detected", "lang_conf",
-            "text_dir", "mean_conf", "n_blocks_kept", "n_blocks_dropped",
-            "status", "error", "html_len")}
+            "text_dir", "script", "script_conf", "mean_conf",
+            "n_blocks_kept", "n_blocks_dropped", "status", "error",
+            "html_len")}
         # nested columns built flat (offsets + child arrays): no per-row
         # Python dicts on the hot path
         span_offsets = np.empty(n + 1, np.int32)
@@ -125,6 +128,7 @@ class Extractor:
                     "content_text": "", "content_spans": [], "doc_kind": "error",
                     "lang_detected": "und", "lang_conf": 0.0, "text_dir": "ltr",
                     "mean_conf": 0.0, "n_blocks_kept": 0, "n_blocks_dropped": 0,
+                    "script": "Unknown", "script_conf": 0.0,
                     "status": "invalid", "error": "null url",
                     "lang_alternatives": [],
                 }
@@ -145,6 +149,8 @@ class Extractor:
             cols["lang_detected"].append(r["lang_detected"])
             cols["lang_conf"].append(r["lang_conf"])
             cols["text_dir"].append(r["text_dir"])
+            cols["script"].append(r.get("script", "Unknown"))
+            cols["script_conf"].append(r.get("script_conf", 0.0))
             cols["mean_conf"].append(r["mean_conf"])
             cols["n_blocks_kept"].append(r["n_blocks_kept"])
             cols["n_blocks_dropped"].append(r["n_blocks_dropped"])
@@ -171,6 +177,8 @@ class Extractor:
             pa.array(cols["lang_detected"], pa.string()),
             pa.array(cols["lang_conf"], pa.float32()),
             pa.array(cols["text_dir"], pa.string()),
+            pa.array(cols["script"], pa.string()),
+            pa.array(cols["script_conf"], pa.float32()),
             pa.array(cols["mean_conf"], pa.float32()),
             pa.array(cols["n_blocks_kept"], pa.int32()),
             pa.array(cols["n_blocks_dropped"], pa.int32()),

@@ -22,7 +22,7 @@ from typing import Any, Optional
 from .assemble import assemble
 from .classify import classify_blocks
 from .config import ExtractionConfig
-from .langdetect import LangDetector, text_direction
+from .langdetect import LangDetector, detect_script, text_direction
 from .pdf_fallback import extract_pdf_text, is_pdf
 from .segment import Block, segment
 
@@ -94,6 +94,7 @@ def extract_document(
         "content_text": "", "content_spans": [], "doc_kind": "empty",
         "lang_detected": "und", "lang_conf": 0.0, "text_dir": "ltr",
         "mean_conf": 0.0, "n_blocks_kept": 0, "n_blocks_dropped": 0,
+        "script": "Unknown", "script_conf": 0.0,
         "status": "ok", "error": "", "blocks": [],
     }
     blocks: list[Block] = []
@@ -175,6 +176,7 @@ def _finish(out, blocks, cfg, det, collect_blocks, t0):
         out["lang_conf"] = conf
         out["lang_alternatives"] = det.detect_alternatives(text[:2000])
         out["text_dir"] = text_direction(text)
+        out["script"], out["script_conf"] = detect_script(text)
         # per-block language (word_recognition_language analogue) is only
         # needed when blocks are emitted — skipping it in the content path
         # halves extraction cost (profiled)

@@ -135,6 +135,39 @@ def detect_lang(text: str, margin: int = 2) -> tuple[str, float]:
     return _DEFAULT.detect(text)
 
 
+#: Script ranges for detect_script (the detect_os script_name analogue,
+#: reference src/api.rs:599-629) — (name, regex of the script's block).
+SCRIPT_RANGES: tuple = (
+    ("Han", re.compile("[\u4E00-\u9FFF\u3400-\u4DBF]")),
+    ("Hiragana", re.compile("[\u3040-\u309F]")),
+    ("Katakana", re.compile("[\u30A0-\u30FF]")),
+    ("Hangul", re.compile("[\uAC00-\uD7AF\u1100-\u11FF]")),
+    ("Cyrillic", re.compile("[\u0400-\u04FF]")),
+    ("Arabic", re.compile("[\u0600-\u06FF\u0750-\u077F]")),
+    ("Hebrew", re.compile("[\u0590-\u05FF]")),
+    ("Greek", re.compile("[\u0370-\u03FF]")),
+    ("Devanagari", re.compile("[\u0900-\u097F]")),
+    ("Thai", re.compile("[\u0E00-\u0E7F]")),
+    ("Latin", re.compile("[A-Za-z\u00C0-\u024F]")),
+)
+
+
+def detect_script(text: str, sample: int = 1000) -> tuple[str, float]:
+    """Dominant writing script by Unicode-range tallies → (script, conf).
+    Deterministic: counts are integers, ties break by range order
+    (more-specific scripts first); empty/none → ('Unknown', 0.0)."""
+    s = text[:sample]
+    best_name, best_n, total = "Unknown", 0, 0
+    for name, rx in SCRIPT_RANGES:
+        n = len(rx.findall(s))
+        total += n
+        if n > best_n:
+            best_name, best_n = name, n
+    if best_n == 0:
+        return "Unknown", 0.0
+    return best_name, best_n / total
+
+
 _RTL_RE = re.compile("[\u0590-\u08FF\uFB1D-\uFDFF\uFE70-\uFEFF]")
 _ALPHA_RE = re.compile(r"[^\W\d_]", re.UNICODE)
 
