@@ -129,3 +129,16 @@ def test_stray_end_tag_ignored():
 
 def test_whitespace_only_page_yields_no_blocks():
     assert segment(b"  \n\t  <div>   </div>") == []
+
+
+def test_self_closing_slash_ignored_on_normal_elements():
+    # HTML5: <div/> does NOT close — following text is inside the div
+    blocks = segment(b'<div/>inside the div words here</div>after div words now')
+    assert blocks[0].parent_path.endswith("div[1]")
+    assert blocks[0].text == "inside the div words here"
+    assert blocks[1].text == "after div words now"
+
+
+def test_self_closed_script_is_empty():
+    blocks = segment(b"<script/>visible words after empty script element")
+    assert len(blocks) == 1 and blocks[0].text.startswith("visible words")

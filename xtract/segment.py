@@ -35,6 +35,7 @@ from .dom import (
     SUP_TAGS,
     VOID_ELEMENTS,
 )
+from .html_tokenizer import RAW_TEXT_ELEMENTS as _RAW_TEXT
 from .html_tokenizer import parse_attrs, tokenize
 
 _WS_RE = re.compile(r"[\s\xa0]+")
@@ -352,7 +353,13 @@ class Segmenter:
         if tag == "br":
             self.line_break()
             return
-        if tag in VOID_ELEMENTS or selfclose:
+        if tag in VOID_ELEMENTS:
+            return
+        # HTML5: the self-closing slash is IGNORED on normal elements
+        # (<div/> stays open like in browsers); we honor it only for
+        # raw-text elements, matching the tokenizer (which does not
+        # raw-capture after a self-closed <script/>)
+        if selfclose and tag in _RAW_TEXT:
             return
         self._push(tag, attrs_b)
 
