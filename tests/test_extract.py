@@ -96,3 +96,18 @@ def test_determinism_repeated_calls():
     assert a["content_text"] == b["content_text"]
     assert a["content_spans"] == b["content_spans"]
     assert a["mean_conf"] == b["mean_conf"]
+
+
+def test_meta_charset_transcode():
+    body = ('<html><head><meta charset="iso-8859-1"></head><body>'
+            '<p>café naïve résumé with enough words to keep this block</p>'
+            '</body></html>')
+    r = oracle_extract(body.encode("latin-1"))
+    assert r["status"] == "ok" and "café naïve résumé" in r["content_text"]
+    assert r["error"] == "transcoded from latin-1"
+
+
+def test_unknown_charset_stays_bad():
+    body = '<meta charset="x-weird"><p>data \xff here</p>'
+    r = oracle_extract(body.encode("latin-1"))
+    assert r["status"] == "bad_encoding"

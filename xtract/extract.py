@@ -28,6 +28,31 @@ from .segment import Block, segment
 
 _WS_LINE_RE = re.compile(r"[ \t\r\f\v\xa0]+")
 
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", re.I)
+
+#: codecs we accept from a meta declaration (deterministic stdlib codecs)
+_KNOWN_CHARSETS = {
+    "latin-1": "latin-1", "latin1": "latin-1", "iso-8859-1": "latin-1",
+    "iso8859-1": "latin-1", "windows-1252": "cp1252", "cp1252": "cp1252",
+    "windows-1251": "cp1251", "cp1251": "cp1251", "iso-8859-2": "iso8859-2",
+    "iso-8859-9": "iso8859-9", "koi8-r": "koi8-r", "shift_jis": "shift_jis",
+    "shift-jis": "shift_jis", "euc-jp": "euc_jp", "gb2312": "gb2312",
+    "gbk": "gbk", "big5": "big5", "euc-kr": "euc_kr",
+}
+
+
+def sniff_charset(html: bytes) -> Optional[str]:
+    """Meta-declared charset in the first 2 KiB (S3 charset sniff) —
+    returns a Python codec name, or None if absent/unknown/utf-8."""
+    m = _META_CHARSET_RE.search(html[:2048])
+    if not m:
+        return None
+    name = m.group(1).decode("ascii", "replace").lower()
+    if name in ("utf-8", "utf8"):
+        return None
+    return _KNOWN_CHARSETS.get(name)
+
 
 def _filter_plain(text: str, cfg: ExtractionConfig) -> str:
     """Char whitelist/blacklist on non-HTML paths (pdf / crawl-text) — the
@@ -133,14 +158,23 @@ def extract_document(
             try:
                 html.decode("utf-8", "strict")
             except UnicodeDecodeError as exc:
-                if not lenient:
+                charset = sniff_charset(html)
+                if charset is not None:
+                    # declared non-UTF-8 charset: transcode (deterministic
+                    # stdlib codec), keep status ok with a provenance note.
+                    # NOTE: content_spans then index the TRANSCODED utf-8
+                    # bytes, not the raw legacy bytes (documented contract)
+                    html = html.decode(charset, "replace").encode("utf-8")
+                    out["error"] = f"transcoded from {charset}"
+                elif not lenient:
                     out["status"] = "bad_encoding"
                     out["error"] = f"invalid utf-8 at byte {exc.start}"
                     return _finish(out, blocks, cfg, det, collect_blocks, t0)
-                # retry-config pass: deterministic replacement decode
-                html = html.decode("utf-8", "replace").encode("utf-8")
-                out["status"] = "ok_lenient"
-                out["error"] = f"lenient decode at byte {exc.start}"
+                else:
+                    # retry-config pass: deterministic replacement decode
+                    html = html.decode("utf-8", "replace").encode("utf-8")
+                    out["status"] = "ok_lenient"
+                    out["error"] = f"lenient decode at byte {exc.start}"
             blocks = segment(html)
             classify_blocks(blocks, cfg)
             if cfg.segment_only:

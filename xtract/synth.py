@@ -204,8 +204,15 @@ def synth_page_rows(doc_id: int, text: str, lang: str, repeat: int = 1,
     elif family == "malformed":
         html = render_malformed(vid, paras, title).encode()
     elif family == "badenc":
-        html = render_article(vid, paras, title).encode()
-        html = html[:100] + b"\xff\xfe\xfa" + html[100:]  # invalid UTF-8
+        if (salt >> 10) % 2:
+            # declared legacy charset → transcode path (S3 sniff)
+            page = render_article(vid, paras + ["café résumé naïve détail"],
+                                  title).replace(
+                'charset="utf-8"', 'charset="iso-8859-1"')
+            html = page.encode("latin-1")
+        else:
+            html = render_article(vid, paras, title).encode()
+            html = html[:100] + b"\xff\xfe\xfa" + html[100:]  # invalid UTF-8
     elif family == "empty":
         html = None if (salt >> 7) % 2 == 0 else b""
         crawl_text = text if (salt >> 8) % 4 < 2 else None
