@@ -433,6 +433,13 @@ def _q_line_dedup(sf_dir: str):
     return drop_repeated_lines(ex, max_docs=20)
 
 
+def _q_canonical_url_dedup(sf_dir: str):
+    from xtract.ops.urls import dedup_by_canonical_url
+
+    return dedup_by_canonical_url(
+        _pages(sf_dir).select_columns(["url", "warc_ts"]))
+
+
 def _q_media_features(sf_dir: str):
     from xtract.ops.multimodal import decode_media, synth_media_batch
 
@@ -496,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "extract_warc": _q_extract_warc,
         "line_dedup": _q_line_dedup,
+        "canonical_url_dedup": _q_canonical_url_dedup,
         "doc_oov_rate": _q_doc_oov_rate,
         "lowest_confidence_docs": _q_lowest_confidence_docs,
     }

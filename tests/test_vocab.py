@@ -59,3 +59,51 @@ def test_worker_cache_reset():
     assert clear_worker_cache() >= 1
     b = extract_batch_task(t, DEFAULT_CONFIG.to_json())["content_text"].to_pylist()
     assert a == b
+
+
+def test_canonicalize_url():
+    from xtract.ops.urls import canonicalize_url as c
+
+    assert c("HTTP://Example.COM:80//a//b/?utm_source=x&b=2&a=1#frag") == \
+        "http://example.com/a/b?a=1&b=2"
+    assert c("https://site.org/") == "https://site.org/"
+    assert c("https://site.org/page/") == "https://site.org/page"
+    assert c("https://x.test:443/p?fbclid=123") == "https://x.test/p"
+
+
+def test_dedup_by_canonical_url(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.urls import dedup_by_canonical_url
+
+    ds = rd.from_items([
+        {"url": "https://a.com/p?utm_source=tw", "v": 1},
+        {"url": "https://A.com/p", "v": 2},
+        {"url": "https://a.com/q", "v": 3},
+    ])
+    out = dedup_by_canonical_url(ds).to_pandas()
+    assert len(out) == 2
+    assert set(out.canonical_url) == {"https://a.com/p", "https://a.com/q"}
+
+
+def test_stale_shard_dir_recomputed(ray_session, sf_dir, tmp_path):
+    """A crash can leave a shard dir without a manifest — rerun must
+    recompute it, not trust it."""
+    import os
+
+    from xtract.config import DEFAULT_CONFIG
+    from xtract.pipeline import run_extraction_job
+    from xtract.synth import synth_pages_dataset
+
+    in_dir = str(tmp_path / "in")
+    synth_pages_dataset(sf_dir).limit(40).repartition(1).write_parquet(in_dir)
+    files = [os.path.join(in_dir, f) for f in os.listdir(in_dir)
+             if f.endswith(".parquet")]
+    out_dir = str(tmp_path / "out")
+    stale = os.path.join(out_dir, "shard=00000")
+    os.makedirs(os.path.join(stale, "data"))
+    with open(os.path.join(stale, "data", "junk.txt"), "w") as f:
+        f.write("partial garbage from a dead run")
+    mans = run_extraction_job(files, out_dir, DEFAULT_CONFIG, shard_size=1)
+    assert mans[0]["complete"] and mans[0]["n_rows"] > 0
+    assert not os.path.exists(os.path.join(stale, "data", "junk.txt"))
