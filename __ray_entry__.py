@@ -208,6 +208,64 @@ def _q_embedding_knn(sf_dir: str):
     return out[["rank", "vec_id"]]
 
 
+def _q_orders_priority_histogram(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    return rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderpriority"]).groupby(
+        "o_orderpriority").aggregate(Count(alias_name="n_orders")).to_pandas()
+
+
+def _q_discount_revenue(sf_dir: str):
+    """TPC-H Q6 shape: filtered single-row aggregate, filter pushed into
+    the vectorized batch predicate."""
+    import ray.data as rd
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.greater_equal(b["l_discount"], 0.05),
+                       pc.less(b["l_quantity"], 24.0))
+        f = b.filter(mask)
+        part = pc.sum(pc.multiply(f["l_extendedprice"], f["l_discount"]))
+        return pa.table({"partial": [part.as_py() or 0.0],
+                         "n": [len(f)]})
+
+    parts = li.map_batches(rev, batch_format="pyarrow").to_pandas()
+    import pandas as pd
+
+    return pd.DataFrame({"revenue": [round(parts.partial.sum(), 2)],
+                         "n_rows": [int(parts.n.sum())]})
+
+
+def _q_nation_customer_balance(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"]).to_pandas()
+    ref = ray.put(dict(zip(nat.n_nationkey.astype("int64"), nat.n_name)))
+
+    def attach(b: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        return pa.table({
+            "n_name": pa.array([lk.get(k) for k in
+                                b["c_nationkey"].to_pylist()], pa.string()),
+            "c_acctbal": b["c_acctbal"],
+        })
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_nationkey", "c_acctbal"])
+    df = cust.map_batches(attach, batch_format="pyarrow").groupby(
+        "n_name").aggregate(Count(alias_name="n_customers"),
+                            Sum("c_acctbal", alias_name="total_balance")).to_pandas()
+    df["total_balance"] = df["total_balance"].round(2)
+    return df
+
+
 def _q_events_hourly_by_type(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -463,6 +521,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _q_top_customers,
         "part_brand_stats": _q_part_brand_stats,
         "supplier_nation": _q_supplier_nation,
+        "orders_priority_histogram":
+            "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
+            "GROUP BY o_orderpriority",
+        "discount_revenue":
+            "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, "
+            "count(*) AS n_rows FROM lineitem "
+            "WHERE l_discount >= 0.05 AND l_quantity < 24.0",
+        "nation_customer_balance":
+            "SELECT n_name, count(*) AS n_customers, "
+            "round(sum(c_acctbal), 2) AS total_balance FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
         "events_hourly_by_type":
             "SELECT strftime(ts, '%Y-%m-%d %H:00') AS window, event_type, "
             "count(*) AS n_events, round(sum(value), 2) AS total_value "
@@ -479,6 +548,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) "
             "AS last_order_date FROM events e",
         "embedding_knn": _q_embedding_knn,
+        "orders_priority_histogram": _q_orders_priority_histogram,
+        "discount_revenue": _q_discount_revenue,
+        "nation_customer_balance": _q_nation_customer_balance,
         "events_hourly_by_type": _q_events_hourly_by_type,
         "user_running_total": _q_user_running_total,
         "last_order_before_event": _q_last_order_before_event,
@@ -558,6 +630,17 @@ def oracle_sql() -> dict[str, str]:
         "supplier_nation":
             "SELECT n_name, count(*) AS n_suppliers FROM supplier "
             "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name",
+        "orders_priority_histogram":
+            "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
+            "GROUP BY o_orderpriority",
+        "discount_revenue":
+            "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, "
+            "count(*) AS n_rows FROM lineitem "
+            "WHERE l_discount >= 0.05 AND l_quantity < 24.0",
+        "nation_customer_balance":
+            "SELECT n_name, count(*) AS n_customers, "
+            "round(sum(c_acctbal), 2) AS total_balance FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
         "events_hourly_by_type":
             "SELECT strftime(ts, '%Y-%m-%d %H:00') AS window, event_type, "
             "count(*) AS n_events, round(sum(value), 2) AS total_value "

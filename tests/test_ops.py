@@ -165,3 +165,24 @@ def test_multimodal_plumbing(ray_session):
     stage = DecodeStage(fake=False)
     out = stage(pa.Table.from_pandas(t)).to_pydict()
     assert set(out["decode_status"]) == {"unsupported_codec"}
+
+
+def test_multimodal_resize_and_frames(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.multimodal import FrameSampleStage, ResizeStage, synth_media_batch
+
+    docs = rd.from_items([{"doc_id": i} for i in range(12)])
+    media = docs.map_batches(synth_media_batch, batch_format="pyarrow")
+    resized = media.map_batches(ResizeStage, fn_constructor_args=(32, 32),
+                                batch_format="pyarrow", batch_size=4,
+                                concurrency=2, num_cpus=1).to_pandas()
+    assert (resized.out_width == 32).all() and len(resized.resized.iloc[0]) == 32
+    frames = media.map_batches(FrameSampleStage, fn_constructor_args=(4,),
+                               batch_format="pyarrow", batch_size=4,
+                               concurrency=2, num_cpus=1).to_pandas()
+    assert len(frames) > 0
+    assert (frames.frame_index % 4 == 0).all()
+    # only video rows produce frames
+    vids = {i for i in range(12) if i % 3 == 2}
+    assert set(frames.media_id) <= vids

@@ -101,3 +101,72 @@ def decode_media(ds, fake: bool = True, batch_size: int = 16, concurrency=(1, 4)
     return ds.map_batches(DecodeStage, fn_constructor_args=(fake,),
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=1)
+
+
+class ResizeStage:
+    """Actor stage: image resize plumbing (STUB kernel).  Real resize
+    needs PIL/opencv (absent here); the fake kernel deterministically
+    re-hashes payload + target dims so schema/batching/output layout are
+    real and tested.  Swap ``resize_one`` for a real kernel when the
+    dependency exists."""
+
+    def __init__(self, width: int = 64, height: int = 64,
+                 fake: bool = True) -> None:
+        self.width = width
+        self.height = height
+        self.fake = fake
+
+    def resize_one(self, payload: bytes, meta: dict) -> tuple[bytes, int, int]:
+        if not self.fake:
+            raise NotImplementedError("image codecs unavailable; use fake=True")
+        out = hashlib.blake2b(
+            payload + self.width.to_bytes(4, "big") +
+            self.height.to_bytes(4, "big"), digest_size=32).digest()
+        return out, self.width, self.height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        metas = batch["meta"].to_pylist()
+        outs, ws, hs = [], [], []
+        for p, m in zip(payloads, metas):
+            o, w, h = self.resize_one(p or b"", m or {})
+            outs.append(o)
+            ws.append(w)
+            hs.append(h)
+        return (batch.append_column("resized", pa.array(outs, pa.binary()))
+                     .append_column("out_width", pa.array(ws, pa.int32()))
+                     .append_column("out_height", pa.array(hs, pa.int32())))
+
+
+class FrameSampleStage:
+    """Actor stage: video frame sampling plumbing (STUB decode).  Emits
+    one row per sampled frame (flat_map shape inside map_batches):
+    deterministic frame selection (every ``stride``-th of
+    ``meta.n_frames``), fake frame payloads derived from
+    (payload, frame_index)."""
+
+    def __init__(self, stride: int = 4, fake: bool = True) -> None:
+        self.stride = stride
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        metas = batch["meta"].to_pylist()
+        out = {"media_id": [], "frame_index": [], "frame": []}
+        for mid, kind, p, m in zip(ids, kinds, payloads, metas):
+            if kind != "video":
+                continue
+            n_frames = int((m or {}).get("n_frames") or 1)
+            for fi in range(0, n_frames, self.stride):
+                if not self.fake:
+                    raise NotImplementedError(
+                        "video codecs unavailable; use fake=True")
+                out["media_id"].append(mid)
+                out["frame_index"].append(fi)
+                out["frame"].append(hashlib.blake2b(
+                    (p or b"") + fi.to_bytes(4, "big"), digest_size=16).digest())
+        return pa.table({"media_id": pa.array(out["media_id"], pa.int64()),
+                         "frame_index": pa.array(out["frame_index"], pa.int32()),
+                         "frame": pa.array(out["frame"], pa.binary())})
