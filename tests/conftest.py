@@ -26,3 +26,7 @@ def ray_session():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return "/root/testdata/sf0.001"
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running distributed tests")

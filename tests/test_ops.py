@@ -186,3 +186,46 @@ def test_multimodal_resize_and_frames(ray_session):
     # only video rows produce frames
     vids = {i for i in range(12) if i % 3 == 2}
     assert set(frames.media_id) <= vids
+
+
+def test_distributed_cc_matches_unionfind(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.cc import connected_components_ds
+    from xtract.ops.dedup import _connected_components
+
+    rng = np.random.default_rng(5)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 20, (16, 2)) if a != b]
+    ds = rd.from_items([{"a": a, "b": b} for a, b in edges])
+    out = connected_components_ds(ds, num_partitions=2, max_rounds=6).to_pandas()
+    ref = _connected_components(np.asarray(edges, np.int64))
+    assert dict(zip(out.node.astype(int), out.label.astype(int))) == ref
+
+
+def test_distributed_cc_chain(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.cc import connected_components_ds
+
+    chain = rd.from_items([{"a": i, "b": i + 1} for i in range(5)])
+    out = connected_components_ds(chain, num_partitions=2, max_rounds=8).to_pandas()
+    assert set(out.label.astype(int)) == {0}
+
+
+@pytest.mark.slow
+def test_minhash_distributed_cc(planted_docs):
+    a = minhash_lsh_dedup(planted_docs, threshold=(7, 10)).to_pandas()
+    b = minhash_lsh_dedup(planted_docs, threshold=(7, 10),
+                          distributed_cc=True).to_pandas()
+    assert dict(zip(a.doc_id, a.cluster_id)) == dict(zip(b.doc_id, b.cluster_id))
+
+
+def test_native_hash_join(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.cc import hash_join
+
+    l = rd.from_items([{"k": i, "x": i * 2} for i in range(10)])
+    r = rd.from_items([{"kk": i, "y": i * 3} for i in range(5, 15)])
+    j = hash_join(l, r, "k", "kk", num_partitions=2).to_pandas()
+    assert len(j) == 5 and set(j.k) == set(range(5, 10))

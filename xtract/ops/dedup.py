@@ -232,7 +232,8 @@ def _connected_components(pairs: "np.ndarray") -> dict[int, int]:
 def minhash_lsh_dedup(ds, col: str = "text", key: str = "doc_id",
                       num_perm: int = 64, bands: int = 16, k: int = 3,
                       threshold: tuple[int, int] = (4, 5),
-                      char_ngrams: bool = False, concurrency=(2, 8)):
+                      char_ngrams: bool = False, concurrency=(2, 8),
+                      distributed_cc: bool = False):
     """→ Dataset(doc_id, cluster_id): near-duplicate clusters.
 
     threshold = (num, den): estimated Jaccard ≥ num/den keeps a pair.
@@ -246,10 +247,19 @@ def minhash_lsh_dedup(ds, col: str = "text", key: str = "doc_id",
         batch_format="pyarrow")
     pairs_ds = band_rows.groupby("band").map_groups(
         lambda g: _candidate_pairs(g, key, *threshold), batch_format="pyarrow")
-    pairs_df = pairs_ds.to_pandas()  # candidate edges are tiny vs corpus
-    pairs = np.unique(np.asarray(pairs_df[["a", "b"]], np.int64), axis=0) \
-        if len(pairs_df) else np.empty((0, 2), np.int64)
-    comp = _connected_components(pairs)
+    if distributed_cc:
+        # scale path: clusters computed wholly in Datasets (ops/cc.py) —
+        # no driver-side edge list
+        from .cc import connected_components_ds
+
+        labels = connected_components_ds(pairs_ds, num_partitions=4).to_pandas()
+        comp = dict(zip(labels.node.astype("int64"),
+                        labels.label.astype("int64")))
+    else:
+        pairs_df = pairs_ds.to_pandas()  # candidate edges are tiny vs corpus
+        pairs = np.unique(np.asarray(pairs_df[["a", "b"]], np.int64), axis=0) \
+            if len(pairs_df) else np.empty((0, 2), np.int64)
+        comp = _connected_components(pairs)
     all_ids = ds.select_columns([key]).to_pandas()[key].astype("int64")
     clusters = [comp.get(int(i), int(i)) for i in all_ids]
     return pa.table({key: pa.array(all_ids.tolist(), pa.int64()),
