@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="input files per output shard (resume granularity)")
     p.add_argument("--blocks", action="store_true",
                    help="also write the blocks hierarchy table per shard")
+    p.add_argument("--retry-failed", action="store_true",
+                   help="after base shards commit, lenient-re-extract "
+                        "bad_encoding/parse_error rows into shard=retry/")
     p.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     return p
@@ -71,7 +74,8 @@ def main(argv=None) -> int:
     try:
         manifests = run_extraction_job(
             resolve_inputs(args.input), args.out, cfg,
-            shard_size=args.shard_size, write_blocks=args.blocks)
+            shard_size=args.shard_size, write_blocks=args.blocks,
+            retry_failed=args.retry_failed)
         summary = {
             "shards": len(manifests),
             "n_rows": sum(m["n_rows"] for m in manifests),
