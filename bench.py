@@ -34,9 +34,17 @@ REPEAT = int(os.environ.get("XTRACT_BENCH_REPEAT", "10"))
 
 
 def ensure_pages(sf_dir: str) -> str:
-    """Synthesize the pages corpus once (cached across processes/runs)."""
+    """Synthesize the pages corpus once (cached across processes/runs;
+    cache key includes a hash of the synthesizer source so corpus
+    changes invalidate it)."""
+    import hashlib
+    import inspect
+
+    import xtract.synth as _synth
+
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/xtract_bench_pages_{tag}_e{EXPAND}_r{REPEAT}"
+    sver = hashlib.sha256(inspect.getsource(_synth).encode()).hexdigest()[:8]
+    out = f"/tmp/xtract_bench_pages_{tag}_e{EXPAND}_r{REPEAT}_{sver}"
     done = os.path.join(out, "_SYNTH_DONE")
     if os.path.exists(done):
         return out
