@@ -521,32 +521,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _q_top_customers,
         "part_brand_stats": _q_part_brand_stats,
         "supplier_nation": _q_supplier_nation,
-        "orders_priority_histogram":
-            "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
-            "GROUP BY o_orderpriority",
-        "discount_revenue":
-            "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, "
-            "count(*) AS n_rows FROM lineitem "
-            "WHERE l_discount >= 0.05 AND l_quantity < 24.0",
-        "nation_customer_balance":
-            "SELECT n_name, count(*) AS n_customers, "
-            "round(sum(c_acctbal), 2) AS total_balance FROM customer "
-            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
-        "events_hourly_by_type":
-            "SELECT strftime(ts, '%Y-%m-%d %H:00') AS window, event_type, "
-            "count(*) AS n_events, round(sum(value), 2) AS total_value "
-            "FROM events GROUP BY 1, 2",
-        "user_running_total":
-            "SELECT user_id, event_id, "
-            "row_number() OVER w AS seq, "
-            "round(sum(value) OVER w, 2) AS running_value FROM events "
-            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
-            "ROWS UNBOUNDED PRECEDING)",
-        "last_order_before_event":
-            "SELECT e.event_id, "
-            "(SELECT strftime(max(o.o_orderdate), '%Y-%m-%d') FROM orders o "
-            "WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) "
-            "AS last_order_date FROM events e",
         "embedding_knn": _q_embedding_knn,
         "orders_priority_histogram": _q_orders_priority_histogram,
         "discount_revenue": _q_discount_revenue,
@@ -589,7 +563,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_histogram":
             "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         "doc_source_stats":
-            "SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars, "
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
             "min(n_chars) AS min_chars, max(n_chars) AS max_chars "
             "FROM documents GROUP BY source",
         "doc_token_stats":
@@ -663,8 +638,8 @@ def oracle_sql() -> dict[str, str]:
             "AS new_s FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
             "sess AS (SELECT user_id, "
-            "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-            "ROWS UNBOUNDED PRECEDING) AS session_id FROM marked) "
+            "CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM marked) "
             "SELECT user_id, session_id, count(*) AS n_events "
             "FROM sess GROUP BY user_id, session_id",
         "vocab_top_tokens":
