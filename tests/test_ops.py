@@ -214,10 +214,28 @@ def test_distributed_cc_chain(ray_session):
 
 @pytest.mark.slow
 def test_minhash_distributed_cc(planted_docs):
-    a = minhash_lsh_dedup(planted_docs, threshold=(7, 10)).to_pandas()
-    b = minhash_lsh_dedup(planted_docs, threshold=(7, 10),
-                          distributed_cc=True).to_pandas()
+    # default path is distributed CC; the driver union-find (opt-in for
+    # provably tiny edge lists) must agree row-for-row
+    a = minhash_lsh_dedup(planted_docs, threshold=(7, 10),
+                          distributed_cc=False).to_pandas()
+    b = minhash_lsh_dedup(planted_docs, threshold=(7, 10)).to_pandas()
     assert dict(zip(a.doc_id, a.cluster_id)) == dict(zip(b.doc_id, b.cluster_id))
+
+
+def test_attach_labels_cogroup_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.cc import attach_labels
+
+    ids = rd.from_items([{"doc_id": i} for i in range(50)])
+    labels = rd.from_arrow(pa.table({
+        "node": pa.array([3, 7, 11], pa.int64()),
+        "label": pa.array([3, 3, 3], pa.int64())}))
+    bc = attach_labels(ids, labels, "doc_id").to_pandas()
+    cg = attach_labels(ids, labels, "doc_id", broadcast_limit=0).to_pandas()
+    want = {i: (3 if i in (3, 7, 11) else i) for i in range(50)}
+    assert dict(zip(bc.doc_id, bc.cluster_id)) == want
+    assert dict(zip(cg.doc_id, cg.cluster_id)) == want
 
 
 def test_native_hash_join(ray_session):

@@ -26,16 +26,17 @@ from .pipeline import _shard_digest_partial, merge_checksum_partials
 
 def dedup_by_url(extracted_ds):
     """Exact dedup: keep one row per url — deterministic winner (min
-    warc_ts, then stable) — hash-partition groupby + per-group first."""
-    import pyarrow.compute as pc
+    warc_ts first).  Vectorized combiner + coarse co-group
+    (``ops.agg.first_row_per_key``): one winner row per url per block
+    enters the shuffle, and the whole job makes O(P) Python calls
+    instead of one per url (the round-1 per-group ``map_groups`` was 2×
+    the extract stage's cost).  Nested columns (content_spans)
+    survive — pyarrow take/filter only."""
+    from .ops.agg import first_row_per_key
 
-    def first(g: pa.Table) -> pa.Table:
-        # pyarrow batch format: nested columns (content_spans) survive
-        if "warc_ts" in g.column_names and len(g) > 1:
-            return g.take(pc.sort_indices(g, sort_keys=[("warc_ts", "ascending")])[:1])
-        return g.slice(0, 1)
-
-    return extracted_ds.groupby("url").map_groups(first, batch_format="pyarrow")
+    order = (("warc_ts",) if "warc_ts" in extracted_ds.schema().names
+             else ())
+    return first_row_per_key(extracted_ds, "url", order)
 
 
 def add_digest(batch: pa.Table) -> pa.Table:
@@ -65,15 +66,12 @@ def corpus_checksum(extracted_ds, dedup: bool = True) -> str:
             if c in extracted_ds.schema().names or c == "digest"]
     ds = ds.select_columns(cols)
     if dedup:
-        import pyarrow.compute as pc
+        from .ops.agg import first_row_per_key
 
-        def first(g: pa.Table) -> pa.Table:
-            if "warc_ts" in g.column_names and len(g) > 1:
-                return g.take(pc.sort_indices(
-                    g, sort_keys=[("warc_ts", "ascending")])[:1])
-            return g.slice(0, 1)
-
-        ds = ds.groupby("url").map_groups(first, batch_format="pyarrow")
+        # digest as the order tie-break gives a total order → the winner
+        # is byte-deterministic regardless of partitioning
+        order = (("warc_ts", "digest") if "warc_ts" in cols else ("digest",))
+        ds = first_row_per_key(ds, "url", order)
 
     def partial(b: pa.Table) -> pa.Table:
         total = 0

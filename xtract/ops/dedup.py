@@ -20,10 +20,12 @@ All Ray-Data-first and shuffle-aware:
 - **embedding cosine**: random-hyperplane LSH buckets → exact cosine
   verify within buckets.
 
-Connected components run min-label propagation over the candidate-pair
-edge list until fixpoint — at our test scale the edge list is tiny; at
-100 TB the same loop runs as a handful of ``groupby`` rounds (each
-round is a shuffle of (node, label) pairs only).
+Cluster labeling is Dataset-native by default: candidate-pair edges go
+through ``ops/cc.py``'s vectorized distributed label propagation, and
+labels are joined back onto the id column Dataset-side
+(``attach_labels`` — broadcast when small, co-group otherwise).  No
+function here materializes corpus-cardinality data on the driver; every
+public op returns a Dataset.
 """
 
 from __future__ import annotations
@@ -91,47 +93,43 @@ def add_content_hash(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("content_hash", pa.array(hs, pa.string()))
 
 
-def exact_dedup(ds, col: str = "text", key: str = "doc_id",
-                salt_buckets: int = 16):
+def exact_dedup(ds, col: str = "text", key: str = "doc_id"):
     """→ Dataset(doc_id, n_dups): one surviving row (min key) per distinct
     content hash.
 
-    Two-phase SALTED aggregation (the hot-key rule, SURVEY §4.3): a
-    pathological corpus can have millions of rows sharing one hash (one
-    viral page) which would pin a single reducer.  Phase 1 groups by
-    (hash, salt = key % B) and emits one (hash, min key, count) partial
-    per salted group; phase 2 groups the ≤B partials per hash.  Result
-    identical to the unsalted groupby (min of mins, sum of counts)."""
-    import pyarrow.compute as pc
+    Combiner-then-hash-aggregate (the pre-aggregate-before-shuffle
+    rule, SURVEY §4.3): a vectorized per-block combiner collapses each
+    block to one (hash, min key, count) partial per distinct hash —
+    so a pathological hot hash (one viral page duplicated millions of
+    times) contributes at most ONE row per block to the shuffle, which
+    makes explicit salting unnecessary — then a single native
+    ``groupby(hash).aggregate(Min, Sum)`` combines the partials.  No
+    per-group Python anywhere (the round-1 ``map_groups`` phase pair
+    cost one interpreter call per distinct hash)."""
+    from ray.data.aggregate import Min, Sum
 
     hashed = ds.map_batches(lambda b: add_content_hash(b, col),
                             batch_format="pyarrow")
 
-    def add_salt(b: pa.Table) -> pa.Table:
-        salts = (b[key].to_numpy(zero_copy_only=False).astype(np.int64)
-                 % salt_buckets)
-        salted = [f"{h}:{s}" for h, s in
-                  zip(b["content_hash"].to_pylist(), salts)]
-        return b.append_column("salted_hash", pa.array(salted, pa.string()))
+    def combine_block(b: pa.Table) -> pa.Table:
+        import pandas as pd
 
-    def phase1(g: pa.Table) -> pa.Table:
-        return pa.table({
-            "content_hash": [g["content_hash"][0].as_py()],
-            key: [pc.min(g[key]).as_py()],
-            "n_dups": [len(g)],
+        df = pd.DataFrame({
+            "content_hash": b["content_hash"].to_pandas(),
+            key: b[key].to_pandas(),
         })
-
-    def phase2(g: pa.Table) -> pa.Table:
+        g = df.groupby("content_hash", sort=False)[key].agg(["min", "count"])
         return pa.table({
-            key: [pc.min(g[key]).as_py()],
-            "n_dups": [int(pc.sum(g["n_dups"]).as_py())],
+            "content_hash": pa.array(g.index, pa.string()),
+            key: pa.array(g["min"].to_numpy(), pa.int64()),
+            "n_dups": pa.array(g["count"].to_numpy(), pa.int64()),
         })
 
     partials = hashed.select_columns([key, "content_hash"]).map_batches(
-        add_salt, batch_format="pyarrow").groupby("salted_hash").map_groups(
-        phase1, batch_format="pyarrow")
-    return partials.groupby("content_hash").map_groups(
-        phase2, batch_format="pyarrow")
+        combine_block, batch_format="pyarrow")
+    out = partials.groupby("content_hash").aggregate(
+        Min(key, alias_name=key), Sum("n_dups", alias_name="n_dups"))
+    return out.select_columns([key, "n_dups"])
 
 
 # ---------------------------------------------------------------------------
@@ -229,11 +227,45 @@ def _connected_components(pairs: "np.ndarray") -> dict[int, int]:
     return {v: find(v) for v in label}
 
 
+def _assign_clusters(ds, pairs_ds, key: str, distributed_cc: bool,
+                     num_partitions: int = 8):
+    """Candidate-pair edges → Dataset(key, cluster_id) over ALL rows of
+    ``ds`` (docs without a near-dup pair keep their own id).
+
+    The scale path (default): connected components wholly in Datasets
+    (``ops/cc.py`` vectorized label propagation), then labels joined
+    back Dataset-side by ``attach_labels`` (broadcast when the labeled
+    set is small, co-group partition merge otherwise).  NOTHING of
+    corpus cardinality ever lands on the driver — the round-1 version
+    pulled every doc id (and the label map) into driver pandas.
+
+    ``distributed_cc=False`` keeps the driver union-find for provably
+    tiny edge lists (tests compare the two paths row-for-row); label
+    ASSIGNMENT is still Dataset-side."""
+    from .cc import attach_labels, connected_components_ds
+
+    if distributed_cc:
+        labels = connected_components_ds(pairs_ds,
+                                         num_partitions=num_partitions)
+    else:
+        import ray.data as rd
+
+        pairs_df = pairs_ds.to_pandas()  # opt-in: edges known tiny
+        pairs = np.unique(np.asarray(pairs_df[["a", "b"]], np.int64), axis=0) \
+            if len(pairs_df) else np.empty((0, 2), np.int64)
+        comp = _connected_components(pairs)
+        labels = rd.from_arrow(pa.table({
+            "node": pa.array(list(comp.keys()), pa.int64()),
+            "label": pa.array(list(comp.values()), pa.int64())}))
+    return attach_labels(ds.select_columns([key]), labels, key,
+                         out_col="cluster_id")
+
+
 def minhash_lsh_dedup(ds, col: str = "text", key: str = "doc_id",
                       num_perm: int = 64, bands: int = 16, k: int = 3,
                       threshold: tuple[int, int] = (4, 5),
                       char_ngrams: bool = False, concurrency=(2, 8),
-                      distributed_cc: bool = False):
+                      distributed_cc: bool = True):
     """→ Dataset(doc_id, cluster_id): near-duplicate clusters.
 
     threshold = (num, den): estimated Jaccard ≥ num/den keeps a pair.
@@ -247,23 +279,7 @@ def minhash_lsh_dedup(ds, col: str = "text", key: str = "doc_id",
         batch_format="pyarrow")
     pairs_ds = band_rows.groupby("band").map_groups(
         lambda g: _candidate_pairs(g, key, *threshold), batch_format="pyarrow")
-    if distributed_cc:
-        # scale path: clusters computed wholly in Datasets (ops/cc.py) —
-        # no driver-side edge list
-        from .cc import connected_components_ds
-
-        labels = connected_components_ds(pairs_ds, num_partitions=4).to_pandas()
-        comp = dict(zip(labels.node.astype("int64"),
-                        labels.label.astype("int64")))
-    else:
-        pairs_df = pairs_ds.to_pandas()  # candidate edges are tiny vs corpus
-        pairs = np.unique(np.asarray(pairs_df[["a", "b"]], np.int64), axis=0) \
-            if len(pairs_df) else np.empty((0, 2), np.int64)
-        comp = _connected_components(pairs)
-    all_ids = ds.select_columns([key]).to_pandas()[key].astype("int64")
-    clusters = [comp.get(int(i), int(i)) for i in all_ids]
-    return pa.table({key: pa.array(all_ids.tolist(), pa.int64()),
-                     "cluster_id": pa.array(clusters, pa.int64())})
+    return _assign_clusters(ds, pairs_ds, key, distributed_cc)
 
 
 # ---------------------------------------------------------------------------
@@ -299,8 +315,9 @@ class SimHasher:
 
 
 def simhash_dedup(ds, col: str = "text", key: str = "doc_id",
-                  max_hamming: int = 3, concurrency=(2, 8)):
-    """→ pa.Table(doc_id, cluster_id): SimHash near-dup clusters.
+                  max_hamming: int = 3, concurrency=(2, 8),
+                  distributed_cc: bool = True):
+    """→ Dataset(doc_id, cluster_id): SimHash near-dup clusters.
     Candidates from 4×16-bit band buckets (any pair within Hamming ≤ 3
     shares at least one identical 16-bit band)."""
     sigs = ds.select_columns([key, col]).map_batches(
@@ -339,15 +356,9 @@ def simhash_dedup(ds, col: str = "text", key: str = "doc_id",
         return pa.table({"a": pa.array(a_out, pa.int64()),
                          "b": pa.array(b_out, pa.int64())})
 
-    pairs_df = sigs.map_batches(explode, batch_format="pyarrow").groupby(
-        "band").map_groups(pairs_in_bucket, batch_format="pyarrow").to_pandas()
-    pairs = np.unique(np.asarray(pairs_df[["a", "b"]], np.int64), axis=0) \
-        if len(pairs_df) else np.empty((0, 2), np.int64)
-    comp = _connected_components(pairs)
-    all_ids = ds.select_columns([key]).to_pandas()[key].astype("int64")
-    return pa.table({key: pa.array(all_ids.tolist(), pa.int64()),
-                     "cluster_id": pa.array(
-                         [comp.get(int(i), int(i)) for i in all_ids], pa.int64())})
+    pairs_ds = sigs.map_batches(explode, batch_format="pyarrow").groupby(
+        "band").map_groups(pairs_in_bucket, batch_format="pyarrow")
+    return _assign_clusters(ds, pairs_ds, key, distributed_cc)
 
 
 # ---------------------------------------------------------------------------
@@ -355,8 +366,9 @@ def simhash_dedup(ds, col: str = "text", key: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 def embedding_dedup(ds, key: str = "vec_id", col: str = "embedding",
-                    threshold: float = 0.95, n_planes: int = 12):
-    """→ pa.Table(vec_id, cluster_id): cosine-similarity near-dup via
+                    threshold: float = 0.95, n_planes: int = 12,
+                    distributed_cc: bool = True):
+    """→ Dataset(vec_id, cluster_id): cosine-similarity near-dup via
     random-hyperplane LSH buckets + exact verify within buckets.
     Hyperplanes are a deterministic seeded Gaussian matrix broadcast to
     all tasks."""
@@ -400,13 +412,7 @@ def embedding_dedup(ds, key: str = "vec_id", col: str = "embedding",
         return pa.table({"a": pa.array(a_out, pa.int64()),
                          "b": pa.array(b_out, pa.int64())})
 
-    pairs_df = ds.select_columns([key, col]).map_batches(
+    pairs_ds = ds.select_columns([key, col]).map_batches(
         bucketize, batch_format="pyarrow").groupby("bucket").map_groups(
-        verify, batch_format="pyarrow").to_pandas()
-    pairs = np.unique(np.asarray(pairs_df[["a", "b"]], np.int64), axis=0) \
-        if len(pairs_df) else np.empty((0, 2), np.int64)
-    comp = _connected_components(pairs)
-    all_ids = ds.select_columns([key]).to_pandas()[key].astype("int64")
-    return pa.table({key: pa.array(all_ids.tolist(), pa.int64()),
-                     "cluster_id": pa.array(
-                         [comp.get(int(i), int(i)) for i in all_ids], pa.int64())})
+        verify, batch_format="pyarrow")
+    return _assign_clusters(ds, pairs_ds, key, distributed_cc)

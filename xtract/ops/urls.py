@@ -47,15 +47,10 @@ def add_canonical_url(batch: pa.Table, col: str = "url") -> pa.Table:
 
 def dedup_by_canonical_url(ds, col: str = "url"):
     """Keep one row per canonical url (min original url wins —
-    deterministic), hash-partition groupby."""
-    import pyarrow.compute as pc
+    deterministic).  Vectorized combiner + coarse co-group
+    (``ops.agg.first_row_per_key``): no per-group Python."""
+    from .agg import first_row_per_key
 
     withc = ds.map_batches(lambda b: add_canonical_url(b, col),
                            batch_format="pyarrow")
-
-    def first(g: pa.Table) -> pa.Table:
-        if len(g) > 1:
-            return g.take(pc.sort_indices(g, sort_keys=[(col, "ascending")])[:1])
-        return g.slice(0, 1)
-
-    return withc.groupby("canonical_url").map_groups(first, batch_format="pyarrow")
+    return first_row_per_key(withc, "canonical_url", (col,))

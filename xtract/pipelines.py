@@ -62,14 +62,10 @@ def webtext_pipeline(
     hashed = gated.map_batches(
         lambda t: add_content_hash(t, "content_text"), batch_format="pyarrow")
 
-    def first_per_hash(g: pa.Table) -> pa.Table:
-        if len(g) > 1:
-            return g.take(pc.sort_indices(
-                g, sort_keys=[("url", "ascending")])[:1])
-        return g.slice(0, 1)
+    from .ops.agg import first_row_per_key
 
-    deduped = hashed.groupby("content_hash").map_groups(
-        first_per_hash, batch_format="pyarrow").drop_columns(["content_hash"])
+    deduped = first_row_per_key(
+        hashed, "content_hash", ("url",)).drop_columns(["content_hash"])
     return deduped, funnel
 
 
