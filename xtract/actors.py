@@ -20,7 +20,7 @@ import pyarrow as pa
 
 from .config import DEFAULT_CONFIG, ExtractionConfig
 from .extract import extract_document
-from .hierarchy import explode_blocks
+from .hierarchy import explode_blocks_into, new_hierarchy_columns
 from .langdetect import LangDetector
 
 SPAN_T = pa.list_(pa.struct([("start", pa.int64()), ("end", pa.int64())]))
@@ -236,13 +236,16 @@ class BlocksExploder:
         urls = batch["url"].to_pylist()
         htmls = _col(batch, "html") or [None] * len(urls)
         texts = _col(batch, "text") or [None] * len(urls)
-        rows: list[dict] = []
+        # columnar accumulation across the whole batch — one Arrow build,
+        # no per-row dicts (the flat-builder pattern of Extractor.__call__)
+        cols = new_hierarchy_columns()
         for url, html, text in zip(urls, htmls, texts):
             if not url:
                 continue
             r = extract_document(html, text, None, self.cfg,
                                  detector=self.detector, collect_blocks=True)
-            rows.extend(explode_blocks(url, r["blocks"], self.levels))
-        if not rows:
+            explode_blocks_into(url, r["blocks"], self.levels, cols)
+        if not cols["url"]:
             return BLOCKS_SCHEMA.empty_table()
-        return pa.Table.from_pylist(rows, schema=BLOCKS_SCHEMA)
+        arrays = [pa.array(cols[f.name], f.type) for f in BLOCKS_SCHEMA]
+        return pa.Table.from_arrays(arrays, schema=BLOCKS_SCHEMA)

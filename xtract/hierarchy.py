@@ -28,59 +28,114 @@ _NUM_RE = re.compile(r"^[\d.,:%+-]+$")
 
 LEVELS = ("block", "para", "line", "word")
 
+#: column order of the hierarchy row — must match actors.BLOCKS_SCHEMA
+HIERARCHY_COLUMNS = (
+    "url", "block_id", "parent_path", "level", "block_type", "text",
+    "span_start", "span_end", "is_content", "confidence", "link_density",
+    "text_density", "depth", "justification", "is_list_item", "is_bold",
+    "is_italic", "is_mono", "has_sup", "has_sub", "heading_level", "lang",
+    "line_id", "word_id", "is_first_in_parent", "is_last_in_parent",
+    "is_dict_word", "is_numeric",
+)
 
-def explode_blocks(
+
+def new_hierarchy_columns() -> dict[str, list]:
+    """Fresh column accumulator for ``explode_blocks_into`` (one per
+    batch — the batch layer builds ONE Arrow table from it)."""
+    return {name: [] for name in HIERARCHY_COLUMNS}
+
+
+def explode_blocks_into(
     url: str,
     blocks: list[Block],
-    levels: tuple[str, ...] = LEVELS,
+    levels: tuple[str, ...],
+    cols: dict[str, list],
     dict_words: frozenset | None = None,
-) -> list[dict[str, Any]]:
-    """One document's blocks → hierarchy rows (list of plain dicts, cheap
-    to column-ify in the batch layer)."""
+) -> None:
+    """One document's blocks → hierarchy rows appended COLUMNARLY into
+    ``cols`` — no per-row dicts on the hot path (the round-1
+    list-of-dicts + ``from_pylist`` build made the explode stage ~20×
+    the cost of extraction; this is the flat-builder pattern the
+    Extractor stage already uses)."""
+    want_block = "block" in levels
     want_para = "para" in levels
     want_line = "line" in levels
     want_word = "word" in levels
-    rows: list[dict[str, Any]] = []
     nb = len(blocks)
+    c_url = cols["url"].append
+    c_bid = cols["block_id"].append
+    c_pp = cols["parent_path"].append
+    c_lvl = cols["level"].append
+    c_bt = cols["block_type"].append
+    c_txt = cols["text"].append
+    c_ss = cols["span_start"].append
+    c_se = cols["span_end"].append
+    c_ic = cols["is_content"].append
+    c_cf = cols["confidence"].append
+    c_ld = cols["link_density"].append
+    c_td = cols["text_density"].append
+    c_dp = cols["depth"].append
+    c_ju = cols["justification"].append
+    c_li = cols["is_list_item"].append
+    c_bo = cols["is_bold"].append
+    c_it = cols["is_italic"].append
+    c_mo = cols["is_mono"].append
+    c_sup = cols["has_sup"].append
+    c_sub = cols["has_sub"].append
+    c_hl = cols["heading_level"].append
+    c_lang = cols["lang"].append
+    c_lid = cols["line_id"].append
+    c_wid = cols["word_id"].append
+    c_fst = cols["is_first_in_parent"].append
+    c_lst = cols["is_last_in_parent"].append
+    c_dw = cols["is_dict_word"].append
+    c_num = cols["is_numeric"].append
     for bi, b in enumerate(blocks):
-        base = {
-            "url": url,
-            "block_id": b.block_id,
-            "parent_path": b.parent_path,
-            "block_type": b.block_type,
-            "is_content": b.is_content,
-            "confidence": float(b.confidence),
-            "link_density": (b.n_link_chars / b.n_chars) if b.n_chars else 0.0,
-            "text_density": float(b.n_words),
-            "depth": b.depth,
-            "justification": b.justification,
-            "is_list_item": b.is_list_item,
-            "is_bold": b.is_bold,
-            "is_italic": b.is_italic,
-            "is_mono": b.is_mono,
-            "has_sup": b.has_sup,
-            "has_sub": b.has_sub,
-            "heading_level": b.heading_level,
-            "lang": b.lang,
-        }
-        if "block" in levels:
-            rows.append({
-                **base, "level": "block", "text": b.text,
-                "span_start": b.span_start, "span_end": b.span_end,
-                "line_id": -1, "word_id": -1,
-                "is_first_in_parent": bi == 0, "is_last_in_parent": bi == nb - 1,
-                "is_dict_word": False, "is_numeric": False,
-            })
+        link_density = (b.n_link_chars / b.n_chars) if b.n_chars else 0.0
+        text_density = float(b.n_words)
+        confidence = float(b.confidence)
+
+        def emit(level: str, text: str, ss: int, se: int, lid: int,
+                 wid: int, first: bool, last: bool, dw: bool, num: bool,
+                 b=b, link_density=link_density, text_density=text_density,
+                 confidence=confidence) -> None:
+            c_url(url)
+            c_bid(b.block_id)
+            c_pp(b.parent_path)
+            c_lvl(level)
+            c_bt(b.block_type)
+            c_txt(text)
+            c_ss(ss)
+            c_se(se)
+            c_ic(b.is_content)
+            c_cf(confidence)
+            c_ld(link_density)
+            c_td(text_density)
+            c_dp(b.depth)
+            c_ju(b.justification)
+            c_li(b.is_list_item)
+            c_bo(b.is_bold)
+            c_it(b.is_italic)
+            c_mo(b.is_mono)
+            c_sup(b.has_sup)
+            c_sub(b.has_sub)
+            c_hl(b.heading_level)
+            c_lang(b.lang)
+            c_lid(lid)
+            c_wid(wid)
+            c_fst(first)
+            c_lst(last)
+            c_dw(dw)
+            c_num(num)
+
+        if want_block:
+            emit("block", b.text, b.span_start, b.span_end, -1, -1,
+                 bi == 0, bi == nb - 1, False, False)
         if want_para:
             # our segmentation already yields paragraph-granularity blocks:
             # one para per block, same span (documented 1:1 mapping)
-            rows.append({
-                **base, "level": "para", "text": b.text,
-                "span_start": b.span_start, "span_end": b.span_end,
-                "line_id": -1, "word_id": -1,
-                "is_first_in_parent": True, "is_last_in_parent": True,
-                "is_dict_word": False, "is_numeric": False,
-            })
+            emit("para", b.text, b.span_start, b.span_end, -1, -1,
+                 True, True, False, False)
         if want_line or want_word:
             lines = b.text.split("\n")
             nl = len(lines)
@@ -90,16 +145,10 @@ def explode_blocks(
                 end = start + len(line)
                 cursor = end
                 if want_line and line:
-                    rows.append({
-                        **base, "level": "line", "text": line,
-                        # line-geometry detail: char offsets within the block
-                        # (baseline analogue, src/page_iterator.rs:159-175)
-                        "span_start": start, "span_end": end,
-                        "line_id": li, "word_id": -1,
-                        "is_first_in_parent": li == 0,
-                        "is_last_in_parent": li == nl - 1,
-                        "is_dict_word": False, "is_numeric": False,
-                    })
+                    # line-geometry detail: char offsets within the block
+                    # (baseline analogue, src/page_iterator.rs:159-175)
+                    emit("line", line, start, end, li, -1,
+                         li == 0, li == nl - 1, False, False)
                 if want_word and line:
                     words = line.split(" ")
                     nw = len(words)
@@ -110,16 +159,24 @@ def explode_blocks(
                         wcur = we
                         if not w:
                             continue
-                        rows.append({
-                            **base, "level": "word", "text": w,
-                            "span_start": ws, "span_end": we,
-                            "line_id": li, "word_id": wi,
-                            "is_first_in_parent": wi == 0,
-                            "is_last_in_parent": wi == nw - 1,
-                            "is_dict_word": bool(dict_words) and w.lower().strip(".,;:!?\"'()") in (dict_words or frozenset()),
-                            "is_numeric": bool(_NUM_RE.match(w)),
-                        })
-    return rows
+                        emit("word", w, ws, we, li, wi,
+                             wi == 0, wi == nw - 1,
+                             bool(dict_words) and w.lower().strip(".,;:!?\"'()") in (dict_words or frozenset()),
+                             bool(_NUM_RE.match(w)))
+
+
+def explode_blocks(
+    url: str,
+    blocks: list[Block],
+    levels: tuple[str, ...] = LEVELS,
+    dict_words: frozenset | None = None,
+) -> list[dict[str, Any]]:
+    """Row-dict view of ``explode_blocks_into`` (tests / small inputs —
+    the batch layer uses the columnar form directly)."""
+    cols = new_hierarchy_columns()
+    explode_blocks_into(url, blocks, levels, cols, dict_words)
+    names = list(HIERARCHY_COLUMNS)
+    return [dict(zip(names, vals)) for vals in zip(*(cols[n] for n in names))]
 
 
 def is_valid_word(word: str, dict_words: frozenset) -> bool:

@@ -52,16 +52,22 @@ def knn_bruteforce(ds, queries: np.ndarray, k: int = 10,
 
     parts = ds.select_columns([key, col]).map_batches(
         partial_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    return _merge_topk(parts, nq, k, key)
+
+
+def _merge_topk(parts, nq: int, k: int, key: str) -> pa.Table:
+    """Merge per-batch partial top-k rows (≤ k × nq × n_batches — tiny)
+    into the global deterministic top-k per query."""
     rows = {"query_id": [], "rank": [], key: [], "score": []}
     for qi in range(nq):
         sub = parts[parts.query_id == qi]
         sub = sub.sort_values(["score", key], ascending=[False, True],
                               kind="mergesort").head(k)
-        for r, (_, row) in enumerate(sub.iterrows()):
-            rows["query_id"].append(qi)
-            rows["rank"].append(r + 1)
-            rows[key].append(int(row[key]))
-            rows["score"].append(float(row["score"]))
+        nres = len(sub)
+        rows["query_id"].extend([qi] * nres)
+        rows["rank"].extend(range(1, nres + 1))
+        rows[key].extend(int(v) for v in sub[key])
+        rows["score"].extend(float(v) for v in sub["score"])
     return pa.table({"query_id": pa.array(rows["query_id"], pa.int64()),
                      "rank": pa.array(rows["rank"], pa.int64()),
                      key: pa.array(rows[key], pa.int64()),
@@ -101,45 +107,54 @@ class IVFIndex:
 def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
             nprobe: int = 4, key: str = "vec_id", col: str = "embedding",
             train_sample: int = 2048) -> pa.Table:
-    """IVF-style ANN: train coarse centroids on a deterministic sample
-    (ds.limit — first blocks, stable), assign each vector to a cell,
-    search only the ``nprobe`` best cells per query."""
-    sample = np.asarray(
-        [r[col] for r in ds.select_columns([col]).limit(train_sample).take_all()],
-        np.float64)
+    """IVF-style ANN: train coarse centroids on a deterministic
+    STRATIFIED sample (every ``stride``-th id across the whole id space
+    — the round-1 ``limit(train_sample)`` took only the first blocks, a
+    biased sample), then search with one streaming pass: each batch
+    assigns its vectors to cells and emits per-query partial top-k
+    restricted to that query's probed cells — exactly
+    ``knn_bruteforce``'s partial-top-k pattern, so only k × nq rows per
+    batch reach the driver (the round-1 version pulled every candidate
+    VECTOR of the probed cells driver-side)."""
+    import ray
+
+    n = ds.count()
+    stride = max(1, n // train_sample)
+
+    def stratified(b: pa.Table) -> pa.Table:
+        ids = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(ids % stride == 0))
+
+    sample_rows = ds.select_columns([key, col]).map_batches(
+        stratified, batch_format="pyarrow").limit(train_sample).take_all()
+    sample = np.asarray([r[col] for r in sample_rows], np.float64)
     centers = deterministic_kmeans(sample, n_cells)
 
-    idx = IVFIndex(centers)
-    assigned = ds.select_columns([key, col]).map_batches(
-        lambda b: idx.assign_batch(b, col), batch_format="pyarrow")
-
     q = _unit(np.asarray(queries, np.float64))
+    nq = q.shape[0]
     probe_cells = np.argsort(-(q @ centers.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    wanted = sorted({int(c) for row in probe_cells for c in row})
-    import pyarrow.compute as pc
+    ref = ray.put((q, centers, probe_cells))
 
-    cand = assigned.map_batches(
-        lambda b: b.filter(pc.is_in(b["cell"], value_set=pa.array(wanted, pa.int64()))),
-        batch_format="pyarrow")
-    # restrict each query to its own probed cells during the merge
-    parts = cand.to_pandas()
-    rows = {"query_id": [], "rank": [], key: [], "score": []}
-    vecs = _unit(np.asarray(parts[col].tolist(), np.float64)) if len(parts) else None
-    ids = parts[key].to_numpy(np.int64) if len(parts) else np.empty(0, np.int64)
-    cells = parts["cell"].to_numpy(np.int64) if len(parts) else np.empty(0, np.int64)
-    for qi in range(q.shape[0]):
-        mask = np.isin(cells, probe_cells[qi])
-        if vecs is None or not mask.any():
-            continue
-        sims = vecs[mask] @ q[qi]
-        sub_ids = ids[mask]
-        order = np.lexsort((sub_ids, -sims))[:k]
-        for r, oi in enumerate(order):
-            rows["query_id"].append(qi)
-            rows["rank"].append(r + 1)
-            rows[key].append(int(sub_ids[oi]))
-            rows["score"].append(float(sims[oi]))
-    return pa.table({"query_id": pa.array(rows["query_id"], pa.int64()),
-                     "rank": pa.array(rows["rank"], pa.int64()),
-                     key: pa.array(rows[key], pa.int64()),
-                     "score": pa.array(rows["score"], pa.float64())})
+    def partial_topk(b: pa.Table) -> pa.Table:
+        qm, cm, probes = ray.get(ref)
+        ids = np.asarray(b[key].to_pylist(), np.int64)
+        vecs = _unit(np.asarray(b[col].to_pylist(), np.float64))
+        cells = np.argmax(vecs @ cm.T, axis=1).astype(np.int64)
+        out = {"query_id": [], key: [], "score": []}
+        for qi in range(qm.shape[0]):
+            mask = np.isin(cells, probes[qi])
+            if not mask.any():
+                continue
+            sims = vecs[mask] @ qm[qi]
+            sub_ids = ids[mask]
+            order = np.lexsort((sub_ids, -sims))[:k]
+            out["query_id"].extend([qi] * len(order))
+            out[key].extend(sub_ids[order].tolist())
+            out["score"].extend(sims[order].tolist())
+        return pa.table({"query_id": pa.array(out["query_id"], pa.int64()),
+                         key: pa.array(out[key], pa.int64()),
+                         "score": pa.array(out["score"], pa.float64())})
+
+    parts = ds.select_columns([key, col]).map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    return _merge_topk(parts, nq, k, key)

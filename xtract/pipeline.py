@@ -156,24 +156,34 @@ def extract_pages_with_retry(
     (replacement decode) and replace the failed rows in the output.
 
     The retry subset is tiny (bad bytes are rare), so the second pass is
-    a small actor-pool stage; union keeps everything streaming."""
+    a small actor-pool stage; union keeps everything streaming.
+
+    The strict output is extracted ONCE and pinned (``materialize`` —
+    the object store holds what is anyway the job's output, spilling if
+    needed); both the ok rows and the retry url set derive from that
+    single execution.  Without the pin, each consumer branch would
+    re-run the whole read+extract (Ray re-executes an unmaterialized
+    pipeline per consumer) — the round-1 version extracted the corpus
+    twice plus a third source scan.  At job scale the equivalent
+    single-pass shape is write-then-scan (``_run_retry_shard``)."""
     from .actors import Extractor
 
-    strict = extract_pages(ds, cfg, **kw)
+    strict = extract_pages(ds, cfg, **kw).materialize()
     ok = strict.map_batches(
         lambda t: t.filter(pc.invert(pc.is_in(
             t["status"], value_set=pa.array(list(retry_statuses))))),
         batch_format="pyarrow")
     # lenient pass re-extracts the failed urls from the source rows
     failed_val = ds.map_batches(validate_pages, batch_format="pyarrow")
-    strict_status = extract_pages(ds, cfg, **kw).select_columns(["url", "status"])
-    retry_urls = strict_status.map_batches(
+    retry_urls = strict.select_columns(["url", "status"]).map_batches(
         lambda t: t.filter(pc.is_in(t["status"],
                                     value_set=pa.array(list(retry_statuses)))),
         batch_format="pyarrow").select_columns(["url"])
     import ray
 
     urls = {r["url"] for r in retry_urls.take_all()}  # tiny set
+    if not urls:
+        return ok
     urls_ref = ray.put(urls)
 
     def keep_failed(t: pa.Table) -> pa.Table:
