@@ -21,7 +21,7 @@ import pyarrow as pa
 from .config import DEFAULT_CONFIG, ExtractionConfig
 from .extract import extract_document
 from .hierarchy import explode_blocks_into, new_hierarchy_columns
-from .langdetect import LangDetector
+from .langdetect import detector_for
 
 SPAN_T = pa.list_(pa.struct([("start", pa.int64()), ("end", pa.int64())]))
 
@@ -69,6 +69,7 @@ BLOCKS_SCHEMA = pa.schema([
     ("has_sub", pa.bool_()),
     ("heading_level", pa.int32()),
     ("lang", pa.string()),
+    ("dir", pa.string()),
     ("line_id", pa.int32()),
     ("word_id", pa.int32()),
     ("is_first_in_parent", pa.bool_()),
@@ -94,11 +95,20 @@ class Extractor:
             cfg = ExtractionConfig.from_json(cfg)
         self.cfg = cfg
         self.lenient = lenient  # retry-config pass (C2)
-        self.detector = LangDetector(margin=cfg.lang_conf_margin)  # warm tables
+        # warm tables, honoring cfg.langs (init(language) restriction)
+        self.detector = detector_for(cfg)
         self._n_docs = 0  # renderer image-counter analogue (progress metric)
 
     def loaded_langs(self) -> tuple[str, ...]:
         return self.detector.langs
+
+    def available_langs(self) -> tuple[str, ...]:
+        """Discoverable (not merely loaded) languages — built-ins plus
+        ``cfg.assets_dir`` tables (``get_available_languages`` analogue,
+        reference ``src/api.rs:882-922``)."""
+        from .langdetect import available_langs
+
+        return available_langs(self.cfg.assets_dir or None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -122,6 +132,7 @@ class Extractor:
         alt_offsets[0] = 0
         alt_langs: list[str] = []
         alt_confs: list[float] = []
+        debug_html: list[str] = []  # cleaned_html column under cfg.debug (M10)
         for i, (url, html, text, lang) in enumerate(zip(urls, htmls, texts, langs)):
             if url is None or url == "":
                 r: dict[str, Any] = {
@@ -157,6 +168,8 @@ class Extractor:
             cols["status"].append(r["status"])
             cols["error"].append(r["error"])
             cols["html_len"].append(len(html) if html else 0)
+            if self.cfg.debug:
+                debug_html.append(r.get("cleaned_html", ""))
         self._n_docs += n
         spans_arr = pa.ListArray.from_arrays(
             pa.array(span_offsets, pa.int32()),
@@ -187,7 +200,13 @@ class Extractor:
             pa.array(cols["html_len"], pa.int64()),
             alts_arr,
         ]
-        return pa.Table.from_arrays(arrays, schema=EXTRACTED_SCHEMA)
+        t = pa.Table.from_arrays(arrays, schema=EXTRACTED_SCHEMA)
+        if self.cfg.debug:
+            # debug intermediate (get_thresholded_image analogue,
+            # src/api.rs:445-456): extra column, canonical schema untouched
+            t = t.append_column("cleaned_html",
+                                pa.array(debug_html, pa.string()))
+        return t
 
 
 _WORKER_EXTRACTORS: dict[str, "Extractor"] = {}
@@ -230,7 +249,7 @@ class BlocksExploder:
             cfg = ExtractionConfig.from_json(cfg)
         self.cfg = cfg
         self.levels = tuple(levels)
-        self.detector = LangDetector(margin=cfg.lang_conf_margin)
+        self.detector = detector_for(cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()

@@ -20,6 +20,8 @@ import json
 from dataclasses import dataclass, field
 from typing import Any
 
+from .langdetect import LANGS as _ALL_LANGS
+
 
 class ConfigError(ValueError):
     """Unknown or ill-typed configuration key (src/error.rs:6-41 analogue)."""
@@ -48,6 +50,7 @@ VARIABLE_REGISTRY: dict[str, tuple[type, Any]] = {
     "debug": (bool, False),
     "scope_prefix": (str, ""),          # tag-path prefix filter (set_rectangle analogue, src/api.rs:1289-1296)
     "segment_only": (bool, False),      # analyse_layout analogue (src/api.rs:1353-1364)
+    "assets_dir": (str, ""),            # extra language tables (datapath analogue, src/api.rs:71-97)
 }
 
 
@@ -55,7 +58,10 @@ VARIABLE_REGISTRY: dict[str, tuple[type, Any]] = {
 class ExtractionConfig:
     """Frozen recipe for one extraction engine worker."""
 
-    langs: tuple[str, ...] = ("en",)
+    #: language restriction (init(language) analogue): detection only
+    #: considers these codes.  Default = every built-in table, so the
+    #: unrestricted engine detects across all known languages.
+    langs: tuple[str, ...] = _ALL_LANGS
     char_whitelist: str = ""
     char_blacklist: str = ""
     min_block_chars: int = 10
@@ -72,6 +78,7 @@ class ExtractionConfig:
     debug: bool = False
     scope_prefix: str = ""
     segment_only: bool = False
+    assets_dir: str = ""
 
     def __post_init__(self) -> None:
         if self.seg_mode not in SEG_MODES:
@@ -114,7 +121,7 @@ class ExtractionConfig:
     @classmethod
     def from_json(cls, s: str) -> "ExtractionConfig":
         d = json.loads(s)
-        d["langs"] = tuple(d.get("langs", ("en",)))
+        d["langs"] = tuple(d.get("langs", _ALL_LANGS))
         known = {f.name for f in dataclasses.fields(cls)}
         unknown = set(d) - known
         if unknown:

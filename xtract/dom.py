@@ -52,8 +52,15 @@ IMPLIED_CLOSE: dict[str, frozenset] = {
     "tfoot": frozenset({"tr", "td", "th", "tbody"}),
 }
 
-#: Scope barriers: an implied close / end-tag search never crosses these.
-SCOPE_BARRIERS = frozenset("html body table td th caption div section article".split())
+#: Scope barriers: an end-tag search for a NON-table tag never crosses
+#: these (HTML5 "has an element in table scope", simplified): a stray
+#: </div> inside a table cell must not close a div outside the table.
+#: Table-family end tags (TABLE_TAGS) cross cells — so a bare </table>
+#: still closes through an unclosed <td> — but never html/body.
+SCOPE_BARRIERS = frozenset("html body table td th caption".split())
+
+#: Table-family tags whose end-tag search may cross cell boundaries.
+TABLE_TAGS = frozenset("table td th tr caption thead tbody tfoot".split())
 
 #: Inline style containers tracked as depth counters during the walk
 #: (word_font_attributes analogue, reference src/result_iterator.rs:96-138).

@@ -103,6 +103,7 @@ def extract_document(
     detector: Optional[LangDetector] = None,
     collect_blocks: bool = False,
     lenient: bool = False,
+    monitor: Optional["Monitor"] = None,
 ) -> dict[str, Any]:
     """→ dict matching the ``extracted`` output schema (SURVEY §1.2), plus
     ``blocks`` (list[Block]) when ``collect_blocks``.
@@ -112,8 +113,18 @@ def extract_document(
     ``src/api.rs:844-875``): documents that fail strict UTF-8 validation
     are re-decoded with replacement characters and extracted anyway
     (status ``'ok_lenient'``), instead of stopping at
-    ``'bad_encoding'``."""
+    ``'bad_encoding'``.
+
+    ``monitor`` (or ``cfg.timeout_ms > 0``) arms a per-document
+    deadline that aborts segmentation MID-PARSE (TessMonitor analogue,
+    reference ``src/monitor.rs:18-50``) → status ``'timeout'`` with
+    deterministic empty content; ``monitor.get_progress()`` reports
+    0-100 during the run."""
     t0 = time.monotonic() if cfg.timeout_ms else 0.0
+    if monitor is None and cfg.timeout_ms:
+        from .monitor import Monitor
+
+        monitor = Monitor(cfg.timeout_ms)
     det = detector or _default_detector(cfg)
     out: dict[str, Any] = {
         "content_text": "", "content_spans": [], "doc_kind": "empty",
@@ -175,8 +186,17 @@ def extract_document(
                     html = html.decode("utf-8", "replace").encode("utf-8")
                     out["status"] = "ok_lenient"
                     out["error"] = f"lenient decode at byte {exc.start}"
-            blocks = segment(html)
+            blocks = segment(html, monitor=monitor)
+            if cfg.debug:
+                # get_thresholded_image analogue (src/api.rs:445-456):
+                # the cleaned intermediate actually fed to classification
+                out["cleaned_html"] = "\n".join(b.text for b in blocks)
+            if monitor is not None:
+                monitor.set_progress(92)
             classify_blocks(blocks, cfg)
+            if monitor is not None:
+                monitor.set_progress(96)
+                monitor.check()
             if cfg.segment_only:
                 # analyse_layout analogue: structure only, no text assembly
                 out["content_text"] = ""
@@ -190,9 +210,21 @@ def extract_document(
                 elif out["status"] == "ok_lenient":
                     pass  # keep the lenient marker
     except Exception as exc:  # never abort the job for one document
-        out["status"] = "parse_error"
-        out["error"] = f"{type(exc).__name__}: {exc}"
+        from .monitor import ExtractionCancelled
+
+        if isinstance(exc, ExtractionCancelled):
+            # deadline abort: deterministic empty content (same contract
+            # as the reference's cancelled recognition)
+            out["status"] = "timeout"
+            out["error"] = str(exc)
+            out["content_text"] = ""
+            out["content_spans"] = []
+        else:
+            out["status"] = "parse_error"
+            out["error"] = f"{type(exc).__name__}: {exc}"
         blocks = []
+    if monitor is not None and out["status"] in ("ok", "ok_lenient", "empty"):
+        monitor.set_progress(100)
     return _finish(out, blocks, cfg, det, collect_blocks, t0)
 
 
@@ -231,11 +263,10 @@ _DET_CACHE: dict[tuple, LangDetector] = {}
 
 
 def _default_detector(cfg: ExtractionConfig) -> LangDetector:
-    key = (cfg.langs, cfg.lang_conf_margin)
+    key = (cfg.langs, cfg.lang_conf_margin, cfg.assets_dir)
     d = _DET_CACHE.get(key)
     if d is None:
-        from .langdetect import LANGS
+        from .langdetect import detector_for
 
-        langs = tuple(l for l in cfg.langs if l in dict.fromkeys(LANGS)) or LANGS
-        d = _DET_CACHE[key] = LangDetector(langs=LANGS, margin=cfg.lang_conf_margin)
+        d = _DET_CACHE[key] = detector_for(cfg)
     return d

@@ -22,6 +22,7 @@ from __future__ import annotations
 import re
 from typing import Any
 
+from .langdetect import text_direction
 from .segment import Block
 
 _NUM_RE = re.compile(r"^[\d.,:%+-]+$")
@@ -34,7 +35,7 @@ HIERARCHY_COLUMNS = (
     "span_start", "span_end", "is_content", "confidence", "link_density",
     "text_density", "depth", "justification", "is_list_item", "is_bold",
     "is_italic", "is_mono", "has_sup", "has_sub", "heading_level", "lang",
-    "line_id", "word_id", "is_first_in_parent", "is_last_in_parent",
+    "dir", "line_id", "word_id", "is_first_in_parent", "is_last_in_parent",
     "is_dict_word", "is_numeric",
 )
 
@@ -84,6 +85,7 @@ def explode_blocks_into(
     c_sub = cols["has_sub"].append
     c_hl = cols["heading_level"].append
     c_lang = cols["lang"].append
+    c_dir = cols["dir"].append
     c_lid = cols["line_id"].append
     c_wid = cols["word_id"].append
     c_fst = cols["is_first_in_parent"].append
@@ -94,11 +96,15 @@ def explode_blocks_into(
         link_density = (b.n_link_chars / b.n_chars) if b.n_chars else 0.0
         text_density = float(b.n_words)
         confidence = float(b.confidence)
+        # per-block writing direction (H9 — ParagraphInfo direction
+        # analogue, reference src/page_iterator.rs:182-217): a block of
+        # RTL script inside an LTR page is flagged at block granularity
+        block_dir = text_direction(b.text)
 
         def emit(level: str, text: str, ss: int, se: int, lid: int,
                  wid: int, first: bool, last: bool, dw: bool, num: bool,
                  b=b, link_density=link_density, text_density=text_density,
-                 confidence=confidence) -> None:
+                 confidence=confidence, block_dir=block_dir) -> None:
             c_url(url)
             c_bid(b.block_id)
             c_pp(b.parent_path)
@@ -121,6 +127,7 @@ def explode_blocks_into(
             c_sub(b.has_sub)
             c_hl(b.heading_level)
             c_lang(b.lang)
+            c_dir(block_dir)
             c_lid(lid)
             c_wid(wid)
             c_fst(first)

@@ -51,13 +51,17 @@ class LangDetector:
     (word → lang-index tuple) instead of a per-language set probe, and
     character evidence consulted only for non-ASCII tokens."""
 
-    def __init__(self, langs: tuple[str, ...] = LANGS, margin: int = 2) -> None:
-        self.langs = tuple(l for l in langs if l in STOPWORDS) or LANGS
+    def __init__(self, langs: tuple[str, ...] = LANGS, margin: int = 2,
+                 extra_stopwords: dict[str, frozenset] | None = None) -> None:
+        tables = dict(STOPWORDS)
+        if extra_stopwords:
+            tables.update(extra_stopwords)
+        self.langs = tuple(sorted(l for l in set(langs) if l in tables)) or LANGS
         self.margin = margin
         idx = {l: i for i, l in enumerate(self.langs)}
         word_langs: dict[str, tuple[int, ...]] = {}
         for l in self.langs:
-            for w in STOPWORDS[l]:
+            for w in tables[l]:
                 word_langs[w] = word_langs.get(w, ()) + (idx[l],)
         self.word_langs = word_langs
         char_langs: dict[str, tuple[int, ...]] = {}
@@ -122,6 +126,67 @@ class LangDetector:
         ranked = sorted(((s, l) for l, s in zip(self.langs, scores) if s > 0),
                         key=lambda p: (-p[0], p[1]))
         return [(l, s / total) for s, l in ranked[:k]]
+
+
+def detector_for(cfg) -> "LangDetector":
+    """Build the detector an ``ExtractionConfig`` asks for — honoring
+    ``cfg.langs`` (the ``init(language)`` restriction analogue,
+    reference ``src/api.rs:71-97``).  Every engine stage and the oracle
+    construct their detector through THIS function so a restricted
+    config provably changes detection everywhere or nowhere."""
+    return LangDetector(langs=tuple(cfg.langs), margin=cfg.lang_conf_margin,
+                        extra_stopwords=load_assets_dir(cfg.assets_dir)
+                        if getattr(cfg, "assets_dir", "") else None)
+
+
+def available_langs(assets_dir: str | None = None) -> tuple[str, ...]:
+    """Discoverable language codes: the built-in tables plus any
+    ``<code>.langdata.json`` files under ``assets_dir`` — the
+    ``get_available_languages`` analogue (reference
+    ``src/api.rs:882-922``: scans the datapath for ``*.traineddata``)."""
+    langs = set(LANGS)
+    if assets_dir:
+        import os
+
+        try:
+            for name in os.listdir(assets_dir):
+                if name.endswith(".langdata.json"):
+                    code = name[:-len(".langdata.json")]
+                    if code:
+                        langs.add(code)
+        except OSError:
+            pass
+    return tuple(sorted(langs))
+
+
+def load_assets_dir(assets_dir: str | None) -> dict[str, frozenset]:
+    """Load extra language stopword tables from ``assets_dir``
+    (``<code>.langdata.json`` = {"stopwords": [...]}).  Deterministic;
+    malformed files are skipped.  The runtime analogue of the
+    reference's build-time asset download (``build.rs:480-515``)."""
+    out: dict[str, frozenset] = {}
+    if not assets_dir:
+        return out
+    import json
+    import os
+
+    try:
+        names = sorted(os.listdir(assets_dir))
+    except OSError:
+        return out
+    for name in names:
+        if not name.endswith(".langdata.json"):
+            continue
+        code = name[:-len(".langdata.json")]
+        try:
+            with open(os.path.join(assets_dir, name)) as f:
+                data = json.load(f)
+            words = frozenset(str(w).lower() for w in data.get("stopwords", []))
+            if code and words:
+                out[code] = words
+        except (OSError, json.JSONDecodeError, AttributeError):
+            continue
+    return out
 
 
 _DEFAULT = None

@@ -14,7 +14,7 @@ from typing import Any, Iterable, Optional
 
 from .config import DEFAULT_CONFIG, ExtractionConfig
 from .extract import extract_document
-from .langdetect import LangDetector
+from .langdetect import detector_for
 
 
 def oracle_extract(
@@ -36,7 +36,7 @@ def oracle_corpus(
 ) -> list[dict[str, Any]]:
     """Sequential run over rows of the ``pages`` schema → golden rows,
     sorted by url (deterministic order)."""
-    det = LangDetector(margin=cfg.lang_conf_margin)
+    det = detector_for(cfg)
     out = []
     for r in rows:
         res = extract_document(r.get("html"), r.get("text"), r.get("lang"),

@@ -275,6 +275,7 @@ def run_extraction_job(
     cfg: ExtractionConfig = DEFAULT_CONFIG,
     shard_size: int = 8,
     write_blocks: bool = False,
+    write_sidecar: bool = False,
     **extract_kw,
 ):
     """Resumable extraction job: input parquet files grouped into shards;
@@ -306,6 +307,16 @@ def run_extraction_job(
                 os.path.join(tmp_dir, "blocks"))
         # lineage metrics from the written data (column-pruned re-read)
         import ray.data as rd
+
+        if write_sidecar:
+            # S7 sidecar sink (text+spans JSON next to the data, the
+            # searchable-PDF text/pdf renderer-pair analogue,
+            # src/result_renderer.rs:69-82) — slim column re-read, one
+            # JSON file per output block
+            rd.read_parquet(
+                os.path.join(tmp_dir, "data"),
+                columns=["url", "content_text", "content_spans"],
+            ).write_json(os.path.join(tmp_dir, "sidecar"))
 
         done = rd.read_parquet(os.path.join(tmp_dir, "data"),
                                columns=["url", "content_text", "status", "html_len"])

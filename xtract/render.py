@@ -93,6 +93,59 @@ def render_box(url: str, blocks: list[Block]) -> str:
     return "\n".join(out)
 
 
+def render_box_lstm(url: str, blocks: list[Block]) -> str:
+    """LSTM-style box projection (``get_lstm_box_text`` analogue,
+    reference ``src/api.rs:491-509``): one SYMBOL per line carrying its
+    text line's span (LSTM training boxes give every char the line
+    bbox), with a tab-marked line terminator row per line."""
+    out = []
+    for b in blocks:
+        cursor = 0
+        for line in b.text.split("\n"):
+            if not line:
+                continue
+            s = b.text.index(line, cursor)
+            e = s + len(line)
+            cursor = e
+            for ch in line:
+                out.append(f"{ch} {s} {e} {b.block_id}")
+            out.append(f"\t {s} {e} {b.block_id}")  # line terminator marker
+    return "\n".join(out)
+
+
+def render_box_wordstr(url: str, blocks: list[Block]) -> str:
+    """WordStr box projection (``get_wordstr_box_text`` analogue,
+    reference ``src/api.rs:511-528``): one row per text line,
+    ``WordStr <start> <end> <block> #<line text>``."""
+    out = []
+    for b in blocks:
+        cursor = 0
+        for line in b.text.split("\n"):
+            if not line:
+                continue
+            s = b.text.index(line, cursor)
+            e = s + len(line)
+            cursor = e
+            out.append(f"WordStr {s} {e} {b.block_id} #{line}")
+    return "\n".join(out)
+
+
+def render_sidecar(url: str, blocks: list[Block]) -> str:
+    """JSON sidecar of (url, text, spans) — the searchable-PDF/sidecar
+    sink payload (S7; reference text+pdf renderer pair,
+    ``src/result_renderer.rs:69-82``).  Deterministic key order."""
+    import json
+
+    content = [b for b in blocks if b.is_content]
+    return json.dumps({
+        "url": url,
+        "text": render_text(url, blocks),
+        "spans": [[s, e] for b in content for s, e in b.spans],
+        "blocks": [{"id": b.block_id, "type": b.block_type,
+                    "span": [b.span_start, b.span_end]} for b in content],
+    }, sort_keys=True, ensure_ascii=False)
+
+
 def render_unlv(url: str, blocks: list[Block]) -> str:
     """UNLV-style projection: accent-folded ASCII-ish text via the
     deterministic NFKD table (``get_unlv_text`` analogue)."""
@@ -107,12 +160,16 @@ RENDERERS: dict[str, Callable[[str, list[Block]], str]] = {
     "alto": render_alto,
     "tsv": render_tsv,
     "box": render_box,
+    "box_lstm": render_box_lstm,
+    "box_wordstr": render_box_wordstr,
+    "sidecar": render_sidecar,
     "unlv": render_unlv,
 }
 
 #: sink self-description (get_extension analogue, src/result_renderer.rs:141-185)
 EXTENSIONS = {"text": "txt", "hocr": "hocr", "alto": "xml", "tsv": "tsv",
-              "box": "box", "unlv": "unlv"}
+              "box": "box", "box_lstm": "box", "box_wordstr": "box",
+              "sidecar": "json", "unlv": "unlv"}
 
 
 def register_renderer(name: str, fn: Callable[[str, list[Block]], str],
@@ -134,9 +191,9 @@ class RenderStage:
         unknown = [f for f in self.formats if f not in RENDERERS]
         if unknown:
             raise ValueError(f"unknown renderers {unknown}; known: {sorted(RENDERERS)}")
-        from .langdetect import LangDetector
+        from .langdetect import detector_for
 
-        self.detector = LangDetector(margin=cfg.lang_conf_margin)
+        self.detector = detector_for(cfg)
 
     def __call__(self, batch):
         import pyarrow as pa

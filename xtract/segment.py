@@ -31,12 +31,19 @@ from .dom import (
     ITALIC_TAGS,
     LIST_ITEM_TAGS,
     MONO_TAGS,
+    SCOPE_BARRIERS,
     SUB_TAGS,
     SUP_TAGS,
+    TABLE_TAGS,
     VOID_ELEMENTS,
 )
 from .html_tokenizer import RAW_TEXT_ELEMENTS as _RAW_TEXT
 from .html_tokenizer import parse_attrs, tokenize
+
+#: deadline-monitor check cadence, in tokenizer iterations (a few KiB of
+#: html per check — cheap enough to be invisible, fine-grained enough to
+#: bound overrun to milliseconds)
+_CHECK_EVERY = 256
 
 _WS_RE = re.compile(r"[\s\xa0]+")
 _SPACES_RE = re.compile(r" {2,}")
@@ -317,14 +324,6 @@ class Segmenter:
                 self.p_open -= 1
             self._leave(o.tag)
 
-    def _close_through(self, tag: str) -> None:
-        """Pop until (and including) the nearest open ``tag``."""
-        for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
-                while len(self.stack) > i:
-                    self._pop()
-                return
-
     def start_tag(self, tag: str, attrs_b: bytes, selfclose: bool, start: int) -> None:
         is_block = tag in BLOCK_ELEMENTS or tag == "hr"
         if is_block:
@@ -367,13 +366,25 @@ class Segmenter:
         if tag == "br" or tag in VOID_ELEMENTS:
             return
         # find nearest matching open tag; a stray end tag (not open) is
-        # ignored entirely — no flush, no pop (HTML5-ish recovery rule)
+        # ignored entirely — no flush, no pop (HTML5-ish recovery rule).
+        # The search never crosses a SCOPE_BARRIERS element (table
+        # scope, dom.py): a stray </div> inside a table cell must not
+        # close an ancestor div outside the table.  Table-family end
+        # tags may cross cells (</table> closes through an unclosed
+        # <td>) but never html/body.
+        table_family = tag in TABLE_TAGS
         for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
+            t = self.stack[i].tag
+            if t == tag:
                 if tag in BLOCK_ELEMENTS:
                     self.flush()
                 while len(self.stack) > i:
                     self._pop()
+                return
+            if table_family:
+                if t in ("html", "body"):
+                    return
+            elif t in SCOPE_BARRIERS:
                 return
 
     def finish(self) -> list[Block]:
@@ -383,12 +394,17 @@ class Segmenter:
         return self.blocks
 
 
-def segment(html: bytes) -> list[Block]:
+def segment(html: bytes, monitor=None) -> list[Block]:
     """Tokenize + segment one HTML document into ordered blocks.
 
     The token scan is inlined (same rules as ``html_tokenizer.tokenize``
     — that module remains the standalone tokenizer surface and its tests
-    pin the shared grammar) so the hot path allocates no token tuples."""
+    pin the shared grammar) so the hot path allocates no token tuples.
+
+    ``monitor`` (xtract.monitor.Monitor): checked every ``_CHECK_EVERY``
+    tokens — deadline expiry aborts the parse mid-document via
+    ``ExtractionCancelled`` (TessMonitor analogue, reference
+    ``src/monitor.rs:30-37``); progress tracks byte position."""
     from .html_tokenizer import (
         _COMMENT_RE,
         _DECL_RE,
@@ -406,7 +422,15 @@ def segment(html: bytes) -> list[Block]:
     n = len(html)
     pos = 0
     find = html.find
+    ticks = 0
     while pos < n:
+        if monitor is not None:
+            ticks += 1
+            if not ticks % _CHECK_EVERY:
+                # segmentation spans 0-90% of the document's progress
+                # budget; classify/assemble take the rest
+                monitor.set_progress(90 * pos // n if n else 90)
+                monitor.check()
         lt = find(b"<", pos)
         if lt < 0:
             text_run(pos, n)
@@ -455,4 +479,7 @@ def segment(html: bytes) -> list[Block]:
                 text_run(pos, em.start())
             end_tag(tag)
             pos = em.end()
+    if monitor is not None:
+        monitor.set_progress(90)
+        monitor.check()
     return seg.finish()

@@ -19,9 +19,19 @@ import pyarrow as pa
 from .synth import EPOCH_US, PAGES_SCHEMA
 
 
+def _looks_like_document(data: bytes) -> bool:
+    """Heuristic gate for the base64 interpretation: decoded bytes must
+    resemble an actual page payload (markup tag, PDF magic, or gzip)."""
+    head = data[:256].lstrip()
+    return (head.startswith(b"<") or b"<" in head[:64]
+            or data.startswith(b"%PDF-") or data.startswith(b"\x1f\x8b"))
+
+
 def _normalize_batch(batch: pa.Table) -> pa.Table:
     """Coerce arbitrary ingested columns to the pages schema.  ``html``
-    may arrive as base64 string (JSON transport) or utf-8 text."""
+    may arrive as base64 string (JSON transport — honored when an
+    ``html_encoding`` column says so, or when the decoded bytes look
+    like a document) or utf-8 text."""
     n = len(batch)
     names = batch.column_names
 
@@ -30,16 +40,34 @@ def _normalize_batch(batch: pa.Table) -> pa.Table:
 
     urls = col("url")
     htmls = col("html")
+    # explicit transport marker wins; otherwise a string html is base64
+    # ONLY if it both decodes cleanly AND the decoded bytes look like a
+    # document (markup or a PDF) — a short plain-text payload that
+    # happens to be valid base64 (e.g. 'Data1234') must NOT be
+    # silently decoded into garbage bytes
+    enc = col("html_encoding") if "html_encoding" in names else [None] * n
     out_html: list[Optional[bytes]] = []
-    for h in htmls:
+    for h, e in zip(htmls, enc):
         if h is None:
             out_html.append(None)
         elif isinstance(h, bytes):
             out_html.append(h)
-        else:  # string: try base64 first (JSON-safe transport), else utf-8
+        elif e == "base64":
             try:
                 out_html.append(base64.b64decode(h, validate=True))
             except Exception:
+                out_html.append(h.encode("utf-8"))
+        elif e in ("utf-8", "utf8", "text"):
+            out_html.append(h.encode("utf-8"))
+        else:
+            decoded = None
+            try:
+                decoded = base64.b64decode(h, validate=True)
+            except Exception:
+                pass
+            if decoded is not None and _looks_like_document(decoded):
+                out_html.append(decoded)
+            else:
                 out_html.append(h.encode("utf-8"))
     tss = col("warc_ts")
     out_ts = [t if t is not None else EPOCH_US for t in tss]
