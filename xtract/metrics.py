@@ -61,17 +61,41 @@ def corpus_checksum(extracted_ds, dedup: bool = True) -> str:
     content_text stays put; pre-aggregate-before-shuffle rule).  Matches
     ``oracle.corpus_checksum`` over url-unique oracle results
     bit-for-bit."""
+    import pyarrow.compute as pc
+
     ds = extracted_ds.map_batches(add_digest, batch_format="pyarrow")
     cols = [c for c in ("url", "warc_ts", "digest")
             if c in extracted_ds.schema().names or c == "digest"]
     ds = ds.select_columns(cols)
     if dedup:
-        from .ops.agg import first_row_per_key
+        # winner per url = min (warc_ts, digest) — encoded as ONE
+        # sortable composite string so the whole dedup is a single
+        # NATIVE hash aggregate (Min), no per-group Python at all.
+        # digest as tie-break gives a total order → byte-deterministic
+        # winner regardless of partitioning.  (Measured ~1.5× faster
+        # than the generic combiner+co-group winner on slim columns;
+        # first_row_per_key remains the pattern for full-row winners.)
+        from ray.data.aggregate import Min
 
-        # digest as the order tie-break gives a total order → the winner
-        # is byte-deterministic regardless of partitioning
-        order = (("warc_ts", "digest") if "warc_ts" in cols else ("digest",))
-        ds = first_row_per_key(ds, "url", order)
+        has_ts = "warc_ts" in cols
+        _TS_OFF = 1 << 62  # keeps the zero-padded int non-negative
+
+        def add_comp(t: pa.Table) -> pa.Table:
+            if has_ts:
+                ts = pc.add(pc.cast(t["warc_ts"], pa.int64()),
+                            pa.scalar(_TS_OFF, pa.int64()))
+                ts_pad = pc.utf8_lpad(pc.cast(ts, pa.string()), 20, "0")
+                comp = pc.binary_join_element_wise(ts_pad, t["digest"], "")
+            else:
+                comp = t["digest"]
+            return pa.table({"url": t["url"], "comp": comp})
+
+        winners = ds.map_batches(add_comp, batch_format="pyarrow").groupby(
+            "url").aggregate(Min("comp", alias_name="comp"))
+        ds = winners.map_batches(
+            lambda t: pa.table({"digest": pc.utf8_slice_codeunits(
+                t["comp"], 20 if has_ts else 0, 20 + 64 if has_ts else 64)}),
+            batch_format="pyarrow")
 
     def partial(b: pa.Table) -> pa.Table:
         total = 0

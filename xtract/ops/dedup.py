@@ -20,12 +20,13 @@ All Ray-Data-first and shuffle-aware:
 - **embedding cosine**: random-hyperplane LSH buckets → exact cosine
   verify within buckets.
 
-Cluster labeling is Dataset-native by default: candidate-pair edges go
-through ``ops/cc.py``'s vectorized distributed label propagation, and
-labels are joined back onto the id column Dataset-side
-(``attach_labels`` — broadcast when small, co-group otherwise).  No
-function here materializes corpus-cardinality data on the driver; every
-public op returns a Dataset.
+Cluster labeling is adaptive by EXACT edge count (``_assign_clusters``):
+small edge lists use the O(edges) driver union-find, large ones run
+``ops/cc.py``'s vectorized distributed label propagation; label
+assignment is always Dataset-side (``attach_labels`` — broadcast when
+small, co-group otherwise).  No function here materializes
+corpus-cardinality data on the driver; every public op returns a
+Dataset.
 """
 
 from __future__ import annotations
@@ -179,26 +180,72 @@ def _explode_bands(batch: pa.Table, key: str, bands: int, rows_per_band: int) ->
     })
 
 
-def _candidate_pairs(g: pa.Table, key: str, threshold_num: int,
-                     threshold_den: int) -> pa.Table:
-    """Within one LSH bucket: emit verified pairs (signature-estimated
-    Jaccard ≥ threshold_num/threshold_den, integer compare)."""
-    ids = g[key].to_pylist()
-    if len(ids) < 2:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    sigs = np.asarray(g["minhash"].to_pylist(), np.uint64)
-    order = np.argsort(np.asarray(ids))
-    ids = [ids[i] for i in order]
-    sigs = sigs[order]
-    num_perm = sigs.shape[1]
-    a_out, b_out = [], []
-    for i in range(len(ids)):
-        eq = (sigs[i + 1:] == sigs[i]).sum(axis=1)
-        hits = np.nonzero(eq * threshold_den >= threshold_num * num_perm)[0]
-        for j in hits:
-            a_out.append(ids[i])
-            b_out.append(ids[i + 1 + j])
-    return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
+_EMPTY_PAIRS = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+
+def _add_band_part(t: pa.Table, band_col: str, num_partitions: int) -> pa.Table:
+    """Coarse partition tag for bucket co-grouping: P Ray groups total
+    instead of one per LSH bucket (at 10^12 docs × 16 bands the naive
+    ``groupby(band)`` would make ~10^13 interpreter calls)."""
+    import pandas as pd
+
+    col = t[band_col]
+    if pa.types.is_integer(col.type):
+        part = (np.abs(col.to_numpy(zero_copy_only=False).astype(np.int64))
+                % num_partitions)
+    else:
+        part = (pd.util.hash_array(np.asarray(col.to_pylist(), object))
+                % num_partitions).astype(np.int64)
+    return t.append_column("_part", pa.array(part, pa.int64()))
+
+
+def _band_runs(g: pa.Table, band_col: str, key: str, sort_extra=()):
+    """Sort one partition by (band, key) and yield the run boundaries —
+    shared machinery of the vectorized pair generators."""
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(g, sort_keys=[(band_col, "ascending"),
+                                          (key, "ascending")])
+    g = g.take(order)
+    bands = np.asarray(g[band_col].to_pylist(), dtype=object)
+    change = np.ones(len(g), bool)
+    if len(g) > 1:
+        change[1:] = bands[1:] != bands[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], len(g)] if len(starts) else np.array([], np.int64)
+    return g, starts, ends
+
+
+def _minhash_pairs_partition(g: pa.Table, key: str, threshold_num: int,
+                             threshold_den: int) -> pa.Table:
+    """One coarse partition's band rows → verified candidate pairs
+    (signature-estimated Jaccard ≥ threshold_num/threshold_den, integer
+    compare).  Signature matrix is decoded ONCE per partition
+    (zero-copy from the fixed-size-list values); the per-bucket work is
+    a numpy broadcast compare."""
+    if len(g) < 2:
+        return _EMPTY_PAIRS.empty_table()
+    g, starts, ends = _band_runs(g, "band", key)
+    ids = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    sig_arr = g["minhash"].combine_chunks()
+    num_perm = sig_arr.type.list_size
+    sigs = sig_arr.flatten().to_numpy(zero_copy_only=False).reshape(
+        len(g), num_perm)
+    a_out: list[int] = []
+    b_out: list[int] = []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        sub_ids = ids[s:e]
+        sub_sigs = sigs[s:e]
+        for i in range(len(sub_ids) - 1):
+            eq = (sub_sigs[i + 1:] == sub_sigs[i]).sum(axis=1)
+            hits = np.flatnonzero(eq * threshold_den >= threshold_num * num_perm)
+            for j in hits:
+                a_out.append(int(sub_ids[i]))
+                b_out.append(int(sub_ids[i + 1 + j]))
+    return pa.table({"a": pa.array(a_out, pa.int64()),
+                     "b": pa.array(b_out, pa.int64())})
 
 
 def _connected_components(pairs: "np.ndarray") -> dict[int, int]:
@@ -227,30 +274,43 @@ def _connected_components(pairs: "np.ndarray") -> dict[int, int]:
     return {v: find(v) for v in label}
 
 
-def _assign_clusters(ds, pairs_ds, key: str, distributed_cc: bool,
+#: edge-count ceiling for the driver union-find (a few hundred MB of
+#: int pairs at most — NOT corpus-proportional: near-dup edge lists are
+#: bounded by the number of duplicated docs, and the gate is an exact
+#: count, not a hope)
+DRIVER_CC_LIMIT = 2_000_000
+
+
+def _assign_clusters(ds, pairs_ds, key: str,
+                     distributed_cc: "bool | None" = None,
                      num_partitions: int = 8):
     """Candidate-pair edges → Dataset(key, cluster_id) over ALL rows of
     ``ds`` (docs without a near-dup pair keep their own id).
 
-    The scale path (default): connected components wholly in Datasets
-    (``ops/cc.py`` vectorized label propagation), then labels joined
-    back Dataset-side by ``attach_labels`` (broadcast when the labeled
-    set is small, co-group partition merge otherwise).  NOTHING of
-    corpus cardinality ever lands on the driver — the round-1 version
-    pulled every doc id (and the label map) into driver pandas.
-
-    ``distributed_cc=False`` keeps the driver union-find for provably
-    tiny edge lists (tests compare the two paths row-for-row); label
-    ASSIGNMENT is still Dataset-side."""
+    Adaptive by exact edge count (``distributed_cc=None``, the
+    default): the materialized edge list's count gates the path —
+    ≤ ``DRIVER_CC_LIMIT`` edges run the O(edges) driver union-find
+    (bounded, NOT corpus-proportional); above it, connected components
+    run wholly in Datasets (``ops/cc.py`` vectorized label
+    propagation, whose per-round shuffle overhead only pays for itself
+    on big edge lists).  Label ASSIGNMENT is always Dataset-side
+    (``attach_labels``: broadcast when small, co-group otherwise) —
+    nothing of corpus cardinality ever lands on the driver (the
+    round-1 version pulled every doc id into driver pandas).  Pass
+    ``True``/``False`` to force a path (tests compare them
+    row-for-row)."""
     from .cc import attach_labels, connected_components_ds
 
+    pairs_ds = pairs_ds.materialize()  # consumed twice (count + CC)
+    if distributed_cc is None:
+        distributed_cc = pairs_ds.count() > DRIVER_CC_LIMIT
     if distributed_cc:
         labels = connected_components_ds(pairs_ds,
                                          num_partitions=num_partitions)
     else:
         import ray.data as rd
 
-        pairs_df = pairs_ds.to_pandas()  # opt-in: edges known tiny
+        pairs_df = pairs_ds.to_pandas()  # ≤ DRIVER_CC_LIMIT rows by gate
         pairs = np.unique(np.asarray(pairs_df[["a", "b"]], np.int64), axis=0) \
             if len(pairs_df) else np.empty((0, 2), np.int64)
         comp = _connected_components(pairs)
@@ -265,7 +325,7 @@ def minhash_lsh_dedup(ds, col: str = "text", key: str = "doc_id",
                       num_perm: int = 64, bands: int = 16, k: int = 3,
                       threshold: tuple[int, int] = (4, 5),
                       char_ngrams: bool = False, concurrency=(2, 8),
-                      distributed_cc: bool = True):
+                      distributed_cc: "bool | None" = None):
     """→ Dataset(doc_id, cluster_id): near-duplicate clusters.
 
     threshold = (num, den): estimated Jaccard ≥ num/den keeps a pair.
@@ -275,10 +335,12 @@ def minhash_lsh_dedup(ds, col: str = "text", key: str = "doc_id",
         MinHasher, fn_constructor_args=(col, num_perm, k, char_ngrams),
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
     band_rows = sigs.select_columns([key, "minhash"]).map_batches(
-        lambda b: _explode_bands(b, key, bands, rows_per_band),
+        lambda b: _add_band_part(_explode_bands(b, key, bands, rows_per_band),
+                                 "band", 64),
         batch_format="pyarrow")
-    pairs_ds = band_rows.groupby("band").map_groups(
-        lambda g: _candidate_pairs(g, key, *threshold), batch_format="pyarrow")
+    pairs_ds = band_rows.groupby("_part").map_groups(
+        lambda g: _minhash_pairs_partition(g, key, *threshold),
+        batch_format="pyarrow")
     return _assign_clusters(ds, pairs_ds, key, distributed_cc)
 
 
@@ -316,7 +378,7 @@ class SimHasher:
 
 def simhash_dedup(ds, col: str = "text", key: str = "doc_id",
                   max_hamming: int = 3, concurrency=(2, 8),
-                  distributed_cc: bool = True):
+                  distributed_cc: "bool | None" = None):
     """→ Dataset(doc_id, cluster_id): SimHash near-dup clusters.
     Candidates from 4×16-bit band buckets (any pair within Hamming ≤ 3
     shares at least one identical 16-bit band)."""
@@ -338,26 +400,39 @@ def simhash_dedup(ds, col: str = "text", key: str = "doc_id",
                          key: pa.array(out[key]),
                          "simhash": pa.array(out["simhash"], pa.uint64())})
 
-    def pairs_in_bucket(g: pa.Table) -> pa.Table:
-        ids = g[key].to_pylist()
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        hs = g["simhash"].to_pylist()
-        order = np.argsort(np.asarray(ids))
-        ids = [int(ids[i]) for i in order]
-        hs = [int(hs[i]) for i in order]
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if bin(hs[i] ^ hs[j]).count("1") <= max_hamming:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
+    def pairs_partition(g: pa.Table) -> pa.Table:
+        """One coarse partition's bucket rows → Hamming-verified pairs
+        (vectorized popcount via uint64 xor + bit tricks per bucket)."""
+        if len(g) < 2:
+            return _EMPTY_PAIRS.empty_table()
+        g, starts, ends = _band_runs(g, "band", key)
+        ids = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sub_ids = ids[s:e]
+            sub_hs = hs[s:e]
+            for i in range(len(sub_ids) - 1):
+                x = sub_hs[i + 1:] ^ sub_hs[i]
+                # vectorized 64-bit popcount
+                x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+                x = ((x & np.uint64(0x3333333333333333)) +
+                     ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+                x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+                pop = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+                hits = np.flatnonzero(pop <= max_hamming)
+                for j in hits:
+                    a_out.append(int(sub_ids[i]))
+                    b_out.append(int(sub_ids[i + 1 + j]))
         return pa.table({"a": pa.array(a_out, pa.int64()),
                          "b": pa.array(b_out, pa.int64())})
 
-    pairs_ds = sigs.map_batches(explode, batch_format="pyarrow").groupby(
-        "band").map_groups(pairs_in_bucket, batch_format="pyarrow")
+    pairs_ds = sigs.map_batches(explode, batch_format="pyarrow").map_batches(
+        lambda t: _add_band_part(t, "band", 64), batch_format="pyarrow"
+    ).groupby("_part").map_groups(pairs_partition, batch_format="pyarrow")
     return _assign_clusters(ds, pairs_ds, key, distributed_cc)
 
 
@@ -367,7 +442,7 @@ def simhash_dedup(ds, col: str = "text", key: str = "doc_id",
 
 def embedding_dedup(ds, key: str = "vec_id", col: str = "embedding",
                     threshold: float = 0.95, n_planes: int = 12,
-                    distributed_cc: bool = True):
+                    distributed_cc: "bool | None" = None):
     """→ Dataset(vec_id, cluster_id): cosine-similarity near-dup via
     random-hyperplane LSH buckets + exact verify within buckets.
     Hyperplanes are a deterministic seeded Gaussian matrix broadcast to
@@ -391,28 +466,35 @@ def embedding_dedup(ds, key: str = "vec_id", col: str = "embedding",
         return pa.table({key: b[key], "bucket": pa.array(codes, pa.int64()),
                          col: b[col]})
 
-    def verify(g: pa.Table) -> pa.Table:
-        ids = g[key].to_pylist()
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
+    def verify_partition(g: pa.Table) -> pa.Table:
+        """One coarse partition's bucket rows → exact-cosine-verified
+        pairs; the unit matrix is built once per partition, per-bucket
+        work is a small gram matrix."""
+        if len(g) < 2:
+            return _EMPTY_PAIRS.empty_table()
+        g, starts, ends = _band_runs(g, "bucket", key)
+        ids = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
         vecs = np.asarray(g[col].to_pylist(), np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
-        sims = unit @ unit.T
-        order = np.argsort(np.asarray(ids))
-        a_out, b_out = [], []
-        for oi in range(len(order)):
-            for oj in range(oi + 1, len(order)):
-                i, j = order[oi], order[oj]
-                if sims[i, j] >= threshold:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sub_ids = ids[s:e]
+            sims = unit[s:e] @ unit[s:e].T
+            ii, jj = np.triu_indices(e - s, k=1)
+            hits = np.flatnonzero(sims[ii, jj] >= threshold)
+            for h in hits:
+                a_out.append(int(sub_ids[ii[h]]))
+                b_out.append(int(sub_ids[jj[h]]))
         return pa.table({"a": pa.array(a_out, pa.int64()),
                          "b": pa.array(b_out, pa.int64())})
 
     pairs_ds = ds.select_columns([key, col]).map_batches(
-        bucketize, batch_format="pyarrow").groupby("bucket").map_groups(
-        verify, batch_format="pyarrow")
+        bucketize, batch_format="pyarrow").map_batches(
+        lambda t: _add_band_part(t, "bucket", 64), batch_format="pyarrow"
+    ).groupby("_part").map_groups(verify_partition, batch_format="pyarrow")
     return _assign_clusters(ds, pairs_ds, key, distributed_cc)
