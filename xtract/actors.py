@@ -223,6 +223,22 @@ def clear_worker_cache() -> int:
     return n
 
 
+_WORKER_EXPLODERS: dict[tuple, "BlocksExploder"] = {}
+
+
+def explode_batch_task(batch: pa.Table, cfg_json: str,
+                       levels: tuple[str, ...]) -> pa.Table:
+    """Stateless-task variant of the BlocksExploder stage with WARM
+    per-worker state (same pattern as ``extract_batch_task`` — measured
+    faster than an actor pool for short jobs because there is no pool
+    ramp and no reserved CPUs)."""
+    key = (cfg_json, tuple(levels))
+    ex = _WORKER_EXPLODERS.get(key)
+    if ex is None:
+        ex = _WORKER_EXPLODERS[key] = BlocksExploder(cfg_json, tuple(levels))
+    return ex(batch)
+
+
 def extract_batch_task(batch: pa.Table, cfg_json: str) -> pa.Table:
     """Stateless-task variant of the Extractor stage with WARM per-worker
     state: Ray worker processes persist across tasks, so the configured

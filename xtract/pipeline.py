@@ -203,12 +203,24 @@ def explode_pages(
     levels: tuple[str, ...] = ("block",),
     batch_size: int = 32,
     concurrency=(2, 8),
+    use_actors: bool = False,
 ):
-    """pages Dataset → blocks hierarchy Dataset (H1-H17)."""
+    """pages Dataset → blocks hierarchy Dataset (H1-H17).
+
+    Default: stateless tasks with a warm per-worker exploder cache (no
+    actor-pool ramp — the ramp dominated short jobs); ``use_actors``
+    keeps the pool shape for heavyweight per-worker state."""
+    if use_actors:
+        return ds.map_batches(
+            BlocksExploder, fn_constructor_args=(cfg.to_json(), levels),
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=1)
+    from .actors import explode_batch_task
+
     return ds.map_batches(
-        BlocksExploder, fn_constructor_args=(cfg.to_json(), levels),
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        explode_batch_task,
+        fn_kwargs={"cfg_json": cfg.to_json(), "levels": tuple(levels)},
+        batch_format="pyarrow", batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------
