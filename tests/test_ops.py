@@ -149,43 +149,84 @@ def test_text_stats_batch_columns():
     assert len(out["fingerprint"][0].as_py()) == 32
 
 
-def test_multimodal_plumbing(ray_session):
+def test_multimodal_real_decode(ray_session):
     import ray.data as rd
 
     from xtract.ops.multimodal import DecodeStage, decode_media, synth_media_batch
 
     docs = rd.from_items([{"doc_id": i} for i in range(12)])
     media = docs.map_batches(synth_media_batch, batch_format="pyarrow")
-    feats = decode_media(media, fake=True, batch_size=4).to_pandas()
+    feats = decode_media(media, batch_size=4).to_pandas()
     assert len(feats) == 12
     assert set(feats.decode_status) == {"ok"}
     assert all(len(f) == 32 for f in feats.features)
-    # honest stub path raises per-row and reports unsupported_codec
-    t = media.limit(2).to_pandas()
-    stage = DecodeStage(fake=False)
-    out = stage(pa.Table.from_pandas(t)).to_pydict()
-    assert set(out["decode_status"]) == {"unsupported_codec"}
+    # features are REAL statistics, not hashes: image rows carry dims
+    img = feats[feats.kind == "image"].iloc[0]
+    assert img.features[20] > 0 and img.features[21] > 0  # width/height
+    au = feats[feats.kind == "audio"].iloc[0]
+    assert 0.0 < au.features[0] < 1.0  # sine RMS
+    assert au.features[19] == 16000.0  # sample rate
+    # unknown codecs keep the honest unsupported path
+    bad = pa.table({"media_id": pa.array([99], pa.int64()),
+                    "url": ["u"], "kind": ["image"],
+                    "payload": pa.array([b"\x89PNG fake"], pa.binary()),
+                    "meta": pa.array([{"width": 1, "height": 1,
+                                       "sample_rate": 0, "n_frames": 1,
+                                       "codec": "png"}],
+                                     type=pa.struct([
+                                         ("width", pa.int32()),
+                                         ("height", pa.int32()),
+                                         ("sample_rate", pa.int32()),
+                                         ("n_frames", pa.int32()),
+                                         ("codec", pa.string())]))})
+    out = DecodeStage()(bad).to_pydict()
+    assert out["decode_status"] == ["unsupported_codec"]
+
+
+def test_bmp_wav_xraw_roundtrip():
+    import numpy as np
+
+    from xtract.ops.multimodal import (
+        decode_bmp, decode_wav, decode_xraw, encode_bmp, encode_wav,
+        encode_xraw)
+
+    px = (np.arange(5 * 7 * 3).reshape(5, 7, 3) % 256).astype(np.uint8)
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+    s = (np.sin(np.arange(500) / 10.0) * 1000).astype(np.int16)
+    s2, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000 and (s2 == s).all()
+    frames = [encode_bmp(px), encode_bmp(px[::-1].copy())]
+    assert decode_xraw(encode_xraw(frames)) == frames
 
 
 def test_multimodal_resize_and_frames(ray_session):
+    import numpy as np
     import ray.data as rd
 
-    from xtract.ops.multimodal import FrameSampleStage, ResizeStage, synth_media_batch
+    from xtract.ops.multimodal import (
+        FrameSampleStage, ResizeStage, decode_bmp, synth_media_batch)
 
     docs = rd.from_items([{"doc_id": i} for i in range(12)])
     media = docs.map_batches(synth_media_batch, batch_format="pyarrow")
     resized = media.map_batches(ResizeStage, fn_constructor_args=(32, 32),
                                 batch_format="pyarrow", batch_size=4,
                                 concurrency=2, num_cpus=1).to_pandas()
-    assert (resized.out_width == 32).all() and len(resized.resized.iloc[0]) == 32
+    # real resize: image rows decode to exactly 32x32 pixels
+    imgs = resized[resized.kind == "image"]
+    assert (imgs.out_width == 32).all()
+    out_px = decode_bmp(imgs.resized.iloc[0])
+    assert out_px.shape == (32, 32, 3)
+    # non-image payloads (wav) go down the unsupported path, not a crash
+    assert set(resized[resized.kind == "audio"].resize_status) == {"unsupported_codec"}
     frames = media.map_batches(FrameSampleStage, fn_constructor_args=(4,),
                                batch_format="pyarrow", batch_size=4,
                                concurrency=2, num_cpus=1).to_pandas()
     assert len(frames) > 0
     assert (frames.frame_index % 4 == 0).all()
-    # only video rows produce frames
+    # only video rows produce frames, and frames are REAL decodable BMPs
     vids = {i for i in range(12) if i % 3 == 2}
     assert set(frames.media_id) <= vids
+    assert decode_bmp(frames.frame.iloc[0]).ndim == 3
 
 
 def test_distributed_cc_matches_unionfind(ray_session):

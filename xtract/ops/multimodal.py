@@ -1,24 +1,34 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+REAL pure-stdlib codecs for the formats this container can decode.
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run
 as actor-pool ``map_batches`` stages with small batch sizes (large
 payloads: batch_size × payload must fit the worker heap).
 
-The actual codecs are NOT in this container, so the decode kernel is
-stubbed two ways (both clearly marked):
+Codec support (no third-party image/audio libraries exist in this
+environment, so everything here is stdlib+numpy — and therefore real,
+deterministic, and tested end-to-end):
 
-- ``DecodeStage(fake=False)`` raises ``NotImplementedError`` per batch —
-  the honest stub;
-- ``DecodeStage(fake=True)`` produces a deterministic fake decode
-  (dimensions from metadata, content hash as "pixels") so the Ray-side
-  plumbing — schema, actor signature, batch sizing, output layout — is
-  real and tested end-to-end.
+- **image**: 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up) —
+  ``decode_bmp``/``encode_bmp`` via ``struct``; features are real
+  per-channel statistics; resize is a real nearest-neighbor kernel.
+- **audio**: 16-bit PCM WAV via the stdlib ``wave`` module; features
+  are real RMS / zero-crossing / coarse FFT magnitudes.
+- **video**: the ``XRAW`` frame container (magic + u32 frame count +
+  length-prefixed BMP frames — defined here, trivially parseable);
+  frame sampling decodes the real frames.
+- **anything else** (JPEG/PNG/MP4/...) needs codecs this container
+  does not ship: ``decode_one`` raises ``NotImplementedError`` and the
+  row gets ``decode_status='unsupported_codec'`` — the honest path, to
+  be swapped for PIL/libav when the dependency exists.
 """
 
 from __future__ import annotations
 
-import hashlib
+import io
+import struct
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -35,138 +45,301 @@ MEDIA_SCHEMA = pa.schema([
 
 FEATURE_DIM = 32
 
+_XRAW_MAGIC = b"XRAW"
+
+
+# ---------------------------------------------------------------------------
+# real pure-stdlib codecs
+# ---------------------------------------------------------------------------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP bytes (BI_RGB,
+    bottom-up rows, 4-byte row padding — the classic Windows format)."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = []
+    pad = b"\x00" * (row_size - w * 3)
+    bgr = pixels[:, :, ::-1]  # BMP stores BGR
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(bgr[y].tobytes() + pad)
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → (h, w, 3) uint8 RGB."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp} unsupported")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    out = np.empty((h, w, 3), np.uint8)
+    for i in range(h):
+        row = np.frombuffer(data, np.uint8, w * 3, off + i * row_size)
+        y = h - 1 - i if bottom_up else i
+        out[y] = row.reshape(w, 3)[:, ::-1]  # BGR → RGB
+    return out
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples → WAV bytes (stdlib ``wave``)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (int16 mono samples, sample_rate)."""
+    with wave.open(io.BytesIO(data), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        rate = f.getframerate()
+        nch = f.getnchannels()
+        raw = f.readframes(f.getnframes())
+    samples = np.frombuffer(raw, "<i2")
+    if nch > 1:
+        samples = samples.reshape(-1, nch).mean(axis=1).astype(np.int16)
+    return samples, rate
+
+
+def encode_xraw(frames: list[bytes]) -> bytes:
+    """BMP frame list → XRAW container (magic, u32 count, u32-length-
+    prefixed frames) — the simple seekable video container used here."""
+    parts = [_XRAW_MAGIC, struct.pack("<I", len(frames))]
+    for fr in frames:
+        parts.append(struct.pack("<I", len(fr)))
+        parts.append(fr)
+    return b"".join(parts)
+
+
+def decode_xraw(data: bytes) -> list[bytes]:
+    """XRAW container → list of BMP frame payloads."""
+    if data[:4] != _XRAW_MAGIC:
+        raise ValueError("not an XRAW payload")
+    n = struct.unpack_from("<I", data, 4)[0]
+    off = 8
+    frames = []
+    for _ in range(n):
+        ln = struct.unpack_from("<I", data, off)[0]
+        off += 4
+        frames.append(data[off:off + ln])
+        off += ln
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# synthesis (deterministic REAL payloads for tests/bench)
+# ---------------------------------------------------------------------------
+
+def _synth_pixels(seed: int, w: int, h: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.int64)
+    r = (xx * 7 + seed) % 256
+    g = (yy * 11 + 3 * seed) % 256
+    b = ((xx + yy) * 5 + 7 * seed) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
 
 def synth_media_batch(batch: pa.Table) -> pa.Table:
-    """documents rows → deterministic fake media rows (payload = seeded
-    bytes; metadata consistent with payload length)."""
+    """documents rows → deterministic REAL media rows: BMP images, PCM
+    WAV audio, XRAW video — every payload decodes with the kernels
+    above (no fakes)."""
     ids = batch["doc_id"].to_pylist()
     rows = []
     for d in ids:
         kind = ("image", "audio", "video")[d % 3]
         w, h = 8 + (d % 32), 8 + (d * 7 % 32)
-        payload = hashlib.blake2b(f"media-{d}".encode(), digest_size=32).digest() * (1 + d % 4)
+        if kind == "image":
+            payload = encode_bmp(_synth_pixels(d, w, h))
+            meta = {"width": w, "height": h, "sample_rate": 0,
+                    "n_frames": 1, "codec": "bmp"}
+        elif kind == "audio":
+            rate = 16000
+            n = 800 + (d % 7) * 160
+            t = np.arange(n, dtype=np.float64)
+            freq = 110.0 + (d % 40) * 13.0
+            samples = (np.sin(2 * np.pi * freq * t / rate)
+                       * 12000).astype(np.int16)
+            payload = encode_wav(samples, rate)
+            meta = {"width": 0, "height": 0, "sample_rate": rate,
+                    "n_frames": 1, "codec": "pcm_s16le"}
+        else:
+            n_frames = 1 + d % 24
+            frames = [encode_bmp(_synth_pixels(d + fi, w, h))
+                      for fi in range(n_frames)]
+            payload = encode_xraw(frames)
+            meta = {"width": w, "height": h, "sample_rate": 0,
+                    "n_frames": n_frames, "codec": "xraw"}
         rows.append({
             "media_id": d, "url": f"https://media.example.org/{kind}/{d}",
-            "kind": kind, "payload": payload,
-            "meta": {"width": w, "height": h, "sample_rate": 16000 if kind == "audio" else 0,
-                     "n_frames": 1 + d % 24 if kind == "video" else 1,
-                     "codec": {"image": "fake-png", "audio": "fake-pcm",
-                               "video": "fake-h264"}[kind]},
+            "kind": kind, "payload": payload, "meta": meta,
         })
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# stages
+# ---------------------------------------------------------------------------
+
+def _image_features(pixels: np.ndarray) -> np.ndarray:
+    """Real image features: per-channel mean/std/min/max + an 8-bin
+    luminance histogram + dims → FEATURE_DIM floats."""
+    f = np.zeros(FEATURE_DIM, np.float32)
+    px = pixels.astype(np.float32)
+    for c in range(3):
+        ch = px[:, :, c]
+        f[c * 4:(c + 1) * 4] = (ch.mean(), ch.std(), ch.min(), ch.max())
+    lum = px.mean(axis=-1)
+    hist, _ = np.histogram(lum, bins=8, range=(0, 256))
+    f[12:20] = hist / max(1, lum.size)
+    f[20] = pixels.shape[1]
+    f[21] = pixels.shape[0]
+    return f
+
+
+def _audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """Real audio features: RMS, zero-crossing rate, duration, coarse
+    FFT magnitude bins."""
+    f = np.zeros(FEATURE_DIM, np.float32)
+    x = samples.astype(np.float64) / 32768.0
+    if len(x):
+        f[0] = np.sqrt((x ** 2).mean())
+        f[1] = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) \
+            if len(x) > 1 else 0.0
+        f[2] = len(x) / rate
+        mag = np.abs(np.fft.rfft(x))
+        if len(mag):
+            bins = np.array_split(mag, 16)
+            f[3:19] = [float(b.mean()) if len(b) else 0.0 for b in bins]
+    f[19] = rate
+    return f
+
+
 class DecodeStage:
-    """Actor pool stage: payload bytes → decoded tensor-ish columns.
+    """Actor pool stage: payload bytes → decoded feature columns.
 
-    STUB: real image/audio codecs are unavailable in this container.
-    ``fake=True`` emits a deterministic stand-in (payload-hash-seeded
-    feature vector + dims from metadata); ``fake=False`` raises
-    ``NotImplementedError`` — swap in a real codec (PIL/libav) by
-    overriding ``decode_one`` when the dependency exists."""
+    REAL kernels for BMP / 16-bit WAV / XRAW video (pure stdlib+numpy —
+    see module docstring); other codecs raise ``NotImplementedError``
+    per row, which lands as ``decode_status='unsupported_codec'``."""
 
-    def __init__(self, fake: bool = True) -> None:
-        self.fake = fake
+    def __init__(self) -> None:
+        pass
 
     def decode_one(self, payload: bytes, kind: str, meta: dict) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "media codecs not available in this environment; "
-                "construct DecodeStage(fake=True) for the deterministic stub")
-        digest = hashlib.shake_128(payload).digest(FEATURE_DIM * 4)
-        return np.frombuffer(digest, np.uint32).astype(np.float32) / np.float32(2 ** 32)
+        if payload[:2] == b"BM":
+            return _image_features(decode_bmp(payload))
+        if payload[:4] == b"RIFF":
+            return _audio_features(*decode_wav(payload))
+        if payload[:4] == _XRAW_MAGIC:
+            frames = decode_xraw(payload)
+            feats = _image_features(decode_bmp(frames[0]))
+            feats[22] = len(frames)
+            return feats
+        raise NotImplementedError(
+            f"codec {meta.get('codec') or 'unknown'!r} needs image/audio "
+            "libraries absent from this environment")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         kinds = batch["kind"].to_pylist()
         metas = batch["meta"].to_pylist()
-        feats = np.empty((len(payloads), FEATURE_DIM), np.float32)
+        feats = np.zeros((len(payloads), FEATURE_DIM), np.float32)
         ok = []
         for i, (p, k, m) in enumerate(zip(payloads, kinds, metas)):
             try:
                 feats[i] = self.decode_one(p or b"", k, m or {})
                 ok.append("ok")
             except NotImplementedError:
-                feats[i] = 0.0
                 ok.append("unsupported_codec")
+            except (ValueError, struct.error, wave.Error, EOFError):
+                ok.append("decode_error")
         return (batch.drop_columns(["payload"])  # decoded stages drop raw bytes
                 .append_column("features",
                                pa.array(list(feats), pa.list_(pa.float32(), FEATURE_DIM)))
                 .append_column("decode_status", pa.array(ok, pa.string())))
 
 
-def decode_media(ds, fake: bool = True, batch_size: int = 16, concurrency=(1, 4)):
+def decode_media(ds, batch_size: int = 16, concurrency=(1, 4)):
     """Media dataset → features dataset.  Small batch_size: payloads are
     large; batch × concurrency must fit worker heap (SURVEY memory rule)."""
-    return ds.map_batches(DecodeStage, fn_constructor_args=(fake,),
+    return ds.map_batches(DecodeStage,
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=1)
 
 
-class ResizeStage:
-    """Actor stage: image resize plumbing (STUB kernel).  Real resize
-    needs PIL/opencv (absent here); the fake kernel deterministically
-    re-hashes payload + target dims so schema/batching/output layout are
-    real and tested.  Swap ``resize_one`` for a real kernel when the
-    dependency exists."""
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Real nearest-neighbor resize (pure numpy indexing)."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return pixels[ys][:, xs]
 
-    def __init__(self, width: int = 64, height: int = 64,
-                 fake: bool = True) -> None:
+
+class ResizeStage:
+    """Actor stage: REAL image resize (BMP decode → nearest-neighbor →
+    BMP encode).  Non-BMP payloads get ``resize_status='unsupported_codec'``
+    and an empty output payload."""
+
+    def __init__(self, width: int = 64, height: int = 64) -> None:
         self.width = width
         self.height = height
-        self.fake = fake
 
-    def resize_one(self, payload: bytes, meta: dict) -> tuple[bytes, int, int]:
-        if not self.fake:
-            raise NotImplementedError("image codecs unavailable; use fake=True")
-        out = hashlib.blake2b(
-            payload + self.width.to_bytes(4, "big") +
-            self.height.to_bytes(4, "big"), digest_size=32).digest()
-        return out, self.width, self.height
+    def resize_one(self, payload: bytes, meta: dict) -> bytes:
+        return encode_bmp(resize_nearest(decode_bmp(payload),
+                                         self.width, self.height))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         metas = batch["meta"].to_pylist()
-        outs, ws, hs = [], [], []
+        outs, ws, hs, st = [], [], [], []
         for p, m in zip(payloads, metas):
-            o, w, h = self.resize_one(p or b"", m or {})
-            outs.append(o)
-            ws.append(w)
-            hs.append(h)
+            try:
+                outs.append(self.resize_one(p or b"", m or {}))
+                ws.append(self.width)
+                hs.append(self.height)
+                st.append("ok")
+            except (NotImplementedError, ValueError, struct.error):
+                outs.append(b"")
+                ws.append(0)
+                hs.append(0)
+                st.append("unsupported_codec")
         return (batch.append_column("resized", pa.array(outs, pa.binary()))
                      .append_column("out_width", pa.array(ws, pa.int32()))
-                     .append_column("out_height", pa.array(hs, pa.int32())))
+                     .append_column("out_height", pa.array(hs, pa.int32()))
+                     .append_column("resize_status", pa.array(st, pa.string())))
 
 
 class FrameSampleStage:
-    """Actor stage: video frame sampling plumbing (STUB decode).  Emits
-    one row per sampled frame (flat_map shape inside map_batches):
-    deterministic frame selection (every ``stride``-th of
-    ``meta.n_frames``), fake frame payloads derived from
-    (payload, frame_index)."""
+    """Actor stage: REAL video frame sampling — parses the XRAW
+    container and emits one row per sampled frame (every ``stride``-th),
+    frame payload = the actual BMP bytes."""
 
-    def __init__(self, stride: int = 4, fake: bool = True) -> None:
+    def __init__(self, stride: int = 4) -> None:
         self.stride = stride
-        self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
         kinds = batch["kind"].to_pylist()
         payloads = batch["payload"].to_pylist()
-        metas = batch["meta"].to_pylist()
         out = {"media_id": [], "frame_index": [], "frame": []}
-        for mid, kind, p, m in zip(ids, kinds, payloads, metas):
-            if kind != "video":
+        for mid, kind, p in zip(ids, kinds, payloads):
+            if kind != "video" or not p or p[:4] != _XRAW_MAGIC:
                 continue
-            n_frames = int((m or {}).get("n_frames") or 1)
-            for fi in range(0, n_frames, self.stride):
-                if not self.fake:
-                    raise NotImplementedError(
-                        "video codecs unavailable; use fake=True")
+            frames = decode_xraw(p)
+            for fi in range(0, len(frames), self.stride):
                 out["media_id"].append(mid)
                 out["frame_index"].append(fi)
-                out["frame"].append(hashlib.blake2b(
-                    (p or b"") + fi.to_bytes(4, "big"), digest_size=16).digest())
+                out["frame"].append(frames[fi])
         return pa.table({"media_id": pa.array(out["media_id"], pa.int64()),
                          "frame_index": pa.array(out["frame_index"], pa.int32()),
                          "frame": pa.array(out["frame"], pa.binary())})
