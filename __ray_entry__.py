@@ -449,11 +449,23 @@ def _q_doc_rolling_fp(sf_dir: str):
 
 
 def _q_doc_oov_rate(sf_dir: str):
+    # integer columns only → exactly hash-comparable against the SQL
+    # oracle (no float division on either side)
     from xtract.ops.vocab import build_vocab, oov_rate
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     vocab = build_vocab(docs, size=50)
-    return oov_rate(docs, vocab)
+    return oov_rate(docs, vocab).select_columns(
+        ["doc_id", "n_tokens_az", "n_oov"])
+
+
+def _q_doc_stopword_counts(sf_dir: str):
+    from xtract.langdetect import STOPWORDS
+    from xtract.ops.textstats import stopword_counts_batch
+
+    stop = STOPWORDS["en"]
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: stopword_counts_batch(b, stop), batch_format="pyarrow")
 
 
 def _q_lowest_confidence_docs(sf_dir: str):
@@ -530,6 +542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_order_before_event": _q_last_order_before_event,
         "vocab_top_tokens": _q_vocab_top_tokens,
         "user_sessions": _q_user_sessions,
+        "doc_oov_rate": _q_doc_oov_rate,
+        "doc_stopword_counts": _q_doc_stopword_counts,
         # extraction + ops (non-SQL → rows-only)
         "extract_pages": _q_extract_pages,
         "webtext_pipeline": _q_webtext_pipeline,
@@ -550,12 +564,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_warc": _q_extract_warc,
         "line_dedup": _q_line_dedup,
         "canonical_url_dedup": _q_canonical_url_dedup,
-        "doc_oov_rate": _q_doc_oov_rate,
         "lowest_confidence_docs": _q_lowest_confidence_docs,
     }
 
 
 _TRIM = "' ' || chr(9) || chr(10) || chr(13)"
+
+
+def _stopword_sql() -> str:
+    """Oracle for doc_stopword_counts: the English stopword table is
+    embedded as a VALUES list built from the SAME source table the Ray
+    op uses (xtract.langdetect.STOPWORDS) — one definition, two
+    engines."""
+    from xtract.langdetect import STOPWORDS
+
+    words = ", ".join(f"('{w}')" for w in sorted(STOPWORDS["en"]))
+    return (
+        "WITH stop(w) AS (VALUES " + words + "), "
+        "toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "lower(coalesce(text,'')), '[^a-z]+')) AS token FROM documents), "
+        "tk AS (SELECT doc_id, token FROM toks WHERE token != ''), "
+        "agg AS (SELECT doc_id, count(*) AS n_words_az, "
+        "CAST(sum(CASE WHEN token IN (SELECT w FROM stop) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_stopwords FROM tk GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(a.n_words_az, 0) AS n_words_az, "
+        "coalesce(a.n_stopwords, 0) AS n_stopwords "
+        "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -650,6 +684,20 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY n DESC, token LIMIT 100) "
             "SELECT row_number() OVER (ORDER BY n DESC, token) - 1 "
             "AS token_id, token, n FROM counted",
+        "doc_oov_rate":
+            "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+            "lower(coalesce(text,'')), '[^a-z]+')) AS token FROM documents), "
+            "tk AS (SELECT doc_id, token FROM toks WHERE token != ''), "
+            "vocab AS (SELECT token FROM (SELECT token, count(*) AS n "
+            "FROM tk GROUP BY token ORDER BY n DESC, token LIMIT 50)), "
+            "agg AS (SELECT doc_id, count(*) AS n_tokens_az, "
+            "CAST(sum(CASE WHEN token IN (SELECT token FROM vocab) "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS n_oov "
+            "FROM tk GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(a.n_tokens_az, 0) AS n_tokens_az, "
+            "coalesce(a.n_oov, 0) AS n_oov "
+            "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id",
+        "doc_stopword_counts": _stopword_sql(),
         "embedding_knn":
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
             "scored AS (SELECT e.vec_id, "

@@ -127,6 +127,24 @@ class QualityScorer:
                      .append_column("max_word_run", pa.array(max_rep)))
 
 
+def stopword_counts_batch(batch: pa.Table, stop: frozenset,
+                          key: str = "doc_id", col: str = "text") -> pa.Table:
+    """Integer stopword stats per document against a fixed stopword set
+    — SQL-checkable (same ``[^a-z]+`` tokenization as the vocab ops, so
+    the DuckDB oracle matches bit-for-bit)."""
+    from .vocab import sql_tokens
+
+    keys, n_words, n_stop = [], [], []
+    for k, t in zip(batch[key].to_pylist(), batch[col].to_pylist()):
+        toks = sql_tokens(t)
+        keys.append(k)
+        n_words.append(len(toks))
+        n_stop.append(sum(1 for x in toks if x in stop))
+    return pa.table({key: pa.array(keys),
+                     "n_words_az": pa.array(n_words, pa.int64()),
+                     "n_stopwords": pa.array(n_stop, pa.int64())})
+
+
 class DocLangId:
     """Actor stage: language-ID columns over documents.text (warm
     trigram/stopword tables — A10 analogue applied to the corpus)."""

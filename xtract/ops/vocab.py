@@ -86,14 +86,16 @@ def oov_rate(ds, vocab: pa.Table, key: str = "doc_id", col: str = "text"):
 
     def rate(b: pa.Table) -> pa.Table:
         vs = ray.get(vocab_ref)
-        keys, rates, n_toks = [], [], []
+        keys, rates, n_toks, n_oovs = [], [], [], []
         for k, t in zip(b[key].to_pylist(), b[col].to_pylist()):
             toks = sql_tokens(t)
             keys.append(k)
             n_toks.append(len(toks))
             oov = sum(1 for x in toks if x not in vs)
+            n_oovs.append(oov)
             rates.append(oov / len(toks) if toks else 0.0)
         return pa.table({key: pa.array(keys), "n_tokens_az": pa.array(n_toks, pa.int64()),
+                         "n_oov": pa.array(n_oovs, pa.int64()),
                          "oov_rate": pa.array(rates, pa.float64())})
 
     return ds.select_columns([key, col]).map_batches(rate, batch_format="pyarrow")
