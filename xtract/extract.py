@@ -237,10 +237,10 @@ def _finish(out, blocks, cfg, det, collect_blocks, t0):
     text = out["content_text"]
     out["lang_alternatives"] = []
     if text:
-        lang, conf = det.detect(text[:2000])
+        lang, conf, alts = det.detect_full(text[:2000])
         out["lang_detected"] = lang
         out["lang_conf"] = conf
-        out["lang_alternatives"] = det.detect_alternatives(text[:2000])
+        out["lang_alternatives"] = alts
         out["text_dir"] = text_direction(text)
         out["script"], out["script_conf"] = detect_script(text)
         # per-block language (word_recognition_language analogue) is only

@@ -74,39 +74,16 @@ class LangDetector:
         """→ (lang, conf).  Integer scoring (stopword hit = +2, evidence
         char = +3); deterministic tie-break by alphabetical language code
         (self.langs is sorted); conf = best/total, single division."""
-        toks = _TOKEN_RE.findall(text.lower())[:max_tokens]
-        if not toks:
-            return "und", 0.0
-        scores = [0] * len(self.langs)
-        wl = self.word_langs
-        cl = self.char_langs
-        for t in toks:
-            hit = wl.get(t)
-            if hit is not None:
-                for li in hit:
-                    scores[li] += 2
-            if not t.isascii():
-                for c in t:
-                    chit = cl.get(c)
-                    if chit is not None:
-                        for li in chit:
-                            scores[li] += 3
-        best_score = max(scores)
+        scores = self._scores(text, max_tokens)
+        best_score = max(scores) if scores else 0
         if best_score < self.margin:
             return "und", 0.0
         best = self.langs[scores.index(best_score)]
         total = sum(scores)
         return best, best_score / total if total else 0.0
 
-    def detect_alternatives(self, text: str, k: int = 3,
-                            max_tokens: int = 400) -> list[tuple[str, float]]:
-        """Ordered language alternatives, confidence descending with
-        deterministic tie-break by language code — the ChoiceIterator
-        analogue (reference src/choice_iterator.rs:30-71; ordering
-        contract tested at tests/test_iterators.rs:736-769)."""
+    def _scores(self, text: str, max_tokens: int) -> list[int]:
         toks = _TOKEN_RE.findall(text.lower())[:max_tokens]
-        if not toks:
-            return []
         scores = [0] * len(self.langs)
         wl, cl = self.word_langs, self.char_langs
         for t in toks:
@@ -120,12 +97,38 @@ class LangDetector:
                     if chit is not None:
                         for li in chit:
                             scores[li] += 3
+        return scores
+
+    def detect_alternatives(self, text: str, k: int = 3,
+                            max_tokens: int = 400) -> list[tuple[str, float]]:
+        """Ordered language alternatives, confidence descending with
+        deterministic tie-break by language code — the ChoiceIterator
+        analogue (reference src/choice_iterator.rs:30-71; ordering
+        contract tested at tests/test_iterators.rs:736-769)."""
+        scores = self._scores(text, max_tokens)
+        return self._rank(scores, k)
+
+    def _rank(self, scores: list[int], k: int) -> list[tuple[str, float]]:
         total = sum(scores)
         if total == 0:
             return []
         ranked = sorted(((s, l) for l, s in zip(self.langs, scores) if s > 0),
                         key=lambda p: (-p[0], p[1]))
         return [(l, s / total) for s, l in ranked[:k]]
+
+    def detect_full(self, text: str, k: int = 3, max_tokens: int = 400
+                    ) -> tuple[str, float, list[tuple[str, float]]]:
+        """(lang, conf, alternatives) from ONE scoring pass — identical
+        results to detect() + detect_alternatives(), half the work (the
+        content path calls both per document)."""
+        scores = self._scores(text, max_tokens)
+        best_score = max(scores) if scores else 0
+        if best_score < self.margin:
+            return "und", 0.0, self._rank(scores, k)
+        best = self.langs[scores.index(best_score)]
+        total = sum(scores)
+        conf = best_score / total if total else 0.0
+        return best, conf, self._rank(scores, k)
 
 
 def detector_for(cfg) -> "LangDetector":

@@ -160,23 +160,43 @@ class MinHasher:
             "minhash", pa.array(list(sigs), pa.list_(pa.uint64(), self.num_perm)))
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — vectorized, deterministic across
+    platforms (uint64 wraparound semantics)."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def _explode_bands(batch: pa.Table, key: str, bands: int, rows_per_band: int) -> pa.Table:
-    ids = batch[key].to_pylist()
-    sigs = batch["minhash"].to_pylist()
-    out = {"band": [], key: [], "minhash": []}
-    for i, sig in zip(ids, sigs):
-        for b in range(bands):
-            chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-            bh = hashlib.blake2b(
-                np.asarray(chunk, np.uint64).tobytes() + bytes([b]),
-                digest_size=8).hexdigest()
-            out["band"].append(f"{b}:{bh}")
-            out[key].append(i)
-            out["minhash"].append(sig)
+    """doc rows → (band:uint64, key, minhash) rows, fully vectorized:
+    the band bucket id is a splitmix64 fold of the band's signature
+    chunk (+ band index), computed for the whole batch in numpy — no
+    per-doc Python, no per-band hashlib calls.  The signature rides
+    along so the verify step needs no second join (documented ×bands
+    bandwidth trade)."""
+    n = len(batch)
+    if n == 0:
+        return pa.table({"band": pa.array([], pa.uint64()),
+                         key: pa.array([], pa.int64()),
+                         "minhash": pa.array([], pa.list_(pa.uint64(),
+                                                          bands * rows_per_band))})
+    ids = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    sig_arr = batch["minhash"].combine_chunks()
+    num_perm = sig_arr.type.list_size
+    sigs = sig_arr.flatten().to_numpy(zero_copy_only=False).reshape(n, num_perm)
+    chunks = sigs.reshape(n, bands, rows_per_band)
+    band_idx = np.arange(bands, dtype=np.uint64)
+    h = np.broadcast_to(_mix64(band_idx), (n, bands)).copy()
+    for r in range(rows_per_band):
+        h = _mix64(h ^ chunks[:, :, r].astype(np.uint64))
+    rep_sigs = np.repeat(sigs, bands, axis=0)
     return pa.table({
-        "band": pa.array(out["band"], pa.string()),
-        key: pa.array(out[key]),
-        "minhash": pa.array(out["minhash"], pa.list_(pa.uint64(), len(sigs[0]) if sigs else 0)),
+        "band": pa.array(h.reshape(-1), pa.uint64()),
+        key: pa.array(np.repeat(ids, bands), pa.int64()),
+        "minhash": pa.FixedSizeListArray.from_arrays(
+            pa.array(rep_sigs.reshape(-1), pa.uint64()), num_perm),
     })
 
 
@@ -207,7 +227,11 @@ def _band_runs(g: pa.Table, band_col: str, key: str, sort_extra=()):
     order = pc.sort_indices(g, sort_keys=[(band_col, "ascending"),
                                           (key, "ascending")])
     g = g.take(order)
-    bands = np.asarray(g[band_col].to_pylist(), dtype=object)
+    col = g[band_col]
+    if pa.types.is_integer(col.type):
+        bands = col.to_numpy(zero_copy_only=False)
+    else:
+        bands = np.asarray(col.to_pylist(), dtype=object)
     change = np.ones(len(g), bool)
     if len(g) > 1:
         change[1:] = bands[1:] != bands[:-1]
