@@ -54,7 +54,8 @@ def add_digest(batch: pa.Table) -> pa.Table:
     return batch.append_column("digest", pa.array(digests, pa.string()))
 
 
-def corpus_checksum(extracted_ds, dedup: bool = True) -> str:
+def corpus_checksum(extracted_ds, dedup: bool = True,
+                    pin_slim: bool = True) -> str:
     """North-rule G4: per-row digest FIRST, then project to
     (url, warc_ts, digest) before the groupby-url dedup — the shuffle
     moves 3 slim columns instead of the full extracted rows (multi-KB
@@ -67,6 +68,15 @@ def corpus_checksum(extracted_ds, dedup: bool = True) -> str:
     cols = [c for c in ("url", "warc_ts", "digest")
             if c in extracted_ds.schema().names or c == "digest"]
     ds = ds.select_columns(cols)
+    if dedup and pin_slim:
+        # pin the slim (url, ts, digest) projection before the
+        # all-to-all: when the groupby consumes the expensive extract
+        # pipeline directly, the shuffle's tasks contend with the map
+        # tasks and wall time explodes at low parallelism (measured
+        # 60 s fused vs 24 s pinned at 8 CPUs on the bench corpus).
+        # ~130 B/row in the object store, spillable; disable only when
+        # even the slim projection dwarfs local spill capacity.
+        ds = ds.materialize()
     if dedup:
         # winner per url = min (warc_ts, digest) — encoded as ONE
         # sortable composite string so the whole dedup is a single
