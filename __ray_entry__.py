@@ -459,6 +459,15 @@ def _q_doc_oov_rate(sf_dir: str):
         ["doc_id", "n_tokens_az", "n_oov"])
 
 
+def _q_doc_packing_stats(sf_dir: str):
+    from xtract.ops.packing import packing_stats
+    from xtract.ops.vocab import build_vocab
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    vocab = build_vocab(docs, size=100)
+    return packing_stats(docs, vocab, seq_len=32)
+
+
 def _q_doc_stopword_counts(sf_dir: str):
     from xtract.langdetect import STOPWORDS
     from xtract.ops.textstats import stopword_counts_batch
@@ -544,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q_user_sessions,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
+        "doc_packing_stats": _q_doc_packing_stats,
         # extraction + ops (non-SQL → rows-only)
         "extract_pages": _q_extract_pages,
         "webtext_pipeline": _q_webtext_pipeline,
@@ -698,6 +708,19 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a.n_oov, 0) AS n_oov "
             "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id",
         "doc_stopword_counts": _stopword_sql(),
+        "doc_packing_stats":
+            "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+            "lower(coalesce(text,'')), '[^a-z]+')) AS token FROM documents), "
+            "tk AS (SELECT doc_id, token FROM toks WHERE token != ''), "
+            "vocab AS (SELECT token FROM (SELECT token, count(*) AS n "
+            "FROM tk GROUP BY token ORDER BY n DESC, token LIMIT 100)), "
+            "kept AS (SELECT doc_id, count(*) AS n_kept FROM tk "
+            "WHERE token IN (SELECT token FROM vocab) GROUP BY doc_id) "
+            "SELECT doc_id, "
+            "CAST(ceil(n_kept / 32.0) AS BIGINT) AS n_sequences, "
+            "CAST(n_kept AS BIGINT) AS n_tokens_kept, "
+            "CAST(ceil(n_kept / 32.0) * 32 - n_kept AS BIGINT) AS n_pad "
+            "FROM kept WHERE n_kept > 0",
         "embedding_knn":
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
             "scored AS (SELECT e.vec_id, "

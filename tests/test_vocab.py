@@ -107,3 +107,31 @@ def test_stale_shard_dir_recomputed(ray_session, sf_dir, tmp_path):
     mans = run_extraction_job(files, out_dir, DEFAULT_CONFIG, shard_size=1)
     assert mans[0]["complete"] and mans[0]["n_rows"] > 0
     assert not os.path.exists(os.path.join(stale, "data", "junk.txt"))
+
+
+def test_pack_documents(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xtract.ops.packing import PAD_ID, pack_documents, packing_stats
+    from xtract.ops.vocab import build_vocab
+
+    docs = rd.from_items([
+        {"doc_id": 0, "text": "alpha beta gamma " * 10},   # 30 tokens
+        {"doc_id": 1, "text": "alpha beta"},               # 2 tokens
+        {"doc_id": 2, "text": "zzz@@@"},                   # 1 token, maybe OOV
+    ])
+    vocab = build_vocab(docs, size=3)  # top-3: alpha/beta/gamma
+    packed = pack_documents(docs, vocab, seq_len=8).to_pandas()
+    d0 = packed[packed.doc_id == 0].sort_values("seq_index")
+    assert len(d0) == 4                      # ceil(30/8)
+    assert d0.n_tokens.tolist() == [8, 8, 8, 6]
+    assert d0.n_pad.tolist() == [0, 0, 0, 2]
+    last = list(d0.token_ids.iloc[-1])
+    assert last[-2:] == [PAD_ID, PAD_ID]
+    assert all(len(s) == 8 for s in packed.token_ids)
+    # doc 2's only token is OOV for the top-3 vocab → no rows
+    assert 2 not in set(packed.doc_id)
+    stats = packing_stats(docs, vocab, seq_len=8).to_pandas()
+    s0 = stats[stats.doc_id == 0].iloc[0]
+    assert (s0.n_sequences, s0.n_tokens_kept, s0.n_pad) == (4, 30, 2)
