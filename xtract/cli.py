@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--retry-failed", action="store_true",
                    help="after base shards commit, lenient-re-extract "
                         "bad_encoding/parse_error rows into shard=retry/")
+    p.add_argument("--sidecar", action="store_true",
+                   help="also write the JSON text+spans sidecar per shard "
+                        "(S7 searchable-sidecar sink)")
     p.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     return p
@@ -75,7 +78,7 @@ def main(argv=None) -> int:
         manifests = run_extraction_job(
             resolve_inputs(args.input), args.out, cfg,
             shard_size=args.shard_size, write_blocks=args.blocks,
-            retry_failed=args.retry_failed)
+            write_sidecar=args.sidecar, retry_failed=args.retry_failed)
         summary = {
             "shards": len(manifests),
             "n_rows": sum(m["n_rows"] for m in manifests),

@@ -93,6 +93,8 @@ class ExtractionConfig:
         """Return a new config with one variable changed (configs are frozen
         before launch — no mid-run mutation, mirroring config replay)."""
         if name == "langs":
+            if isinstance(value, str):  # CLI form: --set langs=en,tr
+                value = [v for v in value.split(",") if v]
             return dataclasses.replace(self, langs=tuple(value))
         if name not in VARIABLE_REGISTRY:
             raise ConfigError(f"unknown variable {name!r}")
