@@ -288,3 +288,16 @@ def test_native_hash_join(ray_session):
     r = rd.from_items([{"kk": i, "y": i * 3} for i in range(5, 15)])
     j = hash_join(l, r, "k", "kk", num_partitions=2).to_pandas()
     assert len(j) == 5 and set(j.k) == set(range(5, 10))
+
+
+def test_embedding_dedup_no_pairs(ray_session):
+    import ray.data as rd
+
+    # orthogonal-ish random vectors: no pair reaches the 0.999 threshold
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((20, 16))
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                        for i in range(20)])
+    out = embedding_dedup(ds, threshold=0.9999).to_pandas()
+    assert len(out) == 20
+    assert (out.cluster_id == out.vec_id).all()  # everyone keeps own id

@@ -154,9 +154,16 @@ def attach_labels(ds, labels_ds, key: str, out_col: str = "cluster_id",
     labels_ds = labels_ds.materialize()
     n_labels = labels_ds.count()
     if n_labels <= broadcast_limit:
-        ltab = pa.Table.from_pandas(labels_ds.to_pandas())  # small by check
-        nodes = ltab["node"].to_numpy(zero_copy_only=False).astype(np.int64)
-        labs = ltab["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if n_labels == 0:
+            # Ray 2.49 empty datasets can drop their schema entirely
+            # (to_pandas → zero columns) — short-circuit: every row
+            # keeps its own id
+            nodes = np.empty(0, np.int64)
+            labs = np.empty(0, np.int64)
+        else:
+            ldf = labels_ds.to_pandas()  # small by check
+            nodes = ldf["node"].to_numpy().astype(np.int64)
+            labs = ldf["label"].to_numpy().astype(np.int64)
         order = np.argsort(nodes, kind="stable")
         ref = ray.put((nodes[order], labs[order]))
 
