@@ -28,6 +28,7 @@ def webtext_pipeline(
     min_chars: int = 80,
     line_dedup_max_docs: int = 20,
     require_lang: tuple[str, ...] = (),
+    pin_extracted: bool = True,
 ):
     """→ (clean_ds, funnel: dict[str, int]).
 
@@ -45,10 +46,17 @@ def webtext_pipeline(
         lambda t: t.filter(pc.equal(t["status"], "ok")),
         batch_format="pyarrow")
 
-    scrubbed = drop_repeated_lines(
-        ok.select_columns(["url", "warc_ts", "content_text", "lang_detected",
-                           "lang_conf"]),
-        max_docs=line_dedup_max_docs)
+    slim = ok.select_columns(["url", "warc_ts", "content_text",
+                              "lang_detected", "lang_conf"])
+    if pin_extracted:
+        # the line scrub consumes its input twice (document-frequency
+        # pass + rewrite pass); unpinned, each pass re-runs the whole
+        # read+extract.  Pin the slim projection once (object store,
+        # spillable).  Disable only when even extracted text dwarfs
+        # local spill capacity — then prefer the job driver's
+        # write-then-read shape (pipeline.run_extraction_job).
+        slim = slim.materialize()
+    scrubbed = drop_repeated_lines(slim, max_docs=line_dedup_max_docs)
 
     def quality_gate(t: pa.Table) -> pa.Table:
         mask = pc.greater_equal(pc.utf8_length(t["content_text"]), min_chars)
