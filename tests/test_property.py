@@ -58,3 +58,52 @@ def test_segment_invariants(doc: str):
         if b.spans:
             assert b.span_start < b.span_end
         assert b.n_link_chars <= b.n_chars or b.n_chars == 0
+
+
+import numpy as np
+from hypothesis import HealthCheck
+from hypothesis.extra.numpy import arrays
+
+
+@settings(max_examples=40, deadline=None)
+@given(arrays(np.uint8, st.tuples(st.integers(1, 12), st.integers(1, 12),
+                                  st.just(3))))
+def test_bmp_roundtrip_property(px):
+    from xtract.ops.multimodal import decode_bmp, encode_bmp
+
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(-20000, 20000), min_size=1, max_size=400),
+       st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip_property(vals, rate):
+    from xtract.ops.multimodal import decode_wav, encode_wav
+
+    s = np.asarray(vals, np.int16)
+    out, r = decode_wav(encode_wav(s, rate))
+    assert r == rate and (out == s).all()
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 5),
+                             st.integers(0, 99)), min_size=1, max_size=60))
+def test_first_row_per_key_matches_pandas(ray_session, rows):
+    """Winner per key under (order_col, tiebreak) must equal the pandas
+    reference regardless of block layout."""
+    import pandas as pd
+    import ray.data as rd
+
+    from xtract.ops.agg import first_row_per_key
+
+    df = pd.DataFrame(rows, columns=["k", "o", "payload"])
+    # total order inside each key group → deterministic winner
+    df["tie"] = range(len(df))
+    ds = rd.from_pandas(df).repartition(3)
+    got = (first_row_per_key(ds, "k", ("o", "tie"), num_partitions=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (df.sort_values(["k", "o", "tie"]).groupby("k", sort=True)
+            .head(1).reset_index(drop=True))
+    assert got[["k", "o", "payload", "tie"]].equals(
+        want[["k", "o", "payload", "tie"]])
