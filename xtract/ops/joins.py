@@ -104,42 +104,67 @@ def tumbling_window(ds, ts_col: str, every: str = "day",
     return g.aggregate(*(aggs or [Count(alias_name="n_events")]))
 
 
-def session_windows(ds, key: str, ts_col: str, gap_minutes: int = 30):
+def _add_key_part(b: pa.Table, key: str, num_partitions: int) -> pa.Table:
+    from .agg import _hash_part
+
+    part = _hash_part(b[key], num_partitions)
+    return b.append_column("_part", pa.array(part, pa.int64()))
+
+
+def session_windows(ds, key: str, ts_col: str, gap_minutes: int = 30,
+                    num_partitions: int = 32):
     """Session windows over an event log: per key, events sorted by
     (ts, event_id); a gap > ``gap_minutes`` starts a new session.
-    → (key, session_id, n_events) — the classic gap-based session
-    assignment as groupby(key).map_groups over ts-sorted groups.
-    Partitioning assumption: one key's events fit in one group (holds
-    for per-user web logs; a hotter key needs ts-range pre-bucketing)."""
+    → (key, session_id, n_events).
+
+    Shape: hash co-group by ``key`` into P coarse partitions, then ONE
+    pandas pass per partition — sort by (key, ts, event_id), flag gaps,
+    per-key cumulative session ids via cython ``groupby.cumsum`` — so
+    the interpreter runs P times, not once per key (the round-1
+    per-key ``map_groups`` was a Python call per user).  Partitioning
+    assumption: one key's events live in one partition (guaranteed by
+    the hash); a pathologically hot key needs ts-range pre-bucketing."""
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, "event_id"], kind="mergesort")
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, "event_id"],
+                          kind="mergesort").reset_index(drop=True)
         ts = g[ts_col].to_numpy()
-        new_session = np.ones(len(g), dtype=np.int64)
+        k = g[key].to_numpy()
+        new_s = np.ones(len(g), dtype=np.int64)
         if len(g) > 1:
-            new_session[1:] = (np.diff(ts) > gap).astype(np.int64)
-        session_id = np.cumsum(new_session)
-        out = pd.DataFrame({key: g[key].to_numpy(), "session_id": session_id})
-        return (out.groupby([key, "session_id"], sort=True)
-                .size().rename("n_events").reset_index())
+            same_key = k[1:] == k[:-1]
+            new_s[1:] = (~same_key | (np.diff(ts) > gap)).astype(np.int64)
+        g = pd.DataFrame({key: k, "new_s": new_s})
+        g["session_id"] = g.groupby(key, sort=False)["new_s"].cumsum()
+        out = (g.groupby([key, "session_id"], sort=True)
+               .size().rename("n_events").reset_index())
+        return out
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return (ds.map_batches(lambda b: _add_key_part(b, key, num_partitions),
+                           batch_format="pyarrow")
+              .groupby("_part")
+              .map_groups(per_partition, batch_format="pandas"))
 
 
 def windowed_running(ds, key: str, ts_col: str, value_col: str,
-                     round_to: int = 2):
+                     round_to: int = 2, num_partitions: int = 32):
     """Per-key ordered running aggregate (row_number + cumulative sum) —
-    the window-function composition via groupby(key).map_groups over
-    ts-sorted groups (the guide's streaming-shaped pattern)."""
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, "event_id"], kind="mergesort").reset_index(drop=True)
-        out = pd.DataFrame({
+    same coarse co-group shape as ``session_windows``: one vectorized
+    pandas pass (cython ``cumcount``/``cumsum``) per partition covers
+    every key in it."""
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        grp = g.groupby(key, sort=False)
+        return pd.DataFrame({
             key: g[key],
             "event_id": g["event_id"],
-            "seq": np.arange(1, len(g) + 1, dtype=np.int64),
-            "running_value": g[value_col].cumsum().round(round_to),
+            "seq": grp.cumcount().to_numpy() + 1,
+            "running_value": grp[value_col].cumsum().round(round_to),
         })
-        return out
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return (ds.map_batches(lambda b: _add_key_part(b, key, num_partitions),
+                           batch_format="pyarrow")
+              .groupby("_part")
+              .map_groups(per_partition, batch_format="pandas"))
