@@ -329,6 +329,40 @@ def _q_user_sessions(sf_dir: str):
     return session_windows(ev, "user_id", "ts", gap_minutes=30)
 
 
+def _q_last_order_before_event_cogroup(sf_dir: str):
+    """Same as-of semantics via the LARGE-×-LARGE co-group path (hash
+    co-partition + one pandas merge_asof per partition) — no broadcast:
+    the scale shape when the right side doesn't fit in the object
+    store.  Verified against the identical SQL oracle."""
+    import pandas as pd
+    import ray.data as rd
+
+    from xtract.ops.joins import asof_join_cogroup
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    orders = orders.map_batches(
+        lambda b: pa.table({"user_id": b["o_custkey"],
+                            "o_orderdate": b["o_orderdate"]}),
+        batch_format="pyarrow")
+    joined = asof_join_cogroup(ev, orders, "user_id", "ts",
+                               "o_orderdate", ["o_orderdate"])
+
+    def fmt(b: pa.Table) -> pa.Table:
+        dates = b["o_orderdate_asof"].to_pylist()
+        return pa.table({
+            "event_id": b["event_id"],
+            "last_order_date": pa.array(
+                [None if d is None or (isinstance(d, float) and d != d)
+                 else pd.Timestamp(d).strftime("%Y-%m-%d")
+                 for d in dates], pa.string()),
+        })
+
+    return joined.map_batches(fmt, batch_format="pyarrow")
+
+
 def _q_vocab_top_tokens(sf_dir: str):
     from xtract.ops.vocab import build_vocab
 
@@ -549,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_by_type": _q_events_hourly_by_type,
         "user_running_total": _q_user_running_total,
         "last_order_before_event": _q_last_order_before_event,
+        "last_order_before_event_cogroup": _q_last_order_before_event_cogroup,
         "vocab_top_tokens": _q_vocab_top_tokens,
         "user_sessions": _q_user_sessions,
         "doc_oov_rate": _q_doc_oov_rate,
@@ -671,6 +706,11 @@ def oracle_sql() -> dict[str, str]:
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING)",
         "last_order_before_event":
+            "SELECT e.event_id, "
+            "(SELECT strftime(max(o.o_orderdate), '%Y-%m-%d') FROM orders o "
+            "WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) "
+            "AS last_order_date FROM events e",
+        "last_order_before_event_cogroup":
             "SELECT e.event_id, "
             "(SELECT strftime(max(o.o_orderdate), '%Y-%m-%d') FROM orders o "
             "WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) "

@@ -208,3 +208,38 @@ def test_quality_gopher_signals(ray_session):
     assert out["max_word_run"][1] >= 10
     assert out["compression_ratio"][1] < out["compression_ratio"][0]
     assert out["quality_score"][0] > out["quality_score"][1]
+
+
+def test_asof_join_cogroup_matches_broadcast(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from xtract.ops.joins import asof_join_broadcast, asof_join_cogroup
+
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({
+        "event_id": np.arange(200),
+        "user_id": rng.integers(0, 12, 200),
+        "ts": [base + pd.Timedelta(minutes=int(m))
+               for m in rng.integers(0, 5000, 200)],
+    })
+    right = pd.DataFrame({
+        "user_id": rng.integers(0, 12, 80),
+        "rts": [base + pd.Timedelta(minutes=int(m))
+                for m in rng.integers(0, 5000, 80)],
+        "val": rng.integers(0, 1000, 80),
+    })
+    lds = rd.from_pandas(left).repartition(3)
+    bc = asof_join_broadcast(lds, right.rename(columns={"rts": "ts_r"}),
+                             "user_id", "ts", "user_id", "ts_r",
+                             ["val"]).to_pandas()
+    cg = asof_join_cogroup(lds, rd.from_pandas(right).repartition(2),
+                           "user_id", "ts", "rts", ["val"],
+                           num_partitions=4).to_pandas()
+    bcs = bc.sort_values("event_id").reset_index(drop=True)
+    cgs = cg.sort_values("event_id").reset_index(drop=True)
+    assert bcs.val_asof.fillna(-1).astype("int64").tolist() == \
+        cgs.val_asof.fillna(-1).astype("int64").tolist()
+    assert cgs.event_id.tolist() == bcs.event_id.tolist()

@@ -87,6 +87,103 @@ def asof_join_broadcast(ds, right_df: "pd.DataFrame", left_key: str,
     return ds.map_batches(attach, batch_format="pyarrow")
 
 
+def asof_join_cogroup(left_ds, right_ds, key: str, left_ts: str,
+                      right_ts: str, value_cols: list[str],
+                      suffix: str = "_asof", num_partitions: int = 32):
+    """As-of join where BOTH sides are large (no broadcast): for each
+    left row, the right row with the greatest ``right_ts`` ≤
+    ``left_ts`` within the same key.
+
+    Shape: both sides are tagged with ``part = hash(key) % P`` (one
+    hash exchange each — only the join key, timestamp, and requested
+    value columns move) and co-grouped; each partition runs ONE
+    ``pandas.merge_asof(by=key)`` — a cython merge over every key in
+    the partition.  P interpreter calls total.  Tie rule: among right
+    rows sharing (key, ts) the last under a (ts, *value_cols) sort
+    wins (deterministic).
+
+    Left columns all survive; matched values arrive as
+    ``<col><suffix>``.  This is the scale path the broadcast variant's
+    docstring promises for big right sides."""
+    left_schema = left_ds.schema()
+    left_cols = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    rs = right_ds.schema()
+    right_types = dict(zip(rs.names, rs.types))
+    out_names = left_cols + [c + suffix for c in value_cols]
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        from .agg import _hash_part
+
+        part = _hash_part(b[key], num_partitions)
+        cols = {"_part": pa.array(part, pa.int64()),
+                "_side": pa.array(np.zeros(len(b), np.int8)),
+                "_ts": b[left_ts]}
+        for c in left_cols:
+            cols["l_" + c] = b[c]
+        for c in value_cols:
+            cols["r_" + c] = pa.nulls(len(b), right_types[c])
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        from .agg import _hash_part
+
+        part = _hash_part(b[key], num_partitions)
+        cols = {"_part": pa.array(part, pa.int64()),
+                "_side": pa.array(np.ones(len(b), np.int8)),
+                "_ts": pc.cast(b[right_ts], left_types[left_ts])}
+        for c in left_cols:
+            if c == key:
+                cols["l_" + c] = b[key]
+            else:
+                cols["l_" + c] = pa.nulls(len(b), left_types[c])
+        for c in value_cols:
+            cols["r_" + c] = b[c]
+        return pa.table(cols)
+
+    both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.select_columns(
+            list(dict.fromkeys([key, right_ts] + value_cols))).map_batches(
+            tag_right, batch_format="pyarrow"))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        L = df[df["_side"] == 0]
+        R = df[df["_side"] == 1]
+        kcol = "l_" + key
+        L = L.sort_values("_ts", kind="mergesort")
+        R = R.sort_values(["_ts"] + ["r_" + c for c in value_cols],
+                          kind="mergesort")
+        if len(R):
+            merged = pd.merge_asof(
+                L[[kcol, "_ts"] + ["l_" + c for c in left_cols if c != key]],
+                R[[kcol, "_ts"] + ["r_" + c for c in value_cols]],
+                on="_ts", by=kcol, direction="backward")
+        else:
+            merged = L.copy()
+            for c in value_cols:
+                merged["r_" + c] = None
+        out = {}
+        for c in left_cols:
+            out[c] = merged[("l_" + c) if c != key else kcol]
+        # the left ts column round-trips through _ts
+        out[left_ts] = merged["_ts"]
+        for c in value_cols:
+            out[c + suffix] = merged["r_" + c]
+        res = pd.DataFrame({n: out[n] for n in out_names})
+        # the union pads left columns with nulls on right-side rows,
+        # which upcasts ints to float64 in pandas; the left rows
+        # themselves are null-free, so restore the true dtypes
+        for c in left_cols:
+            try:
+                res[c] = res[c].astype(left_types[c].to_pandas_dtype())
+            except (TypeError, ValueError):
+                pass
+        return res
+
+    return (both.groupby("_part")
+            .map_groups(per_partition, batch_format="pandas"))
+
+
 def tumbling_window(ds, ts_col: str, every: str = "day",
                     keys: list[str] | None = None, aggs=None):
     """Tumbling event-time window: bucket ts (strftime) inside
