@@ -493,6 +493,19 @@ def _q_doc_oov_rate(sf_dir: str):
         ["doc_id", "n_tokens_az", "n_oov"])
 
 
+def _q_top_parts_per_brand(sf_dir: str):
+    """Grouped top-N (3 cheapest parts per brand, deterministic
+    p_partkey tie-break) via the combiner + coarse co-group operator
+    ``ops.agg.top_k_per_key``."""
+    import ray.data as rd
+
+    from xtract.ops.agg import top_k_per_key
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand", "p_retailprice"])
+    return top_k_per_key(part, "p_brand", ("p_retailprice", "p_partkey"), 3)
+
+
 def _q_doc_packing_stats(sf_dir: str):
     from xtract.ops.packing import packing_stats
     from xtract.ops.vocab import build_vocab
@@ -589,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
+        "top_parts_per_brand": _q_top_parts_per_brand,
         # extraction + ops (non-SQL → rows-only)
         "extract_pages": _q_extract_pages,
         "webtext_pipeline": _q_webtext_pipeline,
@@ -748,6 +762,12 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a.n_oov, 0) AS n_oov "
             "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id",
         "doc_stopword_counts": _stopword_sql(),
+        "top_parts_per_brand":
+            "SELECT p_partkey, p_brand, p_retailprice FROM ("
+            "SELECT p_partkey, p_brand, p_retailprice, "
+            "row_number() OVER (PARTITION BY p_brand "
+            "ORDER BY p_retailprice, p_partkey) AS rn FROM part) "
+            "WHERE rn <= 3",
         "doc_packing_stats":
             "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
             "lower(coalesce(text,'')), '[^a-z]+')) AS token FROM documents), "

@@ -34,19 +34,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _winners(t: pa.Table, key: str, order_cols: tuple[str, ...]) -> pa.Table:
-    """Keep each key's first row under sort order (key, *order_cols)."""
-    if len(t) < 2:
-        return t
-    sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_cols]
-    idx = pc.sort_indices(t, sort_keys=sort_keys)
-    t = t.take(idx)
-    k = t[key].combine_chunks()
-    neq = pc.not_equal(k.slice(1), k.slice(0, len(t) - 1))
-    mask = pa.chunked_array([pa.array([True], pa.bool_()), neq])
-    return t.filter(mask)
-
-
 def _hash_part(col: pa.ChunkedArray, num_partitions: int) -> np.ndarray:
     if pa.types.is_integer(col.type):
         ids = col.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -55,23 +42,58 @@ def _hash_part(col: pa.ChunkedArray, num_partitions: int) -> np.ndarray:
     return (pd.util.hash_array(vals) % num_partitions).astype(np.int64)
 
 
+def _top_rows(t: pa.Table, key: str, order_cols: tuple[str, ...],
+              k: int) -> pa.Table:
+    """Keep each key's first ``k`` rows under sort order
+    (key, *order_cols) — vectorized rank-within-run mask."""
+    if len(t) <= 1:
+        return t
+    sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_cols]
+    idx = pc.sort_indices(t, sort_keys=sort_keys)
+    t = t.take(idx)
+    karr = t[key].combine_chunks()
+    if pa.types.is_integer(karr.type):
+        kv = karr.to_numpy(zero_copy_only=False)
+        change = np.ones(len(t), bool)
+        change[1:] = kv[1:] != kv[:-1]
+    else:
+        kv = np.asarray(karr.to_pylist(), dtype=object)
+        change = np.ones(len(t), bool)
+        change[1:] = kv[1:] != kv[:-1]
+    # rank within run: index − index-of-run-start
+    starts = np.flatnonzero(change)
+    run_id = np.cumsum(change) - 1
+    rank = np.arange(len(t)) - starts[run_id]
+    return t.filter(pa.array(rank < k))
+
+
 def first_row_per_key(ds, key: str, order_cols: tuple[str, ...] = (),
                       num_partitions: int = 32):
     """→ Dataset with exactly one (winner) row per distinct ``key``.
 
     Winner = min under (order_cols) within the key group.  Nested
     payload columns survive (pyarrow ``take``/``filter`` only)."""
+    return top_k_per_key(ds, key, order_cols, 1, num_partitions)
+
+
+def top_k_per_key(ds, key: str, order_cols: tuple[str, ...] = (),
+                  k: int = 1, num_partitions: int = 32):
+    """→ Dataset with each key's first ``k`` rows under (order_cols) —
+    the grouped-top-N operator (e.g. best N documents per domain),
+    same combiner + coarse co-group shape as ``first_row_per_key``:
+    blocks pre-prune to ≤k rows per key, the partition pass finishes
+    exactly."""
     order_cols = tuple(order_cols)
 
     def combine(t: pa.Table) -> pa.Table:
-        return _winners(t, key, order_cols)
+        return _top_rows(t, key, order_cols, k)
 
     def add_part(t: pa.Table) -> pa.Table:
         part = _hash_part(t[key], num_partitions)
         return t.append_column("_part", pa.array(part, pa.int64()))
 
     def finish(g: pa.Table) -> pa.Table:
-        return _winners(g, key, order_cols).drop_columns(["_part"])
+        return _top_rows(g, key, order_cols, k).drop_columns(["_part"])
 
     return (ds.map_batches(combine, batch_format="pyarrow")
               .map_batches(add_part, batch_format="pyarrow")
