@@ -301,3 +301,33 @@ def test_embedding_dedup_no_pairs(ray_session):
     out = embedding_dedup(ds, threshold=0.9999).to_pandas()
     assert len(out) == 20
     assert (out.cluster_id == out.vec_id).all()  # everyone keeps own id
+
+
+def test_hll_approx_distinct(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.sketch import approx_distinct
+
+    n = 5000
+    ds = rd.from_items([{"v": f"value-{i % 1500}"} for i in range(n)]
+                       ).repartition(5)
+    est = approx_distinct(ds, "v", p=12)
+    assert abs(est - 1500) / 1500 < 0.05
+    # partition-independence: same estimate under a different layout
+    est2 = approx_distinct(ds.repartition(2), "v", p=12)
+    assert est == est2
+
+
+def test_hll_token_mode(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.sketch import approx_distinct
+
+    # NB sql_tokens splits on [^a-z]+ — use letter-only unique tokens
+    def word(i):
+        return "".join("abcdefghij"[int(d)] for d in str(i))
+
+    docs = rd.from_items([{"text": f"alpha beta tok{word(i)}x"}
+                          for i in range(300)])
+    est = approx_distinct(docs, "text", p=12, tokenize=True)
+    assert abs(est - 302) / 302 < 0.06
