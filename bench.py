@@ -156,6 +156,33 @@ def bench_once() -> dict:
     q0 = np.asarray([r["embedding"] for r in emb.take(4)], np.float64)
     queries["knn_bruteforce"] = timed(lambda: knn_bruteforce(emb, q0, k=10))
 
+    from xtract.ops.joins import asof_join_cogroup
+
+    def run_asof():
+        orders = rd.read_parquet(f"{SF_DIR}/orders.parquet",
+                                 columns=["o_custkey", "o_orderdate"])
+        orders = orders.map_batches(
+            lambda b: __import__("pyarrow").table(
+                {"user_id": b["o_custkey"], "o_orderdate": b["o_orderdate"]}),
+            batch_format="pyarrow")
+        ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+        asof_join_cogroup(ev, orders, "user_id", "ts", "o_orderdate",
+                          ["o_orderdate"]).count()
+
+    queries["asof_cogroup"] = timed(run_asof)
+
+    from xtract.ops.packing import pack_documents
+    from xtract.ops.vocab import build_vocab
+
+    def run_pack():
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text"])
+        vocab = build_vocab(docs, size=4096)
+        pack_documents(docs, vocab, seq_len=512).count()
+
+    queries["pack_sequences"] = timed(run_pack)
+
     result = {
         "metric": "extracted documents/sec (byte-identical text per url)",
         "value": round(t_extract, 3),
