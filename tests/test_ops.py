@@ -331,3 +331,24 @@ def test_hll_token_mode(ray_session):
                           for i in range(300)])
     est = approx_distinct(docs, "text", p=12, tokenize=True)
     assert abs(est - 302) / 302 < 0.06
+
+
+def test_dedup_index_incremental(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.dedup_index import DedupIndex
+
+    idx = DedupIndex(num_shards=4)
+    job1 = rd.from_items([{"doc_id": i, "text": f"doc number {i}"}
+                          for i in range(50)] +
+                         [{"doc_id": 99, "text": "doc number 7"}])  # dup of 7
+    kept1 = idx.filter_new(job1).to_pandas()
+    assert len(kept1) == 50                      # within-job dup dropped
+    assert idx.total() == 50
+    # a later job: half overlap with job1, half new
+    job2 = rd.from_items([{"doc_id": 1000 + i,
+                           "text": f"doc number {i + 25}"} for i in range(50)])
+    kept2 = idx.filter_new(job2).to_pandas()
+    assert len(kept2) == 25                      # only the unseen half survives
+    assert set(kept2.doc_id) == {1000 + i for i in range(25, 50)}
+    assert idx.total() == 75
