@@ -356,13 +356,15 @@ def run_extraction_job(
         os.rename(tmp_dir, shard_dir)
         manifests.append(manifest)
     if retry_failed:
-        m = _run_retry_shard(input_files, out_dir, cfg)
+        m = _run_retry_shard(input_files, out_dir, cfg,
+                             write_sidecar=write_sidecar)
         if m is not None:
             manifests.append(m)
     return manifests
 
 
-def _run_retry_shard(input_files, out_dir: str, cfg: ExtractionConfig):
+def _run_retry_shard(input_files, out_dir: str, cfg: ExtractionConfig,
+                     write_sidecar: bool = False):
     """Job-level retry pass (C2 at the job driver, the efficient shape):
     scan the ALREADY-WRITTEN shard outputs for retryable statuses (a
     cheap 2-column read — no re-extraction), broadcast the failed url
@@ -399,6 +401,10 @@ def _run_retry_shard(input_files, out_dir: str, cfg: ExtractionConfig):
         Extractor, fn_constructor_args=(cfg.to_json(), True),
         batch_format="pyarrow", batch_size=16, concurrency=(1, 4), num_cpus=1)
     lenient.write_parquet(os.path.join(tmp_dir, "data"))
+    if write_sidecar:
+        rd.read_parquet(glob_data(tmp_dir),
+                        columns=["url", "content_text", "content_spans"]
+                        ).write_json(os.path.join(tmp_dir, "sidecar"))
     done = rd.read_parquet(glob_data(tmp_dir), columns=["url", "content_text"])
     parts = done.map_batches(_shard_digest_partial, batch_format="pyarrow").take_all()
     manifest = {

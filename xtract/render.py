@@ -216,10 +216,32 @@ class RenderStage:
         return pa.table(out)
 
 
+_WORKER_RENDERERS: dict[tuple, "RenderStage"] = {}
+
+
+def render_batch_task(batch, cfg_json: str, formats: tuple[str, ...]):
+    """Stateless-task variant with warm per-worker renderer state (same
+    no-pool-ramp shape as the extract/explode stages)."""
+    key = (cfg_json, tuple(formats))
+    st = _WORKER_RENDERERS.get(key)
+    if st is None:
+        st = _WORKER_RENDERERS[key] = RenderStage(cfg_json, tuple(formats))
+    return st(batch)
+
+
 def render_pages(ds, cfg: ExtractionConfig = DEFAULT_CONFIG,
                  formats: tuple[str, ...] = ("hocr",), batch_size: int = 32,
-                 concurrency=(2, 8)):
-    """pages Dataset → rendered Dataset (url, format, payload)."""
-    return ds.map_batches(RenderStage, fn_constructor_args=(cfg.to_json(), formats),
-                          batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=concurrency, num_cpus=1)
+                 concurrency=(2, 8), use_actors: bool = False):
+    """pages Dataset → rendered Dataset (url, format, payload).
+
+    Default: warm-task stage (no actor-pool ramp); ``use_actors`` keeps
+    the pool shape for heavyweight per-worker state."""
+    if use_actors:
+        return ds.map_batches(RenderStage,
+                              fn_constructor_args=(cfg.to_json(), formats),
+                              batch_format="pyarrow", batch_size=batch_size,
+                              concurrency=concurrency, num_cpus=1)
+    return ds.map_batches(
+        render_batch_task,
+        fn_kwargs={"cfg_json": cfg.to_json(), "formats": tuple(formats)},
+        batch_format="pyarrow", batch_size=batch_size)
