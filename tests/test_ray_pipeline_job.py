@@ -86,3 +86,25 @@ def test_job_retry_shard(ray_session, sf_dir, tmp_path):
     # every failed url has a recovered counterpart
     failed = set(rows[rows.status == "bad_encoding"].url)
     assert failed <= set(recovered.url)
+
+
+def test_manifest_carries_extraction_metrics(ray_session, tmp_path):
+    import glob
+    import json
+
+    from xtract.config import DEFAULT_CONFIG
+    from xtract.pipeline import run_extraction_job
+    from xtract.synth import synth_pages_dataset
+
+    pages = synth_pages_dataset("/root/testdata/sf0.001").limit(40)
+    src = str(tmp_path / "src")
+    pages.repartition(2).write_parquet(src)
+    files = sorted(glob.glob(src + "/*.parquet"))
+    ms = run_extraction_job(files, str(tmp_path / "out"), DEFAULT_CONFIG,
+                            shard_size=4)
+    m = ms[0]["metrics"]
+    assert m["html_bytes"] > 0
+    assert m["blocks_kept"] > 0
+    assert isinstance(m["status_counts"], dict) and m["status_counts"]
+    assert m["parse_failures"] >= 0
+    assert m["docs_per_s"] and m["docs_per_s"] > 0

@@ -490,10 +490,12 @@ def embedding_dedup(ds, key: str = "vec_id", col: str = "embedding",
         return pa.table({key: b[key], "bucket": pa.array(codes, pa.int64()),
                          col: b[col]})
 
-    def verify_partition(g: pa.Table) -> pa.Table:
+    def verify_partition(g: pa.Table, chunk: int = 2048) -> pa.Table:
         """One coarse partition's bucket rows → exact-cosine-verified
-        pairs; the unit matrix is built once per partition, per-bucket
-        work is a small gram matrix."""
+        pairs; the unit matrix is built once per partition.  The gram
+        matrix of a pathologically hot bucket is computed in
+        ``chunk``-row strips, so memory stays O(chunk × bucket) no
+        matter how many near-identical vectors share one bucket."""
         if len(g) < 2:
             return _EMPTY_PAIRS.empty_table()
         g, starts, ends = _band_runs(g, "bucket", key)
@@ -505,15 +507,20 @@ def embedding_dedup(ds, key: str = "vec_id", col: str = "embedding",
         a_out: list[int] = []
         b_out: list[int] = []
         for s, e in zip(starts, ends):
-            if e - s < 2:
+            m = e - s
+            if m < 2:
                 continue
             sub_ids = ids[s:e]
-            sims = unit[s:e] @ unit[s:e].T
-            ii, jj = np.triu_indices(e - s, k=1)
-            hits = np.flatnonzero(sims[ii, jj] >= threshold)
-            for h in hits:
-                a_out.append(int(sub_ids[ii[h]]))
-                b_out.append(int(sub_ids[jj[h]]))
+            sub = unit[s:e]
+            for c0 in range(0, m, chunk):
+                c1 = min(c0 + chunk, m)
+                sims = sub[c0:c1] @ sub.T  # (c1-c0, m)
+                ii, jj = np.nonzero(sims >= threshold)
+                # upper triangle only (global row index < col index)
+                keep = (ii + c0) < jj
+                for i, j in zip(ii[keep], jj[keep]):
+                    a_out.append(int(sub_ids[i + c0]))
+                    b_out.append(int(sub_ids[j]))
         return pa.table({"a": pa.array(a_out, pa.int64()),
                          "b": pa.array(b_out, pa.int64())})
 

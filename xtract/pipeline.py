@@ -252,6 +252,31 @@ def merge_checksum_partials(partials: list[tuple[str, int]]) -> str:
     return f"{n}:{total:064x}"
 
 
+def _shard_metrics(done_ds) -> dict:
+    """Per-shard extraction metrics from the written columns (one tiny
+    aggregate + a status histogram — no extra pass over the source)."""
+    from ray.data.aggregate import Count, Sum
+
+    row = done_ds.aggregate(
+        Sum("html_len", alias_name="html_bytes"),
+        Sum("n_blocks_kept", alias_name="blocks_kept"),
+        Sum("n_blocks_dropped", alias_name="blocks_dropped"),
+    )
+    st = done_ds.groupby("status").aggregate(
+        Count(alias_name="n")).take_all()
+    counts = {r["status"]: int(r["n"]) for r in st}
+    return {
+        "html_bytes": int(row["html_bytes"] or 0),
+        "blocks_kept": int(row["blocks_kept"] or 0),
+        "blocks_dropped": int(row["blocks_dropped"] or 0),
+        "status_counts": counts,
+        "parse_failures": sum(v for k, v in counts.items()
+                              if k in ("parse_error", "bad_encoding",
+                                       "unsupported_binary", "invalid",
+                                       "timeout")),
+    }
+
+
 def read_extracted(out_dir: str, columns: Optional[Sequence[str]] = None):
     """Read a job's output across all completed shards (read_parquet takes
     a list of files, not of directories)."""
@@ -330,21 +355,31 @@ def run_extraction_job(
                 columns=["url", "content_text", "content_spans"],
             ).write_json(os.path.join(tmp_dir, "sidecar"))
 
-        done = rd.read_parquet(os.path.join(tmp_dir, "data"),
-                               columns=["url", "content_text", "status", "html_len"])
+        done = rd.read_parquet(
+            os.path.join(tmp_dir, "data"),
+            columns=["url", "content_text", "status", "html_len",
+                     "n_blocks_kept", "n_blocks_dropped"])
         parts = done.map_batches(_shard_digest_partial,
                                  batch_format="pyarrow").take_all()
         checksum = merge_checksum_partials([(r["partial"], r["n"]) for r in parts])
         n_rows = sum(int(r["n"]) for r in parts)
+        metrics = _shard_metrics(done)
+        wall = round(time.monotonic() - t0, 3)
+        metrics["docs_per_s"] = round(n_rows / wall, 1) if wall else None
+        metrics["html_bytes_per_s"] = (
+            round(metrics["html_bytes"] / wall, 1) if wall else None)
         manifest = {
             "shard_id": sid,
             "input_files": files,
             "n_rows": n_rows,
             "checksum": checksum,
+            # north-rule extraction metrics: blocks kept/dropped, parse
+            # failures, bytes and rates — per shard, in the lineage
+            "metrics": metrics,
             "config_hash": cfg.config_hash(),
             "config": json.loads(cfg.to_json()),
             "engine_version": __version__,
-            "wall_s": round(time.monotonic() - t0, 3),
+            "wall_s": wall,
             "complete": True,
         }
         with open(os.path.join(tmp_dir, "manifest.json"), "w") as f:
