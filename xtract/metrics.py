@@ -4,9 +4,9 @@ G1/G2: per-document confidence stats come out of the extract stage with
 no shuffle (computed inside the per-doc pass, the ``mean_text_conf``
 analogue ``src/api.rs:114-120``).  G3: global counters via tiny
 ``aggregate`` reductions.  G4 (north rule): full-corpus checksum via
-groupby-url — exact url-dedup (hash partition + per-group first) then a
-commutative digest sum, so the result is independent of partitioning
-and parallelism.
+groupby-url — exact url-dedup (one native Min aggregate over a
+sortable composite; no per-group Python) then a commutative digest
+sum, so the result is independent of partitioning and parallelism.
 
 Scale notes: the only all-to-all exchange here is the ``groupby('url')``
 — key cardinality ≈ corpus size, uniform after hashing, no hot keys.

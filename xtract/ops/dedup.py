@@ -3,9 +3,10 @@ embedding-cosine near-dup.
 
 All Ray-Data-first and shuffle-aware:
 
-- **exact**: vectorized content-hash in ``map_batches`` → hash-partition
-  ``groupby(hash)`` → per-group deterministic first.  The only shuffle
-  moves (hash, doc_id) pairs, not document text.
+- **exact**: vectorized content-hash in ``map_batches`` → per-block
+  combiner (one partial per distinct hash per block) → native
+  ``groupby(hash).aggregate(Min, Sum)``.  The only shuffle moves
+  (hash, doc_id, count) partials, not document text.
 - **MinHash+LSH**: shingle → 64-perm minhash signature per doc (one
   ``map_batches`` pass) → explode to (band_id, band_hash, doc_id,
   signature) rows → ``groupby(band)`` emits candidate pairs → pairwise
