@@ -352,3 +352,26 @@ def test_dedup_index_incremental(ray_session):
     assert len(kept2) == 25                      # only the unseen half survives
     assert set(kept2.doc_id) == {1000 + i for i in range(25, 50)}
     assert idx.total() == 75
+
+
+def test_ivf_index_persist_and_query(ray_session, tmp_path):
+    import ray.data as rd
+
+    from xtract.ops.similarity import build_ivf_index, knn_bruteforce, knn_ivf_index
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((400, 16))
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                        for i in range(400)])
+    out = str(tmp_path / "ivf")
+    centers = build_ivf_index(ds, out, n_cells=8)
+    assert centers.shape == (8, 16)
+    q = vecs[:3]
+    got = knn_ivf_index(out, q, k=5, nprobe=4).to_pandas()
+    bf = knn_bruteforce(ds, q, k=5).to_pandas()
+    hits = len(set(map(tuple, got[["query_id", "vec_id"]].values)) &
+               set(map(tuple, bf[["query_id", "vec_id"]].values)))
+    assert hits / len(bf) >= 0.8       # ANN recall vs exact
+    # each query's own vector must be its rank-1 hit
+    for qi in range(3):
+        assert got[got.query_id == qi].iloc[0].vec_id == qi

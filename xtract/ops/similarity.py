@@ -55,6 +55,107 @@ def knn_bruteforce(ds, queries: np.ndarray, k: int = 10,
     return _merge_topk(parts, nq, k, key)
 
 
+def build_ivf_index(ds, out_dir: str, n_cells: int = 16,
+                    key: str = "vec_id", col: str = "embedding",
+                    train_sample: int = 2048) -> np.ndarray:
+    """Persist an IVF index: centroids (parquet) + the vectors written
+    as CELL-PARTITIONED parquet (``cell=<i>/`` directories).  Build
+    once; ``knn_ivf_index`` then reads ONLY the probed cells' files —
+    partition pruning at the storage layer, the shape that matters when
+    the corpus doesn't fit anywhere: a query touches nprobe/n_cells of
+    the bytes.  Returns the centroid matrix."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    n = ds.count()
+    stride = max(1, n // train_sample)
+
+    def stratified(b: pa.Table) -> pa.Table:
+        ids = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(ids % stride == 0))
+
+    sample_rows = ds.select_columns([key, col]).map_batches(
+        stratified, batch_format="pyarrow").limit(train_sample).take_all()
+    centers = deterministic_kmeans(
+        np.asarray([r[col] for r in sample_rows], np.float64), n_cells)
+
+    idx = IVFIndex(centers)
+    assigned = ds.select_columns([key, col]).map_batches(
+        lambda b: idx.assign_batch(b, col), batch_format="pyarrow")
+    os.makedirs(out_dir, exist_ok=True)
+    assigned.write_parquet(os.path.join(out_dir, "cells"),
+                           partition_cols=["cell"])
+    pq.write_table(pa.table({"cell": pa.array(range(len(centers)), pa.int64()),
+                             "center": pa.array(list(centers),
+                                                pa.list_(pa.float64()))}),
+                   os.path.join(out_dir, "centroids.parquet"))
+    return centers
+
+
+def knn_ivf_index(out_dir: str, queries: np.ndarray, k: int = 10,
+                  nprobe: int = 4, key: str = "vec_id",
+                  col: str = "embedding") -> pa.Table:
+    """Query a persisted IVF index: load centroids, read ONLY the
+    probed cells' parquet partitions (a list of files per cell —
+    nothing else leaves storage), per-batch partial top-k restricted
+    to each query's probed cells, tiny merge."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    ctab = pq.read_table(os.path.join(out_dir, "centroids.parquet"))
+    order = np.argsort(ctab["cell"].to_numpy())
+    centers = np.asarray(ctab["center"].to_pylist(), np.float64)[order]
+
+    q = _unit(np.asarray(queries, np.float64))
+    nq = q.shape[0]
+    probe_cells = np.argsort(-(q @ centers.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(c) for row in probe_cells for c in row})
+    files = []
+    for c in wanted:
+        files.extend(sorted(glob.glob(
+            os.path.join(out_dir, "cells", f"cell={c}", "*.parquet"))))
+    if not files:
+        return _merge_topk(
+            __import__("pandas").DataFrame(
+                {"query_id": [], key: [], "score": []}), nq, k, key)
+    # ray read_parquet reconstructs the hive 'cell' column from the
+    # paths; the pruned file list IS the partition pruning
+    ref = ray.put((q, probe_cells))
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        qm, probes = ray.get(ref)
+        ids = np.asarray(b[key].to_pylist(), np.int64)
+        vecs = _unit(np.asarray(b[col].to_pylist(), np.float64))
+        # hive column may come back as string — normalize
+        cells = pc.cast(b["cell"], pa.int64()).to_numpy(zero_copy_only=False)
+        out = {"query_id": [], key: [], "score": []}
+        for qi in range(qm.shape[0]):
+            mask = np.isin(cells, probes[qi])
+            if not mask.any():
+                continue
+            sims = vecs[mask] @ qm[qi]
+            sub_ids = ids[mask]
+            order = np.lexsort((sub_ids, -sims))[:k]
+            out["query_id"].extend([qi] * len(order))
+            out[key].extend(sub_ids[order].tolist())
+            out["score"].extend(sims[order].tolist())
+        return pa.table({"query_id": pa.array(out["query_id"], pa.int64()),
+                         key: pa.array(out[key], pa.int64()),
+                         "score": pa.array(out["score"], pa.float64())})
+
+    parts = rd.read_parquet(files).map_batches(
+        partial_topk, batch_format="pyarrow",
+        batch_size=4096).to_pandas()
+    return _merge_topk(parts, nq, k, key)
+
+
 def _merge_topk(parts, nq: int, k: int, key: str) -> pa.Table:
     """Merge per-batch partial top-k rows (≤ k × nq × n_batches — tiny)
     into the global deterministic top-k per query."""
