@@ -269,3 +269,25 @@ def test_explicit_encoding_column_wins():
     hs = out["html"].to_pylist()
     assert hs[0] == b"plain words no markup"
     assert hs[1] == payload.encode()
+
+
+def test_deadline_through_ray_pipeline(ray_session):
+    import ray.data as rd
+
+    from xtract.pipeline import extract_pages
+
+    big = ("<html><body>" +
+           "".join(f"<p>paragraph {i} body text with several words</p>"
+                   for i in range(20000)) +
+           "</body></html>").encode()
+    pages = rd.from_items([
+        {"url": "http://huge", "warc_ts": None, "html": big,
+         "text": None, "lang": None},
+        {"url": "http://ok", "warc_ts": None,
+         "html": b"<html><body><p>small but sufficient body text</p></body></html>",
+         "text": None, "lang": None},
+    ])
+    out = extract_pages(pages, ExtractionConfig(timeout_ms=1)).to_pandas()
+    st = dict(zip(out.url, out.status))
+    assert st["http://huge"] == "timeout"
+    assert out[out.url == "http://huge"].content_text.iloc[0] == ""
