@@ -47,3 +47,29 @@ def test_invalid_seg_mode():
 def test_describe_contains_hash():
     d = DEFAULT_CONFIG.describe()
     assert "config_hash" in d and d["seg_mode"] == "auto"
+
+
+def test_pre_clean_hook_applies():
+    from xtract.config import (ConfigError, ExtractionConfig,
+                               register_pre_clean)
+    from xtract.extract import extract_document
+
+    register_pre_clean("strip_marquee",
+                       lambda b: b.replace(b"junkword", b"cleanword"))
+    html = (b"<html><body>"
+            b"<p>the actual junkword body text of the page</p></body></html>")
+    plain = extract_document(html, None, None, ExtractionConfig())
+    assert "junkword" in plain["content_text"]
+    cleaned = extract_document(
+        html, None, None, ExtractionConfig(pre_clean="strip_marquee"))
+    assert "junkword" not in cleaned["content_text"]
+    assert "cleanword" in cleaned["content_text"]
+    # hook name is part of the replayable config (manifest-hashable)
+    cfg = ExtractionConfig(pre_clean="strip_marquee")
+    assert cfg.config_hash() != ExtractionConfig().config_hash()
+    assert ExtractionConfig.from_json(cfg.to_json()).pre_clean == "strip_marquee"
+    # unregistered hook fails loudly at use
+    import pytest as _pytest
+    with _pytest.raises(ConfigError):
+        extract_document(html, None, None,
+                         ExtractionConfig(pre_clean="nope"))

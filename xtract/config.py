@@ -51,7 +51,35 @@ VARIABLE_REGISTRY: dict[str, tuple[type, Any]] = {
     "scope_prefix": (str, ""),          # tag-path prefix filter (set_rectangle analogue, src/api.rs:1289-1296)
     "segment_only": (bool, False),      # analyse_layout analogue (src/api.rs:1353-1364)
     "assets_dir": (str, ""),            # extra language tables (datapath analogue, src/api.rs:71-97)
+    "pre_clean": (str, ""),             # registered preprocessing hook name (preprocess_image analogue, tests/common/mod.rs:44-51)
 }
+
+#: Registry of named preprocessing hooks (bytes → bytes, MUST be
+#: deterministic — the hook NAME is part of the config json, so it is
+#: hashed into lineage manifests; the function itself must be
+#: registered identically on every worker, which module-level
+#: registration guarantees).
+PRE_CLEAN_REGISTRY: dict[str, Any] = {}
+
+
+def register_pre_clean(name: str, fn) -> None:
+    """Register a deterministic bytes→bytes preprocessing hook under
+    ``name`` (the caller-side ``preprocess_image`` analogue).  Select it
+    with ``ExtractionConfig(pre_clean=name)``."""
+    if not name:
+        raise ConfigError("pre_clean hook needs a non-empty name")
+    PRE_CLEAN_REGISTRY[name] = fn
+
+
+def resolve_pre_clean(name: str):
+    if not name:
+        return None
+    fn = PRE_CLEAN_REGISTRY.get(name)
+    if fn is None:
+        raise ConfigError(
+            f"pre_clean hook {name!r} is not registered "
+            f"(known: {sorted(PRE_CLEAN_REGISTRY)})")
+    return fn
 
 
 @dataclass(frozen=True)
@@ -79,6 +107,7 @@ class ExtractionConfig:
     scope_prefix: str = ""
     segment_only: bool = False
     assets_dir: str = ""
+    pre_clean: str = ""
 
     def __post_init__(self) -> None:
         if self.seg_mode not in SEG_MODES:

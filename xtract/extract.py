@@ -133,8 +133,21 @@ def extract_document(
         "script": "Unknown", "script_conf": 0.0,
         "status": "ok", "error": "", "blocks": [],
     }
+    # caller-registered deterministic preprocessing hook
+    # (preprocess_image analogue, reference tests/common/mod.rs:44-51);
+    # the hook NAME rides the config json → hashed into lineage
+    # manifests.  Resolved OUTSIDE the per-document try: an
+    # unregistered hook is a config bug and must fail the job, not
+    # degrade every row to parse_error.
+    pre = None
+    if cfg.pre_clean:
+        from .config import resolve_pre_clean
+
+        pre = resolve_pre_clean(cfg.pre_clean)
     blocks: list[Block] = []
     try:
+        if html and pre is not None:
+            html = pre(html)
         if html is None or len(html) == 0:
             if crawl_text:
                 norm = _filter_plain(_normalize_plain(crawl_text), cfg)
