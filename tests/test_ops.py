@@ -375,3 +375,12 @@ def test_ivf_index_persist_and_query(ray_session, tmp_path):
     # each query's own vector must be its rank-1 hit
     for qi in range(3):
         assert got[got.query_id == qi].iloc[0].vec_id == qi
+
+
+def test_minhash_rejoin_mode_matches_carry(planted_docs):
+    """verify-by-rejoin (slim band rows + signature half-joins) must
+    produce the identical clustering to the signature-carrying path."""
+    a = minhash_lsh_dedup(planted_docs, threshold=(7, 10)).to_pandas()
+    b = minhash_lsh_dedup(planted_docs, threshold=(7, 10),
+                          carry_signatures=False).to_pandas()
+    assert dict(zip(a.doc_id, a.cluster_id)) == dict(zip(b.doc_id, b.cluster_id))

@@ -346,26 +346,164 @@ def _assign_clusters(ds, pairs_ds, key: str,
                          out_col="cluster_id")
 
 
+def _explode_bands_slim(batch: pa.Table, key: str, bands: int,
+                        rows_per_band: int) -> pa.Table:
+    """Band rows WITHOUT the riding signature — (band, key) only, 1/16th
+    the band-row bandwidth of ``_explode_bands``; verification happens
+    after a signature rejoin."""
+    full = _explode_bands(batch, key, bands, rows_per_band)
+    return full.drop_columns(["minhash"])
+
+
+def _bucket_pairs_partition(g: pa.Table, key: str) -> pa.Table:
+    """Bucket runs → UNVERIFIED candidate pairs (a < b), deduplicated
+    within the partition."""
+    if len(g) < 2:
+        return _EMPTY_PAIRS.empty_table()
+    g, starts, ends = _band_runs(g, "band", key)
+    ids = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    a_out: list[int] = []
+    b_out: list[int] = []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        sub = ids[s:e]
+        ii, jj = np.triu_indices(e - s, k=1)
+        a_out.extend(sub[ii].tolist())
+        b_out.extend(sub[jj].tolist())
+    if not a_out:
+        return _EMPTY_PAIRS.empty_table()
+    pairs = np.unique(np.stack([np.asarray(a_out, np.int64),
+                                np.asarray(b_out, np.int64)], axis=1), axis=0)
+    return pa.table({"a": pa.array(pairs[:, 0], pa.int64()),
+                     "b": pa.array(pairs[:, 1], pa.int64())})
+
+
+def _attach_sig(pairs_ds, sigs_ds, key: str, pair_col: str, out_col: str,
+                num_perm: int, num_partitions: int = 64):
+    """Co-group half-join: attach each pair row's signature for
+    ``pair_col`` (one hash exchange of (ids, sigs) + pair rows; a
+    vectorized searchsorted gather per partition)."""
+    existing = [c for c in ("a", "b", "sig_a", "sig_b")
+                if c in pairs_ds.schema().names]
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        ids = t[pair_col].to_numpy(zero_copy_only=False)
+        cols = {"_part": pa.array(np.abs(ids) % num_partitions, pa.int64()),
+                "_side": pa.array(np.zeros(len(t), np.int8))}
+        for c in existing:
+            cols[c] = t[c]
+        cols["_sig"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.zeros(len(t) * num_perm, np.uint64), pa.uint64()),
+            num_perm)
+        return pa.table(cols)
+
+    def tag_sigs(t: pa.Table) -> pa.Table:
+        ids = t[key].to_numpy(zero_copy_only=False)
+        n = len(t)
+        cols = {"_part": pa.array(np.abs(ids) % num_partitions, pa.int64()),
+                "_side": pa.array(np.ones(n, np.int8))}
+        for c in existing:
+            if c in ("a", "b"):
+                cols[c] = t[key] if c == pair_col else pa.array(
+                    np.zeros(n, np.int64), pa.int64())
+            else:
+                cols[c] = pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.zeros(n * num_perm, np.uint64), pa.uint64()),
+                    num_perm)
+        cols["_sig"] = t["minhash"]
+        return pa.table(cols)
+
+    both = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+        sigs_ds.map_batches(tag_sigs, batch_format="pyarrow"))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        is_sig = side == 1
+        sig_arr = g["_sig"].combine_chunks()
+        mat = sig_arr.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(g), num_perm)
+        key_vals = g[pair_col].to_numpy(zero_copy_only=False)
+        sn = key_vals[is_sig]
+        order = np.argsort(sn, kind="stable")
+        sn_sorted = sn[order]
+        sig_rows = mat[is_sig][order]
+        pr = ~is_sig
+        want = key_vals[pr]
+        pos = np.searchsorted(sn_sorted, want)
+        pos = np.minimum(pos, max(0, len(sn_sorted) - 1))
+        gathered = (sig_rows[pos] if len(sn_sorted)
+                    else np.zeros((len(want), num_perm), np.uint64))
+        out = {}
+        for c in existing:
+            out[c] = g[c].filter(pa.array(pr))
+        out[out_col] = pa.FixedSizeListArray.from_arrays(
+            pa.array(gathered.reshape(-1), pa.uint64()), num_perm)
+        return pa.table(out)
+
+    return both.groupby("_part").map_groups(resolve, batch_format="pyarrow")
+
+
 def minhash_lsh_dedup(ds, col: str = "text", key: str = "doc_id",
                       num_perm: int = 64, bands: int = 16, k: int = 3,
                       threshold: tuple[int, int] = (4, 5),
                       char_ngrams: bool = False, concurrency=(2, 8),
-                      distributed_cc: "bool | None" = None):
+                      distributed_cc: "bool | None" = None,
+                      carry_signatures: bool = True):
     """→ Dataset(doc_id, cluster_id): near-duplicate clusters.
 
     threshold = (num, den): estimated Jaccard ≥ num/den keeps a pair.
-    ``char_ngrams=True`` gives the n-gram-Jaccard variant."""
+    ``char_ngrams=True`` gives the n-gram-Jaccard variant.
+
+    ``carry_signatures`` picks the verification shape (identical
+    results): True ships the signature on every band row (×bands
+    bandwidth, no extra exchange — right when signatures are small vs
+    text); False ships slim (band, key) rows, deduplicates the
+    candidate pairs, and REJOINS signatures via two co-group half-joins
+    before verifying — ~1/bands the band-row bytes at the cost of two
+    extra slim exchanges (right at extreme scale where the band
+    exchange dominates)."""
     rows_per_band = num_perm // bands
     sigs = ds.select_columns([key, col]).map_batches(
         MinHasher, fn_constructor_args=(col, num_perm, k, char_ngrams),
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
-    band_rows = sigs.select_columns([key, "minhash"]).map_batches(
-        lambda b: _add_band_part(_explode_bands(b, key, bands, rows_per_band),
-                                 "band", 64),
+    if carry_signatures:
+        band_rows = sigs.select_columns([key, "minhash"]).map_batches(
+            lambda b: _add_band_part(
+                _explode_bands(b, key, bands, rows_per_band), "band", 64),
+            batch_format="pyarrow")
+        pairs_ds = band_rows.groupby("_part").map_groups(
+            lambda g: _minhash_pairs_partition(g, key, *threshold),
+            batch_format="pyarrow")
+        return _assign_clusters(ds, pairs_ds, key, distributed_cc)
+    sigs = sigs.select_columns([key, "minhash"]).materialize()  # reused twice
+    band_rows = sigs.map_batches(
+        lambda b: _add_band_part(
+            _explode_bands_slim(b, key, bands, rows_per_band), "band", 64),
         batch_format="pyarrow")
-    pairs_ds = band_rows.groupby("_part").map_groups(
-        lambda g: _minhash_pairs_partition(g, key, *threshold),
-        batch_format="pyarrow")
+    cand = band_rows.groupby("_part").map_groups(
+        lambda g: _bucket_pairs_partition(g, key), batch_format="pyarrow")
+    # global pair dedup (a pair can surface from several bands)
+    from ray.data.aggregate import Count
+
+    cand = cand.groupby(["a", "b"]).aggregate(
+        Count(alias_name="_n")).drop_columns(["_n"])
+    with_a = _attach_sig(cand, sigs, key, "a", "sig_a", num_perm)
+    with_ab = _attach_sig(with_a, sigs, key, "b", "sig_b", num_perm)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _EMPTY_PAIRS.empty_table()
+        sa = t["sig_a"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).reshape(len(t), num_perm)
+        sb = t["sig_b"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).reshape(len(t), num_perm)
+        eq = (sa == sb).sum(axis=1)
+        keep = eq * threshold[1] >= threshold[0] * num_perm
+        return pa.table({"a": t["a"].filter(pa.array(keep)),
+                         "b": t["b"].filter(pa.array(keep))})
+
+    pairs_ds = with_ab.map_batches(verify, batch_format="pyarrow")
     return _assign_clusters(ds, pairs_ds, key, distributed_cc)
 
 
