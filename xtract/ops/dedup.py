@@ -139,23 +139,61 @@ def exact_dedup(ds, col: str = "text", key: str = "doc_id"):
 # ---------------------------------------------------------------------------
 
 class MinHasher:
-    """Actor stage: text → minhash signature column (warm permutation
-    tables in __init__)."""
+    """Actor stage: text → minhash signature column.  Warm per-worker
+    state: permutation tables AND a word-hash cache (crawl vocabulary
+    repeats heavily across documents, so most words hit the cache and
+    the shingle hashes reduce to a vectorized splitmix fold — no
+    per-shingle hashlib calls on the hot path)."""
 
     def __init__(self, col: str = "text", num_perm: int = 64, k: int = 3,
-                 char_ngrams: bool = False) -> None:
+                 char_ngrams: bool = False,
+                 word_cache_max: int = 1 << 20) -> None:
         self.col = col
         self.num_perm = num_perm
         self.k = k
         self.char_ngrams = char_ngrams
         self.a, self.b = _perm_params(num_perm)
+        self._wcache: dict[str, int] = {}
+        self._wcache_max = word_cache_max
+
+    def _word_hashes(self, words: list[str]) -> np.ndarray:
+        cache = self._wcache
+        out = np.empty(len(words), np.uint64)
+        for i, w in enumerate(words):
+            h = cache.get(w)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+                if len(cache) < self._wcache_max:
+                    cache[w] = h
+            out[i] = h
+        return out
+
+    def _shingles(self, text: str) -> np.ndarray:
+        words = _WORD_RE.findall(text.lower())
+        if not words:
+            return np.empty(0, np.uint64)
+        wh = self._word_hashes(words)
+        k = self.k
+        n = len(wh) - k + 1
+        if n <= 0:
+            # shorter than one shingle: fold everything into one hash
+            acc = np.full(1, 0x9E3779B97F4A7C15, np.uint64)
+            for j in range(len(wh)):
+                acc = _mix64(acc ^ wh[j:j + 1])
+            return acc
+        # order-sensitive vectorized fold over the k window positions
+        acc = np.full(n, 0x9E3779B97F4A7C15, np.uint64)
+        for j in range(k):
+            acc = _mix64(acc ^ wh[j:j + n])
+        return acc
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.col].to_pylist()
         sigs = np.empty((len(texts), self.num_perm), np.uint64)
         for i, t in enumerate(texts):
             hs = (_char_ngram_hashes(t or "", self.k) if self.char_ngrams
-                  else _shingle_hashes(t or "", self.k))
+                  else self._shingles(t or ""))
             sigs[i] = minhash_signature(hs, self.a, self.b)
         return batch.append_column(
             "minhash", pa.array(list(sigs), pa.list_(pa.uint64(), self.num_perm)))
@@ -512,10 +550,16 @@ def minhash_lsh_dedup(ds, col: str = "text", key: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """Actor stage: 64-bit SimHash of word features."""
+    """Actor stage: 64-bit SimHash of word features.  Warm per-worker
+    word-hash cache + vectorized bit accumulation (one matrix product
+    per document instead of a Python loop per word); output values are
+    bit-identical to the scalar definition in ``simhash64``."""
 
-    def __init__(self, col: str = "text") -> None:
+    def __init__(self, col: str = "text",
+                 word_cache_max: int = 1 << 20) -> None:
         self.col = col
+        self._wcache: dict[str, np.ndarray] = {}  # word → ±1 bit row (64,)
+        self._wcache_max = word_cache_max
 
     @staticmethod
     def simhash64(text: str) -> int:
@@ -533,9 +577,31 @@ class SimHasher:
                 out |= 1 << (63 - i)
         return out
 
+    def _bit_row(self, w: str) -> np.ndarray:
+        row = self._wcache.get(w)
+        if row is None:
+            h = hashlib.blake2b(w.encode(), digest_size=8).digest()
+            row = (np.unpackbits(np.frombuffer(h, np.uint8))
+                   .astype(np.int64) * 2 - 1)
+            if len(self._wcache) < self._wcache_max:
+                self._wcache[w] = row
+        return row
+
+    def _simhash_fast(self, text: str) -> int:
+        counts: dict[str, int] = {}
+        for w in _WORD_RE.findall(text.lower()):
+            counts[w] = counts.get(w, 0) + 1
+        if not counts:
+            return 0
+        rows = np.stack([self._bit_row(w) for w in counts])
+        c = np.fromiter(counts.values(), np.int64, len(counts))
+        acc = c @ rows
+        bits = (acc > 0).astype(np.uint8)
+        return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.col].to_pylist()
-        hs = np.array([self.simhash64(t or "") for t in texts], np.uint64)
+        hs = np.array([self._simhash_fast(t or "") for t in texts], np.uint64)
         return batch.append_column("simhash", pa.array(hs, pa.uint64()))
 
 
