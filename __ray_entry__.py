@@ -493,6 +493,17 @@ def _q_doc_oov_rate(sf_dir: str):
         ["doc_id", "n_tokens_az", "n_oov"])
 
 
+def _q_bpe_subword_stats(sf_dir: str):
+    """Trained-BPE tokenization (train on the corpus head, broadcast
+    merges, encode distributed) — per-doc subword counts.  BPE is not
+    SQL-expressible → rows-only check."""
+    from xtract.ops.bpe import bpe_encode, train_bpe
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    merges = train_bpe(docs, num_merges=120, max_words=20_000)
+    return bpe_encode(docs, merges).select_columns(["doc_id", "n_subwords"])
+
+
 def _q_top_parts_per_brand(sf_dir: str):
     """Grouped top-N (3 cheapest parts per brand, deterministic
     p_partkey tie-break) via the combiner + coarse co-group operator
@@ -624,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "lowest_confidence_docs": _q_lowest_confidence_docs,
+        "bpe_subword_stats": _q_bpe_subword_stats,
     }
 
 

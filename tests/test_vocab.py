@@ -135,3 +135,30 @@ def test_pack_documents(ray_session):
     stats = packing_stats(docs, vocab, seq_len=8).to_pandas()
     s0 = stats[stats.doc_id == 0].iloc[0]
     assert (s0.n_sequences, s0.n_tokens_kept, s0.n_pad) == (4, 30, 2)
+
+
+def test_bpe_train_and_encode(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.bpe import bpe_encode, decode_subwords, train_bpe
+
+    docs = rd.from_items([
+        {"doc_id": i, "text": "lower lowest newer newest wider widest " * 4}
+        for i in range(20)])
+    merges = train_bpe(docs, num_merges=40)
+    assert merges and all(len(p) == 2 for p in merges)
+    # deterministic: retraining yields the identical merge list
+    assert merges == train_bpe(docs, num_merges=40)
+    # frequent suffixes learned as units
+    joined = ["".join(p) for p in merges]
+    assert any("est</w>" in j or "er</w>" in j for j in joined)
+    enc = bpe_encode(docs, merges).to_pandas()
+    assert (enc.n_subwords > 0).all()
+    subs = list(enc.subwords.iloc[0])
+    # roundtrip over the tokenized alphabet
+    from xtract.ops.vocab import sql_tokens
+    want = " ".join(sql_tokens("lower lowest newer newest wider widest " * 4))
+    assert decode_subwords(subs) == want
+    # common words compress below character count
+    assert enc.n_subwords.iloc[0] < sum(len(w) + 1 for w in
+                                        "lower lowest newer newest wider widest".split()) * 4
