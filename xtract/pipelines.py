@@ -45,6 +45,8 @@ def webtext_pipeline(
     ok = extracted.map_batches(
         lambda t: t.filter(pc.equal(t["status"], "ok")),
         batch_format="pyarrow")
+    # (funnel counts are filled below only where free — i.e. on the
+    # pinned intermediate; webtext_funnel adds the rest)
 
     slim = ok.select_columns(["url", "warc_ts", "content_text",
                               "lang_detected", "lang_conf"])
@@ -56,6 +58,7 @@ def webtext_pipeline(
         # local spill capacity — then prefer the job driver's
         # write-then-read shape (pipeline.run_extraction_job).
         slim = slim.materialize()
+        funnel["extract_ok"] = slim.count()  # free on the pinned data
     scrubbed = drop_repeated_lines(slim, max_docs=line_dedup_max_docs)
 
     def quality_gate(t: pa.Table) -> pa.Table:
@@ -78,14 +81,19 @@ def webtext_pipeline(
 
 
 def webtext_funnel(pages_ds, cfg: ExtractionConfig = DEFAULT_CONFIG, **kw):
-    """Run the pipeline and also materialize the per-stage funnel counts
-    (re-executes the lazy prefix per stage — reporting mode, not the
-    production write path)."""
-    clean, _ = webtext_pipeline(pages_ds, cfg, **kw)
-    n_clean = clean.count()
-    n_in = pages_ds.count()
-    ex = extract_pages(pages_ds, cfg)
-    n_ok = ex.map_batches(
-        lambda t: t.filter(pc.equal(t["status"], "ok")),
-        batch_format="pyarrow").count()
-    return {"pages_in": n_in, "extract_ok": n_ok, "clean_out": n_clean}
+    """Run the pipeline and materialize the per-stage funnel counts.
+    With the default ``pin_extracted=True`` extraction runs EXACTLY
+    once: ``extract_ok`` falls out of the pinned intermediate, and
+    ``clean_out`` re-reads only the (cheap) pinned slim columns —
+    the round-1 version re-ran the whole read+extract per stage."""
+    clean, funnel = webtext_pipeline(pages_ds, cfg, **kw)
+    funnel["clean_out"] = clean.count()
+    funnel["pages_in"] = pages_ds.count()
+    if "extract_ok" not in funnel:  # pin disabled → pay the extra pass
+        ex = extract_pages(pages_ds, cfg)
+        funnel["extract_ok"] = ex.map_batches(
+            lambda t: t.filter(pc.equal(t["status"], "ok")),
+            batch_format="pyarrow").count()
+    return {"pages_in": funnel["pages_in"],
+            "extract_ok": funnel["extract_ok"],
+            "clean_out": funnel["clean_out"]}
