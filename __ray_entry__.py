@@ -493,6 +493,18 @@ def _q_doc_oov_rate(sf_dir: str):
         ["doc_id", "n_tokens_az", "n_oov"])
 
 
+def _q_doc_bits_per_char(sf_dir: str):
+    """CCNet-style perplexity-proxy quality signal: a char-ngram LM
+    trained on the corpus itself scores each document's
+    bits-per-char.  Not SQL-expressible → rows-only."""
+    from xtract.ops.ngram_lm import score_bits_per_char, train_char_lm
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    lm = train_char_lm(docs, order=3, max_grams=100_000)
+    return score_bits_per_char(docs, lm).select_columns(
+        ["doc_id", "bits_per_char", "n_scored_grams"])
+
+
 def _q_bpe_subword_stats(sf_dir: str):
     """Trained-BPE tokenization (train on the corpus head, broadcast
     merges, encode distributed) — per-doc subword counts.  BPE is not
@@ -636,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_url_dedup": _q_canonical_url_dedup,
         "lowest_confidence_docs": _q_lowest_confidence_docs,
         "bpe_subword_stats": _q_bpe_subword_stats,
+        "doc_bits_per_char": _q_doc_bits_per_char,
     }
 
 

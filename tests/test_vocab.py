@@ -162,3 +162,24 @@ def test_bpe_train_and_encode(ray_session):
     # common words compress below character count
     assert enc.n_subwords.iloc[0] < sum(len(w) + 1 for w in
                                         "lower lowest newer newest wider widest".split()) * 4
+
+
+def test_char_lm_quality_signal(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.ngram_lm import score_bits_per_char, train_char_lm
+
+    english = ("the quick brown fox jumps over the lazy dog and the cat "
+               "sleeps in the warm sun near the open window all day long ")
+    docs = rd.from_items([{"doc_id": i, "text": english * 3}
+                          for i in range(30)])
+    lm = train_char_lm(docs, order=3)
+    assert lm and all(v > 0 for v in lm.values())
+    # deterministic across retrains
+    assert lm == train_char_lm(docs, order=3)
+    probe = rd.from_items([
+        {"doc_id": 0, "text": english},                      # in-domain
+        {"doc_id": 1, "text": "qzxj wvq kkpg zzt qqj xx " * 8},  # gibberish
+    ])
+    out = score_bits_per_char(probe, lm).to_pandas().set_index("doc_id")
+    assert out.loc[0, "bits_per_char"] < out.loc[1, "bits_per_char"] - 2.0
