@@ -493,6 +493,16 @@ def _q_doc_oov_rate(sf_dir: str):
         ["doc_id", "n_tokens_az", "n_oov"])
 
 
+def _q_paragraph_dedup(sf_dir: str):
+    """Cross-document paragraph dedup (one surviving copy per distinct
+    paragraph, owner = min doc_id).  Rows-only."""
+    from xtract.ops.linedup import dedup_paragraphs
+
+    return dedup_paragraphs(
+        _docs(sf_dir, ["doc_id", "text"])).select_columns(
+        ["doc_id", "n_paras_dropped"])
+
+
 def _q_doc_bits_per_char(sf_dir: str):
     """CCNet-style perplexity-proxy quality signal: a char-ngram LM
     trained on the corpus itself scores each document's
@@ -649,6 +659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lowest_confidence_docs": _q_lowest_confidence_docs,
         "bpe_subword_stats": _q_bpe_subword_stats,
         "doc_bits_per_char": _q_doc_bits_per_char,
+        "paragraph_dedup": _q_paragraph_dedup,
     }
 
 

@@ -74,3 +74,25 @@ def test_webtext_pipeline(ray_session, sf_dir):
     assert "content_hash" not in df.columns
     funnel = webtext_funnel(synth_pages_dataset(sf_dir))
     assert funnel["pages_in"] >= funnel["extract_ok"] >= funnel["clean_out"] > 0
+
+
+def test_dedup_paragraphs(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.linedup import dedup_paragraphs
+
+    shared = "this exact paragraph is repeated across many documents"
+    docs = rd.from_items([
+        {"doc_id": 3, "text": f"{shared}\nunique tail for three goes here"},
+        {"doc_id": 1, "text": f"{shared}\nunique tail for one stays here"},
+        {"doc_id": 2, "text": "totally distinct document body text here"},
+    ])
+    out = dedup_paragraphs(docs).to_pandas().set_index("doc_id")
+    # owner = min doc_id keeps the shared paragraph; others lose it
+    assert shared in out.loc[1, "text"]
+    assert shared not in out.loc[3, "text"]
+    assert out.loc[3, "n_paras_dropped"] == 1
+    assert out.loc[1, "n_paras_dropped"] == 0
+    # unique content untouched
+    assert "unique tail for three" in out.loc[3, "text"]
+    assert out.loc[2, "n_paras_dropped"] == 0

@@ -89,3 +89,85 @@ def drop_repeated_lines(ds, max_docs: int = 5, col: str = "content_text",
                 .append_column("n_lines_dropped", pa.array(dropped, pa.int64())))
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# paragraph-granularity cross-document dedup
+# ---------------------------------------------------------------------------
+
+def dedup_paragraphs(ds, key: str = "doc_id", col: str = "text",
+                     min_chars: int = 20):
+    """Remove duplicate PARAGRAPHS across documents, keeping exactly one
+    copy corpus-wide (in the owner = min ``key`` containing it) — the
+    RefinedWeb-style paragraph dedup, complementary to
+    ``drop_repeated_lines`` (which drops >max_docs boilerplate lines
+    everywhere).
+
+    Shape: per-document paragraph hashes (within-doc deduped by the
+    combiner) → native ``groupby(hash).aggregate(Min(key), Count)`` →
+    only DUPLICATED paragraphs (count > 1; bounded by the duplication
+    volume, not the corpus) are broadcast as an (hash → owner) map →
+    one rewrite pass keeps a paragraph iff unduplicated or owned.
+    Deterministic under any partitioning.  Adds ``n_paras_dropped``."""
+    import hashlib
+
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    def phash(p: str) -> int:
+        return int.from_bytes(hashlib.blake2b(
+            p.encode("utf-8"), digest_size=8).digest(), "big", signed=False) >> 1
+
+    def paras(t: str):
+        for p in (t or "").split("\n"):
+            s = p.strip()
+            if len(s) >= min_chars:
+                yield s
+
+    def combine(b: pa.Table) -> pa.Table:
+        hs, ks = [], []
+        for k, t in zip(b[key].to_pylist(), b[col].to_pylist()):
+            seen = set()
+            for s in paras(t):
+                h = phash(s)
+                if h not in seen:
+                    seen.add(h)
+                    hs.append(h)
+                    ks.append(k)
+        return pa.table({"phash": pa.array(hs, pa.int64()),
+                         key: pa.array(ks, pa.int64())})
+
+    owners = (ds.select_columns([key, col])
+              .map_batches(combine, batch_format="pyarrow")
+              .groupby("phash")
+              .aggregate(Min(key, alias_name="owner"),
+                         Count(alias_name="n_docs")))
+    dup = owners.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["n_docs"], 1)),
+        batch_format="pyarrow").select_columns(["phash", "owner"]).take_all()
+    owner_map = {int(r["phash"]): int(r["owner"]) for r in dup}
+    ref = ray.put(owner_map)
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        om = ray.get(ref)
+        out, dropped = [], []
+        for k, t in zip(b[key].to_pylist(), b[col].to_pylist()):
+            kept = []
+            d = 0
+            for p in (t or "").split("\n"):
+                s = p.strip()
+                if len(s) >= min_chars:
+                    o = om.get(phash(s))
+                    if o is not None and o != k:
+                        d += 1
+                        continue
+                kept.append(p)
+            out.append("\n".join(kept))
+            dropped.append(d)
+        i = b.column_names.index(col)
+        return (b.set_column(i, col, pa.array(out, pa.string()))
+                .append_column("n_paras_dropped",
+                               pa.array(np.asarray(dropped, np.int64))))
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
