@@ -384,3 +384,27 @@ def test_minhash_rejoin_mode_matches_carry(planted_docs):
     b = minhash_lsh_dedup(planted_docs, threshold=(7, 10),
                           carry_signatures=False).to_pandas()
     assert dict(zip(a.doc_id, a.cluster_id)) == dict(zip(b.doc_id, b.cluster_id))
+
+
+def test_embedding_multiprobe_recall(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((40, 24))
+    rows = []
+    for i in range(40):
+        rows.append({"vec_id": 2 * i, "embedding": base[i].tolist()})
+        noisy = base[i] + rng.standard_normal(24) * 0.12  # cos ≈ 0.96-0.99
+        rows.append({"vec_id": 2 * i + 1, "embedding": noisy.tolist()})
+    ds = rd.from_items(rows)
+
+    def n_recovered(out):
+        c = dict(zip(out.vec_id, out.cluster_id))
+        return sum(c[2 * i] == c[2 * i + 1] for i in range(40))
+
+    plain = n_recovered(embedding_dedup(ds, threshold=0.9).to_pandas())
+    probed = n_recovered(embedding_dedup(ds, threshold=0.9,
+                                         n_probe_bits=3).to_pandas())
+    # multi-probe can only add true pairs (exact verify → no false merges)
+    assert probed >= plain
+    assert probed >= 30          # catches the vast majority of planted pairs

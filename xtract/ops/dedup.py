@@ -671,11 +671,19 @@ def simhash_dedup(ds, col: str = "text", key: str = "doc_id",
 
 def embedding_dedup(ds, key: str = "vec_id", col: str = "embedding",
                     threshold: float = 0.95, n_planes: int = 12,
-                    distributed_cc: "bool | None" = None):
+                    distributed_cc: "bool | None" = None,
+                    n_probe_bits: int = 0):
     """→ Dataset(vec_id, cluster_id): cosine-similarity near-dup via
     random-hyperplane LSH buckets + exact verify within buckets.
     Hyperplanes are a deterministic seeded Gaussian matrix broadcast to
-    all tasks."""
+    all tasks.
+
+    ``n_probe_bits``: MULTI-PROBE recall knob — each vector is also
+    emitted into the buckets reached by flipping its ``n_probe_bits``
+    least-confident hyperplane bits (smallest |margin|), catching true
+    near-dup pairs that straddle a hyperplane boundary.  Costs
+    (1 + n_probe_bits)× bucket rows; duplicate candidate pairs across
+    probes are harmless (connected components absorbs them)."""
     import ray
 
     first = ds.take(1)[0]
@@ -690,10 +698,31 @@ def embedding_dedup(ds, key: str = "vec_id", col: str = "embedding",
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
-        bits = (unit @ pl) > 0
-        codes = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
-        return pa.table({key: b[key], "bucket": pa.array(codes, pa.int64()),
-                         col: b[col]})
+        margins = unit @ pl
+        bits = margins > 0
+        weights = 1 << np.arange(n_planes)
+        codes = (bits * weights).sum(axis=1).astype(np.int64)
+        if not n_probe_bits:
+            return pa.table({key: b[key],
+                             "bucket": pa.array(codes, pa.int64()),
+                             col: b[col]})
+        # least-confident bit indices per vector, vectorized
+        low = np.argsort(np.abs(margins), axis=1)[:, :n_probe_bits]
+        all_keys = [b[key]]
+        all_codes = [codes]
+        all_vecs = [b[col]]
+        for j in range(n_probe_bits):
+            flipped = codes ^ weights[low[:, j]].astype(np.int64)
+            all_keys.append(b[key])
+            all_codes.append(flipped)
+            all_vecs.append(b[col])
+        return pa.table({
+            key: pa.concat_arrays([a.combine_chunks() if hasattr(a, "combine_chunks") else a
+                                   for a in all_keys]),
+            "bucket": pa.array(np.concatenate(all_codes), pa.int64()),
+            col: pa.concat_arrays([a.combine_chunks() if hasattr(a, "combine_chunks") else a
+                                   for a in all_vecs]),
+        })
 
     def verify_partition(g: pa.Table, chunk: int = 2048) -> pa.Table:
         """One coarse partition's bucket rows → exact-cosine-verified
