@@ -493,6 +493,20 @@ def _q_doc_oov_rate(sf_dir: str):
         ["doc_id", "n_tokens_az", "n_oov"])
 
 
+def _q_decontaminate(sf_dir: str):
+    """13-gram benchmark decontamination: the first 20 documents stand
+    in as the 'benchmark set'; every document is flagged for n-gram
+    overlap with it (the flagged set naturally includes those 20)."""
+    import pyarrow.compute as pc
+
+    from xtract.ops.textstats import decontaminate
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 20)), batch_format="pyarrow")
+    return decontaminate(docs, bench, n=13)
+
+
 def _q_paragraph_dedup(sf_dir: str):
     """Cross-document paragraph dedup (one surviving copy per distinct
     paragraph, owner = min doc_id).  Rows-only."""
@@ -660,6 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_subword_stats": _q_bpe_subword_stats,
         "doc_bits_per_char": _q_doc_bits_per_char,
         "paragraph_dedup": _q_paragraph_dedup,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -804,6 +819,21 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY p_brand "
             "ORDER BY p_retailprice, p_partkey) AS rn FROM part) "
             "WHERE rn <= 3",
+        "decontaminate":
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(lower(coalesce(text,'')), '[^a-z]+'), "
+            "x -> x != '') AS ts FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, "
+            "array_to_string(ts[i:i+12], ' ') AS g FROM toks, "
+            "UNNEST(range(1, greatest(len(ts) - 11, 1))) AS t(i) "
+            "WHERE len(ts) >= 13), "
+            "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20), "
+            "hits AS (SELECT doc_id, count(*) AS n FROM grams "
+            "WHERE g IN (SELECT g FROM bench) GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_ngrams, "
+            "coalesce(h.n, 0) > 0 AS is_contaminated "
+            "FROM documents d LEFT JOIN hits h USING (doc_id)",
         "doc_packing_stats":
             "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
             "lower(coalesce(text,'')), '[^a-z]+')) AS token FROM documents), "

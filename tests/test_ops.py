@@ -408,3 +408,23 @@ def test_embedding_multiprobe_recall(ray_session):
     # multi-probe can only add true pairs (exact verify → no false merges)
     assert probed >= plain
     assert probed >= 30          # catches the vast majority of planted pairs
+
+
+def test_decontaminate_flags_benchmark_overlap(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.textstats import decontaminate
+
+    passage = ("the benchmark question asks about the capital city of a "
+               "country in western europe with many famous museums and art")
+    train = rd.from_items([
+        {"doc_id": 0, "text": f"some training text then {passage} then more"},
+        {"doc_id": 1, "text": "entirely unrelated training document about "
+                              "cooking pasta with tomatoes and fresh basil "
+                              "leaves in a large pot of salted water"},
+    ])
+    bench = rd.from_items([{"text": passage}])
+    out = decontaminate(train, bench, n=13).to_pandas().set_index("doc_id")
+    assert bool(out.loc[0, "is_contaminated"])
+    assert out.loc[0, "n_contaminated_ngrams"] > 0
+    assert not bool(out.loc[1, "is_contaminated"])

@@ -194,3 +194,58 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     texts = batch["text"].to_pylist()
     fps = np.array([rolling_fingerprint(t or "") for t in texts], np.uint64)
     return batch.append_column("rolling_fp", pa.array(fps, pa.uint64()))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap rule)
+# ---------------------------------------------------------------------------
+
+def _word_ngram_hashes(text: str, n: int) -> set:
+    from .vocab import sql_tokens
+
+    toks = sql_tokens(text)
+    out = set()
+    for i in range(len(toks) - n + 1):
+        out.add(hashlib.blake2b(" ".join(toks[i:i + n]).encode(),
+                                digest_size=8).digest())
+    return out
+
+
+def decontaminate(ds, benchmark_ds, key: str = "doc_id", col: str = "text",
+                  bench_col: str = "text", n: int = 13):
+    """Flag training documents that share any word ``n``-gram with a
+    benchmark/eval set (the public 13-gram decontamination rule used
+    for GPT-3-style training corpora).
+
+    → Dataset(key, n_contaminated_ngrams, is_contaminated).
+
+    Shape: the benchmark side is the SMALL side by definition — its
+    n-gram hash set is collected once (bounded by benchmark size) and
+    broadcast via ``ray.put``; the corpus side is one streaming
+    ``map_batches`` membership pass.  Deterministic (blake2b hashes,
+    the shared ``[^a-z]+`` tokenizer)."""
+    import ray
+
+    bench_sets = benchmark_ds.select_columns([bench_col]).map_batches(
+        lambda b: pa.table({"g": pa.array(
+            [h for t in b[bench_col].to_pylist()
+             for h in _word_ngram_hashes(t or "", n)], pa.binary())}),
+        batch_format="pyarrow").take_all()
+    bench = frozenset(r["g"] for r in bench_sets)
+    ref = ray.put(bench)
+
+    def flag(b: pa.Table) -> pa.Table:
+        bset = ray.get(ref)
+        keys, hits = [], []
+        for k, t in zip(b[key].to_pylist(), b[col].to_pylist()):
+            keys.append(k)
+            hits.append(sum(1 for h in _word_ngram_hashes(t or "", n)
+                            if h in bset))
+        return pa.table({
+            key: pa.array(keys),
+            "n_contaminated_ngrams": pa.array(hits, pa.int64()),
+            "is_contaminated": pa.array([h > 0 for h in hits], pa.bool_()),
+        })
+
+    return ds.select_columns([key, col]).map_batches(
+        flag, batch_format="pyarrow")
