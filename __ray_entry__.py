@@ -493,6 +493,41 @@ def _q_doc_oov_rate(sf_dir: str):
         ["doc_id", "n_tokens_az", "n_oov"])
 
 
+def _q_customer_spend_cogroup(sf_dir: str):
+    """Per-customer spend via the LARGE-×-LARGE co-group equi-join
+    (hash co-partition + one pandas merge per partition) — the robust
+    path when neither side broadcasts."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from xtract.ops.joins import equi_join_cogroup
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    # integer cents → the sum is exact and order-independent, so the
+    # float result is bit-identical to the SQL oracle
+    orders = orders.map_batches(
+        lambda t: pa.table({
+            "o_custkey": t["o_custkey"],
+            "cents": pa.compute.cast(pa.compute.round(
+                pa.compute.multiply(t["o_totalprice"], 100)), pa.int64()),
+        }), batch_format="pyarrow")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    joined = equi_join_cogroup(orders, cust, "o_custkey", "c_custkey")
+    out = joined.groupby(["o_custkey", "c_name"]).aggregate(
+        Sum("cents", alias_name="total_cents"),
+        Count(alias_name="n_orders"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "c_custkey": t["o_custkey"],
+            "c_name": t["c_name"],
+            "total_spend": pa.compute.divide(
+                pa.compute.cast(t["total_cents"], pa.float64()), 100.0),
+            "n_orders": t["n_orders"],
+        }), batch_format="pyarrow")
+
+
 def _q_decontaminate(sf_dir: str):
     """13-gram benchmark decontamination: the first 20 documents stand
     in as the 'benchmark set'; every document is flagged for n-gram
@@ -675,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bits_per_char": _q_doc_bits_per_char,
         "paragraph_dedup": _q_paragraph_dedup,
         "decontaminate": _q_decontaminate,
+        "customer_spend_cogroup": _q_customer_spend_cogroup,
     }
 
 
@@ -819,6 +855,13 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY p_brand "
             "ORDER BY p_retailprice, p_partkey) AS rn FROM part) "
             "WHERE rn <= 3",
+        "customer_spend_cogroup":
+            "SELECT o_custkey AS c_custkey, c_name, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " / 100.0 AS total_spend, "
+            "count(*) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY o_custkey, c_name",
         "decontaminate":
             "WITH toks AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(lower(coalesce(text,'')), '[^a-z]+'), "

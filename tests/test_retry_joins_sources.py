@@ -243,3 +243,23 @@ def test_asof_join_cogroup_matches_broadcast(ray_session):
     assert bcs.val_asof.fillna(-1).astype("int64").tolist() == \
         cgs.val_asof.fillna(-1).astype("int64").tolist()
     assert cgs.event_id.tolist() == bcs.event_id.tolist()
+
+
+def test_equi_join_cogroup_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from xtract.ops.joins import equi_join_cogroup
+
+    rng = np.random.default_rng(21)
+    left = pd.DataFrame({"k": rng.integers(0, 30, 200),
+                         "x": rng.integers(0, 1000, 200)})
+    right = pd.DataFrame({"kk": np.arange(25), "y": np.arange(25) * 10})
+    got = equi_join_cogroup(rd.from_pandas(left).repartition(3),
+                            rd.from_pandas(right).repartition(2),
+                            "k", "kk", num_partitions=4).to_pandas()
+    want = left.merge(right, left_on="k", right_on="kk").drop(columns=["kk"])
+    gs = got.sort_values(["k", "x"]).reset_index(drop=True)[["k", "x", "y"]]
+    ws = want.sort_values(["k", "x"]).reset_index(drop=True)[["k", "x", "y"]]
+    assert gs.astype("int64").equals(ws.astype("int64"))

@@ -184,6 +184,62 @@ def asof_join_cogroup(left_ds, right_ds, key: str, left_ts: str,
             .map_groups(per_partition, batch_format="pandas"))
 
 
+def equi_join_cogroup(left_ds, right_ds, on: str, right_on: str | None = None,
+                      how: str = "inner", num_partitions: int = 32,
+                      suffix: str = "_r"):
+    """Large-×-large equi-join via hash co-group — the robust
+    alternative to native ``Dataset.join`` (which crashes on Ray 2.49
+    when a partition gets zero blocks for one side): both sides tag
+    ``part = hash(key) % P``, union, and each partition runs ONE cython
+    ``pandas.merge``.  Flat columns only (project nested payloads out
+    first); left columns keep their names, clashing right columns get
+    ``suffix``."""
+    right_on = right_on or on
+    lnames = list(left_ds.schema().names)
+    rnames = list(right_ds.schema().names)
+    ltypes = dict(zip(lnames, left_ds.schema().types))
+    rtypes = dict(zip(rnames, right_ds.schema().types))
+
+    def tag(b: pa.Table, side: int, key: str) -> pa.Table:
+        from .agg import _hash_part
+
+        part = _hash_part(b[key], num_partitions)
+        n = len(b)
+        cols = {"_part": pa.array(part, pa.int64()),
+                "_side": pa.array(np.full(n, side, np.int8))}
+        for c in lnames:
+            cols["l_" + c] = b[c] if side == 0 else pa.nulls(n, ltypes[c])
+        for c in rnames:
+            cols["r_" + c] = b[c] if side == 1 else pa.nulls(n, rtypes[c])
+        return pa.table(cols)
+
+    both = left_ds.map_batches(lambda b: tag(b, 0, on),
+                               batch_format="pyarrow").union(
+        right_ds.map_batches(lambda b: tag(b, 1, right_on),
+                             batch_format="pyarrow"))
+
+    out_right = [c for c in rnames if c != right_on]
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        L = df[df["_side"] == 0][["l_" + c for c in lnames]]
+        L.columns = lnames
+        R = df[df["_side"] == 1][["r_" + c for c in rnames]]
+        R.columns = rnames
+        merged = L.merge(R, how=how, left_on=on, right_on=right_on,
+                         suffixes=("", suffix))
+        if right_on != on and right_on in merged.columns:
+            merged = merged.drop(columns=[right_on])
+        for c in lnames:  # undo null-padding float upcasts
+            try:
+                merged[c] = merged[c].astype(ltypes[c].to_pandas_dtype())
+            except (TypeError, ValueError):
+                pass
+        return merged
+
+    return both.groupby("_part").map_groups(per_partition,
+                                            batch_format="pandas")
+
+
 def tumbling_window(ds, ts_col: str, every: str = "day",
                     keys: list[str] | None = None, aggs=None):
     """Tumbling event-time window: bucket ts (strftime) inside
