@@ -493,6 +493,15 @@ def _q_doc_oov_rate(sf_dir: str):
         ["doc_id", "n_tokens_az", "n_oov"])
 
 
+def _q_doc_sample(sf_dir: str):
+    """Deterministic 1/20 inspection sample (SURVEY §2.6 sampling)."""
+    from xtract.ops.agg import deterministic_sample
+
+    return deterministic_sample(
+        _docs(sf_dir, ["doc_id", "source", "lang", "n_chars"]),
+        "doc_id", every=20)
+
+
 def _q_customer_spend_cogroup(sf_dir: str):
     """Per-customer spend via the LARGE-×-LARGE co-group equi-join
     (hash co-partition + one pandas merge per partition) — the robust
@@ -711,6 +720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "decontaminate": _q_decontaminate,
         "customer_spend_cogroup": _q_customer_spend_cogroup,
+        "doc_sample": _q_doc_sample,
     }
 
 
@@ -855,6 +865,9 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY p_brand "
             "ORDER BY p_retailprice, p_partkey) AS rn FROM part) "
             "WHERE rn <= 3",
+        "doc_sample":
+            "SELECT doc_id, source, lang, n_chars FROM documents "
+            "WHERE doc_id % 20 = 0",
         "customer_spend_cogroup":
             "SELECT o_custkey AS c_custkey, c_name, "
             "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"

@@ -428,3 +428,16 @@ def test_decontaminate_flags_benchmark_overlap(ray_session):
     assert bool(out.loc[0, "is_contaminated"])
     assert out.loc[0, "n_contaminated_ngrams"] > 0
     assert not bool(out.loc[1, "is_contaminated"])
+
+
+def test_deterministic_sample(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.agg import deterministic_sample
+
+    ds = rd.from_items([{"doc_id": i, "x": i * 2} for i in range(100)])
+    out = deterministic_sample(ds, "doc_id", every=10).to_pandas()
+    assert sorted(out.doc_id) == list(range(0, 100, 10))
+    # partition-independent
+    out2 = deterministic_sample(ds.repartition(7), "doc_id", every=10).to_pandas()
+    assert sorted(out2.doc_id) == sorted(out.doc_id)

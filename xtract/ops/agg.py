@@ -99,3 +99,16 @@ def top_k_per_key(ds, key: str, order_cols: tuple[str, ...] = (),
               .map_batches(add_part, batch_format="pyarrow")
               .groupby("_part")
               .map_groups(finish, batch_format="pyarrow"))
+
+
+def deterministic_sample(ds, key: str, every: int = 20):
+    """Deterministic 1/``every`` sample: keep rows where
+    ``hashless key % every == 0`` — partition-independent,
+    reproducible, and stratified across the id space (the inspection /
+    debugging sample; for id spaces that are not uniform use a hashed
+    variant).  SURVEY §2.6 sampling surface."""
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % every == 0))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
