@@ -92,8 +92,15 @@ def corpus_checksum(extracted_ds, dedup: bool = True,
 
         def add_comp(t: pa.Table) -> pa.Table:
             if has_ts:
-                ts = pc.add(pc.cast(t["warc_ts"], pa.int64()),
-                            pa.scalar(_TS_OFF, pa.int64()))
+                # null warc_ts must not poison the composite (Min skips
+                # nulls → a url whose every row has null ts would get a
+                # null winner).  Fill with the max sentinel so null-ts
+                # rows sort LAST — the same null-at-end rule the
+                # sort-based winner used.  sentinel + _TS_OFF = int64
+                # max, whose 20-digit pad sorts after any real ts.
+                ts = pc.fill_null(pc.cast(t["warc_ts"], pa.int64()),
+                                  pa.scalar((1 << 62) - 1, pa.int64()))
+                ts = pc.add(ts, pa.scalar(_TS_OFF, pa.int64()))
                 ts_pad = pc.utf8_lpad(pc.cast(ts, pa.string()), 20, "0")
                 comp = pc.binary_join_element_wise(ts_pad, t["digest"], "")
             else:

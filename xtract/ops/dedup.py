@@ -279,13 +279,25 @@ def _band_runs(g: pa.Table, band_col: str, key: str, sort_extra=()):
     return g, starts, ends
 
 
+#: bucket-run length above which pair emission switches from all-pairs
+#: to a star anchored at the min-id member.  One viral page duplicated
+#: 10^6 times lands 10^6 rows in one band bucket; all-pairs would emit
+#: 10^12 edges in one partition.  The star emits m−1 edges with
+#: IDENTICAL connected components for exact duplicates (and for any
+#: transitively-similar run); only near-misses that fail vs the anchor
+#: but would pass against some other member are lost — below the cap
+#: pairs stay exact.
+HOT_RUN_CAP = 1024
+
+
 def _minhash_pairs_partition(g: pa.Table, key: str, threshold_num: int,
                              threshold_den: int) -> pa.Table:
     """One coarse partition's band rows → verified candidate pairs
     (signature-estimated Jaccard ≥ threshold_num/threshold_den, integer
     compare).  Signature matrix is decoded ONCE per partition
     (zero-copy from the fixed-size-list values); the per-bucket work is
-    a numpy broadcast compare."""
+    a numpy broadcast compare.  Runs longer than ``HOT_RUN_CAP`` verify
+    against the min-id anchor only (m−1 comparisons, ≤ m−1 edges)."""
     if len(g) < 2:
         return _EMPTY_PAIRS.empty_table()
     g, starts, ends = _band_runs(g, "band", key)
@@ -294,21 +306,26 @@ def _minhash_pairs_partition(g: pa.Table, key: str, threshold_num: int,
     num_perm = sig_arr.type.list_size
     sigs = sig_arr.flatten().to_numpy(zero_copy_only=False).reshape(
         len(g), num_perm)
-    a_out: list[int] = []
-    b_out: list[int] = []
+    chunks_a: list[np.ndarray] = []
+    chunks_b: list[np.ndarray] = []
     for s, e in zip(starts, ends):
-        if e - s < 2:
+        m = e - s
+        if m < 2:
             continue
-        sub_ids = ids[s:e]
+        sub_ids = ids[s:e]  # ascending (run sorted by key)
         sub_sigs = sigs[s:e]
-        for i in range(len(sub_ids) - 1):
+        rng = range(1) if m > HOT_RUN_CAP else range(m - 1)
+        for i in rng:
             eq = (sub_sigs[i + 1:] == sub_sigs[i]).sum(axis=1)
-            hits = np.flatnonzero(eq * threshold_den >= threshold_num * num_perm)
-            for j in hits:
-                a_out.append(int(sub_ids[i]))
-                b_out.append(int(sub_ids[i + 1 + j]))
-    return pa.table({"a": pa.array(a_out, pa.int64()),
-                     "b": pa.array(b_out, pa.int64())})
+            hit = np.flatnonzero(eq * threshold_den
+                                 >= threshold_num * num_perm)
+            if len(hit):
+                chunks_a.append(np.full(len(hit), sub_ids[i], np.int64))
+                chunks_b.append(sub_ids[i + 1 + hit])
+    if not chunks_a:
+        return _EMPTY_PAIRS.empty_table()
+    return pa.table({"a": pa.array(np.concatenate(chunks_a), pa.int64()),
+                     "b": pa.array(np.concatenate(chunks_b), pa.int64())})
 
 
 def _connected_components(pairs: "np.ndarray") -> dict[int, int]:
@@ -395,24 +412,32 @@ def _explode_bands_slim(batch: pa.Table, key: str, bands: int,
 
 def _bucket_pairs_partition(g: pa.Table, key: str) -> pa.Table:
     """Bucket runs → UNVERIFIED candidate pairs (a < b), deduplicated
-    within the partition."""
+    within the partition.  Runs longer than ``HOT_RUN_CAP`` emit the
+    star toward the min-id member — m−1 edges with connected components
+    identical to the m² clique, and no ``np.triu_indices`` m²
+    allocation."""
     if len(g) < 2:
         return _EMPTY_PAIRS.empty_table()
     g, starts, ends = _band_runs(g, "band", key)
     ids = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
-    a_out: list[int] = []
-    b_out: list[int] = []
+    chunks_a: list[np.ndarray] = []
+    chunks_b: list[np.ndarray] = []
     for s, e in zip(starts, ends):
-        if e - s < 2:
+        m = e - s
+        if m < 2:
             continue
-        sub = ids[s:e]
-        ii, jj = np.triu_indices(e - s, k=1)
-        a_out.extend(sub[ii].tolist())
-        b_out.extend(sub[jj].tolist())
-    if not a_out:
+        sub = ids[s:e]  # ascending (run sorted by key)
+        if m > HOT_RUN_CAP:
+            chunks_a.append(np.full(m - 1, sub[0], np.int64))
+            chunks_b.append(sub[1:])
+        else:
+            ii, jj = np.triu_indices(m, k=1)
+            chunks_a.append(sub[ii])
+            chunks_b.append(sub[jj])
+    if not chunks_a:
         return _EMPTY_PAIRS.empty_table()
-    pairs = np.unique(np.stack([np.asarray(a_out, np.int64),
-                                np.asarray(b_out, np.int64)], axis=1), axis=0)
+    pairs = np.unique(np.stack([np.concatenate(chunks_a),
+                                np.concatenate(chunks_b)], axis=1), axis=0)
     return pa.table({"a": pa.array(pairs[:, 0], pa.int64()),
                      "b": pa.array(pairs[:, 1], pa.int64())})
 
@@ -631,20 +656,24 @@ def simhash_dedup(ds, col: str = "text", key: str = "doc_id",
 
     def pairs_partition(g: pa.Table) -> pa.Table:
         """One coarse partition's bucket rows → Hamming-verified pairs
-        (vectorized popcount via uint64 xor + bit tricks per bucket)."""
+        (vectorized popcount via uint64 xor + bit tricks per bucket).
+        Runs longer than ``HOT_RUN_CAP`` verify against the min-id
+        anchor only (see ``HOT_RUN_CAP``)."""
         if len(g) < 2:
             return _EMPTY_PAIRS.empty_table()
         g, starts, ends = _band_runs(g, "band", key)
         ids = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
         hs = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        a_out: list[int] = []
-        b_out: list[int] = []
+        chunks_a: list[np.ndarray] = []
+        chunks_b: list[np.ndarray] = []
         for s, e in zip(starts, ends):
-            if e - s < 2:
+            m = e - s
+            if m < 2:
                 continue
             sub_ids = ids[s:e]
             sub_hs = hs[s:e]
-            for i in range(len(sub_ids) - 1):
+            rng = range(1) if m > HOT_RUN_CAP else range(m - 1)
+            for i in rng:
                 x = sub_hs[i + 1:] ^ sub_hs[i]
                 # vectorized 64-bit popcount
                 x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
@@ -652,12 +681,14 @@ def simhash_dedup(ds, col: str = "text", key: str = "doc_id",
                      ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
                 x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
                 pop = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
-                hits = np.flatnonzero(pop <= max_hamming)
-                for j in hits:
-                    a_out.append(int(sub_ids[i]))
-                    b_out.append(int(sub_ids[i + 1 + j]))
-        return pa.table({"a": pa.array(a_out, pa.int64()),
-                         "b": pa.array(b_out, pa.int64())})
+                hit = np.flatnonzero(pop <= max_hamming)
+                if len(hit):
+                    chunks_a.append(np.full(len(hit), sub_ids[i], np.int64))
+                    chunks_b.append(sub_ids[i + 1 + hit])
+        if not chunks_a:
+            return _EMPTY_PAIRS.empty_table()
+        return pa.table({"a": pa.array(np.concatenate(chunks_a), pa.int64()),
+                         "b": pa.array(np.concatenate(chunks_b), pa.int64())})
 
     pairs_ds = sigs.map_batches(explode, batch_format="pyarrow").map_batches(
         lambda t: _add_band_part(t, "band", 64), batch_format="pyarrow"
@@ -672,7 +703,7 @@ def simhash_dedup(ds, col: str = "text", key: str = "doc_id",
 def embedding_dedup(ds, key: str = "vec_id", col: str = "embedding",
                     threshold: float = 0.95, n_planes: int = 12,
                     distributed_cc: "bool | None" = None,
-                    n_probe_bits: int = 0):
+                    n_probe_bits: int = 0, dim: "int | None" = None):
     """→ Dataset(vec_id, cluster_id): cosine-similarity near-dup via
     random-hyperplane LSH buckets + exact verify within buckets.
     Hyperplanes are a deterministic seeded Gaussian matrix broadcast to
@@ -686,8 +717,13 @@ def embedding_dedup(ds, key: str = "vec_id", col: str = "embedding",
     probes are harmless (connected components absorbs them)."""
     import ray
 
-    first = ds.take(1)[0]
-    dim = len(first[col])
+    if dim is None:
+        # read the dimensionality from the schema (fixed-size list) when
+        # possible; a one-row take is the last resort only
+        sch = ds.schema()
+        t = dict(zip(sch.names, sch.types))[col]
+        dim = (t.list_size if isinstance(t, pa.FixedSizeListType)
+               else len(ds.take(1)[0][col]))
     rng = np.random.default_rng(42)
     planes = rng.standard_normal((dim, n_planes))
     planes_ref = ray.put(planes)
@@ -738,25 +774,36 @@ def embedding_dedup(ds, key: str = "vec_id", col: str = "embedding",
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
-        a_out: list[int] = []
-        b_out: list[int] = []
+        chunks_a: list[np.ndarray] = []
+        chunks_b: list[np.ndarray] = []
         for s, e in zip(starts, ends):
             m = e - s
             if m < 2:
                 continue
             sub_ids = ids[s:e]
             sub = unit[s:e]
+            if m > HOT_RUN_CAP:
+                # oversized bucket: verify against the min-id anchor
+                # only — m−1 dot products, ≤ m−1 edges (HOT_RUN_CAP)
+                sims = sub[1:] @ sub[0]
+                hit = np.flatnonzero(sims >= threshold)
+                if len(hit):
+                    chunks_a.append(np.full(len(hit), sub_ids[0], np.int64))
+                    chunks_b.append(sub_ids[1 + hit])
+                continue
             for c0 in range(0, m, chunk):
                 c1 = min(c0 + chunk, m)
                 sims = sub[c0:c1] @ sub.T  # (c1-c0, m)
                 ii, jj = np.nonzero(sims >= threshold)
                 # upper triangle only (global row index < col index)
                 keep = (ii + c0) < jj
-                for i, j in zip(ii[keep], jj[keep]):
-                    a_out.append(int(sub_ids[i + c0]))
-                    b_out.append(int(sub_ids[j]))
-        return pa.table({"a": pa.array(a_out, pa.int64()),
-                         "b": pa.array(b_out, pa.int64())})
+                if keep.any():
+                    chunks_a.append(sub_ids[ii[keep] + c0])
+                    chunks_b.append(sub_ids[jj[keep]])
+        if not chunks_a:
+            return _EMPTY_PAIRS.empty_table()
+        return pa.table({"a": pa.array(np.concatenate(chunks_a), pa.int64()),
+                         "b": pa.array(np.concatenate(chunks_b), pa.int64())})
 
     pairs_ds = ds.select_columns([key, col]).map_batches(
         bucketize, batch_format="pyarrow").map_batches(

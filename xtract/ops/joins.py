@@ -24,6 +24,23 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _to_nullable(series: "pd.Series", pa_type) -> "pd.Series":
+    """Cast a possibly-NaN-upcast column to the pandas NULLABLE dtype
+    matching its true Arrow type (Int64/Int32/... survive missing rows
+    without a float64 upcast and round-trip to Arrow as int + null)."""
+    if pa.types.is_integer(pa_type):
+        name = ("UInt" if pa.types.is_unsigned_integer(pa_type)
+                else "Int") + str(pa_type.bit_width)
+        try:
+            return series.astype(name)
+        except (TypeError, ValueError):
+            return series
+    try:
+        return series.astype(pa_type.to_pandas_dtype())
+    except (TypeError, ValueError):
+        return series
+
+
 def broadcast_join(ds, right_df: "pd.DataFrame", left_key: str, right_key: str,
                    columns: list[str]):
     """Left join a small dimension table onto a Dataset without a
@@ -146,10 +163,23 @@ def asof_join_cogroup(left_ds, right_ds, key: str, left_ts: str,
             list(dict.fromkeys([key, right_ts] + value_cols))).map_batches(
             tag_right, batch_format="pyarrow"))
 
-    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
-        L = df[df["_side"] == 0]
-        R = df[df["_side"] == 1]
+    def per_partition(t: pa.Table) -> pa.Table:
+        # Split sides ARROW-side, then convert each side's OWN columns
+        # to pandas: those are null-free, so int64 survives exactly.
+        # (Converting the unioned table to pandas first would upcast
+        # null-padded int columns to float64 and silently truncate
+        # 64-bit keys/values beyond 2^53.)
         kcol = "l_" + key
+        side = t["_side"]
+        Lt = t.filter(pc.equal(side, 0))
+        Rt = t.filter(pc.equal(side, 1))
+        L = pd.DataFrame({"_ts": Lt["_ts"].to_pandas(),
+                          **{"l_" + c: Lt["l_" + c].to_pandas()
+                             for c in left_cols}})
+        R = pd.DataFrame({"_ts": Rt["_ts"].to_pandas(),
+                          kcol: Rt[kcol].to_pandas(),
+                          **{"r_" + c: Rt["r_" + c].to_pandas()
+                             for c in value_cols}})
         L = L.sort_values("_ts", kind="mergesort")
         R = R.sort_values(["_ts"] + ["r_" + c for c in value_cols],
                           kind="mergesort")
@@ -178,10 +208,15 @@ def asof_join_cogroup(left_ds, right_ds, key: str, left_ts: str,
                 res[c] = res[c].astype(left_types[c].to_pandas_dtype())
             except (TypeError, ValueError):
                 pass
+        # unmatched left rows hold null matches: pin integer value
+        # columns to pandas nullable ints so the dtype is stable across
+        # partitions (int64 + null in Arrow, never a float64 upcast)
+        for c in value_cols:
+            res[c + suffix] = _to_nullable(res[c + suffix], right_types[c])
         return res
 
     return (both.groupby("_part")
-            .map_groups(per_partition, batch_format="pandas"))
+            .map_groups(per_partition, batch_format="pyarrow"))
 
 
 def equi_join_cogroup(left_ds, right_ds, on: str, right_on: str | None = None,
@@ -220,24 +255,35 @@ def equi_join_cogroup(left_ds, right_ds, on: str, right_on: str | None = None,
 
     out_right = [c for c in rnames if c != right_on]
 
-    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
-        L = df[df["_side"] == 0][["l_" + c for c in lnames]]
-        L.columns = lnames
-        R = df[df["_side"] == 1][["r_" + c for c in rnames]]
-        R.columns = rnames
+    def per_partition(t: pa.Table) -> pd.DataFrame:
+        # Split sides ARROW-side, then convert each side's OWN columns
+        # to pandas: those are null-free, so dtypes (incl. 64-bit int
+        # keys beyond 2^53) survive exactly.  Converting the unioned
+        # table to pandas first would upcast the null-padded key
+        # columns to float64 and silently collide distinct 64-bit keys.
+        side = t["_side"]
+        Lt = t.filter(pc.equal(side, 0))
+        Rt = t.filter(pc.equal(side, 1))
+        L = pd.DataFrame({c: Lt["l_" + c].to_pandas() for c in lnames})
+        R = pd.DataFrame({c: Rt["r_" + c].to_pandas() for c in rnames})
         merged = L.merge(R, how=how, left_on=on, right_on=right_on,
                          suffixes=("", suffix))
         if right_on != on and right_on in merged.columns:
             merged = merged.drop(columns=[right_on])
-        for c in lnames:  # undo null-padding float upcasts
-            try:
-                merged[c] = merged[c].astype(ltypes[c].to_pandas_dtype())
-            except (TypeError, ValueError):
-                pass
+        if how != "inner":
+            # unmatched rows reintroduce nulls in right columns; pin
+            # integer columns to pandas nullable ints so the block
+            # schema is stable across partitions (a partition where
+            # every row matched would otherwise emit int64 while its
+            # neighbor emits float64)
+            for c in out_right:
+                name = c if c in merged.columns else c + suffix
+                if name in merged.columns:
+                    merged[name] = _to_nullable(merged[name], rtypes[c])
         return merged
 
     return both.groupby("_part").map_groups(per_partition,
-                                            batch_format="pandas")
+                                            batch_format="pyarrow")
 
 
 def tumbling_window(ds, ts_col: str, every: str = "day",

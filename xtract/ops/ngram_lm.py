@@ -78,7 +78,10 @@ def train_char_lm(ds, col: str = "text", order: int = 3,
         if g.startswith("\x01"):
             continue
         prefix_n = grams.get("\x01" + g[:-1], 0)
-        p = (n + 1) / (prefix_n + vocab_size)
+        # the prefix row can miss the max_grams cut while the gram
+        # survives it (equal-count boundary); clamp p ≤ 1 so a missing
+        # prefix count can never produce a NEGATIVE bit cost
+        p = min(1.0, (n + 1) / (prefix_n + vocab_size))
         table[g] = -math.log2(p)
     return table
 

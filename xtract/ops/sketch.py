@@ -92,9 +92,25 @@ def approx_distinct(ds, col: str, p: int = 12,
         return pa.table({"regs": pa.FixedSizeListArray.from_arrays(
             pa.array(regs, pa.uint8()), len(regs))})
 
-    rows = ds.select_columns([col]).map_batches(
-        block_sketch, batch_format="pyarrow").take_all()  # one row per block
     m = 1 << p
+
+    def merge_rows(b: pa.Table) -> pa.Table:
+        """Elementwise-max fold of up to ``batch_size`` register rows
+        into ONE — a Dataset-side reduction tree, so the driver only
+        ever sees O(n_blocks / 4096) rows, not one per input block."""
+        if len(b) == 0:
+            return b
+        mat = (b["regs"].combine_chunks().flatten()
+               .to_numpy(zero_copy_only=False).reshape(len(b), m))
+        merged = mat.max(axis=0).astype(np.uint8)
+        return pa.table({"regs": pa.FixedSizeListArray.from_arrays(
+            pa.array(merged, pa.uint8()), m)})
+
+    rows = (ds.select_columns([col])
+            .map_batches(block_sketch, batch_format="pyarrow")
+            .map_batches(merge_rows, batch_format="pyarrow",
+                         batch_size=4096)
+            .take_all())  # ≤ n_blocks/4096 rows reach the driver
     merged = np.zeros(m, np.uint8)
     for r in rows:
         merged = np.maximum(merged, np.asarray(r["regs"], np.uint8))

@@ -184,12 +184,12 @@ def extract_pages_with_retry(
     urls = {r["url"] for r in retry_urls.take_all()}  # tiny set
     if not urls:
         return ok
-    urls_ref = ray.put(urls)
+    urls_ref = ray.put(pa.array(sorted(urls), pa.string()))
 
     def keep_failed(t: pa.Table) -> pa.Table:
-        u = ray.get(urls_ref)
-        mask = pa.array([x in u for x in t["url"].to_pylist()], pa.bool_())
-        return t.filter(mask)
+        # one vectorized membership kernel over the batch — no Python
+        # row loop on the (full-corpus-sized) source scan
+        return t.filter(pc.is_in(t["url"], value_set=ray.get(urls_ref)))
 
     lenient = failed_val.map_batches(keep_failed, batch_format="pyarrow").map_batches(
         Extractor, fn_constructor_args=(cfg.to_json(), True),
@@ -422,12 +422,10 @@ def _run_retry_shard(input_files, out_dir: str, cfg: ExtractionConfig,
     urls = {r["url"] for r in failed}
     if not urls:
         return None
-    urls_ref = ray.put(urls)
+    urls_ref = ray.put(pa.array(sorted(urls), pa.string()))
 
     def keep_failed(t: pa.Table) -> pa.Table:
-        u = ray.get(urls_ref)
-        mask = pa.array([x in u for x in t["url"].to_pylist()], pa.bool_())
-        return t.filter(mask)
+        return t.filter(pc.is_in(t["url"], value_set=ray.get(urls_ref)))
 
     tmp_dir = tempfile.mkdtemp(prefix=".shard-retry-", dir=out_dir)
     t0 = time.monotonic()
