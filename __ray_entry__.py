@@ -430,10 +430,33 @@ def _q_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _simhash_mutate(t: pa.Table) -> pa.Table:
+    """Plant near-dup template groups (doc_id%5==0 rows collapse to six
+    template variants) so the clustering path has real work; the SQL
+    oracle applies the same mutation."""
+    ids = t["doc_id"].to_pylist()
+    txt = t["text"].to_pylist()
+    out = []
+    for d, x in zip(ids, txt):
+        if d % 5 == 0:
+            w = "alpha" if d % 2 == 0 else "beta"
+            out.append("shared template page content about topic "
+                       f"{d % 3} with {w} extra tail words here")
+        else:
+            out.append(x or "")
+    return pa.table({"doc_id": t["doc_id"], "text": pa.array(out, pa.string())})
+
+
 def _q_simhash_dedup(sf_dir: str):
+    """SimHash near-dup clustering, fully SQL-checked: the 64-bit
+    SimHash (md5_number_upper word hashes), 4×16-bit band candidates,
+    Hamming≤3 verify and min-label connected components are all
+    recomputed independently in DuckDB (see oracle_sql)."""
     from xtract.ops.dedup import simhash_dedup
 
-    return simhash_dedup(_docs(sf_dir, ["doc_id", "text"]))
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _simhash_mutate, batch_format="pyarrow")
+    return simhash_dedup(docs)
 
 
 def _q_ngram_dedup(sf_dir: str):
@@ -551,14 +574,39 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(docs, bench, n=13)
 
 
+def _chunked_lines_batch(t: pa.Table, tail_fmt: str, mod: int) -> pa.Table:
+    """Word-bag documents → multi-line text: 12-word chunk lines plus
+    one shared tail line (``tail_fmt.format(doc_id % mod)``).  The SQL
+    oracles rebuild the exact same text with list slicing, so the
+    line/paragraph dedup queries hash-check end to end (rewritten text
+    included)."""
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    out = []
+    for d, txt in zip(ids, texts):
+        ws = (txt or "").split()
+        lines = [" ".join(ws[i:i + 12]) for i in range(0, len(ws), 12)]
+        lines.append(tail_fmt.format(int(d) % mod))
+        out.append("\n".join(lines))
+    return pa.table({"doc_id": t["doc_id"],
+                     "text": pa.array(out, pa.string())})
+
+
+_PARA_TAIL = "this exact shared paragraph appears in many documents variant {}"
+_LINE_TAIL = "subscribe to our newsletter today edition {}"
+
+
 def _q_paragraph_dedup(sf_dir: str):
     """Cross-document paragraph dedup (one surviving copy per distinct
-    paragraph, owner = min doc_id).  Rows-only."""
+    paragraph, owner = min doc_id).  SQL-checked including the
+    rewritten text."""
     from xtract.ops.linedup import dedup_paragraphs
 
-    return dedup_paragraphs(
-        _docs(sf_dir, ["doc_id", "text"])).select_columns(
-        ["doc_id", "n_paras_dropped"])
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: _chunked_lines_batch(t, _PARA_TAIL, 7),
+        batch_format="pyarrow")
+    return dedup_paragraphs(docs).select_columns(
+        ["doc_id", "text", "n_paras_dropped"])
 
 
 def _q_doc_bits_per_char(sf_dir: str):
@@ -642,19 +690,52 @@ def _q_extract_warc(sf_dir: str):
 
 
 def _q_line_dedup(sf_dir: str):
-    """Corpus-level repeated-line removal over extracted content."""
+    """Corpus-level repeated-line removal (doc-frequency > max_docs →
+    boilerplate, dropped everywhere).  SQL-checked including the
+    rewritten text.  (The same op also runs over extracted content
+    inside webtext_pipeline.)"""
     from xtract.ops.linedup import drop_repeated_lines
-    from xtract.pipeline import extract_pages
 
-    ex = extract_pages(_pages(sf_dir)).select_columns(["url", "content_text"])
-    return drop_repeated_lines(ex, max_docs=20)
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: _chunked_lines_batch(t, _LINE_TAIL, 4),
+        batch_format="pyarrow")
+    return drop_repeated_lines(docs, max_docs=20, col="text")
+
+
+def _url_variants_batch(t: pa.Table) -> pa.Table:
+    """doc_id → a decorated crawl url (tracking params / case / ports /
+    fragments / duplicate slashes); groups of 3 consecutive doc_ids
+    share a base so canonicalization collapses them.  The SQL oracle
+    constructs the same urls and their expected canonical forms."""
+    urls = []
+    for d in t["doc_id"].to_pylist():
+        g, m = d // 3, d % 6
+        base = f"https://site{g}.example.org/a/b"
+        if m == 0:
+            u = base + "?utm_source=rss&ref=tw"
+        elif m == 1:
+            u = f"https://SITE{g}.Example.ORG/a/b/"
+        elif m == 2:
+            u = base + "#frag"
+        elif m == 3:
+            u = base + "?b=2&a=1"
+        elif m == 4:
+            u = f"https://site{g}.example.org//a//b"
+        else:
+            u = f"https://site{g}.example.org:443/a/b"
+        urls.append(u)
+    return pa.table({"url": pa.array(urls, pa.string())})
 
 
 def _q_canonical_url_dedup(sf_dir: str):
+    """Canonical-url exact dedup (lowercase host, strip default ports /
+    fragments / tracking params, sort query, collapse slashes), min url
+    kept per canonical.  SQL-checked."""
     from xtract.ops.urls import dedup_by_canonical_url
 
-    return dedup_by_canonical_url(
-        _pages(sf_dir).select_columns(["url", "warc_ts"]))
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _url_variants_batch, batch_format="pyarrow")
+    return dedup_by_canonical_url(pages)
 
 
 def _q_media_features(sf_dir: str):
@@ -725,6 +806,111 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 _TRIM = "' ' || chr(9) || chr(10) || chr(13)"
+
+
+def _chunked_lines_cte(tail_literal: str, mod: int) -> str:
+    """CTE body rebuilding ``_chunked_lines_batch``'s multi-line text in
+    DuckDB: ``lines(doc_id, ln, l)`` = 12-word chunk lines (list
+    slicing) + the shared tail line, ``tot(doc_id, n)`` = line counts."""
+    return (
+        "ws0 AS (SELECT doc_id, list_filter(string_split(coalesce(text,''), "
+        "' '), x -> x != '') AS ws FROM documents), "
+        "lines AS ("
+        "SELECT doc_id, CAST((i-1)//12 AS BIGINT) AS ln, "
+        "array_to_string(ws[i:i+11], ' ') AS l "
+        "FROM ws0, UNNEST(range(1, len(ws)+1, 12)) AS t(i) "
+        "UNION ALL "
+        f"SELECT doc_id, 1000000, '{tail_literal}' || "
+        f"CAST(doc_id % {mod} AS VARCHAR) FROM documents), "
+        "tot AS (SELECT doc_id, count(*) AS n FROM lines GROUP BY doc_id)")
+
+
+def _line_dedup_sql() -> str:
+    s = f"lower(trim(l, {_TRIM}))"
+    ln = f"length(trim(l, {_TRIM}))"
+    return (
+        "WITH " + _chunked_lines_cte(_LINE_TAIL.replace("{}", ""), 4) + ", "
+        f"hot AS (SELECT {s} AS s FROM lines WHERE {ln} >= 8 "
+        "GROUP BY 1 HAVING count(DISTINCT doc_id) > 20), "
+        f"kept AS (SELECT doc_id, ln, l FROM lines WHERE {ln} < 8 "
+        f"OR {s} NOT IN (SELECT s FROM hot)), "
+        "agg AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY ln) AS text, "
+        "count(*) AS n_kept FROM kept GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(a.text, '') AS text, "
+        "CAST(t.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_dropped "
+        "FROM documents d JOIN tot t USING (doc_id) "
+        "LEFT JOIN agg a USING (doc_id)")
+
+
+def _paragraph_dedup_sql() -> str:
+    return (
+        "WITH " + _chunked_lines_cte(_PARA_TAIL.replace("{}", ""), 7) + ", "
+        f"pf AS (SELECT doc_id, ln, l, trim(l, {_TRIM}) AS s FROM lines), "
+        "own AS (SELECT s, min(doc_id) AS owner FROM pf "
+        "WHERE length(s) >= 20 GROUP BY s), "
+        "kept AS (SELECT pf.doc_id, pf.ln, pf.l FROM pf "
+        "LEFT JOIN own ON pf.s = own.s "
+        "WHERE length(pf.s) < 20 OR own.owner = pf.doc_id), "
+        "agg AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY ln) AS text, "
+        "count(*) AS n_kept FROM kept GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(a.text, '') AS text, "
+        "CAST(t.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_paras_dropped "
+        "FROM documents d JOIN tot t USING (doc_id) "
+        "LEFT JOIN agg a USING (doc_id)")
+
+
+def _canonical_url_sql() -> str:
+    base = "'https://site' || CAST(doc_id//3 AS VARCHAR) || '.example.org"
+    return (
+        "WITH u AS (SELECT doc_id, CASE doc_id % 6 "
+        f"WHEN 0 THEN {base}/a/b?utm_source=rss&ref=tw' "
+        "WHEN 1 THEN 'https://SITE' || CAST(doc_id//3 AS VARCHAR) || "
+        "'.Example.ORG/a/b/' "
+        f"WHEN 2 THEN {base}/a/b#frag' "
+        f"WHEN 3 THEN {base}/a/b?b=2&a=1' "
+        f"WHEN 4 THEN {base}//a//b' "
+        f"ELSE {base}:443/a/b' END AS url, "
+        f"{base}/a/b' || CASE WHEN doc_id % 6 = 3 THEN '?a=1&b=2' "
+        "ELSE '' END AS canonical_url FROM documents) "
+        "SELECT min(url) AS url, canonical_url FROM u GROUP BY canonical_url")
+
+
+def _simhash_sql() -> str:
+    """Independent DuckDB recomputation of the full SimHash clustering:
+    md5_number_upper word hashes (= the engine's md5-top-8-bytes
+    little-endian definition), 64-bit majority-vote simhash, 4×16-bit
+    band candidate pairs, Hamming≤3 verify, min-label connected
+    components via a recursive transitive closure."""
+    return (
+        "WITH RECURSIVE d2 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "
+        "'shared template page content about topic ' || "
+        "CAST(doc_id % 3 AS VARCHAR) || ' with ' || "
+        "(CASE WHEN doc_id % 2 = 0 THEN 'alpha' ELSE 'beta' END) || "
+        "' extra tail words here' ELSE coalesce(text, '') END AS t "
+        "FROM documents), "
+        "toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(t), "
+        "'[a-z0-9_]+')) AS w FROM d2), "
+        "wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w), "
+        "bits AS (SELECT doc_id, j, sum(c * (CAST((md5_number_upper(w) >> "
+        "CAST(j AS INTEGER)) & 1 AS BIGINT)*2 - 1)) AS acc "
+        "FROM wc, UNNEST(range(0,64)) AS u(j) GROUP BY doc_id, j), "
+        "sims AS (SELECT doc_id, CAST(sum(CASE WHEN acc > 0 THEN "
+        "(CAST(1 AS UBIGINT) << CAST(j AS INTEGER)) ELSE CAST(0 AS UBIGINT) "
+        "END) AS UBIGINT) AS sim FROM bits GROUP BY doc_id), "
+        "bands AS (SELECT doc_id, sim, b, "
+        "(sim >> CAST(b*16 AS INTEGER)) & 65535 AS bv "
+        "FROM sims, UNNEST(range(0,4)) AS u(b)), "
+        "prs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
+        "FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv "
+        "AND x.doc_id < y.doc_id "
+        "WHERE bit_count(xor(x.sim, y.sim)) <= 3), "
+        "edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs), "
+        "reach(s, d) AS (SELECT a, b FROM edges UNION "
+        "SELECT r.s, e.b FROM reach r JOIN edges e ON r.d = e.a), "
+        "lbl AS (SELECT s AS doc_id, least(min(d), s) AS cl "
+        "FROM reach GROUP BY s) "
+        "SELECT d2.doc_id, CAST(coalesce(l.cl, d2.doc_id) AS BIGINT) "
+        "AS cluster_id FROM d2 LEFT JOIN lbl l ON d2.doc_id = l.doc_id")
 
 
 def _stopword_sql() -> str:
@@ -859,6 +1045,15 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a.n_oov, 0) AS n_oov "
             "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id",
         "doc_stopword_counts": _stopword_sql(),
+        "line_dedup": _line_dedup_sql(),
+        "paragraph_dedup": _paragraph_dedup_sql(),
+        "canonical_url_dedup": _canonical_url_sql(),
+        "simhash_dedup": _simhash_sql(),
+        "media_features":
+            "SELECT doc_id AS media_id, "
+            "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' "
+            "WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+            "'ok' AS decode_status FROM documents",
         "top_parts_per_brand":
             "SELECT p_partkey, p_brand, p_retailprice FROM ("
             "SELECT p_partkey, p_brand, p_retailprice, "

@@ -52,7 +52,9 @@ def test_every_query_has_callable(entry_mod):
 
 
 @pytest.mark.parametrize("name", ["doc_lang_histogram", "doc_token_stats",
-                                  "doc_exact_dedup", "embedding_knn"])
+                                  "doc_exact_dedup", "embedding_knn",
+                                  "simhash_dedup", "paragraph_dedup",
+                                  "line_dedup", "canonical_url_dedup"])
 def test_query_matches_oracle(entry_mod, sf_dir, name):
     con = _con(sf_dir)
     mine = _df(entry_mod.queries()[name](sf_dir))

@@ -574,6 +574,16 @@ def minhash_lsh_dedup(ds, col: str = "text", key: str = "doc_id",
 # SimHash
 # ---------------------------------------------------------------------------
 
+def _word_hash64(w: str) -> bytes:
+    """64-bit word hash for SimHash as 8 big-endian bytes.
+
+    Defined as the little-endian integer of the first 8 md5 bytes —
+    exactly DuckDB's ``md5_number_upper`` — so the full SimHash
+    definition is SQL-expressible and the ``simhash_dedup`` driver
+    query gets a real hash-checked oracle."""
+    return hashlib.md5(w.encode()).digest()[:8][::-1]
+
+
 class SimHasher:
     """Actor stage: 64-bit SimHash of word features.  Warm per-worker
     word-hash cache + vectorized bit accumulation (one matrix product
@@ -593,8 +603,7 @@ class SimHasher:
             counts[w] = counts.get(w, 0) + 1
         acc = np.zeros(64, np.int64)
         for w, c in counts.items():
-            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-            bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), np.uint8))
+            bits = np.unpackbits(np.frombuffer(_word_hash64(w), np.uint8))
             acc += (bits.astype(np.int64) * 2 - 1) * c
         out = 0
         for i, v in enumerate(acc):
@@ -605,8 +614,7 @@ class SimHasher:
     def _bit_row(self, w: str) -> np.ndarray:
         row = self._wcache.get(w)
         if row is None:
-            h = hashlib.blake2b(w.encode(), digest_size=8).digest()
-            row = (np.unpackbits(np.frombuffer(h, np.uint8))
+            row = (np.unpackbits(np.frombuffer(_word_hash64(w), np.uint8))
                    .astype(np.int64) * 2 - 1)
             if len(self._wcache) < self._wcache_max:
                 self._wcache[w] = row
