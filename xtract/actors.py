@@ -76,6 +76,10 @@ BLOCKS_SCHEMA = pa.schema([
     ("is_last_in_parent", pa.bool_()),
     ("is_dict_word", pa.bool_()),
     ("is_numeric", pa.bool_()),
+    # per-node choice lattice (src/choice_iterator.rs:30-71): ranked
+    # block-type alternatives, conf desc; first == block_type
+    ("alternatives",
+     pa.list_(pa.struct([("label", pa.string()), ("conf", pa.float32())]))),
 ])
 
 
@@ -279,7 +283,8 @@ class BlocksExploder:
                 continue
             r = extract_document(html, text, None, self.cfg,
                                  detector=self.detector, collect_blocks=True)
-            explode_blocks_into(url, r["blocks"], self.levels, cols)
+            explode_blocks_into(url, r["blocks"], self.levels, cols,
+                                detector=self.detector)
         if not cols["url"]:
             return BLOCKS_SCHEMA.empty_table()
         arrays = [pa.array(cols[f.name], f.type) for f in BLOCKS_SCHEMA]

@@ -57,6 +57,57 @@ def assign_type(b: Block) -> str:
     return FLOWING_TEXT
 
 
+#: priority weights of the classification rules, in ``assign_type``'s
+#: if-chain order — strictly descending, so the top-ranked alternative
+#: is ALWAYS the assigned type (invariant-tested)
+_RULE_WEIGHTS = (
+    ("title", 100), ("heading", 90), ("caption", 80), ("table", 70),
+    ("list", 60), ("boiler", 50), ("quote", 40), ("noise", 30),
+    ("flowing", 20),
+)
+
+
+def type_alternatives(b: Block, k: int = 3) -> list[tuple[str, float]]:
+    """Ranked block-type alternatives with confidences, descending —
+    the per-node choice-lattice analogue (reference
+    ``src/choice_iterator.rs:30-71``: every classifier decision exposes
+    its runner-up choices; ordering contract mirrors
+    ``tests/test_iterators.rs:736-769``).
+
+    Every structural rule that MATCHES the block contributes a
+    candidate scored by its priority weight; conf = weight / total
+    (integer weights, one division per candidate).  The first entry is
+    exactly ``assign_type(b)`` because weights are strictly descending
+    in rule order.  A plain text block yields the single candidate
+    ``(FLOWING_TEXT, 1.0)``; structurally ambiguous blocks (e.g. a list
+    item inside a nav) yield the runner-ups."""
+    cands: list[tuple[str, int]] = []
+    for rule, w in _RULE_WEIGHTS:
+        if rule == "title" and b.is_title:
+            cands.append((TITLE, w))
+        elif rule == "heading" and b.heading_level > 0:
+            cands.append((HEADING_TEXT, w))
+        elif rule == "caption" and b.is_caption:
+            cands.append((CAPTION_TEXT, w))
+        elif rule == "table" and b.in_table:
+            cands.append((TABLE, w))
+        elif rule == "list" and b.is_list_item:
+            cands.append((LIST, w))
+        elif rule == "boiler" and b.in_boiler:
+            cands.append((NAV if 2 * b.n_link_chars >= b.n_chars
+                          else BOILERPLATE, w))
+        elif rule == "quote" and b.in_blockquote:
+            cands.append((PULLOUT_TEXT, w))
+        elif rule == "noise" and b.n_chars == 0:
+            cands.append((NOISE, w))
+        elif rule == "flowing" and b.n_chars > 0:
+            cands.append((FLOWING_TEXT, w))
+    if not cands:
+        return [(UNKNOWN, 1.0)]
+    total = sum(w for _, w in cands)
+    return [(t, w / total) for t, w in cands[:k]]
+
+
 def is_content(b: Block, cfg: ExtractionConfig) -> bool:
     """Keep/drop decision — integer arithmetic only.
 

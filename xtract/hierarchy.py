@@ -22,6 +22,7 @@ from __future__ import annotations
 import re
 from typing import Any
 
+from .classify import type_alternatives
 from .langdetect import text_direction
 from .segment import Block
 
@@ -36,7 +37,7 @@ HIERARCHY_COLUMNS = (
     "text_density", "depth", "justification", "is_list_item", "is_bold",
     "is_italic", "is_mono", "has_sup", "has_sub", "heading_level", "lang",
     "dir", "line_id", "word_id", "is_first_in_parent", "is_last_in_parent",
-    "is_dict_word", "is_numeric",
+    "is_dict_word", "is_numeric", "alternatives",
 )
 
 
@@ -52,6 +53,7 @@ def explode_blocks_into(
     levels: tuple[str, ...],
     cols: dict[str, list],
     dict_words: frozenset | None = None,
+    detector=None,
 ) -> None:
     """One document's blocks → hierarchy rows appended COLUMNARLY into
     ``cols`` — no per-row dicts on the hot path (the round-1
@@ -92,6 +94,7 @@ def explode_blocks_into(
     c_lst = cols["is_last_in_parent"].append
     c_dw = cols["is_dict_word"].append
     c_num = cols["is_numeric"].append
+    c_alt = cols["alternatives"].append
     for bi, b in enumerate(blocks):
         link_density = (b.n_link_chars / b.n_chars) if b.n_chars else 0.0
         text_density = float(b.n_words)
@@ -103,6 +106,7 @@ def explode_blocks_into(
 
         def emit(level: str, text: str, ss: int, se: int, lid: int,
                  wid: int, first: bool, last: bool, dw: bool, num: bool,
+                 lang: "str | None" = None, alt: "list | None" = None,
                  b=b, link_density=link_density, text_density=text_density,
                  confidence=confidence, block_dir=block_dir) -> None:
             c_url(url)
@@ -126,7 +130,7 @@ def explode_blocks_into(
             c_sup(b.has_sup)
             c_sub(b.has_sub)
             c_hl(b.heading_level)
-            c_lang(b.lang)
+            c_lang(lang if lang is not None else b.lang)
             c_dir(block_dir)
             c_lid(lid)
             c_wid(wid)
@@ -134,10 +138,16 @@ def explode_blocks_into(
             c_lst(last)
             c_dw(dw)
             c_num(num)
+            c_alt(alt if alt is not None else [])
 
         if want_block:
+            # per-node classification alternatives (choice-lattice
+            # analogue, reference src/choice_iterator.rs:30-71): the
+            # runner-up block types with confidences, desc-sorted;
+            # first entry == block_type by construction
+            alts = [{"label": t, "conf": c} for t, c in type_alternatives(b)]
             emit("block", b.text, b.span_start, b.span_end, -1, -1,
-                 bi == 0, bi == nb - 1, False, False)
+                 bi == 0, bi == nb - 1, False, False, alt=alts)
         if want_para:
             # our segmentation already yields paragraph-granularity blocks:
             # one para per block, same span (documented 1:1 mapping)
@@ -166,10 +176,16 @@ def explode_blocks_into(
                         wcur = we
                         if not w:
                             continue
+                        # per-word recognition language on mixed-language
+                        # pages (reference src/result_iterator.rs:78-89):
+                        # a word uniquely claimed by another loaded
+                        # language's tables overrides the block label
+                        wlang = (detector.word_lang(w, b.lang)
+                                 if detector is not None else b.lang)
                         emit("word", w, ws, we, li, wi,
                              wi == 0, wi == nw - 1,
                              bool(dict_words) and w.lower().strip(".,;:!?\"'()") in (dict_words or frozenset()),
-                             bool(_NUM_RE.match(w)))
+                             bool(_NUM_RE.match(w)), lang=wlang)
 
 
 def explode_blocks(
@@ -177,11 +193,12 @@ def explode_blocks(
     blocks: list[Block],
     levels: tuple[str, ...] = LEVELS,
     dict_words: frozenset | None = None,
+    detector=None,
 ) -> list[dict[str, Any]]:
     """Row-dict view of ``explode_blocks_into`` (tests / small inputs —
     the batch layer uses the columnar form directly)."""
     cols = new_hierarchy_columns()
-    explode_blocks_into(url, blocks, levels, cols, dict_words)
+    explode_blocks_into(url, blocks, levels, cols, dict_words, detector)
     names = list(HIERARCHY_COLUMNS)
     return [dict(zip(names, vals)) for vals in zip(*(cols[n] for n in names))]
 

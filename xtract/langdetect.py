@@ -99,6 +99,35 @@ class LangDetector:
                             scores[li] += 3
         return scores
 
+    def word_lang(self, word: str, default: str = "und") -> str:
+        """Per-word recognition language (the
+        ``word_recognition_language`` analogue, reference
+        ``src/result_iterator.rs:78-89``): the language whose tables
+        uniquely claim this word (stopword hit +2, distinctive char
+        +3, same weights as ``detect``); unknown or ambiguous words
+        inherit ``default`` (the block language).  Deterministic."""
+        t = word.lower().strip(".,;:!?\"'()")
+        scores: dict[int, int] = {}
+        hit = self.word_langs.get(t)
+        if hit:
+            for li in hit:
+                scores[li] = scores.get(li, 0) + 2
+        if t and not t.isascii():
+            for c in t:
+                chit = self.char_langs.get(c)
+                if chit:
+                    for li in chit:
+                        scores[li] = scores.get(li, 0) + 3
+        if not scores:
+            return default
+        best = max(scores.values())
+        if best < self.margin:
+            return default
+        winners = [li for li, s in scores.items() if s == best]
+        if len(winners) > 1:
+            return default  # ambiguous between languages → block lang
+        return self.langs[winners[0]]
+
     def detect_alternatives(self, text: str, k: int = 3,
                             max_tokens: int = 400) -> list[tuple[str, float]]:
         """Ordered language alternatives, confidence descending with

@@ -148,12 +148,19 @@ def extract_pages_with_retry(
     ds,
     cfg: ExtractionConfig = DEFAULT_CONFIG,
     retry_statuses: tuple[str, ...] = ("bad_encoding", "parse_error"),
+    retry_cfg: "ExtractionConfig | None" = None,
     **kw,
 ):
     """Two-phase routing (C2, the ``process_pages(retry_config)``
     analogue, reference ``src/api.rs:844-875``): strict pass first; rows
     that failed with a retryable status re-enter a lenient pass
     (replacement decode) and replace the failed rows in the output.
+
+    ``retry_cfg`` is the caller-supplied ALTERNATE engine config for the
+    second pass (the reference's ``process_pages`` takes a full
+    ``RetryConfig``, ``src/api.rs:847-854``) — e.g. a different seg
+    mode, relaxed densities, or extra languages.  Default ``None``
+    keeps the strict config and only switches on lenient decode.
 
     The retry subset is tiny (bad bytes are rare), so the second pass is
     a small actor-pool stage; union keeps everything streaming.
@@ -192,7 +199,7 @@ def extract_pages_with_retry(
         return t.filter(pc.is_in(t["url"], value_set=ray.get(urls_ref)))
 
     lenient = failed_val.map_batches(keep_failed, batch_format="pyarrow").map_batches(
-        Extractor, fn_constructor_args=(cfg.to_json(), True),
+        Extractor, fn_constructor_args=((retry_cfg or cfg).to_json(), True),
         batch_format="pyarrow", batch_size=16, concurrency=(1, 4), num_cpus=1)
     return ok.union(lenient)
 
@@ -324,6 +331,7 @@ def run_extraction_job(
     """
     os.makedirs(out_dir, exist_ok=True)
     retry_failed = extract_kw.pop("retry_failed", False)
+    retry_cfg = extract_kw.pop("retry_cfg", None)
     manifests = []
     groups = [list(input_files[i:i + shard_size])
               for i in range(0, len(input_files), shard_size)]
@@ -392,14 +400,16 @@ def run_extraction_job(
         manifests.append(manifest)
     if retry_failed:
         m = _run_retry_shard(input_files, out_dir, cfg,
-                             write_sidecar=write_sidecar)
+                             write_sidecar=write_sidecar,
+                             retry_cfg=retry_cfg)
         if m is not None:
             manifests.append(m)
     return manifests
 
 
 def _run_retry_shard(input_files, out_dir: str, cfg: ExtractionConfig,
-                     write_sidecar: bool = False):
+                     write_sidecar: bool = False,
+                     retry_cfg: "ExtractionConfig | None" = None):
     """Job-level retry pass (C2 at the job driver, the efficient shape):
     scan the ALREADY-WRITTEN shard outputs for retryable statuses (a
     cheap 2-column read — no re-extraction), broadcast the failed url
@@ -431,7 +441,7 @@ def _run_retry_shard(input_files, out_dir: str, cfg: ExtractionConfig,
     t0 = time.monotonic()
     lenient = read_pages(input_files).map_batches(
         keep_failed, batch_format="pyarrow").map_batches(
-        Extractor, fn_constructor_args=(cfg.to_json(), True),
+        Extractor, fn_constructor_args=((retry_cfg or cfg).to_json(), True),
         batch_format="pyarrow", batch_size=16, concurrency=(1, 4), num_cpus=1)
     lenient.write_parquet(os.path.join(tmp_dir, "data"))
     if write_sidecar:
@@ -444,7 +454,7 @@ def _run_retry_shard(input_files, out_dir: str, cfg: ExtractionConfig,
         "shard_id": sid, "input_files": list(input_files),
         "n_rows": sum(int(r["n"]) for r in parts),
         "checksum": merge_checksum_partials([(r["partial"], r["n"]) for r in parts]),
-        "config_hash": cfg.config_hash(), "lenient": True,
+        "config_hash": (retry_cfg or cfg).config_hash(), "lenient": True,
         "engine_version": __version__,
         "wall_s": round(time.monotonic() - t0, 3), "complete": True,
     }
