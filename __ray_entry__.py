@@ -490,6 +490,12 @@ def _q_doc_quality(sf_dir: str):
 
 
 def _q_doc_langid(sf_dir: str):
+    """Language-ID over documents.text — SQL-checked: the oracle embeds
+    the SAME stopword tables (one definition, two engines) and
+    recomputes the integer scoring, margin and alphabetical tie-break.
+    (Oracle valid for this ASCII ≤400-token input domain; the engine
+    additionally caps at 400 tokens / 2000 chars and scores non-ASCII
+    evidence chars.)"""
     from xtract.ops.textstats import DocLangId
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -607,6 +613,28 @@ def _q_paragraph_dedup(sf_dir: str):
         batch_format="pyarrow")
     return dedup_paragraphs(docs).select_columns(
         ["doc_id", "text", "n_paras_dropped"])
+
+
+def _q_doc_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition signals over the chunked
+    multi-line text (integer numerators/denominators only → exact SQL
+    hash check)."""
+    from xtract.ops.textstats import gopher_repetition_batch
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: _chunked_lines_batch(t, _PARA_TAIL, 7),
+        batch_format="pyarrow")
+    return docs.map_batches(gopher_repetition_batch, batch_format="pyarrow")
+
+
+def _q_doc_mixture_sample(sf_dir: str):
+    """Deterministic per-language downsampling (data-mixing surface):
+    keep all English, 1/2 of German/Spanish, 1/5 of everything else."""
+    from xtract.ops.agg import stratified_sample
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "source", "n_chars"])
+    return stratified_sample(docs, "lang", "doc_id",
+                             {"en": 1, "de": 2, "es": 2}, default_every=5)
 
 
 def _q_doc_bits_per_char(sf_dir: str):
@@ -802,6 +830,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "customer_spend_cogroup": _q_customer_spend_cogroup,
         "doc_sample": _q_doc_sample,
+        "doc_repetition": _q_doc_repetition,
+        "doc_mixture_sample": _q_doc_mixture_sample,
     }
 
 
@@ -911,6 +941,101 @@ def _simhash_sql() -> str:
         "FROM reach GROUP BY s) "
         "SELECT d2.doc_id, CAST(coalesce(l.cl, d2.doc_id) AS BIGINT) "
         "AS cluster_id FROM d2 LEFT JOIN lbl l ON d2.doc_id = l.doc_id")
+
+
+def _doc_langid_sql() -> str:
+    """Oracle for doc_langid: embeds the engine's own stopword tables
+    (xtract.langdetect.STOPWORDS — one definition, two engines) and
+    recomputes detect(): +2 per stopword occurrence, best language with
+    alphabetical tie-break, margin 2 else 'und', conf = best/total
+    (float32 on both sides)."""
+    from xtract.langdetect import STOPWORDS
+
+    rows = ", ".join(f"('{l}', '{w}')"
+                     for l in sorted(STOPWORDS)
+                     for w in sorted(STOPWORDS[l]))
+    return (
+        "WITH stop(lang, w) AS (VALUES " + rows + "), "
+        "toks AS (SELECT doc_id, unnest(regexp_extract_all(lower("
+        "coalesce(text,'')), '[a-z]+')) AS w FROM documents), "
+        "sc AS (SELECT t.doc_id, s.lang, 2*count(*) AS score "
+        "FROM toks t JOIN stop s ON t.w = s.w GROUP BY t.doc_id, s.lang), "
+        "tot AS (SELECT doc_id, sum(score) AS total, max(score) AS best "
+        "FROM sc GROUP BY doc_id), "
+        "pick AS (SELECT sc.doc_id, min(sc.lang) AS lang FROM sc "
+        "JOIN tot USING (doc_id) WHERE sc.score = tot.best "
+        "GROUP BY sc.doc_id) "
+        "SELECT d.doc_id, "
+        "CASE WHEN coalesce(t.best, 0) >= 2 THEN p.lang ELSE 'und' END "
+        "AS lang_detected, "
+        "CAST(CASE WHEN coalesce(t.best, 0) >= 2 THEN "
+        "CAST(t.best AS DOUBLE)/t.total ELSE 0.0 END AS REAL) AS lang_conf "
+        "FROM documents d LEFT JOIN tot t USING (doc_id) "
+        "LEFT JOIN pick p USING (doc_id)")
+
+
+def _rolling_fp_sql(window: int = 64, base: int = 257,
+                    mod: int = (1 << 61) - 1) -> str:
+    """Oracle for doc_rolling_fp: recomputes the min-of-rolling-hashes
+    fingerprint (``textstats.rolling_fingerprint``) from scratch — each
+    64-byte window's polynomial hash is a HUGEINT dot product against a
+    precomputed base-power table, min per document.  Valid for ASCII
+    text (char code == utf-8 byte)."""
+    pows = ", ".join(f"({k}, {pow(base, k, mod)})" for k in range(window))
+    return (
+        "WITH d2 AS (SELECT doc_id, coalesce(text,'') AS t, "
+        "length(coalesce(text,'')) AS n FROM documents), "
+        "ch AS (SELECT doc_id, i-1 AS pos, unicode(t[i]) AS code, n "
+        "FROM d2, UNNEST(range(1, n+1)) AS u(i)), "
+        f"p(k, pw) AS (VALUES {pows}), "
+        "wins AS ("
+        f"SELECT doc_id, e FROM (SELECT DISTINCT doc_id, n FROM ch "
+        f"WHERE n > {window}), UNNEST(range({window - 1}, n)) AS u(e) "
+        "UNION ALL "
+        f"SELECT DISTINCT doc_id, n-1 AS e FROM ch WHERE n <= {window}), "
+        "h AS (SELECT w.doc_id, w.e, "
+        f"CAST(sum(CAST(c.code AS HUGEINT) * p.pw) % {mod} AS BIGINT) AS hv "
+        "FROM wins w JOIN ch c ON c.doc_id = w.doc_id "
+        f"AND c.pos BETWEEN w.e - {window - 1} AND w.e "
+        "JOIN p ON p.k = w.e - c.pos GROUP BY w.doc_id, w.e) "
+        "SELECT d2.doc_id, CAST(coalesce(m.mn, 0) AS UBIGINT) AS rolling_fp "
+        "FROM d2 LEFT JOIN (SELECT doc_id, min(hv) AS mn FROM h "
+        "GROUP BY doc_id) m USING (doc_id)")
+
+
+def _doc_repetition_sql() -> str:
+    """Oracle for doc_repetition: duplicate-line mass over the same
+    chunked lines CTE; bigrams over the same token stream (original
+    text tokens + the tail line's words, digits excluded by the shared
+    ``[a-z]+`` tokenizer)."""
+    import re as _re
+
+    tail_words = ", ".join(f"'{w}'" for w in _re.findall("[a-z]+", _PARA_TAIL))
+    return (
+        "WITH " + _chunked_lines_cte(_PARA_TAIL.replace("{}", ""), 7) + ", "
+        "lc AS (SELECT doc_id, l, count(*) AS c, length(l) AS len "
+        "FROM lines WHERE l != '' GROUP BY doc_id, l), "
+        "lagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines, "
+        "CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) "
+        "AS n_dup_lines, "
+        "CAST(sum(len*c) AS BIGINT) AS n_line_chars, "
+        "CAST(sum(CASE WHEN c > 1 THEN len*c ELSE 0 END) AS BIGINT) "
+        "AS n_dup_line_chars FROM lc GROUP BY doc_id), "
+        "tk AS (SELECT doc_id, list_concat(regexp_extract_all(lower("
+        f"coalesce(text,'')), '[a-z]+'), [{tail_words}]) AS ws "
+        "FROM documents), "
+        "bgc AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g, count(*) AS c "
+        "FROM tk, UNNEST(range(1, len(ws))) AS u(i) GROUP BY doc_id, g), "
+        "top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count, "
+        "CAST(sum(c) AS BIGINT) AS n_bigrams FROM bgc GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(a.n_lines, 0) AS n_lines, "
+        "coalesce(a.n_dup_lines, 0) AS n_dup_lines, "
+        "coalesce(a.n_line_chars, 0) AS n_line_chars, "
+        "coalesce(a.n_dup_line_chars, 0) AS n_dup_line_chars, "
+        "coalesce(t.n_bigrams, 0) AS n_bigrams, "
+        "coalesce(t.top_bigram_count, 0) AS top_bigram_count "
+        "FROM documents d LEFT JOIN lagg a USING (doc_id) "
+        "LEFT JOIN top t USING (doc_id)")
 
 
 def _stopword_sql() -> str:
@@ -1045,6 +1170,13 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a.n_oov, 0) AS n_oov "
             "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id",
         "doc_stopword_counts": _stopword_sql(),
+        "doc_langid": _doc_langid_sql(),
+        "doc_repetition": _doc_repetition_sql(),
+        "doc_mixture_sample":
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            "WHERE doc_id % (CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 "
+            "WHEN 'es' THEN 2 ELSE 5 END) = 0",
+        "doc_rolling_fp": _rolling_fp_sql(),
         "line_dedup": _line_dedup_sql(),
         "paragraph_dedup": _paragraph_dedup_sql(),
         "canonical_url_dedup": _canonical_url_sql(),

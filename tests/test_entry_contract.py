@@ -54,7 +54,9 @@ def test_every_query_has_callable(entry_mod):
 @pytest.mark.parametrize("name", ["doc_lang_histogram", "doc_token_stats",
                                   "doc_exact_dedup", "embedding_knn",
                                   "simhash_dedup", "paragraph_dedup",
-                                  "line_dedup", "canonical_url_dedup"])
+                                  "line_dedup", "canonical_url_dedup",
+                                  "doc_langid", "doc_rolling_fp",
+                                  "doc_repetition", "doc_mixture_sample"])
 def test_query_matches_oracle(entry_mod, sf_dir, name):
     con = _con(sf_dir)
     mine = _df(entry_mod.queries()[name](sf_dir))

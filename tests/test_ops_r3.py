@@ -1,0 +1,61 @@
+"""Round-3 ops: Gopher repetition signals, stratified mixing sample."""
+
+import pyarrow as pa
+
+from xtract.ops.textstats import gopher_repetition_batch
+
+
+def test_gopher_repetition_known_values():
+    text = "\n".join([
+        "alpha beta gamma",     # unique line
+        "repeat me now",        # dup line (×2)
+        "repeat me now",
+        "",                     # empty — not a line
+        "  ",                   # whitespace-only — not a line
+        "tail words here",
+    ])
+    t = pa.table({"doc_id": [1], "text": [text]})
+    r = gopher_repetition_batch(t).to_pylist()[0]
+    assert r["n_lines"] == 4
+    assert r["n_dup_lines"] == 2
+    assert r["n_line_chars"] == len("alpha beta gamma") + 2 * len(
+        "repeat me now") + len("tail words here")
+    assert r["n_dup_line_chars"] == 2 * len("repeat me now")
+    # tokens: alpha beta gamma repeat me now repeat me now tail words here
+    assert r["n_bigrams"] == 11
+    # 'repeat me' and 'me now' both occur twice
+    assert r["top_bigram_count"] == 2
+
+
+def test_gopher_repetition_empty_doc():
+    t = pa.table({"doc_id": [1, 2], "text": ["", None]})
+    rows = gopher_repetition_batch(t).to_pylist()
+    for r in rows:
+        assert r["n_lines"] == 0 and r["n_bigrams"] == 0
+        assert r["top_bigram_count"] == 0 and r["n_dup_line_chars"] == 0
+
+
+def test_stratified_sample(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.agg import stratified_sample
+
+    t = pa.table({
+        "doc_id": list(range(100)),
+        "lang": (["en", "de", "zh", "fr"] * 25),
+    })
+    out = stratified_sample(rd.from_arrow(t), "lang", "doc_id",
+                            {"en": 1, "de": 2}, default_every=5).to_pandas()
+    by = out.groupby("lang").size().to_dict()
+    # en: doc_ids 0,4,...96 (25 rows, every=1 keeps all)
+    assert by["en"] == 25
+    # de: doc_ids 1,5,...97 → odd ids, every=2 keeps none
+    assert by.get("de", 0) == 0
+    # zh: ids 2,6,..98 ≡ 2 mod 4; every=5 keeps ids ≡0 mod 5 → lcm ids
+    zh = set(out[out.lang == "zh"].doc_id)
+    assert zh == {i for i in range(2, 100, 4) if i % 5 == 0}
+    # deterministic under different partitioning
+    out2 = stratified_sample(
+        rd.from_arrow(t).repartition(7), "lang", "doc_id",
+        {"en": 1, "de": 2}, default_every=5).to_pandas()
+    assert sorted(out2.doc_id) == sorted(out.doc_id)

@@ -112,3 +112,27 @@ def deterministic_sample(ds, key: str, every: int = 20):
         return t.filter(pa.array(ids % every == 0))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(ds, stratum_col: str, key: str,
+                      rates: dict, default_every: int = 1):
+    """Deterministic per-stratum downsampling (the data-MIXING surface:
+    e.g. keep 1/1 of English, 1/5 of each other language when
+    rebalancing a training corpus).  A row survives iff
+    ``key % rates.get(stratum, default_every) == 0`` — reproducible
+    under any partitioning, no shuffle, no RNG state.  Vectorized: one
+    dictionary-decode + take per batch."""
+    strata = sorted(rates)
+    evs = np.array([int(rates[s]) for s in strata] + [int(default_every)],
+                   np.int64)
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = pc.fill_null(
+            pc.index_in(t[stratum_col], value_set=pa.array(strata)),
+            len(strata)).to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % evs[idx] == 0))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

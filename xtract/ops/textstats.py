@@ -196,6 +196,58 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("rolling_fp", pa.array(fps, pa.uint64()))
 
 
+def gopher_repetition_batch(batch: pa.Table, key: str = "doc_id",
+                            col: str = "text") -> pa.Table:
+    """Gopher-style WITHIN-document repetition signals (Rae et al. 2021
+    §A1.1, public filtering rules): duplicate-line fractions and the
+    most-frequent word-bigram count.  Emits integer numerators /
+    denominators only (callers derive the ratios), so the DuckDB oracle
+    hash-matches bit-for-bit:
+
+    - ``n_lines`` / ``n_dup_lines``: non-empty stripped lines, and the
+      occurrences of lines appearing more than once in the doc;
+    - ``n_line_chars`` / ``n_dup_line_chars``: the character mass of
+      those lines (all occurrences counted);
+    - ``n_bigrams`` / ``top_bigram_count``: word bigrams (shared
+      ``[a-z]+`` tokenizer) and the count of the most frequent one."""
+    from .vocab import sql_tokens
+
+    keys = batch[key].to_pylist()
+    texts = batch[col].to_pylist()
+    n = len(keys)
+    n_lines = np.zeros(n, np.int64)
+    n_dup = np.zeros(n, np.int64)
+    n_chars = np.zeros(n, np.int64)
+    n_dup_chars = np.zeros(n, np.int64)
+    n_bi = np.zeros(n, np.int64)
+    top_bi = np.zeros(n, np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        counts: dict[str, int] = {}
+        for line in t.split("\n"):
+            s = line.strip(_TRIM)
+            if s:
+                counts[s] = counts.get(s, 0) + 1
+        n_lines[i] = sum(counts.values())
+        n_chars[i] = sum(len(l) * c for l, c in counts.items())
+        n_dup[i] = sum(c for c in counts.values() if c > 1)
+        n_dup_chars[i] = sum(len(l) * c for l, c in counts.items() if c > 1)
+        ws = sql_tokens(t)
+        if len(ws) > 1:
+            bc: dict[tuple, int] = {}
+            for a, b in zip(ws, ws[1:]):
+                bc[(a, b)] = bc.get((a, b), 0) + 1
+            n_bi[i] = len(ws) - 1
+            top_bi[i] = max(bc.values())
+    return pa.table({
+        key: batch[key],
+        "n_lines": pa.array(n_lines), "n_dup_lines": pa.array(n_dup),
+        "n_line_chars": pa.array(n_chars),
+        "n_dup_line_chars": pa.array(n_dup_chars),
+        "n_bigrams": pa.array(n_bi), "top_bigram_count": pa.array(top_bi),
+    })
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination (n-gram overlap rule)
 # ---------------------------------------------------------------------------
