@@ -637,6 +637,60 @@ def _q_doc_mixture_sample(sf_dir: str):
                              {"en": 1, "de": 2, "es": 2}, default_every=5)
 
 
+def _outlink_pages_batch(t: pa.Table) -> pa.Table:
+    """doc_id → a small html page with deterministic links (relative
+    nav link, absolute external link with query, and for doc_id%7==0 an
+    unterminated trailing anchor — the tokenizer-recovery path).  The
+    SQL oracle CASE-constructs the expected link rows."""
+    urls, htmls = [], []
+    for d in t["doc_id"].to_pylist():
+        urls.append(f"https://host{d % 6}.example.org/p/{d}")
+        h = (f"<html><body><nav><a href='/nav{d % 4}'>Nav {d % 4}</a></nav>"
+             f"<p>see <a href=\"https://ext{d % 5}.example.com/x?q={d % 3}\">"
+             f"External <b>Link</b> {d % 3}</a> here</p>")
+        if d % 7 == 0:
+            h += f"<a href='/tail{d % 2}'>tail"
+        h += "</body></html>"
+        htmls.append(h.encode())
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "html": pa.array(htmls, pa.binary())})
+
+
+def _q_page_outlinks(sf_dir: str):
+    """Outlink + anchor-text extraction (crawl-graph surface): tokenizer
+    walk, href resolution against the page url, document-order ranks.
+    SQL-checked against CASE-constructed expected rows."""
+    from xtract.links import extract_outlinks
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _outlink_pages_batch, batch_format="pyarrow")
+    return extract_outlinks(pages)
+
+
+def _pii_text_batch(t: pa.Table) -> pa.Table:
+    """Append deterministic PII (email / IPv4 / phone) to each doc's
+    text; the SQL oracle builds the same strings."""
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    out = []
+    for d, x in zip(ids, texts):
+        out.append(f"{x or ''} contact user{d % 10}@mail{d % 7}.example.com "
+                   f"or +1 555 000 {1000 + d % 9000} and "
+                   f"host 10.0.{d % 256}.{d % 100} end")
+    return pa.table({"doc_id": t["doc_id"],
+                     "text": pa.array(out, pa.string())})
+
+
+def _q_doc_pii_redact(sf_dir: str):
+    """PII redaction (emails → IPs → phones, sequential RE2-compatible
+    regexes).  SQL-checked including the rewritten text."""
+    from xtract.ops.pii import redact_pii_ds
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _pii_text_batch, batch_format="pyarrow")
+    return redact_pii_ds(docs)
+
+
 def _q_doc_bits_per_char(sf_dir: str):
     """CCNet-style perplexity-proxy quality signal: a char-ngram LM
     trained on the corpus itself scores each document's
@@ -832,6 +886,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": _q_doc_sample,
         "doc_repetition": _q_doc_repetition,
         "doc_mixture_sample": _q_doc_mixture_sample,
+        "page_outlinks": _q_page_outlinks,
+        "doc_pii_redact": _q_doc_pii_redact,
     }
 
 
@@ -1038,6 +1094,57 @@ def _doc_repetition_sql() -> str:
         "LEFT JOIN top t USING (doc_id)")
 
 
+def _page_outlinks_sql() -> str:
+    """Oracle for page_outlinks: the expected link rows CASE-constructed
+    from doc_id (nav link resolved against the page url, external link,
+    and the unterminated trailing anchor for doc_id%7==0)."""
+    page = "'https://host' || CAST(doc_id % 6 AS VARCHAR) || '.example.org"
+    return (
+        f"WITH base AS (SELECT doc_id, {page}/p/' || "
+        f"CAST(doc_id AS VARCHAR) AS url FROM documents) "
+        "SELECT url, 0 AS rank, "
+        f"{page}/nav' || CAST(doc_id % 4 AS VARCHAR) AS href, "
+        "'Nav ' || CAST(doc_id % 4 AS VARCHAR) AS anchor_text, "
+        "'host' || CAST(doc_id % 6 AS VARCHAR) || '.example.org' AS host "
+        "FROM base "
+        "UNION ALL SELECT url, 1, "
+        "'https://ext' || CAST(doc_id % 5 AS VARCHAR) || "
+        "'.example.com/x?q=' || CAST(doc_id % 3 AS VARCHAR), "
+        "'External Link ' || CAST(doc_id % 3 AS VARCHAR), "
+        "'ext' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' FROM base "
+        "UNION ALL SELECT url, 2, "
+        f"{page}/tail' || CAST(doc_id % 2 AS VARCHAR), 'tail', "
+        "'host' || CAST(doc_id % 6 AS VARCHAR) || '.example.org' "
+        "FROM base WHERE doc_id % 7 = 0")
+
+
+def _pii_sql() -> str:
+    """Oracle for doc_pii_redact: identical RE2 patterns applied in the
+    identical order via nested regexp_replace; counts via
+    regexp_extract_all on each stage's input."""
+    from xtract.ops.pii import PII_RULES
+
+    (em_name, em, em_r), (ip_name, ip, ip_r), (ph_name, ph, ph_r) = PII_RULES
+    t0 = ("coalesce(text,'') || ' contact user' || "
+          "CAST(doc_id % 10 AS VARCHAR) || '@mail' || "
+          "CAST(doc_id % 7 AS VARCHAR) || '.example.com or +1 555 000 ' || "
+          "CAST(1000 + doc_id % 9000 AS VARCHAR) || ' and host 10.0.' || "
+          "CAST(doc_id % 256 AS VARCHAR) || '.' || "
+          "CAST(doc_id % 100 AS VARCHAR) || ' end'")
+    t1 = f"regexp_replace(t0, '{em}', '{em_r}', 'g')"
+    t2 = f"regexp_replace(t1, '{ip}', '{ip_r}', 'g')"
+    t3 = f"regexp_replace(t2, '{ph}', '{ph_r}', 'g')"
+    return (
+        f"WITH s0 AS (SELECT doc_id, {t0} AS t0 FROM documents), "
+        f"s1 AS (SELECT doc_id, t0, {t1} AS t1 FROM s0), "
+        f"s2 AS (SELECT doc_id, t0, t1, {t2} AS t2 FROM s1) "
+        f"SELECT doc_id, {t3} AS text, "
+        f"CAST(len(regexp_extract_all(t0, '{em}')) AS BIGINT) AS n_{em_name}, "
+        f"CAST(len(regexp_extract_all(t1, '{ip}')) AS BIGINT) AS n_{ip_name}, "
+        f"CAST(len(regexp_extract_all(t2, '{ph}')) AS BIGINT) AS n_{ph_name} "
+        "FROM s2")
+
+
 def _stopword_sql() -> str:
     """Oracle for doc_stopword_counts: the English stopword table is
     embedded as a VALUES list built from the SAME source table the Ray
@@ -1172,6 +1279,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_stopword_counts": _stopword_sql(),
         "doc_langid": _doc_langid_sql(),
         "doc_repetition": _doc_repetition_sql(),
+        "page_outlinks": _page_outlinks_sql(),
+        "doc_pii_redact": _pii_sql(),
         "doc_mixture_sample":
             "SELECT doc_id, lang, source, n_chars FROM documents "
             "WHERE doc_id % (CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 "

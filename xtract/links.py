@@ -1,0 +1,129 @@
+"""Outlink + anchor-text extraction — the crawl-graph surface.
+
+Web-native extension of the extraction engine (the reference has no
+link surface to mirror; this follows public crawl practice — WAT-style
+link records): walk the SAME byte-offset tokenizer the content path
+uses (``html_tokenizer.tokenize``), collect ``<a href>`` targets with
+their visible anchor text, resolve relative hrefs against the page url
+(RFC 3986 via ``urljoin`` — deterministic), and emit one row per link:
+
+    (url, rank, href, anchor_text, host)
+
+``rank`` is the link's document-order index.  Anchor text is the
+whitespace-normalized text between the ``<a>`` and its matching close
+(nested inline markup contributes its text; an unterminated anchor
+runs to end-of-document — the tokenizer's recovery rules apply).
+
+Distributed shape: one streaming ``map_batches`` flat explode (Arrow
+in / Arrow out, flat builders) — no shuffle.  Per-host aggregation is a
+single ``groupby(host).count()`` over the slim link rows.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin, urlsplit
+
+import pyarrow as pa
+
+from .html_tokenizer import parse_attrs, tokenize
+from .segment import unescape
+
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_links(html: bytes, base_url: str = "") -> list[tuple[str, str]]:
+    """→ ordered [(href, anchor_text)] for every ``<a href=...>`` in
+    document order.  Pure function of its arguments (oracle-shared)."""
+    out: list[tuple[str, str]] = []
+    open_href: "str | None" = None
+    anchor_parts: list[str] = []
+
+    def close_anchor() -> None:
+        nonlocal open_href, anchor_parts
+        if open_href is not None:
+            text = _WS_RE.sub(" ", "".join(anchor_parts)).strip()
+            href = urljoin(base_url, open_href) if base_url else open_href
+            out.append((href, text))
+        open_href = None
+        anchor_parts = []
+
+    for tok in tokenize(html):
+        kind = tok[0]
+        if kind == "text":
+            # script/style/xmp/noscript content never reaches here — the
+            # tokenizer drops raw-text element bodies except title/textarea
+            if open_href is not None:
+                anchor_parts.append(
+                    unescape(html[tok[1]:tok[2]].decode("utf-8", "replace")))
+        elif kind == "start":
+            tag = tok[3]
+            if tag == "a":
+                close_anchor()  # HTML forbids nested <a>: implicit close
+                href = parse_attrs(tok[4]).get("href")
+                if href is not None and not tok[5]:
+                    open_href = href
+                elif href is not None:  # self-closing <a/> → empty anchor
+                    open_href = href
+                    close_anchor()
+        elif kind == "end":
+            if tok[3] == "a":
+                close_anchor()
+    close_anchor()  # unterminated anchor runs to EOF
+    return out
+
+
+def host_of(url: str) -> str:
+    try:
+        return urlsplit(url).netloc.lower()
+    except ValueError:
+        return ""
+
+
+LINKS_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("rank", pa.int32()),
+    ("href", pa.string()),
+    ("anchor_text", pa.string()),
+    ("host", pa.string()),
+])
+
+
+def outlinks_batch(batch: pa.Table) -> pa.Table:
+    """map_batches flat explode: pages rows → link rows (flat builders,
+    no per-row dicts)."""
+    urls = batch["url"].to_pylist()
+    htmls = (batch["html"].to_pylist() if "html" in batch.column_names
+             else [None] * len(urls))
+    c_url: list[str] = []
+    c_rank: list[int] = []
+    c_href: list[str] = []
+    c_text: list[str] = []
+    c_host: list[str] = []
+    for url, html in zip(urls, htmls):
+        if not url or not html:
+            continue
+        for i, (href, text) in enumerate(extract_links(html, url)):
+            c_url.append(url)
+            c_rank.append(i)
+            c_href.append(href)
+            c_text.append(text)
+            c_host.append(host_of(href))
+    return pa.Table.from_arrays([
+        pa.array(c_url, pa.string()), pa.array(c_rank, pa.int32()),
+        pa.array(c_href, pa.string()), pa.array(c_text, pa.string()),
+        pa.array(c_host, pa.string())], schema=LINKS_SCHEMA)
+
+
+def extract_outlinks(ds):
+    """pages Dataset → links Dataset (streaming flat explode)."""
+    return ds.map_batches(outlinks_batch, batch_format="pyarrow")
+
+
+def host_link_counts(links_ds):
+    """links → Dataset(host, n_links): in-link counts per target host
+    (one groupby over slim rows — the crawl-frontier prioritization
+    aggregate)."""
+    from ray.data.aggregate import Count
+
+    return links_ds.groupby("host").aggregate(Count(alias_name="n_links"))
