@@ -691,6 +691,41 @@ def _q_doc_pii_redact(sf_dir: str):
     return redact_pii_ds(docs)
 
 
+_SHARED_PASSAGE = ("the quick brown fox jumps over the lazy dog while the "
+                   "rain falls softly on the quiet green hills beyond the "
+                   "river")
+
+
+def _substring_docs_batch(t: pa.Table) -> pa.Table:
+    """Append a shared 22-token passage (+ 1 variant word) to every
+    fourth doc so exact k-token windows repeat across the corpus; the
+    SQL oracle constructs the same text."""
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    out = []
+    for d, x in zip(ids, texts):
+        if d % 4 == 0:
+            v = ("alpha", "beta", "gamma")[d % 3]
+            out.append(f"{x or ''} {_SHARED_PASSAGE} {v}")
+        else:
+            out.append(x or "")
+    return pa.table({"doc_id": t["doc_id"],
+                     "text": pa.array(out, pa.string())})
+
+
+def _q_substring_dedup(sf_dir: str):
+    """Exact substring (20-token window) dedup statistics, Lee et al.
+    2021 style — duplicated-window detection, canonical-occurrence
+    exclusion, per-doc interval merge.  Fully SQL-checked (the oracle
+    recomputes the rolling polynomial hashes from md5_number_upper
+    token hashes and the interval merge with window functions)."""
+    from xtract.ops.substring import substring_dedup_stats
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _substring_docs_batch, batch_format="pyarrow")
+    return substring_dedup_stats(docs, k=20)
+
+
 def _q_doc_bits_per_char(sf_dir: str):
     """CCNet-style perplexity-proxy quality signal: a char-ngram LM
     trained on the corpus itself scores each document's
@@ -888,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mixture_sample": _q_doc_mixture_sample,
         "page_outlinks": _q_page_outlinks,
         "doc_pii_redact": _q_doc_pii_redact,
+        "substring_dedup": _q_substring_dedup,
     }
 
 
@@ -1145,6 +1181,57 @@ def _pii_sql() -> str:
         "FROM s2")
 
 
+def _substring_dedup_sql() -> str:
+    """Oracle for substring_dedup: the full pipeline recomputed in
+    DuckDB — md5_number_upper token hashes mod 2^61-1, k=20 polynomial
+    window hashes (HUGEINT dot product against the precomputed power
+    table), canonical occurrence = min(doc_id*2^21+pos), island-merge
+    of duplicated intervals via lag/sum window functions."""
+    from xtract.ops.substring import BASE, MOD, POS_CAP
+
+    k = 20
+    pows = ", ".join(f"({j}, {pow(BASE, k - 1 - j, MOD)})" for j in range(k))
+    variant = ("(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'alpha' "
+               "WHEN 1 THEN 'beta' ELSE 'gamma' END)")
+    return (
+        "WITH d2 AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN "
+        f"coalesce(text,'') || ' {_SHARED_PASSAGE} ' || {variant} "
+        "ELSE coalesce(text,'') END AS t FROM documents), "
+        "tk AS (SELECT doc_id, regexp_extract_all(lower(t), '[a-z]+') AS ws "
+        "FROM d2), "
+        "th AS (SELECT doc_id, i-1 AS p, "
+        f"CAST(md5_number_upper(ws[i]) % {MOD} AS BIGINT) AS h, "
+        "len(ws) AS n FROM tk, UNNEST(range(1, len(ws)+1)) AS u(i)), "
+        f"pw(j, pj) AS (VALUES {pows}), "
+        "wh AS (SELECT a.doc_id, a.p AS wp, "
+        f"CAST(sum(CAST(b.h AS HUGEINT) * pw.pj) % {MOD} AS BIGINT) AS H "
+        "FROM th a JOIN th b ON b.doc_id = a.doc_id "
+        f"AND b.p BETWEEN a.p AND a.p + {k - 1} "
+        f"JOIN pw ON pw.j = b.p - a.p WHERE a.p + {k - 1} < a.n "
+        "GROUP BY a.doc_id, a.p), "
+        f"own AS (SELECT H, count(*) AS n_occ, "
+        f"min(doc_id * {POS_CAP} + wp) AS owner FROM wh GROUP BY H), "
+        "dup AS (SELECT wh.doc_id, wh.wp FROM wh JOIN own USING (H) "
+        f"WHERE own.n_occ > 1 AND wh.doc_id * {POS_CAP} + wh.wp != "
+        "own.owner), "
+        "fl AS (SELECT doc_id, wp, CASE WHEN lag(wp) OVER w IS NULL "
+        f"OR wp > lag(wp) OVER w + {k} THEN 1 ELSE 0 END AS ni FROM dup "
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY wp)), "
+        "isl AS (SELECT doc_id, wp, sum(ni) OVER (PARTITION BY doc_id "
+        "ORDER BY wp ROWS UNBOUNDED PRECEDING) AS iid FROM fl), "
+        f"cov AS (SELECT doc_id, min(wp) AS s, max(wp) + {k} AS e "
+        "FROM isl GROUP BY doc_id, iid), "
+        "dw AS (SELECT doc_id, count(*) AS n_dup_windows FROM dup "
+        "GROUP BY doc_id), "
+        "ct AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_dup_tokens "
+        "FROM cov GROUP BY doc_id) "
+        "SELECT tk.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, "
+        f"CAST(greatest(len(ws) - {k - 1}, 0) AS BIGINT) AS n_windows, "
+        "coalesce(d.n_dup_windows, 0) AS n_dup_windows, "
+        "coalesce(c.n_dup_tokens, 0) AS n_dup_tokens "
+        "FROM tk LEFT JOIN dw d USING (doc_id) LEFT JOIN ct c USING (doc_id)")
+
+
 def _stopword_sql() -> str:
     """Oracle for doc_stopword_counts: the English stopword table is
     embedded as a VALUES list built from the SAME source table the Ray
@@ -1281,6 +1368,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": _doc_repetition_sql(),
         "page_outlinks": _page_outlinks_sql(),
         "doc_pii_redact": _pii_sql(),
+        "substring_dedup": _substring_dedup_sql(),
         "doc_mixture_sample":
             "SELECT doc_id, lang, source, n_chars FROM documents "
             "WHERE doc_id % (CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 "

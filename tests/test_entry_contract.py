@@ -57,7 +57,8 @@ def test_every_query_has_callable(entry_mod):
                                   "line_dedup", "canonical_url_dedup",
                                   "doc_langid", "doc_rolling_fp",
                                   "doc_repetition", "doc_mixture_sample",
-                                  "page_outlinks", "doc_pii_redact"])
+                                  "page_outlinks", "doc_pii_redact",
+                                  "substring_dedup"])
 def test_query_matches_oracle(entry_mod, sf_dir, name):
     con = _con(sf_dir)
     mine = _df(entry_mod.queries()[name](sf_dir))
