@@ -156,6 +156,22 @@ def bench_once() -> dict:
     q0 = np.asarray([r["embedding"] for r in emb.take(4)], np.float64)
     queries["knn_bruteforce"] = timed(lambda: knn_bruteforce(emb, q0, k=10))
 
+    # outlink extraction over the full pages corpus (tokenizer walk +
+    # href resolution, streaming flat explode — crawl-graph surface)
+    from xtract.links import extract_outlinks
+
+    queries["outlinks"] = timed(
+        lambda: extract_outlinks(read_pages(pages_dir)).count())
+
+    # exact substring dedup stats (window explode → Count/Min groupby →
+    # flag → per-doc interval merge: the shuffle-heaviest training op)
+    from xtract.ops.substring import substring_dedup_stats
+
+    queries["substring_dedup"] = timed(
+        lambda: substring_dedup_stats(
+            rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                            columns=["doc_id", "text"]), k=20).count())
+
     from xtract.ops.joins import asof_join_cogroup
 
     def run_asof():

@@ -53,14 +53,15 @@ def test_substring_stats_known_values(ray_session):
     assert r[3].n_dup_windows == 0 and r[3].n_dup_tokens == 0
 
 
-def test_substring_broadcast_equals_cogroup(ray_session):
+def test_substring_partitioning_invariance(ray_session):
     import ray.data as rd
 
     from xtract.ops.substring import substring_dedup_stats
 
     ds = rd.from_arrow(_corpus())
-    a = substring_dedup_stats(ds, k=4, broadcast_limit=10**6).to_pandas()
-    b = substring_dedup_stats(ds, k=4, broadcast_limit=0).to_pandas()
+    a = substring_dedup_stats(ds, k=4, num_partitions=1).to_pandas()
+    b = substring_dedup_stats(ds.repartition(5), k=4,
+                              num_partitions=64).to_pandas()
     a = a.sort_values("doc_id").reset_index(drop=True)
     b = b.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)

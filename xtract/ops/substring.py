@@ -11,18 +11,20 @@ occurrences; ``n_dup_tokens`` is the union length of their ``[pos,
 pos+k)`` intervals (classic interval merge) — the token mass an exact
 substring scrub would remove.
 
-Scale shape (the suffix-array problem re-expressed Ray-Data-first):
+Scale shape (the suffix-array problem re-expressed Ray-Data-first),
+TWO shuffles total and nothing on the driver at any corpus size:
 
-1. one streaming pass tokenizes and emits SLIM ``(whash, packed)``
-   rows — a rolling polynomial hash over md5-based token hashes, one
-   row per window (corpus-token cardinality, but 16 bytes each);
-2. a native ``groupby(whash).aggregate(Count, Min(packed))`` finds
-   duplicated hashes and their canonical occurrence;
-3. the duplicated-hash table is EXACT-COUNT gated (the
-   ``DRIVER_CC_LIMIT`` pattern): small → broadcast via ``ray.put``;
-   corpus-proportional → a coarse co-group join per whash partition
-   (nothing unbounded on the driver, either way);
-4. per-doc interval merge is vectorized numpy inside one co-group by
+1. one streaming pass tokenizes and emits SLIM ``(_part, whash,
+   packed)`` rows — a rolling polynomial hash over md5-based token
+   hashes, one 24-byte row per window;
+2. ONE coarse co-group by hash partition resolves everything in place:
+   within a partition every occurrence of a hash is present, so a
+   single vectorized lexsort by (whash, packed) makes the run-first
+   element the canonical occurrence and every other run member a
+   duplicate — no native aggregate, no broadcast, no driver dict
+   (emission is linear in occurrences, so a viral window that repeats
+   10^9 times costs one m·log m sort in its partition, not m²);
+3. per-doc interval merge is vectorized numpy inside one co-group by
    doc partition.
 
 Hashes are SQL-replicable by construction (md5_number_upper token
@@ -39,8 +41,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-
-from .linedup import BROADCAST_LIMIT
 
 MOD = (1 << 61) - 1
 BASE = 1_000_003
@@ -80,14 +80,8 @@ def window_hashes(tokens: list[str], k: int,
 
 
 def substring_dedup_stats(ds, key: str = "doc_id", col: str = "text",
-                          k: int = 20,
-                          broadcast_limit: int = BROADCAST_LIMIT,
-                          num_partitions: int = 64):
+                          k: int = 20, num_partitions: int = 64):
     """See module docstring.  Deterministic under any partitioning."""
-    import ray
-    from ray.data.aggregate import Count, Min
-
-    from .agg import _hash_part
     from .vocab import sql_tokens
 
     def explode(b: pa.Table) -> pa.Table:
@@ -102,16 +96,31 @@ def substring_dedup_stats(ds, key: str = "doc_id", col: str = "text",
             for p, h in enumerate(window_hashes(toks, k, cache)):
                 whs.append(h)
                 packs.append(base + p)
-        return pa.table({"whash": pa.array(whs, pa.int64()),
+        wh = np.asarray(whs, np.int64)
+        return pa.table({"_part": pa.array(wh % num_partitions),
+                         "whash": pa.array(wh),
                          "packed": pa.array(packs, pa.int64())})
 
     windows = ds.select_columns([key, col]).map_batches(
         explode, batch_format="pyarrow")
-    owners = windows.groupby("whash").aggregate(
-        Count(alias_name="n_occ"), Min("packed", alias_name="owner"))
-    dups = owners.map_batches(
-        lambda t: t.filter(pc.greater(t["n_occ"], 1)),
-        batch_format="pyarrow").select_columns(["whash", "owner"]).materialize()
+
+    def resolve(t: pa.Table) -> pa.Table:
+        """One hash partition → its non-canonical duplicated
+        occurrences.  Vectorized: lexsort by (whash, packed); the first
+        element of every equal-whash run is the canonical (min-packed)
+        occurrence, every other run member is a duplicate."""
+        wh = t["whash"].to_numpy(zero_copy_only=False)
+        pk = t["packed"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((pk, wh))
+        wh_s = wh[order]
+        first = np.ones(len(wh_s), bool)
+        first[1:] = wh_s[1:] != wh_s[:-1]
+        pk_d = pk[order][~first]
+        return pa.table({key: pa.array(pk_d // POS_CAP, pa.int64()),
+                         "pos": pa.array(pk_d % POS_CAP, pa.int64())})
+
+    drops = windows.groupby("_part").map_groups(resolve,
+                                                batch_format="pyarrow")
 
     def stats_rows(b: pa.Table) -> pa.Table:
         ks, nt, nw = [], [], []
@@ -127,64 +136,9 @@ def substring_dedup_stats(ds, key: str = "doc_id", col: str = "text",
     doc_stats = ds.select_columns([key, col]).map_batches(
         stats_rows, batch_format="pyarrow")
 
-    # --- resolve non-canonical duplicated occurrences → (doc, pos) ---
-    if dups.count() <= broadcast_limit:
-        owner_map = {int(r["whash"]): int(r["owner"])
-                     for r in dups.take_all()}
-        ref = ray.put(owner_map)
-
-        def flag(b: pa.Table) -> pa.Table:
-            om = ray.get(ref)
-            wh = b["whash"].to_numpy(zero_copy_only=False)
-            pk = b["packed"].to_numpy(zero_copy_only=False).astype(np.int64)
-            mapped = pd.Series(wh).map(om)
-            mask = (mapped.notna().to_numpy()
-                    & (mapped.fillna(-1).to_numpy(np.int64) != pk))
-            pk = pk[mask]
-            return pa.table({key: pa.array(pk // POS_CAP, pa.int64()),
-                             "pos": pa.array(pk % POS_CAP, pa.int64())})
-
-        drops = windows.map_batches(flag, batch_format="pyarrow")
-    else:
-        # co-group per whash partition: windows × dup owners, keep
-        # occurrences whose packed != owner (slim int64 exchange only)
-        def tag_w(b: pa.Table) -> pa.Table:
-            return pa.table({
-                "_part": pa.array(_hash_part(b["whash"], num_partitions),
-                                  pa.int64()),
-                "_f": pa.array(np.zeros(len(b), np.int8)),
-                "whash": b["whash"], "packed": b["packed"]})
-
-        def tag_d(b: pa.Table) -> pa.Table:
-            return pa.table({
-                "_part": pa.array(_hash_part(b["whash"], num_partitions),
-                                  pa.int64()),
-                "_f": pa.array(np.ones(len(b), np.int8)),
-                "whash": b["whash"], "packed": b["owner"]})
-
-        both = windows.map_batches(tag_w, batch_format="pyarrow").union(
-            dups.map_batches(tag_d, batch_format="pyarrow"))
-
-        def resolve(t: pa.Table) -> pa.Table:
-            w = t.filter(pc.equal(t["_f"], 0))
-            d = t.filter(pc.equal(t["_f"], 1))
-            if len(w) == 0 or len(d) == 0:
-                return pa.table({key: pa.array([], pa.int64()),
-                                 "pos": pa.array([], pa.int64())})
-            wdf = pd.DataFrame({"h": w["whash"].to_numpy(zero_copy_only=False),
-                                "p": w["packed"].to_numpy(zero_copy_only=False)})
-            ddf = pd.DataFrame({"h": d["whash"].to_numpy(zero_copy_only=False),
-                                "o": d["packed"].to_numpy(zero_copy_only=False)})
-            m = wdf.merge(ddf, on="h", how="inner")
-            m = m[m["p"] != m["o"]]
-            pk = m["p"].to_numpy(np.int64)
-            return pa.table({key: pa.array(pk // POS_CAP, pa.int64()),
-                             "pos": pa.array(pk % POS_CAP, pa.int64())})
-
-        drops = both.groupby("_part").map_groups(resolve,
-                                                 batch_format="pyarrow")
-
     # --- per-doc interval merge (co-group by doc partition) ---
+    from .agg import _hash_part
+
     def tag_s(b: pa.Table) -> pa.Table:
         return pa.table({
             "_part": pa.array(_hash_part(b[key], num_partitions), pa.int64()),
@@ -203,7 +157,7 @@ def substring_dedup_stats(ds, key: str = "doc_id", col: str = "text",
             "n_windows": pa.nulls(n, pa.int64()),
             "pos": b["pos"]})
 
-    both2 = doc_stats.map_batches(tag_s, batch_format="pyarrow").union(
+    both = doc_stats.map_batches(tag_s, batch_format="pyarrow").union(
         drops.map_batches(tag_p, batch_format="pyarrow"))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -235,4 +189,4 @@ def substring_dedup_stats(ds, key: str = "doc_id", col: str = "text",
                          "n_dup_windows": pa.array(ndw),
                          "n_dup_tokens": pa.array(ndt)})
 
-    return both2.groupby("_part").map_groups(finish, batch_format="pyarrow")
+    return both.groupby("_part").map_groups(finish, batch_format="pyarrow")
