@@ -472,6 +472,15 @@ def _q_embedding_dedup(sf_dir: str):
     return embedding_dedup(_emb(sf_dir))
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup: k-means cells + within-cell exact
+    cosine verify.  Float clustering → rows-only check (the LSH variant
+    `embedding_dedup` covers the same contract)."""
+    from xtract.ops.dedup import semdedup
+
+    return semdedup(_emb(sf_dir), n_clusters=16)
+
+
 def _q_knn_ivf(sf_dir: str):
     from xtract.ops.similarity import knn_ivf
 
@@ -904,6 +913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": _q_simhash_dedup,
         "ngram_dedup": _q_ngram_dedup,
         "embedding_dedup": _q_embedding_dedup,
+        "semantic_dedup": _q_semantic_dedup,
         "knn_ivf": _q_knn_ivf,
         "doc_quality": _q_doc_quality,
         "doc_langid": _q_doc_langid,

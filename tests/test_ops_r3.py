@@ -59,3 +59,39 @@ def test_stratified_sample(ray_session):
         rd.from_arrow(t).repartition(7), "lang", "doc_id",
         {"en": 1, "de": 2}, default_every=5).to_pandas()
     assert sorted(out2.doc_id) == sorted(out.doc_id)
+
+
+def test_semdedup_planted_pairs(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from xtract.ops.dedup import semdedup
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((40, 16))
+    vecs[21] = vecs[20] + 0.001            # near-identical pair
+    vecs[35] = vecs[34] * 2.0              # same direction, scaled
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                        for i in range(40)])
+    out = semdedup(ds, threshold=0.99, n_clusters=4,
+                   train_sample=40).to_pandas()
+    c = dict(zip(out.vec_id, out.cluster_id))
+    assert len(c) == 40
+    assert c[20] == c[21] == 20            # min-id label
+    assert c[34] == c[35] == 34            # cosine ignores magnitude
+    assert len(set(c.values())) == 38
+
+
+def test_semdedup_no_pairs(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from xtract.ops.dedup import semdedup
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 16))
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                        for i in range(20)])
+    out = semdedup(ds, threshold=0.9999, n_clusters=3,
+                   train_sample=20).to_pandas()
+    assert len(set(out.cluster_id)) == 20

@@ -768,53 +768,110 @@ def embedding_dedup(ds, key: str = "vec_id", col: str = "embedding",
                                    for a in all_vecs]),
         })
 
-    def verify_partition(g: pa.Table, chunk: int = 2048) -> pa.Table:
-        """One coarse partition's bucket rows → exact-cosine-verified
-        pairs; the unit matrix is built once per partition.  The gram
-        matrix of a pathologically hot bucket is computed in
-        ``chunk``-row strips, so memory stays O(chunk × bucket) no
-        matter how many near-identical vectors share one bucket."""
-        if len(g) < 2:
-            return _EMPTY_PAIRS.empty_table()
-        g, starts, ends = _band_runs(g, "bucket", key)
-        ids = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        vecs = np.asarray(g[col].to_pylist(), np.float64)
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms
-        chunks_a: list[np.ndarray] = []
-        chunks_b: list[np.ndarray] = []
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
-                continue
-            sub_ids = ids[s:e]
-            sub = unit[s:e]
-            if m > HOT_RUN_CAP:
-                # oversized bucket: verify against the min-id anchor
-                # only — m−1 dot products, ≤ m−1 edges (HOT_RUN_CAP)
-                sims = sub[1:] @ sub[0]
-                hit = np.flatnonzero(sims >= threshold)
-                if len(hit):
-                    chunks_a.append(np.full(len(hit), sub_ids[0], np.int64))
-                    chunks_b.append(sub_ids[1 + hit])
-                continue
-            for c0 in range(0, m, chunk):
-                c1 = min(c0 + chunk, m)
-                sims = sub[c0:c1] @ sub.T  # (c1-c0, m)
-                ii, jj = np.nonzero(sims >= threshold)
-                # upper triangle only (global row index < col index)
-                keep = (ii + c0) < jj
-                if keep.any():
-                    chunks_a.append(sub_ids[ii[keep] + c0])
-                    chunks_b.append(sub_ids[jj[keep]])
-        if not chunks_a:
-            return _EMPTY_PAIRS.empty_table()
-        return pa.table({"a": pa.array(np.concatenate(chunks_a), pa.int64()),
-                         "b": pa.array(np.concatenate(chunks_b), pa.int64())})
-
     pairs_ds = ds.select_columns([key, col]).map_batches(
         bucketize, batch_format="pyarrow").map_batches(
         lambda t: _add_band_part(t, "bucket", 64), batch_format="pyarrow"
-    ).groupby("_part").map_groups(verify_partition, batch_format="pyarrow")
+    ).groupby("_part").map_groups(
+        lambda g: _cosine_pairs_partition(g, key, col, threshold),
+        batch_format="pyarrow")
+    return _assign_clusters(ds, pairs_ds, key, distributed_cc)
+
+
+def _cosine_pairs_partition(g: pa.Table, key: str, col: str,
+                            threshold: float, chunk: int = 2048) -> pa.Table:
+    """One coarse partition's bucket rows → exact-cosine-verified
+    pairs; the unit matrix is built once per partition.  The gram
+    matrix of a pathologically hot bucket is computed in ``chunk``-row
+    strips, so memory stays O(chunk × bucket) no matter how many
+    near-identical vectors share one bucket.  Buckets longer than
+    ``HOT_RUN_CAP`` verify against the min-id anchor only (≤ m−1
+    edges — connectivity-preserving for CC)."""
+    if len(g) < 2:
+        return _EMPTY_PAIRS.empty_table()
+    g, starts, ends = _band_runs(g, "bucket", key)
+    ids = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    vecs = np.asarray(g[col].to_pylist(), np.float64)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms
+    chunks_a: list[np.ndarray] = []
+    chunks_b: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        sub_ids = ids[s:e]
+        sub = unit[s:e]
+        if m > HOT_RUN_CAP:
+            sims = sub[1:] @ sub[0]
+            hit = np.flatnonzero(sims >= threshold)
+            if len(hit):
+                chunks_a.append(np.full(len(hit), sub_ids[0], np.int64))
+                chunks_b.append(sub_ids[1 + hit])
+            continue
+        for c0 in range(0, m, chunk):
+            c1 = min(c0 + chunk, m)
+            sims = sub[c0:c1] @ sub.T  # (c1-c0, m)
+            ii, jj = np.nonzero(sims >= threshold)
+            # upper triangle only (global row index < col index)
+            keep = (ii + c0) < jj
+            if keep.any():
+                chunks_a.append(sub_ids[ii[keep] + c0])
+                chunks_b.append(sub_ids[jj[keep]])
+    if not chunks_a:
+        return _EMPTY_PAIRS.empty_table()
+    return pa.table({"a": pa.array(np.concatenate(chunks_a), pa.int64()),
+                     "b": pa.array(np.concatenate(chunks_b), pa.int64())})
+
+
+def semdedup(ds, key: str = "vec_id", col: str = "embedding",
+             threshold: float = 0.95, n_clusters: int = 64,
+             train_sample: int = 2048,
+             distributed_cc: "bool | None" = None):
+    """→ Dataset(vec_id, cluster_id): SemDeDup-style semantic dedup
+    (Abbas et al. 2023, public): k-means-cluster the embedding space,
+    then exact-cosine near-dup verify WITHIN each k-means cell — the
+    cluster-then-compare alternative to hyperplane LSH
+    (``embedding_dedup``), better recall when near-dups concentrate in
+    dense semantic regions.
+
+    Scale shape: centroids train on a deterministic STRATIFIED id-mod
+    sample (bounded, driver-side by design) and broadcast via
+    ``ray.put``; cell assignment streams per batch; within-cell verify
+    is the shared chunked gram kernel with the hot-bucket anchor cap;
+    labels attach Dataset-side.  Deterministic (fixed-seed k-means,
+    integer stride)."""
+    import ray
+
+    from .similarity import deterministic_kmeans
+
+    n = ds.count()
+    stride = max(1, n // train_sample)
+
+    def stratified(b: pa.Table) -> pa.Table:
+        ids = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(ids % stride == 0))
+
+    sample_rows = ds.select_columns([key, col]).map_batches(
+        stratified, batch_format="pyarrow").limit(train_sample).take_all()
+    sample = np.asarray([r[col] for r in sample_rows], np.float64)
+    centers = deterministic_kmeans(sample, n_clusters)
+    ref = ray.put(centers)
+
+    def assign(b: pa.Table) -> pa.Table:
+        cm = ray.get(ref)
+        vecs = np.asarray(b[col].to_pylist(), np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cells = np.argmax((vecs / norms) @ cm.T, axis=1).astype(np.int64)
+        return pa.table({key: b[key],
+                         "bucket": pa.array(cells, pa.int64()),
+                         col: b[col]})
+
+    pairs_ds = ds.select_columns([key, col]).map_batches(
+        assign, batch_format="pyarrow").map_batches(
+        lambda t: _add_band_part(t, "bucket", 64), batch_format="pyarrow"
+    ).groupby("_part").map_groups(
+        lambda g: _cosine_pairs_partition(g, key, col, threshold),
+        batch_format="pyarrow")
     return _assign_clusters(ds, pairs_ds, key, distributed_cc)
