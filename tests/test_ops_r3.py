@@ -95,3 +95,42 @@ def test_semdedup_no_pairs(ray_session):
     out = semdedup(ds, threshold=0.9999, n_clusters=3,
                    train_sample=20).to_pandas()
     assert len(set(out.cluster_id)) == 20
+
+
+def test_webtext_pipeline_repetition_gate_and_pii(ray_session):
+    import ray.data as rd
+
+    from xtract.pipelines import webtext_pipeline
+
+    good = ("<html><body><main>" + "".join(
+        f"<p>ordinary paragraph number {i} with enough distinct words "
+        f"to pass the length gate write to a.user@mail.example.org</p>"
+        for i in range(6)) + "</main></body></html>").encode()
+    # >30% of line mass is one repeated line → Gopher gate drops it
+    spam = ("<html><body><main>" +
+            "<p>buy cheap widgets now best price</p>" * 30 +
+            "<p>one distinct paragraph of filler text here</p>"
+            "</body></main></html>").encode()
+    pages = pa.table({
+        "url": ["https://a.example.org/good", "https://a.example.org/spam"],
+        "warc_ts": pa.array([0, 1], pa.timestamp("us")),
+        "html": [good, spam],
+        "text": [None, None],
+        "lang": ["en", "en"],
+    })
+    clean, _ = webtext_pipeline(rd.from_arrow(pages), min_chars=40,
+                                line_dedup_max_docs=20)
+    df = clean.to_pandas()
+    assert list(df.url) == ["https://a.example.org/good"]
+    row = df.iloc[0]
+    assert "<EMAIL>" in row.content_text
+    assert "a.user@mail.example.org" not in row.content_text
+    assert row.n_emails == 6
+    # gate off → spam survives
+    clean2, _ = webtext_pipeline(rd.from_arrow(pages), min_chars=40,
+                                 max_dup_line_ratio=None, redact_pii=False)
+    df2 = clean2.to_pandas()
+    assert set(df2.url) == {"https://a.example.org/good",
+                            "https://a.example.org/spam"}
+    assert "a.user@mail.example.org" in df2.set_index("url").loc[
+        "https://a.example.org/good"].content_text

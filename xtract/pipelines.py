@@ -6,6 +6,8 @@ training-data job runs, Ray-Data-first, every stage streaming:
     read pages → validate → extract (warm workers, typed errors)
       → corpus-level repeated-line scrub      (ops.linedup)
       → quality gate (length / lang-conf)     (vectorized filter)
+      → Gopher repetition gate (dup-line mass) (integer rational compare)
+      → PII redaction (email/IP/phone)        (ops.pii)
       → exact dedup by content hash           (salted groupby)
       → final columns ready for tokenization
 
@@ -29,6 +31,8 @@ def webtext_pipeline(
     line_dedup_max_docs: int = 20,
     require_lang: tuple[str, ...] = (),
     pin_extracted: bool = True,
+    max_dup_line_ratio: "tuple[int, int] | None" = (3, 10),
+    redact_pii: bool = True,
 ):
     """→ (clean_ds, funnel: dict[str, int]).
 
@@ -69,6 +73,29 @@ def webtext_pipeline(
         return t.filter(mask)
 
     gated = scrubbed.map_batches(quality_gate, batch_format="pyarrow")
+
+    if max_dup_line_ratio is not None:
+        # Gopher-style repetition gate: drop documents whose duplicate-
+        # line character mass exceeds num/den of all line characters
+        # (strict rational compare — no float thresholds, SURVEY §4.3)
+        from .ops.textstats import gopher_repetition_batch
+
+        num, den = max_dup_line_ratio
+
+        def repetition_gate(t: pa.Table) -> pa.Table:
+            rep = gopher_repetition_batch(t, key="url", col="content_text")
+            dup = rep["n_dup_line_chars"].to_numpy(zero_copy_only=False)
+            tot = rep["n_line_chars"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(dup * den <= tot * num))
+
+        gated = gated.map_batches(repetition_gate, batch_format="pyarrow")
+
+    if redact_pii:
+        from .ops.pii import redact_pii_batch
+
+        gated = gated.map_batches(
+            lambda t: redact_pii_batch(t, key="url", col="content_text"),
+            batch_format="pyarrow")
 
     hashed = gated.map_batches(
         lambda t: add_content_hash(t, "content_text"), batch_format="pyarrow")
