@@ -425,9 +425,17 @@ def _q_render_formats(sf_dir: str):
 
 
 def _q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dup clustering, fully SQL-checked: md5-based
+    word hashes, splitmix64 shingle folds, the (a·h+b) mod 2^61−1
+    permutation mins, band-bucket folds, the ≥4/5 signature-equality
+    verify and connected components are ALL recomputed independently in
+    DuckDB (see ``_minhash_sql`` — wraparound uint64 arithmetic via
+    HUGEINT hi/lo splits)."""
     from xtract.ops.dedup import minhash_lsh_dedup
 
-    return minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]))
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _simhash_mutate, batch_format="pyarrow")
+    return minhash_lsh_dedup(docs)
 
 
 def _simhash_mutate(t: pa.Table) -> pa.Table:
@@ -460,10 +468,14 @@ def _q_simhash_dedup(sf_dir: str):
 
 
 def _q_ngram_dedup(sf_dir: str):
+    """Char-5-gram Jaccard variant of the MinHash pipeline — same fully
+    SQL-checked contract as ``minhash_dedup`` (distinct 5-grams of the
+    whitespace-collapsed text replace the word shingles)."""
     from xtract.ops.dedup import minhash_lsh_dedup
 
-    return minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]),
-                             char_ngrams=True, k=5)
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _simhash_mutate, batch_format="pyarrow")
+    return minhash_lsh_dedup(docs, char_ngrams=True, k=5)
 
 
 def _q_embedding_dedup(sf_dir: str):
@@ -1242,6 +1254,158 @@ def _substring_dedup_sql() -> str:
         "FROM tk LEFT JOIN dw d USING (doc_id) LEFT JOIN ct c USING (doc_id)")
 
 
+# --- MinHash oracle machinery: uint64 wraparound arithmetic in DuckDB ------
+_U64 = 1 << 64
+_M32 = 1 << 32
+_GOLD = 0x9E3779B97F4A7C15
+_MIXC2 = 0xBF58476D1CE4E5B9
+_MIXC3 = 0x94D049BB133111EB
+_MERS61 = (1 << 61) - 1
+
+
+def _sql_mul64(x: str, c) -> str:
+    """(x * c) mod 2^64 in DuckDB: hi/lo 32-bit split so every HUGEINT
+    intermediate stays < 2^97."""
+    return (f"CAST((((CAST({x} AS HUGEINT) // {_M32}) * {c}) % {_M32} * "
+            f"{_M32} + (CAST({x} AS HUGEINT) % {_M32}) * {c}) % {_U64} "
+            "AS UBIGINT)")
+
+
+def _sql_add64(x: str, c) -> str:
+    return f"CAST((CAST({x} AS HUGEINT) + {c}) % {_U64} AS UBIGINT)"
+
+
+def _sql_xs(x: str, s: int) -> str:
+    return f"xor({x}, {x} >> {s})"
+
+
+def _sql_mix64(src: str, out: str, tag: str) -> list[tuple[str, str]]:
+    """splitmix64 finalizer as chained column defs (== dedup._mix64)."""
+    return [(f"za{tag}", _sql_add64(src, _GOLD)),
+            (f"zb{tag}", _sql_mul64(_sql_xs(f"za{tag}", 30), _MIXC2)),
+            (f"zc{tag}", _sql_mul64(_sql_xs(f"zb{tag}", 27), _MIXC3)),
+            (out, _sql_xs(f"zc{tag}", 31))]
+
+
+def _sql_chain(base: str, cols: list[tuple[str, str]], prefix: str
+               ) -> tuple[list[str], str]:
+    ctes, prev = [], base
+    for idx, (col, expr) in enumerate(cols):
+        name = f"{prefix}{idx}"
+        ctes.append(f"{name} AS (SELECT *, {expr} AS {col} FROM {prev})")
+        prev = name
+    return ctes, prev
+
+
+def _minhash_sql(char_ngrams: bool = False) -> str:
+    """Oracle for minhash_dedup / ngram_dedup: the ENTIRE pipeline
+    recomputed in DuckDB — md5_number_upper base hashes, splitmix64
+    shingle folds (word mode) or distinct char 5-grams (ngram mode),
+    the (a·h+b) wraparound-then-mod-2^61−1 permutation mins (perm
+    params inlined from ``dedup._perm_params``), splitmix64 band-bucket
+    folds, ≥4/5 signature-equality verify, recursive-CTE connected
+    components with min labels."""
+    from xtract.ops.dedup import _perm_params
+
+    num_perm, bands, rpb = 64, 16, 4
+    thr_num, thr_den = 4, 5
+    umax = _U64 - 1
+    a, b = _perm_params(num_perm)
+    perm_rows = ", ".join(
+        f"({i}, CAST({int(a[i])} AS UBIGINT), CAST({int(b[i])} AS UBIGINT))"
+        for i in range(num_perm))
+    variant = ("(CASE WHEN doc_id % 2 = 0 THEN 'alpha' ELSE 'beta' END)")
+    doc_expr = ("SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "
+                "'shared template page content about topic ' || "
+                f"CAST(doc_id % 3 AS VARCHAR) || ' with ' || {variant} || "
+                "' extra tail words here' ELSE coalesce(text, '') END AS t "
+                "FROM documents")
+    ctes = [f"d2 AS ({doc_expr})"]
+    if not char_ngrams:
+        # word 3-shingles: splitmix64 fold over md5 word hashes;
+        # docs shorter than one shingle fold whatever words they have
+        ctes += [
+            "tk AS (SELECT doc_id, regexp_extract_all(lower(t), "
+            "'[a-z0-9_]+') AS ws FROM d2)",
+            "w AS (SELECT doc_id, i-1 AS p, md5_number_upper(ws[i]) AS wh, "
+            "len(ws) AS n FROM tk, UNNEST(range(1, len(ws)+1)) AS u(i))",
+            "sw AS (SELECT doc_id, p, n, wh AS w0, "
+            "lead(wh, 1) OVER win AS w1, lead(wh, 2) OVER win AS w2 FROM w "
+            "WINDOW win AS (PARTITION BY doc_id ORDER BY p))",
+            "shr AS (SELECT doc_id, w0, w1, w2, "
+            f"CAST({_GOLD} AS UBIGINT) AS x0 FROM sw "
+            "WHERE (n >= 3 AND w2 IS NOT NULL) OR (n < 3 AND p = 0))",
+        ]
+        c1, last = _sql_chain("shr", _sql_mix64("xor(x0, w0)", "x1", "r1"),
+                              "f1_")
+        ctes += c1
+        c2, last = _sql_chain(last, _sql_mix64(
+            "xor(x1, coalesce(w1, CAST(0 AS UBIGINT)))", "m2", "r2"), "f2_")
+        ctes += c2
+        ctes.append(f"g2 AS (SELECT *, CASE WHEN w1 IS NULL THEN x1 ELSE m2 "
+                    f"END AS x2 FROM {last})")
+        c3, last = _sql_chain("g2", _sql_mix64(
+            "xor(x2, coalesce(w2, CAST(0 AS UBIGINT)))", "m3", "r3"), "f3_")
+        ctes += c3
+        ctes.append(f"sh AS (SELECT doc_id, CASE WHEN w2 IS NULL THEN x2 "
+                    f"ELSE m3 END AS h FROM {last})")
+    else:
+        # distinct char 5-grams of the whitespace-collapsed text
+        ctes += [
+            "tn AS (SELECT doc_id, trim(regexp_replace(lower(t), "
+            r"'\s+', ' ', 'g')) AS s FROM d2)",
+            "sh AS (SELECT DISTINCT doc_id, md5_number_upper("
+            "substr(s, i, 5)) AS h FROM tn, "
+            "UNNEST(range(1, greatest(len(s) - 4, 1) + 1)) AS u(i) "
+            "WHERE s != '')",
+        ]
+    mm = _sql_mul64("sh.h", "perms.pa")
+    ctes += [
+        f"perms(i, pa, pb) AS (VALUES {perm_rows})",
+        "sigv AS (SELECT doc_id, i, "
+        f"CAST(((CAST({mm} AS HUGEINT) + pb) % {_U64}) % {_MERS61} "
+        "AS UBIGINT) AS v FROM sh, perms)",
+        "sig0 AS (SELECT doc_id, i, min(v) AS s FROM sigv "
+        "GROUP BY doc_id, i)",
+        "sigfull AS (SELECT d.doc_id, pr.i, "
+        f"coalesce(s.s, CAST({umax} AS UBIGINT)) AS s "
+        "FROM (SELECT doc_id FROM d2) d "
+        "CROSS JOIN (SELECT i FROM perms) pr "
+        "LEFT JOIN sig0 s ON s.doc_id = d.doc_id AND s.i = pr.i)",
+    ]
+    s_cols = ", ".join(f"max(CASE WHEN i % {rpb} = {r} THEN s END) AS s{r}"
+                       for r in range(rpb))
+    ctes.append(f"bp AS (SELECT doc_id, i // {rpb} AS bidx, {s_cols} "
+                f"FROM sigfull GROUP BY doc_id, i // {rpb})")
+    cb, last = _sql_chain("bp", _sql_mix64("CAST(bidx AS UBIGINT)", "u0",
+                                           "b0"), "h0_")
+    ctes += cb
+    for r in range(rpb):
+        cr, last = _sql_chain(last, _sql_mix64(f"xor(u{r}, s{r})",
+                                               f"u{r + 1}", f"b{r + 1}"),
+                              f"h{r + 1}_")
+        ctes += cr
+    ctes += [
+        f"bk AS (SELECT doc_id, u{rpb} AS bucket FROM {last})",
+        "prs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x "
+        "JOIN bk y ON x.bucket = y.bucket AND x.doc_id < y.doc_id)",
+        "vf AS (SELECT p.a, p.b FROM prs p "
+        "JOIN sigfull sa ON sa.doc_id = p.a "
+        "JOIN sigfull sb ON sb.doc_id = p.b AND sb.i = sa.i "
+        "GROUP BY p.a, p.b "
+        f"HAVING sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) * {thr_den} "
+        f">= {thr_num} * {num_perm})",
+        "edges AS (SELECT a, b FROM vf UNION SELECT b, a FROM vf)",
+        "reach(s, d) AS (SELECT a, b FROM edges UNION "
+        "SELECT r.s, e.b FROM reach r JOIN edges e ON r.d = e.a)",
+        "lbl AS (SELECT s AS doc_id, least(min(d), s) AS cl "
+        "FROM reach GROUP BY s)",
+    ]
+    return ("WITH RECURSIVE " + ", ".join(ctes) +
+            " SELECT d2.doc_id, CAST(coalesce(l.cl, d2.doc_id) AS BIGINT) "
+            "AS cluster_id FROM d2 LEFT JOIN lbl l ON d2.doc_id = l.doc_id")
+
+
 def _stopword_sql() -> str:
     """Oracle for doc_stopword_counts: the English stopword table is
     embedded as a VALUES list built from the SAME source table the Ray
@@ -1388,6 +1552,8 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _paragraph_dedup_sql(),
         "canonical_url_dedup": _canonical_url_sql(),
         "simhash_dedup": _simhash_sql(),
+        "minhash_dedup": _minhash_sql(),
+        "ngram_dedup": _minhash_sql(char_ngrams=True),
         "media_features":
             "SELECT doc_id AS media_id, "
             "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' "

@@ -52,19 +52,12 @@ def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]
     return (a | 1), b
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-shingles → stable 64-bit hashes (blake2b, not Python hash —
-    PYTHONHASHSEED-independent)."""
-    words = _WORD_RE.findall(text.lower())
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else []
-    else:
-        shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(shingles), np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-    return out
+def _md5_u64(s: str) -> int:
+    """Stable 64-bit string hash: little-endian int of the first 8 md5
+    bytes — exactly DuckDB's ``md5_number_upper``, so every op built on
+    it (minhash shingles, char n-grams, simhash) is SQL-replicable.
+    PYTHONHASHSEED-independent."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
 
 
 def _char_ngram_hashes(text: str, n: int = 5) -> np.ndarray:
@@ -72,7 +65,7 @@ def _char_ngram_hashes(text: str, n: int = 5) -> np.ndarray:
     grams = {t[i:i + n] for i in range(max(1, len(t) - n + 1))} if t else set()
     out = np.empty(len(grams), np.uint64)
     for i, g in enumerate(sorted(grams)):
-        out[i] = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+        out[i] = _md5_u64(g)
     return out
 
 
@@ -162,8 +155,7 @@ class MinHasher:
         for i, w in enumerate(words):
             h = cache.get(w)
             if h is None:
-                h = int.from_bytes(
-                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+                h = _md5_u64(w)
                 if len(cache) < self._wcache_max:
                     cache[w] = h
             out[i] = h
