@@ -33,6 +33,14 @@ from .config import DEFAULT_CONFIG, ExtractionConfig
 #: html byte-size above which a row is routed to the huge-document pool
 HUGE_THRESHOLD = 1 << 18  # 256 KiB
 
+#: max retryable-failure rows whose urls may be collected + broadcast for
+#: the lenient second pass.  The retry set is failure-proportional, not
+#: corpus-proportional, so on a healthy crawl it is tiny — but a
+#: systematically broken input could make it corpus-sized, and the gate
+#: fails loudly instead of OOMing the driver (same pattern as
+#: ``ops.cc.DRIVER_CC_LIMIT``).  Override via env for odd corpora.
+RETRY_BROADCAST_LIMIT = int(os.environ.get("XTRACT_RETRY_LIMIT", 5_000_000))
+
 PAGE_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
 
@@ -188,7 +196,19 @@ def extract_pages_with_retry(
         batch_format="pyarrow").select_columns(["url"])
     import ray
 
-    urls = {r["url"] for r in retry_urls.take_all()}  # tiny set
+    # exact-count gate (fail loudly, never OOM silently): the retry set
+    # is failure-proportional — tiny on a healthy crawl, but a
+    # systematically broken corpus could make it corpus-proportional
+    retry_urls = retry_urls.materialize()
+    n_retry = retry_urls.count()
+    if n_retry > RETRY_BROADCAST_LIMIT:
+        raise RuntimeError(
+            f"{n_retry} rows failed with retryable statuses (> "
+            f"{RETRY_BROADCAST_LIMIT}): the failure set is too large to "
+            "broadcast — the input is systematically broken; fix the "
+            "config (e.g. pass retry_cfg for the whole corpus) instead "
+            "of retrying row-by-row")
+    urls = {r["url"] for r in retry_urls.take_all()}
     if not urls:
         return ok
     urls_ref = ray.put(pa.array(sorted(urls), pa.string()))
@@ -425,11 +445,17 @@ def _run_retry_shard(input_files, out_dir: str, cfg: ExtractionConfig,
     if shard_is_done(out_dir, sid):
         with open(manifest_path(out_dir, sid)) as f:
             return json.load(f)
-    failed = read_extracted(out_dir, columns=["url", "status"]).map_batches(
+    failed_ds = read_extracted(out_dir, columns=["url", "status"]).map_batches(
         lambda t: t.filter(pc.is_in(
             t["status"], value_set=pa.array(["bad_encoding", "parse_error"]))),
-        batch_format="pyarrow").select_columns(["url"]).take_all()
-    urls = {r["url"] for r in failed}
+        batch_format="pyarrow").select_columns(["url"]).materialize()
+    n_retry = failed_ds.count()
+    if n_retry > RETRY_BROADCAST_LIMIT:
+        raise RuntimeError(
+            f"{n_retry} rows failed with retryable statuses (> "
+            f"{RETRY_BROADCAST_LIMIT}): fix the config and rerun the job "
+            "rather than retrying a corpus-sized failure set")
+    urls = {r["url"] for r in failed_ds.take_all()}
     if not urls:
         return None
     urls_ref = ray.put(pa.array(sorted(urls), pa.string()))
