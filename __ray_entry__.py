@@ -1057,6 +1057,50 @@ def _simhash_sql() -> str:
         "AS cluster_id FROM d2 LEFT JOIN lbl l ON d2.doc_id = l.doc_id")
 
 
+def _doc_quality_sql() -> str:
+    """Oracle for doc_quality: recomputes ``textstats.QualityScorer``'s
+    composite score from scratch — words are ``[a-z]+`` runs of
+    lower(text); the stopword table is the union of the engine's own
+    per-language tables (one definition, two engines); the longest
+    repeated-word run is gaps-and-islands over an indexed unnest; every
+    boundary test is integer-exact (``3.0 <= mean_wlen`` ⇔
+    ``3*nw <= sum_len``)."""
+    from xtract.langdetect import STOPWORDS
+
+    stop = sorted({w for t in STOPWORDS.values() for w in t
+                   if w.isascii() and w.isalpha()})
+    rows = ", ".join(f"('{w}')" for w in stop)
+    return (
+        "WITH stop(w) AS (VALUES " + rows + "), "
+        "d2 AS (SELECT doc_id, regexp_extract_all(lower(coalesce("
+        "text,'')), '[a-z]+') AS ws FROM documents), "
+        "tw AS (SELECT doc_id, i, ws[i] AS w FROM d2, "
+        "UNNEST(range(1, len(ws)+1)) AS u(i)), "
+        "runs AS (SELECT doc_id, max(cnt) AS max_run FROM ("
+        "SELECT doc_id, w, grp, count(*) AS cnt FROM ("
+        "SELECT doc_id, w, i - row_number() OVER ("
+        "PARTITION BY doc_id, w ORDER BY i) AS grp FROM tw) "
+        "GROUP BY doc_id, w, grp) GROUP BY doc_id), "
+        "agg AS (SELECT doc_id, count(*) AS nw, "
+        "sum(CASE WHEN w IN (SELECT w FROM stop) THEN 1 ELSE 0 END) AS sw, "
+        "sum(length(w)) AS sl, count(DISTINCT w) AS nd "
+        "FROM tw GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST("
+        "(CASE WHEN a.nw BETWEEN 20 AND 100000 THEN 30 ELSE 0 END) + "
+        "(CASE WHEN a.nw > 0 AND 3*a.sw >= a.nw THEN 25 ELSE 0 END) + "
+        "(CASE WHEN a.nw > 0 AND 3*a.nw <= a.sl AND a.sl <= 10*a.nw "
+        "THEN 25 ELSE 0 END) + "
+        "(CASE WHEN a.nw > 0 AND 2*a.nd >= a.nw THEN 10 ELSE 0 END) + "
+        "(CASE WHEN coalesce(r.max_run, 0) <= 4 THEN 10 ELSE 0 END) "
+        "AS DOUBLE) AS quality_score, "
+        "CASE WHEN coalesce(a.nw, 0) > 0 THEN CAST(a.sw AS DOUBLE)/a.nw "
+        "ELSE 0.0 END AS stopword_ratio, "
+        "CASE WHEN coalesce(a.nw, 0) > 0 THEN CAST(a.sl AS DOUBLE)/a.nw "
+        "ELSE 0.0 END AS mean_word_len "
+        "FROM documents d LEFT JOIN agg a USING (doc_id) "
+        "LEFT JOIN runs r USING (doc_id)")
+
+
 def _doc_langid_sql() -> str:
     """Oracle for doc_langid: embeds the engine's own stopword tables
     (xtract.langdetect.STOPWORDS — one definition, two engines) and
@@ -1539,6 +1583,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id",
         "doc_stopword_counts": _stopword_sql(),
         "doc_langid": _doc_langid_sql(),
+        "doc_quality": _doc_quality_sql(),
         "doc_repetition": _doc_repetition_sql(),
         "page_outlinks": _page_outlinks_sql(),
         "doc_pii_redact": _pii_sql(),

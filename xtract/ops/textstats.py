@@ -114,8 +114,8 @@ class QualityScorer:
                 s += 25
             if nw and 3.0 <= mean_wlen[i] <= 10.0:
                 s += 25
-            if raw and 10 * len(zlib.compress(raw, 6)) >= 3 * len(raw):
-                s += 10                    # not trivially repetitive
+            if nw and 2 * len(set(words)) >= nw:
+                s += 10   # distinct-word ratio >= 1/2 (not repetitive)
             if best <= 4:
                 s += 10
             scores[i] = float(s)
