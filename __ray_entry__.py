@@ -479,9 +479,31 @@ def _q_ngram_dedup(sf_dir: str):
 
 
 def _q_embedding_dedup(sf_dir: str):
+    """Hyperplane-LSH cosine near-dup clustering — SQL-checked: the
+    synthetic embeddings table has no near-dup pairs (max off-diagonal
+    cosine ≈ 0.51), so the query unions power-of-two-scaled copies of
+    every 7th vector (scaling by 2 is float-EXACT: unit vectors, LSH
+    bucket codes and verify cosines are bit-identical to the
+    original's, so LSH recall of each planted pair is guaranteed, not
+    probabilistic).  The oracle recomputes the semantic contract
+    independently: exact all-pairs cosine ≥ 0.95 + transitive-closure
+    min-label components."""
     from xtract.ops.dedup import embedding_dedup
 
-    return embedding_dedup(_emb(sf_dir))
+    base = _emb(sf_dir).select_columns(["vec_id", "embedding"])
+
+    def scaled_copies(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 7 == 0))
+        arr = t["embedding"].combine_chunks()
+        vals = pc.multiply(arr.values, pa.scalar(2.0, arr.values.type))
+        return pa.table({
+            "vec_id": pc.add(t["vec_id"], pa.scalar(100000, pa.int64())),
+            "embedding": pa.ListArray.from_arrays(arr.offsets, vals),
+        })
+
+    aug = base.union(base.map_batches(scaled_copies, batch_format="pyarrow"))
+    return embedding_dedup(aug)
 
 
 def _q_semantic_dedup(sf_dir: str):
@@ -1057,6 +1079,33 @@ def _simhash_sql() -> str:
         "AS cluster_id FROM d2 LEFT JOIN lbl l ON d2.doc_id = l.doc_id")
 
 
+def _embedding_dedup_sql() -> str:
+    """Independent semantic oracle for embedding_dedup: rebuilds the
+    same augmented table (scaled copies of every 7th vector), finds ALL
+    pairs with exact cosine ≥ 0.95 (no LSH — a brute-force ground
+    truth, so it also checks the LSH recall claim), and labels
+    components via recursive transitive closure.  Float-safe: true
+    cosines are either ≈1.0 (planted scaled pairs) or ≤ 0.52 — no
+    value sits near the 0.95 boundary."""
+    return (
+        "WITH RECURSIVE base AS ("
+        "SELECT vec_id, embedding FROM embeddings "
+        "UNION ALL "
+        "SELECT vec_id + 100000 AS vec_id, "
+        "list_transform(embedding, x -> x * 2) AS embedding "
+        "FROM embeddings WHERE vec_id % 7 = 0), "
+        "prs AS (SELECT a.vec_id AS a, b.vec_id AS b "
+        "FROM base a JOIN base b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95), "
+        "edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs), "
+        "reach(s, d) AS (SELECT a, b FROM edges UNION "
+        "SELECT r.s, e.b FROM reach r JOIN edges e ON r.d = e.a), "
+        "lbl AS (SELECT s AS vec_id, least(min(d), s) AS cl "
+        "FROM reach GROUP BY s) "
+        "SELECT base.vec_id, CAST(coalesce(l.cl, base.vec_id) AS BIGINT) "
+        "AS cluster_id FROM base LEFT JOIN lbl l ON base.vec_id = l.vec_id")
+
+
 def _doc_quality_sql() -> str:
     """Oracle for doc_quality: recomputes ``textstats.QualityScorer``'s
     composite score from scratch — words are ``[a-z]+`` runs of
@@ -1584,6 +1633,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stopword_counts": _stopword_sql(),
         "doc_langid": _doc_langid_sql(),
         "doc_quality": _doc_quality_sql(),
+        "embedding_dedup": _embedding_dedup_sql(),
         "doc_repetition": _doc_repetition_sql(),
         "page_outlinks": _page_outlinks_sql(),
         "doc_pii_redact": _pii_sql(),
