@@ -523,6 +523,40 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(emb, np.asarray([q0], np.float64), k=10)
 
 
+_BM25_QUERY = "data stream join window dup"
+
+
+def _q_bm25_top20(sf_dir: str):
+    """BM25 top-20 over documents.text for a fixed query — SQL-checked
+    on (rank, doc_id, tf_total, dl); the float score is excluded from
+    the compared output (embedding_knn precedent) but the integer
+    tf/df/dl pipeline fully determines the ranking the oracle
+    recomputes."""
+    from xtract.ops.ranking import bm25_score
+
+    out = bm25_score(_docs(sf_dir, ["doc_id", "text"]),
+                     _BM25_QUERY).to_pandas()
+    return out[["rank", "doc_id", "tf_total", "dl"]]
+
+
+def _q_bm25_index_top20(sf_dir: str):
+    """The same ranking through the PERSISTED hash-partitioned inverted
+    index (build → prune-read only the query terms' buckets → search).
+    Bit-identical to the direct path, so it shares its SQL oracle."""
+    import shutil
+    import tempfile
+
+    from xtract.ops.ranking import bm25_search_index, build_text_index
+
+    d = tempfile.mkdtemp(prefix="bm25idx_", dir="/tmp")
+    try:
+        build_text_index(_docs(sf_dir, ["doc_id", "text"]), d)
+        out = bm25_search_index(d, _BM25_QUERY).to_pandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out[["rank", "doc_id", "tf_total", "dl"]]
+
+
 def _q_doc_quality(sf_dir: str):
     from xtract.ops.textstats import QualityScorer
 
@@ -947,6 +981,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": _q_simhash_dedup,
         "ngram_dedup": _q_ngram_dedup,
         "embedding_dedup": _q_embedding_dedup,
+        "bm25_top20": _q_bm25_top20,
+        "bm25_index_top20": _q_bm25_index_top20,
         "semantic_dedup": _q_semantic_dedup,
         "knn_ivf": _q_knn_ivf,
         "doc_quality": _q_doc_quality,
@@ -1077,6 +1113,43 @@ def _simhash_sql() -> str:
         "FROM reach GROUP BY s) "
         "SELECT d2.doc_id, CAST(coalesce(l.cl, d2.doc_id) AS BIGINT) "
         "AS cluster_id FROM d2 LEFT JOIN lbl l ON d2.doc_id = l.doc_id")
+
+
+def _bm25_sql() -> str:
+    """Oracle for bm25_top20 / bm25_index_top20 (the two paths are
+    bit-identical, so one oracle serves both): exact integer tf/df/dl
+    recomputation, Robertson idf ``ln(1+(N−df+0.5)/(df+0.5))``,
+    k1=1.2 b=0.75, score-desc doc_id-asc top 20.  Rank agreement is
+    float-safe here because distinct true scores are separated by far
+    more than cross-engine ulp noise and exact ties break by doc_id in
+    both engines."""
+    from xtract.ops.ranking import query_terms
+
+    qv = ", ".join(f"('{w}', {j})"
+                   for j, w in enumerate(query_terms(_BM25_QUERY)))
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower("
+        "coalesce(text,'')), '[a-z0-9_]+')) AS w FROM documents), "
+        f"q(w, qi) AS (VALUES {qv}), "
+        "dl AS (SELECT d.doc_id, coalesce(t.c, 0) AS dl FROM documents d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks "
+        "GROUP BY doc_id) t USING (doc_id)), "
+        "tf AS (SELECT t.doc_id, q.qi, count(*) AS tf FROM toks t "
+        "JOIN q ON t.w = q.w GROUP BY t.doc_id, q.qi), "
+        "df AS (SELECT qi, count(*) AS df FROM tf GROUP BY qi), "
+        "st AS (SELECT (SELECT count(*) FROM documents) AS n, "
+        "(SELECT sum(dl) FROM dl) AS sdl), "
+        "sc AS (SELECT tf.doc_id, "
+        "sum(ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / "
+        "(CAST(st.sdl AS DOUBLE)/st.n)))) AS s, "
+        "sum(tf.tf) AS tf_total, max(dl.dl) AS dl "
+        "FROM tf JOIN df USING (qi) JOIN dl ON tf.doc_id = dl.doc_id, st "
+        "GROUP BY tf.doc_id) "
+        "SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) "
+        "AS rank, doc_id, CAST(tf_total AS BIGINT) AS tf_total, "
+        "CAST(dl AS BIGINT) AS dl "
+        "FROM sc ORDER BY s DESC, doc_id LIMIT 20")
 
 
 def _embedding_dedup_sql() -> str:
@@ -1634,6 +1707,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": _doc_langid_sql(),
         "doc_quality": _doc_quality_sql(),
         "embedding_dedup": _embedding_dedup_sql(),
+        "bm25_top20": _bm25_sql(),
+        "bm25_index_top20": _bm25_sql(),
         "doc_repetition": _doc_repetition_sql(),
         "page_outlinks": _page_outlinks_sql(),
         "doc_pii_redact": _pii_sql(),

@@ -199,6 +199,26 @@ def bench_once() -> dict:
 
     queries["pack_sequences"] = timed(run_pack)
 
+    # BM25 through the persisted inverted index: build (posting explode
+    # + partitioned write) then a bucket-pruned search
+    from xtract.ops.ranking import (bm25_search_index, bm25_score,
+                                    build_text_index)
+
+    def run_bm25_index():
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="bm25_bench_", dir="/tmp")
+        try:
+            docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["doc_id", "text"])
+            build_text_index(docs, d)
+            bm25_search_index(d, "data stream join window dup")
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    queries["bm25_index"] = timed(run_bm25_index)
+
     result = {
         "metric": "extracted documents/sec (byte-identical text per url)",
         "value": round(t_extract, 3),

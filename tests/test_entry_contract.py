@@ -60,7 +60,8 @@ def test_every_query_has_callable(entry_mod):
                                   "page_outlinks", "doc_pii_redact",
                                   "substring_dedup", "minhash_dedup",
                                   "ngram_dedup", "doc_quality",
-                                  "embedding_dedup"])
+                                  "embedding_dedup", "bm25_top20",
+                                  "bm25_index_top20"])
 def test_query_matches_oracle(entry_mod, sf_dir, name):
     con = _con(sf_dir)
     mine = _df(entry_mod.queries()[name](sf_dir))
