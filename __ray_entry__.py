@@ -941,6 +941,124 @@ def _q_media_features(sf_dir: str):
         ["media_id", "kind", "decode_status"])
 
 
+def _q_events_hopping(sf_dir: str):
+    """Hopping (sliding) 60-min window, 15-min hop, per event type —
+    the streaming-window surface tumbling_window lacks.  Window key is
+    the epoch-second of the window start (hash-stable)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from xtract.ops.joins import hopping_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    df = hopping_window(ev, "ts", 60, 15, keys=["event_type"],
+                        aggs=[Count(alias_name="n_events"),
+                              Sum("value", alias_name="total_value")]
+                        ).to_pandas()
+    df["total_value"] = df["total_value"].round(2)
+    return df
+
+
+def _q_events_last_hour(sf_dir: str):
+    """Keyless interval join (count form): for every event, the number
+    of events — any user — in the preceding 60 minutes (inclusive of
+    itself).  Day-bucket co-group + two-searchsorted counts; no pair
+    materialization."""
+    import ray.data as rd
+
+    from xtract.ops.joins import interval_join_count
+
+    left = rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "ts"])
+    right = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return interval_join_count(left, "ts", right, "ts", 60,
+                               ["event_id"], out_col="n_last_hour")
+
+
+def _q_orders_semi_events(sf_dir: str):
+    """Large-×-large SEMI join: orders whose customer appears in the
+    event log (only the right KEY column shuffles)."""
+    import ray.data as rd
+
+    from xtract.ops.joins import semi_join_cogroup
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return semi_join_cogroup(orders, ev, "o_custkey", "user_id")
+
+
+def _q_orders_blocklist(sf_dir: str):
+    """Broadcast ANTI join: drop orders whose customer is on a (small,
+    gate-checked) blocklist — the allow/deny-list filter shape."""
+    import ray.data as rd
+
+    from xtract.ops.joins import anti_join_broadcast
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    return anti_join_broadcast(orders, "o_custkey", range(0, 100000, 7))
+
+
+def _q_customer_order_quantiles(sf_dir: str):
+    """Per-customer exact discrete quantiles of order value (integer
+    cents) — grouped_quantiles co-group, one vectorized pass per
+    partition."""
+    import numpy as np
+    import ray.data as rd
+
+    from xtract.ops.quantiles import grouped_quantiles
+
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_custkey": b["o_custkey"],
+                         "cents": pa.array(np.round(v * 100).astype(np.int64))})
+
+    oc = o.map_batches(to_cents, batch_format="pyarrow")
+    return grouped_quantiles(oc, "o_custkey", "cents",
+                             {"p25": 0.25, "p50": 0.5, "p75": 0.75})
+
+
+def _q_order_price_quantiles(sf_dir: str):
+    """Whole-corpus exact quantiles WITHOUT a global sort: iterative
+    histogram refinement (one streaming bin-count pass per round,
+    ≤n_bins rows to the driver)."""
+    import ray.data as rd
+
+    from xtract.ops.quantiles import quantile_report
+
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    return quantile_report(o, "o_totalprice",
+                           {"p10": 0.1, "p50": 0.5, "p90": 0.9, "p99": 0.99},
+                           scale=100, n_bins=256)
+
+
+def _q_nb_lang_classify(sf_dir: str):
+    """Distributed-trained multinomial Naive Bayes: train token/class
+    counts on the doc_id%5!=0 split, integer-log weights (bit-exact vs
+    the SQL oracle's ln), score EVERY document with the broadcast
+    model.  The full train→score pipeline is re-derived independently
+    by the oracle."""
+    import numpy as np
+
+    from xtract.ops.nbayes import score_nb, train_nb
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def tr(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 5 != 0))
+
+    model = train_nb(docs.map_batches(tr, batch_format="pyarrow"),
+                     "text", "lang", vocab_size=2000)
+    return score_nb(docs, model, ["doc_id"], "text",
+                    pred_col="pred_lang", score_col="nb_score")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -969,6 +1087,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
         "top_parts_per_brand": _q_top_parts_per_brand,
+        "events_hopping": _q_events_hopping,
+        "events_last_hour": _q_events_last_hour,
+        "orders_semi_events": _q_orders_semi_events,
+        "orders_blocklist": _q_orders_blocklist,
+        "customer_order_quantiles": _q_customer_order_quantiles,
+        "order_price_quantiles": _q_order_price_quantiles,
+        "nb_lang_classify": _q_nb_lang_classify,
         # extraction + ops (non-SQL → rows-only)
         "extract_pages": _q_extract_pages,
         "webtext_pipeline": _q_webtext_pipeline,
@@ -1780,4 +1905,90 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e CROSS JOIN q) "
             "SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rank, vec_id "
             "FROM scored ORDER BY score DESC, vec_id LIMIT 10",
+        "events_hopping":
+            "WITH e AS (SELECT event_type, value, epoch_us(ts) AS us "
+            "FROM events), "
+            "w AS (SELECT event_type, value, "
+            "(us // 900000000) * 900000000 - i * 900000000 AS ws "
+            "FROM e, UNNEST(range(0, 4)) AS t(i)) "
+            "SELECT ws // 1000000 AS window_start, event_type, "
+            "count(*) AS n_events, round(sum(value), 2) AS total_value "
+            "FROM w GROUP BY 1, 2",
+        "events_last_hour":
+            "SELECT e.event_id, count(r.ts) AS n_last_hour "
+            "FROM events e LEFT JOIN events r "
+            "ON r.ts <= e.ts AND e.ts < r.ts + INTERVAL 60 MINUTE "
+            "GROUP BY e.event_id",
+        "orders_semi_events":
+            "SELECT o_orderkey, o_custkey FROM orders "
+            "WHERE o_custkey IN (SELECT user_id FROM events)",
+        "orders_blocklist":
+            "SELECT o_orderkey, o_custkey FROM orders "
+            "WHERE o_custkey NOT IN (SELECT UNNEST(range(0, 100000, 7)))",
+        "customer_order_quantiles":
+            "SELECT o_custkey, "
+            "quantile_disc(CAST(round(o_totalprice*100) AS BIGINT), 0.25) "
+            "AS p25, "
+            "quantile_disc(CAST(round(o_totalprice*100) AS BIGINT), 0.50) "
+            "AS p50, "
+            "quantile_disc(CAST(round(o_totalprice*100) AS BIGINT), 0.75) "
+            "AS p75 FROM orders GROUP BY o_custkey",
+        "order_price_quantiles":
+            "SELECT "
+            "quantile_disc(CAST(round(o_totalprice*100) AS BIGINT), 0.10) "
+            "AS p10, "
+            "quantile_disc(CAST(round(o_totalprice*100) AS BIGINT), 0.50) "
+            "AS p50, "
+            "quantile_disc(CAST(round(o_totalprice*100) AS BIGINT), 0.90) "
+            "AS p90, "
+            "quantile_disc(CAST(round(o_totalprice*100) AS BIGINT), 0.99) "
+            "AS p99 FROM orders",
+        "nb_lang_classify":
+            # full independent re-derivation of the NB training: token
+            # counts on the %5 split, top-2000 vocab, integer-log
+            # weights (DuckDB ln == glibc libm == math.log, bit-exact),
+            # per-doc integer score sums, argmax with (score desc, cls)
+            "WITH toks AS (SELECT doc_id, lang, "
+            "UNNEST(regexp_extract_all(lower(coalesce(text,'')), "
+            "'[a-z0-9_]+')) AS tok FROM documents), "
+            "train AS (SELECT * FROM toks WHERE doc_id % 5 != 0), "
+            "cnt AS (SELECT tok, lang AS cls, count(*) AS n FROM train "
+            "GROUP BY 1, 2), "
+            "tok_tot AS (SELECT tok, sum(n) AS nt FROM cnt GROUP BY 1), "
+            "vocab AS (SELECT tok FROM tok_tot ORDER BY nt DESC, tok "
+            "LIMIT 2000), "
+            "cntv AS (SELECT * FROM cnt WHERE tok IN (SELECT tok FROM vocab)), "
+            "vs AS (SELECT count(*) AS v FROM vocab), "
+            "classes AS (SELECT DISTINCT lang AS cls FROM documents "
+            "WHERE doc_id % 5 != 0), "
+            "tot AS (SELECT c.cls, coalesce(sum(cv.n), 0) AS tot "
+            "FROM classes c LEFT JOIN cntv cv ON cv.cls = c.cls "
+            "GROUP BY c.cls), "
+            "w AS (SELECT v.tok, c.cls, "
+            "CAST(floor(1000000 * ln((coalesce(cv.n, 0) + 1.0) / "
+            "(t.tot + vs.v))) AS BIGINT) AS w "
+            "FROM vocab v CROSS JOIN classes c "
+            "JOIN tot t ON t.cls = c.cls CROSS JOIN vs "
+            "LEFT JOIN cntv cv ON cv.tok = v.tok AND cv.cls = c.cls), "
+            "oov AS (SELECT t.cls, CAST(floor(1000000 * ln(1.0 / "
+            "(t.tot + vs.v))) AS BIGINT) AS w FROM tot t CROSS JOIN vs), "
+            "ntr AS (SELECT count(*) AS n FROM documents WHERE doc_id % 5 != 0), "
+            "prior AS (SELECT lang AS cls, CAST(floor(1000000 * "
+            "ln(count(*) * 1.0 / (SELECT n FROM ntr))) AS BIGINT) AS pw "
+            "FROM documents WHERE doc_id % 5 != 0 GROUP BY lang), "
+            "tokw AS (SELECT t.doc_id, c.cls, coalesce(w.w, o.w) AS w "
+            "FROM toks t CROSS JOIN classes c "
+            "JOIN oov o ON o.cls = c.cls "
+            "LEFT JOIN w ON w.tok = t.tok AND w.cls = c.cls), "
+            "ssum AS (SELECT doc_id, cls, sum(w) AS sw FROM tokw "
+            "GROUP BY 1, 2), "
+            "base AS (SELECT d.doc_id, c.cls FROM documents d "
+            "CROSS JOIN classes c), "
+            "sc AS (SELECT b.doc_id, b.cls, p.pw + coalesce(s.sw, 0) AS score "
+            "FROM base b JOIN prior p ON p.cls = b.cls "
+            "LEFT JOIN ssum s ON s.doc_id = b.doc_id AND s.cls = b.cls), "
+            "ranked AS (SELECT doc_id, cls, score, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY score DESC, cls) AS rn FROM sc) "
+            "SELECT doc_id, cls AS pred_lang, CAST(score AS BIGINT) "
+            "AS nb_score FROM ranked WHERE rn = 1",
     }

@@ -61,7 +61,12 @@ def test_every_query_has_callable(entry_mod):
                                   "substring_dedup", "minhash_dedup",
                                   "ngram_dedup", "doc_quality",
                                   "embedding_dedup", "bm25_top20",
-                                  "bm25_index_top20"])
+                                  "bm25_index_top20", "events_hopping",
+                                  "events_last_hour", "orders_semi_events",
+                                  "orders_blocklist",
+                                  "customer_order_quantiles",
+                                  "order_price_quantiles",
+                                  "nb_lang_classify"])
 def test_query_matches_oracle(entry_mod, sf_dir, name):
     con = _con(sf_dir)
     mine = _df(entry_mod.queries()[name](sf_dir))

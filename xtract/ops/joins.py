@@ -303,6 +303,198 @@ def tumbling_window(ds, ts_col: str, every: str = "day",
     return g.aggregate(*(aggs or [Count(alias_name="n_events")]))
 
 
+def _us_i64(col) -> pa.ChunkedArray:
+    """Timestamp column → int64 MICROseconds regardless of the stored
+    unit (pandas-origin datasets carry ns, parquet carries us)."""
+    t = col.type
+    if pa.types.is_timestamp(t) and t.unit != "us":
+        col = pc.cast(col, pa.timestamp("us", tz=t.tz))
+    return pc.cast(col, pa.int64())
+
+
+def hopping_window(ds, ts_col: str, width_minutes: int, hop_minutes: int,
+                   keys: list[str] | None = None, aggs=None):
+    """Hopping (sliding) event-time window: width W, hop H, W % H == 0.
+    Each event belongs to exactly W/H windows; the replication is a
+    vectorized ``np.repeat`` fanout inside ``map_batches`` (no shuffle
+    amplification beyond the k× partial rows), then ONE grouped
+    aggregate over (window_start, keys).  ``window_start`` = epoch
+    seconds of the window's left edge (int64) — hash-stable across
+    engines, format driver-side if a human string is wanted.
+
+    Scale shape: the fanout factor k = W/H is a constant (4 for 1h/15m);
+    the shuffle after it moves (window, keys, partial) rows only, same
+    as ``tumbling_window``.  Reference parity: the window surface of
+    tesseract-rs job metrics (src/api.rs progress windows) widened to
+    the standard streaming hop semantics."""
+    from ray.data.aggregate import Count
+
+    if width_minutes % hop_minutes:
+        raise ValueError("width must be a multiple of hop")
+    k = width_minutes // hop_minutes
+    hop_us = hop_minutes * 60 * 1_000_000
+
+    def explode(b: pa.Table) -> pa.Table:
+        us = _us_i64(b[ts_col]).to_numpy(zero_copy_only=False)
+        n = len(b)
+        rep = np.repeat(np.arange(n, dtype=np.int64), k)
+        base = (us // hop_us) * hop_us
+        starts = base[rep] - np.tile(np.arange(k, dtype=np.int64), n) * hop_us
+        out = b.take(pa.array(rep))
+        return out.append_column("window_start",
+                                 pa.array(starts // 1_000_000, pa.int64()))
+
+    g = ds.map_batches(explode, batch_format="pyarrow").groupby(
+        ["window_start"] + (keys or []))
+    return g.aggregate(*(aggs or [Count(alias_name="n_events")]))
+
+
+def interval_join_count(left_ds, left_ts: str, right_ds, right_start: str,
+                        width_minutes: int, id_cols: list[str],
+                        out_col: str = "n_matches"):
+    """Keyless interval/range join, count form: for every left row,
+    how many right intervals ``[start, start + width)`` contain
+    ``left_ts``.  (With a shared equi key, use ``equi_join_cogroup`` +
+    a range filter instead; this operator is for the no-key case Ray
+    Data cannot express at all.)
+
+    Shape: bucket time by DAY.  Left rows go to their single bucket;
+    each right interval is replicated to every day bucket it touches
+    (variable-count ``np.repeat`` — fanout ≤ ceil(width/1d)+1, a
+    constant).  ONE co-group by bucket, then a per-partition
+    two-``searchsorted`` count over the sorted right starts:
+    ``#(start ≤ ts) − #(start ≤ ts − width)``.  No pair materialization
+    — a left row in a bucket with a million open intervals still costs
+    O(log m).  Partitioning assumption: one day's rows fit a partition;
+    finer time skew needs a smaller bucket unit."""
+    width_us = width_minutes * 60 * 1_000_000
+    day_us = 86_400 * 1_000_000
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        us = _us_i64(b[left_ts])
+        u = us.to_numpy(zero_copy_only=False)
+        cols = {"_bucket": pa.array(u // day_us, pa.int64()),
+                "_side": pa.array(np.zeros(len(b), np.int8)),
+                "_us": us}
+        for c in id_cols:
+            cols["l_" + c] = b[c]
+        return pa.table(cols)
+
+    left_types = dict(zip(left_ds.schema().names, left_ds.schema().types))
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        u = _us_i64(b[right_start]).to_numpy(zero_copy_only=False)
+        d0 = u // day_us
+        d1 = (u + width_us) // day_us
+        counts = (d1 - d0 + 1).astype(np.int64)
+        rep = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+        # offset within each run: index − run start
+        starts_of_run = np.repeat(np.cumsum(counts) - counts, counts)
+        off = np.arange(len(rep), dtype=np.int64) - starts_of_run
+        cols = {"_bucket": pa.array(d0[rep] + off, pa.int64()),
+                "_side": pa.array(np.ones(len(rep), np.int8)),
+                "_us": pa.array(u[rep], pa.int64())}
+        for c in id_cols:
+            cols["l_" + c] = pa.nulls(len(rep), left_types[c])
+        return pa.table(cols)
+
+    both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.select_columns([right_start]).map_batches(
+            tag_right, batch_format="pyarrow"))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        side = t["_side"]
+        Lt = t.filter(pc.equal(side, 0))
+        Rt = t.filter(pc.equal(side, 1))
+        ts = Lt["_us"].to_numpy(zero_copy_only=False)
+        starts = np.sort(Rt["_us"].to_numpy(zero_copy_only=False))
+        n = (np.searchsorted(starts, ts, side="right")
+             - np.searchsorted(starts, ts - width_us, side="right"))
+        cols = {c: Lt["l_" + c] for c in id_cols}
+        cols[out_col] = pa.array(n.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return both.groupby("_bucket").map_groups(per_bucket,
+                                              batch_format="pyarrow")
+
+
+def semi_join_cogroup(left_ds, right_ds, on: str, right_on: str | None = None,
+                      anti: bool = False, num_partitions: int = 32):
+    """Large-×-large semi / anti join: keep left rows whose key does
+    (semi) or does not (anti) appear on the right — the blocklist /
+    allowlist filter shape when the right side is too big to broadcast.
+
+    Only the right KEY column moves (slim projection); both sides tag
+    ``part = hash(key) % P`` and each partition runs one vectorized
+    ``pc.is_in`` over the partition-local right key set.  For a small
+    right side prefer ``anti_join_broadcast`` (no shuffle at all)."""
+    right_on = right_on or on
+    lnames = list(left_ds.schema().names)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        from .agg import _hash_part
+
+        part = _hash_part(b[on], num_partitions)
+        cols = {"_part": pa.array(part, pa.int64()),
+                "_side": pa.array(np.zeros(len(b), np.int8))}
+        for c in lnames:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    ltypes = dict(zip(lnames, left_ds.schema().types))
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        from .agg import _hash_part
+
+        part = _hash_part(b[right_on], num_partitions)
+        n = len(b)
+        cols = {"_part": pa.array(part, pa.int64()),
+                "_side": pa.array(np.ones(n, np.int8))}
+        for c in lnames:
+            cols[c] = (pc.cast(b[right_on], ltypes[on]) if c == on
+                       else pa.nulls(n, ltypes[c]))
+        return pa.table(cols)
+
+    both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.select_columns([right_on]).map_batches(
+            tag_right, batch_format="pyarrow"))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        side = t["_side"]
+        Lt = t.filter(pc.equal(side, 0))
+        rkeys = t.filter(pc.equal(side, 1))[on]
+        member = pc.fill_null(pc.is_in(Lt[on], value_set=pc.unique(
+            rkeys.combine_chunks())), False)
+        keep = pc.invert(member) if anti else member
+        return Lt.filter(keep).drop_columns(["_part", "_side"])
+
+    return both.groupby("_part").map_groups(per_partition,
+                                            batch_format="pyarrow")
+
+
+def anti_join_broadcast(ds, col: str, keys, max_keys: int = 5_000_000,
+                        semi: bool = False):
+    """Broadcast anti/semi filter: ship the (small, gate-checked) key
+    set once via ``ray.put``, one vectorized ``pc.is_in`` per batch —
+    no shuffle.  Refuses loudly above ``max_keys`` (the exact-count
+    gate pattern) instead of OOMing the object store."""
+    import ray
+
+    keys = list(keys)
+    if len(keys) > max_keys:
+        raise ValueError(
+            f"broadcast key set has {len(keys)} entries (> {max_keys}); "
+            "use semi_join_cogroup for corpus-scale right sides")
+    ref = ray.put(pa.array(sorted(keys)))
+
+    def keep(b: pa.Table) -> pa.Table:
+        member = pc.is_in(b[col], value_set=ray.get(ref))
+        return b.filter(member if semi else
+                        pc.invert(pc.fill_null(member, False)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def _add_key_part(b: pa.Table, key: str, num_partitions: int) -> pa.Table:
     from .agg import _hash_part
 
