@@ -1059,6 +1059,94 @@ def _q_nb_lang_classify(sf_dir: str):
                     pred_col="pred_lang", score_col="nb_score")
 
 
+def _q_host_pagerank(sf_dir: str):
+    """Integer PageRank over the deterministic host link graph
+    (host = doc_id % 97; each doc emits doc_id % 4 out-links to
+    (host*31 + 17*j + doc_id) % 97).  5 power-iteration rounds in
+    int64 micro-units — bit-identical at any parallelism and fully
+    re-derived by the SQL oracle's unrolled CTEs."""
+    from xtract.ops.graph import pagerank
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = ids % 97
+        nl = (ids % 4).astype(np.int64)
+        rep = np.repeat(np.arange(len(ids), dtype=np.int64), nl)
+        run_start = np.repeat(np.cumsum(nl) - nl, nl)
+        j = np.arange(len(rep), dtype=np.int64) - run_start
+        return pa.table({
+            "src": pa.array(h[rep], pa.int64()),
+            "dst": pa.array((h[rep] * 31 + 17 * j + ids[rep]) % 97,
+                            pa.int64())})
+
+    def hosts(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.unique(ids % 97), pa.int64())})
+
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    nodes = docs.map_batches(hosts, batch_format="pyarrow")
+    return pagerank(e, iters=5, nodes_ds=nodes)
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Unrolled integer power iteration — CTE r{k} re-derives exactly
+    the op's  base + 85·Σ(r//deg) // 100  update each round."""
+    step = ("r{k} AS (SELECT n.node, CAST(150000 + "
+            "(85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r "
+            "FROM nodes n LEFT JOIN ("
+            "SELECT e.dst AS node, sum(r{p}.r // d.d) AS c "
+            "FROM e JOIN deg d ON d.src = e.src "
+            "JOIN r{p} ON r{p}.node = e.src GROUP BY e.dst) s "
+            "ON s.node = n.node)")
+    ctes = ", ".join(step.format(k=k, p=k - 1) for k in range(1, iters + 1))
+    return (
+        "WITH e AS (SELECT (doc_id % 97) AS src, "
+        "((doc_id % 97) * 31 + 17 * j + doc_id) % 97 AS dst "
+        "FROM documents, UNNEST(range(0, doc_id % 4)) AS t(j)), "
+        "nodes AS (SELECT DISTINCT (doc_id % 97) AS node FROM documents "
+        "UNION SELECT DISTINCT dst FROM e), "
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1), "
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes), "
+        + ctes +
+        f" SELECT node, r AS pagerank_micro FROM r{iters}")
+
+
+def _q_crawl_snapshot_diff(sf_dir: str):
+    """Crawl-dump diff: urls added/removed/changed/unchanged between
+    two deterministic snapshots of the corpus (old = doc_id%7 != 3,
+    new = doc_id%11 != 5 with text edited where doc_id%5 == 0), by
+    md5 content digest.  One slim co-group — SQL oracle is a FULL
+    OUTER JOIN on the same construction."""
+    import hashlib
+
+    from xtract.ops.graph import snapshot_diff
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def snap(new: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = (ids % 11 != 5) if new else (ids % 7 != 3)
+            t = t.filter(pa.array(keep))
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            urls, digs = [], []
+            for i, txt in zip(ids, t["text"].to_pylist()):
+                txt = txt or ""
+                if new and i % 5 == 0:
+                    txt += " v2"
+                urls.append(f"https://h{i % 97}.example.com/d/{i}")
+                digs.append(hashlib.md5(txt.encode()).hexdigest())
+            return pa.table({"url": pa.array(urls, pa.string()),
+                             "digest": pa.array(digs, pa.string())})
+        return f
+
+    old = docs.map_batches(snap(False), batch_format="pyarrow")
+    new = docs.map_batches(snap(True), batch_format="pyarrow")
+    return snapshot_diff(old, new)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -1094,6 +1182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_quantiles": _q_customer_order_quantiles,
         "order_price_quantiles": _q_order_price_quantiles,
         "nb_lang_classify": _q_nb_lang_classify,
+        "host_pagerank": _q_host_pagerank,
+        "crawl_snapshot_diff": _q_crawl_snapshot_diff,
         # extraction + ops (non-SQL → rows-only)
         "extract_pages": _q_extract_pages,
         "webtext_pipeline": _q_webtext_pipeline,
@@ -1991,4 +2081,22 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY doc_id ORDER BY score DESC, cls) AS rn FROM sc) "
             "SELECT doc_id, cls AS pred_lang, CAST(score AS BIGINT) "
             "AS nb_score FROM ranked WHERE rn = 1",
+        "host_pagerank": _pagerank_sql(5),
+        "crawl_snapshot_diff":
+            "WITH base AS (SELECT doc_id, "
+            "md5(coalesce(text, '')) AS dg, "
+            "md5(coalesce(text, '') || ' v2') AS dg2 FROM documents), "
+            "olds AS (SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR) "
+            "|| '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url, "
+            "dg AS digest FROM base WHERE doc_id % 7 != 3), "
+            "news AS (SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR) "
+            "|| '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url, "
+            "CASE WHEN doc_id % 5 = 0 THEN dg2 ELSE dg END AS digest "
+            "FROM base WHERE doc_id % 11 != 5) "
+            "SELECT coalesce(o.url, n.url) AS url, "
+            "CASE WHEN o.url IS NULL THEN 'added' "
+            "WHEN n.url IS NULL THEN 'removed' "
+            "WHEN o.digest = n.digest THEN 'unchanged' "
+            "ELSE 'changed' END AS status "
+            "FROM olds o FULL OUTER JOIN news n ON n.url = o.url",
     }

@@ -66,7 +66,8 @@ def test_every_query_has_callable(entry_mod):
                                   "orders_blocklist",
                                   "customer_order_quantiles",
                                   "order_price_quantiles",
-                                  "nb_lang_classify"])
+                                  "nb_lang_classify", "host_pagerank",
+                                  "crawl_snapshot_diff"])
 def test_query_matches_oracle(entry_mod, sf_dir, name):
     con = _con(sf_dir)
     mine = _df(entry_mod.queries()[name](sf_dir))

@@ -1,0 +1,90 @@
+"""Graph ops: integer PageRank (both state placements) + snapshot diff."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from xtract.ops.graph import pagerank, snapshot_diff
+
+
+def _edges(src, dst):
+    return rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                   "dst": pa.array(dst, pa.int64())}))
+
+
+def test_pagerank_cycle_fixpoint(ray_session):
+    # a<->b: every node keeps exactly unit mass at every iteration
+    df = pagerank(_edges([1, 2], [2, 1]), iters=6).to_pandas()
+    assert sorted(df["node"]) == [1, 2]
+    assert (df["pagerank_micro"] == 1_000_000).all()
+
+
+def test_pagerank_hand_computed(ray_session):
+    # star 1->3, 2->3: after one iter r(3) = 150000 + 85*(2*1e6)//100
+    df = pagerank(_edges([1, 2], [3, 3]), iters=1).to_pandas()
+    r = dict(zip(df["node"], df["pagerank_micro"]))
+    assert r[1] == r[2] == 150_000
+    assert r[3] == 150_000 + 85 * 2_000_000 // 100
+
+
+def test_pagerank_broadcast_equals_distributed(ray_session):
+    rng = np.random.default_rng(7)
+    e = _edges(rng.integers(0, 40, 400),
+               rng.integers(0, 40, 400)).repartition(6)
+    a = pagerank(e, iters=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    b = pagerank(e, iters=3, distributed=True, num_partitions=5) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_pagerank_isolated_nodes_get_base(ray_session):
+    nodes = rd.from_arrow(pa.table({"node": pa.array([9], pa.int64())}))
+    df = pagerank(_edges([1], [2]), iters=2, nodes_ds=nodes).to_pandas()
+    r = dict(zip(df["node"], df["pagerank_micro"]))
+    assert 9 in r and r[9] == 150_000  # never any inflow
+
+
+def test_pagerank_broadcast_gate(ray_session):
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        pagerank(_edges([1, 2, 3], [2, 3, 1]), iters=1, broadcast_limit=2)
+
+
+def test_pagerank_mass_conserved_on_cycle_graph(ray_session):
+    # permutation graph (deg 1 everywhere, no dangling): total mass
+    # invariant under the integer update up to //-floor loss < N*2
+    n = 30
+    src = np.arange(n)
+    dst = (src + 7) % n
+    df = pagerank(_edges(src, dst), iters=4).to_pandas()
+    assert (df["pagerank_micro"] == 1_000_000).all()
+
+
+def test_snapshot_diff_statuses(ray_session):
+    old = rd.from_items(
+        [{"url": f"u{i}", "digest": f"d{i}"} for i in range(8)])
+    new = rd.from_items(
+        [{"url": f"u{i}", "digest": "X" if i % 3 == 0 else f"d{i}"}
+         for i in range(2, 10)])
+    got = dict(zip(*[list(c) for c in zip(
+        *snapshot_diff(old, new).to_pandas()[["url", "status"]].values)]))
+    assert got["u0"] == got["u1"] == "removed"
+    assert got["u8"] == "added" and got["u9"] == "added"
+    assert got["u3"] == "changed" and got["u6"] == "changed"
+    assert got["u2"] == "unchanged" and got["u4"] == "unchanged"
+    assert len(got) == 10
+
+
+def test_snapshot_diff_partition_invariance(ray_session):
+    old = rd.from_items(
+        [{"url": f"u{i}", "digest": f"d{i % 5}"} for i in range(60)])
+    new = rd.from_items(
+        [{"url": f"u{i}", "digest": f"d{(i + 1) % 5}"} for i in range(60)])
+    a = snapshot_diff(old, new, num_partitions=2).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    b = snapshot_diff(old.repartition(7), new.repartition(3),
+                      num_partitions=16).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["status"] == "changed").all()

@@ -1,0 +1,322 @@
+"""Distributed link-graph analytics over crawl host graphs.
+
+``pagerank`` is the canonical "iterate a joined aggregate to fixpoint"
+operator the web-crawl side of an extraction engine needs (host
+authority for crawl prioritization / spam demotion).  The reference
+engine has no graph surface — this extends the tier the way its job
+metrics extend to windows (reference parity anchor: tesseract-rs
+processes documents independently; host-level signals are the natural
+corpus-scale complement, same role as `metrics.corpus_checksum`).
+
+Design for 100 TB:
+
+- **Integer arithmetic throughout** (micro-units): ranks are int64,
+  contribution = ``rank // out_degree`` (floor), update =
+  ``base + damping_pct * inflow // 100``.  No float sum-order
+  nondeterminism — results are bit-identical across parallelism levels
+  AND reproducible in ANSI SQL (the driver oracle unrolls the same
+  iterations as CTEs).  Dangling-node mass is dropped (documented,
+  deterministic) rather than redistributed.
+- **Edges never leave the cluster.**  Per iteration the edge Dataset
+  is scanned once; a per-block combiner (`np.add.at` over the block's
+  unique dst values) emits ≤1 row per (block, dst) before the
+  ``groupby(dst).Sum`` exchange, so a hot page (every crawl has one)
+  costs one slim int64 row per block, not one per in-link.
+- **Rank state placement is gated, like `cc.attach_labels`**: node
+  tables up to ``broadcast_limit`` (exact count, fail-loud) live as
+  two sorted numpy arrays in the object store (`ray.put` once per
+  iteration, `searchsorted` lookup inside every map task).  Above the
+  gate, `distributed=True` keeps ranks as a Dataset and resolves the
+  edge⋈rank join per hash partition (union + ``groupby(part)`` —
+  one co-group shuffle per iteration).  Both paths are bit-identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _sorted_lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray,
+                   default: np.int64) -> np.ndarray:
+    """Vectorized exact-match lookup probe→vals over sorted keys."""
+    out = np.full(len(probe), default, np.int64)
+    if len(keys):
+        pos = np.searchsorted(keys, probe)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        hit = keys[pos_c] == probe
+        out[hit] = vals[pos_c[hit]]
+    return out
+
+
+def _block_sum(dst: np.ndarray, contrib: np.ndarray) -> pa.Table:
+    """Combiner: collapse a block's contributions to one row per
+    distinct dst (``np.add.at`` — no Python loop, no m² anything)."""
+    u, inv = np.unique(dst, return_inverse=True)
+    s = np.zeros(len(u), np.int64)
+    np.add.at(s, inv, contrib)
+    return pa.table({"node": pa.array(u, pa.int64()),
+                     "inflow": pa.array(s, pa.int64())})
+
+
+def _degrees(edges_ds, src: str):
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[src], pa.int64()).to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(ids, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return (edges_ds.select_columns([src])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("deg", alias_name="deg")))
+
+
+def _node_set(edges_ds, src: str, dst: str, nodes_ds):
+    """Distinct node table: endpoints of every edge ∪ optional
+    explicit node list (isolated hosts still get a rank)."""
+    def ends(t: pa.Table) -> pa.Table:
+        a = pc.cast(t[src], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(t[dst], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(
+            np.unique(np.concatenate([a, b])), pa.int64())})
+
+    ds = edges_ds.map_batches(ends, batch_format="pyarrow")
+    if nodes_ds is not None:
+        def one(t: pa.Table) -> pa.Table:
+            return pa.table({"node": pa.array(np.unique(
+                pc.cast(t["node"], pa.int64())
+                .to_numpy(zero_copy_only=False)), pa.int64())})
+        ds = ds.union(nodes_ds.map_batches(one, batch_format="pyarrow"))
+    # distinct via groupby(node).count — slim int64 exchange
+    from ray.data.aggregate import Count
+    return ds.groupby("node").aggregate(Count(alias_name="_n")) \
+             .select_columns(["node"])
+
+
+def pagerank(edges_ds, src: str = "src", dst: str = "dst", iters: int = 5,
+             damping_pct: int = 85, unit: int = 1_000_000,
+             nodes_ds=None, distributed: bool = False,
+             broadcast_limit: int = 2_000_000, num_partitions: int = 32):
+    """→ Dataset(node:int64, pagerank_micro:int64) after ``iters``
+    integer power-iteration rounds.  r₀ = ``unit`` for every node;
+    rₖ₊₁(v) = base + damping_pct·Σ_{(u,v)∈E} (rₖ(u) // deg(u)) // 100
+    with base = (100−damping_pct)·unit // 100.  Deterministic and
+    bit-identical at any parallelism (integer floor ops only).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    base = (100 - damping_pct) * unit // 100
+    deg_ds = _degrees(edges_ds, src).materialize()
+    nodes = _node_set(edges_ds, src, dst, nodes_ds).materialize()
+    n_nodes = nodes.count()
+    if not distributed and n_nodes > broadcast_limit:
+        raise ValueError(
+            f"pagerank: {n_nodes} nodes exceed broadcast_limit "
+            f"{broadcast_limit}; pass distributed=True (co-group ranks)")
+
+    edges = edges_ds.select_columns([src, dst]).materialize()
+
+    if not distributed:
+        ndf = nodes.to_pandas()  # ≤ broadcast_limit by the gate above
+        node_arr = np.sort(ndf["node"].to_numpy().astype(np.int64))
+        ddf = deg_ds.to_pandas()
+        dk = ddf["node"].to_numpy().astype(np.int64)
+        dv = ddf["deg"].to_numpy().astype(np.int64)
+        o = np.argsort(dk, kind="stable")
+        deg_ref = ray.put((dk[o], dv[o]))
+        ranks = np.full(len(node_arr), unit, np.int64)
+
+        for _ in range(iters):
+            r_ref = ray.put(ranks)
+            n_ref = ray.put(node_arr)
+
+            def contrib(t: pa.Table, _r=r_ref, _n=n_ref, _d=deg_ref
+                        ) -> pa.Table:
+                nk = ray.get(_n)
+                rv = ray.get(_r)
+                dkk, dvv = ray.get(_d)
+                s = pc.cast(t[src], pa.int64()).to_numpy(
+                    zero_copy_only=False)
+                d = pc.cast(t[dst], pa.int64()).to_numpy(
+                    zero_copy_only=False)
+                r_src = _sorted_lookup(nk, rv, s, np.int64(0))
+                deg = _sorted_lookup(dkk, dvv, s, np.int64(1))
+                return _block_sum(d, r_src // deg)
+
+            inflow = (edges.map_batches(contrib, batch_format="pyarrow")
+                      .groupby("node").aggregate(
+                          Sum("inflow", alias_name="inflow"))
+                      .to_pandas())  # ≤ n_nodes rows — under the gate
+            nk = inflow["node"].to_numpy().astype(np.int64)
+            nv = inflow["inflow"].to_numpy().astype(np.int64)
+            o = np.argsort(nk, kind="stable")
+            got = _sorted_lookup(nk[o], nv[o], node_arr, np.int64(0))
+            ranks = base + damping_pct * got // 100
+
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(node_arr, pa.int64()),
+            "pagerank_micro": pa.array(ranks, pa.int64())}))
+
+    # ---- distributed ranks: co-group edges⋈(rank,deg) on src ----
+    def start_ranks(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"node": t["node"],
+                         "pagerank_micro": pa.array(
+                             np.full(n, unit, np.int64), pa.int64())})
+
+    ranks_ds = nodes.map_batches(start_ranks, batch_format="pyarrow") \
+                    .materialize()
+
+    def part_of(ids: np.ndarray) -> np.ndarray:
+        return np.abs(ids) % np.int64(num_partitions)
+
+    for _ in range(iters):
+        def tag_edges(t: pa.Table) -> pa.Table:
+            s = pc.cast(t[src], pa.int64()).to_numpy(zero_copy_only=False)
+            d = pc.cast(t[dst], pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(s), pa.int64()),
+                "a": pa.array(s, pa.int64()),
+                "b": pa.array(d, pa.int64()),
+                "_side": pa.array(np.zeros(len(s), np.int8))})
+
+        def tag_state(t: pa.Table) -> pa.Table:
+            n = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(n), pa.int64()),
+                "a": pa.array(n, pa.int64()),
+                "b": t["pagerank_micro"],
+                "_side": pa.array(np.ones(len(n), np.int8))})
+
+        def tag_deg(t: pa.Table) -> pa.Table:
+            n = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(n), pa.int64()),
+                "a": pa.array(n, pa.int64()),
+                "b": t["deg"],
+                "_side": pa.array(np.full(len(n), 2, np.int8))})
+
+        both = (edges.map_batches(tag_edges, batch_format="pyarrow")
+                .union(ranks_ds.map_batches(tag_state,
+                                            batch_format="pyarrow"))
+                .union(deg_ds.map_batches(tag_deg,
+                                          batch_format="pyarrow")))
+
+        def per_part(g: pa.Table) -> pa.Table:
+            side = g["_side"].to_numpy(zero_copy_only=False)
+            a = g["a"].to_numpy(zero_copy_only=False)
+            b = g["b"].to_numpy(zero_copy_only=False)
+            rk, rv = a[side == 1], b[side == 1]
+            o = np.argsort(rk, kind="stable")
+            rk, rv = rk[o], rv[o]
+            dk, dv = a[side == 2], b[side == 2]
+            o = np.argsort(dk, kind="stable")
+            dk, dv = dk[o], dv[o]
+            es, ed = a[side == 0], b[side == 0]
+            if not len(es):
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "inflow": pa.array([], pa.int64())})
+            r_src = _sorted_lookup(rk, rv, es, np.int64(0))
+            deg = _sorted_lookup(dk, dv, es, np.int64(1))
+            return _block_sum(ed, r_src // deg)
+
+        from ray.data.aggregate import Sum
+        inflow = (both.groupby("_part")
+                  .map_groups(per_part, batch_format="pyarrow")
+                  .groupby("node").aggregate(
+                      Sum("inflow", alias_name="inflow")))
+
+        # attach base to EVERY node (also in-degree-0 ones): co-group
+        # nodes ∪ inflow by node hash, vectorized lookup per partition
+        def tag_nodes(t: pa.Table) -> pa.Table:
+            n = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(n), pa.int64()),
+                "a": pa.array(n, pa.int64()),
+                "b": pa.array(np.zeros(len(n), np.int64), pa.int64()),
+                "_side": pa.array(np.zeros(len(n), np.int8))})
+
+        def tag_inflow(t: pa.Table) -> pa.Table:
+            n = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(n), pa.int64()),
+                "a": pa.array(n, pa.int64()),
+                "b": t["inflow"],
+                "_side": pa.array(np.ones(len(n), np.int8))})
+
+        def apply_update(g: pa.Table) -> pa.Table:
+            side = g["_side"].to_numpy(zero_copy_only=False)
+            a = g["a"].to_numpy(zero_copy_only=False)
+            b = g["b"].to_numpy(zero_copy_only=False)
+            ik, iv = a[side == 1], b[side == 1]
+            o = np.argsort(ik, kind="stable")
+            nodes_here = a[side == 0]
+            got = _sorted_lookup(ik[o], iv[o], nodes_here, np.int64(0))
+            return pa.table({
+                "node": pa.array(nodes_here, pa.int64()),
+                "pagerank_micro": pa.array(
+                    base + damping_pct * got // 100, pa.int64())})
+
+        ranks_ds = (nodes.map_batches(tag_nodes, batch_format="pyarrow")
+                    .union(inflow.map_batches(tag_inflow,
+                                              batch_format="pyarrow"))
+                    .groupby("_part")
+                    .map_groups(apply_update, batch_format="pyarrow")
+                    .materialize())
+
+    return ranks_ds
+
+
+def snapshot_diff(old_ds, new_ds, key: str = "url",
+                  digest: str = "digest", num_partitions: int = 32):
+    """Crawl-dump diff: → Dataset(key, status) with status ∈
+    {'added','removed','changed','unchanged'} comparing two snapshots
+    by content digest — the incremental-recrawl planning step (process
+    only added/changed urls next job, the Dataset-native complement of
+    `ops.dedup_index`'s actor-based cross-job seen-set).
+
+    Shape: both sides project to slim (key, digest) rows, tag
+    ``part = hash(key) % P`` (stable `pandas.util.hash_array`), ONE
+    co-group, per-partition vectorized classification via a pandas
+    merge (cython hash join — no Python per-row work).  Assumes keys
+    are unique within each snapshot (crawl dumps are url-deduped; the
+    winner rule for raw dumps is `agg.first_row_per_key`).
+    """
+    import pandas as pd
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            vals = np.asarray(t[key].to_pylist(), dtype=object)
+            part = (pd.util.hash_array(vals)
+                    % num_partitions).astype(np.int64)
+            return pa.table({
+                "_part": pa.array(part, pa.int64()),
+                key: t[key],
+                digest: t[digest],
+                "_side": pa.array(np.full(len(t), side, np.int8))})
+        return f
+
+    both = (old_ds.select_columns([key, digest])
+            .map_batches(tag(0), batch_format="pyarrow")
+            .union(new_ds.select_columns([key, digest])
+                   .map_batches(tag(1), batch_format="pyarrow")))
+
+    def classify(g: pa.Table) -> pa.Table:
+        df = g.select([key, digest, "_side"]).to_pandas()
+        old = df[df["_side"] == 0]
+        new = df[df["_side"] == 1]
+        m = old.merge(new, on=key, how="outer", suffixes=("_o", "_n"))
+        d_o, d_n = m[digest + "_o"], m[digest + "_n"]
+        status = np.where(
+            d_o.isna(), "added",
+            np.where(d_n.isna(), "removed",
+                     np.where(d_o == d_n, "unchanged", "changed")))
+        return pa.table({key: pa.array(m[key], pa.string()),
+                         "status": pa.array(status, pa.string())})
+
+    return both.groupby("_part").map_groups(classify,
+                                            batch_format="pyarrow")
