@@ -805,8 +805,9 @@ def _q_substring_dedup(sf_dir: str):
 
 def _q_doc_bits_per_char(sf_dir: str):
     """CCNet-style perplexity-proxy quality signal: a char-ngram LM
-    trained on the corpus itself scores each document's
-    bits-per-char.  Not SQL-expressible → rows-only."""
+    trained on the corpus itself scores each document's bits-per-char.
+    Integer micro-bit costs (⌊-10⁶·log₂p⌋) make the whole train→score
+    pipeline SQL-re-derivable bit-exactly (DuckDB log2 == libm)."""
     from xtract.ops.ngram_lm import score_bits_per_char, train_char_lm
 
     docs = _docs(sf_dir, ["doc_id", "text"])
@@ -1184,6 +1185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_classify": _q_nb_lang_classify,
         "host_pagerank": _q_host_pagerank,
         "crawl_snapshot_diff": _q_crawl_snapshot_diff,
+        "doc_bits_per_char": _q_doc_bits_per_char,
         # extraction + ops (non-SQL → rows-only)
         "extract_pages": _q_extract_pages,
         "webtext_pipeline": _q_webtext_pipeline,
@@ -1209,7 +1211,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_url_dedup": _q_canonical_url_dedup,
         "lowest_confidence_docs": _q_lowest_confidence_docs,
         "bpe_subword_stats": _q_bpe_subword_stats,
-        "doc_bits_per_char": _q_doc_bits_per_char,
         "paragraph_dedup": _q_paragraph_dedup,
         "decontaminate": _q_decontaminate,
         "customer_spend_cogroup": _q_customer_spend_cogroup,
@@ -2082,6 +2083,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, cls AS pred_lang, CAST(score AS BIGINT) "
             "AS nb_score FROM ranked WHERE rn = 1",
         "host_pagerank": _pagerank_sql(5),
+        "doc_bits_per_char":
+            # full re-derivation of the char-3-gram LM: normalize
+            # (lower, rare→chr(2)), count grams + chr(1)-prefixed
+            # 2-gram prefixes, keep top-100k by (n desc, gram), integer
+            # micro-bit costs, per-doc int sums.  47 = |_NORM| + 1.
+            "WITH norm AS (SELECT doc_id, regexp_replace(lower("
+            "coalesce(text, '')), '[^a-z0-9 .,;:!?''\n-]', chr(2), 'g') "
+            "AS s FROM documents), "
+            "pos AS (SELECT doc_id, substr(s, CAST(i AS INT), 3) AS g "
+            "FROM norm, UNNEST(range(1, length(s) - 1)) AS t(i)), "
+            "cnt AS (SELECT g, count(*) AS n FROM pos GROUP BY g), "
+            "pcnt AS (SELECT chr(1) || substr(g, 1, 2) AS g, "
+            "count(*) AS n FROM pos GROUP BY 1), "
+            "kept AS (SELECT g, n FROM (SELECT * FROM cnt "
+            "UNION ALL SELECT * FROM pcnt) ORDER BY n DESC, g "
+            "LIMIT 100000), "
+            "w AS (SELECT k.g, CAST(floor(-1000000.0 * log2(least(1.0, "
+            "(k.n + 1.0) / (coalesce(p.n, 0) + 47)))) AS BIGINT) AS w "
+            "FROM kept k LEFT JOIN kept p "
+            "ON p.g = chr(1) || substr(k.g, 1, 2) "
+            "WHERE substr(k.g, 1, 1) != chr(1)), "
+            "sc AS (SELECT p.doc_id, sum(coalesce(w.w, 12000000)) AS tot, "
+            "count(*) AS n FROM pos p LEFT JOIN w ON w.g = p.g "
+            "GROUP BY p.doc_id) "
+            "SELECT d.doc_id, CASE WHEN s.n IS NULL THEN 12.0 "
+            "ELSE CAST(s.tot AS DOUBLE) / (1000000.0 * s.n) END "
+            "AS bits_per_char, coalesce(s.n, 0) AS n_scored_grams "
+            "FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id",
         "crawl_snapshot_diff":
             "WITH base AS (SELECT doc_id, "
             "md5(coalesce(text, '')) AS dg, "

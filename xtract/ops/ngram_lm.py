@@ -24,16 +24,19 @@ import math
 import numpy as np
 import pyarrow as pa
 
-#: characters outside this set collapse to '\x00' (rare-char bucket)
+#: characters outside this set collapse to '\x02' (rare-char bucket;
+#: chr(2) not chr(0) so the DuckDB oracle can spell it — NUL is not
+#: representable in DuckDB varchars)
 _NORM = "abcdefghijklmnopqrstuvwxyz0123456789 .,;:!?'-\n"
 _NORM_SET = frozenset(_NORM)
 
-UNSEEN_BITS = 12.0  # floor cost for grams outside the table
+UNSEEN_BITS = 12.0            # floor cost for grams outside the table
+UNSEEN_MICRO = 12_000_000     # same, in integer micro-bits
 
 
 def _normalize(text: str) -> str:
     t = text.lower()
-    return "".join(c if c in _NORM_SET else "\x00" for c in t)
+    return "".join(c if c in _NORM_SET else "\x02" for c in t)
 
 
 def _gram_counts_batch(batch: pa.Table, col: str, order: int) -> pa.Table:
@@ -50,10 +53,12 @@ def _gram_counts_batch(batch: pa.Table, col: str, order: int) -> pa.Table:
 
 
 def train_char_lm(ds, col: str = "text", order: int = 3,
-                  max_grams: int = 200_000) -> dict[str, float]:
-    """→ {ngram: bits} conditional cost table (-log2 P(c | prefix),
-    add-one smoothed over the kept table).  Only ``max_grams`` rows
-    reach the driver."""
+                  max_grams: int = 200_000) -> dict[str, int]:
+    """→ {ngram: micro_bits} conditional cost table
+    (⌊-10⁶·log₂ P(c | prefix)⌋, add-one smoothed over the kept table).
+    INTEGER costs so per-doc totals are order-free int64 sums —
+    bit-identical at any parallelism and re-derivable in ANSI SQL
+    (the driver oracle).  Only ``max_grams`` rows reach the driver."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
@@ -73,7 +78,7 @@ def train_char_lm(ds, col: str = "text", order: int = 3,
                 .limit(max_grams).to_pandas())
     grams = dict(zip(top["gram"], top["n"].astype("int64")))
     vocab_size = len(_NORM) + 1
-    table: dict[str, float] = {}
+    table: dict[str, int] = {}
     for g, n in grams.items():
         if g.startswith("\x01"):
             continue
@@ -82,7 +87,7 @@ def train_char_lm(ds, col: str = "text", order: int = 3,
         # survives it (equal-count boundary); clamp p ≤ 1 so a missing
         # prefix count can never produce a NEGATIVE bit cost
         p = min(1.0, (n + 1) / (prefix_n + vocab_size))
-        table[g] = -math.log2(p)
+        table[g] = math.floor(-1_000_000.0 * math.log2(p))
     return table
 
 
@@ -107,10 +112,10 @@ class _Scorer:
                 bpc[i] = UNSEEN_BITS
                 nch[i] = 0
                 continue
-            total = 0.0
+            total = 0  # int micro-bits: sum order can't change the result
             for j in range(n):
-                total += tab.get(s[j:j + order], UNSEEN_BITS)
-            bpc[i] = total / n
+                total += tab.get(s[j:j + order], UNSEEN_MICRO)
+            bpc[i] = total / (1_000_000.0 * n)
             nch[i] = n
         return (batch.append_column("bits_per_char", pa.array(bpc))
                      .append_column("n_scored_grams", pa.array(nch, pa.int64())))
