@@ -1091,6 +1091,80 @@ def _q_host_pagerank(sf_dir: str):
     return pagerank(e, iters=5, nodes_ds=nodes)
 
 
+def _head_meta_pages_batch(t: pa.Table) -> pa.Table:
+    """Deterministic pages with planted head metadata (canonical link
+    — relative and absolute, mixed case — robots directives, meta
+    refresh); the SQL oracle CASE-constructs the expected rows."""
+    from xtract.synth import PAGES_SCHEMA
+
+    rows = []
+    for d in t["doc_id"].to_pylist():
+        d = int(d)
+        url = f"https://m{d % 6}.example.org/p/{d}"
+        head = ""
+        if d % 11 != 7:
+            if d % 3 == 0:
+                head += f'<link rel="Canonical" href="/canon/{d % 50}">'
+            else:
+                head += ('<link rel="alternate canonical" '
+                         f'href="https://c{d % 5}.example.net/p/{d}">')
+        rb = d % 4
+        if rb == 1:
+            head += '<meta name="robots" content="NOINDEX">'
+        elif rb == 2:
+            head += '<meta name="ROBOTS" content="nofollow, archive">'
+        elif rb == 3:
+            head += '<meta name="robots" content="noindex, nofollow">'
+        else:
+            head += '<meta name="robots" content="index, follow">'
+        if d % 13 == 1:
+            head += ('<meta http-equiv="Refresh" '
+                     f'content="3; url=/next/{d}">')
+        html = (f"<html><head><title>T</title>{head}</head>"
+                f"<body><p>body {d}</p></body></html>")
+        rows.append({"url": url, "warc_ts": 0, "html": html.encode(),
+                     "text": None, "lang": "en"})
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def _q_page_head_meta(sf_dir: str):
+    """Head-metadata extraction through the real tokenizer: canonical
+    link (rel token list, case-insensitive, relative hrefs resolved),
+    robots noindex/nofollow union, meta-refresh soft-redirect target.
+    SQL-checked against the planted construction."""
+    from xtract.links import extract_head_meta
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _head_meta_pages_batch, batch_format="pyarrow")
+
+    def no_nulls(t: pa.Table) -> pa.Table:
+        # absent targets → '' on both sides (driver hash-compare safety)
+        for c in ("canonical_url", "refresh_url"):
+            t = t.set_column(t.column_names.index(c), c,
+                             pc.fill_null(t[c], ""))
+        return t
+
+    return extract_head_meta(pages).map_batches(
+        no_nulls, batch_format="pyarrow")
+
+
+def _head_meta_sql() -> str:
+    base = "'https://m' || CAST(doc_id % 6 AS VARCHAR) || '.example.org"
+    return (
+        f"SELECT {base}/p/' || CAST(doc_id AS VARCHAR) AS url, "
+        "coalesce(CASE WHEN doc_id % 11 = 7 THEN NULL "
+        f"WHEN doc_id % 3 = 0 THEN {base}/canon/' || "
+        "CAST(doc_id % 50 AS VARCHAR) "
+        "ELSE 'https://c' || CAST(doc_id % 5 AS VARCHAR) || "
+        "'.example.net/p/' || CAST(doc_id AS VARCHAR) END, '') "
+        "AS canonical_url, "
+        "(doc_id % 4 = 1 OR doc_id % 4 = 3) AS robots_noindex, "
+        "(doc_id % 4 = 2 OR doc_id % 4 = 3) AS robots_nofollow, "
+        "coalesce(CASE WHEN doc_id % 13 = 1 THEN "
+        f"{base}/next/' || CAST(doc_id AS VARCHAR) END, '') AS refresh_url "
+        "FROM documents")
+
+
 def _pagerank_sql(iters: int = 5) -> str:
     """Unrolled integer power iteration — CTE r{k} re-derives exactly
     the op's  base + 85·Σ(r//deg) // 100  update each round."""
@@ -1185,6 +1259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_classify": _q_nb_lang_classify,
         "host_pagerank": _q_host_pagerank,
         "crawl_snapshot_diff": _q_crawl_snapshot_diff,
+        "page_head_meta": _q_page_head_meta,
         "doc_bits_per_char": _q_doc_bits_per_char,
         # extraction + ops (non-SQL → rows-only)
         "extract_pages": _q_extract_pages,
@@ -2083,6 +2158,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, cls AS pred_lang, CAST(score AS BIGINT) "
             "AS nb_score FROM ranked WHERE rn = 1",
         "host_pagerank": _pagerank_sql(5),
+        "page_head_meta": _head_meta_sql(),
         "doc_bits_per_char":
             # full re-derivation of the char-3-gram LM: normalize
             # (lower, rare→chr(2)), count grams + chr(1)-prefixed

@@ -1,0 +1,67 @@
+"""Head-metadata extraction: canonical / robots / refresh parsing."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from xtract.links import extract_head_meta, extract_head_meta_one
+
+
+def _one(html: str, url: str = "https://h.example.org/p/1"):
+    return extract_head_meta_one(html.encode(), url)
+
+
+def test_defaults_when_no_metadata():
+    assert _one("<html><body><p>x</p></body></html>") == \
+        (None, False, False, None)
+
+
+def test_canonical_relative_resolved_and_rel_token_list():
+    can, *_ = _one('<head><link rel="alternate CANONICAL" '
+                   'href="/c/9"></head>')
+    assert can == "https://h.example.org/c/9"
+
+
+def test_canonical_first_wins():
+    can, *_ = _one('<link rel="canonical" href="https://a.example.net/1">'
+                   '<link rel="canonical" href="https://b.example.net/2">')
+    assert can == "https://a.example.net/1"
+
+
+def test_link_without_href_or_wrong_rel_ignored():
+    can, *_ = _one('<link rel="canonical">'
+                   '<link rel="stylesheet" href="/style.css">')
+    assert can is None
+
+
+def test_robots_union_and_none_directive():
+    _, noi, nof, _ = _one('<meta name="robots" content="noindex">'
+                          '<meta name="ROBOTS" content="NOFOLLOW">')
+    assert noi and nof
+    _, noi, nof, _ = _one('<meta name="robots" content="none">')
+    assert noi and nof
+    _, noi, nof, _ = _one('<meta name="robots" content="index, follow">')
+    assert not noi and not nof
+
+
+def test_refresh_target_quoted_and_unquoted():
+    *_, ref = _one('<meta http-equiv="refresh" content="0;url=/next">')
+    assert ref == "https://h.example.org/next"
+    *_, ref = _one("<meta http-equiv='Refresh' "
+                   "content=\"5; URL='https://x.example.com/a'\">")
+    assert ref == "https://x.example.com/a"
+
+
+def test_refresh_without_url_is_none():
+    *_, ref = _one('<meta http-equiv="refresh" content="30">')
+    assert ref is None
+
+
+def test_dataset_stage_skips_null_html(ray_session):
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(["https://a.example.org/", "https://b.example.org/"]),
+        "html": pa.array(
+            [b'<link rel="canonical" href="/c">', None], pa.binary())}))
+    df = extract_head_meta(pages).to_pandas()
+    assert len(df) == 1
+    assert df.loc[0, "canonical_url"] == "https://a.example.org/c"
+    assert not df.loc[0, "robots_noindex"]

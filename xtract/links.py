@@ -120,6 +120,92 @@ def extract_outlinks(ds):
     return ds.map_batches(outlinks_batch, batch_format="pyarrow")
 
 
+HEAD_META_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("canonical_url", pa.string()),
+    ("robots_noindex", pa.bool_()),
+    ("robots_nofollow", pa.bool_()),
+    ("refresh_url", pa.string()),
+])
+
+_ROBOTS_SPLIT = re.compile(r"[,\s]+")
+_REFRESH_URL = re.compile(r"url\s*=\s*([^;,\s]+)", re.IGNORECASE)
+
+
+def extract_head_meta_one(html: bytes, base_url: str = ""
+                          ) -> tuple["str | None", bool, bool, "str | None"]:
+    """→ (canonical_url, noindex, nofollow, refresh_url) for one page:
+    first ``<link rel=canonical>`` (rel is a case-insensitive space-
+    separated token list), union of all ``<meta name=robots>``
+    directives, first ``<meta http-equiv=refresh>`` target — hrefs
+    resolved against the page url.  Pure function (oracle-shared)."""
+    canonical: "str | None" = None
+    refresh: "str | None" = None
+    noindex = nofollow = False
+    for tok in tokenize(html):
+        if tok[0] != "start":
+            continue
+        tag = tok[3]
+        if tag == "link":
+            attrs = parse_attrs(tok[4])
+            rel = (attrs.get("rel") or "").lower().split()
+            href = attrs.get("href")
+            if canonical is None and "canonical" in rel and href:
+                canonical = urljoin(base_url, href) if base_url else href
+        elif tag == "meta":
+            attrs = parse_attrs(tok[4])
+            name = (attrs.get("name") or "").strip().lower()
+            content = attrs.get("content") or ""
+            if name == "robots":
+                directives = {d for d in _ROBOTS_SPLIT.split(content.lower())
+                              if d}
+                noindex = noindex or "noindex" in directives or \
+                    "none" in directives
+                nofollow = nofollow or "nofollow" in directives or \
+                    "none" in directives
+            elif (attrs.get("http-equiv") or "").strip().lower() == "refresh":
+                m = _REFRESH_URL.search(content)
+                if refresh is None and m:
+                    target = m.group(1).strip("'\"")
+                    refresh = urljoin(base_url, target) if base_url \
+                        else target
+    return canonical, noindex, nofollow, refresh
+
+
+def head_meta_batch(batch: pa.Table) -> pa.Table:
+    urls = batch["url"].to_pylist()
+    htmls = (batch["html"].to_pylist() if "html" in batch.column_names
+             else [None] * len(urls))
+    c_can: list["str | None"] = []
+    c_noi: list[bool] = []
+    c_nof: list[bool] = []
+    c_ref: list["str | None"] = []
+    keep_urls: list[str] = []
+    for url, html in zip(urls, htmls):
+        if not url or not html:
+            continue
+        can, noi, nof, ref = extract_head_meta_one(html, url)
+        keep_urls.append(url)
+        c_can.append(can)
+        c_noi.append(noi)
+        c_nof.append(nof)
+        c_ref.append(ref)
+    return pa.Table.from_arrays([
+        pa.array(keep_urls, pa.string()), pa.array(c_can, pa.string()),
+        pa.array(c_noi, pa.bool_()), pa.array(c_nof, pa.bool_()),
+        pa.array(c_ref, pa.string())], schema=HEAD_META_SCHEMA)
+
+
+def extract_head_meta(ds):
+    """pages Dataset → per-page head-metadata Dataset: canonical url
+    (near-dup collapse key), robots noindex/nofollow (index-exclusion
+    gate), meta-refresh target (soft-redirect edge).  Streaming
+    ``map_batches`` — no shuffle; the canonical-collapse consumer is
+    `ops.urls.canonical_url_dedup`, the index gate is a plain
+    ``filter``."""
+    return ds.map_batches(head_meta_batch, batch_format="pyarrow")
+
+
 def host_link_counts(links_ds):
     """links → Dataset(host, n_links): in-link counts per target host
     (one groupby over slim rows — the crawl-frontier prioritization
