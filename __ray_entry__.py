@@ -1165,6 +1165,30 @@ def _head_meta_sql() -> str:
         "FROM documents")
 
 
+def _q_heavy_hitter_hosts(sf_dir: str):
+    """Bounded-memory frequent-hosts summary (Misra–Gries family) over
+    a deterministic skewed host column (each doc emits its host
+    1 + doc_id%5 times).  capacity ≫ distinct hosts → the summary is
+    exact (max_undercount 0, asserted) and the top-20 is SQL-checked;
+    under capacity pressure the same op degrades to the documented
+    under-count-≤-bound guarantee (pytest-covered)."""
+    from xtract.ops.sketch import heavy_hitters
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def hosts(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        rep = np.repeat(ids, (1 + ids % 5).astype(np.int64))
+        return pa.table({"host": pa.array(
+            [f"h{h}.example.org" for h in rep % 199], pa.string())})
+
+    topk, bound = heavy_hitters(
+        docs.map_batches(hosts, batch_format="pyarrow"), "host",
+        k=20, capacity=4096)
+    assert bound == 0  # capacity ≥ distinct hosts ⇒ exact
+    return topk
+
+
 def _pagerank_sql(iters: int = 5) -> str:
     """Unrolled integer power iteration — CTE r{k} re-derives exactly
     the op's  base + 85·Σ(r//deg) // 100  update each round."""
@@ -1260,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "crawl_snapshot_diff": _q_crawl_snapshot_diff,
         "page_head_meta": _q_page_head_meta,
+        "heavy_hitter_hosts": _q_heavy_hitter_hosts,
         "doc_bits_per_char": _q_doc_bits_per_char,
         # extraction + ops (non-SQL → rows-only)
         "extract_pages": _q_extract_pages,
@@ -2159,6 +2184,12 @@ def oracle_sql() -> dict[str, str]:
             "AS nb_score FROM ranked WHERE rn = 1",
         "host_pagerank": _pagerank_sql(5),
         "page_head_meta": _head_meta_sql(),
+        "heavy_hitter_hosts":
+            "WITH h AS (SELECT 'h' || CAST(doc_id % 199 AS VARCHAR) || "
+            "'.example.org' AS val FROM documents, "
+            "UNNEST(range(0, 1 + doc_id % 5)) AS t(j)) "
+            "SELECT val, count(*) AS n FROM h GROUP BY val "
+            "ORDER BY n DESC, val LIMIT 20",
         "doc_bits_per_char":
             # full re-derivation of the char-3-gram LM: normalize
             # (lower, rare→chr(2)), count grams + chr(1)-prefixed

@@ -69,7 +69,8 @@ def test_every_query_has_callable(entry_mod):
                                   "nb_lang_classify", "host_pagerank",
                                   "crawl_snapshot_diff",
                                   "doc_bits_per_char",
-                                  "page_head_meta"])
+                                  "page_head_meta",
+                                  "heavy_hitter_hosts"])
 def test_query_matches_oracle(entry_mod, sf_dir, name):
     con = _con(sf_dir)
     mine = _df(entry_mod.queries()[name](sf_dir))

@@ -73,6 +73,55 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+def heavy_hitters(ds, col: str, k: int = 20, capacity: int = 4096):
+    """Bounded-memory frequent-values summary (Misra–Gries / space-
+    saving family, public algorithm): → (topk_df, max_undercount).
+
+    Per block: EXACT vectorized counts (``np.unique``), truncated to
+    the ``capacity`` largest (ties broken by value — deterministic);
+    the shuffle then moves ≤ capacity slim rows per block no matter how
+    skewed the column is.  One ``groupby(val).Sum`` merge, one
+    distributed sort+limit for the top-k.  ``max_undercount`` =
+    Σ dropped mass (total non-null values − Σ merged counts), the
+    standard MG guarantee: every reported count is an UNDER-estimate by
+    at most ``max_undercount``, and any value absent from the merged
+    table has true count ≤ ``max_undercount``.  When every block holds
+    ≤ capacity distinct values the summary is EXACT
+    (max_undercount == 0) — which also makes it SQL-checkable.
+
+    The bound needs the total non-null count — one extra pruned
+    single-column scan (cheap next to the counting pass)."""
+    from ray.data.aggregate import Sum
+
+    def block_counts(b: pa.Table) -> pa.Table:
+        arr = b[col].combine_chunks()
+        arr = arr.drop_null()
+        if len(arr) == 0:
+            return pa.table({"val": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vals = np.asarray(arr.to_pylist(), dtype=object)
+        u, cnt = np.unique(vals, return_counts=True)
+        if len(u) > capacity:
+            order = np.lexsort((u, -cnt))[:capacity]
+            u, cnt = u[order], cnt[order]
+        return pa.table({"val": pa.array([str(x) for x in u], pa.string()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    merged = (ds.select_columns([col])
+              .map_batches(block_counts, batch_format="pyarrow")
+              .groupby("val").aggregate(Sum("n", alias_name="n"))
+              .materialize())
+    kept_mass = merged.sum("n") or 0
+    total = (ds.select_columns([col])
+             .map_batches(lambda t: pa.table({"nn": pa.array(
+                 [len(t) - t[col].null_count], pa.int64())}),
+                 batch_format="pyarrow")
+             .sum("nn") or 0)
+    topk = (merged.sort(["n", "val"], descending=[True, False])
+            .limit(k).to_pandas())
+    return topk, int(total - kept_mass)
+
+
 def approx_distinct(ds, col: str, p: int = 12,
                     tokenize: bool = False) -> float:
     """Approximate number of distinct values in ``col`` (or distinct
