@@ -163,6 +163,13 @@ def bench_once() -> dict:
     queries["outlinks"] = timed(
         lambda: extract_outlinks(read_pages(pages_dir)).count())
 
+    # head metadata (canonical/robots/refresh) over the full corpus —
+    # same tokenizer walk, per-page row out
+    from xtract.links import extract_head_meta
+
+    queries["head_meta"] = timed(
+        lambda: extract_head_meta(read_pages(pages_dir)).count())
+
     # exact substring dedup stats (window explode → Count/Min groupby →
     # flag → per-doc interval merge: the shuffle-heaviest training op)
     from xtract.ops.substring import substring_dedup_stats
