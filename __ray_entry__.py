@@ -1165,6 +1165,28 @@ def _head_meta_sql() -> str:
         "FROM documents")
 
 
+def _q_lineitem_bloom_semi(sf_dir: str):
+    """Bloom-prefiltered large-×-large SEMI join: lineitem rows whose
+    order is a high-value order.  The 2^22-bit bloom broadcast prunes
+    the left side before the co-group exchange; survivors are exactly
+    verified, so the result equals the plain semi join (one shared
+    SQL oracle semantics)."""
+    import ray.data as rd
+
+    from xtract.ops.joins import bloom_semi_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_suppkey"])
+    big = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_totalprice"]) \
+            .map_batches(lambda t: t.filter(
+                pc.greater(t["o_totalprice"], 200000.0)),
+                batch_format="pyarrow") \
+            .select_columns(["o_orderkey"])
+    return bloom_semi_join(li, big, "l_orderkey", "o_orderkey",
+                           p_bits=22)
+
+
 def _q_heavy_hitter_hosts(sf_dir: str):
     """Bounded-memory frequent-hosts summary (Misra–Gries family) over
     a deterministic skewed host column (each doc emits its host
@@ -1285,6 +1307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_snapshot_diff": _q_crawl_snapshot_diff,
         "page_head_meta": _q_page_head_meta,
         "heavy_hitter_hosts": _q_heavy_hitter_hosts,
+        "lineitem_bloom_semi": _q_lineitem_bloom_semi,
         "doc_bits_per_char": _q_doc_bits_per_char,
         # extraction + ops (non-SQL → rows-only)
         "extract_pages": _q_extract_pages,
@@ -2190,6 +2213,10 @@ def oracle_sql() -> dict[str, str]:
             "UNNEST(range(0, 1 + doc_id % 5)) AS t(j)) "
             "SELECT val, count(*) AS n FROM h GROUP BY val "
             "ORDER BY n DESC, val LIMIT 20",
+        "lineitem_bloom_semi":
+            "SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem "
+            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+            "WHERE o_totalprice > 200000.0)",
         "doc_bits_per_char":
             # full re-derivation of the char-3-gram LM: normalize
             # (lower, rare→chr(2)), count grams + chr(1)-prefixed

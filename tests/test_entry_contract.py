@@ -70,7 +70,8 @@ def test_every_query_has_callable(entry_mod):
                                   "crawl_snapshot_diff",
                                   "doc_bits_per_char",
                                   "page_head_meta",
-                                  "heavy_hitter_hosts"])
+                                  "heavy_hitter_hosts",
+                                  "lineitem_bloom_semi"])
 def test_query_matches_oracle(entry_mod, sf_dir, name):
     con = _con(sf_dir)
     mine = _df(entry_mod.queries()[name](sf_dir))

@@ -472,6 +472,121 @@ def semi_join_cogroup(left_ds, right_ds, on: str, right_on: str | None = None,
                                             batch_format="pyarrow")
 
 
+def _bloom_hashes(col: pa.ChunkedArray) -> np.ndarray:
+    """Stable uint64 hashes of a key column (splitmix64 for ints,
+    vectorized siphash for strings) — shared by build and probe."""
+    import pandas as pd
+
+    from .dedup import _mix64
+
+    if pa.types.is_integer(col.type):
+        # nulls → sentinel 0 (they can only ever create a false
+        # positive, which the exact verify pass then eliminates)
+        return _mix64(pc.fill_null(pc.cast(col, pa.int64()), 0)
+                      .to_numpy(zero_copy_only=False).astype(np.uint64))
+    vals = np.asarray(col.to_pylist(), dtype=object)
+    return _mix64(pd.util.hash_array(vals).astype(np.uint64))
+
+
+def _bloom_probe(bitmap: np.ndarray, h: np.ndarray, p_bits: int,
+                 k: int) -> np.ndarray:
+    """Vectorized membership test: True = possibly present."""
+    m = np.uint64(1 << p_bits)
+    h1 = h % m
+    h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd → full-cycle stride
+    hit = np.ones(len(h), bool)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % m
+        bits = (bitmap[(pos >> np.uint64(3)).astype(np.int64)]
+                >> (pos & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+        hit &= bits.astype(bool)
+    return hit
+
+
+def bloom_semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
+                    anti: bool = False, p_bits: int = 24, k: int = 4,
+                    num_partitions: int = 32):
+    """Semi / anti join with a Bloom prefilter: EXACT results (the
+    bloom only prunes; survivors are verified by the co-group join),
+    but the broadcast is a FIXED-SIZE bitmap — 2^p_bits bits (2 MiB at
+    the default) no matter how many keys the right side has, unlike a
+    broadcast key set.  The scale shape for highly selective joins:
+
+    1. build: one streaming pass over the right KEY column sets k bits
+       per key into a per-block bitmap (``np.bitwise_or`` folds); an
+       OR-reduction tree (``map_batches`` over bitmap rows) hands the
+       driver O(n_blocks/fold) rows, the final OR ships once via
+       ``ray.put``.
+    2. prefilter: one vectorized probe per left batch.  semi: only
+       bloom-positive rows (true matches + ε false positives) enter
+       the co-group exchange — the shuffle shrinks from |left| to
+       ~|matches|.  anti: bloom-NEGATIVE rows are definitely
+       unmatched and short-circuit out with NO shuffle at all; only
+       the positives go through the exact anti co-group.
+    3. verify: ``semi_join_cogroup`` on the survivors — false
+       positives are eliminated, so the result equals the plain join.
+
+    False-positive rate ≈ (1 − e^(−k·n/2^p_bits))^k — size p_bits to
+    the right key cardinality (24 → <1% at 2 M keys)."""
+    import ray
+
+    right_on = right_on or on
+    nbytes = (1 << p_bits) >> 3
+    m = np.uint64(1 << p_bits)
+
+    def block_bitmap(t: pa.Table) -> pa.Table:
+        bm = np.zeros(nbytes, np.uint8)
+        h = _bloom_hashes(t[right_on].combine_chunks().drop_null())
+        h1 = h % m
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % m
+            np.bitwise_or.at(bm, (pos >> np.uint64(3)).astype(np.int64),
+                             np.uint8(1) << (pos & np.uint64(7))
+                             .astype(np.uint8))
+        return pa.table({"bm": pa.FixedSizeListArray.from_arrays(
+            pa.array(bm, pa.uint8()), nbytes)})
+
+    def or_fold(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        mat = (t["bm"].combine_chunks().flatten()
+               .to_numpy(zero_copy_only=False).reshape(len(t), nbytes))
+        return pa.table({"bm": pa.FixedSizeListArray.from_arrays(
+            pa.array(np.bitwise_or.reduce(mat, axis=0), pa.uint8()),
+            nbytes)})
+
+    rows = (right_ds.select_columns([right_on])
+            .map_batches(block_bitmap, batch_format="pyarrow")
+            .map_batches(or_fold, batch_format="pyarrow", batch_size=64)
+            .take_all())  # ≤ n_blocks/64 fixed-size rows
+    bitmap = np.zeros(nbytes, np.uint8)
+    for r in rows:
+        bitmap |= np.asarray(r["bm"], np.uint8)
+    ref = ray.put(bitmap)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        hit = _bloom_probe(bm, _bloom_hashes(t[on].combine_chunks()),
+                           p_bits, k)
+        return t.filter(pa.array(hit))
+
+    def negatives(t: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        hit = _bloom_probe(bm, _bloom_hashes(t[on].combine_chunks()),
+                           p_bits, k)
+        return t.filter(pa.array(~hit))
+
+    positives = left_ds.map_batches(prefilter, batch_format="pyarrow")
+    verified = semi_join_cogroup(positives, right_ds, on, right_on,
+                                 anti=anti, num_partitions=num_partitions)
+    if not anti:
+        return verified
+    # anti: definite non-members (no shuffle) ∪ verified false positives
+    return left_ds.map_batches(negatives,
+                               batch_format="pyarrow").union(verified)
+
+
 def anti_join_broadcast(ds, col: str, keys, max_keys: int = 5_000_000,
                         semi: bool = False):
     """Broadcast anti/semi filter: ship the (small, gate-checked) key
