@@ -1165,6 +1165,61 @@ def _head_meta_sql() -> str:
         "FROM documents")
 
 
+def _structured_pages_batch(t: pa.Table) -> pa.Table:
+    """Deterministic pages with planted OpenGraph cards and JSON-LD
+    blocks (valid, multiple, malformed, absent — by doc_id residue)."""
+    from xtract.synth import PAGES_SCHEMA
+
+    rows = []
+    for d in t["doc_id"].to_pylist():
+        d = int(d)
+        url = f"https://s{d % 6}.example.org/p/{d}"
+        head = f'<meta property="og:type" content="article">'
+        if d % 2 == 0:
+            head += f'<meta property="OG:Title" content="OG Title {d}">'
+        if d % 5 == 0:
+            head += ('<meta property="og:description" '
+                     f'content="Desc {d % 40}">')
+        body = ""
+        r = d % 4
+        if r == 1:
+            body += ('<script type="application/ld+json">'
+                     f'{{"@type": "Article", "name": "N{d}"}}</script>')
+        elif r == 2:
+            body += ('<script type="APPLICATION/LD+JSON">'
+                     f'{{"@type": "Article", "name": "N{d}"}}</script>'
+                     '<script type="application/ld+json">'
+                     '{"@type": ["Product", "Thing"]}</script>')
+        elif r == 3:
+            body += ('<script type="application/ld+json">'
+                     '{not valid json</script>')
+        html = (f"<html><head><title>T</title>{head}</head>"
+                f"<body>{body}<p>content {d}</p></body></html>")
+        rows.append({"url": url, "warc_ts": 0, "html": html.encode(),
+                     "text": None, "lang": "en"})
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def _q_page_structured(sf_dir: str):
+    """OpenGraph + JSON-LD structured-data extraction through the
+    tokenizer (script bodies recovered from the raw-text token pair,
+    stdlib JSON parse, malformed payloads counted out).  SQL-checked
+    against the planted construction."""
+    from xtract.structured import extract_structured
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _structured_pages_batch, batch_format="pyarrow")
+
+    def no_nulls(t: pa.Table) -> pa.Table:
+        for c in ("og_title", "og_description", "ld_name"):
+            t = t.set_column(t.column_names.index(c), c,
+                             pc.fill_null(t[c], ""))
+        return t
+
+    return extract_structured(pages).map_batches(
+        no_nulls, batch_format="pyarrow")
+
+
 def _q_lineitem_bloom_semi(sf_dir: str):
     """Bloom-prefiltered large-×-large SEMI join: lineitem rows whose
     order is a high-value order.  The 2^22-bit bloom broadcast prunes
@@ -1308,6 +1363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_head_meta": _q_page_head_meta,
         "heavy_hitter_hosts": _q_heavy_hitter_hosts,
         "lineitem_bloom_semi": _q_lineitem_bloom_semi,
+        "page_structured": _q_page_structured,
         "doc_bits_per_char": _q_doc_bits_per_char,
         # extraction + ops (non-SQL → rows-only)
         "extract_pages": _q_extract_pages,
@@ -2217,6 +2273,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem "
             "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
             "WHERE o_totalprice > 200000.0)",
+        "page_structured":
+            "SELECT 'https://s' || CAST(doc_id % 6 AS VARCHAR) || "
+            "'.example.org/p/' || CAST(doc_id AS VARCHAR) AS url, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'OG Title ' || "
+            "CAST(doc_id AS VARCHAR) ELSE '' END AS og_title, "
+            "CASE WHEN doc_id % 5 = 0 THEN 'Desc ' || "
+            "CAST(doc_id % 40 AS VARCHAR) ELSE '' END AS og_description, "
+            "'article' AS og_type, "
+            "CAST(CASE doc_id % 4 WHEN 1 THEN 1 WHEN 2 THEN 2 "
+            "ELSE 0 END AS BIGINT) AS n_ldjson, "
+            "CASE doc_id % 4 WHEN 1 THEN 'Article' "
+            "WHEN 2 THEN 'Article;Product' ELSE '' END AS ld_types, "
+            "CASE doc_id % 4 WHEN 1 THEN 'N' || CAST(doc_id AS VARCHAR) "
+            "WHEN 2 THEN 'N' || CAST(doc_id AS VARCHAR) "
+            "ELSE '' END AS ld_name "
+            "FROM documents",
         "doc_bits_per_char":
             # full re-derivation of the char-3-gram LM: normalize
             # (lower, rare→chr(2)), count grams + chr(1)-prefixed

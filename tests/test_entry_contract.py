@@ -71,7 +71,8 @@ def test_every_query_has_callable(entry_mod):
                                   "doc_bits_per_char",
                                   "page_head_meta",
                                   "heavy_hitter_hosts",
-                                  "lineitem_bloom_semi"])
+                                  "lineitem_bloom_semi",
+                                  "page_structured"])
 def test_query_matches_oracle(entry_mod, sf_dir, name):
     con = _con(sf_dir)
     mine = _df(entry_mod.queries()[name](sf_dir))
