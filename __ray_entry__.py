@@ -1220,6 +1220,22 @@ def _q_page_structured(sf_dir: str):
         no_nulls, batch_format="pyarrow")
 
 
+def _q_doc_length_gate(sf_dir: str):
+    """Corpus-quantile quality gate (composition): compute the exact
+    global p10 of document length with the shuffle-free iterative
+    histogram op, broadcast the scalar threshold, one vectorized
+    filter pass — the data-driven analogue of a fixed min-length
+    cut."""
+    from xtract.ops.quantiles import quantile_report
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    p10 = int(quantile_report(docs, "n_chars", {"p10": 0.10},
+                              n_bins=256)["p10"][0])
+    return docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_chars"], p10)),
+        batch_format="pyarrow")
+
+
 def _q_lineitem_bloom_semi(sf_dir: str):
     """Bloom-prefiltered large-×-large SEMI join: lineitem rows whose
     order is a high-value order.  The 2^22-bit bloom broadcast prunes
@@ -1364,6 +1380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_hosts": _q_heavy_hitter_hosts,
         "lineitem_bloom_semi": _q_lineitem_bloom_semi,
         "page_structured": _q_page_structured,
+        "doc_length_gate": _q_doc_length_gate,
         "doc_bits_per_char": _q_doc_bits_per_char,
         # extraction + ops (non-SQL → rows-only)
         "extract_pages": _q_extract_pages,
@@ -2289,6 +2306,9 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 2 THEN 'N' || CAST(doc_id AS VARCHAR) "
             "ELSE '' END AS ld_name "
             "FROM documents",
+        "doc_length_gate":
+            "SELECT doc_id, n_chars FROM documents WHERE n_chars >= "
+            "(SELECT quantile_disc(n_chars, 0.10) FROM documents)",
         "doc_bits_per_char":
             # full re-derivation of the char-3-gram LM: normalize
             # (lower, rare→chr(2)), count grams + chr(1)-prefixed

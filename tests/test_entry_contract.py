@@ -72,7 +72,8 @@ def test_every_query_has_callable(entry_mod):
                                   "page_head_meta",
                                   "heavy_hitter_hosts",
                                   "lineitem_bloom_semi",
-                                  "page_structured"])
+                                  "page_structured",
+                                  "doc_length_gate"])
 def test_query_matches_oracle(entry_mod, sf_dir, name):
     con = _con(sf_dir)
     mine = _df(entry_mod.queries()[name](sf_dir))
