@@ -51,29 +51,15 @@ def test_every_query_has_callable(entry_mod):
     assert set(entry_mod.oracle_sql()) <= set(qs)
 
 
-@pytest.mark.parametrize("name", ["doc_lang_histogram", "doc_token_stats",
-                                  "doc_exact_dedup", "embedding_knn",
-                                  "simhash_dedup", "paragraph_dedup",
-                                  "line_dedup", "canonical_url_dedup",
-                                  "doc_langid", "doc_rolling_fp",
-                                  "doc_repetition", "doc_mixture_sample",
-                                  "page_outlinks", "doc_pii_redact",
-                                  "substring_dedup", "minhash_dedup",
-                                  "ngram_dedup", "doc_quality",
-                                  "embedding_dedup", "bm25_top20",
-                                  "bm25_index_top20", "events_hopping",
-                                  "events_last_hour", "orders_semi_events",
-                                  "orders_blocklist",
-                                  "customer_order_quantiles",
-                                  "order_price_quantiles",
-                                  "nb_lang_classify", "host_pagerank",
-                                  "crawl_snapshot_diff",
-                                  "doc_bits_per_char",
-                                  "page_head_meta",
-                                  "heavy_hitter_hosts",
-                                  "lineitem_bloom_semi",
-                                  "page_structured",
-                                  "doc_length_gate"])
+def _oracle_names():
+    """Every SQL-checked query, discovered from the module itself —
+    new oracles are covered automatically (no manual list to rot)."""
+    import __ray_entry__ as E
+
+    return sorted(E.oracle_sql())
+
+
+@pytest.mark.parametrize("name", _oracle_names())
 def test_query_matches_oracle(entry_mod, sf_dir, name):
     con = _con(sf_dir)
     mine = _df(entry_mod.queries()[name](sf_dir))
