@@ -1236,6 +1236,68 @@ def _q_doc_length_gate(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_event_type_unique_users(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): unique users per event type via
+    the two-level pair-dedup shape (block combiner → pair groupby →
+    key groupby) — no value set collected anywhere."""
+    import ray.data as rd
+
+    from xtract.ops.agg import count_distinct_per_key
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return count_distinct_per_key(ev, "event_type", "user_id")
+
+
+def _q_nation_revenue(sf_dir: str):
+    """Three-table star join (orders ⋈ customer co-group, nation
+    broadcast) → revenue per nation in integer cents (bit-exact
+    grouped sums)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from xtract.ops.joins import equi_join_cogroup
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "cents": pa.array(np.round(v * 100)
+                                           .astype(np.int64), pa.int64())})
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    joined = equi_join_cogroup(orders.map_batches(cents,
+                                                  batch_format="pyarrow"),
+                               cust, "o_custkey", "c_custkey")
+    ndf = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"]).to_pandas()
+    ref = ray.put(dict(zip(ndf["n_nationkey"].astype(int), ndf["n_name"])))
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array([m[int(k)] for k in keys], pa.string()),
+            "cents": pc.cast(t["cents"], pa.int64())})
+
+    return (joined.map_batches(attach, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Sum("cents", alias_name="revenue_cents"),
+                       Count(alias_name="n_orders")))
+
+
+def _q_label_centroids(sf_dir: str):
+    """Per-class embedding centroids via integer micro-unit sums —
+    exact, order-free, fully SQL-re-derived (parallel UNNEST zip)."""
+    from xtract.ops.similarity import label_centroids
+
+    return label_centroids(_emb(sf_dir), "embedding", "label")
+
+
 def _q_lineitem_bloom_semi(sf_dir: str):
     """Bloom-prefiltered large-×-large SEMI join: lineitem rows whose
     order is a high-value order.  The 2^22-bit bloom broadcast prunes
@@ -1379,6 +1441,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_head_meta": _q_page_head_meta,
         "heavy_hitter_hosts": _q_heavy_hitter_hosts,
         "lineitem_bloom_semi": _q_lineitem_bloom_semi,
+        "event_type_unique_users": _q_event_type_unique_users,
+        "nation_revenue": _q_nation_revenue,
+        "label_centroids": _q_label_centroids,
         "page_structured": _q_page_structured,
         "doc_length_gate": _q_doc_length_gate,
         "doc_bits_per_char": _q_doc_bits_per_char,
@@ -2290,6 +2355,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem "
             "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
             "WHERE o_totalprice > 200000.0)",
+        "event_type_unique_users":
+            "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
+            "FROM events GROUP BY event_type",
+        "nation_revenue":
+            "SELECT n_name, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents, count(*) AS n_orders "
+            "FROM orders JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation ON n_nationkey = c_nationkey GROUP BY n_name",
+        "label_centroids":
+            "WITH x AS (SELECT CAST(label AS BIGINT) AS label, "
+            "UNNEST(embedding) AS v, "
+            "UNNEST(range(0, len(embedding))) AS d FROM embeddings) "
+            "SELECT label, d AS dim, "
+            "CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) "
+            "AS BIGINT) AS sum_micro, count(*) AS n_vecs, "
+            "CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) "
+            "AS DOUBLE) / (1000000.0 * count(*)) AS centroid "
+            "FROM x GROUP BY label, d",
         "page_structured":
             "SELECT 'https://s' || CAST(doc_id % 6 AS VARCHAR) || "
             "'.example.org/p/' || CAST(doc_id AS VARCHAR) AS url, "

@@ -136,3 +136,43 @@ def stratified_sample(ds, stratum_col: str, key: str,
         return t.filter(pa.array(ids % evs[idx] == 0))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def count_distinct_per_key(ds, key: str, val: str):
+    """→ Dataset(key, n_distinct): exact grouped COUNT(DISTINCT val).
+
+    Two-level shape — no value set is ever collected anywhere:
+
+    1. block combiner: ``np.unique`` over the block's (key, val) pairs
+       → each distinct pair contributes ≤1 slim row per block (a hot
+       pair dedups locally before the shuffle);
+    2. ``groupby(key, val).count`` finishes the global pair dedup,
+       then ``groupby(key).count`` counts the survivors.
+
+    Both exchanges move (key, val) / (key) rows only.  SURVEY §2.5
+    aggregation surface, the distinct-cardinality analogue of the HLL
+    sketch (`ops/sketch.approx_distinct`) when exactness is required.
+    """
+    from ray.data.aggregate import Count
+
+    def pair_combine(t: pa.Table) -> pa.Table:
+        sub = t.select([key, val])
+        # np.unique over a structured view needs uniform dtype; use the
+        # vectorized sort+shift-mask instead (works for any Arrow type)
+        idx = pc.sort_indices(sub, sort_keys=[(key, "ascending"),
+                                              (val, "ascending")])
+        sub = sub.take(idx)
+        if len(sub) <= 1:
+            return sub
+        k_ne = pc.not_equal(sub[key].slice(1), sub[key].slice(0, len(sub) - 1))
+        v_ne = pc.not_equal(sub[val].slice(1), sub[val].slice(0, len(sub) - 1))
+        change = pc.fill_null(pc.or_kleene(k_ne, v_ne), True)
+        mask = np.concatenate([[True],
+                               change.to_numpy(zero_copy_only=False)
+                               .astype(bool)])
+        return sub.filter(pa.array(mask))
+
+    pairs = (ds.map_batches(pair_combine, batch_format="pyarrow")
+             .groupby([key, val]).aggregate(Count(alias_name="_n"))
+             .select_columns([key]))
+    return pairs.groupby(key).aggregate(Count(alias_name="n_distinct"))

@@ -259,3 +259,57 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
     parts = ds.select_columns([key, col]).map_batches(
         partial_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
     return _merge_topk(parts, nq, k, key)
+
+
+def label_centroids(ds, col: str = "embedding", label: str = "label",
+                    scale: int = 1_000_000):
+    """→ Dataset(label, dim, sum_micro, n_vecs, centroid): per-class
+    embedding centroids — the prototype/centroid step shared by
+    SemDeDup-style clustering, nearest-class-mean classification and
+    k-means refinement, as a single exact aggregate.
+
+    Integer quantization makes it deterministic AND SQL-re-derivable:
+    each component is floored to ``scale`` micro-units
+    (float32→float64 widening is exact, so both sides floor the same
+    double), per-block partial sums (`np.add.at` over the block's
+    labels — one slim (label, dim) int64 row per block) fold through
+    ONE ``groupby(label, dim).Sum`` exchange, and the final
+    ``centroid = sum_micro / (scale · n)`` is a single IEEE division
+    of identical integers.  No float sum-order anywhere."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        labs = pc.cast(t[label], pa.int64()).to_numpy(zero_copy_only=False)
+        vecs = np.asarray(t[col].to_pylist(), dtype=np.float64)
+        if vecs.ndim != 2 or len(vecs) == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "sum_micro": pa.array([], pa.int64()),
+                             "n_vecs": pa.array([], pa.int64())})
+        q = np.floor(vecs * scale).astype(np.int64)
+        u, inv = np.unique(labs, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((len(u), d), np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(u, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(u)),
+                            pa.int64()),
+            "sum_micro": pa.array(sums.ravel(), pa.int64()),
+            "n_vecs": pa.array(np.repeat(cnt, d), pa.int64())})
+
+    agg = (ds.select_columns([col, label])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["label", "dim"])
+           .aggregate(Sum("sum_micro", alias_name="sum_micro"),
+                      Sum("n_vecs", alias_name="n_vecs")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["sum_micro"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n_vecs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column(
+            "centroid", pa.array(s / (float(scale) * n), pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
