@@ -1102,6 +1102,10 @@ def _head_meta_pages_batch(t: pa.Table) -> pa.Table:
         d = int(d)
         url = f"https://m{d % 6}.example.org/p/{d}"
         head = ""
+        if d % 9 == 3:
+            # <base> rebases every RELATIVE href after it (d%9==3 ⟹
+            # d%3==0 ⟹ the canonical below is the relative variant)
+            head += f'<base href="https://base{d % 7}.example.net/dir/">'
         if d % 11 != 7:
             if d % 3 == 0:
                 head += f'<link rel="Canonical" href="/canon/{d % 50}">'
@@ -1153,6 +1157,9 @@ def _head_meta_sql() -> str:
     return (
         f"SELECT {base}/p/' || CAST(doc_id AS VARCHAR) AS url, "
         "coalesce(CASE WHEN doc_id % 11 = 7 THEN NULL "
+        "WHEN doc_id % 3 = 0 AND doc_id % 9 = 3 THEN "
+        "'https://base' || CAST(doc_id % 7 AS VARCHAR) || "
+        "'.example.net/canon/' || CAST(doc_id % 50 AS VARCHAR) "
         f"WHEN doc_id % 3 = 0 THEN {base}/canon/' || "
         "CAST(doc_id % 50 AS VARCHAR) "
         "ELSE 'https://c' || CAST(doc_id % 5 AS VARCHAR) || "
@@ -1160,7 +1167,10 @@ def _head_meta_sql() -> str:
         "AS canonical_url, "
         "(doc_id % 4 = 1 OR doc_id % 4 = 3) AS robots_noindex, "
         "(doc_id % 4 = 2 OR doc_id % 4 = 3) AS robots_nofollow, "
-        "coalesce(CASE WHEN doc_id % 13 = 1 THEN "
+        "coalesce(CASE WHEN doc_id % 13 = 1 AND doc_id % 9 = 3 THEN "
+        "'https://base' || CAST(doc_id % 7 AS VARCHAR) || "
+        "'.example.net/next/' || CAST(doc_id AS VARCHAR) "
+        "WHEN doc_id % 13 = 1 THEN "
         f"{base}/next/' || CAST(doc_id AS VARCHAR) END, '') AS refresh_url "
         "FROM documents")
 

@@ -65,3 +65,29 @@ def test_dataset_stage_skips_null_html(ray_session):
     assert len(df) == 1
     assert df.loc[0, "canonical_url"] == "https://a.example.org/c"
     assert not df.loc[0, "robots_noindex"]
+
+
+def test_base_href_rebases_relative_targets():
+    can, _, _, ref = _one(
+        '<base href="https://b.example.net/dir/">'
+        '<link rel="canonical" href="/c/1">'
+        '<meta http-equiv="refresh" content="0;url=sub/x">')
+    assert can == "https://b.example.net/c/1"
+    assert ref == "https://b.example.net/dir/sub/x"
+
+
+def test_base_href_first_wins_and_absolute_unaffected():
+    can, *_ = _one(
+        '<base href="https://b1.example.net/"><base href="https://b2.example.net/">'
+        '<link rel="canonical" href="https://abs.example.com/x">')
+    assert can == "https://abs.example.com/x"
+
+
+def test_base_href_in_outlinks():
+    from xtract.links import extract_links
+
+    links = extract_links(
+        b'<a href="/pre">pre</a><base href="https://b.example.net/d/">'
+        b'<a href="rel">rel</a>', "https://h.example.org/p/1")
+    assert links == [("https://h.example.org/pre", "pre"),
+                     ("https://b.example.net/d/rel", "rel")]

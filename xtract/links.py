@@ -38,12 +38,16 @@ def extract_links(html: bytes, base_url: str = "") -> list[tuple[str, str]]:
     out: list[tuple[str, str]] = []
     open_href: "str | None" = None
     anchor_parts: list[str] = []
+    base = base_url  # first <base href> (resolved against the page
+    # url) rebases every link after its position — the HTML rule a
+    # crawler needs; later <base> tags are ignored
+    base_seen = False
 
     def close_anchor() -> None:
         nonlocal open_href, anchor_parts
         if open_href is not None:
             text = _WS_RE.sub(" ", "".join(anchor_parts)).strip()
-            href = urljoin(base_url, open_href) if base_url else open_href
+            href = urljoin(base, open_href) if base else open_href
             out.append((href, text))
         open_href = None
         anchor_parts = []
@@ -58,7 +62,12 @@ def extract_links(html: bytes, base_url: str = "") -> list[tuple[str, str]]:
                     unescape(html[tok[1]:tok[2]].decode("utf-8", "replace")))
         elif kind == "start":
             tag = tok[3]
-            if tag == "a":
+            if tag == "base" and not base_seen:
+                b = parse_attrs(tok[4]).get("href")
+                if b:
+                    base = urljoin(base_url, b) if base_url else b
+                    base_seen = True
+            elif tag == "a":
                 close_anchor()  # HTML forbids nested <a>: implicit close
                 href = parse_attrs(tok[4]).get("href")
                 if href is not None and not tok[5]:
@@ -142,16 +151,23 @@ def extract_head_meta_one(html: bytes, base_url: str = ""
     canonical: "str | None" = None
     refresh: "str | None" = None
     noindex = nofollow = False
+    base = base_url
+    base_seen = False
     for tok in tokenize(html):
         if tok[0] != "start":
             continue
         tag = tok[3]
-        if tag == "link":
+        if tag == "base" and not base_seen:
+            b = parse_attrs(tok[4]).get("href")
+            if b:
+                base = urljoin(base_url, b) if base_url else b
+                base_seen = True
+        elif tag == "link":
             attrs = parse_attrs(tok[4])
             rel = (attrs.get("rel") or "").lower().split()
             href = attrs.get("href")
             if canonical is None and "canonical" in rel and href:
-                canonical = urljoin(base_url, href) if base_url else href
+                canonical = urljoin(base, href) if base else href
         elif tag == "meta":
             attrs = parse_attrs(tok[4])
             name = (attrs.get("name") or "").strip().lower()
@@ -167,7 +183,7 @@ def extract_head_meta_one(html: bytes, base_url: str = ""
                 m = _REFRESH_URL.search(content)
                 if refresh is None and m:
                     target = m.group(1).strip("'\"")
-                    refresh = urljoin(base_url, target) if base_url \
+                    refresh = urljoin(base, target) if base \
                         else target
     return canonical, noindex, nofollow, refresh
 
