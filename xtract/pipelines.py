@@ -17,9 +17,14 @@ stage) — the numbers a data-engineering run is judged by.
 
 from __future__ import annotations
 
+import json
+import os
+import time
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from . import __version__
 from .config import DEFAULT_CONFIG, ExtractionConfig
 from .pipeline import extract_pages
 
@@ -41,9 +46,6 @@ def webtext_pipeline(
     consumes the lazy stage once — acceptable for reporting; pass the
     returned ds on for the actual write).
     """
-    from .ops.dedup import add_content_hash
-    from .ops.linedup import drop_repeated_lines
-
     funnel: dict[str, int] = {}
     extracted = extract_pages(pages_ds, cfg)
     ok = extracted.map_batches(
@@ -60,9 +62,35 @@ def webtext_pipeline(
         # read+extract.  Pin the slim projection once (object store,
         # spillable).  Disable only when even extracted text dwarfs
         # local spill capacity — then prefer the job driver's
-        # write-then-read shape (pipeline.run_extraction_job).
+        # write-then-read shape (pipelines.run_webtext_job).
         slim = slim.materialize()
         funnel["extract_ok"] = slim.count()  # free on the pinned data
+    return clean_extracted(
+        slim, min_chars=min_chars,
+        line_dedup_max_docs=line_dedup_max_docs,
+        require_lang=require_lang,
+        max_dup_line_ratio=max_dup_line_ratio,
+        redact_pii=redact_pii), funnel
+
+
+def clean_extracted(
+    slim,
+    min_chars: int = 80,
+    line_dedup_max_docs: int = 20,
+    require_lang: tuple[str, ...] = (),
+    max_dup_line_ratio: "tuple[int, int] | None" = (3, 10),
+    redact_pii: bool = True,
+):
+    """The post-extraction half of the webtext funnel over an
+    already-extracted slim Dataset (url, warc_ts, content_text,
+    lang_detected, lang_conf): corpus line scrub → quality gate →
+    Gopher repetition gate → PII redaction → exact content dedup.
+    Factored out so `run_webtext_job` can run it against the
+    CHECKPOINTED extraction output (a crash in the corpus-global
+    cleaning phase never re-extracts)."""
+    from .ops.dedup import add_content_hash
+    from .ops.linedup import drop_repeated_lines
+
     scrubbed = drop_repeated_lines(slim, max_docs=line_dedup_max_docs)
 
     def quality_gate(t: pa.Table) -> pa.Table:
@@ -104,7 +132,7 @@ def webtext_pipeline(
 
     deduped = first_row_per_key(
         hashed, "content_hash", ("url",)).drop_columns(["content_hash"])
-    return deduped, funnel
+    return deduped
 
 
 def webtext_funnel(pages_ds, cfg: ExtractionConfig = DEFAULT_CONFIG, **kw):
@@ -124,3 +152,89 @@ def webtext_funnel(pages_ds, cfg: ExtractionConfig = DEFAULT_CONFIG, **kw):
     return {"pages_in": funnel["pages_in"],
             "extract_ok": funnel["extract_ok"],
             "clean_out": funnel["clean_out"]}
+
+
+def run_webtext_job(
+    input_files,
+    out_dir: str,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    shard_size: int = 8,
+    **clean_kw,
+):
+    """End-to-end resumable training-data job — the production shape
+    of ``webtext_pipeline`` with a durable checkpoint at the phase
+    boundary:
+
+    1. **extract** (per-shard resumable): `pipeline.run_extraction_job`
+       into ``out/extract/shard=*`` — a rerun skips completed shards.
+    2. **clean** (corpus-global): `clean_extracted` over the WRITTEN
+       extraction output (line scrub / gates / PII / exact dedup are
+       corpus-wide, so this phase is one unit) into ``out/clean`` with
+       an atomically-renamed data dir + manifest.  The manifest pins
+       the extraction shard checksums it consumed: a rerun skips the
+       phase when they match and rebuilds it when any shard was
+       re-extracted (stale-input detection, not just a done-flag).
+
+    A crash anywhere re-runs at most one extraction shard + the clean
+    phase — never a full re-extract.  Returns (extract_manifests,
+    clean_manifest).
+    """
+    import shutil
+    import tempfile as _tf
+
+    from .pipeline import read_extracted, run_extraction_job
+
+    ex_dir = os.path.join(out_dir, "extract")
+    manifests = run_extraction_job(input_files, ex_dir, cfg,
+                                   shard_size=shard_size)
+    upstream = {m["shard_id"]: m["checksum"] for m in manifests}
+
+    clean_dir = os.path.join(out_dir, "clean")
+    man_p = os.path.join(clean_dir, "manifest.json")
+    if os.path.exists(man_p):
+        try:
+            with open(man_p) as f:
+                prev = json.load(f)
+            if prev.get("complete") and \
+                    prev.get("extract_checksums") == upstream:
+                return manifests, prev  # fully up to date
+        except (json.JSONDecodeError, OSError):
+            pass  # corrupt manifest → rebuild
+
+    t0 = time.monotonic()
+    slim = read_extracted(ex_dir, columns=[
+        "url", "warc_ts", "content_text", "lang_detected", "lang_conf",
+        "status"])
+    ok = slim.map_batches(
+        lambda t: t.filter(pc.equal(t["status"], "ok"))
+                   .drop_columns(["status"]),
+        batch_format="pyarrow")
+    clean = clean_extracted(ok, **clean_kw)
+
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = _tf.mkdtemp(prefix=".clean-", dir=out_dir)
+    clean.write_parquet(os.path.join(tmp, "data"))
+    import ray.data as rd
+
+    n_out = rd.read_parquet(os.path.join(tmp, "data"),
+                            columns=["url"]).count()
+    wall = round(time.monotonic() - t0, 3)
+    manifest = {
+        "phase": "clean",
+        "n_rows": n_out,
+        "extract_checksums": upstream,
+        "funnel": {"extract_ok_rows": sum(m["n_rows"] for m in manifests),
+                   "clean_out_rows": n_out},
+        "clean_kw": {k: (list(v) if isinstance(v, tuple) else v)
+                     for k, v in clean_kw.items()},
+        "config_hash": cfg.config_hash(),
+        "engine_version": __version__,
+        "wall_s": wall,
+        "complete": True,
+    }
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    if os.path.exists(clean_dir):  # stale output from a dead/old run
+        shutil.rmtree(clean_dir)
+    os.rename(tmp, clean_dir)
+    return manifests, manifest
