@@ -79,3 +79,21 @@ def test_webtext_job_stale_checksum_forces_rebuild(ray_session, tmp_path):
     _, clean_m2 = run_webtext_job(files, out, shard_size=1)
     assert clean_m2["extract_checksums"]["00000"] != "deadbeef"
     assert clean_m2["n_rows"] == clean_m["n_rows"]
+
+
+def test_cli_webtext_end_to_end(ray_session, tmp_path):
+    # CLI owns its own Ray session in a subprocess (ray job submit shape)
+    import subprocess
+    import sys
+
+    files = _write_inputs(tmp_path, n_files=2)
+    out = str(tmp_path / "cli_job")
+    r = subprocess.run(
+        [sys.executable, "-m", "xtract", "--input",
+         str(tmp_path / "*.parquet"), "--out", out, "--webtext",
+         "--shard-size", "1", "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["clean_out_rows"] > 0
+    assert os.path.isdir(os.path.join(out, "clean", "data"))

@@ -39,6 +39,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sidecar", action="store_true",
                    help="also write the JSON text+spans sidecar per shard "
                         "(S7 searchable-sidecar sink)")
+    p.add_argument("--webtext", action="store_true",
+                   help="run the FULL training-data job (checkpointed "
+                        "extract phase + corpus-global clean phase: line "
+                        "scrub, quality+repetition gates, PII redaction, "
+                        "exact dedup) instead of extraction only")
+    p.add_argument("--min-chars", type=int, default=80,
+                   help="webtext: minimum extracted chars to keep a doc")
     p.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     return p
@@ -75,6 +82,22 @@ def main(argv=None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
     try:
+        if args.webtext:
+            from .pipelines import run_webtext_job
+
+            manifests, clean_m = run_webtext_job(
+                resolve_inputs(args.input), args.out, cfg,
+                shard_size=args.shard_size, min_chars=args.min_chars)
+            summary = {
+                "shards": len(manifests),
+                "extract_ok_rows": clean_m["funnel"]["extract_ok_rows"],
+                "clean_out_rows": clean_m["funnel"]["clean_out_rows"],
+                "config_hash": cfg.config_hash(),
+                "out": args.out,
+                "engine_version": clean_m["engine_version"],
+            }
+            print(json.dumps(summary))
+            return 0
         manifests = run_extraction_job(
             resolve_inputs(args.input), args.out, cfg,
             shard_size=args.shard_size, write_blocks=args.blocks,
