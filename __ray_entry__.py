@@ -1308,6 +1308,33 @@ def _q_label_centroids(sf_dir: str):
     return label_centroids(_emb(sf_dir), "embedding", "label")
 
 
+def _q_documents_profile(sf_dir: str):
+    """One-pass per-column dataset profile (nulls, typed min/max,
+    exact distinct) — the data-quality summary shipped with job
+    manifests.  SQL-checked long-format."""
+    from xtract.ops.profile import profile_dataset
+
+    return profile_dataset(
+        _docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"]),
+        distinct=True)
+
+
+def _profile_sql() -> str:
+    def one(c, dtype):
+        return (
+            f"SELECT '{c}' AS \"column\", '{dtype}' AS dtype, "
+            "(SELECT count(*) FROM documents) AS n_rows, "
+            f"count(*) - count({c}) AS n_nulls, "
+            f"CAST(min({c}) AS VARCHAR) AS min_val, "
+            f"CAST(max({c}) AS VARCHAR) AS max_val, "
+            f"count(DISTINCT {c}) + (CASE WHEN count(*) > count({c}) "
+            "THEN 1 ELSE 0 END) AS n_distinct FROM documents")
+
+    cols = [("doc_id", "int64"), ("text", "string"), ("lang", "string"),
+            ("source", "string"), ("n_chars", "int64")]
+    return " UNION ALL ".join(one(c, d) for c, d in cols)
+
+
 def _q_lineitem_bloom_semi(sf_dir: str):
     """Bloom-prefiltered large-×-large SEMI join: lineitem rows whose
     order is a high-value order.  The 2^22-bit bloom broadcast prunes
@@ -1454,6 +1481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_unique_users": _q_event_type_unique_users,
         "nation_revenue": _q_nation_revenue,
         "label_centroids": _q_label_centroids,
+        "documents_profile": _q_documents_profile,
         "page_structured": _q_page_structured,
         "doc_length_gate": _q_doc_length_gate,
         "doc_bits_per_char": _q_doc_bits_per_char,
@@ -2361,6 +2389,7 @@ def oracle_sql() -> dict[str, str]:
             "UNNEST(range(0, 1 + doc_id % 5)) AS t(j)) "
             "SELECT val, count(*) AS n FROM h GROUP BY val "
             "ORDER BY n DESC, val LIMIT 20",
+        "documents_profile": _profile_sql(),
         "lineitem_bloom_semi":
             "SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem "
             "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
