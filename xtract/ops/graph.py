@@ -109,6 +109,9 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst", iters: int = 5,
     import ray
     from ray.data.aggregate import Sum
 
+    # The slim (src, dst) edge projection is pinned once (object store,
+    # spill-backed): every iteration re-scans it, and an unpinned
+    # Dataset would re-execute its whole upstream per iteration.
     base = (100 - damping_pct) * unit // 100
     deg_ds = _degrees(edges_ds, src).materialize()
     nodes = _node_set(edges_ds, src, dst, nodes_ds).materialize()

@@ -559,7 +559,10 @@ def bloom_semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
     rows = (right_ds.select_columns([right_on])
             .map_batches(block_bitmap, batch_format="pyarrow")
             .map_batches(or_fold, batch_format="pyarrow", batch_size=64)
-            .take_all())  # ≤ n_blocks/64 fixed-size rows
+            .map_batches(or_fold, batch_format="pyarrow", batch_size=64)
+            .take_all())  # two fold levels: ≤ n_blocks/4096 rows reach
+    # the driver (2 MiB each at the default p_bits — bounded even at
+    # millions of input blocks)
     bitmap = np.zeros(nbytes, np.uint8)
     for r in rows:
         bitmap |= np.asarray(r["bm"], np.uint8)
