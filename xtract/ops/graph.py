@@ -150,14 +150,32 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst", iters: int = 5,
                 deg = _sorted_lookup(dkk, dvv, s, np.int64(1))
                 return _block_sum(d, r_src // deg)
 
-            inflow = (edges.map_batches(contrib, batch_format="pyarrow")
-                      .groupby("node").aggregate(
-                          Sum("inflow", alias_name="inflow"))
-                      .to_pandas())  # ≤ n_nodes rows — under the gate
-            nk = inflow["node"].to_numpy().astype(np.int64)
-            nv = inflow["inflow"].to_numpy().astype(np.int64)
-            o = np.argsort(nk, kind="stable")
-            got = _sorted_lookup(nk[o], nv[o], node_arr, np.int64(0))
+            # fold-tree reduction instead of a groupby exchange: the
+            # combiner already caps each batch at ≤ n_nodes slim rows,
+            # so one in-Dataset fold + a driver np.add.at finishes the
+            # sum with NO all-to-all per iteration (integer sums
+            # commute — exactness is unaffected)
+            def sum_fold(t: pa.Table) -> pa.Table:
+                return _block_sum(
+                    t["node"].to_numpy(zero_copy_only=False),
+                    t["inflow"].to_numpy(zero_copy_only=False))
+
+            rows = (edges.map_batches(contrib, batch_format="pyarrow",
+                                      batch_size=262_144)
+                    .map_batches(sum_fold, batch_format="pyarrow",
+                                 batch_size=1 << 20)
+                    .take_all())
+            if rows:
+                nk = np.fromiter((r["node"] for r in rows), np.int64,
+                                 len(rows))
+                nv = np.fromiter((r["inflow"] for r in rows), np.int64,
+                                 len(rows))
+                u, inv = np.unique(nk, return_inverse=True)
+                s = np.zeros(len(u), np.int64)
+                np.add.at(s, inv, nv)
+                got = _sorted_lookup(u, s, node_arr, np.int64(0))
+            else:
+                got = np.zeros(len(node_arr), np.int64)
             ranks = base + damping_pct * got // 100
 
         return ray.data.from_arrow(pa.table({

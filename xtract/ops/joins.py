@@ -557,12 +557,16 @@ def bloom_semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
             nbytes)})
 
     rows = (right_ds.select_columns([right_on])
-            .map_batches(block_bitmap, batch_format="pyarrow")
+            # explicit large batch: one bitmap per ~256k keys, NOT one
+            # per input block — small filtered blocks otherwise emit
+            # thousands of 2 MiB bitmap rows (measured 6× slowdown)
+            .map_batches(block_bitmap, batch_format="pyarrow",
+                         batch_size=262_144)
             .map_batches(or_fold, batch_format="pyarrow", batch_size=64)
             .map_batches(or_fold, batch_format="pyarrow", batch_size=64)
-            .take_all())  # two fold levels: ≤ n_blocks/4096 rows reach
-    # the driver (2 MiB each at the default p_bits — bounded even at
-    # millions of input blocks)
+            .take_all())  # two fold levels: ≤ n_keys/256k/4096 rows
+    # reach the driver (2 MiB each at the default p_bits — bounded
+    # even at millions of input blocks)
     bitmap = np.zeros(nbytes, np.uint8)
     for r in rows:
         bitmap |= np.asarray(r["bm"], np.uint8)
