@@ -1308,6 +1308,37 @@ def _q_label_centroids(sf_dir: str):
     return label_centroids(_emb(sf_dir), "embedding", "label")
 
 
+def _q_host_noindex_rates(sf_dir: str):
+    """Crawl-policy aggregate composed over the head-meta surface:
+    per host, pages seen / noindex'd / canonicalized-elsewhere —
+    integer counts from one groupby over slim derived rows."""
+    from ray.data.aggregate import Count, Sum
+
+    from xtract.links import extract_head_meta, host_of
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _head_meta_pages_batch, batch_format="pyarrow")
+
+    def derive(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        cans = t["canonical_url"].to_pylist()
+        hosts = [host_of(u) for u in urls]
+        off = [1 if (c and host_of(c) != h) else 0
+               for c, h in zip(cans, hosts)]
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "noindex": pc.cast(t["robots_noindex"], pa.int64()),
+            "canonical_offhost": pa.array(off, pa.int64())})
+
+    return (extract_head_meta(pages)
+            .map_batches(derive, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(Count(alias_name="n_pages"),
+                       Sum("noindex", alias_name="n_noindex"),
+                       Sum("canonical_offhost",
+                           alias_name="n_canonical_offhost")))
+
+
 def _q_documents_profile(sf_dir: str):
     """One-pass per-column dataset profile (nulls, typed min/max,
     exact distinct) — the data-quality summary shipped with job
@@ -1482,6 +1513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": _q_nation_revenue,
         "label_centroids": _q_label_centroids,
         "documents_profile": _q_documents_profile,
+        "host_noindex_rates": _q_host_noindex_rates,
         "page_structured": _q_page_structured,
         "doc_length_gate": _q_doc_length_gate,
         "doc_bits_per_char": _q_doc_bits_per_char,
@@ -2390,6 +2422,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT val, count(*) AS n FROM h GROUP BY val "
             "ORDER BY n DESC, val LIMIT 20",
         "documents_profile": _profile_sql(),
+        "host_noindex_rates":
+            "WITH x AS (SELECT 'm' || CAST(doc_id % 6 AS VARCHAR) || "
+            "'.example.org' AS host, "
+            "CASE WHEN doc_id % 4 = 1 OR doc_id % 4 = 3 THEN 1 ELSE 0 END "
+            "AS noindex, "
+            "CASE WHEN doc_id % 11 = 7 THEN 0 "
+            "WHEN doc_id % 3 = 0 AND doc_id % 9 = 3 THEN 1 "
+            "WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS offh "
+            "FROM documents) "
+            "SELECT host, count(*) AS n_pages, "
+            "CAST(sum(noindex) AS BIGINT) AS n_noindex, "
+            "CAST(sum(offh) AS BIGINT) AS n_canonical_offhost "
+            "FROM x GROUP BY host",
         "lineitem_bloom_semi":
             "SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem "
             "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
