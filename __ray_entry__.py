@@ -1339,6 +1339,15 @@ def _q_host_noindex_rates(sf_dir: str):
                            alias_name="n_canonical_offhost")))
 
 
+def _q_doc_readability(sf_dir: str):
+    """LIX-style readability signals (sentence/word/long-word counts +
+    integer-milli LIX) — bit-exact vs the SQL re-derivation."""
+    from xtract.ops.textstats import readability_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        readability_batch, batch_format="pyarrow")
+
+
 def _q_documents_profile(sf_dir: str):
     """One-pass per-column dataset profile (nulls, typed min/max,
     exact distinct) — the data-quality summary shipped with job
@@ -1514,6 +1523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "documents_profile": _q_documents_profile,
         "host_noindex_rates": _q_host_noindex_rates,
+        "doc_readability": _q_doc_readability,
         "page_structured": _q_page_structured,
         "doc_length_gate": _q_doc_length_gate,
         "doc_bits_per_char": _q_doc_bits_per_char,
@@ -2435,6 +2445,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(noindex) AS BIGINT) AS n_noindex, "
             "CAST(sum(offh) AS BIGINT) AS n_canonical_offhost "
             "FROM x GROUP BY host",
+        "doc_readability":
+            "WITH x AS (SELECT doc_id, lower(coalesce(text, '')) AS t "
+            "FROM documents), "
+            "c AS (SELECT doc_id, "
+            "len(regexp_extract_all(t, '[.!?]+')) AS s, "
+            "regexp_extract_all(t, '[a-z0-9'']+') AS ws FROM x), "
+            "d AS (SELECT doc_id, s, len(ws) AS w, "
+            "len(list_filter(ws, y -> length(y) >= 7)) AS lw FROM c) "
+            "SELECT doc_id, CAST(s AS BIGINT) AS n_sentences, "
+            "CAST(w AS BIGINT) AS n_words, "
+            "CAST(lw AS BIGINT) AS n_long_words, "
+            "CAST(CASE WHEN w = 0 THEN 0 ELSE "
+            "floor(1000.0 * (w / greatest(s, 1) + (100.0 * lw) / w)) "
+            "END AS BIGINT) AS lix_milli FROM d",
         "lineitem_bloom_semi":
             "SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem "
             "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "

@@ -301,3 +301,41 @@ def decontaminate(ds, benchmark_ds, key: str = "doc_id", col: str = "text",
 
     return ds.select_columns([key, col]).map_batches(
         flag, batch_format="pyarrow")
+
+
+_SENT_ENDERS = re.compile(r"[.!?]+")
+_READ_WORD = re.compile(r"[a-z0-9']+")
+
+
+def readability_batch(batch: pa.Table, key: str = "doc_id",
+                      col: str = "text") -> pa.Table:
+    """LIX-style readability signals per doc, integer-exact so the SQL
+    oracle re-derives them bit-for-bit: sentence-ender runs, word
+    tokens, long words (≥7 chars), and ``lix_milli`` =
+    ⌊1000·(words/sentences + 100·long/words)⌋ (Björnsson's LIX ×1000;
+    both divisions are single IEEE ops on identical ints).  One
+    streaming batch map — the quality-gate companion to
+    `gopher_repetition_batch`."""
+    import math
+
+    texts = batch[col].to_pylist()
+    n_sent = np.empty(len(texts), np.int64)
+    n_words = np.empty(len(texts), np.int64)
+    n_long = np.empty(len(texts), np.int64)
+    lix = np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        t = (t or "").lower()
+        s = len(_SENT_ENDERS.findall(t))
+        words = _READ_WORD.findall(t)
+        w = len(words)
+        lw = sum(1 for x in words if len(x) >= 7)
+        n_sent[i] = s
+        n_words[i] = w
+        n_long[i] = lw
+        lix[i] = (math.floor(1000.0 * (w / max(s, 1) + 100.0 * lw / w))
+                  if w else 0)
+    return pa.table({key: batch[key],
+                     "n_sentences": pa.array(n_sent, pa.int64()),
+                     "n_words": pa.array(n_words, pa.int64()),
+                     "n_long_words": pa.array(n_long, pa.int64()),
+                     "lix_milli": pa.array(lix, pa.int64())})
