@@ -46,3 +46,32 @@ def test_nulls_ignored_and_counted_nowhere(ray_session):
     topk, bound = heavy_hitters(ds, "v", k=10, capacity=10)
     assert bound == 0
     assert dict(zip(topk["val"], topk["n"])) == {"a": 2, "b": 1}
+
+
+def test_countmin_overestimates_and_is_partition_invariant(ray_session):
+    from xtract.ops.sketch import countmin_counts
+
+    rng = np.random.default_rng(13)
+    vals = ["HOT"] * 500 + [f"t{i}" for i in rng.integers(0, 3000, 4000)]
+    rng.shuffle(vals)
+    exact = {}
+    for v in vals:
+        exact[v] = exact.get(v, 0) + 1
+    qs = ["HOT", "t1", "t2", "never-seen"]
+    a = countmin_counts(_ds(vals, nparts=3), "v", qs, width_bits=12)
+    b = countmin_counts(_ds(vals, nparts=11), "v", qs, width_bits=12)
+    assert a == b  # int sums commute → identical at any parallelism
+    n = len(vals)
+    for q in qs:
+        true = exact.get(q, 0)
+        assert a[q] >= true  # one-sided guarantee, always
+        assert a[q] <= true + 4 * n * 2.72 / 4096  # ε·N slack (loose)
+
+
+def test_countmin_tight_on_dominant_value(ray_session):
+    from xtract.ops.sketch import countmin_counts
+
+    vals = ["x"] * 1000 + ["y"] * 10
+    est = countmin_counts(_ds(vals), "v", ["x", "y"], width_bits=14)
+    assert est["x"] >= 1000 and est["x"] <= 1010
+    assert est["y"] >= 10

@@ -164,3 +164,66 @@ def approx_distinct(ds, col: str, p: int = 12,
     for r in rows:
         merged = np.maximum(merged, np.asarray(r["regs"], np.uint8))
     return hll_estimate(merged)
+
+
+def countmin_counts(ds, col: str, queries: list, width_bits: int = 16,
+                    depth: int = 4) -> dict:
+    """Count-min sketch (Cormode & Muthukrishnan 2005): → {value:
+    estimated count} for each queried value, with the classic one-sided
+    guarantee est ≥ true (always) and est ≤ true + εN with high
+    probability (ε ≈ e / 2^width_bits per row, amplified by ``depth``
+    independent rows).  The complement of `heavy_hitters` (which
+    under-counts with a reported bound) — use count-min when the query
+    set is known and the value space is unbounded.
+
+    Deterministic and partition-independent: counters are int64 sums
+    (commutative), hashing is the stable blake2b/splitmix stack, so the
+    same corpus gives the SAME estimates at any parallelism.  Shape:
+    one pass builds a depth×2^width_bits counter block per ~256k rows
+    (vectorized ``np.add.at``), a sum-fold reduction tree hands the
+    driver O(blocks/4096) matrices."""
+    width = 1 << width_bits
+    mask = np.uint64(width - 1)
+    seeds = [np.uint64((0xA076_1D64_78BD_642F + 0x9E37_79B9 * i) | 1)
+             for i in range(depth)]  # odd multipliers only
+
+    def positions(vals: list) -> np.ndarray:
+        h = _hash_strings(vals)
+        return np.stack([((h * s) >> np.uint64(64 - width_bits)) & mask
+                         for s in seeds])  # (depth, n)
+
+    def block_sketch(b: pa.Table) -> pa.Table:
+        arr = b[col].combine_chunks().drop_null()
+        mat = np.zeros((depth, width), np.int64)
+        if len(arr):
+            pos = positions(arr.to_pylist())
+            for r in range(depth):
+                np.add.at(mat[r], pos[r].astype(np.int64), 1)
+        return pa.table({"cm": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.ravel(), pa.int64()), depth * width)})
+
+    def sum_fold(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        mat = (t["cm"].combine_chunks().flatten()
+               .to_numpy(zero_copy_only=False)
+               .reshape(len(t), depth * width))
+        return pa.table({"cm": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.sum(axis=0, dtype=np.int64), pa.int64()),
+            depth * width)})
+
+    rows = (ds.select_columns([col])
+            .map_batches(block_sketch, batch_format="pyarrow",
+                         batch_size=262_144)
+            .map_batches(sum_fold, batch_format="pyarrow", batch_size=64)
+            .map_batches(sum_fold, batch_format="pyarrow", batch_size=64)
+            .take_all())
+    mat = np.zeros((depth, width), np.int64)
+    for r in rows:
+        mat += np.asarray(r["cm"], np.int64).reshape(depth, width)
+
+    qpos = positions(list(queries))
+    out = {}
+    for i, q in enumerate(queries):
+        out[q] = int(min(mat[r, int(qpos[r, i])] for r in range(depth)))
+    return out
