@@ -97,3 +97,18 @@ def test_cli_webtext_end_to_end(ray_session, tmp_path):
     summary = json.loads(r.stdout.strip().splitlines()[-1])
     assert summary["clean_out_rows"] > 0
     assert os.path.isdir(os.path.join(out, "clean", "data"))
+
+
+def test_orphan_tmp_dirs_swept(ray_session, tmp_path):
+    files = _write_inputs(tmp_path, n_files=2)
+    out = str(tmp_path / "job")
+    os.makedirs(os.path.join(out, "extract"), exist_ok=True)
+    orphan_e = os.path.join(out, "extract", ".shard-00000-dead")
+    orphan_c = os.path.join(out, ".clean-dead")
+    os.makedirs(orphan_e)
+    os.makedirs(orphan_c)
+    open(os.path.join(orphan_e, "junk.parquet"), "w").write("x")
+    _, clean_m = run_webtext_job(files, out, shard_size=1)
+    assert clean_m["complete"]
+    assert not os.path.exists(orphan_e)
+    assert not os.path.exists(orphan_c)

@@ -333,6 +333,19 @@ def shard_is_done(out_dir: str, shard_id: str) -> bool:
         return False
 
 
+def _sweep_orphan_tmp(out_dir: str) -> None:
+    """Remove half-written ``.shard-*`` / ``.clean-*`` temp dirs a dead
+    run left behind (they hold full shard payloads — real storage at
+    crawl scale).  Safe because a tmp dir only belongs to the RUNNING
+    process between mkdtemp and its atomic rename, and concurrent jobs
+    over one out_dir are unsupported (documented)."""
+    import shutil
+
+    for name in os.listdir(out_dir):
+        if name.startswith((".shard-", ".clean-")):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+
+
 def run_extraction_job(
     input_files: Sequence[str],
     out_dir: str,
@@ -350,6 +363,7 @@ def run_extraction_job(
     manifest says complete.  Returns the list of shard manifests.
     """
     os.makedirs(out_dir, exist_ok=True)
+    _sweep_orphan_tmp(out_dir)
     retry_failed = extract_kw.pop("retry_failed", False)
     retry_cfg = extract_kw.pop("retry_cfg", None)
     manifests = []

@@ -182,7 +182,8 @@ def run_webtext_job(
     import shutil
     import tempfile as _tf
 
-    from .pipeline import read_extracted, run_extraction_job
+    from .pipeline import (_sweep_orphan_tmp, read_extracted,
+                           run_extraction_job)
 
     ex_dir = os.path.join(out_dir, "extract")
     manifests = run_extraction_job(input_files, ex_dir, cfg,
@@ -212,6 +213,7 @@ def run_webtext_job(
     clean = clean_extracted(ok, **clean_kw)
 
     os.makedirs(out_dir, exist_ok=True)
+    _sweep_orphan_tmp(out_dir)
     tmp = _tf.mkdtemp(prefix=".clean-", dir=out_dir)
     clean.write_parquet(os.path.join(tmp, "data"))
     import ray.data as rd
