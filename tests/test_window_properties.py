@@ -1,0 +1,55 @@
+"""Property tests: hopping window & interval join vs brute force."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from xtract.ops.joins import hopping_window, interval_join_count
+
+_slow = settings(max_examples=8, deadline=None,
+                 suppress_health_check=list(HealthCheck))
+
+
+def _ts_table(us_list):
+    return pa.table({"ts": pa.array(us_list, pa.timestamp("us")),
+                     "event_id": pa.array(range(len(us_list)), pa.int64())})
+
+
+@_slow
+@given(st.lists(st.integers(0, 10 ** 7), min_size=1, max_size=120))
+def test_hopping_window_counts_match_bruteforce(ray_session, us):
+    width_min, hop_min = 4, 2
+    hop_us = hop_min * 60 * 1_000_000
+    k = width_min // hop_min
+    ds = rd.from_arrow(_ts_table(us)).repartition(3)
+    got = {int(r["window_start"]): int(r["n_events"])
+           for r in hopping_window(ds, "ts", width_min, hop_min)
+           .to_pandas().to_dict("records")}
+    want: dict = {}
+    for t in us:
+        base = (t // hop_us) * hop_us
+        for i in range(k):
+            ws = (base - i * hop_us) // 1_000_000
+            want[ws] = want.get(ws, 0) + 1
+    assert got == want
+
+
+@_slow
+@given(st.lists(st.integers(0, 5 * 10 ** 8), min_size=1, max_size=80),
+       st.lists(st.integers(0, 5 * 10 ** 8), min_size=0, max_size=80))
+def test_interval_join_count_matches_bruteforce(ray_session, lts, rts):
+    width_min = 90  # crosses day buckets when ts spread is large
+    width_us = width_min * 60 * 1_000_000
+    left = rd.from_arrow(_ts_table(lts)).repartition(2)
+    right = rd.from_arrow(pa.table(
+        {"ts": pa.array(rts, pa.timestamp("us"))})).repartition(2)
+    got = {int(r["event_id"]): int(r["n_matches"])
+           for r in interval_join_count(left, "ts", right, "ts",
+                                        width_min, ["event_id"])
+           .to_pandas().to_dict("records")}
+    r = np.asarray(rts, np.int64)
+    for i, t in enumerate(lts):
+        want = int(((r <= t) & (t < r + width_us)).sum())
+        assert got[i] == want, (i, t)
