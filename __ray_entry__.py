@@ -329,6 +329,30 @@ def _q_user_sessions(sf_dir: str):
     return session_windows(ev, "user_id", "ts", gap_minutes=30)
 
 
+def _q_event_gaps(sf_dir: str):
+    """Per-user LAG/LEAD offsets: integer-µs gap to the previous and
+    next event.  The library op yields nulls at each user's first/last
+    event; the query maps those to -1 so the output stays non-null
+    int64 end-to-end (Arrow int64-with-nulls would round-trip to
+    float64 in pandas and break the driver's value compare)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from xtract.ops.joins import lag_lead_gaps
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+
+    def seal(b: pa.Table) -> pa.Table:
+        for c in ("gap_prev_us", "gap_next_us"):
+            b = b.set_column(b.column_names.index(c), c,
+                             pc.fill_null(b[c].cast(pa.int64()), -1))
+        return b
+
+    return lag_lead_gaps(ev, "user_id", "ts").map_batches(
+        seal, batch_format="pyarrow")
+
+
 def _q_last_order_before_event_cogroup(sf_dir: str):
     """Same as-of semantics via the LARGE-×-LARGE co-group path (hash
     co-partition + one pandas merge_asof per partition) — no broadcast:
@@ -1502,6 +1526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_order_before_event_cogroup": _q_last_order_before_event_cogroup,
         "vocab_top_tokens": _q_vocab_top_tokens,
         "user_sessions": _q_user_sessions,
+        "event_gaps": _q_event_gaps,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -2239,6 +2264,13 @@ def oracle_sql() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM marked) "
             "SELECT user_id, session_id, count(*) AS n_events "
             "FROM sess GROUP BY user_id, session_id",
+        "event_gaps":
+            "SELECT user_id, event_id, "
+            "CAST(coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER w), -1) "
+            "AS BIGINT) AS gap_prev_us, "
+            "CAST(coalesce(epoch_us(lead(ts) OVER w) - epoch_us(ts), -1) "
+            "AS BIGINT) AS gap_next_us FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
         "vocab_top_tokens":
             "WITH toks AS (SELECT unnest(regexp_split_to_array(lower("
             "coalesce(text,'')), '[^a-z]+')) AS token FROM documents), "

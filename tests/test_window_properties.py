@@ -53,3 +53,34 @@ def test_interval_join_count_matches_bruteforce(ray_session, lts, rts):
     for i, t in enumerate(lts):
         want = int(((r <= t) & (t < r + width_us)).sum())
         assert got[i] == want, (i, t)
+
+
+@_slow
+@given(st.lists(st.tuples(st.integers(0, 4),          # user_id (few keys)
+                          st.integers(0, 10 ** 9)),   # ts µs (dup-prone)
+                min_size=1, max_size=120))
+def test_lag_lead_gaps_match_bruteforce(ray_session, rows):
+    from xtract.ops.joins import lag_lead_gaps
+
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "ts": pa.array([ts for _, ts in rows], pa.timestamp("us")),
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+    })
+    got = {int(r["event_id"]): (r["gap_prev_us"], r["gap_next_us"])
+           for r in lag_lead_gaps(rd.from_arrow(t).repartition(3),
+                                  "user_id", "ts")
+           .to_pandas().to_dict("records")}
+    assert len(got) == len(rows)
+    per_key: dict = {}
+    for eid, (u, ts) in enumerate(rows):
+        per_key.setdefault(u, []).append((ts, eid))
+    for seq in per_key.values():
+        seq.sort()
+        for i, (ts, eid) in enumerate(seq):
+            prev = ts - seq[i - 1][0] if i > 0 else None
+            nxt = seq[i + 1][0] - ts if i + 1 < len(seq) else None
+            gp, gn = got[eid]
+            gp = None if gp is None or gp != gp else int(gp)
+            gn = None if gn is None or gn != gn else int(gn)
+            assert (gp, gn) == (prev, nxt), eid

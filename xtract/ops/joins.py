@@ -681,3 +681,37 @@ def windowed_running(ds, key: str, ts_col: str, value_col: str,
                            batch_format="pyarrow")
               .groupby("_part")
               .map_groups(per_partition, batch_format="pandas"))
+
+
+def lag_lead_gaps(ds, key: str, ts_col: str, num_partitions: int = 32):
+    """Per-key LAG/LEAD: time gap to the previous and next event in
+    integer microseconds — the offset-window-function pair
+    (``session_windows`` covers gap *sessionization*, ``windowed_running``
+    covers cumulative frames; this exposes the raw offsets).
+    → (key, event_id, gap_prev_us, gap_next_us), null at each key's
+    first/last event.
+
+    Shape: the same coarse hash co-group as every keyed window here —
+    ``_part = hash(key) % P``, ONE pandas pass per partition (sort by
+    (key, ts, event_id), cython ``groupby.shift(±1)`` on nullable Int64
+    microseconds), so the interpreter runs P times.  Integer µs keeps
+    the arithmetic bit-exact vs the SQL ``epoch_us`` oracle (no float
+    timestamps anywhere).  Partitioning assumption: one key's events
+    fit in one partition."""
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        us = pd.Series(g[ts_col].to_numpy().astype("datetime64[us]")
+                       .astype(np.int64)).astype("Int64")
+        grp = us.groupby(g[key].to_numpy(), sort=False)
+        return pd.DataFrame({
+            key: g[key],
+            "event_id": g["event_id"],
+            "gap_prev_us": us - grp.shift(1),
+            "gap_next_us": grp.shift(-1) - us,
+        })
+
+    return (ds.map_batches(lambda b: _add_key_part(b, key, num_partitions),
+                           batch_format="pyarrow")
+              .groupby("_part")
+              .map_groups(per_partition, batch_format="pandas"))
