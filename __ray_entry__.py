@@ -353,6 +353,79 @@ def _q_event_gaps(sf_dir: str):
         seal, batch_format="pyarrow")
 
 
+def _q_user_rolling_window(sf_dir: str):
+    """Per-user fixed 10-row rolling sum in integer cents (bounded
+    window frame — the moving-average building block)."""
+    import ray.data as rd
+
+    from xtract.ops.joins import rolling_window_sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+    return rolling_window_sum(ev, "user_id", "ts", "value", window_rows=10)
+
+
+def _q_source_doc_cap(sf_dir: str):
+    """Domain balancing: keep at most 5 documents per source, preferring
+    the longest (then smallest doc_id) — the per-domain cap every crawl
+    pipeline applies before mixing (composition of
+    ``ops/agg.top_k_per_key``)."""
+    import pyarrow.compute as pc
+
+    from xtract.ops.agg import top_k_per_key
+
+    docs = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def neg(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_neg", pc.multiply(t["n_chars"], pa.scalar(-1, pa.int64())))
+
+    capped = top_k_per_key(docs.map_batches(neg, batch_format="pyarrow"),
+                           "source", ("_neg", "doc_id"), k=5)
+    return capped.select_columns(["doc_id", "source", "n_chars"])
+
+
+def _q_target_anchor_stats(sf_dir: str):
+    """Anchor-text aggregation per link target (crawl-graph quality
+    signal): total in-links, distinct source pages, sorted distinct
+    anchor texts — over the same planted outlink pages as
+    ``page_outlinks``."""
+    from xtract.links import extract_outlinks
+    from xtract.ops.agg import grouped_concat_stats
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _outlink_pages_batch, batch_format="pyarrow")
+    links = extract_outlinks(pages)
+    st = grouped_concat_stats(links, "href", "url", "anchor_text")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["target", "n_links", "n_pages", "anchors"])
+
+    return st.map_batches(rename, batch_format="pyarrow")
+
+
+def _q_doc_exact_dedup_best(sf_dir: str):
+    """Keep-BEST-representative exact dedup: one winner per identical
+    text, preferred by (source, doc_id) — the quality-aware variant of
+    ``doc_exact_dedup``'s min-id winner (composition of
+    ``ops/agg.first_row_per_key`` over the content hash)."""
+    import hashlib
+
+    from xtract.ops.agg import first_row_per_key
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def h(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((x or "").encode()).hexdigest()
+              for x in t["text"].to_pylist()]
+        return pa.table({"h": pa.array(hs, pa.string()),
+                         "doc_id": t["doc_id"], "source": t["source"]})
+
+    best = first_row_per_key(docs.map_batches(h, batch_format="pyarrow"),
+                             "h", ("source", "doc_id"))
+    return best.select_columns(["doc_id", "source"])
+
+
 def _q_last_order_before_event_cogroup(sf_dir: str):
     """Same as-of semantics via the LARGE-×-LARGE co-group path (hash
     co-partition + one pandas merge_asof per partition) — no broadcast:
@@ -1527,6 +1600,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_tokens": _q_vocab_top_tokens,
         "user_sessions": _q_user_sessions,
         "event_gaps": _q_event_gaps,
+        "user_rolling_window": _q_user_rolling_window,
+        "source_doc_cap": _q_source_doc_cap,
+        "target_anchor_stats": _q_target_anchor_stats,
+        "doc_exact_dedup_best": _q_doc_exact_dedup_best,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -2271,6 +2348,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(epoch_us(lead(ts) OVER w) - epoch_us(ts), -1) "
             "AS BIGINT) AS gap_next_us FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
+        "user_rolling_window":
+            "SELECT user_id, event_id, "
+            "CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) "
+            "AS roll_sum_cents, "
+            "CAST(count(*) OVER w AS BIGINT) AS n_in_window FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)",
+        "source_doc_cap":
+            "SELECT doc_id, source, n_chars FROM ("
+            "SELECT doc_id, source, n_chars, row_number() OVER ("
+            "PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 5",
+        "target_anchor_stats":
+            f"WITH links AS ({_page_outlinks_sql()}) "
+            "SELECT href AS target, CAST(count(*) AS BIGINT) AS n_links, "
+            "CAST(count(DISTINCT url) AS BIGINT) AS n_pages, "
+            "array_to_string(list_sort(list(DISTINCT anchor_text)), '|') "
+            "AS anchors FROM links GROUP BY href",
+        "doc_exact_dedup_best":
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY md5(coalesce(text,'')) ORDER BY source, doc_id) "
+            "AS rn FROM documents) WHERE rn = 1",
         "vocab_top_tokens":
             "WITH toks AS (SELECT unnest(regexp_split_to_array(lower("
             "coalesce(text,'')), '[^a-z]+')) AS token FROM documents), "

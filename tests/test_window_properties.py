@@ -84,3 +84,36 @@ def test_lag_lead_gaps_match_bruteforce(ray_session, rows):
             gp = None if gp is None or gp != gp else int(gp)
             gn = None if gn is None or gn != gn else int(gn)
             assert (gp, gn) == (prev, nxt), eid
+
+
+@_slow
+@given(st.lists(st.tuples(st.integers(0, 3),                 # user_id
+                          st.integers(0, 10 ** 8),           # ts µs
+                          st.integers(-10 ** 6, 10 ** 6)),   # cents
+                min_size=1, max_size=100))
+def test_rolling_window_sum_matches_bruteforce(ray_session, rows):
+    from xtract.ops.joins import rolling_window_sum
+
+    k = 4
+    t = pa.table({
+        "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+        "ts": pa.array([ts for _, ts, _ in rows], pa.timestamp("us")),
+        "value": pa.array([c / 100.0 for _, _, c in rows], pa.float64()),
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+    })
+    got = {int(r["event_id"]): (int(r["roll_sum_cents"]),
+                                int(r["n_in_window"]))
+           for r in rolling_window_sum(
+               rd.from_arrow(t).repartition(3), "user_id", "ts", "value", k)
+           .to_pandas().to_dict("records")}
+    assert len(got) == len(rows)
+    per_key: dict = {}
+    for eid, (u, ts, c) in enumerate(rows):
+        per_key.setdefault(u, []).append((ts, eid, c))
+    for seq in per_key.values():
+        seq.sort()
+        for i, (_, eid, _) in enumerate(seq):
+            window = seq[max(0, i - k + 1): i + 1]
+            want = (sum(int(np.round((c / 100.0) * 100)) for _, _, c in window),
+                    len(window))
+            assert got[eid] == want, eid

@@ -176,3 +176,45 @@ def count_distinct_per_key(ds, key: str, val: str):
              .groupby([key, val]).aggregate(Count(alias_name="_n"))
              .select_columns([key]))
     return pairs.groupby(key).aggregate(Count(alias_name="n_distinct"))
+
+
+def grouped_concat_stats(ds, key: str, distinct_col: str, concat_col: str,
+                         sep: str = "|", num_partitions: int = 32):
+    """→ Dataset(key, n_rows, n_distinct, concat): per key, the total
+    row count, COUNT(DISTINCT distinct_col), and the sorted-distinct
+    values of ``concat_col`` joined by ``sep`` (deterministic — order
+    never depends on partitioning).
+
+    Shape: a block combiner first collapses each block to its distinct
+    (key, distinct_col, concat_col) triples carrying a partial row
+    count ``_n`` (a hot key's repeats dedup locally before the
+    shuffle), then ONE coarse hash co-group finishes: sum the partials,
+    nunique the distinct column, sort-unique-join the concat column.
+    The exchange moves slim distinct triples only.  The web-pipeline
+    instance is anchor-text aggregation per link target (n_links /
+    n_source_pages / distinct anchors)."""
+    def combine(t: pa.Table) -> pa.Table:
+        sub = t.select([key, distinct_col, concat_col])
+        df = sub.to_pandas()
+        g = (df.groupby([key, distinct_col, concat_col], sort=False,
+                        dropna=False)
+               .size().rename("_n").reset_index())
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        part = _hash_part(out[key], num_partitions)
+        return out.append_column("_part", pa.array(part, pa.int64()))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        grp = df.drop(columns=["_part"]).groupby(key, sort=False)
+        return pd.DataFrame({
+            key: grp.size().index,
+            "n_rows": grp["_n"].sum().to_numpy().astype(np.int64),
+            "n_distinct": grp[distinct_col].nunique().to_numpy()
+                             .astype(np.int64),
+            "concat": grp[concat_col]
+                .agg(lambda s: sep.join(sorted(set(s.dropna()))))
+                .to_numpy(),
+        })
+
+    return (ds.map_batches(combine, batch_format="pyarrow")
+              .groupby("_part")
+              .map_groups(finish, batch_format="pandas"))

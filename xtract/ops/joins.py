@@ -715,3 +715,41 @@ def lag_lead_gaps(ds, key: str, ts_col: str, num_partitions: int = 32):
                            batch_format="pyarrow")
               .groupby("_part")
               .map_groups(per_partition, batch_format="pandas"))
+
+
+def rolling_window_sum(ds, key: str, ts_col: str, value_col: str,
+                       window_rows: int, num_partitions: int = 32):
+    """Per-key FIXED-size rolling frame (``ROWS BETWEEN k-1 PRECEDING
+    AND CURRENT ROW``) — the bounded-frame complement of
+    ``windowed_running``'s unbounded cumulative frame.
+    → (key, event_id, roll_sum_cents, n_in_window).
+
+    Bit-exactness: values go to integer cents up front
+    (``round(v*100) → int64``) and the rolling sum is the cumsum
+    difference ``cs[i] − cs[i−k]`` per key — pure int64 arithmetic, no
+    float accumulation order to diverge from the SQL oracle.  Same
+    coarse hash co-group as every keyed window here; one cython
+    ``groupby.cumsum``/``shift`` pass per partition.  Partitioning
+    assumption: one key's events fit in one partition."""
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        cents = pd.Series(
+            np.round(g[value_col].to_numpy() * 100).astype(np.int64))
+        grp = cents.groupby(g[key].to_numpy(), sort=False)
+        cs = grp.cumsum()
+        lagged = cs.groupby(g[key].to_numpy(), sort=False) \
+                   .shift(window_rows).fillna(0).astype(np.int64)
+        seq = grp.cumcount().to_numpy()
+        return pd.DataFrame({
+            key: g[key],
+            "event_id": g["event_id"],
+            "roll_sum_cents": (cs - lagged).astype(np.int64),
+            "n_in_window": np.minimum(seq + 1, window_rows)
+                             .astype(np.int64),
+        })
+
+    return (ds.map_batches(lambda b: _add_key_part(b, key, num_partitions),
+                           batch_format="pyarrow")
+              .groupby("_part")
+              .map_groups(per_partition, batch_format="pandas"))
