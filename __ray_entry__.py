@@ -426,6 +426,93 @@ def _q_doc_exact_dedup_best(sf_dir: str):
     return best.select_columns(["doc_id", "source"])
 
 
+def _dirty_text_batch(t: pa.Table) -> pa.Table:
+    """Append deterministic Unicode mess to each doc (combining acute,
+    NBSP, zero-widths, CR/LF, trailing spaces); the SQL oracle
+    chr()-constructs the identical string."""
+    texts = t["text"].to_pylist()
+    mess = (" cafe\u0301\u00a0x\u200by\r\n tail\ufeff  ")
+    return pa.table({"doc_id": t["doc_id"],
+                     "text": pa.array([(x or "") + mess for x in texts],
+                                      pa.string())})
+
+
+def _q_doc_normalize(sf_dir: str):
+    """Unicode normalization (NFC + zero-width scrub + NBSP map +
+    whitespace collapse) over planted dirty docs — SQL-checked byte for
+    byte including the ``changed`` flag."""
+    from xtract.ops.textnorm import normalize_text
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _dirty_text_batch, batch_format="pyarrow")
+    return normalize_text(docs)
+
+
+def _events_day_cents_batch(t: pa.Table) -> pa.Table:
+    import numpy as np
+    import pyarrow.compute as pc
+
+    cents = np.round(t["value"].to_numpy(zero_copy_only=False) * 100) \
+              .astype("int64")
+    return pa.table({"event_type": t["event_type"],
+                     "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                     "cents": pa.array(cents)})
+
+
+def _q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, day) in one exchange — per-(type,
+    day) cells, per-type totals, and the grand total, rolled-up dims
+    labeled 'ALL' (``ops/agg.rollup_counts``)."""
+    import ray.data as rd
+
+    from xtract.ops.agg import rollup_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    return rollup_counts(ev.map_batches(_events_day_cents_batch,
+                                        batch_format="pyarrow"),
+                         ("event_type", "day"), "cents")
+
+
+def _q_event_type_anomalies(sf_dir: str):
+    """Traffic-anomaly cells: (event_type, day) whose count exceeds
+    1.2× that type's daily mean — exact integer rule
+    ``5 · n_day · n_days > 6 · total`` (no float thresholds), per-type
+    totals broadcast (≤ #types rows) instead of a second shuffle."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    cells = (ev.map_batches(_events_day_cents_batch,
+                            batch_format="pyarrow")
+               .groupby(["event_type", "day"])
+               .aggregate(Count(alias_name="n_events")))
+    from ray.data.aggregate import Sum
+
+    # cells is small (types × days) and consumed twice — pin it so Ray
+    # doesn't re-run the upstream exchange per consumer
+    cells = cells.materialize()
+    per_type = {
+        r["event_type"]: (int(r["total"]), int(r["n_days"]))
+        for r in cells.groupby("event_type").aggregate(
+            Sum("n_events", alias_name="total"),
+            Count(alias_name="n_days")).take_all()
+    }
+
+    def flag(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        types = t["event_type"].to_pylist()
+        n = t["n_events"].to_numpy(zero_copy_only=False).astype("int64")
+        tot = np.array([per_type[x][0] for x in types], np.int64)
+        nd = np.array([per_type[x][1] for x in types], np.int64)
+        return t.filter(pa.array(5 * n * nd > 6 * tot))
+
+    return cells.map_batches(flag, batch_format="pyarrow")
+
+
 def _q_last_order_before_event_cogroup(sf_dir: str):
     """Same as-of semantics via the LARGE-×-LARGE co-group path (hash
     co-partition + one pandas merge_asof per partition) — no broadcast:
@@ -1604,6 +1691,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_doc_cap": _q_source_doc_cap,
         "target_anchor_stats": _q_target_anchor_stats,
         "doc_exact_dedup_best": _q_doc_exact_dedup_best,
+        "doc_normalize": _q_doc_normalize,
+        "events_rollup": _q_events_rollup,
+        "event_type_anomalies": _q_event_type_anomalies,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -2371,6 +2461,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, row_number() OVER ("
             "PARTITION BY md5(coalesce(text,'')) ORDER BY source, doc_id) "
             "AS rn FROM documents) WHERE rn = 1",
+        "doc_normalize":
+            "WITH dirty AS (SELECT doc_id, coalesce(text,'') || ' cafe' || "
+            "chr(769) || chr(160) || 'x' || chr(8203) || 'y' || chr(13) || "
+            "chr(10) || ' tail' || chr(65279) || '  ' AS t0 FROM documents), "
+            "n1 AS (SELECT doc_id, t0, nfc_normalize(t0) AS t1 FROM dirty), "
+            "n2 AS (SELECT doc_id, t0, replace(replace(replace(replace(t1, "
+            "chr(8203), ''), chr(8204), ''), chr(8205), ''), chr(65279), '') "
+            "AS t2 FROM n1), "
+            "n3 AS (SELECT doc_id, t0, replace(t2, chr(160), ' ') AS t3 "
+            "FROM n2), "
+            "n4 AS (SELECT doc_id, t0, trim(regexp_replace(t3, "
+            "'[ \\t\\r\\n\\x0B\\x0C]+', ' ', 'g'), ' ') AS text FROM n3) "
+            "SELECT doc_id, text, text != t0 AS changed FROM n4",
+        "events_rollup":
+            "WITH base AS (SELECT event_type, strftime(ts, '%Y-%m-%d') "
+            "AS day, CAST(round(value*100) AS BIGINT) AS cents FROM events) "
+            "SELECT coalesce(event_type, 'ALL') AS event_type, "
+            "coalesce(day, 'ALL') AS day, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(cents) AS BIGINT) AS total_cents "
+            "FROM base GROUP BY ROLLUP(event_type, day)",
+        "event_type_anomalies":
+            "WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "count(*) AS n_events FROM events GROUP BY 1, 2), "
+            "t AS (SELECT event_type, sum(n_events) AS total, "
+            "count(*) AS n_days FROM d GROUP BY 1) "
+            "SELECT d.event_type, d.day, CAST(d.n_events AS BIGINT) "
+            "AS n_events FROM d JOIN t USING (event_type) "
+            "WHERE 5 * d.n_events * t.n_days > 6 * t.total",
         "vocab_top_tokens":
             "WITH toks AS (SELECT unnest(regexp_split_to_array(lower("
             "coalesce(text,'')), '[^a-z]+')) AS token FROM documents), "

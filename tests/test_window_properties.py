@@ -117,3 +117,30 @@ def test_rolling_window_sum_matches_bruteforce(ray_session, rows):
             want = (sum(int(np.round((c / 100.0) * 100)) for _, _, c in window),
                     len(window))
             assert got[eid] == want, eid
+
+
+@_slow
+@given(st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                          st.sampled_from(["d1", "d2"]),
+                          st.integers(-10 ** 6, 10 ** 6)),
+                min_size=1, max_size=90),
+       st.integers(1, 5))
+def test_rollup_counts_matches_bruteforce_any_partitioning(ray_session,
+                                                           rows, nparts):
+    from xtract.ops.agg import rollup_counts
+
+    t = pa.table({
+        "k1": pa.array([a for a, _, _ in rows], pa.string()),
+        "k2": pa.array([b for _, b, _ in rows], pa.string()),
+        "cents": pa.array([c for _, _, c in rows], pa.int64()),
+    })
+    out = rollup_counts(rd.from_arrow(t).repartition(nparts),
+                        ("k1", "k2"), "cents").to_pandas()
+    got = {(r["k1"], r["k2"]): (int(r["n_rows"]), int(r["total_cents"]))
+           for r in out.to_dict("records")}
+    want: dict = {}
+    for a, b, c in rows:
+        for key in [(a, b), (a, "ALL"), ("ALL", "ALL")]:
+            n, s = want.get(key, (0, 0))
+            want[key] = (n + 1, s + c)
+    assert got == want

@@ -218,3 +218,56 @@ def grouped_concat_stats(ds, key: str, distinct_col: str, concat_col: str,
     return (ds.map_batches(combine, batch_format="pyarrow")
               .groupby("_part")
               .map_groups(finish, batch_format="pandas"))
+
+
+def rollup_counts(ds, dims: "tuple[str, ...]", cents_col: str,
+                  all_label: str = "ALL"):
+    """Multi-level aggregate in ONE exchange (``GROUP BY ROLLUP``):
+    → Dataset(dims..., n_rows, total_cents) with one output row per
+    prefix grouping level — (d1, d2), (d1, ALL), (ALL, ALL) for two
+    dims.  Rolled-up dimensions carry ``all_label`` (a sentinel, never
+    NULL — Ray's hash groupby on nullable string keys is unsafe, and
+    the label keeps the SQL oracle a plain COALESCE).
+
+    Shape: the block combiner emits each level's partial (dims → n,
+    cents) rows — a block with B rows contributes ≤ distinct(level
+    groups) slim rows per level — then ONE ``groupby(dims)`` with two
+    native Sums finishes all levels together.  No per-level pass over
+    the input, no driver state.  Assumes dim columns are non-null
+    strings (pre-coalesce upstream if not)."""
+    from ray.data.aggregate import Sum
+
+    dims = tuple(dims)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({d: t[d].to_pandas() for d in dims})
+        df["_c"] = t[cents_col].to_numpy(zero_copy_only=False) \
+                               .astype(np.int64)
+        outs = []
+        for level in range(len(dims), -1, -1):
+            keep = list(dims[:level])
+            if keep:
+                g = (df.groupby(keep, sort=False)["_c"]
+                       .agg(["size", "sum"]).reset_index())
+            else:
+                g = pd.DataFrame({"size": [len(df)],
+                                  "sum": [int(df["_c"].sum())]})
+            for d in dims[level:]:
+                g[d] = all_label
+            outs.append(g[[*dims, "size", "sum"]])
+        out = pd.concat(outs, ignore_index=True)
+        return pa.table({**{d: pa.array(out[d], pa.string())
+                            for d in dims},
+                         "_n": pa.array(out["size"].to_numpy()
+                                        .astype(np.int64)),
+                         "_cents": pa.array(out["sum"].to_numpy()
+                                            .astype(np.int64))})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([*dims, "n_rows", "total_cents"])
+
+    return (ds.map_batches(combine, batch_format="pyarrow")
+              .groupby(list(dims))
+              .aggregate(Sum("_n", alias_name="n_rows"),
+                         Sum("_cents", alias_name="total_cents"))
+              .map_batches(rename, batch_format="pyarrow"))
