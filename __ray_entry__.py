@@ -513,6 +513,92 @@ def _q_event_type_anomalies(sf_dir: str):
     return cells.map_batches(flag, batch_format="pyarrow")
 
 
+_IVF_INT = dict(k=10, n_cells=8, nprobe=3, iters=4, train_mod=2,
+                qids=(0, 7), dim=64)
+
+
+def _q_knn_ivf_int(sf_dir: str):
+    """Integer IVF ANN (train → assign → probe → score, all int64) —
+    the SQL-checkable twin of ``knn_ivf``: the oracle re-derives the
+    whole index with unrolled k-means CTEs and hash-matches
+    (query_id, vec_id, d) exactly."""
+    from xtract.ops.similarity import knn_ivf_int
+
+    p = _IVF_INT
+    return knn_ivf_int(_emb(sf_dir), list(p["qids"]), k=p["k"],
+                       n_cells=p["n_cells"], nprobe=p["nprobe"],
+                       iters=p["iters"], train_mod=p["train_mod"])
+
+
+def _ivf_int_sql() -> str:
+    """Oracle for knn_ivf_int: quantize (floor(x·65536)+65536), init
+    centroids from evenly spaced rows of the id-ordered training
+    sample, ``iters`` unrolled Lloyd rounds (argmin squared-L2
+    assignment, ``sum // count`` update, empty cells keep their
+    centroid), then probe the ``nprobe`` nearest cells and rank
+    candidates by (d, vec_id)."""
+    p = _IVF_INT
+    q = (f"WITH idx AS (SELECT unnest(range({p['dim']})) AS j), "
+         "emb_e AS (SELECT vec_id, j, "
+         "CAST(floor(embedding[j + 1] * 65536) AS BIGINT) + 65536 AS q "
+         "FROM embeddings, idx), "
+         "train_ids AS (SELECT vec_id, "
+         "row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM embeddings "
+         f"WHERE vec_id % {p['train_mod']} = 0), "
+         "prm AS (SELECT greatest(1, count(*) // "
+         f"{p['n_cells']}) AS step FROM train_ids), "
+         "cent0 AS (SELECT CAST(t.rn // p.step AS BIGINT) AS cell, e.j, "
+         "e.q FROM train_ids t, prm p, emb_e e "
+         "WHERE e.vec_id = t.vec_id AND t.rn % p.step = 0 "
+         f"AND t.rn // p.step < {p['n_cells']}), ")
+    for i in range(1, p["iters"] + 1):
+        q += (
+            f"dist{i} AS (SELECT e.vec_id, c.cell, "
+            "sum((e.q - c.q) * (e.q - c.q)) AS d FROM emb_e e "
+            "JOIN train_ids t ON e.vec_id = t.vec_id "
+            f"JOIN cent{i - 1} c ON c.j = e.j GROUP BY e.vec_id, c.cell), "
+            f"asg{i} AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) "
+            f"AS rnk FROM dist{i}) WHERE rnk = 1), "
+            f"cent{i} AS (SELECT a.cell, e.j, sum(e.q) // count(*) AS q "
+            f"FROM asg{i} a JOIN emb_e e ON e.vec_id = a.vec_id "
+            "GROUP BY a.cell, e.j "
+            f"UNION ALL SELECT c.cell, c.j, c.q FROM cent{i - 1} c "
+            f"WHERE c.cell NOT IN (SELECT DISTINCT cell FROM asg{i})), ")
+    fin = f"cent{p['iters']}"
+    qv = " UNION ALL ".join(
+        f"SELECT {qi} AS query_id, CAST({vid} AS BIGINT) AS vec_id"
+        for qi, vid in enumerate(p["qids"]))
+    q += (
+        f"qv AS ({qv}), "
+        "qe AS (SELECT qv.query_id, e.j, e.q FROM qv "
+        "JOIN emb_e e ON e.vec_id = qv.vec_id), "
+        "qd AS (SELECT qe.query_id, c.cell, "
+        f"sum((qe.q - c.q) * (qe.q - c.q)) AS d FROM qe JOIN {fin} c "
+        "ON c.j = qe.j GROUP BY qe.query_id, c.cell), "
+        "probes AS (SELECT query_id, cell FROM (SELECT query_id, cell, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY d, cell) "
+        f"AS rnk FROM qd) WHERE rnk <= {p['nprobe']}), "
+        "vdist AS (SELECT e.vec_id, c.cell, "
+        f"sum((e.q - c.q) * (e.q - c.q)) AS d FROM emb_e e JOIN {fin} c "
+        "ON c.j = e.j GROUP BY e.vec_id, c.cell), "
+        "vasg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) "
+        "AS rnk FROM vdist) WHERE rnk = 1), "
+        "cand AS (SELECT p.query_id, v.vec_id FROM probes p "
+        "JOIN vasg v ON v.cell = p.cell), "
+        "sc AS (SELECT c.query_id, c.vec_id, "
+        "sum((qe.q - e.q) * (qe.q - e.q)) AS d FROM cand c "
+        "JOIN qe ON qe.query_id = c.query_id "
+        "JOIN emb_e e ON e.vec_id = c.vec_id AND e.j = qe.j "
+        "GROUP BY c.query_id, c.vec_id) "
+        "SELECT query_id, vec_id, CAST(d AS BIGINT) AS d FROM ("
+        "SELECT query_id, vec_id, d, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY d, vec_id) AS rnk FROM sc) "
+        f"WHERE rnk <= {p['k']}")
+    return q
+
+
 def _q_last_order_before_event_cogroup(sf_dir: str):
     """Same as-of semantics via the LARGE-×-LARGE co-group path (hash
     co-partition + one pandas merge_asof per partition) — no broadcast:
@@ -1694,6 +1780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": _q_doc_normalize,
         "events_rollup": _q_events_rollup,
         "event_type_anomalies": _q_event_type_anomalies,
+        "knn_ivf_int": _q_knn_ivf_int,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -2490,6 +2577,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.event_type, d.day, CAST(d.n_events AS BIGINT) "
             "AS n_events FROM d JOIN t USING (event_type) "
             "WHERE 5 * d.n_events * t.n_days > 6 * t.total",
+        "knn_ivf_int": _ivf_int_sql(),
         "vocab_top_tokens":
             "WITH toks AS (SELECT unnest(regexp_split_to_array(lower("
             "coalesce(text,'')), '[^a-z]+')) AS token FROM documents), "

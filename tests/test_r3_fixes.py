@@ -214,3 +214,39 @@ def test_paragraph_dedup_cogroup_matches_broadcast(ray_session):
     assert bc.loc[2, "n_paras_dropped"] == 2
     assert "shared paragraph" in bc.loc[0, "text"]
     assert "shared paragraph" not in bc.loc[2, "text"]
+
+
+def test_knn_ivf_int_recall_and_partition_invariance(ray_session):
+    """Integer IVF: exact SQL semantics are covered by the oracle test;
+    here check (a) k results per query ranked by (d, vec_id), (b)
+    recall@10 vs integer brute force is reasonable, (c) the result is
+    identical under a different partitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xtract.ops.similarity import _quant_int, knn_ivf_int
+
+    rng = np.random.default_rng(11)
+    n, dim = 400, 16
+    vecs = rng.normal(size=(n, dim)).astype(np.float32) * 0.3
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                        pa.list_(pa.float32()))})
+    out = knn_ivf_int(rd.from_arrow(t).repartition(4), [0, 5], k=10,
+                      n_cells=8, nprobe=3).to_pandas()
+    out2 = knn_ivf_int(rd.from_arrow(t).repartition(9), [0, 5], k=10,
+                       n_cells=8, nprobe=3).to_pandas()
+    assert out.equals(out2)
+    qv = _quant_int(np.asarray(vecs[[0, 5]], np.float64))
+    allv = _quant_int(np.asarray(vecs, np.float64))
+    for qi in (0, 1):
+        g = out[out["query_id"] == qi]
+        assert len(g) == 10
+        d = ((allv - qv[qi]) ** 2).sum(1)
+        exact = set(np.lexsort((np.arange(n), d))[:10].tolist())
+        got = set(g["vec_id"].tolist())
+        assert len(got & exact) >= 6, (qi, got, exact)
+        # ranked by (d, vec_id)
+        dd = g["d"].to_numpy()
+        assert (np.diff(dd) >= 0).all()

@@ -313,3 +313,117 @@ def label_centroids(ds, col: str = "embedding", label: str = "label",
             "centroid", pa.array(s / (float(scale) * n), pa.float64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# All-integer IVF — the SQL-checkable ANN variant.  Float k-means
+# (``deterministic_kmeans``) can't be reproduced in ANSI SQL bit-for-bit
+# (accumulation order), so this twin quantizes once up front and stays
+# in int64 end to end: training, assignment, probing, scoring.  Every
+# step is expressible as grouped integer arithmetic → the DuckDB oracle
+# re-derives the full index + search and the driver hash-checks it.
+
+_IVF_SCALE = 65536   # power of 2 → x*SCALE is exact in float64 for f32 x
+_IVF_OFFSET = 65536  # shifts components ≥0 so `//` floors identically
+                     # in numpy and SQL (both floor for non-negatives;
+                     # they DISAGREE on negatives)
+
+
+def _quant_int(vecs: np.ndarray) -> np.ndarray:
+    return (np.floor(vecs * _IVF_SCALE) + _IVF_OFFSET).astype(np.int64)
+
+
+def kmeans_int(train: np.ndarray, n_cells: int, iters: int = 4
+               ) -> np.ndarray:
+    """Integer Lloyd iterations over pre-quantized rows (MUST be in
+    ascending id order — init takes evenly spaced rows of that order).
+    Assignment = argmin squared L2, ties to the smallest cell index;
+    update = component-wise ``sum // count`` (empty cells keep their
+    centroid).  Deterministic: no RNG, no floats, any partitioning.
+    Chunk the distance matrix if the training sample outgrows memory
+    (m × k × dim int64)."""
+    m = len(train)
+    step = max(1, m // n_cells)
+    centers = train[::step][:n_cells].copy()
+    for _ in range(iters):
+        d = ((train[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(centers)):
+            mem = train[assign == c]
+            if len(mem):
+                centers[c] = mem.sum(0) // len(mem)
+    return centers
+
+
+def knn_ivf_int(ds, query_ids: "list[int]", k: int = 10, n_cells: int = 8,
+                nprobe: int = 3, iters: int = 4, train_mod: int = 2,
+                key: str = "vec_id", col: str = "embedding") -> "pa.Table":
+    """Integer IVF ANN: train on the ``id % train_mod == 0`` stratified
+    sample (pick ``train_mod ≈ n / 2048`` at real scale), assign +
+    probe + score in ONE streaming pass with per-batch partial top-k —
+    only k × nq int rows per batch reach the driver.  Queries are rows
+    of the corpus itself (``query_ids``), so the oracle can
+    reconstruct them.  → (query_id, vec_id, d) with d = squared L2 in
+    quantized units, ranked by (d, vec_id)."""
+    import ray
+
+    qid_arr = pa.array(sorted(query_ids), pa.int64())
+
+    def keep_queries(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.is_in(b[key], value_set=qid_arr))
+
+    qrows = {r[key]: r[col]
+             for r in ds.select_columns([key, col])
+                        .map_batches(keep_queries, batch_format="pyarrow")
+                        .take_all()}
+    q = _quant_int(np.asarray([qrows[i] for i in query_ids], np.float64))
+
+    def keep_train(b: pa.Table) -> pa.Table:
+        ids = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(ids % train_mod == 0))
+
+    train_rows = sorted(ds.select_columns([key, col])
+                          .map_batches(keep_train, batch_format="pyarrow")
+                          .take_all(), key=lambda r: r[key])
+    train = _quant_int(np.asarray([r[col] for r in train_rows], np.float64))
+    centers = kmeans_int(train, n_cells, iters)
+
+    qd = ((q[:, None, :] - centers[None, :, :]) ** 2).sum(-1)  # nq × k
+    order = np.lexsort((np.broadcast_to(np.arange(len(centers)),
+                                        qd.shape), qd), axis=1)
+    probes = order[:, :nprobe]                                  # nq × nprobe
+    ref = ray.put((q, centers, probes))
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        qm, cm, pr = ray.get(ref)
+        ids = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = _quant_int(np.asarray(b[col].to_pylist(), np.float64))
+        cells = ((v[:, None, :] - cm[None, :, :]) ** 2).sum(-1).argmin(1)
+        out_q, out_i, out_d = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(cells, pr[qi])
+            if not mask.any():
+                continue
+            d = ((v[mask] - qm[qi]) ** 2).sum(1)
+            sub = ids[mask]
+            top = np.lexsort((sub, d))[:k]
+            out_q.extend([qi] * len(top))
+            out_i.extend(sub[top].tolist())
+            out_d.extend(d[top].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         key: pa.array(out_i, pa.int64()),
+                         "d": pa.array(out_d, pa.int64())})
+
+    parts = (ds.select_columns([key, col])
+               .map_batches(partial_topk, batch_format="pyarrow",
+                            batch_size=4096).to_pandas())
+    outs = []
+    for qi, g in parts.groupby("query_id", sort=True):
+        g = g.sort_values(["d", key], kind="mergesort").head(k)
+        outs.append(g)
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+                                preserve_index=False)
