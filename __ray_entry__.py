@@ -530,13 +530,13 @@ def _q_knn_ivf_int(sf_dir: str):
                        iters=p["iters"], train_mod=p["train_mod"])
 
 
-def _ivf_int_sql() -> str:
-    """Oracle for knn_ivf_int: quantize (floor(x·65536)+65536), init
-    centroids from evenly spaced rows of the id-ordered training
-    sample, ``iters`` unrolled Lloyd rounds (argmin squared-L2
-    assignment, ``sum // count`` update, empty cells keep their
-    centroid), then probe the ``nprobe`` nearest cells and rank
-    candidates by (d, vec_id)."""
+def _ivf_prefix_sql() -> str:
+    """Shared oracle prefix for the integer-k-means family: quantize
+    (floor(x·65536)+65536), init centroids from evenly spaced rows of
+    the id-ordered training sample, ``iters`` unrolled Lloyd rounds
+    (argmin squared-L2 assignment, ``sum // count`` update, empty
+    cells keep their centroid), then assign EVERY vector → ``vasg``.
+    Ends mid-WITH (trailing comma) so callers append their own CTEs."""
     p = _IVF_INT
     q = (f"WITH idx AS (SELECT unnest(range({p['dim']})) AS j), "
          "emb_e AS (SELECT vec_id, j, "
@@ -566,9 +566,26 @@ def _ivf_int_sql() -> str:
             f"UNION ALL SELECT c.cell, c.j, c.q FROM cent{i - 1} c "
             f"WHERE c.cell NOT IN (SELECT DISTINCT cell FROM asg{i})), ")
     fin = f"cent{p['iters']}"
+    q += (
+        "vdist AS (SELECT e.vec_id, c.cell, "
+        f"sum((e.q - c.q) * (e.q - c.q)) AS d FROM emb_e e JOIN {fin} c "
+        "ON c.j = e.j GROUP BY e.vec_id, c.cell), "
+        "vasg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) "
+        "AS rnk FROM vdist) WHERE rnk = 1), ")
+    return q
+
+
+def _ivf_int_sql() -> str:
+    """Oracle for knn_ivf_int: the shared integer-k-means prefix, then
+    probe the ``nprobe`` nearest cells per query and rank candidates
+    by (d, vec_id)."""
+    p = _IVF_INT
+    fin = f"cent{p['iters']}"
     qv = " UNION ALL ".join(
         f"SELECT {qi} AS query_id, CAST({vid} AS BIGINT) AS vec_id"
         for qi, vid in enumerate(p["qids"]))
+    q = _ivf_prefix_sql()
     q += (
         f"qv AS ({qv}), "
         "qe AS (SELECT qv.query_id, e.j, e.q FROM qv "
@@ -579,12 +596,6 @@ def _ivf_int_sql() -> str:
         "probes AS (SELECT query_id, cell FROM (SELECT query_id, cell, "
         "row_number() OVER (PARTITION BY query_id ORDER BY d, cell) "
         f"AS rnk FROM qd) WHERE rnk <= {p['nprobe']}), "
-        "vdist AS (SELECT e.vec_id, c.cell, "
-        f"sum((e.q - c.q) * (e.q - c.q)) AS d FROM emb_e e JOIN {fin} c "
-        "ON c.j = e.j GROUP BY e.vec_id, c.cell), "
-        "vasg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, "
-        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) "
-        "AS rnk FROM vdist) WHERE rnk = 1), "
         "cand AS (SELECT p.query_id, v.vec_id FROM probes p "
         "JOIN vasg v ON v.cell = p.cell), "
         "sc AS (SELECT c.query_id, c.vec_id, "
@@ -596,6 +607,41 @@ def _ivf_int_sql() -> str:
         "SELECT query_id, vec_id, d, row_number() OVER ("
         "PARTITION BY query_id ORDER BY d, vec_id) AS rnk FROM sc) "
         f"WHERE rnk <= {p['k']}")
+    return q
+
+
+_SEMDEDUP_EPS = 5_500_000_000  # squared-L2 in quantized units (~0.5th
+                               # pair-distance percentile at sf0.01)
+
+
+def _q_semantic_dedup_int(sf_dir: str):
+    """Integer SemDeDup: duplicate iff an earlier-id member of the same
+    k-means cell lies within eps — same integer centroids as
+    ``knn_ivf_int``, fully re-derived by the SQL oracle."""
+    from xtract.ops.similarity import semantic_dedup_int
+
+    p = _IVF_INT
+    return semantic_dedup_int(_emb(sf_dir), eps=_SEMDEDUP_EPS,
+                              n_cells=p["n_cells"], iters=p["iters"],
+                              train_mod=p["train_mod"])
+
+
+def _semantic_dedup_int_sql() -> str:
+    """Oracle for semantic_dedup_int: shared integer-k-means prefix →
+    within-cell earlier-id pairs → pairwise squared-L2 → dup flag."""
+    q = _ivf_prefix_sql()
+    q += (
+        "pairs AS (SELECT a.vec_id AS xa, b.vec_id AS xb FROM vasg a "
+        "JOIN vasg b ON a.cell = b.cell AND b.vec_id < a.vec_id), "
+        "pd AS (SELECT p.xa, p.xb, "
+        "sum((ea.q - eb.q) * (ea.q - eb.q)) AS d FROM pairs p "
+        "JOIN emb_e ea ON ea.vec_id = p.xa "
+        "JOIN emb_e eb ON eb.vec_id = p.xb AND eb.j = ea.j "
+        "GROUP BY p.xa, p.xb), "
+        f"dup AS (SELECT DISTINCT xa AS vec_id FROM pd "
+        f"WHERE d <= {_SEMDEDUP_EPS}) "
+        "SELECT e.vec_id, e.vec_id IN (SELECT vec_id FROM dup) AS is_dup "
+        "FROM embeddings e")
     return q
 
 
@@ -1781,6 +1827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_events_rollup,
         "event_type_anomalies": _q_event_type_anomalies,
         "knn_ivf_int": _q_knn_ivf_int,
+        "semantic_dedup_int": _q_semantic_dedup_int,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -2578,6 +2625,7 @@ def oracle_sql() -> dict[str, str]:
             "AS n_events FROM d JOIN t USING (event_type) "
             "WHERE 5 * d.n_events * t.n_days > 6 * t.total",
         "knn_ivf_int": _ivf_int_sql(),
+        "semantic_dedup_int": _semantic_dedup_int_sql(),
         "vocab_top_tokens":
             "WITH toks AS (SELECT unnest(regexp_split_to_array(lower("
             "coalesce(text,'')), '[^a-z]+')) AS token FROM documents), "

@@ -427,3 +427,60 @@ def knn_ivf_int(ds, query_ids: "list[int]", k: int = 10, n_cells: int = 8,
 
     return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
                                 preserve_index=False)
+
+
+def semantic_dedup_int(ds, eps: int, n_cells: int = 8, iters: int = 4,
+                       train_mod: int = 2, key: str = "vec_id",
+                       col: str = "embedding", chunk: int = 256):
+    """SemDeDup with the ALL-INTEGER k-means of ``knn_ivf_int``: a row
+    is a duplicate iff some EARLIER-id member of its cell lies within
+    squared-L2 ``eps`` (quantized units).  Local per cell, no
+    transitive closure → exactly SQL-expressible, and the oracle
+    re-derives centroids + assignment + pairwise rule bit-for-bit.
+    → Dataset(key, is_dup).
+
+    Shape: centroids trained once on the id-mod sample (driver,
+    bounded), broadcast; ONE groupby(cell) co-group; inside a cell the
+    earlier-member check runs in row chunks (chunk × cell_size × dim
+    int64) so a hot cell never materializes its full gram matrix."""
+    import ray
+
+    def keep_train(b: pa.Table) -> pa.Table:
+        ids = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(ids % train_mod == 0))
+
+    train_rows = sorted(ds.select_columns([key, col])
+                          .map_batches(keep_train, batch_format="pyarrow")
+                          .take_all(), key=lambda r: r[key])
+    train = _quant_int(np.asarray([r[col] for r in train_rows], np.float64))
+    centers_ref = ray.put(kmeans_int(train, n_cells, iters))
+
+    def assign(b: pa.Table) -> pa.Table:
+        cm = ray.get(centers_ref)
+        v = _quant_int(np.asarray(b[col].to_pylist(), np.float64))
+        cells = ((v[:, None, :] - cm[None, :, :]) ** 2).sum(-1).argmin(1)
+        return pa.table({key: b[key], col: b[col],
+                         "cell": pa.array(cells.astype(np.int64))})
+
+    def per_cell(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(t, sort_keys=[(key, "ascending")])
+        t = t.take(idx)
+        ids = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = _quant_int(np.asarray(t[col].to_pylist(), np.float64))
+        m = len(v)
+        is_dup = np.zeros(m, bool)
+        for a in range(1, m, chunk):
+            b_end = min(a + chunk, m)
+            d = ((v[a:b_end, None, :] - v[None, :b_end, :]) ** 2).sum(-1)
+            rows = np.arange(a, b_end)[:, None]
+            mask = (d <= eps) & (np.arange(b_end)[None, :] < rows)
+            is_dup[a:b_end] = mask.any(1)
+        return pa.table({key: pa.array(ids),
+                         "is_dup": pa.array(is_dup)})
+
+    return (ds.select_columns([key, col])
+              .map_batches(assign, batch_format="pyarrow")
+              .groupby("cell")
+              .map_groups(per_cell, batch_format="pyarrow"))
