@@ -645,6 +645,34 @@ def _semantic_dedup_int_sql() -> str:
     return q
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _q_event_funnel(sf_dir: str):
+    """Greedy first-occurrence funnel view → click → purchase
+    (``ops/behavior.funnel_counts``)."""
+    import ray.data as rd
+
+    from xtract.ops.behavior import funnel_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ev, "user_id", "ts", _FUNNEL_STEPS)
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: first-active-day cohorts × integer day
+    offset, exact distinct-user counts
+    (``ops/behavior.cohort_retention``)."""
+    import ray.data as rd
+
+    from xtract.ops.behavior import cohort_retention
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return cohort_retention(ev, "user_id", "ts")
+
+
 def _q_last_order_before_event_cogroup(sf_dir: str):
     """Same as-of semantics via the LARGE-×-LARGE co-group path (hash
     co-partition + one pandas merge_asof per partition) — no broadcast:
@@ -1828,6 +1856,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_anomalies": _q_event_type_anomalies,
         "knn_ivf_int": _q_knn_ivf_int,
         "semantic_dedup_int": _q_semantic_dedup_int,
+        "event_funnel": _q_event_funnel,
+        "cohort_retention": _q_cohort_retention,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -2626,6 +2656,29 @@ def oracle_sql() -> dict[str, str]:
             "WHERE 5 * d.n_events * t.n_days > 6 * t.total",
         "knn_ivf_int": _ivf_int_sql(),
         "semantic_dedup_int": _semantic_dedup_int_sql(),
+        "event_funnel":
+            "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t "
+            "WHERE e.event_type = 'click' GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t "
+            "WHERE e.event_type = 'purchase' GROUP BY 1) "
+            "SELECT 1 AS step, 'view' AS event_type, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM s1 "
+            "UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2 "
+            "UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) "
+            "FROM s3",
+        "cohort_retention":
+            "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort "
+            "FROM events GROUP BY 1), "
+            "a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+            "FROM events) "
+            "SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day, "
+            "CAST(a.day - f.cohort AS BIGINT) AS offset_days, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM a JOIN f ON f.user_id = a.user_id GROUP BY 1, 2",
         "vocab_top_tokens":
             "WITH toks AS (SELECT unnest(regexp_split_to_array(lower("
             "coalesce(text,'')), '[^a-z]+')) AS token FROM documents), "

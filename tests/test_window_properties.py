@@ -144,3 +144,35 @@ def test_rollup_counts_matches_bruteforce_any_partitioning(ray_session,
             n, s = want.get(key, (0, 0))
             want[key] = (n + 1, s + c)
     assert got == want
+
+
+@_slow
+@given(st.lists(st.tuples(st.integers(0, 5),                # user
+                          st.integers(0, 10 ** 7),          # ts µs
+                          st.sampled_from(["a", "b", "c", "x"])),
+                min_size=1, max_size=120),
+       st.integers(1, 4))
+def test_funnel_counts_match_bruteforce(ray_session, rows, nparts):
+    from xtract.ops.behavior import funnel_counts
+
+    steps = ("a", "b", "c")
+    t = pa.table({
+        "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+        "ts": pa.array([ts for _, ts, _ in rows], pa.timestamp("us")),
+        "event_type": pa.array([e for _, _, e in rows], pa.string()),
+    })
+    out = funnel_counts(rd.from_arrow(t).repartition(nparts),
+                        "user_id", "ts", steps).to_pandas()
+    got = {int(r["step"]): int(r["n_users"]) for r in out.to_dict("records")}
+    want = {1: 0, 2: 0, 3: 0}
+    for u in set(r[0] for r in rows):
+        evs = sorted((ts, e) for uu, ts, e in rows if uu == u)
+        reach = None
+        for i, s in enumerate(steps):
+            cand = [ts for ts, e in evs
+                    if e == s and (reach is None or ts > reach)]
+            if not cand:
+                break
+            reach = min(cand)
+            want[i + 1] += 1
+    assert got == want

@@ -1,0 +1,105 @@
+"""User-behavior analytics over event streams: funnel conversion and
+cohort retention — the two aggregate shapes a crawl/product pipeline
+runs on its interaction logs.
+
+Both use the standard coarse hash co-group on the user key (one pandas
+pass per partition, cython kernels inside), with the partitioning
+assumption every keyed op here shares: one user's events fit in one
+partition.  Every output is an exact integer count, so the DuckDB
+oracles hash-match bit for bit.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .joins import _add_key_part
+
+
+def funnel_counts(ds, key: str, ts_col: str, steps: "tuple[str, ...]",
+                  type_col: str = "event_type", num_partitions: int = 32):
+    """Greedy first-occurrence funnel: a user reaches step i+1 iff they
+    have a ``steps[i+1]`` event STRICTLY after their step-i reach time
+    (step-0 reach = first ``steps[0]`` event).  → (step, event_type,
+    n_users), step 1-based, n_users monotonically non-increasing.
+
+    Per partition: one filtered ``groupby(key).min`` per step (cython),
+    each merged against the previous step's reach times — no per-user
+    Python.  Partials are per-partition step counts; the final
+    ``groupby(step)`` sums P slim rows."""
+    from ray.data.aggregate import Sum
+
+    steps = tuple(steps)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        reach: "pd.Series | None" = None
+        counts = []
+        for s in steps:
+            ev = g.loc[g[type_col] == s, [key, ts_col]]
+            if reach is not None:
+                # plain column merge — a right_index merge would leak
+                # the key as the result's index NAME and make the
+                # groupby below ambiguous
+                ev = ev.merge(reach, on=key)
+                ev = ev[ev[ts_col] > ev["_r"]].drop(columns=["_r"])
+            reach = (ev.groupby(key, sort=False)[ts_col].min()
+                       .rename("_r").reset_index())
+            counts.append(len(reach))
+        return pd.DataFrame({"step": np.arange(1, len(steps) + 1,
+                                               dtype=np.int64),
+                             "event_type": list(steps),
+                             "_n": np.asarray(counts, np.int64)})
+
+    parts = (ds.map_batches(lambda b: _add_key_part(b, key, num_partitions),
+                            batch_format="pyarrow")
+               .groupby("_part")
+               .map_groups(per_partition, batch_format="pandas"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["step", "event_type", "n_users"])
+
+    return (parts.groupby(["step", "event_type"])
+                 .aggregate(Sum("_n", alias_name="n_users"))
+                 .map_batches(rename, batch_format="pyarrow"))
+
+
+def cohort_retention(ds, key: str, ts_col: str, num_partitions: int = 32):
+    """Cohort retention matrix: users grouped by their FIRST active day
+    (cohort), counted on each later active day by integer day offset.
+    → (cohort_day 'YYYY-MM-DD', offset_days, n_users) — exact distinct
+    user counts (a user's (day) activity dedups inside its partition,
+    which holds ALL of that user's events).
+
+    Per partition: ``groupby(key).min`` for the cohort day, one
+    drop_duplicates for active (user, day) pairs, one vectorized date
+    diff; partials summed by a final slim groupby."""
+    from ray.data.aggregate import Sum
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        days = pd.Series(g[ts_col].to_numpy().astype("datetime64[D]"))
+        df = pd.DataFrame({key: g[key].to_numpy(), "_day": days})
+        first = (df.groupby(key, sort=False)["_day"].min()
+                   .rename("_cohort").reset_index())
+        act = df.drop_duplicates()
+        act = act.merge(first, on=key)
+        off = (act["_day"].to_numpy() - act["_cohort"].to_numpy()) \
+            .astype("timedelta64[D]").astype(np.int64)
+        out = pd.DataFrame({
+            "cohort_day": act["_cohort"].dt.strftime("%Y-%m-%d"),
+            "offset_days": off,
+        }).groupby(["cohort_day", "offset_days"], sort=False) \
+          .size().rename("_n").reset_index()
+        return out
+
+    parts = (ds.map_batches(lambda b: _add_key_part(b, key, num_partitions),
+                            batch_format="pyarrow")
+               .groupby("_part")
+               .map_groups(per_partition, batch_format="pandas"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["cohort_day", "offset_days", "n_users"])
+
+    return (parts.groupby(["cohort_day", "offset_days"])
+                 .aggregate(Sum("_n", alias_name="n_users"))
+                 .map_batches(rename, batch_format="pyarrow"))
