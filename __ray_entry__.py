@@ -673,6 +673,41 @@ def _q_cohort_retention(sf_dir: str):
     return cohort_retention(ev, "user_id", "ts")
 
 
+def _q_user_dominant_event(sf_dir: str):
+    """Grouped MODE: each user's most frequent event type (ties → the
+    lexicographically smallest type) with its count
+    (``ops/agg.grouped_mode``)."""
+    import ray.data as rd
+
+    from xtract.ops.agg import grouped_mode
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return grouped_mode(ev, "user_id", "event_type")
+
+
+def _q_doc_keywords(sf_dir: str):
+    """TF-IDF keyword extraction: top-3 terms per document by integer
+    micro-ln score (``ops/ranking.tfidf_top_terms``)."""
+    from xtract.ops.ranking import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=3)
+
+
+def _q_user_range_window(sf_dir: str):
+    """Per-user 60-minute TIME-RANGE rolling sum in integer cents
+    (``ops/joins.range_window_sum`` — peers at the current timestamp
+    included, matching SQL RANGE frame semantics)."""
+    import ray.data as rd
+
+    from xtract.ops.joins import range_window_sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+    return range_window_sum(ev, "user_id", "ts", "value",
+                            width_minutes=60)
+
+
 def _q_last_order_before_event_cogroup(sf_dir: str):
     """Same as-of semantics via the LARGE-×-LARGE co-group path (hash
     co-partition + one pandas merge_asof per partition) — no broadcast:
@@ -1858,6 +1893,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_int": _q_semantic_dedup_int,
         "event_funnel": _q_event_funnel,
         "cohort_retention": _q_cohort_retention,
+        "user_dominant_event": _q_user_dominant_event,
+        "doc_keywords": _q_doc_keywords,
+        "user_range_window": _q_user_range_window,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -2679,6 +2717,34 @@ def oracle_sql() -> dict[str, str]:
             "CAST(a.day - f.cohort AS BIGINT) AS offset_days, "
             "CAST(count(*) AS BIGINT) AS n_users "
             "FROM a JOIN f ON f.user_id = a.user_id GROUP BY 1, 2",
+        "user_dominant_event":
+            "SELECT user_id, mode, n FROM (SELECT user_id, "
+            "event_type AS mode, CAST(count(*) AS BIGINT) AS n, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY count(*) DESC, event_type) AS rn "
+            "FROM events GROUP BY user_id, event_type) WHERE rn = 1",
+        "doc_keywords":
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(coalesce(text, '')), "
+            "'[a-z0-9_]+')) AS token FROM documents), "
+            "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks "
+            "GROUP BY 1, 2), "
+            "df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "sc AS (SELECT tf.doc_id, tf.token, CAST(tf.tf * "
+            "floor(1000000 * ln((n.n + 1.0) / (df.df + 1.0))) AS BIGINT) "
+            "AS score_micro FROM tf JOIN df ON df.token = tf.token, n) "
+            "SELECT doc_id, CAST(rn AS BIGINT) AS rank, token, score_micro "
+            "FROM (SELECT doc_id, token, score_micro, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY score_micro DESC, token) AS rn "
+            "FROM sc) WHERE rn <= 3",
+        "user_range_window":
+            "SELECT user_id, event_id, "
+            "CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) "
+            "AS range_sum_cents, "
+            "CAST(count(*) OVER w AS BIGINT) AS n_in_range FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW)",
         "vocab_top_tokens":
             "WITH toks AS (SELECT unnest(regexp_split_to_array(lower("
             "coalesce(text,'')), '[^a-z]+')) AS token FROM documents), "

@@ -176,3 +176,62 @@ def test_funnel_counts_match_bruteforce(ray_session, rows, nparts):
             reach = min(cand)
             want[i + 1] += 1
     assert got == want
+
+
+@_slow
+@given(st.lists(st.tuples(st.integers(0, 2),                 # user (dup-heavy)
+                          st.integers(0, 500),               # ts µs small → peers
+                          st.integers(-10 ** 4, 10 ** 4)),
+                min_size=1, max_size=80))
+def test_range_window_sum_matches_bruteforce(ray_session, rows):
+    from xtract.ops.joins import range_window_sum
+
+    w_min = 1  # 60e6 µs — with ts ≤ 500 everything is in range; also
+    # exercise the tight case below with width scaled to data
+    t = pa.table({
+        "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+        "ts": pa.array([ts for _, ts, _ in rows], pa.timestamp("us")),
+        "value": pa.array([c / 100.0 for _, _, c in rows], pa.float64()),
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+    })
+    got = {int(r["event_id"]): (int(r["range_sum_cents"]),
+                                int(r["n_in_range"]))
+           for r in range_window_sum(rd.from_arrow(t).repartition(3),
+                                     "user_id", "ts", "value", w_min)
+           .to_pandas().to_dict("records")}
+    w_us = w_min * 60 * 1_000_000
+    for eid, (u, ts, c) in enumerate(rows):
+        in_frame = [cc for uu, tt, cc in rows
+                    if uu == u and ts - w_us <= tt <= ts]
+        want = (sum(int(np.round((cc / 100.0) * 100)) for cc in in_frame),
+                len(in_frame))
+        assert got[eid] == want, eid
+
+
+@_slow
+@given(st.lists(st.tuples(st.integers(0, 2),
+                          st.integers(0, 10 ** 9),            # wide ts
+                          st.integers(-10 ** 4, 10 ** 4)),
+                min_size=1, max_size=80))
+def test_range_window_sum_tight_width(ray_session, rows):
+    from xtract.ops.joins import range_window_sum
+
+    t = pa.table({
+        "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+        "ts": pa.array([ts for _, ts, _ in rows], pa.timestamp("us")),
+        "value": pa.array([c / 100.0 for _, _, c in rows], pa.float64()),
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+    })
+    w_min = 2  # 120e6 µs against a 1e9 µs spread → partial frames
+    got = {int(r["event_id"]): (int(r["range_sum_cents"]),
+                                int(r["n_in_range"]))
+           for r in range_window_sum(rd.from_arrow(t).repartition(4),
+                                     "user_id", "ts", "value", w_min)
+           .to_pandas().to_dict("records")}
+    w_us = w_min * 60 * 1_000_000
+    for eid, (u, ts, c) in enumerate(rows):
+        in_frame = [cc for uu, tt, cc in rows
+                    if uu == u and ts - w_us <= tt <= ts]
+        want = (sum(int(np.round((cc / 100.0) * 100)) for cc in in_frame),
+                len(in_frame))
+        assert got[eid] == want, eid

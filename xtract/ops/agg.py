@@ -271,3 +271,40 @@ def rollup_counts(ds, dims: "tuple[str, ...]", cents_col: str,
               .aggregate(Sum("_n", alias_name="n_rows"),
                          Sum("_cents", alias_name="total_cents"))
               .map_batches(rename, batch_format="pyarrow"))
+
+
+def grouped_mode(ds, key: str, val: str, num_partitions: int = 32):
+    """→ Dataset(key, mode, n): each key's most frequent value (ties →
+    lexicographically smallest value) and its count.
+
+    Composition of existing shapes: the (key, val) pair counts come
+    from a block combiner + ONE groupby Sum (a hot pair contributes ≤1
+    row per block), then ``first_row_per_key`` picks the winner under
+    (−n, val) without a second full shuffle of the data — only the
+    distinct-pair table moves."""
+    from ray.data.aggregate import Sum
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        df = (t.select([key, val]).to_pandas()
+               .groupby([key, val], sort=False).size()
+               .rename("_n").reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counted = (ds.map_batches(pair_counts, batch_format="pyarrow")
+                 .groupby([key, val])
+                 .aggregate(Sum("_n", alias_name="n")))
+
+    def neg(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_neg", pc.multiply(pc.cast(t["n"], pa.int64()),
+                                pa.scalar(-1, pa.int64())))
+
+    win = first_row_per_key(counted.map_batches(neg, batch_format="pyarrow"),
+                            key, ("_neg", val),
+                            num_partitions=num_partitions)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({key: t[key], "mode": t[val],
+                         "n": pc.cast(t["n"], pa.int64())})
+
+    return win.map_batches(fin, batch_format="pyarrow")

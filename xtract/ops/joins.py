@@ -753,3 +753,47 @@ def rolling_window_sum(ds, key: str, ts_col: str, value_col: str,
                            batch_format="pyarrow")
               .groupby("_part")
               .map_groups(per_partition, batch_format="pandas"))
+
+
+def range_window_sum(ds, key: str, ts_col: str, value_col: str,
+                     width_minutes: int, num_partitions: int = 32):
+    """Per-key TIME-RANGE rolling frame (``RANGE BETWEEN INTERVAL w
+    PRECEDING AND CURRENT ROW`` — inclusive both ends, peers with the
+    current timestamp included), the interval complement of
+    ``rolling_window_sum``'s row frame.
+    → (key, event_id, range_sum_cents, n_in_range).
+
+    Fully vectorized per partition — NO per-key Python: rows sorted by
+    (key, ts) are encoded onto one monotonic int64 axis
+    ``code·SPAN + (ts − ts_min)`` (key runs occupy disjoint ranges), so
+    ONE pair of ``np.searchsorted`` calls finds every row's frame
+    bounds, and the sum is a prefix-sum difference in integer cents.
+    The window-start probe clips at the key's own origin, so a frame
+    can never leak into the previous key's range."""
+    w_us = np.int64(width_minutes) * 60 * 1_000_000
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.round(g[value_col].to_numpy() * 100).astype(np.int64)
+        codes = pd.factorize(g[key].to_numpy(), sort=False)[0] \
+                  .astype(np.int64)
+        us_min = us.min()
+        span = np.int64(us.max() - us_min + 2)
+        comb = codes * span + (us - us_min)
+        probe = codes * span + (np.maximum(us - w_us, us_min) - us_min)
+        lo = np.searchsorted(comb, probe, side="left")
+        hi = np.searchsorted(comb, comb, side="right")
+        cs = np.concatenate([[0], np.cumsum(cents)])
+        return pd.DataFrame({
+            key: g[key],
+            "event_id": g["event_id"],
+            "range_sum_cents": (cs[hi] - cs[lo]).astype(np.int64),
+            "n_in_range": (hi - lo).astype(np.int64),
+        })
+
+    return (ds.map_batches(lambda b: _add_key_part(b, key, num_partitions),
+                           batch_format="pyarrow")
+              .groupby("_part")
+              .map_groups(per_partition, batch_format="pandas"))

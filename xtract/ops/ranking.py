@@ -325,3 +325,78 @@ def bm25_search_index(out_dir: str, query: str, k1: float = 1.2,
         lambda g: score_partition(g.drop_columns(["_part"])),
         batch_format="pyarrow")
     return _finalize_topk(cands, k, key)
+
+
+def tfidf_top_terms(ds, k: int = 3, key: str = "doc_id", col: str = "text",
+                    num_partitions: int = 64):
+    """Keyword extraction: each document's top-``k`` terms by integer
+    TF-IDF — ``score_micro = tf · ⌊10⁶·ln((N+1)/(df+1))⌋`` (the repo's
+    ln-micro quantization: DuckDB's libm ln is bit-exact vs numpy's,
+    so the oracle reproduces scores exactly).  → (doc_id, rank, token,
+    score_micro), rank 1-based under (score desc, token asc).
+
+    Scale shape — TWO slim exchanges, no corpus-wide driver state:
+
+    1. one tokenize pass emits distinct (doc, token, tf) rows;
+    2. hash co-group by TOKEN: every posting of a token lands in one
+       partition, so df = the group's size — df + idf + score computed
+       there with no separate df table or join;
+    3. hash co-group by DOC: vectorized rank mask keeps each doc's
+       top-k.
+
+    N (corpus row count) is the only driver scalar (metadata count).
+    Tokenization is the BM25 one (``[a-z0-9_]+`` on lower) so the SQL
+    oracle shares it."""
+    import pandas as pd
+
+    n_docs = ds.count()
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids, toks, tfs = [], [], []
+        for d, t in zip(batch[key].to_pylist(), batch[col].to_pylist()):
+            ws = _TOKEN_RE.findall((t or "").lower())
+            if not ws:
+                continue
+            u, c = np.unique(np.asarray(ws, object), return_counts=True)
+            ids.extend([d] * len(u))
+            toks.extend(u.tolist())
+            tfs.extend(c.tolist())
+        t = pa.table({key: pa.array(ids, pa.int64()),
+                      "token": pa.array(toks, pa.string()),
+                      "tf": pa.array(tfs, pa.int64())})
+        part = (pd.util.hash_array(np.asarray(toks, object))
+                % num_partitions).astype(np.int64)
+        return t.append_column("_part", pa.array(part, pa.int64()))
+
+    def score_by_token(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("token", sort=False)["token"].transform("size") \
+              .to_numpy().astype(np.int64)
+        idf_micro = np.floor(
+            1e6 * np.log((n_docs + 1.0) / (df + 1.0))).astype(np.int64)
+        return pd.DataFrame({
+            key: g[key].to_numpy(),
+            "token": g["token"].to_numpy(),
+            "score_micro": g["tf"].to_numpy() * idf_micro,
+        })
+
+    def repart_by_doc(t: pa.Table) -> pa.Table:
+        ids = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "_part", pa.array(np.abs(ids) % num_partitions, pa.int64()))
+
+    def topk_by_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, "score_micro", "token"],
+                          ascending=[True, False, True],
+                          kind="mergesort").reset_index(drop=True)
+        rank = g.groupby(key, sort=False).cumcount() + 1
+        g = g.assign(rank=rank.astype(np.int64))
+        g = g[g["rank"] <= k]
+        return g[[key, "rank", "token", "score_micro"]]
+
+    scored = (ds.select_columns([key, col])
+                .map_batches(postings, batch_format="pyarrow")
+                .groupby("_part")
+                .map_groups(score_by_token, batch_format="pandas"))
+    return (scored.map_batches(repart_by_doc, batch_format="pyarrow")
+                  .groupby("_part")
+                  .map_groups(topk_by_doc, batch_format="pandas"))
