@@ -708,6 +708,42 @@ def _q_user_range_window(sf_dir: str):
                             width_minutes=60)
 
 
+def _q_user_event_ntile(sf_dir: str):
+    """Per-user rank + NTILE(4) bucket over the event stream
+    (``ops/joins.ranked_ntile``, exact SQL NTILE fill semantics)."""
+    import ray.data as rd
+
+    from xtract.ops.joins import ranked_ntile
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+    return ranked_ntile(ev, "user_id", "ts", n_tiles=4)
+
+
+def _q_user_event_pivot(sf_dir: str):
+    """Pivot to wide: per-user event counts as one column per type
+    (fixed small domain) — indicator columns built in the map stage,
+    ONE groupby with native Sums (no co-group needed)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def indicators(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for ty in types:
+            cols[f"n_{ty}"] = pc.cast(
+                pc.equal(t["event_type"], ty), pa.int64())
+        return pa.table(cols)
+
+    return (ev.map_batches(indicators, batch_format="pyarrow")
+              .groupby("user_id")
+              .aggregate(*[Sum(f"n_{ty}", alias_name=f"n_{ty}")
+                           for ty in types]))
+
+
 def _q_last_order_before_event_cogroup(sf_dir: str):
     """Same as-of semantics via the LARGE-×-LARGE co-group path (hash
     co-partition + one pandas merge_asof per partition) — no broadcast:
@@ -1896,6 +1932,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_dominant_event": _q_user_dominant_event,
         "doc_keywords": _q_doc_keywords,
         "user_range_window": _q_user_range_window,
+        "user_event_ntile": _q_user_event_ntile,
+        "user_event_pivot": _q_user_event_pivot,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -2745,6 +2783,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) OVER w AS BIGINT) AS n_in_range FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
             "RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW)",
+        "user_event_ntile":
+            "SELECT user_id, event_id, "
+            "CAST(row_number() OVER w AS BIGINT) AS rank, "
+            "CAST(ntile(4) OVER w AS BIGINT) AS tile FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
+        "user_event_pivot":
+            "SELECT user_id, "
+            "CAST(count(*) FILTER (event_type = 'click') AS BIGINT) "
+            "AS n_click, "
+            "CAST(count(*) FILTER (event_type = 'error') AS BIGINT) "
+            "AS n_error, "
+            "CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) "
+            "AS n_purchase, "
+            "CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) "
+            "AS n_signup, "
+            "CAST(count(*) FILTER (event_type = 'view') AS BIGINT) "
+            "AS n_view FROM events GROUP BY user_id",
         "vocab_top_tokens":
             "WITH toks AS (SELECT unnest(regexp_split_to_array(lower("
             "coalesce(text,'')), '[^a-z]+')) AS token FROM documents), "

@@ -235,3 +235,34 @@ def test_range_window_sum_tight_width(ray_session, rows):
         want = (sum(int(np.round((cc / 100.0) * 100)) for cc in in_frame),
                 len(in_frame))
         assert got[eid] == want, eid
+
+
+@_slow
+@given(st.lists(st.tuples(st.integers(0, 4), st.integers(0, 10 ** 6)),
+                min_size=1, max_size=60),
+       st.integers(1, 6))
+def test_ranked_ntile_matches_sql_semantics(ray_session, rows, k):
+    from xtract.ops.joins import ranked_ntile
+
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "ts": pa.array([ts for _, ts in rows], pa.timestamp("us")),
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+    })
+    got = {int(r["event_id"]): (int(r["rank"]), int(r["tile"]))
+           for r in ranked_ntile(rd.from_arrow(t).repartition(3),
+                                 "user_id", "ts", n_tiles=k)
+           .to_pandas().to_dict("records")}
+    per_key: dict = {}
+    for eid, (u, ts) in enumerate(rows):
+        per_key.setdefault(u, []).append((ts, eid))
+    for seq in per_key.values():
+        seq.sort()
+        n = len(seq)
+        size, rem = divmod(n, k)
+        # SQL NTILE: first `rem` tiles have size+1 rows
+        tiles = []
+        for tile_i in range(1, k + 1):
+            tiles.extend([tile_i] * (size + (1 if tile_i <= rem else 0)))
+        for i, (_, eid) in enumerate(seq):
+            assert got[eid] == (i + 1, tiles[i]), (eid, n, k)

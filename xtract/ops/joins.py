@@ -797,3 +797,33 @@ def range_window_sum(ds, key: str, ts_col: str, value_col: str,
                            batch_format="pyarrow")
               .groupby("_part")
               .map_groups(per_partition, batch_format="pandas"))
+
+
+def ranked_ntile(ds, key: str, ts_col: str, n_tiles: int = 4,
+                 num_partitions: int = 32):
+    """Per-key rank + NTILE bucket (SQL semantics: with n rows and k
+    tiles, the first ``n % k`` tiles hold ``n//k + 1`` rows).
+    → (key, event_id, rank, tile), rank 1-based under (ts, event_id).
+    One cython cumcount + vectorized bucket arithmetic per partition."""
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        grp = g.groupby(key, sort=False)
+        rank = grp.cumcount().to_numpy().astype(np.int64)       # 0-based
+        n = grp[ts_col].transform("size").to_numpy().astype(np.int64)
+        size, rem = n // n_tiles, n % n_tiles
+        big = rem * (size + 1)
+        tile = np.where(rank < big,
+                        rank // np.maximum(size + 1, 1),
+                        np.where(size > 0, rem + (rank - big) // size, rank))
+        return pd.DataFrame({
+            key: g[key],
+            "event_id": g["event_id"],
+            "rank": rank + 1,
+            "tile": tile.astype(np.int64) + 1,
+        })
+
+    return (ds.map_batches(lambda b: _add_key_part(b, key, num_partitions),
+                           batch_format="pyarrow")
+              .groupby("_part")
+              .map_groups(per_partition, batch_format="pandas"))
