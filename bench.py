@@ -226,6 +226,15 @@ def bench_once() -> dict:
 
     queries["bm25_index"] = timed(run_bm25_index)
 
+    # TF-IDF keyword extraction: the two-exchange (token co-group →
+    # doc co-group) shape over the full documents table
+    from xtract.ops.ranking import tfidf_top_terms
+
+    queries["tfidf_keywords"] = timed(
+        lambda: tfidf_top_terms(
+            rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                            columns=["doc_id", "text"]), k=3).count())
+
     result = {
         "metric": "extracted documents/sec (byte-identical text per url)",
         "value": round(t_extract, 3),
