@@ -744,6 +744,93 @@ def _q_user_event_pivot(sf_dir: str):
                            for ty in types]))
 
 
+def _q_corpus_refresh_dedup(sf_dir: str):
+    """Incremental corpus refresh: union an UPDATED slice (every 4th
+    doc, text suffixed '[v2]', priority 0) with the full base corpus
+    (priority 1) and keep one row per doc_id preferring the update —
+    ``Dataset.union`` + ``first_row_per_key`` on (priority, source).
+    The SQL oracle rebuilds the same union with CASE."""
+    import ray.data as rd
+
+    from xtract.ops.agg import first_row_per_key
+
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def updated(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 4 == 0
+        sub = t.filter(pa.array(keep))
+        texts = [(x or "") + " [v2]" for x in sub["text"].to_pylist()]
+        return pa.table({"doc_id": sub["doc_id"],
+                         "text": pa.array(texts, pa.string()),
+                         "priority": pa.array([0] * len(sub), pa.int64())})
+
+    def tag_base(t: pa.Table) -> pa.Table:
+        return t.append_column("priority",
+                               pa.array([1] * len(t), pa.int64()))
+
+    upd = base.map_batches(updated, batch_format="pyarrow")
+    merged = upd.union(base.map_batches(tag_base, batch_format="pyarrow"))
+    return first_row_per_key(merged, "doc_id", ("priority",)) \
+        .select_columns(["doc_id", "text", "priority"])
+
+
+_FUZZY_CANON = ["alpha stream report", "beta window digest",
+                "gamma join summary"]
+
+
+def _fuzzy_titles_batch(t: pa.Table) -> pa.Table:
+    """doc_id → a deterministically mutated canonical title (identity /
+    first-char drop / first-char swap / suffix) with every 5th doc a
+    no-match garbage string; the SQL oracle CASE-builds the same."""
+    ids = t["doc_id"].to_pylist()
+    out = []
+    for d in ids:
+        if d % 5 == 0:
+            out.append("zzzz qqqq wwww")
+            continue
+        c = _FUZZY_CANON[d % 3]
+        m = d % 4
+        out.append(c if m == 0 else c[1:] if m == 1
+                   else "x" + c[1:] if m == 2 else c + "x")
+    return pa.table({"doc_id": t["doc_id"],
+                     "title": pa.array(out, pa.string())})
+
+
+def _q_fuzzy_title_match(sf_dir: str):
+    """Fuzzy entity normalization: nearest canonical title by
+    Levenshtein ≤ 2 over broadcast candidates
+    (``ops/fuzzy.fuzzy_match``)."""
+    from xtract.ops.fuzzy import fuzzy_match
+
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(
+        _fuzzy_titles_batch, batch_format="pyarrow")
+    return fuzzy_match(docs, "title", _FUZZY_CANON, max_dist=2)
+
+
+def _fuzzy_sql() -> str:
+    cands = ", ".join(f"'{c}'" for c in _FUZZY_CANON)
+    canon = ("CASE doc_id % 3 " +
+             " ".join(f"WHEN {i} THEN '{c}'"
+                      for i, c in enumerate(_FUZZY_CANON)) + " END")
+    return (
+        f"WITH t AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "
+        f"'zzzz qqqq wwww' WHEN doc_id % 4 = 0 THEN {canon} "
+        f"WHEN doc_id % 4 = 1 THEN substr({canon}, 2) "
+        f"WHEN doc_id % 4 = 2 THEN 'x' || substr({canon}, 2) "
+        f"ELSE {canon} || 'x' END AS title FROM documents), "
+        f"c AS (SELECT unnest([{cands}]) AS cand), "
+        "d AS (SELECT t.doc_id, c.cand, levenshtein(t.title, c.cand) "
+        "AS d FROM t, c), "
+        "best AS (SELECT doc_id, cand, d, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY d, cand) AS rn FROM d) "
+        "SELECT doc_id, CASE WHEN d <= 2 THEN cand ELSE '' END "
+        "AS best_match, CAST(CASE WHEN d <= 2 THEN d ELSE -1 END "
+        "AS BIGINT) AS dist FROM best WHERE rn = 1")
+
+
 def _q_last_order_before_event_cogroup(sf_dir: str):
     """Same as-of semantics via the LARGE-×-LARGE co-group path (hash
     co-partition + one pandas merge_asof per partition) — no broadcast:
@@ -1934,6 +2021,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_range_window": _q_user_range_window,
         "user_event_ntile": _q_user_event_ntile,
         "user_event_pivot": _q_user_event_pivot,
+        "corpus_refresh_dedup": _q_corpus_refresh_dedup,
+        "fuzzy_title_match": _q_fuzzy_title_match,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -2731,6 +2820,7 @@ def oracle_sql() -> dict[str, str]:
             "AS n_events FROM d JOIN t USING (event_type) "
             "WHERE 5 * d.n_events * t.n_days > 6 * t.total",
         "knn_ivf_int": _ivf_int_sql(),
+        "fuzzy_title_match": _fuzzy_sql(),
         "semantic_dedup_int": _semantic_dedup_int_sql(),
         "event_funnel":
             "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
@@ -2800,6 +2890,11 @@ def oracle_sql() -> dict[str, str]:
             "AS n_signup, "
             "CAST(count(*) FILTER (event_type = 'view') AS BIGINT) "
             "AS n_view FROM events GROUP BY user_id",
+        "corpus_refresh_dedup":
+            "SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN "
+            "coalesce(text, '') || ' [v2]' ELSE text END AS text, "
+            "CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS BIGINT) "
+            "AS priority FROM documents",
         "vocab_top_tokens":
             "WITH toks AS (SELECT unnest(regexp_split_to_array(lower("
             "coalesce(text,'')), '[^a-z]+')) AS token FROM documents), "

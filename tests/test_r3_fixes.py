@@ -250,3 +250,28 @@ def test_knn_ivf_int_recall_and_partition_invariance(ray_session):
         # ranked by (d, vec_id)
         dd = g["d"].to_numpy()
         assert (np.diff(dd) >= 0).all()
+
+
+def test_levenshtein_matches_duckdb_and_band():
+    """Banded early-exit returns the exact distance when d ≤ cap and
+    any value > cap otherwise — cross-checked against DuckDB's
+    levenshtein on random short strings."""
+    import random
+
+    import duckdb
+
+    from xtract.ops.fuzzy import levenshtein
+
+    rng = random.Random(7)
+    con = duckdb.connect()
+    for _ in range(300):
+        a = "".join(rng.choice("abcx ") for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice("abcx ") for _ in range(rng.randint(0, 12)))
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert levenshtein(a, b) == want, (a, b)
+        cap = rng.randint(0, 6)
+        got = levenshtein(a, b, cap=cap)
+        if want <= cap:
+            assert got == want, (a, b, cap)
+        else:
+            assert got > cap, (a, b, cap)
