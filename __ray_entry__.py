@@ -831,6 +831,61 @@ def _fuzzy_sql() -> str:
         "AS BIGINT) AS dist FROM best WHERE rn = 1")
 
 
+def _table_pages_batch(t: pa.Table) -> pa.Table:
+    """doc_id → a page with one 3-row table (headers, an entity, a
+    mod-valued cell, an unclosed cell) and for doc_id%4==0 a second
+    table; the SQL oracle CASE-constructs the expected cell rows."""
+    urls, htmls = [], []
+    for d in t["doc_id"].to_pylist():
+        urls.append(f"https://host{d % 6}.example.org/p/{d}")
+        h = ("<html><body><table><tr><th>k</th><th>v</th></tr>"
+             f"<tr><td>row{d % 3}</td><td>{d % 7}</td></tr>"
+             f"<tr><td>a &amp; b<td>{d % 5}</table>")
+        if d % 4 == 0:
+            h += f"<table><tr><td>x{d % 2}</td></tr></table>"
+        h += "</body></html>"
+        htmls.append(h.encode())
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "html": pa.array(htmls, pa.binary())})
+
+
+def _q_page_tables(sf_dir: str):
+    """HTML table extraction (structured-data surface): tokenizer walk
+    → one row per cell with (table, row, col) grid indices, recovery
+    for unclosed cells (``xtract/tables.py``)."""
+    from xtract.tables import extract_tables
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _table_pages_batch, batch_format="pyarrow")
+    return extract_tables(pages)
+
+
+def _page_tables_sql() -> str:
+    page = ("'https://host' || CAST(doc_id % 6 AS VARCHAR) || "
+            "'.example.org/p/' || CAST(doc_id AS VARCHAR)")
+    rows = [
+        ("0", "0", "0", "'k'", "true", None),
+        ("0", "0", "1", "'v'", "true", None),
+        ("0", "1", "0", "'row' || CAST(doc_id % 3 AS VARCHAR)", "false",
+         None),
+        ("0", "1", "1", "CAST(doc_id % 7 AS VARCHAR)", "false", None),
+        ("0", "2", "0", "'a & b'", "false", None),
+        ("0", "2", "1", "CAST(doc_id % 5 AS VARCHAR)", "false", None),
+        ("1", "0", "0", "'x' || CAST(doc_id % 2 AS VARCHAR)", "false",
+         "doc_id % 4 = 0"),
+    ]
+    parts = []
+    for t, r, c, txt, hdr, cond in rows:
+        q = (f"SELECT {page} AS url, CAST({t} AS BIGINT) AS table_idx, "
+             f"CAST({r} AS BIGINT) AS row_idx, CAST({c} AS BIGINT) "
+             f"AS col_idx, {txt} AS cell_text, {hdr} AS is_header "
+             "FROM documents")
+        if cond:
+            q += f" WHERE {cond}"
+        parts.append(q)
+    return " UNION ALL ".join(parts)
+
+
 def _q_last_order_before_event_cogroup(sf_dir: str):
     """Same as-of semantics via the LARGE-×-LARGE co-group path (hash
     co-partition + one pandas merge_asof per partition) — no broadcast:
@@ -2023,6 +2078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": _q_user_event_pivot,
         "corpus_refresh_dedup": _q_corpus_refresh_dedup,
         "fuzzy_title_match": _q_fuzzy_title_match,
+        "page_tables": _q_page_tables,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -2821,6 +2877,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE 5 * d.n_events * t.n_days > 6 * t.total",
         "knn_ivf_int": _ivf_int_sql(),
         "fuzzy_title_match": _fuzzy_sql(),
+        "page_tables": _page_tables_sql(),
         "semantic_dedup_int": _semantic_dedup_int_sql(),
         "event_funnel":
             "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "

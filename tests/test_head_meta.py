@@ -91,3 +91,39 @@ def test_base_href_in_outlinks():
         b'<a href="rel">rel</a>', "https://h.example.org/p/1")
     assert links == [("https://h.example.org/pre", "pre"),
                      ("https://b.example.net/d/rel", "rel")]
+
+
+def test_extract_tables_grid_recovery_nesting():
+    """Grid indices, entity decode, unclosed-cell recovery, nested
+    table folding, second top-level table."""
+    from xtract.tables import extract_tables_one
+
+    h = (b"<html><table><tr><th>Name</th><th>Qty</th></tr>"
+         b"<tr><td>apples &amp; pears</td><td>3<table><tr><td>inner"
+         b"</td></tr></table>x</td>"
+         b"<tr><td>unclosed row<td>next cell</table><p>after</p>"
+         b"<table><tr><td>second table</td></tr></table>")
+    assert extract_tables_one(h) == [
+        (0, 0, 0, "Name", True),
+        (0, 0, 1, "Qty", True),
+        (0, 1, 0, "apples & pears", False),
+        (0, 1, 1, "3innerx", False),
+        (0, 2, 0, "unclosed row", False),
+        (0, 2, 1, "next cell", False),
+        (1, 0, 0, "second table", False),
+    ]
+
+
+def test_extract_tables_never_crashes_on_byte_soup():
+    import random
+
+    from xtract.tables import extract_tables_one
+
+    rng = random.Random(5)
+    frags = [b"<table>", b"</table>", b"<tr>", b"<td>", b"</td>", b"<th>",
+             b"txt", b"&amp;", b"<", b">", b"\xff\xfe", b"</tr>", b"<a>"]
+    for _ in range(200):
+        soup = b"".join(rng.choice(frags)
+                        for _ in range(rng.randint(0, 40)))
+        for t, r, c, txt, hdr in extract_tables_one(soup):
+            assert t >= 0 and r >= 0 and c >= 0

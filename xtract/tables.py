@@ -1,0 +1,137 @@
+"""HTML table extraction — structured data from ``<table>`` markup,
+the third extraction surface walked by the SAME byte-offset tokenizer
+as the content, link, and head-meta paths (reference analogue: the
+content path's block taxonomy has a `table` block type; this surface
+materializes the cells).
+
+Emits one row per cell:
+
+    (url, table_idx, row_idx, col_idx, cell_text, is_header)
+
+Semantics (deliberately explicit — the oracle CASE-reconstructs them):
+
+- ``table_idx``: document-order index of each TOP-LEVEL table; a
+  nested ``<table>`` inside a cell contributes its text to that cell
+  and is not separately indexed (depth-tracked, never confuses the
+  outer grid).
+- ``row_idx`` / ``col_idx``: 0-based per table / per row, advanced by
+  ``<tr>`` and ``<td>/<th>`` starts at table depth 1.  Recovery: a new
+  ``<td>/<th>/<tr>`` implicitly closes an unclosed cell (the
+  tokenizer-recovery convention the link path uses for ``<a>``).
+- ``cell_text``: entity-unescaped text between the cell's bounds,
+  whitespace-collapsed and stripped.
+- ``is_header``: the cell's own tag is ``<th>``.
+
+Distributed shape: one streaming ``map_batches`` flat explode — Arrow
+in / Arrow out, flat builders, no shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from .html_tokenizer import tokenize
+from .segment import unescape
+
+_WS_RE = re.compile(r"\s+")
+
+TABLES_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("table_idx", pa.int64()),
+    ("row_idx", pa.int64()),
+    ("col_idx", pa.int64()),
+    ("cell_text", pa.string()),
+    ("is_header", pa.bool_()),
+])
+
+
+def extract_tables_one(html: bytes) -> list[tuple[int, int, int, str, bool]]:
+    """→ ordered [(table_idx, row_idx, col_idx, cell_text, is_header)].
+    Pure function (oracle-shared)."""
+    out: list[tuple[int, int, int, str, bool]] = []
+    depth = 0            # <table> nesting depth
+    table_i = -1
+    row_i = -1
+    col_i = -1
+    cell_parts: "list[str] | None" = None
+    cell_header = False
+
+    def close_cell() -> None:
+        nonlocal cell_parts
+        if cell_parts is not None and row_i >= 0 and col_i >= 0:
+            text = _WS_RE.sub(" ", "".join(cell_parts)).strip()
+            out.append((table_i, row_i, col_i, text, cell_header))
+        cell_parts = None
+
+    for tok in tokenize(html):
+        kind = tok[0]
+        if kind == "text":
+            if cell_parts is not None:
+                cell_parts.append(
+                    unescape(html[tok[1]:tok[2]].decode("utf-8", "replace")))
+        elif kind == "start":
+            tag = tok[3]
+            if tag == "table":
+                if depth == 0:
+                    table_i += 1
+                    row_i = -1
+                    col_i = -1
+                depth += 1
+            elif depth == 1:
+                if tag == "tr":
+                    close_cell()
+                    row_i += 1
+                    col_i = -1
+                elif tag in ("td", "th"):
+                    close_cell()
+                    col_i += 1
+                    cell_parts = []
+                    cell_header = tag == "th"
+        elif kind == "end":
+            tag = tok[3]
+            if tag == "table":
+                if depth == 1:
+                    close_cell()
+                    row_i = -1
+                    col_i = -1
+                if depth > 0:
+                    depth -= 1
+            elif depth == 1 and tag in ("td", "th"):
+                close_cell()
+    close_cell()  # unterminated cell runs to EOF
+    return out
+
+
+def tables_batch(batch: pa.Table) -> pa.Table:
+    """map_batches flat explode: pages rows → cell rows."""
+    urls = batch["url"].to_pylist()
+    htmls = (batch["html"].to_pylist() if "html" in batch.column_names
+             else [None] * len(urls))
+    c_url: list[str] = []
+    c_t: list[int] = []
+    c_r: list[int] = []
+    c_c: list[int] = []
+    c_txt: list[str] = []
+    c_h: list[bool] = []
+    for url, html in zip(urls, htmls):
+        if not url or not html:
+            continue
+        for t, r, c, txt, hdr in extract_tables_one(html):
+            c_url.append(url)
+            c_t.append(t)
+            c_r.append(r)
+            c_c.append(c)
+            c_txt.append(txt)
+            c_h.append(hdr)
+    return pa.Table.from_arrays(
+        [pa.array(c_url, pa.string()), pa.array(c_t, pa.int64()),
+         pa.array(c_r, pa.int64()), pa.array(c_c, pa.int64()),
+         pa.array(c_txt, pa.string()), pa.array(c_h, pa.bool_())],
+        schema=TABLES_SCHEMA)
+
+
+def extract_tables(ds):
+    """pages Dataset → cell rows Dataset (streaming flat explode)."""
+    return ds.map_batches(tables_batch, batch_format="pyarrow")
