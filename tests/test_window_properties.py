@@ -266,3 +266,43 @@ def test_ranked_ntile_matches_sql_semantics(ray_session, rows, k):
             tiles.extend([tile_i] * (size + (1 if tile_i <= rem else 0)))
         for i, (_, eid) in enumerate(seq):
             assert got[eid] == (i + 1, tiles[i]), (eid, n, k)
+
+
+def test_cogroup_windows_hot_key_stress(ray_session):
+    """ONE key owning every row (the documented worst case for the
+    coarse co-group partitioning): 60k events for a single user must
+    flow through the row-window, range-window, ntile, and lag/lead
+    kernels without quadratic blowup — spot-check exact values."""
+    import numpy as np
+
+    from xtract.ops.joins import (lag_lead_gaps, range_window_sum,
+                                  ranked_ntile, rolling_window_sum)
+
+    n = 60_000
+    t = pa.table({
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "ts": pa.array((np.arange(n, dtype=np.int64) * 1_000_000)
+                       .view("datetime64[us]")),
+        "value": pa.array(np.ones(n)),
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    ds = rd.from_arrow(t).repartition(8)
+
+    roll = rolling_window_sum(ds, "user_id", "ts", "value", 10).to_pandas()
+    assert len(roll) == n
+    byid = roll.set_index("event_id")
+    assert int(byid.loc[0, "roll_sum_cents"]) == 100
+    assert int(byid.loc[n - 1, "roll_sum_cents"]) == 1000
+
+    # 1 event/sec, 1-minute range frame → 61 rows in-frame mid-stream
+    rng_w = range_window_sum(ds, "user_id", "ts", "value", 1).to_pandas()
+    byid = rng_w.set_index("event_id")
+    assert int(byid.loc[n - 1, "n_in_range"]) == 61
+
+    nt = ranked_ntile(ds, "user_id", "ts", n_tiles=4).to_pandas()
+    assert int(nt["tile"].max()) == 4
+    assert (nt.groupby("tile").size() == n // 4).all()
+
+    gaps = lag_lead_gaps(ds, "user_id", "ts").to_pandas()
+    mid = gaps.set_index("event_id").loc[1000]
+    assert int(mid["gap_prev_us"]) == 1_000_000
