@@ -886,6 +886,15 @@ def _page_tables_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _q_doc_chunks(sf_dir: str):
+    """Sliding-window document chunking for embedding/RAG prep
+    (``ops/packing.chunk_documents``, 32-token windows, stride 24)."""
+    from xtract.ops.packing import chunk_documents
+
+    return chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
+                           size=32, stride=24)
+
+
 def _q_last_order_before_event_cogroup(sf_dir: str):
     """Same as-of semantics via the LARGE-×-LARGE co-group path (hash
     co-partition + one pandas merge_asof per partition) — no broadcast:
@@ -2079,6 +2088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_refresh_dedup": _q_corpus_refresh_dedup,
         "fuzzy_title_match": _q_fuzzy_title_match,
         "page_tables": _q_page_tables,
+        "doc_chunks": _q_doc_chunks,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -2878,6 +2888,15 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_int": _ivf_int_sql(),
         "fuzzy_title_match": _fuzzy_sql(),
         "page_tables": _page_tables_sql(),
+        "doc_chunks":
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(lower("
+            "coalesce(text, '')), '[a-z0-9_]+') AS tk FROM documents), "
+            "idx AS (SELECT unnest(range(4096)) AS c), "
+            "ch AS (SELECT doc_id, c, list_slice(tk, c*24 + 1, c*24 + 32) "
+            "AS sl FROM toks, idx WHERE c*24 < len(tk)) "
+            "SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx, "
+            "array_to_string(sl, ' ') AS chunk_text, "
+            "CAST(len(sl) AS BIGINT) AS n_tokens FROM ch",
         "semantic_dedup_int": _semantic_dedup_int_sql(),
         "event_funnel":
             "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "

@@ -80,3 +80,48 @@ def packing_stats(ds, vocab: pa.Table, seq_len: int = 128,
         Sum("n_tokens", alias_name="n_tokens_kept"),
         Sum("n_pad", alias_name="n_pad"))
     return out
+
+
+_CHUNK_TOKEN_RE = None  # compiled lazily; shared with the SQL oracle
+
+
+def chunk_documents(ds, size: int = 32, stride: int = 24,
+                    key: str = "doc_id", col: str = "text"):
+    """RAG/embedding prep: slide a ``size``-token window with
+    ``stride`` over each document's normalized token stream and emit
+    → (key, chunk_idx, chunk_text, n_tokens) — one row per chunk,
+    chunk_text = space-joined tokens (the normalized form an embedder
+    sees).  A chunk is emitted while ``chunk_idx·stride < n_tokens``,
+    so trailing windows shrink but every token is covered.
+
+    Tokenization is the repo's SQL-replicable ``[a-z0-9_]+`` on lower
+    (same as BM25/TF-IDF), so the DuckDB oracle rebuilds every chunk
+    with ``list_slice`` + ``array_to_string``.  Streaming flat explode
+    — no shuffle; chunk rows are slim and downstream embedding stages
+    batch them freely."""
+    import re
+
+    global _CHUNK_TOKEN_RE
+    if _CHUNK_TOKEN_RE is None:
+        _CHUNK_TOKEN_RE = re.compile(r"[a-z0-9_]+")
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, cidx, texts, ntok = [], [], [], []
+        for d, t in zip(b[key].to_pylist(), b[col].to_pylist()):
+            ws = _CHUNK_TOKEN_RE.findall((t or "").lower())
+            n = len(ws)
+            c = 0
+            while c * stride < n:
+                sl = ws[c * stride: c * stride + size]
+                ids.append(d)
+                cidx.append(c)
+                texts.append(" ".join(sl))
+                ntok.append(len(sl))
+                c += 1
+        return pa.table({key: pa.array(ids, pa.int64()),
+                         "chunk_idx": pa.array(cidx, pa.int64()),
+                         "chunk_text": pa.array(texts, pa.string()),
+                         "n_tokens": pa.array(ntok, pa.int64())})
+
+    return ds.select_columns([key, col]).map_batches(
+        explode, batch_format="pyarrow")
