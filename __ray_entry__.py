@@ -895,6 +895,47 @@ def _q_doc_chunks(sf_dir: str):
                            size=32, stride=24)
 
 
+def _heading_pages_batch(t: pa.Table) -> pa.Table:
+    """doc_id → a page with an h1, a nested-markup h2, and for
+    doc_id%6==0 an unterminated h3 (recovery path)."""
+    urls, htmls = [], []
+    for d in t["doc_id"].to_pylist():
+        urls.append(f"https://host{d % 6}.example.org/p/{d}")
+        h = (f"<html><body><h1>Title &amp; {d % 5}</h1><p>body</p>"
+             f"<h2>Sec <b>{d % 3}</b></h2>")
+        if d % 6 == 0:
+            h += f"<h3>tail {d % 2}"
+        h += "</body></html>"
+        htmls.append(h.encode())
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "html": pa.array(htmls, pa.binary())})
+
+
+def _q_page_headings(sf_dir: str):
+    """Document-outline extraction: one row per h1–h6 heading in
+    document order (``xtract/tables.extract_headings``)."""
+    from xtract.tables import extract_headings
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _heading_pages_batch, batch_format="pyarrow")
+    return extract_headings(pages)
+
+
+def _page_headings_sql() -> str:
+    page = ("'https://host' || CAST(doc_id % 6 AS VARCHAR) || "
+            "'.example.org/p/' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"SELECT {page} AS url, CAST(0 AS BIGINT) AS rank, "
+        "CAST(1 AS BIGINT) AS level, "
+        "'Title & ' || CAST(doc_id % 5 AS VARCHAR) AS heading "
+        "FROM documents "
+        f"UNION ALL SELECT {page}, 1, 2, "
+        "'Sec ' || CAST(doc_id % 3 AS VARCHAR) FROM documents "
+        f"UNION ALL SELECT {page}, 2, 3, "
+        "'tail ' || CAST(doc_id % 2 AS VARCHAR) FROM documents "
+        "WHERE doc_id % 6 = 0")
+
+
 def _q_last_order_before_event_cogroup(sf_dir: str):
     """Same as-of semantics via the LARGE-×-LARGE co-group path (hash
     co-partition + one pandas merge_asof per partition) — no broadcast:
@@ -2089,6 +2130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_title_match": _q_fuzzy_title_match,
         "page_tables": _q_page_tables,
         "doc_chunks": _q_doc_chunks,
+        "page_headings": _q_page_headings,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -2888,6 +2930,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_int": _ivf_int_sql(),
         "fuzzy_title_match": _fuzzy_sql(),
         "page_tables": _page_tables_sql(),
+        "page_headings": _page_headings_sql(),
         "doc_chunks":
             "WITH toks AS (SELECT doc_id, regexp_extract_all(lower("
             "coalesce(text, '')), '[a-z0-9_]+') AS tk FROM documents), "

@@ -127,3 +127,15 @@ def test_extract_tables_never_crashes_on_byte_soup():
                         for _ in range(rng.randint(0, 40)))
         for t, r, c, txt, hdr in extract_tables_one(soup):
             assert t >= 0 and r >= 0 and c >= 0
+
+
+def test_extract_headings_recovery_and_nesting():
+    from xtract.tables import extract_headings_one
+
+    h = b"<h1>Top &amp; main</h1><p>x</p><h2>Sec <b>one</b></h2><h3>tail"
+    assert extract_headings_one(h) == [
+        (1, "Top & main"), (2, "Sec one"), (3, "tail")]
+    # a new heading implicitly closes an open one; self-closing is empty
+    assert extract_headings_one(b"<h2>a<h3>b</h3><h4/>") == [
+        (2, "a"), (3, "b"), (4, "")]
+    assert extract_headings_one(b"") == []

@@ -135,3 +135,75 @@ def tables_batch(batch: pa.Table) -> pa.Table:
 def extract_tables(ds):
     """pages Dataset → cell rows Dataset (streaming flat explode)."""
     return ds.map_batches(tables_batch, batch_format="pyarrow")
+
+
+HEADINGS_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("rank", pa.int64()),
+    ("level", pa.int64()),
+    ("heading", pa.string()),
+])
+
+_H_TAGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+
+
+def extract_headings_one(html: bytes) -> list[tuple[int, str]]:
+    """→ ordered [(level, text)] for every ``<h1>``–``<h6>`` — the
+    document outline (sectioning / quality signal).  Text is the
+    entity-unescaped, whitespace-collapsed content up to the matching
+    close; a new heading start implicitly closes an open one and an
+    unterminated heading runs to EOF (the shared recovery convention).
+    Pure function (oracle-shared)."""
+    out: list[tuple[int, str]] = []
+    level = 0
+    parts: list[str] = []
+
+    def close() -> None:
+        nonlocal level, parts
+        if level:
+            out.append((level, _WS_RE.sub(" ", "".join(parts)).strip()))
+        level = 0
+        parts = []
+
+    for tok in tokenize(html):
+        kind = tok[0]
+        if kind == "text":
+            if level:
+                parts.append(
+                    unescape(html[tok[1]:tok[2]].decode("utf-8", "replace")))
+        elif kind == "start":
+            lv = _H_TAGS.get(tok[3])
+            if lv is not None:
+                close()
+                if not tok[5]:  # self-closing <hN/> → empty heading
+                    level = lv
+                else:
+                    out.append((lv, ""))
+        elif kind == "end" and _H_TAGS.get(tok[3]) == level:
+            close()
+    close()
+    return out
+
+
+def headings_batch(batch: pa.Table) -> pa.Table:
+    urls = batch["url"].to_pylist()
+    htmls = (batch["html"].to_pylist() if "html" in batch.column_names
+             else [None] * len(urls))
+    c_url, c_rank, c_lv, c_tx = [], [], [], []
+    for url, html in zip(urls, htmls):
+        if not url or not html:
+            continue
+        for i, (lv, tx) in enumerate(extract_headings_one(html)):
+            c_url.append(url)
+            c_rank.append(i)
+            c_lv.append(lv)
+            c_tx.append(tx)
+    return pa.Table.from_arrays(
+        [pa.array(c_url, pa.string()), pa.array(c_rank, pa.int64()),
+         pa.array(c_lv, pa.int64()), pa.array(c_tx, pa.string())],
+        schema=HEADINGS_SCHEMA)
+
+
+def extract_headings(ds):
+    """pages Dataset → heading rows (streaming flat explode)."""
+    return ds.map_batches(headings_batch, batch_format="pyarrow")
