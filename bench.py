@@ -170,6 +170,15 @@ def bench_once() -> dict:
     queries["head_meta"] = timed(
         lambda: extract_head_meta(read_pages(pages_dir)).count())
 
+    # table + heading extraction over the full corpus — the 4th/5th
+    # tokenizer-walk surfaces (same streaming flat-explode shape)
+    from xtract.tables import extract_headings, extract_tables
+
+    queries["tables_cells"] = timed(
+        lambda: extract_tables(read_pages(pages_dir)).count())
+    queries["headings"] = timed(
+        lambda: extract_headings(read_pages(pages_dir)).count())
+
     # exact substring dedup stats (window explode → Count/Min groupby →
     # flag → per-doc interval merge: the shuffle-heaviest training op)
     from xtract.ops.substring import substring_dedup_stats
