@@ -936,6 +936,50 @@ def _page_headings_sql() -> str:
         "WHERE doc_id % 6 = 0")
 
 
+def _image_pages_batch(t: pa.Table) -> pa.Table:
+    """doc_id → a page with a base-href-relative img (alt with an
+    entity), an absolute img with empty alt, and for doc_id%3==0 a
+    src-less img that must be skipped."""
+    urls, htmls = [], []
+    for d in t["doc_id"].to_pylist():
+        urls.append(f"https://host{d % 6}.example.org/p/{d}")
+        h = (f"<html><head><base href='/imgs{d % 2}/'></head><body>"
+             f"<img src='pic{d % 4}.png' alt='cat &amp; dog {d % 3}'>")
+        if d % 3 == 0:
+            h += "<img alt='no src'>"
+        h += (f"<img src='https://cdn{d % 5}.example.com/x.jpg'/>"
+              "</body></html>")
+        htmls.append(h.encode())
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "html": pa.array(htmls, pa.binary())})
+
+
+def _q_page_images(sf_dir: str):
+    """Image-reference harvest (multimodal crawl surface): one row per
+    ``<img src>`` with base-href-resolved src and unescaped alt
+    (``xtract/tables.extract_images``)."""
+    from xtract.tables import extract_images
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _image_pages_batch, batch_format="pyarrow")
+    return extract_images(pages)
+
+
+def _page_images_sql() -> str:
+    page = ("'https://host' || CAST(doc_id % 6 AS VARCHAR) || "
+            "'.example.org/p/' || CAST(doc_id AS VARCHAR)")
+    root = ("'https://host' || CAST(doc_id % 6 AS VARCHAR) || "
+            "'.example.org/imgs' || CAST(doc_id % 2 AS VARCHAR) || '/'")
+    return (
+        f"SELECT {page} AS url, CAST(0 AS BIGINT) AS rank, "
+        f"{root} || 'pic' || CAST(doc_id % 4 AS VARCHAR) || '.png' AS src, "
+        "'cat & dog ' || CAST(doc_id % 3 AS VARCHAR) AS alt "
+        "FROM documents "
+        f"UNION ALL SELECT {page}, 1, "
+        "'https://cdn' || CAST(doc_id % 5 AS VARCHAR) || "
+        "'.example.com/x.jpg', '' FROM documents")
+
+
 def _q_last_order_before_event_cogroup(sf_dir: str):
     """Same as-of semantics via the LARGE-×-LARGE co-group path (hash
     co-partition + one pandas merge_asof per partition) — no broadcast:
@@ -2131,6 +2175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_tables": _q_page_tables,
         "doc_chunks": _q_doc_chunks,
         "page_headings": _q_page_headings,
+        "page_images": _q_page_images,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -2931,6 +2976,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_title_match": _fuzzy_sql(),
         "page_tables": _page_tables_sql(),
         "page_headings": _page_headings_sql(),
+        "page_images": _page_images_sql(),
         "doc_chunks":
             "WITH toks AS (SELECT doc_id, regexp_extract_all(lower("
             "coalesce(text, '')), '[a-z0-9_]+') AS tk FROM documents), "

@@ -139,3 +139,15 @@ def test_extract_headings_recovery_and_nesting():
     assert extract_headings_one(b"<h2>a<h3>b</h3><h4/>") == [
         (2, "a"), (3, "b"), (4, "")]
     assert extract_headings_one(b"") == []
+
+
+def test_extract_images_base_href_and_skip():
+    from xtract.tables import extract_images_one
+
+    h = (b"<base href='/imgs/'><img src='a.png' alt='first &amp; best'>"
+         b"<img alt='no src'><img src='http://x.com/b.jpg'/>")
+    assert extract_images_one(h, "https://h.example.org/p/1") == [
+        ("https://h.example.org/imgs/a.png", "first & best"),
+        ("http://x.com/b.jpg", ""),
+    ]
+    assert extract_images_one(b"", "u") == []

@@ -207,3 +207,68 @@ def headings_batch(batch: pa.Table) -> pa.Table:
 def extract_headings(ds):
     """pages Dataset → heading rows (streaming flat explode)."""
     return ds.map_batches(headings_batch, batch_format="pyarrow")
+
+
+IMAGES_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("rank", pa.int64()),
+    ("src", pa.string()),
+    ("alt", pa.string()),
+])
+
+
+def extract_images_one(html: bytes, base_url: str = ""
+                       ) -> list[tuple[str, str]]:
+    """→ ordered [(src, alt)] for every ``<img src=...>`` — the
+    image-URL harvest a multimodal pipeline runs before fetch/decode
+    (the media tier's crawl-side complement).  ``src`` resolved
+    against the page url (honoring the first ``<base href>``, the
+    link-path rule); images without ``src`` are skipped; ``alt``
+    defaults to ''.  Pure function (oracle-shared)."""
+    from urllib.parse import urljoin
+
+    from .html_tokenizer import parse_attrs
+
+    out: list[tuple[str, str]] = []
+    base = base_url
+    base_seen = False
+    for tok in tokenize(html):
+        if tok[0] != "start":
+            continue
+        tag = tok[3]
+        if tag == "base" and not base_seen:
+            b = parse_attrs(tok[4]).get("href")
+            if b:
+                base = urljoin(base_url, b) if base_url else b
+                base_seen = True
+        elif tag == "img":
+            attrs = parse_attrs(tok[4])
+            src = attrs.get("src")
+            if src:
+                out.append((urljoin(base, src) if base else src,
+                            unescape(attrs.get("alt", ""))))
+    return out
+
+
+def images_batch(batch: pa.Table) -> pa.Table:
+    urls = batch["url"].to_pylist()
+    htmls = (batch["html"].to_pylist() if "html" in batch.column_names
+             else [None] * len(urls))
+    c_url, c_rank, c_src, c_alt = [], [], [], []
+    for url, html in zip(urls, htmls):
+        if not url or not html:
+            continue
+        for i, (src, alt) in enumerate(extract_images_one(html, url)):
+            c_url.append(url)
+            c_rank.append(i)
+            c_src.append(src)
+            c_alt.append(alt)
+    return pa.Table.from_arrays(
+        [pa.array(c_url, pa.string()), pa.array(c_rank, pa.int64()),
+         pa.array(c_src, pa.string()), pa.array(c_alt, pa.string())],
+        schema=IMAGES_SCHEMA)
+
+
+def extract_images(ds):
+    """pages Dataset → image-reference rows (streaming flat explode)."""
+    return ds.map_batches(images_batch, batch_format="pyarrow")
