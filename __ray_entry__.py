@@ -980,6 +980,18 @@ def _page_images_sql() -> str:
         "'.example.com/x.jpg', '' FROM documents")
 
 
+def _q_user_value_trend(sf_dir: str):
+    """Per-user least-squares value-vs-time trend as EXACT integer
+    slope numerator/denominator (``ops/behavior.trend_per_key``)."""
+    import ray.data as rd
+
+    from xtract.ops.behavior import trend_per_key
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    return trend_per_key(ev, "user_id", "ts", "value")
+
+
 def _q_last_order_before_event_cogroup(sf_dir: str):
     """Same as-of semantics via the LARGE-×-LARGE co-group path (hash
     co-partition + one pandas merge_asof per partition) — no broadcast:
@@ -2176,6 +2188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "page_headings": _q_page_headings,
         "page_images": _q_page_images,
+        "user_value_trend": _q_user_value_trend,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -2977,6 +2990,16 @@ def oracle_sql() -> dict[str, str]:
         "page_tables": _page_tables_sql(),
         "page_headings": _page_headings_sql(),
         "page_images": _page_images_sql(),
+        "user_value_trend":
+            "WITH b AS (SELECT user_id, "
+            "(epoch_us(ts) - min(epoch_us(ts)) OVER ("
+            "PARTITION BY user_id)) // 1000000 AS x, "
+            "CAST(round(value*100) AS BIGINT) AS y FROM events) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS BIGINT) "
+            "AS slope_num, "
+            "CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS BIGINT) "
+            "AS slope_den FROM b GROUP BY user_id",
         "doc_chunks":
             "WITH toks AS (SELECT doc_id, regexp_extract_all(lower("
             "coalesce(text, '')), '[a-z0-9_]+') AS tk FROM documents), "

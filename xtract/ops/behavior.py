@@ -103,3 +103,47 @@ def cohort_retention(ds, key: str, ts_col: str, num_partitions: int = 32):
     return (parts.groupby(["cohort_day", "offset_days"])
                  .aggregate(Sum("_n", alias_name="n_users"))
                  .map_batches(rename, batch_format="pyarrow"))
+
+
+def trend_per_key(ds, key: str, ts_col: str, value_col: str,
+                  num_partitions: int = 32):
+    """Per-key least-squares TREND of value-vs-time, kept EXACT: emits
+    the slope's integer numerator ``n·Σxy − Σx·Σy`` and denominator
+    ``n·Σx² − (Σx)²`` instead of a float quotient (the caller divides;
+    the SQL oracle hash-matches both).  x = whole seconds since the
+    key's FIRST event (non-negative → ``//`` floors identically in
+    numpy and SQL), y = integer cents.
+    → (key, n, slope_num, slope_den); slope_den = 0 ⇔ all events in
+    the same second.
+
+    One co-group pass: the per-key min-ts, the x/y encoding, and all
+    five sums happen inside the partition that owns the key (cython
+    groupby kernels) — only (key, 4 ints) rows leave."""
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        us = pd.Series(g[ts_col].to_numpy().astype("datetime64[us]")
+                       .astype(np.int64))
+        keys = g[key].to_numpy()
+        x = (us - us.groupby(keys, sort=False).transform("min")) \
+            .to_numpy() // 1_000_000
+        y = np.round(g[value_col].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({key: keys, "x": x, "y": y,
+                           "xy": x * y, "xx": x * x})
+        agg = df.groupby(key, sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum")).reset_index()
+        n = agg["n"].to_numpy().astype(np.int64)
+        sx = agg["sx"].to_numpy()
+        return pd.DataFrame({
+            key: agg[key],
+            "n": n,
+            "slope_num": n * agg["sxy"].to_numpy()
+                - sx * agg["sy"].to_numpy(),
+            "slope_den": n * agg["sxx"].to_numpy() - sx * sx,
+        })
+
+    from .joins import _add_key_part
+
+    return (ds.map_batches(lambda b: _add_key_part(b, key, num_partitions),
+                           batch_format="pyarrow")
+              .groupby("_part")
+              .map_groups(per_partition, batch_format="pandas"))
