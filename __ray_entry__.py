@@ -992,6 +992,29 @@ def _q_user_value_trend(sf_dir: str):
     return trend_per_key(ev, "user_id", "ts", "value")
 
 
+def _q_host_components(sf_dir: str):
+    """Distributed connected components (the dedup tier's CC engine,
+    `ops/cc.connected_components_ds`) over a planted 97-host graph of
+    THIRTY ~3-hop chains — edges (h, h−30) — so min-label propagation
+    needs several rounds (not a single-hop star) at a cost the
+    correctness sweep can afford; expected labels are provably
+    h % 30."""
+    import numpy as np
+
+    from xtract.ops.cc import connected_components_ds
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        h = np.unique(t["doc_id"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64) % 97)
+        h = h[h >= 30]
+        return pa.table({"a": pa.array(h), "b": pa.array(h - 30)})
+
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    return connected_components_ds(e, max_rounds=10)
+
+
 def _q_last_order_before_event_cogroup(sf_dir: str):
     """Same as-of semantics via the LARGE-×-LARGE co-group path (hash
     co-partition + one pandas merge_asof per partition) — no broadcast:
@@ -2189,6 +2212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_headings": _q_page_headings,
         "page_images": _q_page_images,
         "user_value_trend": _q_user_value_trend,
+        "host_components": _q_host_components,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -2990,6 +3014,15 @@ def oracle_sql() -> dict[str, str]:
         "page_tables": _page_tables_sql(),
         "page_headings": _page_headings_sql(),
         "page_images": _page_images_sql(),
+        "host_components":
+            # the thirty chains' components are the mod-30 residue
+            # classes, so the expected label is provably node % 30 —
+            # the planted construction makes the CC fixpoint
+            # closed-form (every node 0..96 is an edge endpoint)
+            "WITH hosts AS (SELECT DISTINCT doc_id % 97 AS node "
+            "FROM documents) "
+            "SELECT CAST(node AS BIGINT) AS node, "
+            "CAST(node % 30 AS BIGINT) AS label FROM hosts",
         "user_value_trend":
             "WITH b AS (SELECT user_id, "
             "(epoch_us(ts) - min(epoch_us(ts)) OVER ("
