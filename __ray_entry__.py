@@ -2164,6 +2164,99 @@ def _q_crawl_snapshot_diff(sf_dir: str):
     return snapshot_diff(old, new)
 
 
+def _q_host_robots_filter(sf_dir: str):
+    """robots.txt crawl-policy application (``ops/robots.apply_robots``):
+    planted per-host robots files (a ``*`` group everywhere; an agent-
+    specific ``xbot`` group on even hosts that REPLACES it per the REP
+    spec) co-grouped by host against planted urls exercising longest-
+    prefix, Allow-override, prefix-without-slash and no-match cases.
+    Expected decision is closed-form in (doc_id%7, doc_id%5)."""
+    import ray.data as rd
+
+    from xtract.ops.robots import apply_robots
+
+    def pages_batch(t: pa.Table) -> pa.Table:
+        urls = []
+        for d in t["doc_id"].to_pylist():
+            d = int(d)
+            h, r = d % 7, d % 5
+            path = {0: f"/a/{d}", 1: f"/p{h}/x/{d}", 2: f"/p{h}/pub/{d}",
+                    3: f"/tmp{d}"}.get(r, f"/x{h}/{d}")
+            urls.append(f"https://r{h}.example.org{path}")
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        pages_batch, batch_format="pyarrow")
+    robots_rows = []
+    for h in range(7):
+        txt = (f"# host r{h}\nUser-agent: *\nDisallow: /p{h}/\n"
+               f"Allow: /p{h}/pub/\nDisallow: /tmp\n")
+        if h % 2 == 0:
+            txt += f"\nUser-agent: xbot\nDisallow: /x{h}/\nAllow: /\n"
+        robots_rows.append({"host": f"r{h}.example.org", "robots_txt": txt})
+    robots = rd.from_arrow(pa.Table.from_pylist(robots_rows))
+    return apply_robots(pages, robots, agent="xbot")
+
+
+def _q_doc_sentences(sf_dir: str):
+    """Sentence explode (``ops/textstats.split_sentences``) under the
+    deterministic RE2-compatible rule, over planted punctuation-bearing
+    text (the synthetic documents corpus has no terminators): multi-
+    sentence, leading-terminator-skip, single-run and trailing-
+    whitespace-segment cases by doc_id residue."""
+    from xtract.ops.textstats import split_sentences
+
+    def with_punct(t: pa.Table) -> pa.Table:
+        texts = []
+        for d in t["doc_id"].to_pylist():
+            d = int(d)
+            r = d % 4
+            if r == 0:
+                texts.append(f"Alpha {d}. Beta {d % 9}!! Gamma? tail")
+            elif r == 1:
+                texts.append(f"...{d} leading")
+            elif r == 2:
+                texts.append(f"One sentence {d}")
+            else:
+                texts.append(f"Tail spaces {d}.   ")
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(texts, pa.string())})
+
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(
+        with_punct, batch_format="pyarrow")
+    return split_sentences(docs)
+
+
+def _q_event_value_bands(sf_dir: str):
+    """Non-equi broadcast range join (``ops/joins.
+    range_lookup_broadcast``): integer-cents event values bucketed into
+    half-open price bands (the SQL ``JOIN ON v >= lo AND v < hi``
+    enrichment shape) — one searchsorted per batch, then ONE grouped
+    Count/Sum over the bands."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from xtract.ops.joins import range_lookup_broadcast
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.round(t["value"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({"cents": pa.array(c)})
+
+    bands = pd.DataFrame({
+        "lo": [0, 1000, 2500, 7500], "hi": [1000, 2500, 7500, 20000],
+        "label": ["micro", "small", "mid", "large"]})
+    banded = range_lookup_broadcast(
+        ev.map_batches(cents, batch_format="pyarrow"), "cents", bands,
+        out_col="band", default="whale")
+    return (banded.groupby("band")
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("cents", alias_name="sum_cents")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2213,6 +2306,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_images": _q_page_images,
         "user_value_trend": _q_user_value_trend,
         "host_components": _q_host_components,
+        "host_robots_filter": _q_host_robots_filter,
+        "doc_sentences": _q_doc_sentences,
+        "event_value_bands": _q_event_value_bands,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -3023,6 +3119,54 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT CAST(node AS BIGINT) AS node, "
             "CAST(node % 30 AS BIGINT) AS label FROM hosts",
+        "host_robots_filter":
+            # closed-form replay of the planted construction: even
+            # hosts carry an agent-specific xbot group (Allow / wins
+            # everywhere except the /x{h}/ prefix); odd hosts fall back
+            # to the * group (deny /p{h}/ and /tmp, Allow /p{h}/pub/
+            # overrides by longest match)
+            "WITH p AS (SELECT doc_id, doc_id % 7 AS h, doc_id % 5 AS r "
+            "FROM documents), "
+            "pp AS (SELECT doc_id, h, r, CASE r "
+            "WHEN 0 THEN '/a/' || CAST(doc_id AS VARCHAR) "
+            "WHEN 1 THEN '/p' || CAST(h AS VARCHAR) || '/x/' || "
+            "CAST(doc_id AS VARCHAR) "
+            "WHEN 2 THEN '/p' || CAST(h AS VARCHAR) || '/pub/' || "
+            "CAST(doc_id AS VARCHAR) "
+            "WHEN 3 THEN '/tmp' || CAST(doc_id AS VARCHAR) "
+            "ELSE '/x' || CAST(h AS VARCHAR) || '/' || "
+            "CAST(doc_id AS VARCHAR) END AS path FROM p) "
+            "SELECT 'https://r' || CAST(h AS VARCHAR) || '.example.org' "
+            "|| path AS url, "
+            "'r' || CAST(h AS VARCHAR) || '.example.org' AS host, path, "
+            "CASE WHEN h % 2 = 0 THEN r <> 4 "
+            "ELSE r NOT IN (1, 3) END AS crawl_allowed FROM pp",
+        "doc_sentences":
+            "WITH src AS (SELECT doc_id, CASE doc_id % 4 "
+            "WHEN 0 THEN 'Alpha ' || CAST(doc_id AS VARCHAR) || '. Beta ' "
+            "|| CAST(doc_id % 9 AS VARCHAR) || '!! Gamma? tail' "
+            "WHEN 1 THEN '...' || CAST(doc_id AS VARCHAR) || ' leading' "
+            "WHEN 2 THEN 'One sentence ' || CAST(doc_id AS VARCHAR) "
+            "ELSE 'Tail spaces ' || CAST(doc_id AS VARCHAR) || '.   ' "
+            "END AS text FROM documents), "
+            "t AS (SELECT doc_id, regexp_extract_all(text, "
+            "'[^.!?]+[.!?]*') AS ss FROM src), "
+            "idx AS (SELECT unnest(range(8)) AS c) "
+            "SELECT doc_id, CAST(c AS BIGINT) AS sent_idx, "
+            f"trim(ss[c+1], {_TRIM} || chr(12) || chr(11)) AS sentence, "
+            f"CAST(length(trim(ss[c+1], {_TRIM} || chr(12) || chr(11))) "
+            "AS BIGINT) AS n_chars "
+            "FROM t, idx WHERE c < len(ss)",
+        "event_value_bands":
+            "WITH b(lo, hi, label) AS (VALUES "
+            "(0, 1000, 'micro'), (1000, 2500, 'small'), "
+            "(2500, 7500, 'mid'), (7500, 20000, 'large')), "
+            "e AS (SELECT CAST(round(value * 100) AS BIGINT) AS c "
+            "FROM events) "
+            "SELECT coalesce(label, 'whale') AS band, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(c) AS BIGINT) AS sum_cents "
+            "FROM e LEFT JOIN b ON c >= lo AND c < hi GROUP BY 1",
         "user_value_trend":
             "WITH b AS (SELECT user_id, "
             "(epoch_us(ts) - min(epoch_us(ts)) OVER ("

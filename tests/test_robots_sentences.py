@@ -1,0 +1,120 @@
+"""Round-3 session-4 ops: robots.txt crawl policy, sentence explode,
+broadcast range lookup."""
+
+import numpy as np
+import pyarrow as pa
+
+from xtract.ops.robots import (apply_robots, parse_robots, robots_allowed,
+                               split_host_path)
+from xtract.ops.textstats import split_sentences_batch
+
+ROBOTS = """\
+# crawl policy
+User-agent: *
+Disallow: /private/
+Allow: /private/ok/
+Disallow: /tmp
+
+User-agent: otherbot
+User-agent: xbot
+Disallow: /xonly/   # inline comment
+Allow: /
+
+Sitemap: https://example.org/sitemap.xml
+"""
+
+
+def test_parse_robots_group_selection():
+    star = parse_robots(ROBOTS, "randombot")
+    assert ("/private/", False) in star and ("/tmp", False) in star
+    assert ("/private/ok/", True) in star
+    # specific group wins outright (star rules do NOT leak in)
+    xbot = parse_robots(ROBOTS, "XBot")
+    assert xbot == [("/", True), ("/xonly/", False)]
+    # stacked user-agent lines share the group
+    assert parse_robots(ROBOTS, "otherbot") == xbot
+    # no groups at all → allow everything
+    assert parse_robots("Sitemap: https://x/s.xml", "xbot") == []
+    # rules before any user-agent line are ignored; empty values too
+    assert parse_robots("Disallow: /a\nUser-agent: *\nDisallow:", "z") == []
+
+
+def test_robots_longest_match_and_ties():
+    rules = parse_robots(ROBOTS, "randombot")
+    paths = np.asarray(
+        ["/", "/private/x", "/private/ok/y", "/tmpfile", "/other"], dtype=str)
+    assert robots_allowed(rules, paths).tolist() == [
+        True, False, True, False, True]
+    # equal-length allow vs disallow → allow wins
+    tie = parse_robots("User-agent: *\nDisallow: /abc\nAllow: /abc", "z")
+    assert robots_allowed(tie, np.asarray(["/abcd"], dtype=str)).tolist() == [
+        True]
+
+
+def test_split_host_path():
+    assert split_host_path("https://H3.Example.org/p/9?q=1") == (
+        "h3.example.org", "/p/9?q=1")
+    assert split_host_path("https://example.org") == ("example.org", "/")
+
+
+def test_apply_robots_cogroup(ray_session):
+    import ray.data as rd
+
+    pages = rd.from_arrow(pa.table({
+        "url": [
+            "https://a.org/private/1",      # denied by a.org
+            "https://a.org/private/ok/2",   # allowed (longer Allow)
+            "https://a.org/free",           # allowed (no match)
+            "https://b.org/private/1",      # allowed (no robots row)
+            "https://c.org/anything",       # denied (xbot group Disallow /)
+        ]}))
+    robots = rd.from_arrow(pa.table({
+        "host": ["a.org", "c.org"],
+        "robots_txt": [
+            "User-agent: *\nDisallow: /private/\nAllow: /private/ok/",
+            "User-agent: xbot\nDisallow: /",
+        ]}))
+    out = apply_robots(pages, robots, agent="xbot").to_pandas()
+    got = dict(zip(out["url"], out["crawl_allowed"]))
+    assert got == {
+        "https://a.org/private/1": False,
+        "https://a.org/private/ok/2": True,
+        "https://a.org/free": True,
+        "https://b.org/private/1": True,
+        "https://c.org/anything": False,
+    }
+    assert set(out.columns) == {"url", "host", "path", "crawl_allowed"}
+
+
+def test_split_sentences_batch_rule():
+    b = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["Hello. World!! Are you ok? yes",
+                           "...abc", None, "???"]})
+    out = split_sentences_batch(b).to_pydict()
+    assert out["sentence"] == ["Hello.", "World!!", "Are you ok?", "yes",
+                               "abc"]
+    assert out["sent_idx"] == [0, 1, 2, 3, 0]
+    assert out["n_chars"] == [6, 7, 11, 3, 3]
+    assert out["doc_id"] == [1, 1, 1, 1, 2]
+
+
+def test_range_lookup_broadcast(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from xtract.ops.joins import range_lookup_broadcast
+
+    ds = rd.from_arrow(pa.table({"v": [-5, 0, 499, 500, 1999, 5000, 10**9]}))
+    bands = pd.DataFrame({"lo": [0, 500, 2000], "hi": [500, 2000, 5000],
+                          "label": ["micro", "small", "mid"]})
+    out = range_lookup_broadcast(ds, "v", bands,
+                                 default="other").to_pandas()
+    assert out.sort_values("v")["label"].tolist() == [
+        "other", "micro", "micro", "small", "small", "other", "other"]
+    # overlap detection
+    bad = pd.DataFrame({"lo": [0, 400], "hi": [500, 600],
+                        "label": ["a", "b"]})
+    import pytest
+
+    with pytest.raises(ValueError):
+        range_lookup_broadcast(ds, "v", bad)

@@ -827,3 +827,48 @@ def ranked_ntile(ds, key: str, ts_col: str, n_tiles: int = 4,
                            batch_format="pyarrow")
               .groupby("_part")
               .map_groups(per_partition, batch_format="pandas"))
+
+
+def range_lookup_broadcast(ds, value_col: str, ranges, lo_col: str = "lo",
+                           hi_col: str = "hi", label_col: str = "label",
+                           out_col: str | None = None,
+                           default: str | None = None):
+    """Non-equi broadcast range join: attach the label of the (unique)
+    half-open range ``[lo, hi)`` containing ``value_col``.
+
+    The classic enrichment lookup (IP→geo blocks, value→price band,
+    ts→release window) that SQL writes as ``JOIN r ON v >= lo AND
+    v < hi``.  Partitioning assumption: the ranges table is a
+    *dimension* (thousands of rows, not corpus-scale) and is broadcast
+    once via ``ray.put``; ranges must be non-overlapping.  Per batch
+    the probe is ONE vectorized ``np.searchsorted`` — no shuffle, no
+    per-row Python.
+
+    ``ranges``: pandas DataFrame / pyarrow Table with lo/hi/label
+    columns.  Rows whose value falls in no range get ``default``
+    (None → null)."""
+    import ray
+
+    if isinstance(ranges, pa.Table):
+        ranges = ranges.to_pandas()
+    r = ranges.sort_values(lo_col, kind="mergesort")
+    lo = r[lo_col].to_numpy()
+    hi = r[hi_col].to_numpy()
+    if (hi[:-1] > lo[1:]).any() if len(r) > 1 else False:
+        raise ValueError("range_lookup_broadcast: overlapping ranges")
+    labels = r[label_col].to_numpy(dtype=object)
+    ref = ray.put((lo, hi, labels))
+    out_name = out_col or label_col
+
+    def attach(b: pa.Table) -> pa.Table:
+        lo_a, hi_a, lab_a = ray.get(ref)
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lo_a, v, side="right") - 1
+        safe = np.clip(idx, 0, max(len(lo_a) - 1, 0))
+        inside = (idx >= 0) & (len(lo_a) > 0)
+        if len(lo_a):
+            inside &= v < hi_a[safe]
+        out = np.where(inside, lab_a[safe], default)
+        return b.append_column(out_name, pa.array(out.tolist(), pa.string()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -1,0 +1,170 @@
+"""robots.txt crawl-policy application — parse per-host robots files
+and decide per-url fetch permission at corpus scale.
+
+The crawl-side policy surface every web pipeline needs next to URL
+canonicalization (``ops/urls``) and head-meta robots flags
+(``links.extract_head_meta``): given the crawl's fetched
+``robots.txt`` bodies (one per host) and the page table, label every
+url allowed/denied for a given user agent.
+
+Semantics (deterministic subset of the public REP spec, RFC 9309):
+
+- a *group* is one or more consecutive ``User-agent:`` lines followed
+  by ``Allow:`` / ``Disallow:`` rules;
+- if any group names our agent (case-insensitive exact value match),
+  the union of those groups' rules applies; otherwise the union of the
+  ``*`` groups; otherwise everything is allowed;
+- rules are plain path prefixes (no ``*``/``$`` wildcards — documented
+  simplification); an empty rule value is ignored;
+- the LONGEST matching prefix decides; on a tie Allow wins; no match →
+  allowed.  ``#`` starts a comment anywhere on a line.
+
+Distribution shape: hash co-group BOTH sides by host (robots bodies at
+crawl scale are one per host — far too many to broadcast), parse each
+host's file once per partition, then one vectorized
+``np.char.startswith`` per (host, rule) over that host's url paths —
+no per-url Python loop.  Hosts with no robots row default to allowed.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def parse_robots(txt: str, agent: str) -> list[tuple[str, bool]]:
+    """→ [(path_prefix, allow)] rules that apply to ``agent``,
+    sorted by (prefix length, allow) ascending — apply in order with
+    a ``>= best_len`` update and you get longest-match, tie→allow."""
+    agent = agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    collecting_agents = False
+    for raw in (txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not collecting_agents:
+                if cur_agents:
+                    groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                collecting_agents = True
+            cur_agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            collecting_agents = False
+            if cur_agents and val:
+                cur_rules.append((val, key == "allow"))
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+
+    specific = [r for agents, rules in groups if agent in agents
+                for r in rules]
+    chosen = specific or [r for agents, rules in groups if "*" in agents
+                          for r in rules]
+    return sorted(chosen, key=lambda r: (len(r[0]), r[1]))
+
+
+def robots_allowed(rules: list[tuple[str, bool]],
+                   paths: np.ndarray) -> np.ndarray:
+    """Vectorized longest-prefix decision for one host's url paths."""
+    allowed = np.ones(len(paths), dtype=bool)
+    best = np.full(len(paths), -1, dtype=np.int64)
+    for prefix, allow in rules:
+        m = np.char.startswith(paths, prefix)
+        upd = m & (len(prefix) >= best)
+        allowed[upd] = allow
+        best[upd] = len(prefix)
+    return allowed
+
+
+def split_host_path(url: str) -> tuple[str, str]:
+    try:
+        parts = urlsplit(url or "")
+    except ValueError:
+        return "", "/"
+    path = parts.path or "/"
+    if parts.query:
+        path += "?" + parts.query
+    return parts.netloc.lower(), path
+
+
+def apply_robots(pages_ds, robots_ds, agent: str = "*",
+                 url_col: str = "url", robots_col: str = "robots_txt",
+                 host_col: str = "host", num_partitions: int = 32):
+    """→ (url, host, path, crawl_allowed) for every page row.
+
+    Co-group by host (see module docstring for the scale rationale);
+    each partition parses its hosts' robots bodies once and runs
+    vectorized prefix matching over the urls."""
+    from .agg import _hash_part
+
+    def tag_pages(b: pa.Table) -> pa.Table:
+        urls = b[url_col].to_pylist()
+        hp = [split_host_path(u) for u in urls]
+        hosts = pa.array([h for h, _ in hp], pa.string())
+        t = pa.table({
+            "_host": hosts,
+            "_side": pa.array(np.zeros(len(b), np.int8)),
+            "url": pa.array(urls, pa.string()),
+            "path": pa.array([p for _, p in hp], pa.string()),
+            "robots": pa.nulls(len(b), pa.string()),
+        })
+        return t.append_column(
+            "_part", pa.array(_hash_part(hosts, num_partitions), pa.int64()))
+
+    def tag_robots(b: pa.Table) -> pa.Table:
+        hosts = pc.utf8_lower(pc.fill_null(b[host_col], ""))
+        t = pa.table({
+            "_host": hosts,
+            "_side": pa.array(np.ones(len(b), np.int8)),
+            "url": pa.nulls(len(b), pa.string()),
+            "path": pa.nulls(len(b), pa.string()),
+            "robots": pc.cast(b[robots_col], pa.string()),
+        })
+        return t.append_column(
+            "_part", pa.array(_hash_part(t["_host"], num_partitions),
+                              pa.int64()))
+
+    both = pages_ds.select_columns([url_col]).map_batches(
+        tag_pages, batch_format="pyarrow").union(
+        robots_ds.select_columns([host_col, robots_col]).map_batches(
+            tag_robots, batch_format="pyarrow"))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        side = t["_side"]
+        rt = t.filter(pc.equal(side, 1))
+        rules_by_host = {h: parse_robots(x, agent) for h, x in
+                         zip(rt["_host"].to_pylist(),
+                             rt["robots"].to_pylist())}
+        pt = t.filter(pc.equal(side, 0))
+        if len(pt) == 0:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "host": pa.array([], pa.string()),
+                             "path": pa.array([], pa.string()),
+                             "crawl_allowed": pa.array([], pa.bool_())})
+        hosts = np.asarray(pt["_host"].to_pylist(), dtype=object)
+        paths = np.asarray(pt["path"].to_pylist(), dtype=str)
+        allowed = np.ones(len(pt), dtype=bool)
+        order = np.argsort(hosts, kind="stable")
+        sh = hosts[order]
+        bounds = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1], True])
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            rules = rules_by_host.get(sh[lo])
+            if rules:
+                sel = order[lo:hi]
+                allowed[sel] = robots_allowed(rules, paths[sel])
+        return pa.table({"url": pt["url"], "host": pt["_host"],
+                         "path": pt["path"],
+                         "crawl_allowed": pa.array(allowed)})
+
+    return both.groupby("_part").map_groups(per_partition,
+                                            batch_format="pyarrow")

@@ -339,3 +339,42 @@ def readability_batch(batch: pa.Table, key: str = "doc_id",
                      "n_words": pa.array(n_words, pa.int64()),
                      "n_long_words": pa.array(n_long, pa.int64()),
                      "lix_milli": pa.array(lix, pa.int64())})
+
+
+_SENT_RE = re.compile(r"[^.!?]+[.!?]*")
+_SENT_TRIM = " \t\r\n\f\v"
+
+
+def split_sentences_batch(batch: pa.Table, key: str = "doc_id",
+                          col: str = "text") -> pa.Table:
+    """Explode documents into sentence rows under one deterministic,
+    RE2-compatible rule (so a SQL oracle can replay it exactly):
+    sentences are the non-overlapping matches of ``[^.!?]+[.!?]*``
+    (a run of non-terminators plus its trailing terminators), trimmed
+    of ASCII whitespace.  Leading bare terminator runs are skipped by
+    the regex on both sides identically.
+
+    → (key, sent_idx, sentence, n_chars); streaming flat explode, no
+    shuffle.  Compiled module-level regex, flat Arrow builders."""
+    keys_in = batch[key].to_pylist()
+    texts = batch[col].to_pylist()
+    out_keys: list = []
+    idxs: list[int] = []
+    sents: list[str] = []
+    for k, txt in zip(keys_in, texts):
+        for i, m in enumerate(_SENT_RE.findall(txt or "")):
+            out_keys.append(k)
+            idxs.append(i)
+            sents.append(m.strip(_SENT_TRIM))
+    return pa.table({
+        key: pa.array(out_keys, batch[key].type),
+        "sent_idx": pa.array(idxs, pa.int64()),
+        "sentence": pa.array(sents, pa.string()),
+        "n_chars": pa.array([len(s) for s in sents], pa.int64()),
+    })
+
+
+def split_sentences(ds, key: str = "doc_id", col: str = "text"):
+    """Sentence explode over a Dataset (RAG / sentence-dedup prep)."""
+    return ds.map_batches(lambda b: split_sentences_batch(b, key, col),
+                          batch_format="pyarrow")
