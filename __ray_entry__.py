@@ -1107,7 +1107,8 @@ def _q_corpus_checksum(sf_dir: str):
 def _q_render_formats(sf_dir: str):
     from xtract.render import render_pages
 
-    return render_pages(_pages(sf_dir).limit(40), formats=("hocr", "tsv", "alto"))
+    return render_pages(_pages(sf_dir).limit(40),
+                        formats=("hocr", "tsv", "alto", "markdown"))
 
 
 def _q_minhash_dedup(sf_dir: str):

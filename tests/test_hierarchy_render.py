@@ -102,3 +102,27 @@ def test_unknown_renderer_rejected():
 
     with pytest.raises(ValueError):
         RenderStage(formats=("nope",))
+
+
+def test_markdown_structure():
+    html = (b"<html><body><h2>Title Words Here</h2>"
+            b"<p>Plain paragraph with many words here</p>"
+            b"<ul><li>item one words here</li><li>item two words here</li></ul>"
+            b"<blockquote><p>quoted words in the block here</p></blockquote>"
+            b"<pre>code words preserved here</pre>"
+            b"<p><b>bold words emphasised strongly here</b></p></body></html>")
+    r = oracle_extract(html, collect_blocks=True)
+    md = RENDERERS["markdown"]("u", r["blocks"])
+    assert "## Title Words Here" in md
+    assert "- item one words here" in md
+    assert "> quoted words in the block here" in md
+    assert "```\ncode words preserved here\n```" in md
+    assert "**bold words emphasised strongly here**" in md
+    assert "Plain paragraph with many words here" in md
+    # boilerplate (nav) never reaches markdown
+    html2 = (b"<html><body><nav><a href='/a'>nav link</a></nav>"
+             b"<p>real content words in this paragraph here</p></body></html>")
+    r2 = oracle_extract(html2, collect_blocks=True)
+    md2 = RENDERERS["markdown"]("u", r2["blocks"])
+    assert "nav link" not in md2 and "real content words" in md2
+    assert EXTENSIONS["markdown"] == "md"

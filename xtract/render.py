@@ -146,6 +146,40 @@ def render_sidecar(url: str, blocks: list[Block]) -> str:
     }, sort_keys=True, ensure_ascii=False)
 
 
+def render_markdown(url: str, blocks: list[Block]) -> str:
+    """Markdown projection of the classified content blocks — the
+    web-native rich-output analogue of the reference's renderer family
+    (``src/result_renderer.rs:25-134``): heading level → ``#``×n, list
+    items → ``- ``, blockquotes → ``> ``, mono blocks → fenced code,
+    bold/italic wrappers; non-content (boilerplate) blocks dropped.
+    Deterministic — a pure function of the classified blocks."""
+    out: list[str] = []
+    for b in blocks:
+        if not b.is_content:
+            continue
+        text = b.text
+        if b.heading_level:
+            out.append("#" * min(b.heading_level, 6) + " "
+                       + " ".join(text.split("\n")))
+            continue
+        if b.is_mono:
+            out.append("```\n" + text + "\n```")
+            continue
+        lines = text.split("\n")
+        if b.is_list_item:
+            out.append("\n".join("- " + ln for ln in lines))
+            continue
+        if b.in_blockquote:
+            out.append("\n".join("> " + ln for ln in lines))
+            continue
+        if b.is_bold:
+            text = "**" + text + "**"
+        elif b.is_italic:
+            text = "*" + text + "*"
+        out.append(text)
+    return "\n\n".join(out)
+
+
 def render_unlv(url: str, blocks: list[Block]) -> str:
     """UNLV-style projection: accent-folded ASCII-ish text via the
     deterministic NFKD table (``get_unlv_text`` analogue)."""
@@ -164,12 +198,13 @@ RENDERERS: dict[str, Callable[[str, list[Block]], str]] = {
     "box_wordstr": render_box_wordstr,
     "sidecar": render_sidecar,
     "unlv": render_unlv,
+    "markdown": render_markdown,
 }
 
 #: sink self-description (get_extension analogue, src/result_renderer.rs:141-185)
 EXTENSIONS = {"text": "txt", "hocr": "hocr", "alto": "xml", "tsv": "tsv",
               "box": "box", "box_lstm": "box", "box_wordstr": "box",
-              "sidecar": "json", "unlv": "unlv"}
+              "sidecar": "json", "unlv": "unlv", "markdown": "md"}
 
 
 def register_renderer(name: str, fn: Callable[[str, list[Block]], str],
