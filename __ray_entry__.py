@@ -2258,6 +2258,43 @@ def _q_event_value_bands(sf_dir: str):
                        Sum("cents", alias_name="sum_cents")))
 
 
+def _q_doc_length_rank(sf_dir: str):
+    """Exact global ``RANK() OVER (ORDER BY n_chars)`` with NO global
+    sort (``ops/quantiles.global_rank``): one grouped count per
+    distinct value, bounded cumulative table broadcast, searchsorted
+    rank attach per batch."""
+    from xtract.ops.quantiles import global_rank
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    return global_rank(docs, "doc_id", "n_chars")
+
+
+def _q_host_sitemaps(sf_dir: str):
+    """Sitemap harvest from per-host robots.txt bodies
+    (``ops/robots.extract_sitemaps``): planted 0/1/2-sitemap files by
+    doc_id residue, with comments and rule lines interleaved."""
+    from xtract.ops.robots import extract_sitemaps
+
+    def robots_batch(t: pa.Table) -> pa.Table:
+        hosts, txts = [], []
+        for d in t["doc_id"].to_pylist():
+            d = int(d)
+            host = f"s{d}.example.org"
+            txt = f"# robots for {host}\nUser-agent: *\nDisallow: /p/\n"
+            if d % 3 >= 1:
+                txt += f"Sitemap: https://{host}/sm0.xml\n"
+            if d % 3 == 2:
+                txt += f"Allow: /p/ok/\nSitemap: https://{host}/sm1.xml\n"
+            hosts.append(host)
+            txts.append(txt)
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "robots_txt": pa.array(txts, pa.string())})
+
+    robots = _docs(sf_dir, ["doc_id"]).map_batches(
+        robots_batch, batch_format="pyarrow")
+    return extract_sitemaps(robots)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2310,6 +2347,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_robots_filter": _q_host_robots_filter,
         "doc_sentences": _q_doc_sentences,
         "event_value_bands": _q_event_value_bands,
+        "doc_length_rank": _q_doc_length_rank,
+        "host_sitemaps": _q_host_sitemaps,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -3158,6 +3197,18 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(length(trim(ss[c+1], {_TRIM} || chr(12) || chr(11))) "
             "AS BIGINT) AS n_chars "
             "FROM t, idx WHERE c < len(ss)",
+        "doc_length_rank":
+            "SELECT doc_id, n_chars, "
+            "CAST(RANK() OVER (ORDER BY n_chars) AS BIGINT) AS rnk, "
+            "CAST(count(*) OVER () AS BIGINT) AS n_rows FROM documents",
+        "host_sitemaps":
+            "WITH h AS (SELECT doc_id, 's' || CAST(doc_id AS VARCHAR) || "
+            "'.example.org' AS host FROM documents) "
+            "SELECT host, CAST(0 AS BIGINT) AS rank, "
+            "'https://' || host || '/sm0.xml' AS sitemap_url "
+            "FROM h WHERE doc_id % 3 >= 1 "
+            "UNION ALL SELECT host, 1, 'https://' || host || '/sm1.xml' "
+            "FROM h WHERE doc_id % 3 = 2",
         "event_value_bands":
             "WITH b(lo, hi, label) AS (VALUES "
             "(0, 1000, 'micro'), (1000, 2500, 'small'), "

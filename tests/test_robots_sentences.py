@@ -118,3 +118,46 @@ def test_range_lookup_broadcast(ray_session):
 
     with pytest.raises(ValueError):
         range_lookup_broadcast(ds, "v", bad)
+
+
+def test_extract_sitemaps(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.robots import extract_sitemaps
+
+    robots = rd.from_arrow(pa.table({
+        "host": ["a.org", "b.org", "c.org"],
+        "robots_txt": [
+            "User-agent: *\nDisallow: /x\nSitemap: https://a.org/s1.xml\n"
+            "Sitemap: https://a.org/s2.xml  # comment",
+            "User-agent: *\nAllow: /",
+            None,
+        ]}))
+    out = extract_sitemaps(robots).to_pandas().sort_values(
+        ["host", "rank"]).reset_index(drop=True)
+    assert out["host"].tolist() == ["a.org", "a.org"]
+    assert out["rank"].tolist() == [0, 1]
+    assert out["sitemap_url"].tolist() == ["https://a.org/s1.xml",
+                                           "https://a.org/s2.xml"]
+
+
+def test_global_rank_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from xtract.ops.quantiles import global_rank
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 40, size=500)         # heavy ties
+    t = pa.table({"doc_id": np.arange(500, dtype=np.int64),
+                  "n": vals.astype(np.int64)})
+    out = (global_rank(rd.from_arrow(t).repartition(7), "doc_id", "n")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    expect = pd.Series(vals).rank(method="min").astype(np.int64)
+    assert out["rnk"].tolist() == expect.tolist()
+    assert (out["n_rows"] == 500).all()
+    # exact-count gate fails loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        global_rank(rd.from_arrow(t), "doc_id", "doc_id", max_distinct=10)

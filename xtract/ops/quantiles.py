@@ -168,3 +168,50 @@ def quantile_report(ds, col: str, qs: dict[str, float],
         ds = ds.map_batches(to_int, batch_format="pyarrow")
     vals = exact_quantiles_global(ds, col, qs, n_bins=n_bins)
     return pd.DataFrame({m: [vals[m]] for m in qs})
+
+
+def global_rank(ds, key: str, col: str, max_distinct: int = 2_000_000):
+    """Exact global ``RANK() OVER (ORDER BY col)`` (SQL RANK: ties
+    share the rank of the group's first row) over an integer-valued
+    column with NO global sort.
+
+    ``Dataset.sort`` + a driver rank scan would move every row through
+    an all-to-all; instead ONE grouped count per distinct value runs
+    (native groupby Count — combiner-backed), the bounded
+    (value, count) table is cumulative-summed on the driver and
+    broadcast, and each batch attaches its rank via one vectorized
+    ``np.searchsorted``.  Exact-count gate (the DRIVER_CC_LIMIT
+    pattern): raises if distinct values exceed ``max_distinct`` rather
+    than OOMing the driver — ranks over a *measurement* column (length,
+    score, count) have bounded distinct values by construction.
+
+    → (key, col, rnk, n_rows), all int64."""
+    import ray
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(col).aggregate(Count(alias_name="_n")).materialize()
+    n_distinct = counts.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"global_rank: {n_distinct} distinct values of {col!r} exceed "
+            f"max_distinct={max_distinct}; rank over a bounded-cardinality "
+            "column or raise the gate")
+    df = counts.to_pandas().sort_values(col, kind="mergesort")
+    vals = df[col].to_numpy(np.int64)
+    ns = df["_n"].to_numpy(np.int64)
+    total = int(ns.sum())
+    ranks = np.ones(len(ns), np.int64)
+    ranks[1:] = 1 + np.cumsum(ns[:-1])
+    ref = ray.put((vals, ranks))
+
+    def attach(b: pa.Table) -> pa.Table:
+        v_sorted, r_sorted = ray.get(ref)
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(v_sorted, v)
+        return pa.table({
+            key: b[key], col: b[col],
+            "rnk": pa.array(r_sorted[idx]),
+            "n_rows": pa.array(np.full(len(b), total, np.int64)),
+        })
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -168,3 +168,33 @@ def apply_robots(pages_ds, robots_ds, agent: str = "*",
 
     return both.groupby("_part").map_groups(per_partition,
                                             batch_format="pyarrow")
+
+
+def extract_sitemaps(robots_ds, host_col: str = "host",
+                     robots_col: str = "robots_txt"):
+    """Harvest ``Sitemap:`` declarations from per-host robots.txt
+    bodies — the crawl-frontier seed surface next to ``apply_robots``.
+
+    → (host, rank, sitemap_url) in document order per host (``rank``
+    0-based).  Sitemap lines are cross-group per the REP spec, so no
+    agent selection applies; ``#`` comments stripped as in
+    ``parse_robots``.  Stateless streaming flat explode — no shuffle."""
+    def explode(b: pa.Table) -> pa.Table:
+        hosts_out: list[str] = []
+        ranks: list[int] = []
+        urls: list[str] = []
+        for h, txt in zip(b[host_col].to_pylist(), b[robots_col].to_pylist()):
+            rank = 0
+            for raw in (txt or "").splitlines():
+                line = raw.split("#", 1)[0].strip()
+                key, _, val = line.partition(":")
+                if key.strip().lower() == "sitemap" and val.strip():
+                    hosts_out.append(h or "")
+                    ranks.append(rank)
+                    urls.append(val.strip())
+                    rank += 1
+        return pa.table({"host": pa.array(hosts_out, pa.string()),
+                         "rank": pa.array(ranks, pa.int64()),
+                         "sitemap_url": pa.array(urls, pa.string())})
+
+    return robots_ds.map_batches(explode, batch_format="pyarrow")
