@@ -161,3 +161,30 @@ def test_global_rank_matches_pandas(ray_session):
 
     with pytest.raises(ValueError):
         global_rank(rd.from_arrow(t), "doc_id", "doc_id", max_distinct=10)
+
+
+def test_apply_robots_salted_identical(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.robots import apply_robots
+
+    # one hot host with many urls + one cold host
+    urls = [f"https://hot.org/p{i % 3}/x/{i}" for i in range(300)] + [
+        "https://cold.org/private/1"]
+    pages = rd.from_arrow(pa.table({"url": urls})).repartition(5)
+    robots = rd.from_arrow(pa.table({
+        "host": ["hot.org", "cold.org"],
+        "robots_txt": ["User-agent: *\nDisallow: /p1/\nAllow: /p1/x",
+                       "User-agent: *\nDisallow: /private/"]}))
+    plain = apply_robots(pages, robots, agent="bot").to_pandas()
+    salted = apply_robots(pages, robots, agent="bot",
+                          num_salts=4).to_pandas()
+    key = ["url", "host", "path", "crawl_allowed"]
+    a = plain[key].sort_values("url").reset_index(drop=True)
+    b = salted[key].sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
+    # sanity on the rules themselves: /p1/x... allowed (longer Allow)
+    got = dict(zip(a["url"], a["crawl_allowed"]))
+    assert got["https://hot.org/p1/x/1"]
+    assert not got["https://cold.org/private/1"]
+    assert got["https://hot.org/p0/x/0"]

@@ -98,12 +98,22 @@ def split_host_path(url: str) -> tuple[str, str]:
 
 def apply_robots(pages_ds, robots_ds, agent: str = "*",
                  url_col: str = "url", robots_col: str = "robots_txt",
-                 host_col: str = "host", num_partitions: int = 32):
+                 host_col: str = "host", num_partitions: int = 32,
+                 num_salts: int = 1):
     """→ (url, host, path, crawl_allowed) for every page row.
 
     Co-group by host (see module docstring for the scale rationale);
     each partition parses its hosts' robots bodies once and runs
-    vectorized prefix matching over the urls."""
+    vectorized prefix matching over the urls.
+
+    Hot-host skew: the per-url decision is independent given the rules,
+    so with ``num_salts=R`` each page row is salted by a url hash into
+    one of R sub-partitions per host while every robots row (ONE small
+    row per host) is replicated into all R — a viral host's 10⁹ urls
+    spread over R partitions at the cost of R copies of its rule
+    text.  Results are identical for any R (tested)."""
+    import pandas as pd
+
     from .agg import _hash_part
 
     def tag_pages(b: pa.Table) -> pa.Table:
@@ -117,8 +127,12 @@ def apply_robots(pages_ds, robots_ds, agent: str = "*",
             "path": pa.array([p for _, p in hp], pa.string()),
             "robots": pa.nulls(len(b), pa.string()),
         })
-        return t.append_column(
-            "_part", pa.array(_hash_part(hosts, num_partitions), pa.int64()))
+        part = _hash_part(hosts, num_partitions)
+        if num_salts > 1:
+            salt = (pd.util.hash_array(np.asarray(urls, dtype=object))
+                    % num_salts).astype(np.int64)
+            part = part * num_salts + salt
+        return t.append_column("_part", pa.array(part, pa.int64()))
 
     def tag_robots(b: pa.Table) -> pa.Table:
         hosts = pc.utf8_lower(pc.fill_null(b[host_col], ""))
@@ -129,9 +143,14 @@ def apply_robots(pages_ds, robots_ds, agent: str = "*",
             "path": pa.nulls(len(b), pa.string()),
             "robots": pc.cast(b[robots_col], pa.string()),
         })
-        return t.append_column(
-            "_part", pa.array(_hash_part(t["_host"], num_partitions),
-                              pa.int64()))
+        part = _hash_part(t["_host"], num_partitions)
+        if num_salts > 1:
+            n = len(t)
+            rep = np.repeat(np.arange(n), num_salts)
+            t = t.take(pa.array(rep))
+            part = (np.repeat(part * num_salts, num_salts)
+                    + np.tile(np.arange(num_salts, dtype=np.int64), n))
+        return t.append_column("_part", pa.array(part, pa.int64()))
 
     both = pages_ds.select_columns([url_col]).map_batches(
         tag_pages, batch_format="pyarrow").union(
