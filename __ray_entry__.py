@@ -2295,6 +2295,19 @@ def _q_host_sitemaps(sf_dir: str):
     return extract_sitemaps(robots)
 
 
+def _q_user_rfm_segments(sf_dir: str):
+    """RFM user segmentation (``ops/behavior.rfm_segments``): one
+    grouped aggregate → exact global quartile thresholds via histogram
+    refinement (no sort) → vectorized 1–4 scores."""
+    import ray.data as rd
+
+    from xtract.ops.behavior import rfm_segments
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    return rfm_segments(ev)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2349,6 +2362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_bands": _q_event_value_bands,
         "doc_length_rank": _q_doc_length_rank,
         "host_sitemaps": _q_host_sitemaps,
+        "user_rfm_segments": _q_user_rfm_segments,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -3197,6 +3211,36 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(length(trim(ss[c+1], {_TRIM} || chr(12) || chr(11))) "
             "AS BIGINT) AS n_chars "
             "FROM t, idx WHERE c < len(ss)",
+        "user_rfm_segments":
+            # quantile_disc == the engine's type-1 discrete rule;
+            # score = 1 + #quartile thresholds strictly below the value
+            "WITH ua AS (SELECT user_id, max(epoch_us(ts)) AS r_us, "
+            "count(*) AS f_n, sum(CAST(round(value*100) AS BIGINT)) "
+            "AS m_cents FROM events GROUP BY 1), "
+            "t AS (SELECT "
+            "quantile_disc(r_us, 0.25) AS r1, "
+            "quantile_disc(r_us, 0.50) AS r2, "
+            "quantile_disc(r_us, 0.75) AS r3, "
+            "quantile_disc(f_n, 0.25) AS f1, "
+            "quantile_disc(f_n, 0.50) AS f2, "
+            "quantile_disc(f_n, 0.75) AS f3, "
+            "quantile_disc(m_cents, 0.25) AS m1, "
+            "quantile_disc(m_cents, 0.50) AS m2, "
+            "quantile_disc(m_cents, 0.75) AS m3 FROM ua), "
+            "s AS (SELECT user_id, r_us, f_n, m_cents, "
+            "1 + CAST(r_us > r1 AS INT) + CAST(r_us > r2 AS INT) "
+            "+ CAST(r_us > r3 AS INT) AS r_score, "
+            "1 + CAST(f_n > f1 AS INT) + CAST(f_n > f2 AS INT) "
+            "+ CAST(f_n > f3 AS INT) AS f_score, "
+            "1 + CAST(m_cents > m1 AS INT) + CAST(m_cents > m2 AS INT) "
+            "+ CAST(m_cents > m3 AS INT) AS m_score FROM ua, t) "
+            "SELECT user_id, CAST(r_us AS BIGINT) AS r_us, "
+            "CAST(f_n AS BIGINT) AS f_n, CAST(m_cents AS BIGINT) "
+            "AS m_cents, CAST(r_score AS BIGINT) AS r_score, "
+            "CAST(f_score AS BIGINT) AS f_score, "
+            "CAST(m_score AS BIGINT) AS m_score, "
+            "CAST(100 * r_score + 10 * f_score + m_score AS BIGINT) "
+            "AS rfm FROM s",
         "doc_length_rank":
             "SELECT doc_id, n_chars, "
             "CAST(RANK() OVER (ORDER BY n_chars) AS BIGINT) AS rnk, "

@@ -188,3 +188,29 @@ def test_apply_robots_salted_identical(ray_session):
     assert got["https://hot.org/p1/x/1"]
     assert not got["https://cold.org/private/1"]
     assert got["https://hot.org/p0/x/0"]
+
+
+def test_rfm_segments_scores(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.behavior import rfm_segments
+
+    n = 64
+    t = pa.table({
+        "user_id": np.arange(n, dtype=np.int64),
+        "ts": pa.array(np.arange(n, dtype=np.int64) * 10**6,
+                       pa.timestamp("us")),
+        "value": (np.arange(n, dtype=np.float64) + 1) / 4.0,
+    })
+    out = (rfm_segments(rd.from_arrow(t).repartition(5))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert len(out) == n
+    for c in ("r_score", "f_score", "m_score"):
+        assert out[c].between(1, 4).all()
+    # distinct monotone metrics → exactly 16 users per quartile bucket
+    assert out["r_score"].value_counts().tolist() == [16, 16, 16, 16]
+    assert out["m_score"].value_counts().tolist() == [16, 16, 16, 16]
+    # one event per user → every f_score identical
+    assert out["f_score"].nunique() == 1
+    # monotone: later users (more recent, higher spend) score higher
+    assert (out["rfm"].to_numpy()[1:] >= out["rfm"].to_numpy()[:-1]).all()

@@ -147,3 +147,65 @@ def trend_per_key(ds, key: str, ts_col: str, value_col: str,
                            batch_format="pyarrow")
               .groupby("_part")
               .map_groups(per_partition, batch_format="pandas"))
+
+
+def rfm_segments(ds, key: str = "user_id", ts_col: str = "ts",
+                 value_col: str = "value"):
+    """RFM (recency / frequency / monetary) user segmentation — the
+    classic event-log marketing cut, in a shape that never sorts or
+    collects the user table:
+
+    1. ONE native grouped aggregate → per-user (max ts µs, count,
+       sum cents); materialized once (bounded by #users, spillable).
+    2. Exact global QUARTILE thresholds of each metric via the
+       histogram-refinement quantile engine (streaming passes over the
+       user table, ≤n_bins rows per pass to the driver).
+    3. One vectorized compare per batch: score = 1 + #thresholds
+       strictly below the value (type-1 discrete boundaries — the
+       SQL ``quantile_disc`` rule), so all three scores ∈ 1..4.
+
+    → (key, r_us, f_n, m_cents, r_score, f_score, m_score, rfm)
+    with ``rfm = 100·r + 10·f + m`` — all int64."""
+    import ray
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .quantiles import exact_quantiles_global
+
+    def slim(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.round(b[value_col].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        return pa.table({key: b[key], "_ts_us": pa.array(ts),
+                         "_cents": pa.array(cents)})
+
+    ua = (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby(key)
+            .aggregate(Max("_ts_us", alias_name="r_us"),
+                       Count(alias_name="f_n"),
+                       Sum("_cents", alias_name="m_cents"))
+            .materialize())
+    qs = {"q25": 0.25, "q50": 0.50, "q75": 0.75}
+    thresholds = {m: exact_quantiles_global(ua, m, qs)
+                  for m in ("r_us", "f_n", "m_cents")}
+    ref = ray.put(thresholds)
+
+    def score(b: pa.Table) -> pa.Table:
+        th = ray.get(ref)
+        out = {key: b[key]}
+        scores = {}
+        for m, sname in (("r_us", "r_score"), ("f_n", "f_score"),
+                         ("m_cents", "m_score")):
+            v = b[m].to_numpy(zero_copy_only=False)
+            s = np.ones(len(b), np.int64)
+            for q in ("q25", "q50", "q75"):
+                s += v > th[m][q]
+            out[m] = b[m]
+            scores[sname] = s
+        for sname, s in scores.items():
+            out[sname] = pa.array(s)
+        out["rfm"] = pa.array(100 * scores["r_score"]
+                              + 10 * scores["f_score"]
+                              + scores["m_score"])
+        return pa.table(out)
+
+    return ua.map_batches(score, batch_format="pyarrow")
