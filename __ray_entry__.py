@@ -2295,6 +2295,63 @@ def _q_host_sitemaps(sf_dir: str):
     return extract_sitemaps(robots)
 
 
+def _reciprocal_pages_batch(t: pa.Table) -> pa.Table:
+    """Planted link graph through the REAL tokenizer: every page on
+    host h{d%4} links to h{(d+2)%4} (mod-4 +2 shift ⟹ 0↔2 and 1↔3 are
+    mutual) plus a one-way link to ow{d%3}.example.net (never links
+    back)."""
+    urls, htmls = [], []
+    for d in t["doc_id"].to_pylist():
+        d = int(d)
+        urls.append(f"https://h{d % 4}.example.org/p/{d}")
+        h = (f"<html><body><p>see "
+             f"<a href=\"https://h{(d + 2) % 4}.example.org/in/{d}\">x</a>"
+             f" and <a href=\"https://ow{d % 3}.example.net/z\">y</a>"
+             f"</p></body></html>")
+        htmls.append(h.encode())
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "html": pa.array(htmls, pa.binary())})
+
+
+def _q_host_reciprocal_links(sf_dir: str):
+    """Mutual host-level links (``ops/graph.reciprocal_host_pairs``):
+    per-block deduped unordered-pair combiner → ONE grouped Max/Max →
+    filter.  Expected pairs are provably (h0,h2) and (h1,h3)."""
+    from xtract.links import extract_outlinks
+    from xtract.ops.graph import reciprocal_host_pairs
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _reciprocal_pages_batch, batch_format="pyarrow")
+    return reciprocal_host_pairs(extract_outlinks(pages))
+
+
+def _q_lineitem_weighted_discount(sf_dir: str):
+    """Exact-integer grouped WEIGHTED AVERAGE (price-weighted discount)
+    as a num/den fraction — no float accumulation order anywhere: one
+    vectorized map to integer cents/bps products, ONE native grouped
+    Sum pair."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_discount"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        price = np.round(b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        disc = np.round(b["l_discount"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "wd_num": pa.array(price * disc),
+                         "wd_den": pa.array(price)})
+
+    return (li.map_batches(to_int, batch_format="pyarrow")
+              .groupby("l_returnflag")
+              .aggregate(Sum("wd_num", alias_name="wd_num"),
+                         Sum("wd_den", alias_name="wd_den")))
+
+
 def _q_user_rfm_segments(sf_dir: str):
     """RFM user segmentation (``ops/behavior.rfm_segments``): one
     grouped aggregate → exact global quartile thresholds via histogram
@@ -2363,6 +2420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_rank": _q_doc_length_rank,
         "host_sitemaps": _q_host_sitemaps,
         "user_rfm_segments": _q_user_rfm_segments,
+        "lineitem_weighted_discount": _q_lineitem_weighted_discount,
+        "host_reciprocal_links": _q_host_reciprocal_links,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -3211,6 +3270,29 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(length(trim(ss[c+1], {_TRIM} || chr(12) || chr(11))) "
             "AS BIGINT) AS n_chars "
             "FROM t, idx WHERE c < len(ss)",
+        "host_reciprocal_links":
+            # replay: edges h{d%4} → h{(d+2)%4} (mutual 0↔2, 1↔3) plus
+            # one-way h{d%4} → ow{d%3}.example.net; self-links impossible
+            "WITH e AS ("
+            "SELECT DISTINCT 'h' || CAST(doc_id % 4 AS VARCHAR) || "
+            "'.example.org' AS src, 'h' || CAST((doc_id + 2) % 4 "
+            "AS VARCHAR) || '.example.org' AS dst FROM documents "
+            "UNION SELECT DISTINCT 'h' || CAST(doc_id % 4 AS VARCHAR) || "
+            "'.example.org', 'ow' || CAST(doc_id % 3 AS VARCHAR) || "
+            "'.example.net' FROM documents), "
+            "p AS (SELECT least(src, dst) AS host_a, "
+            "greatest(src, dst) AS host_b, "
+            "max(CASE WHEN src < dst THEN 1 ELSE 0 END) AS f, "
+            "max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS w "
+            "FROM e GROUP BY 1, 2) "
+            "SELECT host_a, host_b FROM p WHERE f = 1 AND w = 1",
+        "lineitem_weighted_discount":
+            "SELECT l_returnflag, "
+            "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS wd_num, "
+            "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) "
+            "AS BIGINT) AS wd_den "
+            "FROM lineitem GROUP BY 1",
         "user_rfm_segments":
             # quantile_disc == the engine's type-1 discrete rule;
             # score = 1 + #quartile thresholds strictly below the value

@@ -88,3 +88,20 @@ def test_snapshot_diff_partition_invariance(ray_session):
         .sort_values("url").reset_index(drop=True)
     assert a.equals(b)
     assert (a["status"] == "changed").all()
+
+
+def test_reciprocal_host_pairs(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.graph import reciprocal_host_pairs
+
+    links = rd.from_arrow(pa.table({
+        "url": ["https://a.org/1", "https://b.org/2", "https://a.org/3",
+                "https://c.org/4", "https://a.org/5", "https://a.org/6"],
+        "host": ["b.org", "a.org", "c.org",          # a↔b mutual, a→c
+                 "c.org",                            # c→c self (dropped)
+                 "b.org", "a.org"],                  # dup edge + self
+    })).repartition(3)
+    out = reciprocal_host_pairs(links).to_pandas().sort_values(
+        ["host_a", "host_b"]).reset_index(drop=True)
+    assert out.values.tolist() == [["a.org", "b.org"]]

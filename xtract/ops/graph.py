@@ -341,3 +341,47 @@ def snapshot_diff(old_ds, new_ds, key: str = "url",
 
     return both.groupby("_part").map_groups(classify,
                                             batch_format="pyarrow")
+
+
+def reciprocal_host_pairs(links_ds, src_url_col: str = "url",
+                          dst_host_col: str = "host"):
+    """Host pairs that link to each other in BOTH directions — the
+    crawl-graph mutual-citation / link-farm signal.
+
+    Shape: one vectorized map turns each link row into a slim unordered
+    pair row ``(host_a < host_b, fwd, bwd)`` DEDUPED per block (a block
+    with a million links between two hosts contributes ONE row), then
+    ONE native groupby(a, b) Max/Max and a filter — the shuffle moves
+    at most (distinct pairs per block) rows, never per-link rows.
+    Self-links are dropped.
+
+    → (host_a, host_b), host_a < host_b."""
+    import pandas as pd
+    from ray.data.aggregate import Max
+
+    from ..links import host_of
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        src = np.asarray([host_of(u or "")
+                          for u in b[src_url_col].to_pylist()], dtype=object)
+        dst = np.asarray(
+            [h or "" for h in b[dst_host_col].to_pylist()], dtype=object)
+        keep = (src != dst) & (src != "") & (dst != "")
+        src, dst = src[keep], dst[keep]
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        fwd = (src < dst).astype(np.int64)
+        df = pd.DataFrame({"host_a": lo, "host_b": hi, "fwd": fwd,
+                           "bwd": 1 - fwd}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (links_ds.map_batches(pair_rows, batch_format="pyarrow")
+           .groupby(["host_a", "host_b"])
+           .aggregate(Max("fwd", alias_name="fwd"),
+                      Max("bwd", alias_name="bwd")))
+
+    def only_mutual(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["fwd"], 1), pc.equal(t["bwd"], 1))
+        return t.filter(m).select(["host_a", "host_b"])
+
+    return agg.map_batches(only_mutual, batch_format="pyarrow")
