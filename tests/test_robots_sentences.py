@@ -214,3 +214,15 @@ def test_rfm_segments_scores(ray_session):
     assert out["f_score"].nunique() == 1
     # monotone: later users (more recent, higher spend) score higher
     assert (out["rfm"].to_numpy()[1:] >= out["rfm"].to_numpy()[:-1]).all()
+
+
+def test_range_lookup_empty_ranges(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from xtract.ops.joins import range_lookup_broadcast
+
+    ds = rd.from_arrow(pa.table({"v": [1, 2, 3]}))
+    empty = pd.DataFrame({"lo": [], "hi": [], "label": []})
+    out = range_lookup_broadcast(ds, "v", empty, default="none").to_pandas()
+    assert out["label"].tolist() == ["none"] * 3

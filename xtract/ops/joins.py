@@ -863,12 +863,13 @@ def range_lookup_broadcast(ds, value_col: str, ranges, lo_col: str = "lo",
     def attach(b: pa.Table) -> pa.Table:
         lo_a, hi_a, lab_a = ray.get(ref)
         v = b[value_col].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(lo_a, v, side="right") - 1
-        safe = np.clip(idx, 0, max(len(lo_a) - 1, 0))
-        inside = (idx >= 0) & (len(lo_a) > 0)
-        if len(lo_a):
-            inside &= v < hi_a[safe]
-        out = np.where(inside, lab_a[safe], default)
+        if len(lo_a) == 0:
+            out = np.full(len(b), default, dtype=object)
+        else:
+            idx = np.searchsorted(lo_a, v, side="right") - 1
+            safe = np.clip(idx, 0, len(lo_a) - 1)
+            inside = (idx >= 0) & (v < hi_a[safe])
+            out = np.where(inside, lab_a[safe], default)
         return b.append_column(out_name, pa.array(out.tolist(), pa.string()))
 
     return ds.map_batches(attach, batch_format="pyarrow")
