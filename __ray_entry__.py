@@ -2365,6 +2365,195 @@ def _q_user_rfm_segments(sf_dir: str):
     return rfm_segments(ev)
 
 
+def _list_pages_batch(t: pa.Table) -> pa.Table:
+    """doc_id → a page with a nested <ul> (text-stops-at-nested-list
+    + shared-list_idx semantics) and, for doc_id%4==0, an <ol> whose
+    last item is unterminated (recovery)."""
+    urls, htmls = [], []
+    for d in t["doc_id"].to_pylist():
+        urls.append(f"https://host{d % 6}.example.org/p/{d}")
+        h = (f"<html><body><ul><li>alpha {d % 3}</li>"
+             f"<li>b &amp; {d % 5}<ul><li>nested {d % 2}</li></ul></li>"
+             "</ul>")
+        if d % 4 == 0:
+            h += f"<ol><li>one {d % 7}</li><li>two {d % 3}</ol>"
+        h += "</body></html>"
+        htmls.append(h.encode())
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "html": pa.array(htmls, pa.binary())})
+
+
+def _q_page_lists(sf_dir: str):
+    """List-item extraction (``xtract/tables.extract_lists``): the
+    sixth tokenizer-walk surface — one row per <li> with top-level
+    list index, in-list sequence, nesting depth and ordered flag."""
+    from xtract.tables import extract_lists
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _list_pages_batch, batch_format="pyarrow")
+    return extract_lists(pages)
+
+
+def _page_lists_sql() -> str:
+    page = ("'https://host' || CAST(doc_id % 6 AS VARCHAR) || "
+            "'.example.org/p/' || CAST(doc_id AS VARCHAR)")
+    rows = [
+        ("0", "0", "1", "false", "'alpha ' || CAST(doc_id % 3 AS VARCHAR)",
+         None),
+        ("0", "1", "1", "false", "'b & ' || CAST(doc_id % 5 AS VARCHAR)",
+         None),
+        ("0", "2", "2", "false", "'nested ' || CAST(doc_id % 2 AS VARCHAR)",
+         None),
+        ("1", "0", "1", "true", "'one ' || CAST(doc_id % 7 AS VARCHAR)",
+         "doc_id % 4 = 0"),
+        ("1", "1", "1", "true", "'two ' || CAST(doc_id % 3 AS VARCHAR)",
+         "doc_id % 4 = 0"),
+    ]
+    parts = []
+    for li, it, dp, od, txt, cond in rows:
+        q = (f"SELECT {page} AS url, CAST({li} AS BIGINT) AS list_idx, "
+             f"CAST({it} AS BIGINT) AS item_idx, CAST({dp} AS BIGINT) "
+             f"AS depth, {od} AS ordered, {txt} AS item_text "
+             "FROM documents")
+        if cond:
+            q += f" WHERE {cond}"
+        parts.append(q)
+    return " UNION ALL ".join(parts)
+
+
+def _q_bigram_pmi(sf_dir: str):
+    """Bigram collocation mining by exact-integer PMI ratio
+    (``ops/collocations.bigram_pmi``): distributed bigram/unigram
+    combiner counts, vocabulary-bounded broadcast lookup, big-int
+    scoring on the filtered survivors only."""
+    from xtract.ops.collocations import bigram_pmi
+
+    return bigram_pmi(_docs(sf_dir, ["text"]), min_count=5, k=50)
+
+
+def _bigram_pmi_sql() -> str:
+    return (
+        "WITH toks AS (SELECT doc, tok, row_number() OVER "
+        "(PARTITION BY doc ORDER BY pos) AS rn FROM ("
+        "SELECT doc_id AS doc, unnest(regexp_split_to_array(lower("
+        "coalesce(text,'')), '[^a-z]+')) AS tok, "
+        "unnest(range(1, len(regexp_split_to_array(lower("
+        "coalesce(text,'')), '[^a-z]+')) + 1)) AS pos FROM documents) "
+        "WHERE tok != ''), "
+        "bi AS (SELECT t1.tok AS a, t2.tok AS b, count(*) AS c_ab "
+        "FROM toks t1 JOIN toks t2 ON t2.doc = t1.doc "
+        "AND t2.rn = t1.rn + 1 GROUP BY 1, 2), "
+        "uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1), "
+        "n AS (SELECT sum(c) AS n FROM uni), "
+        "m AS (SELECT sum(c_ab) AS m FROM bi) "
+        "SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab, "
+        "CAST(ua.c AS BIGINT) AS c_a, CAST(ub.c AS BIGINT) AS c_b, "
+        "CAST((c_ab * (SELECT n FROM n)::HUGEINT * (SELECT n FROM n) "
+        "* 1000000) // ((SELECT m FROM m) * ua.c * ub.c) AS BIGINT) "
+        "AS ratio_ppm "
+        "FROM bi JOIN uni ua ON ua.tok = a JOIN uni ub ON ub.tok = b "
+        "WHERE c_ab >= 5 ORDER BY ratio_ppm DESC, a, b LIMIT 50")
+
+
+def _q_host_triangles(sf_dir: str):
+    """Per-host triangle counts over the deterministic host link graph
+    (same planted edges as ``host_pagerank``): degree-ordered
+    node-iterator — distinct undirected edges → O(√E)-bounded wedge
+    explode → semi co-group closure (``ops/graph.triangle_counts``)."""
+    from xtract.ops.graph import triangle_counts
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = ids % 97
+        nl = (ids % 4).astype(np.int64)
+        rep = np.repeat(np.arange(len(ids), dtype=np.int64), nl)
+        run_start = np.repeat(np.cumsum(nl) - nl, nl)
+        j = np.arange(len(rep), dtype=np.int64) - run_start
+        return pa.table({
+            "src": pa.array(h[rep], pa.int64()),
+            "dst": pa.array((h[rep] * 31 + 17 * j + ids[rep]) % 97,
+                            pa.int64())})
+
+    return triangle_counts(docs.map_batches(edges, batch_format="pyarrow"))
+
+
+def _host_triangles_sql() -> str:
+    return (
+        "WITH raw AS (SELECT (doc_id % 97) AS x, "
+        "((doc_id % 97) * 31 + 17 * j + doc_id) % 97 AS y "
+        "FROM documents, UNNEST(range(0, doc_id % 4)) AS t(j)), "
+        "e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v "
+        "FROM raw WHERE x != y), "
+        "tri AS (SELECT a.u AS n1, a.v AS n2, b.v AS n3 FROM e a "
+        "JOIN e b ON b.u = a.v JOIN e c ON c.u = a.u AND c.v = b.v), "
+        "corners AS (SELECT n1 AS node FROM tri UNION ALL "
+        "SELECT n2 FROM tri UNION ALL SELECT n3 FROM tri) "
+        "SELECT CAST(node AS BIGINT) AS node, count(*) AS n_triangles "
+        "FROM corners GROUP BY node")
+
+
+def _q_orders_anti_events(sf_dir: str):
+    """Large-×-large ANTI join via co-group (``semi_join_cogroup``
+    with ``anti=True``): orders whose customer never appears in the
+    event log — only the right KEY column shuffles, no broadcast."""
+    import ray.data as rd
+
+    from xtract.ops.joins import semi_join_cogroup
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return semi_join_cogroup(orders, ev, "o_custkey", "user_id",
+                             anti=True)
+
+
+def _q_user_first_event_daily(sf_dir: str):
+    """Windowed first-per-key (recrawl-dedup shape: keep the first
+    fetch per url per day): composite (user, epoch-day) key through
+    the block-combiner + coarse co-group ``first_row_per_key`` — each
+    block contributes ≤1 row per key before the exchange."""
+    import ray.data as rd
+
+    from xtract.ops.agg import first_row_per_key
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        uk = (b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+              * 1_000_000 + day)
+        return b.append_column("_uk", pa.array(uk, pa.int64()))
+
+    first = first_row_per_key(
+        ev.map_batches(keyed, batch_format="pyarrow"),
+        "_uk", order_cols=("ts", "event_id"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"]})
+
+    return first.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_doc_split_assign(sf_dir: str):
+    """Deterministic train/val/test assignment by content digest
+    (``ops/textstats.assign_split_batch``) — the leakage-safe split
+    is stable across runs, shards and parallelism."""
+    from xtract.ops.textstats import assign_split_batch
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(assign_split_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "split"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2422,6 +2611,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rfm_segments": _q_user_rfm_segments,
         "lineitem_weighted_discount": _q_lineitem_weighted_discount,
         "host_reciprocal_links": _q_host_reciprocal_links,
+        "page_lists": _q_page_lists,
+        "bigram_pmi": _q_bigram_pmi,
+        "host_triangles": _q_host_triangles,
+        "orders_anti_events": _q_orders_anti_events,
+        "user_first_event_daily": _q_user_first_event_daily,
+        "doc_split_assign": _q_doc_split_assign,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -3286,6 +3481,21 @@ def oracle_sql() -> dict[str, str]:
             "max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS w "
             "FROM e GROUP BY 1, 2) "
             "SELECT host_a, host_b FROM p WHERE f = 1 AND w = 1",
+        "page_lists": _page_lists_sql(),
+        "bigram_pmi": _bigram_pmi_sql(),
+        "host_triangles": _host_triangles_sql(),
+        "orders_anti_events":
+            "SELECT o_orderkey, o_custkey FROM orders "
+            "WHERE o_custkey NOT IN (SELECT user_id FROM events)",
+        "user_first_event_daily":
+            "SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, "
+            "event_id, event_type FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id, "
+            "CAST(ts AS DATE) ORDER BY ts, event_id) = 1",
+        "doc_split_assign":
+            "SELECT doc_id, CASE WHEN md5(coalesce(text,'')) < 'cc' "
+            "THEN 'train' WHEN md5(coalesce(text,'')) < 'e6' "
+            "THEN 'val' ELSE 'test' END AS split FROM documents",
         "lineitem_weighted_discount":
             "SELECT l_returnflag, "
             "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * "

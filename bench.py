@@ -244,6 +244,22 @@ def bench_once() -> dict:
             rd.read_parquet(f"{SF_DIR}/documents.parquet",
                             columns=["doc_id", "text"]), k=3).count())
 
+    # bigram PMI collocations: two corpus count passes + bounded
+    # broadcast + exact big-int scoring
+    from xtract.ops.collocations import bigram_pmi
+
+    queries["bigram_pmi"] = timed(
+        lambda: len(bigram_pmi(
+            rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                            columns=["text"]), min_count=5, k=50)))
+
+    # per-host triangle counts over the planted link graph (degree-
+    # ordered wedges + semi co-group closure)
+    import __ray_entry__ as _E
+
+    queries["host_triangles"] = timed(
+        lambda: _E.queries()["host_triangles"](SF_DIR).count())
+
     result = {
         "metric": "extracted documents/sec (byte-identical text per url)",
         "value": round(t_extract, 3),

@@ -1,0 +1,179 @@
+"""Round-3 session-5 operators: triangle counting, list extraction,
+bigram PMI collocations, split assignment, anti co-group join."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------------- lists
+
+def test_extract_lists_nested_and_recovery():
+    from xtract.tables import extract_lists_one
+
+    h = (b"<html><body><ul><li>alpha 1</li>"
+         b"<li>b &amp; 2<ul><li>nested 0</li></ul></li></ul>"
+         b"<ol><li>one 3</li><li>two</ol></body></html>")
+    assert extract_lists_one(h) == [
+        (0, 0, 1, False, "alpha 1"),
+        (0, 1, 1, False, "b & 2"),      # text stops at nested list
+        (0, 2, 2, False, "nested 0"),   # nested item, same list_idx
+        (1, 0, 1, True, "one 3"),
+        (1, 1, 1, True, "two"),         # unterminated li → list end
+    ]
+
+
+def test_extract_lists_selfclosing_eof_and_stray_li():
+    from xtract.tables import extract_lists_one
+
+    assert extract_lists_one(b"<ul><li/><li>tail") == [
+        (0, 0, 1, False, ""), (0, 1, 1, False, "tail")]
+    # li outside any list is ignored
+    assert extract_lists_one(b"<li>orphan</li>") == []
+    assert extract_lists_one(b"no lists at all") == []
+
+
+def test_extract_lists_batch_schema(ray_session):
+    import ray.data as rd
+
+    from xtract.tables import LISTS_SCHEMA, extract_lists
+
+    pages = rd.from_arrow(pa.table({
+        "url": ["u1", "u2", None],
+        "html": [b"<ol><li>x</li></ol>", b"", None]}))
+    out = extract_lists(pages)
+    assert out.schema().base_schema == LISTS_SCHEMA
+    rows = out.take_all()
+    assert rows == [{"url": "u1", "list_idx": 0, "item_idx": 0,
+                     "depth": 1, "ordered": True, "item_text": "x"}]
+
+
+# ------------------------------------------------------------ triangles
+
+def _k4_plus_noise():
+    edges = []
+    for u in range(4):
+        for v in range(u + 1, 4):
+            edges.append((u, v))
+            edges.append((v, u))      # reversed duplicates
+    edges += [(4, 5), (4, 5), (2, 2)]  # path + dup + self-loop
+    return pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                     "dst": pa.array([e[1] for e in edges], pa.int64())})
+
+
+def test_triangle_counts_k4(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.graph import triangle_counts
+
+    out = (triangle_counts(rd.from_arrow(_k4_plus_noise()))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert out["node"].tolist() == [0, 1, 2, 3]
+    assert out["n_triangles"].tolist() == [3, 3, 3, 3]
+
+
+def test_triangle_counts_cogroup_path_matches(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.graph import triangle_counts
+
+    ds = rd.from_arrow(_k4_plus_noise())
+    a = (triangle_counts(ds).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    b = (triangle_counts(ds, broadcast_limit=0).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_triangle_counts_vs_bruteforce(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from xtract.ops.graph import triangle_counts
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 30, 400)
+    dst = rng.integers(0, 30, 400)
+    ds = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                 "dst": pa.array(dst, pa.int64())}))
+    got = dict(triangle_counts(ds).to_pandas()
+               .itertuples(index=False, name=None))
+    eset = {(min(u, v), max(u, v)) for u, v in zip(src, dst) if u != v}
+    want: dict = {}
+    for a, b, c in itertools.combinations(range(30), 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
+
+
+# ------------------------------------------------------------ PMI
+
+def test_bigram_pmi_exact(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.collocations import bigram_pmi
+
+    docs = rd.from_arrow(pa.table({
+        "text": ["the fast key order sort"] * 6
+                + ["fast key join small", "key order, batch"]}))
+    df = bigram_pmi(docs, min_count=2, k=10)
+    # hand-checked: N=37 tokens (30+4+3), M=29 bigrams (24+3+2)
+    assert df[["a", "b", "c_ab"]].values.tolist() == [
+        ["order", "sort", 6], ["the", "fast", 6],
+        ["fast", "key", 7], ["key", "order", 7]]
+    # exact integer ratio: c_ab * N^2 * 1e6 // (M * c_a * c_b)
+    row = df.iloc[0]  # (order, sort): c_a=7, c_b=6
+    assert row["ratio_ppm"] == (6 * 37 * 37 * 10**6) // (29 * 7 * 6)
+
+
+def test_bigram_pmi_empty_and_min_count(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.collocations import bigram_pmi
+
+    docs = rd.from_arrow(pa.table({"text": ["solo", "", None]}))
+    df = bigram_pmi(docs, min_count=1, k=5)
+    assert len(df) == 0
+
+
+# ------------------------------------------------------------ split
+
+def test_assign_split_deterministic_and_covering():
+    import hashlib
+
+    from xtract.ops.textstats import assign_split_batch
+
+    texts = [f"doc number {i} body" for i in range(400)] + [None]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    out1 = assign_split_batch(t)["split"].to_pylist()
+    out2 = assign_split_batch(t)["split"].to_pylist()
+    assert out1 == out2
+    assert set(out1) == {"train", "val", "test"}
+    # the rule is the literal hex comparison
+    for txt, s in zip(texts, out1):
+        h = hashlib.md5((txt or "").encode()).hexdigest()
+        assert s == ("train" if h < "cc" else "val" if h < "e6" else "test")
+    # ~80/10/10
+    frac = out1.count("train") / len(out1)
+    assert 0.7 < frac < 0.9
+
+
+# ------------------------------------------------------------ anti join
+
+def test_anti_cogroup_complements_semi(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.joins import semi_join_cogroup
+
+    left = rd.from_arrow(pa.table({"k": list(range(20)),
+                                   "x": list(range(100, 120))}))
+    right = rd.from_arrow(pa.table({"rk": [1, 3, 5, 5, 40]}))
+    semi = semi_join_cogroup(left, right, "k", "rk").to_pandas()
+    anti = semi_join_cogroup(left, right, "k", "rk",
+                             anti=True).to_pandas()
+    assert sorted(semi["k"]) == [1, 3, 5]
+    assert sorted(anti["k"]) == [k for k in range(20) if k not in (1, 3, 5)]
+    assert len(semi) + len(anti) == 20

@@ -1,0 +1,130 @@
+"""Bigram collocation mining (PMI) over a ``documents(doc_id, text)``
+table — a standard corpus-analysis op for LLM-data curation (find
+multi-word expressions worth treating as units, spot templated
+boilerplate phrases).
+
+Shape at 100 TB: one streaming pass emits per-block BIGRAM partial
+counts (a Python dict combiner per block, so each block contributes at
+most |distinct bigrams in block| rows — not one row per token), then a
+native ``groupby.aggregate(Sum)`` finishes the exact counts.  Unigram
+counts reuse the same combiner.  The unigram table is vocabulary-
+bounded, so it broadcasts via ``ray.put`` and each bigram row looks up
+``c(a)`` / ``c(b)`` with two vectorized ``searchsorted`` probes — no
+second shuffle.  The PMI *score* is computed only on rows that survive
+the ``min_count`` filter (bigram-vocabulary-bounded, not corpus-
+bounded) with exact Python integers so the result is bit-identical to
+a DuckDB HUGEINT oracle; ranking ties break on the bigram itself.
+
+Tokenization is the SQL-mirrorable rule shared with ``ops/vocab``:
+split on ``[^a-z]+`` after lowercasing, drop empties; bigram = tokens
+adjacent AFTER the drop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .vocab import sql_tokens
+
+#: fixed-point scale for the exact integer PMI ratio output
+PPM = 1_000_000
+
+
+def _bigram_counts_batch(batch: pa.Table, col: str) -> pa.Table:
+    counts: dict[tuple[str, str], int] = {}
+    for t in batch[col].to_pylist():
+        toks = sql_tokens(t or "")
+        for a, b in zip(toks, toks[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    ks = list(counts)
+    return pa.table({
+        "a": pa.array([k[0] for k in ks], pa.string()),
+        "b": pa.array([k[1] for k in ks], pa.string()),
+        "n": pa.array([counts[k] for k in ks], pa.int64()),
+    })
+
+
+def _unigram_counts_batch(batch: pa.Table, col: str) -> pa.Table:
+    counts: dict[str, int] = {}
+    for t in batch[col].to_pylist():
+        for tok in sql_tokens(t or ""):
+            counts[tok] = counts.get(tok, 0) + 1
+    return pa.table({
+        "token": pa.array(list(counts), pa.string()),
+        "n": pa.array(list(counts.values()), pa.int64()),
+    })
+
+
+def bigram_pmi(ds, col: str = "text", min_count: int = 5, k: int = 50):
+    """→ pandas DataFrame of the top-``k`` bigrams by exact-integer
+    PMI ratio: ``ratio_ppm = floor(c_ab * N² * PPM / (M * c_a * c_b))``
+    where N = total tokens, M = total bigrams (so the ratio is
+    p(ab)/(p(a)p(b)) in parts-per-million; PMI = log of it, monotone).
+    Order: ratio_ppm DESC, a, b.  Exact — no floats anywhere."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    # materialize ONLY the aggregated (bigram-vocabulary-bounded)
+    # table so the Sum-of-c_ab pass below doesn't re-read the corpus
+    bi = (ds.map_batches(lambda t: _bigram_counts_batch(t, col),
+                         batch_format="pyarrow")
+            .groupby(["a", "b"]).aggregate(Sum("n", alias_name="c_ab"))
+            .materialize())
+    uni = (ds.map_batches(lambda t: _unigram_counts_batch(t, col),
+                          batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("n", alias_name="c")))
+
+    # unigram table is vocabulary-bounded → driver + broadcast
+    ut = uni.to_pandas()
+    toks = np.asarray(ut["token"].tolist(), dtype=object)
+    cs = ut["c"].to_numpy().astype(np.int64)
+    order = np.argsort(toks)
+    toks, cs = toks[order], cs[order]
+    n_total = int(cs.sum())
+    uni_ref = ray.put((toks, cs))
+
+    def attach(t: pa.Table) -> pa.Table:
+        tk, c = ray.get(uni_ref)
+
+        def look(col_a) -> np.ndarray:
+            v = np.asarray(col_a.to_pylist(), dtype=object)
+            i = np.searchsorted(tk, v)
+            return c[np.clip(i, 0, len(c) - 1)]
+
+        out = t.filter(pa.array(
+            t["c_ab"].to_numpy(zero_copy_only=False) >= min_count))
+        if len(out) == 0:
+            return out.append_column("c_a", pa.array([], pa.int64())) \
+                      .append_column("c_b", pa.array([], pa.int64()))
+        return (out.append_column("c_a", pa.array(look(out["a"]),
+                                                  pa.int64()))
+                   .append_column("c_b", pa.array(look(out["b"]),
+                                                  pa.int64())))
+
+    filt = bi.map_batches(attach, batch_format="pyarrow")
+    # M (total bigrams) exactly: Σ c_ab over the UNfiltered table
+    m_total = int(bi.aggregate(Sum("c_ab", alias_name="m"))["m"] or 0)
+
+    def score(t: pa.Table) -> pa.Table:
+        # exact big-int arithmetic on the (bounded) filtered rows only
+        cab = t["c_ab"].to_pylist()
+        ca = t["c_a"].to_pylist()
+        cb = t["c_b"].to_pylist()
+        nn = n_total * n_total * PPM
+        r = [(x * nn) // (m_total * y * z)
+             for x, y, z in zip(cab, ca, cb)]
+        return t.append_column("ratio_ppm", pa.array(r, pa.int64()))
+
+    scored = filt.map_batches(score, batch_format="pyarrow")
+    out = (scored
+           .sort(["ratio_ppm", "a", "b"], descending=[True, False, False])
+           .limit(k).to_pandas())
+    cols = ["a", "b", "c_ab", "c_a", "c_b", "ratio_ppm"]
+    if len(out) == 0:  # schema is lost on an empty result
+        import pandas as pd
+
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=(object if c in ("a", "b") else "int64"))
+            for c in cols})
+    return out[cols]

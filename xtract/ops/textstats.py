@@ -378,3 +378,24 @@ def split_sentences(ds, key: str = "doc_id", col: str = "text"):
     """Sentence explode over a Dataset (RAG / sentence-dedup prep)."""
     return ds.map_batches(lambda b: split_sentences_batch(b, key, col),
                           batch_format="pyarrow")
+
+
+def assign_split_batch(batch: pa.Table, col: str = "text",
+                       train_hi: str = "cc", val_hi: str = "e6"
+                       ) -> pa.Table:
+    """Deterministic train/val/test split assignment by content digest
+    — the standard leakage-safe corpus partitioner (same doc always
+    lands in the same split, across runs, shards and cluster sizes;
+    near-80/10/10 because md5 is uniform).
+
+    The split rule is a plain hex-string comparison on ``md5(text)``
+    (train < 'cc' ≈ 204/256, val < 'e6' ≈ 230/256, else test) so the
+    DuckDB oracle is the literal same CASE expression — no hex→int
+    conversion anywhere."""
+    texts = batch[col].to_pylist()
+    out = []
+    for t in texts:
+        h = hashlib.md5((t or "").encode("utf-8")).hexdigest()
+        out.append("train" if h < train_hi else
+                   "val" if h < val_hi else "test")
+    return batch.append_column("split", pa.array(out, pa.string()))

@@ -272,3 +272,111 @@ def images_batch(batch: pa.Table) -> pa.Table:
 def extract_images(ds):
     """pages Dataset → image-reference rows (streaming flat explode)."""
     return ds.map_batches(images_batch, batch_format="pyarrow")
+
+
+LISTS_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("list_idx", pa.int64()),
+    ("item_idx", pa.int64()),
+    ("depth", pa.int64()),
+    ("ordered", pa.bool_()),
+    ("item_text", pa.string()),
+])
+
+_LIST_TAGS = {"ul": False, "ol": True}
+
+
+def extract_lists_one(html: bytes) -> list[tuple[int, int, int, bool, str]]:
+    """→ ordered [(list_idx, item_idx, depth, ordered, item_text)] for
+    every ``<li>`` — the sixth extraction surface (FAQ/spec/nav list
+    mining) walked by the shared byte-offset tokenizer.
+
+    - ``list_idx``: document-order index of the TOP-LEVEL ``<ul>/<ol>``
+      the item belongs to (nested lists share their outer list's idx);
+    - ``item_idx``: start-order sequence of the item within that
+      top-level list (nested items counted in sequence);
+    - ``depth``: list-nesting depth (1 = item of a top-level list);
+    - ``ordered``: the item's OWN list tag is ``<ol>``;
+    - ``item_text``: unescaped, whitespace-collapsed text from the item
+      start up to its close OR the first nested list start (so nested
+      items' text is never double-counted).  Recovery: a new ``<li>``
+      at the same depth or the list's end implicitly closes an open
+      item; an unterminated item runs to EOF (shared convention).
+    """
+    rows: list[tuple[int, int, int, bool, str]] = []
+    stack: list[bool] = []           # open list tags (ordered?)
+    items: list[list] = []           # open items: [idx, depth, ord, parts]
+    list_count = 0
+    cur_list = -1
+    item_seq = 0
+
+    def close_item() -> None:
+        idx, depth, ordd, parts, lidx, _ = items.pop()
+        rows.append((lidx, idx, depth, ordd,
+                     _WS_RE.sub(" ", "".join(parts)).strip()))
+
+    for tok in tokenize(html):
+        kind = tok[0]
+        if kind == "text":
+            if items and items[-1][5]:
+                items[-1][3].append(
+                    unescape(html[tok[1]:tok[2]].decode("utf-8", "replace")))
+        elif kind == "start":
+            tag = tok[3]
+            if tag in _LIST_TAGS:
+                if items:
+                    items[-1][5] = False  # text stops at nested list
+                if not stack:
+                    cur_list = list_count
+                    list_count += 1
+                    item_seq = 0
+                if not tok[5]:
+                    stack.append(_LIST_TAGS[tag])
+            elif tag == "li" and stack:
+                while items and items[-1][1] >= len(stack):
+                    close_item()
+                items.append([item_seq, len(stack), stack[-1], [],
+                              cur_list, True])
+                item_seq += 1
+                if tok[5]:  # self-closing <li/> → empty item
+                    close_item()
+        elif kind == "end":
+            tag = tok[3]
+            if tag == "li":
+                if items and items[-1][1] == len(stack):
+                    close_item()
+            elif tag in _LIST_TAGS and stack:
+                while items and items[-1][1] >= len(stack):
+                    close_item()
+                stack.pop()
+    while items:
+        close_item()
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return rows
+
+
+def lists_batch(batch: pa.Table) -> pa.Table:
+    urls = batch["url"].to_pylist()
+    htmls = (batch["html"].to_pylist() if "html" in batch.column_names
+             else [None] * len(urls))
+    c_url, c_li, c_it, c_dp, c_or, c_tx = [], [], [], [], [], []
+    for url, html in zip(urls, htmls):
+        if not url or not html:
+            continue
+        for li, it, dp, od, tx in extract_lists_one(html):
+            c_url.append(url)
+            c_li.append(li)
+            c_it.append(it)
+            c_dp.append(dp)
+            c_or.append(od)
+            c_tx.append(tx)
+    return pa.Table.from_arrays(
+        [pa.array(c_url, pa.string()), pa.array(c_li, pa.int64()),
+         pa.array(c_it, pa.int64()), pa.array(c_dp, pa.int64()),
+         pa.array(c_or, pa.bool_()), pa.array(c_tx, pa.string())],
+        schema=LISTS_SCHEMA)
+
+
+def extract_lists(ds):
+    """pages Dataset → list-item rows (streaming flat explode)."""
+    return ds.map_batches(lists_batch, batch_format="pyarrow")
