@@ -2554,6 +2554,132 @@ def _q_doc_split_assign(sf_dir: str):
             .select_columns(["doc_id", "split"]))
 
 
+def _code_pages_batch(t: pa.Table) -> pa.Table:
+    """doc_id → a page with a pre+code block (language class), an
+    inline code, and for doc_id%4==0 an unterminated bare <pre>."""
+    urls, htmls = [], []
+    for d in t["doc_id"].to_pylist():
+        urls.append(f"https://host{d % 6}.example.org/p/{d}")
+        h = ("<html><body><pre><code class=\"language-py\">"
+             f"def f({d % 5}):\n    return {d % 3}</code></pre>"
+             f"<p>x</p><code>inline {d % 7}</code>")
+        if d % 4 == 0:
+            h += f"<pre>raw &amp; {d % 2}"  # unterminated → EOF
+        else:
+            h += "</body></html>"
+        htmls.append(h.encode())
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "html": pa.array(htmls, pa.binary())})
+
+
+def _q_page_code_blocks(sf_dir: str):
+    """Code-block extraction (``xtract/tables.extract_code_blocks``):
+    the seventh tokenizer-walk surface — whitespace-preserving
+    <pre>/<code> harvest with language-class detection."""
+    from xtract.tables import extract_code_blocks
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _code_pages_batch, batch_format="pyarrow")
+    return extract_code_blocks(pages)
+
+
+def _page_code_sql() -> str:
+    page = ("'https://host' || CAST(doc_id % 6 AS VARCHAR) || "
+            "'.example.org/p/' || CAST(doc_id AS VARCHAR)")
+    rows = [
+        ("0", "'pre'", "'py'",
+         "'def f(' || CAST(doc_id % 5 AS VARCHAR) || '):' || chr(10) || "
+         "'    return ' || CAST(doc_id % 3 AS VARCHAR)", None),
+        ("1", "'code'", "''",
+         "'inline ' || CAST(doc_id % 7 AS VARCHAR)", None),
+        ("2", "'pre'", "''",
+         "'raw & ' || CAST(doc_id % 2 AS VARCHAR)", "doc_id % 4 = 0"),
+    ]
+    parts = []
+    for rk, ct, lg, txt, cond in rows:
+        q = (f"SELECT {page} AS url, CAST({rk} AS BIGINT) AS rank, "
+             f"{ct} AS container, {lg} AS lang, {txt} AS code_text "
+             "FROM documents")
+        if cond:
+            q += f" WHERE {cond}"
+        parts.append(q)
+    return " UNION ALL ".join(parts)
+
+
+def _q_host_link_jaccard(sf_dir: str):
+    """Pairwise host similarity by shared outlink targets
+    (``ops/graph.jaccard_pairs``): distinct memberships → per-target
+    pair explode in a coarse co-group → ONE grouped Count → exact
+    integer jac_num/jac_den fractions.  Planted membership: host =
+    doc_id%23 links to (host*7 + 11j + doc_id)%53 for j < doc_id%3."""
+    from xtract.ops.graph import jaccard_pairs
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def memb(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = ids % 23
+        nl = (ids % 3).astype(np.int64)
+        rep = np.repeat(np.arange(len(ids), dtype=np.int64), nl)
+        run_start = np.repeat(np.cumsum(nl) - nl, nl)
+        j = np.arange(len(rep), dtype=np.int64) - run_start
+        return pa.table({
+            "host": pa.array(h[rep], pa.int64()),
+            "target": pa.array((h[rep] * 7 + 11 * j + ids[rep]) % 53,
+                               pa.int64())})
+
+    out = jaccard_pairs(docs.map_batches(memb, batch_format="pyarrow"),
+                        "host", "target", min_overlap=2)
+    return out.map_batches(
+        lambda t: t.rename_columns(["host_a", "host_b", "jac_num",
+                                    "jac_den"]),
+        batch_format="pyarrow")
+
+
+def _host_link_jaccard_sql() -> str:
+    return (
+        "WITH raw AS (SELECT (doc_id % 23) AS s, "
+        "((doc_id % 23) * 7 + 11 * j + doc_id) % 53 AS m "
+        "FROM documents, UNNEST(range(0, doc_id % 3)) AS t(j)), "
+        "memb AS (SELECT DISTINCT s, m FROM raw), "
+        "sizes AS (SELECT s, count(*) AS n FROM memb GROUP BY 1), "
+        "co AS (SELECT x.s AS a, y.s AS b, count(*) AS c "
+        "FROM memb x JOIN memb y ON x.m = y.m AND x.s < y.s "
+        "GROUP BY 1, 2) "
+        "SELECT CAST(a AS BIGINT) AS host_a, CAST(b AS BIGINT) AS "
+        "host_b, CAST(c AS BIGINT) AS jac_num, "
+        "CAST(sa.n + sb.n - c AS BIGINT) AS jac_den "
+        "FROM co JOIN sizes sa ON sa.s = a JOIN sizes sb ON sb.s = b "
+        "WHERE c >= 2")
+
+
+def _q_customer_orders_left(sf_dir: str):
+    """LEFT co-group join (large×large, ``equi_join_cogroup`` with
+    ``how='left'``): every customer row survives; customers with no
+    orders get n_orders = 0 (nullable-int pinning keeps the block
+    schema stable across partitions with/without matches)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from xtract.ops.joins import equi_join_cogroup
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    ocnt = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey"])
+            .groupby("o_custkey").aggregate(Count(alias_name="n_orders")))
+    j = equi_join_cogroup(cust, ocnt, on="c_custkey",
+                          right_on="o_custkey", how="left")
+
+    def fill(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.fill_null(t["n_orders"], 0), pa.int64())
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_nationkey": t["c_nationkey"],
+                         "n_orders": n})
+
+    return j.map_batches(fill, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2617,6 +2743,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
+        "page_code_blocks": _q_page_code_blocks,
+        "host_link_jaccard": _q_host_link_jaccard,
+        "customer_orders_left": _q_customer_orders_left,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -3482,6 +3611,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM e GROUP BY 1, 2) "
             "SELECT host_a, host_b FROM p WHERE f = 1 AND w = 1",
         "page_lists": _page_lists_sql(),
+        "page_code_blocks": _page_code_sql(),
+        "host_link_jaccard": _host_link_jaccard_sql(),
+        "customer_orders_left":
+            "SELECT c_custkey, c_nationkey, "
+            "CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders "
+            "FROM customer LEFT JOIN (SELECT o_custkey, count(*) AS n "
+            "FROM orders GROUP BY 1) o ON o.o_custkey = c_custkey",
         "bigram_pmi": _bigram_pmi_sql(),
         "host_triangles": _host_triangles_sql(),
         "orders_anti_events":

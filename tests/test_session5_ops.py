@@ -177,3 +177,86 @@ def test_anti_cogroup_complements_semi(ray_session):
     assert sorted(semi["k"]) == [1, 3, 5]
     assert sorted(anti["k"]) == [k for k in range(20) if k not in (1, 3, 5)]
     assert len(semi) + len(anti) == 20
+
+
+# ------------------------------------------------------------ code blocks
+
+def test_extract_code_pre_code_inline():
+    from xtract.tables import extract_code_one
+
+    h = (b'<html><body><pre><code class="language-py">def f(1):\n'
+         b'    return 2</code></pre><p>x</p><code>inline 3</code>'
+         b'</body></html>')
+    assert extract_code_one(h) == [
+        ("pre", "py", "def f(1):\n    return 2"),
+        ("code", "", "inline 3"),
+    ]
+
+
+def test_extract_code_recovery_and_lang_priority():
+    from xtract.tables import extract_code_one
+
+    # unterminated pre runs to EOF; entities unescaped; no ws collapse
+    assert extract_code_one(b"<pre>raw &amp;  1") == [("pre", "", "raw &  1")]
+    # pre's own language class beats the nested code's
+    assert extract_code_one(
+        b'<pre class="language-rs"><code class="language-py">x</code></pre>'
+    ) == [("pre", "rs", "x")]
+    # a new pre implicitly closes an open inline code
+    assert extract_code_one(b"<code>a<pre>b</pre>") == [
+        ("code", "", "a"), ("pre", "", "b")]
+    # nested pre folds into the outer block
+    assert extract_code_one(b"<pre>a<pre>b</pre>c</pre>") == [
+        ("pre", "", "abc")]
+
+
+# ------------------------------------------------------------ jaccard
+
+def test_jaccard_pairs_exact(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.graph import jaccard_pairs
+
+    rows = [(1, 10), (1, 11), (1, 12), (2, 11), (2, 12), (2, 13),
+            (3, 99), (1, 10)]  # dup membership must not double-count
+    ds = rd.from_arrow(pa.table({
+        "s": pa.array([r[0] for r in rows], pa.int64()),
+        "m": pa.array([r[1] for r in rows], pa.int64())}))
+    out = (jaccard_pairs(ds, "s", "m").to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    assert out.values.tolist() == [[1, 2, 2, 4]]  # |∩|=2, |∪|=3+3-2
+
+
+def test_jaccard_pairs_fanout_cap(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.graph import jaccard_pairs
+
+    # member 5 is in all four sets (a stop-member); cap drops it
+    rows = [(s, 5) for s in (1, 2, 3, 4)] + [(1, 7), (2, 7)]
+    ds = rd.from_arrow(pa.table({
+        "s": pa.array([r[0] for r in rows], pa.int64()),
+        "m": pa.array([r[1] for r in rows], pa.int64())}))
+    out = (jaccard_pairs(ds, "s", "m", max_member_fanout=3).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    # only member 7 pairs; den uses post-drop sizes (1 each)
+    assert out.values.tolist() == [[1, 2, 1, 1]]
+
+
+def test_left_cogroup_fill_zero(ray_session):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from xtract.ops.joins import equi_join_cogroup
+
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3]}))
+    right = rd.from_arrow(pa.table({"rk": [1, 1, 3], "n": [5, 6, 7]}))
+    j = equi_join_cogroup(left, right, on="k", right_on="rk", how="left")
+    out = (j.map_batches(
+        lambda t: pa.table({
+            "k": t["k"],
+            "n": pc.cast(pc.fill_null(t["n"], 0), pa.int64())}),
+        batch_format="pyarrow")
+        .to_pandas().sort_values(["k", "n"]).reset_index(drop=True))
+    # key 2 is unmatched → one row with n=0; key 1 matches twice
+    assert out.values.tolist() == [[1, 5], [1, 6], [2, 0], [3, 7]]

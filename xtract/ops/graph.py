@@ -564,3 +564,143 @@ def triangle_counts(edges_ds, src: str = "src", dst: str = "dst",
 
     return (closed.map_batches(corners, batch_format="pyarrow")
             .groupby("node").aggregate(Count(alias_name="n_triangles")))
+
+
+def jaccard_pairs(ds, set_col: str, member_col: str,
+                  min_overlap: int = 1,
+                  max_member_fanout: int | None = None,
+                  num_partitions: int = 32,
+                  broadcast_limit: int = 2_000_000):
+    """Pairwise Jaccard similarity between SETS from a flat membership
+    table (set_id, member) — e.g. hosts by shared outlink targets,
+    users by shared items.  Exact integers only: the similarity is the
+    fraction ``jac_num / jac_den`` with num = |A∩B|,
+    den = |A|+|B|−|A∩B|.
+
+    Shape: distinct memberships (native groupby) → per-member pair
+    explode in a coarse co-group (vectorized run-detect + triu, the
+    wedge kernel) → ONE grouped Count per pair → set sizes attached by
+    broadcast below an exact-count gate, else co-group.
+
+    ``max_member_fanout`` drops members shared by more than that many
+    sets before pairing (the standard stop-member rule: a member in m
+    sets emits m(m−1)/2 pairs, so one viral member can dominate the
+    exchange; dropped members also leave the den sizes — callers that
+    need exact Jaccard must leave it None).
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    from .agg import _hash_part
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({"s": pc.cast(b[set_col], pa.int64()),
+                         "m": pc.cast(b[member_col], pa.int64())})
+
+    memb = (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby(["s", "m"]).aggregate(Count(alias_name="_c"))
+            .drop_columns(["_c"]))
+
+    memb = memb.materialize()  # reused: sizes + pairing (+fanout)
+
+    if max_member_fanout is not None:
+        def fanout_partial(b: pa.Table) -> pa.Table:
+            un, cnt = np.unique(
+                b["m"].to_numpy(zero_copy_only=False), return_counts=True)
+            return pa.table({"m": pa.array(un, pa.int64()),
+                             "fan": pa.array(cnt, pa.int64())})
+
+        from ray.data.aggregate import Sum
+
+        hot = (memb.map_batches(fanout_partial, batch_format="pyarrow")
+               .groupby("m").aggregate(Sum("fan", alias_name="fan"))
+               .filter(lambda r: r["fan"] > max_member_fanout))
+        hot_set = frozenset(r["m"] for r in hot.take_all())
+        hot_ref = ray.put(hot_set)
+
+        def drop_hot(b: pa.Table) -> pa.Table:
+            hs = ray.get(hot_ref)
+            if not hs:
+                return b
+            mask = ~np.isin(b["m"].to_numpy(zero_copy_only=False),
+                            np.fromiter(hs, np.int64))
+            return b.filter(pa.array(mask))
+
+        paired_src = memb.map_batches(drop_hot, batch_format="pyarrow")
+    else:
+        paired_src = memb
+
+    # set sizes (AFTER the stop-member drop, so den matches num's view
+    # of the world when a fanout cap is set)
+    def size_partial(b: pa.Table) -> pa.Table:
+        un, cnt = np.unique(
+            b["s"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"s": pa.array(un, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    sizes = (paired_src.map_batches(size_partial, batch_format="pyarrow")
+             .groupby("s").aggregate(Sum("n", alias_name="n")))
+
+    def tag(b: pa.Table) -> pa.Table:
+        part = _hash_part(b["m"], num_partitions)
+        return b.append_column("_part", pa.array(part, pa.int64()))
+
+    def pairs(g: pa.Table) -> pa.Table:
+        m = g["m"].to_numpy(zero_copy_only=False)
+        s = g["s"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, m))
+        m, s = m[order], s[order]
+        change = np.ones(len(m), bool)
+        change[1:] = m[1:] != m[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(m))
+        aa, bb = [], []
+        for lo, hi in zip(starts, ends):
+            run = s[lo:hi]
+            if len(run) < 2:
+                continue
+            ia, ib = np.triu_indices(len(run), k=1)
+            aa.append(run[ia])
+            bb.append(run[ib])
+        if not aa:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(aa), pa.int64()),
+                         "b": pa.array(np.concatenate(bb), pa.int64())})
+
+    co = (paired_src.map_batches(tag, batch_format="pyarrow")
+          .groupby("_part").map_groups(pairs, batch_format="pyarrow")
+          .groupby(["a", "b"]).aggregate(Count(alias_name="jac_num")))
+
+    n_sets = sizes.count()
+    if n_sets > broadcast_limit:
+        raise ValueError(
+            f"{n_sets} sets exceed broadcast_limit={broadcast_limit}; "
+            "attach sizes via ops.joins.equi_join_cogroup instead")
+    st = sizes.to_pandas()
+    sn = st["s"].to_numpy().astype(np.int64)
+    sz = st["n"].to_numpy().astype(np.int64)
+    order = np.argsort(sn)
+    size_ref = ray.put((sn[order], sz[order]))
+
+    def attach(t: pa.Table) -> pa.Table:
+        nodes, szs = ray.get(size_ref)
+        t = t.filter(pc.greater_equal(t["jac_num"],
+                                      pa.scalar(min_overlap)))
+        if len(t) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "jac_num": pa.array([], pa.int64()),
+                             "jac_den": pa.array([], pa.int64())})
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        co_ = t["jac_num"].to_numpy(zero_copy_only=False)
+        den = (szs[np.searchsorted(nodes, a)]
+               + szs[np.searchsorted(nodes, b)] - co_)
+        return pa.table({"a": t["a"], "b": t["b"],
+                         "jac_num": t["jac_num"],
+                         "jac_den": pa.array(den, pa.int64())})
+
+    return co.map_batches(attach, batch_format="pyarrow")

@@ -380,3 +380,124 @@ def lists_batch(batch: pa.Table) -> pa.Table:
 def extract_lists(ds):
     """pages Dataset → list-item rows (streaming flat explode)."""
     return ds.map_batches(lists_batch, batch_format="pyarrow")
+
+
+CODE_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("rank", pa.int64()),
+    ("container", pa.string()),
+    ("lang", pa.string()),
+    ("code_text", pa.string()),
+])
+
+
+def extract_code_one(html: bytes) -> list[tuple[str, str, str]]:
+    """→ ordered [(container, lang, code_text)] — the code-block
+    harvest (``<pre>`` blocks and inline ``<code>`` outside pre), the
+    seventh tokenizer-walk surface: code is the one web payload where
+    whitespace is load-bearing, so text is NOT whitespace-collapsed
+    (unescape only, concatenated across nested tags).
+
+    - ``container``: 'pre' for ``<pre>`` blocks (a nested ``<code>``
+      contributes its text to the pre, never a separate row), 'code'
+      for inline code outside any pre;
+    - ``lang``: the ``language-*`` class-token suffix from the pre tag
+      or its first nested ``<code>`` (the pre's own wins), '' if none;
+    - recovery: an unterminated block runs to EOF; a new ``<pre>``
+      start implicitly closes an open inline ``<code>``."""
+    from .html_tokenizer import parse_attrs
+
+    def lang_of(attr_bytes) -> str:
+        cls = parse_attrs(attr_bytes).get("class", "")
+        for tok_ in cls.split():
+            if tok_.startswith("language-"):
+                return tok_[len("language-"):]
+        return ""
+
+    out: list[tuple[str, str, str]] = []
+    mode = ""          # "" | "pre" | "code"
+    depth = 0          # pre nesting depth (nested pre folds into outer)
+    lang = ""
+    lang_locked = False
+    parts: list[str] = []
+
+    def close() -> None:
+        nonlocal mode, lang, lang_locked, parts, depth
+        if mode:
+            out.append((mode, lang, "".join(parts)))
+        mode = ""
+        depth = 0
+        lang = ""
+        lang_locked = False
+        parts = []
+
+    for tok in tokenize(html):
+        kind = tok[0]
+        if kind == "text":
+            if mode:
+                parts.append(
+                    unescape(html[tok[1]:tok[2]].decode("utf-8", "replace")))
+        elif kind == "start":
+            tag = tok[3]
+            if tag == "pre":
+                if mode == "pre":
+                    depth += 1      # nested pre folds into the outer
+                    continue
+                close()             # implicitly closes inline code
+                if tok[5]:
+                    out.append(("pre", lang_of(tok[4]), ""))
+                else:
+                    mode = "pre"
+                    depth = 1
+                    lang = lang_of(tok[4])
+                    lang_locked = bool(lang)
+            elif tag == "code":
+                if mode == "pre":
+                    if not lang_locked:
+                        lg = lang_of(tok[4])
+                        if lg:
+                            lang = lg
+                            lang_locked = True
+                elif mode != "code":
+                    if tok[5]:
+                        out.append(("code", lang_of(tok[4]), ""))
+                    else:
+                        mode = "code"
+                        lang = lang_of(tok[4])
+                        lang_locked = bool(lang)
+        elif kind == "end":
+            tag = tok[3]
+            if tag == "pre" and mode == "pre":
+                depth -= 1
+                if depth == 0:
+                    close()
+            elif tag == "code" and mode == "code":
+                close()
+    close()
+    return out
+
+
+def code_batch(batch: pa.Table) -> pa.Table:
+    urls = batch["url"].to_pylist()
+    htmls = (batch["html"].to_pylist() if "html" in batch.column_names
+             else [None] * len(urls))
+    c_url, c_rk, c_ct, c_lg, c_tx = [], [], [], [], []
+    for url, html in zip(urls, htmls):
+        if not url or not html:
+            continue
+        for i, (ct, lg, tx) in enumerate(extract_code_one(html)):
+            c_url.append(url)
+            c_rk.append(i)
+            c_ct.append(ct)
+            c_lg.append(lg)
+            c_tx.append(tx)
+    return pa.Table.from_arrays(
+        [pa.array(c_url, pa.string()), pa.array(c_rk, pa.int64()),
+         pa.array(c_ct, pa.string()), pa.array(c_lg, pa.string()),
+         pa.array(c_tx, pa.string())],
+        schema=CODE_SCHEMA)
+
+
+def extract_code_blocks(ds):
+    """pages Dataset → code-block rows (streaming flat explode)."""
+    return ds.map_batches(code_batch, batch_format="pyarrow")
