@@ -2680,6 +2680,113 @@ def _q_customer_orders_left(sf_dir: str):
     return j.map_batches(fill, batch_format="pyarrow")
 
 
+def _q_events_gap_fill(sf_dir: str):
+    """Dense daily series per event type — every day of the corpus
+    range present for every type, missing days 0-filled
+    (``ops/joins.gap_filled_daily_counts``): one grouped Count is the
+    only corpus pass; the grid is built from the bounded aggregate."""
+    import ray.data as rd
+
+    from xtract.ops.joins import gap_filled_daily_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    out = gap_filled_daily_counts(ev, "ts", "event_type")
+    return out.rename(columns={"k": "event_type"})
+
+
+def _q_event_value_histogram(sf_dir: str):
+    """Fixed-width value histogram (bin = cents // 500, clamped to
+    [0, 19]): one vectorized bin map + ONE native grouped Count."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def binned(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"bin": pa.array(
+            np.clip(cents // 500, 0, 19), pa.int64())})
+
+    return (ev.map_batches(binned, batch_format="pyarrow")
+            .groupby("bin").aggregate(Count(alias_name="n_events")))
+
+
+def _q_orders_cube(sf_dir: str):
+    """CUBE(status, priority) counts + exact cent totals: ONE
+    corpus-scale grouped aggregate over the base cells, then the four
+    grouping sets derive Dataset-side from that bounded table (explode
+    ×4 + a second tiny grouped Sum) — no second corpus pass."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderstatus", "o_orderpriority",
+                                 "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.round(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({"s": b["o_orderstatus"],
+                         "p": b["o_orderpriority"],
+                         "cents": pa.array(c, pa.int64())})
+
+    base = (o.map_batches(cents, batch_format="pyarrow")
+            .groupby(["s", "p"])
+            .aggregate(Count(alias_name="n"),
+                       Sum("cents", alias_name="sum_cents")))
+
+    def explode_sets(t: pa.Table) -> pa.Table:
+        s = t["s"].to_pylist()
+        p = t["p"].to_pylist()
+        n = t["n"].to_pylist()
+        c = t["sum_cents"].to_pylist()
+        ss, pp, nn, cc = [], [], [], []
+        for si, pi, ni, ci in zip(s, p, n, c):
+            for sv, pv in ((si, pi), (si, "ALL"), ("ALL", pi),
+                           ("ALL", "ALL")):
+                ss.append(sv)
+                pp.append(pv)
+                nn.append(ni)
+                cc.append(ci)
+        return pa.table({"status": pa.array(ss, pa.string()),
+                         "priority": pa.array(pp, pa.string()),
+                         "n": pa.array(nn, pa.int64()),
+                         "sum_cents": pa.array(cc, pa.int64())})
+
+    return (base.map_batches(explode_sets, batch_format="pyarrow")
+            .groupby(["status", "priority"])
+            .aggregate(Sum("n", alias_name="n_orders"),
+                       Sum("sum_cents", alias_name="sum_cents")))
+
+
+def _q_event_value_moments(sf_dir: str):
+    """Exact grouped moments for variance/stddev WITHOUT float
+    accumulation order: per type emit (n, Σcents, Σcents²) as int64 —
+    one vectorized map + ONE grouped Sum triple; callers derive
+    var = (n·Σx² − (Σx)²) / n² exactly.  Σcents² fits int64 up to
+    ~9·10¹⁸ / max(cents²) rows per group (document the bound)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        c = np.round(b["value"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "cents": pa.array(c, pa.int64()),
+                         "cents_sq": pa.array(c * c, pa.int64())})
+
+    return (ev.map_batches(to_int, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("cents", alias_name="sum_cents"),
+                       Sum("cents_sq", alias_name="sum_cents_sq")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2746,6 +2853,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_code_blocks": _q_page_code_blocks,
         "host_link_jaccard": _q_host_link_jaccard,
         "customer_orders_left": _q_customer_orders_left,
+        "events_gap_fill": _q_events_gap_fill,
+        "event_value_histogram": _q_event_value_histogram,
+        "orders_cube": _q_orders_cube,
+        "event_value_moments": _q_event_value_moments,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -3613,6 +3724,35 @@ def oracle_sql() -> dict[str, str]:
         "page_lists": _page_lists_sql(),
         "page_code_blocks": _page_code_sql(),
         "host_link_jaccard": _host_link_jaccard_sql(),
+        "event_value_moments":
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) "
+            "AS sum_cents, "
+            "CAST(sum(CAST(round(value*100) AS BIGINT) * "
+            "CAST(round(value*100) AS BIGINT)) AS BIGINT) "
+            "AS sum_cents_sq FROM events GROUP BY 1",
+        "events_gap_fill":
+            "WITH c AS (SELECT event_type, CAST(ts AS DATE) AS d, "
+            "count(*) AS n FROM events GROUP BY 1, 2), "
+            "r AS (SELECT min(d) AS lo, max(d) AS hi FROM c), "
+            "days AS (SELECT unnest(generate_series((SELECT lo FROM r), "
+            "(SELECT hi FROM r), INTERVAL 1 DAY))::DATE AS d), "
+            "keys AS (SELECT DISTINCT event_type FROM c) "
+            "SELECT k.event_type, strftime(days.d, '%Y-%m-%d') AS day, "
+            "CAST(coalesce(c.n, 0) AS BIGINT) AS n_events "
+            "FROM keys k CROSS JOIN days "
+            "LEFT JOIN c ON c.event_type = k.event_type AND c.d = days.d",
+        "event_value_histogram":
+            "SELECT least(greatest(CAST(round(value*100) AS BIGINT) "
+            "// 500, 0), 19) AS bin, count(*) AS n_events "
+            "FROM events GROUP BY 1",
+        "orders_cube":
+            "SELECT coalesce(o_orderstatus, 'ALL') AS status, "
+            "coalesce(o_orderpriority, 'ALL') AS priority, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) "
+            "AS BIGINT) AS sum_cents FROM orders "
+            "GROUP BY CUBE(o_orderstatus, o_orderpriority)",
         "customer_orders_left":
             "SELECT c_custkey, c_nationkey, "
             "CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders "

@@ -260,3 +260,34 @@ def test_left_cogroup_fill_zero(ray_session):
         .to_pandas().sort_values(["k", "n"]).reset_index(drop=True))
     # key 2 is unmatched → one row with n=0; key 1 matches twice
     assert out.values.tolist() == [[1, 5], [1, 6], [2, 0], [3, 7]]
+
+
+# ------------------------------------------------------------ gap fill
+
+def test_gap_filled_daily_counts(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.joins import gap_filled_daily_counts
+
+    ts = pa.array([0, 0, 3 * 86_400_000_000, 86_400_000_000],
+                  pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({"ts": ts,
+                                 "k": ["a", "a", "a", "b"]}))
+    out = (gap_filled_daily_counts(ds, "ts", "k")
+           .sort_values(["k", "day"]).reset_index(drop=True))
+    # range = 1970-01-01..04 for BOTH keys, zeros filled
+    assert out["day"].tolist() == [
+        "1970-01-01", "1970-01-02", "1970-01-03", "1970-01-04"] * 2
+    assert out[out["k"] == "a"]["n_events"].tolist() == [2, 0, 0, 1]
+    assert out[out["k"] == "b"]["n_events"].tolist() == [0, 1, 0, 0]
+
+
+def test_gap_filled_empty(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.joins import gap_filled_daily_counts
+
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array([], pa.timestamp("us")),
+        "k": pa.array([], pa.string())}))
+    assert len(gap_filled_daily_counts(ds, "ts", "k")) == 0

@@ -873,3 +873,61 @@ def range_lookup_broadcast(ds, value_col: str, ranges, lo_col: str = "lo",
         return b.append_column(out_name, pa.array(out.tolist(), pa.string()))
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def gap_filled_daily_counts(ds, ts_col: str, key_col: str):
+    """Calendar gap fill: daily counts per key with EVERY day of the
+    corpus's [min, max] date range present for EVERY key (missing
+    days = 0) — the dense series a trend/anomaly stage needs.
+
+    Shape: ONE distributed grouped Count over (key, epoch-day) — the
+    only corpus-scale pass — then the dense (keys × days) grid is
+    constructed from that bounded aggregate (dimension tables, not
+    data tables) and counts are stitched in with a vectorized
+    searchsorted.  Nothing corpus-proportional leaves the cluster.
+    → pandas DataFrame (key, day 'YYYY-MM-DD', n_events int64).
+    """
+    import datetime
+
+    from ray.data.aggregate import Count
+
+    def to_day(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": b[key_col],
+            "d": pa.array(us // 86_400_000_000, pa.int64())})
+
+    days = ds.map_batches(to_day, batch_format="pyarrow")
+    counts = (days.groupby(["k", "d"])
+              .aggregate(Count(alias_name="n")).to_pandas())
+    if len(counts) == 0:
+        return pd.DataFrame({"k": pd.Series([], dtype=object),
+                             "day": pd.Series([], dtype=object),
+                             "n_events": pd.Series([], dtype="int64")})
+    lo, hi = int(counts["d"].min()), int(counts["d"].max())
+    keys = np.sort(counts["k"].unique())
+    drange = np.arange(lo, hi + 1, dtype=np.int64)
+    grid_k = np.repeat(keys, len(drange))
+    grid_d = np.tile(drange, len(keys))
+    # stitch counts into the grid: exact-match searchsorted on the
+    # (key_idx, day) composite
+    kidx = {k: i for i, k in enumerate(keys)}
+    comp_grid = (np.arange(len(keys), dtype=np.int64)
+                 .repeat(len(drange)) * (hi - lo + 1) + (grid_d - lo))
+    comp_cnt = (counts["k"].map(kidx).to_numpy(np.int64)
+                * (hi - lo + 1) + (counts["d"].to_numpy(np.int64) - lo))
+    order = np.argsort(comp_cnt)
+    comp_cnt = comp_cnt[order]
+    nvals = counts["n"].to_numpy(np.int64)[order]
+    pos = np.searchsorted(comp_cnt, comp_grid)
+    pos_c = np.minimum(pos, len(comp_cnt) - 1)
+    hit = comp_cnt[pos_c] == comp_grid
+    n = np.zeros(len(comp_grid), np.int64)
+    n[hit] = nvals[pos_c[hit]]
+    epoch = datetime.date(1970, 1, 1)
+    day_str = np.array([(epoch + datetime.timedelta(days=int(d)))
+                        .isoformat() for d in drange], dtype=object)
+    return pd.DataFrame({
+        "k": grid_k,
+        "day": np.tile(day_str, len(keys)),
+        "n_events": n})
