@@ -2787,6 +2787,20 @@ def _q_event_value_moments(sf_dir: str):
                        Sum("cents_sq", alias_name="sum_cents_sq")))
 
 
+def _q_embedding_kmeans(sf_dir: str):
+    """Full-corpus distributed k-means over the embeddings table
+    (``ops/similarity.distributed_kmeans``): integer micro-unit
+    quantization makes every iteration's partial sums exact and
+    commutative — centroids and assignments are bit-identical at any
+    parallelism (pytest cross-layout invariance; no SQL oracle —
+    unrolling 3 Lloyd iterations over 64 dims in SQL is not
+    practical)."""
+    from xtract.ops.similarity import distributed_kmeans
+
+    _, labels = distributed_kmeans(_emb(sf_dir), k=8, iters=3)
+    return labels
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2898,6 +2912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_index_top20": _q_bm25_index_top20,
         "semantic_dedup": _q_semantic_dedup,
         "knn_ivf": _q_knn_ivf,
+        "embedding_kmeans": _q_embedding_kmeans,
         "doc_quality": _q_doc_quality,
         "doc_langid": _q_doc_langid,
         "doc_rolling_fp": _q_doc_rolling_fp,

@@ -291,3 +291,130 @@ def test_gap_filled_empty(ray_session):
         "ts": pa.array([], pa.timestamp("us")),
         "k": pa.array([], pa.string())}))
     assert len(gap_filled_daily_counts(ds, "ts", "k")) == 0
+
+
+# ------------------------------------------------------------ kmeans
+
+def _kmeans_reference(vecs, ids, k, iters, unit=1 << 20):
+    """Pure-numpy replica of distributed_kmeans' exact integer
+    algorithm (same init, same update, same tie-break)."""
+    q = np.round(np.asarray(vecs, np.float64) * unit).astype(np.int64)
+    order = np.argsort(ids)
+    centers = q[order[:k]].copy()
+
+    def assign(m, cen):
+        xc = m @ cen.T
+        c2 = np.einsum("ij,ij->i", cen, cen)
+        return np.argmin(c2[None, :] - 2 * xc, axis=1)
+
+    for _ in range(iters):
+        a = assign(q, centers)
+        new = centers.copy()
+        for c in range(k):
+            mask = a == c
+            if mask.any():
+                new[c] = q[mask].sum(axis=0) // mask.sum()
+        centers = new
+    return centers, assign(q, centers)
+
+
+def test_distributed_kmeans_matches_reference(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.similarity import distributed_kmeans
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(0, 0.05, (40, 8)) + 1.0
+    b = rng.normal(0, 0.05, (40, 8)) - 1.0
+    vecs = np.vstack([a, b])
+    ids = np.arange(len(vecs))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32()))}))
+    # float32 storage: quantize what the engine actually reads
+    stored = np.asarray(
+        [np.asarray(v, np.float32).tolist() for v in vecs], np.float64)
+    centers, labels = distributed_kmeans(ds, k=2, iters=3)
+    want_c, want_a = _kmeans_reference(stored, ids, 2, 3)
+    assert (centers == want_c).all()
+    got = (labels.to_pandas().sort_values("vec_id")
+           .reset_index(drop=True)["cluster"].to_numpy())
+    assert (got == want_a).all()
+    # the two planted blobs separate perfectly
+    assert len(set(got[:40])) == 1 and len(set(got[40:])) == 1
+    assert got[0] != got[40]
+
+
+def test_distributed_kmeans_parallelism_invariant(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.similarity import distributed_kmeans
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(0, 1, (60, 4))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(60), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32()))})
+    c1, _ = distributed_kmeans(rd.from_arrow(t), k=4, iters=4)
+    c2, _ = distributed_kmeans(
+        rd.from_arrow(t).repartition(7), k=4, iters=4)
+    assert (c1 == c2).all()  # bit-identical across block layouts
+
+
+# ------------------------------------------------------------ artifacts
+
+def test_artifact_roundtrips(ray_session, tmp_path):
+    import ray.data as rd
+
+    from xtract.ops.artifacts import (load_bpe_merges, load_lm_table,
+                                      load_vocab, save_bpe_merges,
+                                      save_lm_table, save_vocab)
+    from xtract.ops.bpe import bpe_encode, train_bpe
+    from xtract.ops.ngram_lm import score_bits_per_char, train_char_lm
+    from xtract.ops.vocab import build_vocab
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": list(range(6)),
+        "text": ["the quick brown fox jumps", "the quick fox",
+                 "brown fox fox", "quick quick the", "jumps over",
+                 "the fox jumps"]}))
+
+    merges = train_bpe(docs, num_merges=20)
+    p = str(tmp_path / "bpe.parquet")
+    save_bpe_merges(merges, p)
+    assert load_bpe_merges(p) == merges
+    enc1 = bpe_encode(docs, merges).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    enc2 = bpe_encode(docs, load_bpe_merges(p)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(enc1.astype(str), enc2.astype(str))
+
+    vocab = build_vocab(docs, size=10)
+    pv = str(tmp_path / "vocab.parquet")
+    save_vocab(vocab, pv)
+    lv = load_vocab(pv)
+    assert lv.to_pydict() == vocab.select(
+        ["token_id", "token", "n"]).to_pydict()
+
+    lm = train_char_lm(docs, order=2)
+    pl = str(tmp_path / "lm.parquet")
+    save_lm_table(lm, pl)
+    assert load_lm_table(pl) == lm
+    s1 = score_bits_per_char(docs, lm, order=2).to_pandas() \
+        .sort_values("doc_id")["bits_per_char"].tolist()
+    s2 = score_bits_per_char(docs, load_lm_table(pl), order=2) \
+        .to_pandas().sort_values("doc_id")["bits_per_char"].tolist()
+    assert s1 == s2
+
+
+def test_artifact_kind_mismatch(tmp_path):
+    import pytest as _pytest
+
+    from xtract.ops.artifacts import load_vocab, save_lm_table
+
+    p = str(tmp_path / "x.parquet")
+    save_lm_table({"ab": 5}, p)
+    with _pytest.raises(ValueError, match="kind"):
+        load_vocab(p)

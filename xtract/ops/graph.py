@@ -449,9 +449,10 @@ def triangle_counts(edges_ds, src: str = "src", dst: str = "dst",
     deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
            .groupby("node").aggregate(Sum("d", alias_name="d")))
 
-    n_nodes = deg.count()
-    if n_nodes <= broadcast_limit:
-        dt = deg.to_pandas()
+    # gate + pull in ONE execution: limit(N+1) bounds the driver pull
+    # even when the node table is huge; >N rows back → co-group path
+    dt = deg.limit(broadcast_limit + 1).to_pandas()
+    if len(dt) <= broadcast_limit:
         dn = dt["node"].to_numpy().astype(np.int64)
         dd = dt["d"].to_numpy().astype(np.int64)
         order = np.argsort(dn)
@@ -674,12 +675,12 @@ def jaccard_pairs(ds, set_col: str, member_col: str,
           .groupby("_part").map_groups(pairs, batch_format="pyarrow")
           .groupby(["a", "b"]).aggregate(Count(alias_name="jac_num")))
 
-    n_sets = sizes.count()
-    if n_sets > broadcast_limit:
+    # gate + pull in ONE execution (bounded driver pull)
+    st = sizes.limit(broadcast_limit + 1).to_pandas()
+    if len(st) > broadcast_limit:
         raise ValueError(
-            f"{n_sets} sets exceed broadcast_limit={broadcast_limit}; "
+            f">{broadcast_limit} sets exceed broadcast_limit; "
             "attach sizes via ops.joins.equi_join_cogroup instead")
-    st = sizes.to_pandas()
     sn = st["s"].to_numpy().astype(np.int64)
     sz = st["n"].to_numpy().astype(np.int64)
     order = np.argsort(sn)

@@ -484,3 +484,111 @@ def semantic_dedup_int(ds, eps: int, n_cells: int = 8, iters: int = 4,
               .map_batches(assign, batch_format="pyarrow")
               .groupby("cell")
               .map_groups(per_cell, batch_format="pyarrow"))
+
+
+def distributed_kmeans(ds, k: int = 8, iters: int = 5,
+                       col: str = "embedding", id_col: str = "vec_id",
+                       unit: int = 1 << 20):
+    """Fully-distributed Lloyd k-means over an embedding column with
+    **bit-identical results at any parallelism**: vectors quantize to
+    int64 micro-units (``round(x · unit)``), so per-centroid partial
+    sums are exact integers (commutative — no float accumulation
+    order), and the centroid update is an integer floor division.
+    ``deterministic_kmeans`` (above) trains on a driver-side sample
+    for IVF; this is the full-corpus variant for actual clustering.
+
+    Per iteration: centroids broadcast via ``ray.put`` (k×dim ints,
+    tiny) → each block assigns rows by exact integer squared distance
+    (argmin, ties → lowest centroid id) and emits ≤k combiner rows of
+    (centroid, count, Σvec) → ONE grouped Sum → new centroids =
+    Σvec // count (empty centroid keeps its position).  The corpus is
+    scanned once per iteration; nothing corpus-proportional reaches
+    the driver.
+
+    Init: centroids = the k quantized vectors with the smallest
+    ``id_col`` (deterministic; one small sort+limit pass).
+
+    → (centroids int64 [k, dim] in micro-units,
+       Dataset(id_col, cluster int64) of final assignments).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def quant(b: pa.Table) -> np.ndarray:
+        m = np.asarray(b[col].to_pylist(), np.float64)
+        return np.round(m * unit).astype(np.int64)
+
+    # deterministic init: k lowest-id vectors
+    seed = ds.sort(id_col).limit(k).to_pandas()
+    centers = np.round(
+        np.asarray(seed[col].tolist(), np.float64) * unit).astype(np.int64)
+
+    def assign(mat: np.ndarray, cen: np.ndarray) -> np.ndarray:
+        # exact integer argmin over squared distance: ||x||² is
+        # row-constant, so argmin of (−2x·c + ||c||²) suffices; dot
+        # products of micro-unit int64s can overflow int64 for large
+        # dim×unit² — compute in object-free float128-safe chunks via
+        # Python ints only when needed; here dim·unit²·|x|² stays
+        # < 2^63 for unit=2^20, |x|≤2, dim≤4096 after the −2x·c+c²
+        # rescale by unit (documented bound)
+        xc = mat @ cen.T          # int64 exact while |values| < 2^63
+        c2 = np.einsum("ij,ij->i", cen, cen)
+        score = c2[None, :] - 2 * xc
+        return np.argmin(score, axis=1).astype(np.int64)
+
+    for _ in range(iters):
+        cen_ref = ray.put(centers)
+
+        def partial(b: pa.Table, _c=cen_ref) -> pa.Table:
+            cen = ray.get(_c)
+            mat = quant(b)
+            a = assign(mat, cen)
+            kk, dim = cen.shape
+            cnt = np.zeros(kk, np.int64)
+            np.add.at(cnt, a, 1)
+            sums = np.zeros((kk, dim), np.int64)
+            np.add.at(sums, a, mat)
+            used = np.flatnonzero(cnt)
+            return pa.table({
+                "c": pa.array(used, pa.int64()),
+                "n": pa.array(cnt[used], pa.int64()),
+                "s": pa.array(list(sums[used]),
+                              pa.list_(pa.int64()))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            c = t["c"].to_numpy(zero_copy_only=False)
+            n = t["n"].to_numpy(zero_copy_only=False)
+            s = np.stack(t["s"].to_pylist()).astype(np.int64)
+            u, inv = np.unique(c, return_inverse=True)
+            cnt = np.zeros(len(u), np.int64)
+            np.add.at(cnt, inv, n)
+            sums = np.zeros((len(u), s.shape[1]), np.int64)
+            np.add.at(sums, inv, s)
+            return pa.table({"c": pa.array(u, pa.int64()),
+                             "n": pa.array(cnt, pa.int64()),
+                             "s": pa.array(list(sums), pa.list_(pa.int64()))})
+
+        rows = (ds.map_batches(partial, batch_format="pyarrow")
+                .map_batches(fold, batch_format="pyarrow",
+                             batch_size=1 << 16)
+                .take_all())  # ≤ k rows per surviving block-fold
+        new = centers.copy()
+        agg: dict[int, tuple[int, np.ndarray]] = {}
+        for r in rows:
+            ci = int(r["c"])
+            n0, s0 = agg.get(ci, (0, 0))
+            agg[ci] = (n0 + int(r["n"]),
+                       s0 + np.asarray(r["s"], np.int64))
+        for ci, (n0, s0) in agg.items():
+            new[ci] = s0 // n0
+        centers = new
+
+    cen_ref = ray.put(centers)
+
+    def label(b: pa.Table, _c=cen_ref) -> pa.Table:
+        cen = ray.get(_c)
+        return pa.table({id_col: b[id_col],
+                         "cluster": pa.array(
+                             assign(quant(b), cen), pa.int64())})
+
+    return centers, ds.map_batches(label, batch_format="pyarrow")
