@@ -2801,6 +2801,54 @@ def _q_embedding_kmeans(sf_dir: str):
     return labels
 
 
+def _q_regional_revenue(sf_dir: str):
+    """TPC-H-Q5-style multi-join rollup: region ⋈ nation ⋈ customer ⋈
+    orders → exact cent revenue per region.  Join strategy by size:
+    region/nation/customer are dimension tables → ONE composed driver
+    lookup (custkey → region name) broadcast via ``ray.put``; orders
+    (the fact table) streams through one vectorized map + ONE grouped
+    Sum.  No shuffle join anywhere."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    region = rd.read_parquet(f"{sf_dir}/region.parquet",
+                             columns=["r_regionkey", "r_name"]).to_pandas()
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"]).to_pandas()
+    rname = dict(zip(region["r_regionkey"], region["r_name"]))
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    creg = np.asarray([rname[n2r[n]] for n in cust["c_nationkey"]],
+                      dtype=object)
+    order = np.argsort(ck)
+    ref = ray.put((ck[order], creg[order]))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        keys, regs = ray.get(ref)
+        c = b["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, c)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        hit = keys[pos_c] == c
+        cents = np.round(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        return pa.table({
+            "region": pa.array(
+                np.where(hit, regs[pos_c], "UNKNOWN"), pa.string()),
+            "cents": pa.array(cents, pa.int64())})
+
+    return (orders.map_batches(attach, batch_format="pyarrow")
+            .groupby("region")
+            .aggregate(Count(alias_name="n_orders"),
+                       Sum("cents", alias_name="revenue_cents")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2871,6 +2919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_histogram": _q_event_value_histogram,
         "orders_cube": _q_orders_cube,
         "event_value_moments": _q_event_value_moments,
+        "regional_revenue": _q_regional_revenue,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -3739,6 +3788,13 @@ def oracle_sql() -> dict[str, str]:
         "page_lists": _page_lists_sql(),
         "page_code_blocks": _page_code_sql(),
         "host_link_jaccard": _host_link_jaccard_sql(),
+        "regional_revenue":
+            "SELECT r_name AS region, CAST(count(*) AS BIGINT) "
+            "AS n_orders, CAST(sum(CAST(round(o_totalprice*100) "
+            "AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM orders JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation ON n_nationkey = c_nationkey "
+            "JOIN region ON r_regionkey = n_regionkey GROUP BY 1",
         "event_value_moments":
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
             "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) "
