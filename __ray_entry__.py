@@ -2849,6 +2849,46 @@ def _q_regional_revenue(sf_dir: str):
                        Sum("cents", alias_name="revenue_cents")))
 
 
+def _q_customer_spend_bucketed(sf_dir: str):
+    """Storage-co-located join (``ops/bucketed``): both sides are
+    written hash-bucketed by the join key once, then the join runs one
+    task per bucket with ZERO exchange — the pay-the-shuffle-once
+    pattern for repeated joins at 100 TB.  Result: exact cent spend
+    per customer, same oracle as the co-group join family."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from xtract.ops.bucketed import bucketed_join, write_bucketed
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.round(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({"o_custkey": b["o_custkey"],
+                         "cents": pa.array(c, pa.int64())})
+
+    root = tempfile.mkdtemp(prefix="xtract_bucketed_")
+    try:
+        da, db = f"{root}/cust", f"{root}/orders"
+        write_bucketed(cust, da, "c_custkey", 16)
+        write_bucketed(orders.map_batches(cents, batch_format="pyarrow"),
+                       db, "o_custkey", 16)
+        j = bucketed_join(da, db, on="c_custkey", right_on="o_custkey")
+        return (j.groupby("c_custkey")
+                .aggregate(Count(alias_name="n_orders"),
+                           Sum("cents", alias_name="spend_cents"))
+                .to_pandas())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2920,6 +2960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": _q_orders_cube,
         "event_value_moments": _q_event_value_moments,
         "regional_revenue": _q_regional_revenue,
+        "customer_spend_bucketed": _q_customer_spend_bucketed,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -3788,6 +3829,12 @@ def oracle_sql() -> dict[str, str]:
         "page_lists": _page_lists_sql(),
         "page_code_blocks": _page_code_sql(),
         "host_link_jaccard": _host_link_jaccard_sql(),
+        "customer_spend_bucketed":
+            "SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) "
+            "AS BIGINT) AS spend_cents "
+            "FROM customer JOIN orders ON o_custkey = c_custkey "
+            "GROUP BY 1",
         "regional_revenue":
             "SELECT r_name AS region, CAST(count(*) AS BIGINT) "
             "AS n_orders, CAST(sum(CAST(round(o_totalprice*100) "

@@ -418,3 +418,66 @@ def test_artifact_kind_mismatch(tmp_path):
     save_lm_table({"ab": 5}, p)
     with _pytest.raises(ValueError, match="kind"):
         load_vocab(p)
+
+
+# ------------------------------------------------------------ bucketed
+
+def test_bucketed_write_join_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from xtract.ops.bucketed import (bucketed_join, read_bucketed,
+                                     write_bucketed)
+    from xtract.ops.joins import equi_join_cogroup
+
+    rng = np.random.default_rng(5)
+    A = pa.table({"k": pa.array(rng.integers(0, 50, 300), pa.int64()),
+                  "x": pa.array(np.arange(300), pa.int64())})
+    B = pa.table({"rk": pa.array(rng.integers(0, 50, 200), pa.int64()),
+                  "y": pa.array(np.arange(200, 400), pa.int64())})
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    ma = write_bucketed(rd.from_arrow(A).repartition(5), da, "k", 8)
+    mb = write_bucketed(rd.from_arrow(B).repartition(3), db, "rk", 8)
+    assert ma["n_rows"] == 300 and mb["n_rows"] == 200
+
+    # read-back preserves every row
+    back = read_bucketed(da).to_pandas()
+    assert sorted(back["x"]) == list(range(300))
+
+    got = (bucketed_join(da, db, on="k", right_on="rk").to_pandas()
+           [["k", "x", "y"]]
+           .sort_values(["k", "x", "y"]).reset_index(drop=True))
+    want = (equi_join_cogroup(rd.from_arrow(A), rd.from_arrow(B),
+                              on="k", right_on="rk").to_pandas()
+            [["k", "x", "y"]]
+            .sort_values(["k", "x", "y"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bucketed_join_validates_manifest(ray_session, tmp_path):
+    import ray.data as rd
+
+    from xtract.ops.bucketed import bucketed_join, write_bucketed
+
+    t = pa.table({"k": pa.array([1, 2], pa.int64())})
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed(rd.from_arrow(t), da, "k", 4)
+    write_bucketed(rd.from_arrow(t), db, "k", 8)
+    with pytest.raises(ValueError, match="bucket counts differ"):
+        bucketed_join(da, db, on="k")
+
+
+def test_lookup_bucketed_pruned(ray_session, tmp_path):
+    import ray.data as rd
+
+    from xtract.ops.bucketed import lookup_bucketed, write_bucketed
+
+    t = pa.table({"k": pa.array(list(range(100)), pa.int64()),
+                  "v": pa.array(list(range(1000, 1100)), pa.int64())})
+    d = str(tmp_path / "t")
+    write_bucketed(rd.from_arrow(t).repartition(4), d, "k", 8)
+    hit = lookup_bucketed(d, [7, 42, 99]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert hit["k"].tolist() == [7, 42, 99]
+    assert hit["v"].tolist() == [1007, 1042, 1099]
+    miss = lookup_bucketed(d, [100000])
+    assert len(miss) == 0 and miss.schema.names == ["k", "v"]

@@ -1,0 +1,164 @@
+"""Bucketed parquet storage: write a table hash-partitioned by a join
+key so LATER joins on that key are storage-co-located — zero shuffle,
+zero exchange, each bucket joins independently (the Hive/Iceberg
+bucketed-table pattern, the single biggest join lever at 100 TB: pay
+the partition pass once at write time, never again).
+
+- ``write_bucketed(ds, out_dir, key, n_buckets)``: one streaming pass;
+  every block splits into per-bucket parquet fragments under
+  ``bucket=NNNN/`` directories (fragments carry a content hash in the
+  name so concurrent writers never collide; readers glob the dir).
+- ``read_bucketed(out_dir)``: plain Dataset over all buckets.
+- ``bucketed_join(dir_a, dir_b, on, right_on)``: one Ray task per
+  bucket reads ONLY that bucket's fragments from both sides and runs a
+  local pandas merge — the join never moves a row between buckets.
+  Both inputs must be bucketed with the same ``n_buckets`` (validated
+  from the manifest).
+
+The bucket function is the shared `_hash_part` (abs(int64) % B for
+integer keys), so a table bucketed here co-locates with every other
+op in the engine that hash-partitions on the same key.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .agg import _hash_part
+
+MANIFEST = "_bucketed.json"
+
+
+def write_bucketed(ds, out_dir: str, key: str, n_buckets: int = 32):
+    """One streaming pass; returns the manifest dict."""
+    os.makedirs(out_dir, exist_ok=True)
+    for b in range(n_buckets):
+        os.makedirs(os.path.join(out_dir, f"bucket={b:04d}"),
+                    exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        part = _hash_part(t[key], n_buckets)
+        order = np.argsort(part, kind="stable")
+        t2 = t.take(pa.array(order))
+        ps = part[order]
+        change = np.ones(len(ps), bool)
+        if len(ps) > 1:
+            change[1:] = ps[1:] != ps[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(ps))
+        # fragment names are writer-unique (urandom), like Ray's own
+        # write_parquet: two blocks feeding one bucket never collide
+        tag = os.urandom(8).hex()
+        for s, e in zip(starts, ends):
+            frag = t2.slice(s, e - s)
+            path = os.path.join(out_dir, f"bucket={ps[s]:04d}",
+                                f"frag-{tag}-{s}.parquet")
+            pq.write_table(frag, path)
+        return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+    total = sum(r["n"] for r in
+                ds.map_batches(write_block, batch_format="pyarrow")
+                .take_all())
+    man = {"key": key, "n_buckets": n_buckets, "n_rows": int(total)}
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(man, f)
+    return man
+
+
+def _manifest(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        return json.load(f)
+
+
+def read_bucketed(out_dir: str):
+    import ray.data as rd
+
+    files = sorted(glob.glob(os.path.join(out_dir, "bucket=*",
+                                          "*.parquet")))
+    return rd.read_parquet(files)
+
+
+def bucketed_join(dir_a: str, dir_b: str, on: str,
+                  right_on: str | None = None, how: str = "inner"):
+    """Storage-co-located join: one task per bucket, no exchange.
+    → Dataset of merged rows."""
+    import ray.data as rd
+
+    right_on = right_on or on
+    ma, mb = _manifest(dir_a), _manifest(dir_b)
+    if ma["n_buckets"] != mb["n_buckets"]:
+        raise ValueError(
+            f"bucket counts differ: {ma['n_buckets']} vs "
+            f"{mb['n_buckets']} — rebucket one side")
+    if ma["key"] != on or mb["key"] != right_on:
+        raise ValueError(
+            f"tables are bucketed by ({ma['key']}, {mb['key']}), "
+            f"join asked for ({on}, {right_on})")
+    nb = ma["n_buckets"]
+
+    def join_bucket(t: pa.Table) -> pd.DataFrame:
+        out = []
+        for b in t["bucket"].to_pylist():
+            fa = sorted(glob.glob(os.path.join(
+                dir_a, f"bucket={b:04d}", "*.parquet")))
+            fb = sorted(glob.glob(os.path.join(
+                dir_b, f"bucket={b:04d}", "*.parquet")))
+            if not fa or (how == "inner" and not fb):
+                continue
+            A = pa.concat_tables([pq.read_table(f) for f in fa]) \
+                .to_pandas()
+            B = (pa.concat_tables([pq.read_table(f) for f in fb])
+                 .to_pandas() if fb else None)
+            if B is None or len(B) == 0:
+                if how == "inner":
+                    continue
+                m = A.copy()
+            else:
+                m = A.merge(B, how=how, left_on=on, right_on=right_on,
+                            suffixes=("", "_r"))
+            out.append(m)
+        if not out:
+            return pd.DataFrame()
+        return pd.concat(out, ignore_index=True)
+
+    buckets = rd.from_items([{"bucket": b} for b in range(nb)],
+                            override_num_blocks=nb)
+    return buckets.map_batches(join_bucket, batch_format="pyarrow")
+
+
+def lookup_bucketed(out_dir: str, values) -> pa.Table:
+    """Point lookup with storage-level pruning: hash the probe values,
+    read ONLY the buckets they can live in (usually 1 of N), filter
+    exactly.  The parquet that never matches is never opened — same
+    pruning shape as the persisted IVF index.  → pa.Table of matching
+    rows (driver-side; probe sets are small by definition)."""
+    import pyarrow.compute as pc
+
+    man = _manifest(out_dir)
+    key, nb = man["key"], man["n_buckets"]
+    vals = np.asarray(list(values), np.int64)
+    probe = pa.chunked_array([pa.array(vals, pa.int64())])
+    need = np.unique(_hash_part(probe, nb))
+    out = []
+    vset = pa.array(np.unique(vals), pa.int64())
+    for b in need:
+        for f in sorted(glob.glob(os.path.join(
+                out_dir, f"bucket={int(b):04d}", "*.parquet"))):
+            t = pq.read_table(f)
+            m = t.filter(pc.is_in(t[key], value_set=vset))
+            if len(m):
+                out.append(m)
+    if not out:
+        any_file = sorted(glob.glob(os.path.join(
+            out_dir, "bucket=*", "*.parquet")))
+        if not any_file:
+            raise ValueError(f"{out_dir}: bucketed table has no rows")
+        return pq.read_table(any_file[0]).slice(0, 0)
+    return pa.concat_tables(out)
