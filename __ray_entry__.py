@@ -2889,6 +2889,96 @@ def _q_customer_spend_bucketed(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_host_crawl_budget(sf_dir: str):
+    """Proportional crawl-budget apportionment (Hamilton / largest-
+    remainder, the exact integer allocation rule): each host gets
+    ``floor(B·n/N)`` pages of a B=10,000 budget, and the leftover
+    seats go to the largest remainders (ties → smaller host id).  One
+    grouped Count is the corpus pass; the allocation math runs on the
+    host-bounded table.  Σbudget == B exactly."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    B = 10_000
+
+    def hosts(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"host": pa.array(ids % 41, pa.int64())})
+
+    agg = (_docs(sf_dir, ["doc_id"])
+           .map_batches(hosts, batch_format="pyarrow")
+           .groupby("host").aggregate(Count(alias_name="n_docs"))
+           .to_pandas())  # host-bounded
+    n = agg["n_docs"].to_numpy(np.int64)
+    h = agg["host"].to_numpy(np.int64)
+    total = int(n.sum())
+    base = (B * n) // total
+    rem = B * n - base * total           # remainder numerators
+    seats_left = B - int(base.sum())
+    order = np.lexsort((h, -rem))        # largest remainder, then host
+    extra = np.zeros(len(h), np.int64)
+    extra[order[:seats_left]] = 1
+    out = pd.DataFrame({"host": h, "n_docs": n,
+                        "budget": base + extra})
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def _q_doc_prefix_dedup(sf_dir: str):
+    """Truncation-duplicate detection: docs sharing an identical
+    64-char prefix collapse to the min doc_id (block combiner →
+    ONE native grouped Min — the exact-dedup shape on a prefix key)."""
+    from ray.data.aggregate import Count, Min
+
+    def key(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ks = [hashlib.md5(((x or "")[:64]).encode("utf-8")).hexdigest()
+              for x in t["text"].to_pylist()]
+        return pa.table({"pkey": pa.array(ks, pa.string()),
+                         "doc_id": t["doc_id"]})
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(key, batch_format="pyarrow")
+            .groupby("pkey")
+            .aggregate(Min("doc_id", alias_name="keep_doc"),
+                       Count(alias_name="n_docs")))
+
+
+def _q_event_transitions(sf_dir: str):
+    """Per-user event-type Markov transitions: co-group by user (the
+    session-window kernel shape), per-partition vectorized lag pairs,
+    ONE grouped Count over (from, to)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from xtract.ops.agg import _hash_part
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("_part", pa.array(
+            _hash_part(b["user_id"], 32), pa.int64()))
+
+    def pairs(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        same = u[1:] == u[:-1]
+        return pa.table({
+            "from_type": pa.array(et[:-1][same], pa.string()),
+            "to_type": pa.array(et[1:][same], pa.string())})
+
+    return (ev.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part").map_groups(pairs, batch_format="pyarrow")
+            .groupby(["from_type", "to_type"])
+            .aggregate(Count(alias_name="n_transitions")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2961,6 +3051,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_moments": _q_event_value_moments,
         "regional_revenue": _q_regional_revenue,
         "customer_spend_bucketed": _q_customer_spend_bucketed,
+        "host_crawl_budget": _q_host_crawl_budget,
+        "doc_prefix_dedup": _q_doc_prefix_dedup,
+        "event_transitions": _q_event_transitions,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -3829,6 +3922,33 @@ def oracle_sql() -> dict[str, str]:
         "page_lists": _page_lists_sql(),
         "page_code_blocks": _page_code_sql(),
         "host_link_jaccard": _host_link_jaccard_sql(),
+        "host_crawl_budget":
+            "WITH c AS (SELECT doc_id % 41 AS host, count(*) AS n_docs "
+            "FROM documents GROUP BY 1), "
+            "t AS (SELECT sum(n_docs) AS total FROM c), "
+            "b AS (SELECT host, n_docs, "
+            "(10000 * n_docs) // (SELECT total FROM t) AS base, "
+            "10000 * n_docs - ((10000 * n_docs) // (SELECT total FROM t)) "
+            "* (SELECT total FROM t) AS rem FROM c), "
+            "s AS (SELECT 10000 - sum(base) AS leftover FROM b), "
+            "r AS (SELECT host, n_docs, base, row_number() OVER "
+            "(ORDER BY rem DESC, host) AS rk FROM b) "
+            "SELECT CAST(host AS BIGINT) AS host, "
+            "CAST(n_docs AS BIGINT) AS n_docs, "
+            "CAST(base + CASE WHEN rk <= (SELECT leftover FROM s) "
+            "THEN 1 ELSE 0 END AS BIGINT) AS budget FROM r",
+        "doc_prefix_dedup":
+            "SELECT md5(substr(coalesce(text,''), 1, 64)) AS pkey, "
+            "CAST(min(doc_id) AS BIGINT) AS keep_doc, "
+            "CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY 1",
+        "event_transitions":
+            "WITH o AS (SELECT user_id, event_type, lead(event_type) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
+            "FROM events) "
+            "SELECT event_type AS from_type, nxt AS to_type, "
+            "CAST(count(*) AS BIGINT) AS n_transitions FROM o "
+            "WHERE nxt IS NOT NULL GROUP BY 1, 2",
         "customer_spend_bucketed":
             "SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_orders, "
             "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) "
