@@ -2979,6 +2979,27 @@ def _q_event_transitions(sf_dir: str):
             .aggregate(Count(alias_name="n_transitions")))
 
 
+def _q_event_type_approx_users(sf_dir: str):
+    """Grouped HLL (``ops/sketch.grouped_approx_distinct``): approx
+    distinct users per event type — deterministic and partition-
+    independent (pytest tolerance + cross-layout equality); exact
+    twin query `event_type_unique_users` is the accuracy reference."""
+    import ray.data as rd
+
+    from xtract.ops.sketch import grouped_approx_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def s(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"],
+                         "user": pc.cast(b["user_id"], pa.string())})
+
+    return grouped_approx_distinct(
+        ev.map_batches(s, batch_format="pyarrow"), "event_type", "user",
+        p=12)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -3054,6 +3075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_crawl_budget": _q_host_crawl_budget,
         "doc_prefix_dedup": _q_doc_prefix_dedup,
         "event_transitions": _q_event_transitions,
+        "event_type_approx_users": _q_event_type_approx_users,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,

@@ -481,3 +481,32 @@ def test_lookup_bucketed_pruned(ray_session, tmp_path):
     assert hit["v"].tolist() == [1007, 1042, 1099]
     miss = lookup_bucketed(d, [100000])
     assert len(miss) == 0 and miss.schema.names == ["k", "v"]
+
+
+# ------------------------------------------------------------ grouped HLL
+
+def test_grouped_approx_distinct(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.sketch import grouped_approx_distinct
+
+    rng = np.random.default_rng(13)
+    keys, vals = [], []
+    truth = {"a": 500, "b": 50, "c": 1}
+    for k, n in truth.items():
+        ids = rng.integers(0, n, n * 4)  # repeats; n distinct max
+        truth[k] = len(np.unique(ids))
+        keys += [k] * len(ids)
+        vals += [f"user{i}" for i in ids]
+    ds = rd.from_arrow(pa.table({"host": keys, "user": vals}))
+    out = (grouped_approx_distinct(ds, "host", "user", p=10)
+           .to_pandas().set_index("host")["approx_distinct"].to_dict())
+    assert set(out) == set(truth)
+    for k, t in truth.items():
+        assert abs(out[k] - t) <= max(2, 0.15 * t), (k, out[k], t)
+
+    # partition-independent: same result on a different block layout
+    out2 = (grouped_approx_distinct(ds.repartition(9), "host", "user",
+                                    p=10)
+            .to_pandas().set_index("host")["approx_distinct"].to_dict())
+    assert out == out2

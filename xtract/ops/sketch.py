@@ -227,3 +227,72 @@ def countmin_counts(ds, col: str, queries: list, width_bits: int = 16,
     for i, q in enumerate(queries):
         out[q] = int(min(mat[r, int(qpos[r, i])] for r in range(depth)))
     return out
+
+
+def grouped_approx_distinct(ds, key: str, col: str, p: int = 10,
+                            num_partitions: int = 32):
+    """Approximate distinct ``col`` values PER ``key`` — the grouped
+    HLL (e.g. distinct users per host when exact per-key distinct is
+    too wide to co-group).  Deterministic and partition-independent:
+    same hash, elementwise register max commutes.
+
+    Shape: each block emits ≤ |keys in block| register rows (a per-key
+    combiner, 2^p bytes each) → coarse co-group by key-hash partition
+    → per-partition vectorized elementwise-max per key run → ONE row
+    per key.  Nothing corpus-proportional reaches the driver; the
+    exchange carries (keys × 2^p) bytes, independent of row count.
+
+    → Dataset(key, approx_distinct int64).  Memory note: 2^p per key
+    per block — keep p modest (default 1 KiB/key).
+    """
+    from .agg import _hash_part
+
+    m = 1 << p
+
+    def block_sketch(b: pa.Table) -> pa.Table:
+        ks = np.asarray(b[key].to_pylist(), dtype=object)
+        hs = _hash_strings(b[col].to_pylist())
+        order = np.argsort(ks, kind="stable")
+        ks, hs = ks[order], hs[order]
+        change = np.ones(len(ks), bool)
+        change[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(ks))
+        out_k, out_r = [], []
+        for s, e in zip(starts, ends):
+            out_k.append(ks[s])
+            out_r.append(_block_registers(hs[s:e], p))
+        regs = np.concatenate(out_r) if out_r else np.empty(0, np.uint8)
+        return pa.table({
+            "k": pa.array(out_k, pa.string()),
+            "regs": pa.FixedSizeListArray.from_arrays(
+                pa.array(regs, pa.uint8()), m)})
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("_part", pa.array(
+            _hash_part(b["k"], num_partitions), pa.int64()))
+
+    def finish(g: pa.Table) -> pa.Table:
+        ks = np.asarray(g["k"].to_pylist(), dtype=object)
+        mat = (g["regs"].combine_chunks().flatten()
+               .to_numpy(zero_copy_only=False).reshape(len(g), m))
+        order = np.argsort(ks, kind="stable")
+        ks, mat = ks[order], mat[order]
+        change = np.ones(len(ks), bool)
+        change[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(ks))
+        out_k, out_n = [], []
+        for s, e in zip(starts, ends):
+            merged = mat[s:e].max(axis=0)
+            out_k.append(ks[s])
+            out_n.append(int(round(hll_estimate(merged))))
+        return pa.table({
+            key: pa.array(out_k, pa.string()),
+            "approx_distinct": pa.array(out_n, pa.int64())})
+
+    return (ds.select_columns([key, col])
+            .map_batches(block_sketch, batch_format="pyarrow")
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(finish, batch_format="pyarrow"))
