@@ -3000,6 +3000,41 @@ def _q_event_type_approx_users(sf_dir: str):
         p=12)
 
 
+def _q_user_value_ffill(sf_dir: str):
+    """Per-key forward-fill imputation (gap repair in event streams):
+    'error' events lose their value and inherit the user's last good
+    one — coarse co-group by user, ONE vectorized pandas groupby-ffill
+    per partition, exact cents; users with no prior value get -1."""
+    import pandas as pd
+    import ray.data as rd
+
+    from xtract.ops.agg import _hash_part
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type", "value"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("_part", pa.array(
+            _hash_part(b["user_id"], 32), pa.int64()))
+
+    def ffill(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        cents = (df["value"] * 100).round().astype("int64")
+        cents = cents.mask(df["event_type"] == "error")
+        filled = (cents.groupby(df["user_id"]).ffill()
+                  .fillna(-1).astype("int64"))
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+            "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+            "filled_cents": pa.array(filled.to_numpy(), pa.int64())})
+
+    return (ev.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part").map_groups(ffill, batch_format="pyarrow"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -3076,6 +3111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_prefix_dedup": _q_doc_prefix_dedup,
         "event_transitions": _q_event_transitions,
         "event_type_approx_users": _q_event_type_approx_users,
+        "user_value_ffill": _q_user_value_ffill,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -3944,6 +3980,13 @@ def oracle_sql() -> dict[str, str]:
         "page_lists": _page_lists_sql(),
         "page_code_blocks": _page_code_sql(),
         "host_link_jaccard": _host_link_jaccard_sql(),
+        "user_value_ffill":
+            "SELECT user_id, event_id, CAST(coalesce(last_value("
+            "CASE WHEN event_type = 'error' THEN NULL "
+            "ELSE CAST(round(value*100) AS BIGINT) END IGNORE NULLS) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) "
+            "AS BIGINT) AS filled_cents FROM events",
         "host_crawl_budget":
             "WITH c AS (SELECT doc_id % 41 AS host, count(*) AS n_docs "
             "FROM documents GROUP BY 1), "

@@ -510,3 +510,20 @@ def test_grouped_approx_distinct(ray_session):
                                     p=10)
             .to_pandas().set_index("host")["approx_distinct"].to_dict())
     assert out == out2
+
+
+def test_triangle_counts_star_hub_bounded(ray_session):
+    """A 10^4-leaf star: naive wedge emission from the hub would be
+    ~5·10^7 pairs; degree orientation points every edge INTO the hub
+    (leaves have the smaller (deg, id)), so the hub emits ZERO wedges
+    and the run completes instantly with no triangles."""
+    import ray.data as rd
+
+    from xtract.ops.graph import triangle_counts
+
+    n = 10_000
+    hub = n + 7
+    t = pa.table({"src": pa.array(list(range(n)), pa.int64()),
+                  "dst": pa.array([hub] * n, pa.int64())})
+    out = triangle_counts(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 0
