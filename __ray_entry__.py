@@ -3035,6 +3035,43 @@ def _q_user_value_ffill(sf_dir: str):
             .groupby("_part").map_groups(ffill, batch_format="pyarrow"))
 
 
+def _q_orders_monthly_share(sf_dir: str):
+    """Month × priority order share as an exact integer fraction
+    (share_num / share_den): ONE grouped Count over the composite key,
+    month totals derived Dataset-side from the bounded aggregate (the
+    orders_cube grouping-set pattern) — no second corpus pass."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate", "o_orderpriority"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.strftime(b["o_orderdate"], format="%Y-%m"),
+            "priority": b["o_orderpriority"]})
+
+    base = (o.map_batches(keyed, batch_format="pyarrow")
+            .groupby(["month", "priority"])
+            .aggregate(Count(alias_name="n_orders")))
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table({"month": t["month"],
+                         "n": t["n_orders"]})
+
+    totals = (base.map_batches(widen, batch_format="pyarrow")
+              .groupby("month").aggregate(Sum("n", alias_name="den")))
+
+    # both sides are (months × priorities)-bounded → driver join
+    bt = base.to_pandas()
+    tt = totals.to_pandas()
+    out = bt.merge(tt, on="month")
+    out = out.rename(columns={"n_orders": "share_num"})
+    out["share_den"] = out.pop("den").astype("int64")
+    out["share_num"] = out["share_num"].astype("int64")
+    return out[["month", "priority", "share_num", "share_den"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -3112,6 +3149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "event_type_approx_users": _q_event_type_approx_users,
         "user_value_ffill": _q_user_value_ffill,
+        "orders_monthly_share": _q_orders_monthly_share,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -3980,6 +4018,13 @@ def oracle_sql() -> dict[str, str]:
         "page_lists": _page_lists_sql(),
         "page_code_blocks": _page_code_sql(),
         "host_link_jaccard": _host_link_jaccard_sql(),
+        "orders_monthly_share":
+            "WITH c AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, "
+            "o_orderpriority AS priority, count(*) AS n FROM orders "
+            "GROUP BY 1, 2) "
+            "SELECT month, priority, CAST(n AS BIGINT) AS share_num, "
+            "CAST(sum(n) OVER (PARTITION BY month) AS BIGINT) "
+            "AS share_den FROM c",
         "user_value_ffill":
             "SELECT user_id, event_id, CAST(coalesce(last_value("
             "CASE WHEN event_type = 'error' THEN NULL "
