@@ -3072,6 +3072,59 @@ def _q_orders_monthly_share(sf_dir: str):
     return out[["month", "priority", "share_num", "share_den"]]
 
 
+def _q_part_copurchase(sf_dir: str):
+    """Market-basket co-occurrence: top-20 part pairs appearing in the
+    same order.  Scale shape: slim (orderkey, partkey) projection →
+    coarse orderkey co-group (all rows of an order land in one of 64
+    partitions) → per-partition vectorized pandas self-merge emits
+    p1<p2 pairs with LOCAL counts (orders are bounded-size, so the
+    blowup per order is bounded) → native Sum over the pair key →
+    per-block partial top-k → tiny final sort.  Deterministic
+    tie-break (n_orders desc, p1, p2) keeps the limit boundary stable
+    under any partitioning."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.agg import _hash_part
+
+    K = 20
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("_part", pa.array(
+            _hash_part(b["l_orderkey"], 64), pa.int64()))
+
+    def pairs(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o": g["l_orderkey"].to_numpy(zero_copy_only=False),
+            "p": g["l_partkey"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()  # count orders, not line items
+        m = df.merge(df, on="o")
+        m = m[m["p_x"] < m["p_y"]]
+        cnt = (m.groupby(["p_x", "p_y"], sort=False).size()
+               .reset_index(name="n"))
+        return pa.table({"p1": pa.array(cnt["p_x"], pa.int64()),
+                         "p2": pa.array(cnt["p_y"], pa.int64()),
+                         "n": pa.array(cnt["n"], pa.int64())})
+
+    agg = (li.map_batches(tag, batch_format="pyarrow")
+           .groupby("_part").map_groups(pairs, batch_format="pyarrow")
+           .groupby(["p1", "p2"]).aggregate(Sum("n", alias_name="n_orders")))
+
+    def topk(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[
+            ("n_orders", "descending"), ("p1", "ascending"),
+            ("p2", "ascending")])
+        return t.take(order[:K])
+
+    head = agg.map_batches(topk, batch_format="pyarrow").to_pandas()
+    head = head.sort_values(["n_orders", "p1", "p2"],
+                            ascending=[False, True, True]).head(K)
+    return head.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -3150,6 +3203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_approx_users": _q_event_type_approx_users,
         "user_value_ffill": _q_user_value_ffill,
         "orders_monthly_share": _q_orders_monthly_share,
+        "part_copurchase": _q_part_copurchase,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -4025,6 +4079,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT month, priority, CAST(n AS BIGINT) AS share_num, "
             "CAST(sum(n) OVER (PARTITION BY month) AS BIGINT) "
             "AS share_den FROM c",
+        "part_copurchase":
+            "WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem), pr AS (SELECT a.p AS p1, b.p AS p2, "
+            "count(*) AS n_orders FROM d a JOIN d b ON a.o = b.o "
+            "AND a.p < b.p GROUP BY 1, 2) "
+            "SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2, "
+            "CAST(n_orders AS BIGINT) AS n_orders FROM pr "
+            "ORDER BY n_orders DESC, p1, p2 LIMIT 20",
         "user_value_ffill":
             "SELECT user_id, event_id, CAST(coalesce(last_value("
             "CASE WHEN event_type = 'error' THEN NULL "
