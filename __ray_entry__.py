@@ -3125,6 +3125,109 @@ def _q_part_copurchase(sf_dir: str):
     return head.reset_index(drop=True)
 
 
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-style shipping priority: top-10 unshipped orders for
+    one market segment by exact revenue (micro-units: cents ×
+    basis-point discount → int64, no float drift).  Scale shape: the
+    one-segment customer key set is broadcast (exact-count-gated
+    small side), lineitem revenue pre-aggregates per orderkey inside
+    every block (combiner), and ONE orderkey co-group joins order
+    attributes to the partial sums — a single all-to-all for a
+    three-table join.  Deterministic top-10 tie-break
+    (revenue desc, o_orderkey)."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from xtract.ops.agg import _hash_part
+
+    SEG, CUT, K, P = "BUILDING", "1998-01-01", 10, 64
+    cut = np.datetime64(CUT, "us")
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    keys = cust.map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], SEG))
+        .select(["c_custkey"]), batch_format="pyarrow")
+    # one-segment key set: bounded vs the fact tables; gate then
+    # broadcast (the exact-count idiom — fail loudly, never OOM)
+    kt = keys.limit(50_000_001).to_pandas()
+    assert len(kt) <= 50_000_000, "segment key set too large to broadcast"
+    keys_ref = ray.put(pa.array(np.sort(kt["c_custkey"].to_numpy()),
+                                pa.int64()))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+
+    def o_slim(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.less(b["o_orderdate"], pa.scalar(cut)),
+                    pc.is_in(b["o_custkey"], value_set=ray.get(keys_ref)))
+        t = b.filter(m)
+        n = len(t)
+        return pa.table({
+            "_part": pa.array(_hash_part(t["o_orderkey"], P), pa.int64()),
+            "_flag": pa.array(np.zeros(n, np.int8)),
+            "okey": t["o_orderkey"],
+            "odate": pc.strftime(t["o_orderdate"], format="%Y-%m-%d"),
+            "oprio": t["o_orderpriority"],
+            "micro": pa.nulls(n, pa.int64())})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def l_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["l_shipdate"], pa.scalar(cut)))
+        cents = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        bp = pc.cast(pc.round(pc.multiply(
+            t["l_discount"], pa.scalar(10_000.0))), pa.int64())
+        micro = pc.multiply(cents, pc.subtract(
+            pa.scalar(10_000, pa.int64()), bp))
+        df = pd.DataFrame({
+            "okey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "micro": micro.to_numpy(zero_copy_only=False)})
+        g = df.groupby("okey", sort=False)["micro"].sum().reset_index()
+        n = len(g)
+        return pa.table({
+            "_part": pa.array(_hash_part(pa.array(g["okey"]), P), pa.int64()),
+            "_flag": pa.array(np.ones(n, np.int8)),
+            "okey": pa.array(g["okey"], pa.int64()),
+            "odate": pa.nulls(n, pa.string()),
+            "oprio": pa.nulls(n, pa.string()),
+            "micro": pa.array(g["micro"], pa.int64())})
+
+    both = (orders.map_batches(o_slim, batch_format="pyarrow")
+            .union(li.map_batches(l_partial, batch_format="pyarrow")))
+
+    def join(t: pa.Table) -> pa.Table:
+        # each side built from its own null-free columns: no upcast
+        ot = t.filter(pc.equal(t["_flag"], 0))
+        lt = t.filter(pc.equal(t["_flag"], 1))
+        O = pd.DataFrame({"okey": ot["okey"].to_pandas(),
+                          "odate": ot["odate"].to_pandas(),
+                          "oprio": ot["oprio"].to_pandas()})
+        L = (pd.DataFrame({"okey": lt["okey"].to_pandas(),
+                           "micro": lt["micro"].to_pandas()})
+             .groupby("okey", sort=False)["micro"].sum().reset_index())
+        m = O.merge(L, on="okey")
+        m = m.sort_values(["micro", "okey"],
+                          ascending=[False, True]).head(K)
+        return pa.table({
+            "o_orderkey": pa.array(m["okey"], pa.int64()),
+            "revenue_micro": pa.array(m["micro"], pa.int64()),
+            "o_orderdate": pa.array(m["odate"], pa.string()),
+            "o_orderpriority": pa.array(m["oprio"], pa.string())})
+
+    head = (both.groupby("_part").map_groups(join, batch_format="pyarrow")
+            .to_pandas())
+    head = head.sort_values(["revenue_micro", "o_orderkey"],
+                            ascending=[False, True]).head(K)
+    return head.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -3204,6 +3307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_ffill": _q_user_value_ffill,
         "orders_monthly_share": _q_orders_monthly_share,
         "part_copurchase": _q_part_copurchase,
+        "shipping_priority": _q_shipping_priority,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -4087,6 +4191,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2, "
             "CAST(n_orders AS BIGINT) AS n_orders FROM pr "
             "ORDER BY n_orders DESC, p1, p2 LIMIT 20",
+        "shipping_priority":
+            "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(10000 - CAST(round(l_discount * 10000) AS BIGINT))) "
+            "AS BIGINT) AS revenue_micro, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            "o_orderpriority "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < DATE '1998-01-01' "
+            "AND l_shipdate > DATE '1998-01-01' "
+            "GROUP BY o_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue_micro DESC, o_orderkey LIMIT 10",
         "user_value_ffill":
             "SELECT user_id, event_id, CAST(coalesce(last_value("
             "CASE WHEN event_type = 'error' THEN NULL "
