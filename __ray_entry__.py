@@ -3228,6 +3228,285 @@ def _q_shipping_priority(sf_dir: str):
     return head.reset_index(drop=True)
 
 
+def _q_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17-style small-quantity revenue for one brand, computed
+    without a broadcast of per-part averages: the one-brand part-key
+    set is broadcast (exact-count-gated small side), then a SINGLE
+    partkey co-group sees every lineitem of a part together and does
+    both passes locally — per-part sum/count of quantity, then the
+    strict ``5*qty*cnt < sum_qty`` integer cross-multiplied filter (no
+    float average, no drift).  Each partition emits one partial-sum
+    row; the driver folds <=P rows."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from xtract.ops.agg import _hash_part
+
+    BRAND, P = "Brand#13", 64
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    keys = part.map_batches(
+        lambda b: b.filter(pc.equal(b["p_brand"], BRAND))
+        .select(["p_partkey"]), batch_format="pyarrow")
+    kt = keys.limit(50_000_001).to_pandas()
+    assert len(kt) <= 50_000_000, "brand part set too large to broadcast"
+    keys_ref = ray.put(pa.array(np.sort(kt["p_partkey"].to_numpy()),
+                                pa.int64()))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"])
+
+    def slim(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["l_partkey"],
+                              value_set=ray.get(keys_ref)))
+        return pa.table({
+            "_part": pa.array(_hash_part(t["l_partkey"], P), pa.int64()),
+            "pk": t["l_partkey"],
+            "q": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                t["l_extendedprice"], pa.scalar(100.0))), pa.int64())})
+
+    def small(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "pk": g["pk"].to_numpy(zero_copy_only=False),
+            "q": g["q"].to_numpy(zero_copy_only=False),
+            "cents": g["cents"].to_numpy(zero_copy_only=False)})
+        a = df.groupby("pk", sort=False)["q"].agg(["sum", "count"])
+        m = df.join(a, on="pk")
+        keep = 5 * m["q"] * m["count"] < m["sum"]
+        return pa.table({
+            "revenue_cents": pa.array(
+                [int(m.loc[keep, "cents"].sum())], pa.int64()),
+            "n_small": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = (li.map_batches(slim, batch_format="pyarrow")
+             .groupby("_part").map_groups(small, batch_format="pyarrow")
+             .to_pandas())  # <= P single-row partials
+    return pd.DataFrame({
+        "revenue_cents": [int(parts["revenue_cents"].sum())],
+        "n_small": [int(parts["n_small"].sum())]})
+
+
+def _q_high_balance_inactive(sf_dir: str):
+    """TPC-H Q22-style: per-nation count/total of positive-balance
+    customers above the GLOBAL average positive balance with no orders
+    since a cutoff (gone-quiet high-value accounts).  The global
+    average is one native Sum+Count aggregate broadcast as two ints
+    (compared by integer cross-multiplication, never divided); the
+    customer-vs-recent-orders anti join is a custkey co-group (both
+    sides large at crawl scale — no broadcast), with orders filtered
+    at the read and pre-deduped to one slim key row per block
+    (combiner).  Each partition emits bounded per-nation partials;
+    ONE native grouped Sum folds them."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from xtract.ops.agg import _hash_part
+
+    CUT, P = "2000-01-01", 64
+    cut = np.datetime64(CUT, "us")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey",
+                                    "c_acctbal"])
+
+    def pos_cents(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["c_acctbal"], pa.scalar(0.0)))
+        return pa.table({"cents": pc.cast(pc.round(pc.multiply(
+            t["c_acctbal"], pa.scalar(100.0))), pa.int64())})
+
+    g = (cust.map_batches(pos_cents, batch_format="pyarrow")
+         .aggregate(Sum("cents", alias_name="s"),
+                    Count(alias_name="n")))
+    tot_s, tot_n = int(g["s"]), int(g["n"])
+
+    def c_slim(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b["c_acctbal"], pa.scalar(100.0))), pa.int64())
+        # cents > 0 and cents * n > s  (acctbal strictly above the
+        # global positive average, exact integers)
+        m = pc.and_(pc.greater(cents, pa.scalar(0, pa.int64())),
+                    pc.greater(pc.multiply(cents, pa.scalar(
+                        tot_n, pa.int64())), pa.scalar(tot_s, pa.int64())))
+        t = b.filter(m)
+        c = cents.filter(m)
+        n = len(t)
+        return pa.table({
+            "_part": pa.array(_hash_part(t["c_custkey"], P), pa.int64()),
+            "ck": t["c_custkey"],
+            "_flag": pa.array(np.zeros(n, np.int8)),
+            "nk": pc.cast(t["c_nationkey"], pa.int64()),
+            "cents": c})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+
+    def o_slim(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["o_orderdate"], pa.scalar(cut)))
+        ck = pc.unique(t["o_custkey"])  # block-local combiner
+        n = len(ck)
+        return pa.table({
+            "_part": pa.array(_hash_part(ck, P), pa.int64()),
+            "ck": ck,
+            "_flag": pa.array(np.ones(n, np.int8)),
+            "nk": pa.nulls(n, pa.int64()),
+            "cents": pa.nulls(n, pa.int64())})
+
+    def anti(t: pa.Table) -> pa.Table:
+        active = pc.unique(t.filter(pc.equal(t["_flag"], 1))["ck"])
+        c = t.filter(pc.equal(t["_flag"], 0))
+        c = c.filter(pc.invert(pc.is_in(c["ck"], value_set=active)))
+        df = pd.DataFrame({
+            "nk": c["nk"].to_numpy(zero_copy_only=False),
+            "cents": c["cents"].to_numpy(zero_copy_only=False)})
+        p = df.groupby("nk", sort=False)["cents"].agg(["count", "sum"])
+        p = p.reset_index()
+        return pa.table({
+            "nationkey": pa.array(p["nk"], pa.int64()),
+            "n_customers": pa.array(p["count"], pa.int64()),
+            "acctbal_cents": pa.array(p["sum"], pa.int64())})
+
+    both = (cust.map_batches(c_slim, batch_format="pyarrow")
+            .union(orders.map_batches(o_slim, batch_format="pyarrow")))
+    out = (both.groupby("_part").map_groups(anti, batch_format="pyarrow")
+           .groupby("nationkey")
+           .aggregate(Sum("n_customers", alias_name="n_customers"),
+                      Sum("acctbal_cents", alias_name="acctbal_cents"))
+           .to_pandas())  # <= nations rows
+    cols = ["nationkey", "n_customers", "acctbal_cents"]
+    if "nationkey" not in out.columns:  # all partitions empty
+        out = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    out = out.sort_values("nationkey").reset_index(drop=True)
+    for c in ("nationkey", "n_customers", "acctbal_cents"):
+        out[c] = out[c].astype("int64")
+    return out[["nationkey", "n_customers", "acctbal_cents"]]
+
+
+def _q_part_revenue_share(sf_dir: str):
+    """TPC-H Q11-style group-vs-global share: parts whose discounted
+    revenue exceeds 1/2500 of TOTAL revenue.  Per-part revenue is one
+    combiner-backed native grouped Sum (block-local partial groupby
+    first, so the exchange carries <=parts rows per block); the global
+    total is derived from that bounded aggregate — the corpus is read
+    ONCE.  Exact integer micro-units; the share test is a cross
+    multiplication (2500*rev > total), never a float division."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    T = 2500
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        bp = pc.cast(pc.round(pc.multiply(
+            b["l_discount"], pa.scalar(10_000.0))), pa.int64())
+        micro = pc.multiply(cents, pc.subtract(
+            pa.scalar(10_000, pa.int64()), bp))
+        df = pd.DataFrame({
+            "pk": b["l_partkey"].to_numpy(zero_copy_only=False),
+            "micro": micro.to_numpy(zero_copy_only=False)})
+        g = df.groupby("pk", sort=False)["micro"].sum().reset_index()
+        return pa.table({"l_partkey": pa.array(g["pk"], pa.int64()),
+                         "micro": pa.array(g["micro"], pa.int64())})
+
+    rev = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_partkey")
+           .aggregate(Sum("micro", alias_name="revenue_micro")))
+    df = rev.to_pandas()  # parts-bounded aggregate
+    total = int(df["revenue_micro"].sum())
+    keep = df[df["revenue_micro"].map(int).map(
+        lambda r: T * r > total)]
+    keep = keep.sort_values(["revenue_micro", "l_partkey"],
+                            ascending=[False, True]).reset_index(drop=True)
+    keep["l_partkey"] = keep["l_partkey"].astype("int64")
+    keep["revenue_micro"] = keep["revenue_micro"].astype("int64")
+    return keep[["l_partkey", "revenue_micro"]]
+
+
+def _q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14-style promo revenue share over one ship-year as an
+    exact integer fraction (promo_micro / total_micro).  Both join
+    sides are large at scale, so part flags meet lineitem partial sums
+    in ONE partkey co-group (flag-union, the shipping_priority shape);
+    lineitems pre-aggregate per partkey inside every block so the
+    all-to-all carries <=parts rows per block.  Each partition emits a
+    single two-int partial; the driver folds <=P rows."""
+    import pandas as pd
+    import ray.data as rd
+
+    from xtract.ops.agg import _hash_part
+
+    LO, HI, P = "1997-01-01", "1998-01-01", 64
+    lo, hi = np.datetime64(LO, "us"), np.datetime64(HI, "us")
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+
+    def p_slim(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({
+            "_part": pa.array(_hash_part(b["p_partkey"], P), pa.int64()),
+            "pk": b["p_partkey"],
+            "_flag": pa.array(np.zeros(n, np.int8)),
+            "promo": pc.cast(pc.equal(b["p_type"], "PROMO"), pa.int64()),
+            "micro": pa.nulls(n, pa.int64())})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def l_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(
+            pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+            pc.less(b["l_shipdate"], pa.scalar(hi))))
+        cents = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        bp = pc.cast(pc.round(pc.multiply(
+            t["l_discount"], pa.scalar(10_000.0))), pa.int64())
+        micro = pc.multiply(cents, pc.subtract(
+            pa.scalar(10_000, pa.int64()), bp))
+        df = pd.DataFrame({
+            "pk": t["l_partkey"].to_numpy(zero_copy_only=False),
+            "micro": micro.to_numpy(zero_copy_only=False)})
+        g = df.groupby("pk", sort=False)["micro"].sum().reset_index()
+        n = len(g)
+        return pa.table({
+            "_part": pa.array(_hash_part(pa.array(g["pk"]), P), pa.int64()),
+            "pk": pa.array(g["pk"], pa.int64()),
+            "_flag": pa.array(np.ones(n, np.int8)),
+            "promo": pa.nulls(n, pa.int64()),
+            "micro": pa.array(g["micro"], pa.int64())})
+
+    def join(t: pa.Table) -> pa.Table:
+        pt = t.filter(pc.equal(t["_flag"], 0))
+        lt = t.filter(pc.equal(t["_flag"], 1))
+        PD = pd.DataFrame({"pk": pt["pk"].to_pandas(),
+                           "promo": pt["promo"].to_pandas()})
+        L = (pd.DataFrame({"pk": lt["pk"].to_pandas(),
+                           "micro": lt["micro"].to_pandas()})
+             .groupby("pk", sort=False)["micro"].sum().reset_index())
+        m = L.merge(PD, on="pk")
+        return pa.table({
+            "promo_micro": pa.array(
+                [int((m["micro"] * m["promo"]).sum())], pa.int64()),
+            "total_micro": pa.array([int(m["micro"].sum())], pa.int64())})
+
+    both = (part.map_batches(p_slim, batch_format="pyarrow")
+            .union(li.map_batches(l_partial, batch_format="pyarrow")))
+    parts = (both.groupby("_part").map_groups(join, batch_format="pyarrow")
+             .to_pandas())  # <= P single-row partials
+    return pd.DataFrame({
+        "promo_micro": [int(parts["promo_micro"].sum())],
+        "total_micro": [int(parts["total_micro"].sum())]})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -3308,6 +3587,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly_share": _q_orders_monthly_share,
         "part_copurchase": _q_part_copurchase,
         "shipping_priority": _q_shipping_priority,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "high_balance_inactive": _q_high_balance_inactive,
+        "part_revenue_share": _q_part_revenue_share,
+        "promo_revenue_share": _q_promo_revenue_share,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -4191,6 +4474,52 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2, "
             "CAST(n_orders AS BIGINT) AS n_orders FROM pr "
             "ORDER BY n_orders DESC, p1, p2 LIMIT 20",
+        "small_quantity_revenue":
+            "WITH bp AS (SELECT p_partkey FROM part "
+            "WHERE p_brand = 'Brand#13'), "
+            "l AS (SELECT l_partkey AS pk, "
+            "CAST(round(l_quantity) AS BIGINT) AS q, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents "
+            "FROM lineitem JOIN bp ON l_partkey = p_partkey), "
+            "a AS (SELECT pk, sum(q) AS sq, count(*) AS cnt "
+            "FROM l GROUP BY 1) "
+            "SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) "
+            "AS revenue_cents, CAST(count(*) AS BIGINT) AS n_small "
+            "FROM l JOIN a USING (pk) WHERE 5 * l.q * a.cnt < a.sq",
+        "high_balance_inactive":
+            "WITH pos AS (SELECT c_custkey, c_nationkey, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) AS cents "
+            "FROM customer WHERE c_acctbal > 0), "
+            "t AS (SELECT sum(cents) AS s, count(*) AS n FROM pos), "
+            "f AS (SELECT * FROM pos WHERE "
+            "cents * (SELECT n FROM t) > (SELECT s FROM t) "
+            "AND NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey "
+            "AND o_orderdate >= DATE '2000-01-01')) "
+            "SELECT CAST(c_nationkey AS BIGINT) AS nationkey, "
+            "CAST(count(*) AS BIGINT) AS n_customers, "
+            "CAST(sum(cents) AS BIGINT) AS acctbal_cents "
+            "FROM f GROUP BY 1 ORDER BY 1",
+        "part_revenue_share":
+            "WITH r AS (SELECT l_partkey, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS rev "
+            "FROM lineitem GROUP BY 1), "
+            "t AS (SELECT sum(rev) AS total FROM r) "
+            "SELECT CAST(l_partkey AS BIGINT) AS l_partkey, "
+            "CAST(rev AS BIGINT) AS revenue_micro FROM r "
+            "WHERE 2500 * rev > (SELECT total FROM t) "
+            "ORDER BY revenue_micro DESC, l_partkey",
+        "promo_revenue_share":
+            "SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN micro "
+            "ELSE 0 END) AS BIGINT) AS promo_micro, "
+            "CAST(sum(micro) AS BIGINT) AS total_micro FROM "
+            "(SELECT l_partkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(10000 - CAST(round(l_discount * 10000) AS BIGINT)) AS micro "
+            "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "
+            "AND l_shipdate < DATE '1998-01-01') l "
+            "JOIN part ON l_partkey = p_partkey",
         "shipping_priority":
             "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, "
             "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
