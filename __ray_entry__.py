@@ -3507,6 +3507,308 @@ def _q_promo_revenue_share(sf_dir: str):
         "total_micro": [int(parts["total_micro"].sum())]})
 
 
+def _q_top_volume_customers(sf_dir: str):
+    """TPC-H Q18-style large-volume customers: orders whose total
+    quantity is >= a threshold, with customer attribution.  Scale
+    shape: per-order quantity pre-aggregates inside every lineitem
+    block (combiner) so ONE native grouped Sum is the only all-to-all;
+    the threshold filter runs Dataset-side on the bounded aggregate and
+    only the tiny survivor set is exact-count-gated and broadcast —
+    orders and customer are then each read in one `is_in`-pruned pass
+    and the final merge joins driver-side frames of survivor size."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    T = 280
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def l_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "q": pc.cast(pc.round(b["l_quantity"]),
+                         pa.int64()).to_numpy(zero_copy_only=False)})
+        g = df.groupby("ok", sort=False)["q"].sum().reset_index()
+        return pa.table({"ok": pa.array(g["ok"], pa.int64()),
+                         "q": pa.array(g["q"], pa.int64())})
+
+    per_order = (li.map_batches(l_partial, batch_format="pyarrow")
+                 .groupby("ok").aggregate(Sum("q", alias_name="sum_qty")))
+    big = per_order.map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            b["sum_qty"], pa.scalar(T, pa.int64()))),
+        batch_format="pyarrow")
+    bt = big.limit(1_000_001).to_pandas()
+    assert len(bt) <= 1_000_000, "survivor set too large to broadcast"
+    ok_set = pa.array(np.sort(bt["ok"].to_numpy()), pa.int64())
+
+    ot = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey",
+                                   "o_totalprice", "o_orderdate"])
+          .map_batches(lambda b: b.filter(
+              pc.is_in(b["o_orderkey"], value_set=ok_set)),
+              batch_format="pyarrow").to_pandas())
+    ck_set = pa.array(np.sort(pd.unique(ot["o_custkey"])), pa.int64())
+    ct = (rd.read_parquet(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_name"])
+          .map_batches(lambda b: b.filter(
+              pc.is_in(b["c_custkey"], value_set=ck_set)),
+              batch_format="pyarrow").to_pandas())
+
+    m = (ot.merge(bt, left_on="o_orderkey", right_on="ok")
+         .merge(ct, left_on="o_custkey", right_on="c_custkey"))
+    out = pd.DataFrame({
+        "c_name": m["c_name"].astype(str),
+        "c_custkey": m["c_custkey"].astype("int64"),
+        "o_orderkey": m["o_orderkey"].astype("int64"),
+        "o_orderdate": m["o_orderdate"].dt.strftime("%Y-%m-%d"),
+        "totalprice_cents": (m["o_totalprice"] * 100).round()
+        .astype("int64"),
+        "sum_qty": m["sum_qty"].astype("int64")})
+    return (out.sort_values(["totalprice_cents", "o_orderkey"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def _q_top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15-style top supplier: the supplier(s) with maximum
+    discounted revenue over one ship quarter.  Per-supplier revenue
+    pre-aggregates inside every block (combiner) → ONE native grouped
+    Sum (supplier-bounded); the global max is a second native Max over
+    that aggregate, the argmax filter runs Dataset-side, and only the
+    (usually single-row) winner set is pulled, with supplier names
+    attached by one `is_in`-pruned pass.  Exact integer micro-units
+    throughout — ties are all returned, sorted by s_suppkey."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    LO, HI = np.datetime64("1997-01-01", "us"), np.datetime64(
+        "1997-04-01", "us")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(
+            pc.greater_equal(b["l_shipdate"], pa.scalar(LO)),
+            pc.less(b["l_shipdate"], pa.scalar(HI))))
+        cents = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        bp = pc.cast(pc.round(pc.multiply(
+            t["l_discount"], pa.scalar(10_000.0))), pa.int64())
+        micro = pc.multiply(cents, pc.subtract(
+            pa.scalar(10_000, pa.int64()), bp))
+        df = pd.DataFrame({
+            "sk": t["l_suppkey"].to_numpy(zero_copy_only=False),
+            "micro": micro.to_numpy(zero_copy_only=False)})
+        g = df.groupby("sk", sort=False)["micro"].sum().reset_index()
+        return pa.table({"sk": pa.array(g["sk"], pa.int64()),
+                         "micro": pa.array(g["micro"], pa.int64())})
+
+    rev = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("sk").aggregate(Sum("micro",
+                                        alias_name="total_revenue_micro")))
+    best = int(rev.aggregate(Max("total_revenue_micro",
+                                 alias_name="m"))["m"])
+    win = (rev.map_batches(lambda b: b.filter(pc.equal(
+        b["total_revenue_micro"], pa.scalar(best, pa.int64()))),
+        batch_format="pyarrow").to_pandas())
+    sk_set = pa.array(np.sort(win["sk"].to_numpy()), pa.int64())
+    st = (rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"])
+          .map_batches(lambda b: b.filter(
+              pc.is_in(b["s_suppkey"], value_set=sk_set)),
+              batch_format="pyarrow").to_pandas())
+    m = st.merge(win, left_on="s_suppkey", right_on="sk")
+    out = pd.DataFrame({
+        "s_suppkey": m["s_suppkey"].astype("int64"),
+        "s_name": m["s_name"].astype(str),
+        "total_revenue_micro": m["total_revenue_micro"].astype("int64")})
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def _q_returned_item_revenue(sf_dir: str):
+    """TPC-H Q10-style returned-item reporting: top-20 customers by
+    revenue lost to returned ('R') lineitems of one order quarter.
+    Scale shape: returned-lineitem revenue pre-aggregates per orderkey
+    inside every block (combiner); ONE orderkey co-group attaches the
+    order's custkey; a native grouped Sum folds to a customer-bounded
+    aggregate; per-block partial top-k + global sort-limit pick the
+    head without a full sort reaching the driver; customer attributes
+    join by an `is_in`-pruned pass over 20 keys."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.agg import _hash_part
+
+    LO, HI = np.datetime64("1997-07-01", "us"), np.datetime64(
+        "1997-10-01", "us")
+    K, P = 20, 64
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def o_slim(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(
+            pc.greater_equal(b["o_orderdate"], pa.scalar(LO)),
+            pc.less(b["o_orderdate"], pa.scalar(HI))))
+        n = len(t)
+        return pa.table({
+            "_part": pa.array(_hash_part(t["o_orderkey"], P), pa.int64()),
+            "_flag": pa.array(np.zeros(n, np.int8)),
+            "ok": t["o_orderkey"],
+            "ck": t["o_custkey"],
+            "micro": pa.nulls(n, pa.int64())})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_extendedprice", "l_discount"])
+
+    def l_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["l_returnflag"], "R"))
+        cents = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        bp = pc.cast(pc.round(pc.multiply(
+            t["l_discount"], pa.scalar(10_000.0))), pa.int64())
+        micro = pc.multiply(cents, pc.subtract(
+            pa.scalar(10_000, pa.int64()), bp))
+        df = pd.DataFrame({
+            "ok": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "micro": micro.to_numpy(zero_copy_only=False)})
+        g = df.groupby("ok", sort=False)["micro"].sum().reset_index()
+        n = len(g)
+        return pa.table({
+            "_part": pa.array(_hash_part(pa.array(g["ok"]), P), pa.int64()),
+            "_flag": pa.array(np.ones(n, np.int8)),
+            "ok": pa.array(g["ok"], pa.int64()),
+            "ck": pa.nulls(n, pa.int64()),
+            "micro": pa.array(g["micro"], pa.int64())})
+
+    both = (orders.map_batches(o_slim, batch_format="pyarrow")
+            .union(li.map_batches(l_partial, batch_format="pyarrow")))
+
+    def join(t: pa.Table) -> pa.Table:
+        ot = t.filter(pc.equal(t["_flag"], 0))
+        lt = t.filter(pc.equal(t["_flag"], 1))
+        O = pd.DataFrame({"ok": ot["ok"].to_pandas(),
+                          "ck": ot["ck"].to_pandas()})
+        L = (pd.DataFrame({"ok": lt["ok"].to_pandas(),
+                           "micro": lt["micro"].to_pandas()})
+             .groupby("ok", sort=False)["micro"].sum().reset_index())
+        m = O.merge(L, on="ok")
+        g = m.groupby("ck", sort=False)["micro"].sum().reset_index()
+        return pa.table({"ck": pa.array(g["ck"], pa.int64()),
+                         "micro": pa.array(g["micro"], pa.int64())})
+
+    rev = (both.groupby("_part").map_groups(join, batch_format="pyarrow")
+           .groupby("ck").aggregate(Sum("micro",
+                                        alias_name="revenue_micro")))
+
+    def topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[
+            ("revenue_micro", "descending"), ("ck", "ascending")])
+        return b.take(idx[:K])
+
+    head = (rev.map_batches(topk, batch_format="pyarrow")
+            .sort(["revenue_micro", "ck"], descending=[True, False])
+            .limit(K).to_pandas())
+    ck_set = pa.array(np.sort(head["ck"].to_numpy()), pa.int64())
+    ct = (rd.read_parquet(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_name", "c_acctbal",
+                                   "c_nationkey"])
+          .map_batches(lambda b: b.filter(
+              pc.is_in(b["c_custkey"], value_set=ck_set)),
+              batch_format="pyarrow").to_pandas())
+    m = head.merge(ct, left_on="ck", right_on="c_custkey")
+    out = pd.DataFrame({
+        "c_custkey": m["c_custkey"].astype("int64"),
+        "c_name": m["c_name"].astype(str),
+        "c_nationkey": m["c_nationkey"].astype("int64"),
+        "acctbal_cents": (m["c_acctbal"] * 100).round().astype("int64"),
+        "revenue_micro": m["revenue_micro"].astype("int64")})
+    return (out.sort_values(["revenue_micro", "c_custkey"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def _q_priority_return_check(sf_dir: str):
+    """TPC-H Q4-style priority check (adapted to this schema's
+    columns): per order priority, how many orders of one quarter have
+    at least one returned ('R') lineitem.  Semi-join shape: the
+    lineitem side contributes block-local DISTINCT returned orderkeys
+    (combiner — one row per key per block), the orders side slim
+    (orderkey, priority) rows; ONE orderkey co-group does the EXISTS
+    locally and emits bounded per-priority partial counts; a final
+    native grouped Sum folds <=5·P rows."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.agg import _hash_part
+
+    LO, HI = np.datetime64("1998-01-01", "us"), np.datetime64(
+        "1998-04-01", "us")
+    P = 64
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    def o_slim(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(
+            pc.greater_equal(b["o_orderdate"], pa.scalar(LO)),
+            pc.less(b["o_orderdate"], pa.scalar(HI))))
+        n = len(t)
+        return pa.table({
+            "_part": pa.array(_hash_part(t["o_orderkey"], P), pa.int64()),
+            "_flag": pa.array(np.zeros(n, np.int8)),
+            "ok": t["o_orderkey"],
+            "prio": t["o_orderpriority"]})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag"])
+
+    def l_slim(b: pa.Table) -> pa.Table:
+        ok = pc.unique(b.filter(pc.equal(
+            b["l_returnflag"], "R"))["l_orderkey"])
+        n = len(ok)
+        return pa.table({
+            "_part": pa.array(_hash_part(ok, P), pa.int64()),
+            "_flag": pa.array(np.ones(n, np.int8)),
+            "ok": ok,
+            "prio": pa.nulls(n, pa.string())})
+
+    both = (orders.map_batches(o_slim, batch_format="pyarrow")
+            .union(li.map_batches(l_slim, batch_format="pyarrow")))
+
+    def semi(t: pa.Table) -> pa.Table:
+        returned = pc.unique(t.filter(pc.equal(t["_flag"], 1))["ok"])
+        o = t.filter(pc.equal(t["_flag"], 0))
+        o = o.filter(pc.is_in(o["ok"], value_set=returned))
+        df = pd.DataFrame({"prio": o["prio"].to_pandas()})
+        g = df.groupby("prio", sort=False).size().reset_index(name="n")
+        return pa.table({"o_orderpriority": pa.array(g["prio"],
+                                                     pa.string()),
+                         "n_orders": pa.array(g["n"], pa.int64())})
+
+    out = (both.groupby("_part").map_groups(semi, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n_orders", alias_name="n_orders"))
+           .to_pandas())
+    if "o_orderpriority" not in out.columns:
+        out = pd.DataFrame({"o_orderpriority": pd.Series(dtype=str),
+                            "n_orders": pd.Series(dtype="int64")})
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (out[["o_orderpriority", "n_orders"]]
+            .sort_values("o_orderpriority").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -3591,6 +3893,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_balance_inactive": _q_high_balance_inactive,
         "part_revenue_share": _q_part_revenue_share,
         "promo_revenue_share": _q_promo_revenue_share,
+        "top_volume_customers": _q_top_volume_customers,
+        "top_supplier_revenue": _q_top_supplier_revenue,
+        "returned_item_revenue": _q_returned_item_revenue,
+        "priority_return_check": _q_priority_return_check,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -4520,6 +4826,51 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "
             "AND l_shipdate < DATE '1998-01-01') l "
             "JOIN part ON l_partkey = p_partkey",
+        "top_volume_customers":
+            "WITH s AS (SELECT l_orderkey AS ok, "
+            "sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty "
+            "FROM lineitem GROUP BY 1 HAVING "
+            "sum(CAST(round(l_quantity) AS BIGINT)) >= 280) "
+            "SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey, "
+            "CAST(o_orderkey AS BIGINT) AS o_orderkey, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) "
+            "AS totalprice_cents, CAST(sum_qty AS BIGINT) AS sum_qty "
+            "FROM s JOIN orders ON o_orderkey = ok "
+            "JOIN customer ON c_custkey = o_custkey "
+            "ORDER BY totalprice_cents DESC, o_orderkey",
+        "top_supplier_revenue":
+            "WITH r AS (SELECT l_suppkey, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS rev "
+            "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "
+            "AND l_shipdate < DATE '1997-04-01' GROUP BY 1) "
+            "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, "
+            "CAST(rev AS BIGINT) AS total_revenue_micro "
+            "FROM supplier JOIN r ON s_suppkey = l_suppkey "
+            "WHERE rev = (SELECT max(rev) FROM r) ORDER BY s_suppkey",
+        "returned_item_revenue":
+            "WITH rv AS (SELECT o_custkey AS ck, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS rev "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= DATE '1997-07-01' "
+            "AND o_orderdate < DATE '1997-10-01' GROUP BY 1) "
+            "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, "
+            "CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents, "
+            "CAST(rev AS BIGINT) AS revenue_micro "
+            "FROM rv JOIN customer ON c_custkey = ck "
+            "ORDER BY revenue_micro DESC, c_custkey LIMIT 20",
+        "priority_return_check":
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) "
+            "AS n_orders FROM orders "
+            "WHERE o_orderdate >= DATE '1998-01-01' "
+            "AND o_orderdate < DATE '1998-04-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') "
+            "GROUP BY 1 ORDER BY 1",
         "shipping_priority":
             "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, "
             "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
