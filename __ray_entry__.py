@@ -3809,6 +3809,416 @@ def _q_priority_return_check(sf_dir: str):
             .sort_values("o_orderpriority").reset_index(drop=True))
 
 
+def _q_nation_market_share(sf_dir: str):
+    """TPC-H Q8-style market share: per order year, NATION_7's share of
+    supplier revenue from orders placed by region-2 customers, as an
+    exact integer fraction (share_num / share_den micro-units).  Scale
+    shape: THREE chained co-groups, each all-to-all carrying only slim
+    combined rows — (1) custkey co-group semi-joins orders against
+    region-filtered customers (region membership comes from the
+    25-row nation table, broadcast); (2) orderkey co-group attaches the
+    order year to per-(order,supplier) revenue partials (block-local
+    combiner first); (3) suppkey co-group attaches the supplier's
+    nation; a final native grouped Sum folds to a years×nations-bounded
+    aggregate and the driver reduces that to one fraction per year."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.agg import _hash_part
+
+    REGION, NATION, P = 2, 7, 64
+
+    # 25-row static table: region membership broadcast as a plain set
+    nt = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region_nk = pa.array(np.sort(nt.loc[
+        nt["n_regionkey"] == REGION, "n_nationkey"].to_numpy()), pa.int64())
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+
+    def c_slim(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(pc.cast(b["c_nationkey"], pa.int64()),
+                              value_set=region_nk))
+        n = len(t)
+        return pa.table({
+            "_part": pa.array(_hash_part(t["c_custkey"], P), pa.int64()),
+            "_flag": pa.array(np.zeros(n, np.int8)),
+            "k": t["c_custkey"],
+            "ok": pa.nulls(n, pa.int64()),
+            "year": pa.nulls(n, pa.int64())})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def o_slim(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({
+            "_part": pa.array(_hash_part(b["o_custkey"], P), pa.int64()),
+            "_flag": pa.array(np.ones(n, np.int8)),
+            "k": b["o_custkey"],
+            "ok": b["o_orderkey"],
+            "year": pc.cast(pc.year(b["o_orderdate"]), pa.int64())})
+
+    def semi(t: pa.Table) -> pa.Table:
+        keep = pc.unique(t.filter(pc.equal(t["_flag"], 0))["k"])
+        o = t.filter(pc.equal(t["_flag"], 1))
+        o = o.filter(pc.is_in(o["k"], value_set=keep))
+        return pa.table({
+            "_part": pa.array(_hash_part(o["ok"], P), pa.int64()),
+            "_flag": pa.array(np.zeros(len(o), np.int8)),
+            "k": o["ok"],
+            "sk": pa.nulls(len(o), pa.int64()),
+            "year": o["year"],
+            "micro": pa.nulls(len(o), pa.int64())})
+
+    region_orders = (cust.map_batches(c_slim, batch_format="pyarrow")
+                     .union(orders.map_batches(o_slim,
+                                               batch_format="pyarrow"))
+                     .groupby("_part")
+                     .map_groups(semi, batch_format="pyarrow"))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def l_partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        bp = pc.cast(pc.round(pc.multiply(
+            b["l_discount"], pa.scalar(10_000.0))), pa.int64())
+        micro = pc.multiply(cents, pc.subtract(
+            pa.scalar(10_000, pa.int64()), bp))
+        df = pd.DataFrame({
+            "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "sk": b["l_suppkey"].to_numpy(zero_copy_only=False),
+            "micro": micro.to_numpy(zero_copy_only=False)})
+        g = (df.groupby(["ok", "sk"], sort=False)["micro"].sum()
+             .reset_index())
+        n = len(g)
+        return pa.table({
+            "_part": pa.array(_hash_part(pa.array(g["ok"]), P), pa.int64()),
+            "_flag": pa.array(np.ones(n, np.int8)),
+            "k": pa.array(g["ok"], pa.int64()),
+            "sk": pa.array(g["sk"], pa.int64()),
+            "year": pa.nulls(n, pa.int64()),
+            "micro": pa.array(g["micro"], pa.int64())})
+
+    def attach_year(t: pa.Table) -> pa.Table:
+        ot = t.filter(pc.equal(t["_flag"], 0))
+        lt = t.filter(pc.equal(t["_flag"], 1))
+        O = pd.DataFrame({"k": ot["k"].to_pandas(),
+                          "year": ot["year"].to_pandas()})
+        L = pd.DataFrame({"k": lt["k"].to_pandas(),
+                          "sk": lt["sk"].to_pandas(),
+                          "micro": lt["micro"].to_pandas()})
+        m = L.merge(O, on="k")
+        g = (m.groupby(["sk", "year"], sort=False)["micro"].sum()
+             .reset_index())
+        n = len(g)
+        return pa.table({
+            "_part": pa.array(_hash_part(pa.array(g["sk"]), P), pa.int64()),
+            "_flag": pa.array(np.ones(n, np.int8)),
+            "k": pa.array(g["sk"], pa.int64()),
+            "nk": pa.nulls(n, pa.int64()),
+            "year": pa.array(g["year"], pa.int64()),
+            "micro": pa.array(g["micro"], pa.int64())})
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+
+    def s_slim(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({
+            "_part": pa.array(_hash_part(b["s_suppkey"], P), pa.int64()),
+            "_flag": pa.array(np.zeros(n, np.int8)),
+            "k": b["s_suppkey"],
+            "nk": pc.cast(b["s_nationkey"], pa.int64()),
+            "year": pa.nulls(n, pa.int64()),
+            "micro": pa.nulls(n, pa.int64())})
+
+    def attach_nation(t: pa.Table) -> pa.Table:
+        st = t.filter(pc.equal(t["_flag"], 0))
+        lt = t.filter(pc.equal(t["_flag"], 1))
+        S = pd.DataFrame({"k": st["k"].to_pandas(),
+                          "nk": st["nk"].to_pandas()})
+        L = pd.DataFrame({"k": lt["k"].to_pandas(),
+                          "year": lt["year"].to_pandas(),
+                          "micro": lt["micro"].to_pandas()})
+        m = L.merge(S, on="k")
+        g = (m.groupby(["year", "nk"], sort=False)["micro"].sum()
+             .reset_index())
+        # single combined int key: year*100 + nationkey (both small)
+        return pa.table({
+            "yn": pa.array(g["year"] * 100 + g["nk"], pa.int64()),
+            "micro": pa.array(g["micro"], pa.int64())})
+
+    agg = (region_orders
+           .union(li.map_batches(l_partial, batch_format="pyarrow"))
+           .groupby("_part")
+           .map_groups(attach_year, batch_format="pyarrow")
+           .union(supp.map_batches(s_slim, batch_format="pyarrow"))
+           .groupby("_part")
+           .map_groups(attach_nation, batch_format="pyarrow")
+           .groupby("yn").aggregate(Sum("micro", alias_name="micro"))
+           .to_pandas())  # <= years x 25 nations rows
+    agg["o_year"] = agg["yn"] // 100
+    agg["nk"] = agg["yn"] % 100
+    den = agg.groupby("o_year")["micro"].sum()
+    num = (agg[agg["nk"] == NATION].set_index("o_year")["micro"]
+           .reindex(den.index, fill_value=0))
+    out = pd.DataFrame({
+        "o_year": den.index.astype("int64"),
+        "share_num": num.to_numpy().astype("int64"),
+        "share_den": den.to_numpy().astype("int64")})
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+def _q_customer_order_distribution(sf_dir: str):
+    """TPC-H Q13-style custdist: the distribution of per-customer order
+    counts INCLUDING zero-order customers.  Scale shape: orders
+    pre-count per custkey inside every block (combiner); ONE custkey
+    co-group left-joins customers to the partial counts (absent ->
+    0); each partition emits a bounded partial histogram and a native
+    grouped Sum folds them — no per-customer rows ever reach the
+    driver."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.agg import _hash_part
+
+    P = 64
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+
+    def c_slim(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({
+            "_part": pa.array(_hash_part(b["c_custkey"], P), pa.int64()),
+            "_flag": pa.array(np.zeros(n, np.int8)),
+            "ck": b["c_custkey"],
+            "n": pa.nulls(n, pa.int64())})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ck": b["o_custkey"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("ck", sort=False).size().reset_index(name="n")
+        m = len(g)
+        return pa.table({
+            "_part": pa.array(_hash_part(pa.array(g["ck"]), P), pa.int64()),
+            "_flag": pa.array(np.ones(m, np.int8)),
+            "ck": pa.array(g["ck"], pa.int64()),
+            "n": pa.array(g["n"], pa.int64())})
+
+    def hist(t: pa.Table) -> pa.Table:
+        C = pd.DataFrame({"ck": t.filter(pc.equal(
+            t["_flag"], 0))["ck"].to_pandas()})
+        ot = t.filter(pc.equal(t["_flag"], 1))
+        O = (pd.DataFrame({"ck": ot["ck"].to_pandas(),
+                           "n": ot["n"].to_pandas()})
+             .groupby("ck", sort=False)["n"].sum())
+        cnt = C.join(O, on="ck")["n"].fillna(0).astype("int64")
+        h = cnt.value_counts().sort_index()
+        return pa.table({
+            "n_orders": pa.array(h.index.to_numpy(), pa.int64()),
+            "n_customers": pa.array(h.to_numpy(), pa.int64())})
+
+    out = (cust.map_batches(c_slim, batch_format="pyarrow")
+           .union(orders.map_batches(o_partial, batch_format="pyarrow"))
+           .groupby("_part").map_groups(hist, batch_format="pyarrow")
+           .groupby("n_orders")
+           .aggregate(Sum("n_customers", alias_name="n_customers"))
+           .to_pandas())
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return (out[["n_orders", "n_customers"]]
+            .sort_values(["n_customers", "n_orders"],
+                         ascending=[False, False])
+            .reset_index(drop=True))
+
+
+def _q_brand_filtered_revenue(sf_dir: str):
+    """TPC-H Q19-style disjunctive-predicate revenue: discounted
+    revenue of lineitems matching any of three (brand, quantity-range,
+    size-range) conjunctions.  Part attributes meet per-lineitem rows
+    in ONE partkey co-group (flag-union); the OR-of-ANDs predicate is
+    evaluated as vectorized numpy masks per partition; each partition
+    emits a single two-int partial and the driver folds <=P rows."""
+    import pandas as pd
+    import ray.data as rd
+
+    from xtract.ops.agg import _hash_part
+
+    RULES = [("Brand#12", 1, 11, 1, 5),
+             ("Brand#23", 10, 20, 1, 10),
+             ("Brand#24", 20, 30, 1, 15)]
+    P = 64
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand", "p_size"])
+
+    def p_slim(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["p_brand"], value_set=pa.array(
+            [r[0] for r in RULES])))
+        n = len(t)
+        return pa.table({
+            "_part": pa.array(_hash_part(t["p_partkey"], P), pa.int64()),
+            "_flag": pa.array(np.zeros(n, np.int8)),
+            "pk": t["p_partkey"],
+            "brand": t["p_brand"],
+            "size": pc.cast(t["p_size"], pa.int64()),
+            "q": pa.nulls(n, pa.int64()),
+            "micro": pa.nulls(n, pa.int64())})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def l_slim(b: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        # cheap pre-filter: quantity within the widest rule window
+        m = pc.and_(pc.greater_equal(q, pa.scalar(1, pa.int64())),
+                    pc.less_equal(q, pa.scalar(30, pa.int64())))
+        t = b.filter(m)
+        q = q.filter(m)
+        cents = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        bp = pc.cast(pc.round(pc.multiply(
+            t["l_discount"], pa.scalar(10_000.0))), pa.int64())
+        micro = pc.multiply(cents, pc.subtract(
+            pa.scalar(10_000, pa.int64()), bp))
+        n = len(t)
+        return pa.table({
+            "_part": pa.array(_hash_part(t["l_partkey"], P), pa.int64()),
+            "_flag": pa.array(np.ones(n, np.int8)),
+            "pk": t["l_partkey"],
+            "brand": pa.nulls(n, pa.string()),
+            "size": pa.nulls(n, pa.int64()),
+            "q": q,
+            "micro": micro})
+
+    def join(t: pa.Table) -> pa.Table:
+        pt = t.filter(pc.equal(t["_flag"], 0))
+        lt = t.filter(pc.equal(t["_flag"], 1))
+        PD = pd.DataFrame({"pk": pt["pk"].to_pandas(),
+                           "brand": pt["brand"].to_pandas(),
+                           "size": pt["size"].to_pandas()})
+        L = pd.DataFrame({"pk": lt["pk"].to_pandas(),
+                          "q": lt["q"].to_pandas(),
+                          "micro": lt["micro"].to_pandas()})
+        m = L.merge(PD, on="pk")
+        keep = np.zeros(len(m), bool)
+        for brand, qlo, qhi, slo, shi in RULES:
+            keep |= ((m["brand"] == brand).to_numpy()
+                     & (m["q"].to_numpy() >= qlo)
+                     & (m["q"].to_numpy() <= qhi)
+                     & (m["size"].to_numpy() >= slo)
+                     & (m["size"].to_numpy() <= shi))
+        return pa.table({
+            "revenue_micro": pa.array(
+                [int(m.loc[keep, "micro"].sum())], pa.int64()),
+            "n_items": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = (part.map_batches(p_slim, batch_format="pyarrow")
+             .union(li.map_batches(l_slim, batch_format="pyarrow"))
+             .groupby("_part").map_groups(join, batch_format="pyarrow")
+             .to_pandas())
+    return pd.DataFrame({
+        "revenue_micro": [int(parts["revenue_micro"].sum())],
+        "n_items": [int(parts["n_items"].sum())]})
+
+
+def _q_late_supplier_orders(sf_dir: str):
+    """TPC-H Q21-style blame assignment (adapted to this schema's
+    columns): for finished ('F') multi-supplier orders, count per
+    supplier the orders where that supplier ALONE shipped last (the
+    unique latest per-supplier max ship date).  Scale shape: lineitem
+    pre-reduces to per-(order,supplier) max ship date inside every
+    block (combiner); ONE orderkey co-group replays the whole order
+    locally — distinct-supplier count, order max, unique-argmax test —
+    and emits (suppkey, 1) partials; a native grouped Sum folds to a
+    supplier-bounded result."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.agg import _hash_part
+
+    P = 64
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderstatus"])
+
+    def o_slim(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["o_orderstatus"], "F"))
+        n = len(t)
+        return pa.table({
+            "_part": pa.array(_hash_part(t["o_orderkey"], P), pa.int64()),
+            "_flag": pa.array(np.zeros(n, np.int8)),
+            "ok": t["o_orderkey"],
+            "sk": pa.nulls(n, pa.int64()),
+            "smax": pa.nulls(n, pa.int64())})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_shipdate"])
+
+    def l_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "sk": b["l_suppkey"].to_numpy(zero_copy_only=False),
+            "sd": b["l_shipdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype("int64")})
+        g = (df.groupby(["ok", "sk"], sort=False)["sd"].max()
+             .reset_index())
+        n = len(g)
+        return pa.table({
+            "_part": pa.array(_hash_part(pa.array(g["ok"]), P), pa.int64()),
+            "_flag": pa.array(np.ones(n, np.int8)),
+            "ok": pa.array(g["ok"], pa.int64()),
+            "sk": pa.array(g["sk"], pa.int64()),
+            "smax": pa.array(g["sd"], pa.int64())})
+
+    def blame(t: pa.Table) -> pa.Table:
+        keep = pc.unique(t.filter(pc.equal(t["_flag"], 0))["ok"])
+        lt = t.filter(pc.equal(t["_flag"], 1))
+        lt = lt.filter(pc.is_in(lt["ok"], value_set=keep))
+        df = (pd.DataFrame({"ok": lt["ok"].to_pandas(),
+                            "sk": lt["sk"].to_pandas(),
+                            "smax": lt["smax"].to_pandas()})
+              .groupby(["ok", "sk"], sort=False)["smax"].max()
+              .reset_index())
+        g = df.groupby("ok", sort=False)["smax"]
+        omax = g.transform("max")
+        nsupp = df.groupby("ok", sort=False)["sk"].transform("size")
+        late = df[(df["smax"] == omax) & (nsupp >= 2)]
+        uniq = late.groupby("ok", sort=False)["sk"].filter(
+            lambda s: len(s) == 1)
+        h = uniq.value_counts()
+        return pa.table({
+            "s_suppkey": pa.array(h.index.to_numpy(), pa.int64()),
+            "n_orders": pa.array(h.to_numpy(), pa.int64())})
+
+    out = (orders.map_batches(o_slim, batch_format="pyarrow")
+           .union(li.map_batches(l_partial, batch_format="pyarrow"))
+           .groupby("_part").map_groups(blame, batch_format="pyarrow")
+           .groupby("s_suppkey")
+           .aggregate(Sum("n_orders", alias_name="n_orders"))
+           .to_pandas())
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (out[["s_suppkey", "n_orders"]]
+            .sort_values(["n_orders", "s_suppkey"],
+                         ascending=[False, True])
+            .reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -3897,6 +4307,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_revenue": _q_top_supplier_revenue,
         "returned_item_revenue": _q_returned_item_revenue,
         "priority_return_check": _q_priority_return_check,
+        "nation_market_share": _q_nation_market_share,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "brand_filtered_revenue": _q_brand_filtered_revenue,
+        "late_supplier_orders": _q_late_supplier_orders,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -4826,6 +5240,56 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "
             "AND l_shipdate < DATE '1998-01-01') l "
             "JOIN part ON l_partkey = p_partkey",
+        "nation_market_share":
+            "WITH rev AS (SELECT year(o_orderdate) AS y, "
+            "s_nationkey AS nk, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(10000 - CAST(round(l_discount * 10000) AS BIGINT)) AS micro "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON n_nationkey = c_nationkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "WHERE n_regionkey = 2) "
+            "SELECT CAST(y AS BIGINT) AS o_year, "
+            "CAST(coalesce(sum(CASE WHEN nk = 7 THEN micro END), 0) "
+            "AS BIGINT) AS share_num, "
+            "CAST(sum(micro) AS BIGINT) AS share_den "
+            "FROM rev GROUP BY 1 ORDER BY 1",
+        "customer_order_distribution":
+            "WITH c AS (SELECT c_custkey, count(o_orderkey) AS n "
+            "FROM customer LEFT JOIN orders ON o_custkey = c_custkey "
+            "GROUP BY 1) "
+            "SELECT CAST(n AS BIGINT) AS n_orders, "
+            "CAST(count(*) AS BIGINT) AS n_customers "
+            "FROM c GROUP BY 1 ORDER BY n_customers DESC, n_orders DESC",
+        "brand_filtered_revenue":
+            "WITH m AS (SELECT "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(10000 - CAST(round(l_discount * 10000) AS BIGINT)) AS micro "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey WHERE "
+            "(p_brand = 'Brand#12' AND round(l_quantity) "
+            "BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5) OR "
+            "(p_brand = 'Brand#23' AND round(l_quantity) "
+            "BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10) OR "
+            "(p_brand = 'Brand#24' AND round(l_quantity) "
+            "BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)) "
+            "SELECT CAST(coalesce(sum(micro), 0) AS BIGINT) "
+            "AS revenue_micro, CAST(count(*) AS BIGINT) AS n_items "
+            "FROM m",
+        "late_supplier_orders":
+            "WITH ls AS (SELECT l_orderkey AS ok, l_suppkey AS sk, "
+            "max(l_shipdate) AS smax FROM lineitem "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE o_orderstatus = 'F' GROUP BY 1, 2), "
+            "om AS (SELECT ok, max(smax) AS omax, count(*) AS nsupp "
+            "FROM ls GROUP BY 1), "
+            "w AS (SELECT ls.ok, ls.sk FROM ls JOIN om USING (ok) "
+            "WHERE nsupp >= 2 AND smax = omax), "
+            "u AS (SELECT ok FROM w GROUP BY ok HAVING count(*) = 1) "
+            "SELECT CAST(sk AS BIGINT) AS s_suppkey, "
+            "CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM w JOIN u USING (ok) GROUP BY 1 "
+            "ORDER BY n_orders DESC, s_suppkey",
         "top_volume_customers":
             "WITH s AS (SELECT l_orderkey AS ok, "
             "sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty "
