@@ -4219,6 +4219,254 @@ def _q_late_supplier_orders(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _q_order_qty_lines_corr(sf_dir: str):
+    """Exact-integer Pearson-correlation components between per-order
+    total quantity and per-order lineitem count: ONE corpus pass with
+    block-local per-order partials (combiner) feeding ONE native
+    grouped Sum pair; the six global moments (n, Σx, Σy, Σxy, Σx²,
+    Σy²) then fold from single-row per-block partials — both factors
+    are small ints so every product stays far inside int64 even at
+    10^12 rows.  The correlation itself is derivable from the six
+    integers without any float leaving the engine."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "q": pc.cast(pc.round(b["l_quantity"]),
+                         pa.int64()).to_numpy(zero_copy_only=False)})
+        g = df.groupby("ok", sort=False)["q"].agg(["sum", "count"])
+        g = g.reset_index()
+        return pa.table({"ok": pa.array(g["ok"], pa.int64()),
+                         "x": pa.array(g["sum"], pa.int64()),
+                         "y": pa.array(g["count"], pa.int64())})
+
+    per_order = (li.map_batches(partial, batch_format="pyarrow")
+                 .groupby("ok").aggregate(Sum("x", alias_name="x"),
+                                          Sum("y", alias_name="y")))
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False)
+        y = b["y"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_orders": pa.array([len(x)], pa.int64()),
+            "sum_x": pa.array([int(x.sum())], pa.int64()),
+            "sum_y": pa.array([int(y.sum())], pa.int64()),
+            "sum_xy": pa.array([int((x * y).sum())], pa.int64()),
+            "sum_x2": pa.array([int((x * x).sum())], pa.int64()),
+            "sum_y2": pa.array([int((y * y).sum())], pa.int64())})
+
+    parts = (per_order.map_batches(moments, batch_format="pyarrow")
+             .to_pandas())  # one row per block
+    return pd.DataFrame({c: [int(parts[c].sum())] for c in
+                         ["n_orders", "sum_x", "sum_y", "sum_xy",
+                          "sum_x2", "sum_y2"]})
+
+
+def _value_hist(sf_dir: str):
+    """Shared bounded-domain histogram: per (event_type, value-cents)
+    counts.  Block-local combiner → ONE native grouped Sum on a
+    composite string key; the aggregate is domain-bounded (types ×
+    distinct cents), never corpus-bounded."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b["value"], pa.scalar(100.0))), pa.int64())
+        df = pd.DataFrame({
+            "t": b["event_type"].to_pandas(),
+            "c": cents.to_numpy(zero_copy_only=False)})
+        g = df.groupby(["t", "c"], sort=False).size().reset_index(
+            name="n")
+        return pa.table({
+            "k": pa.array(g["t"] + ":" + g["c"].astype(str)),
+            "n": pa.array(g["n"], pa.int64())})
+
+    h = (ev.map_batches(partial, batch_format="pyarrow")
+         .groupby("k").aggregate(Sum("n", alias_name="n"))
+         .to_pandas())
+    kv = h["k"].str.rsplit(":", n=1, expand=True)
+    h["t"], h["c"] = kv[0], kv[1].astype("int64")
+    return h[["t", "c", "n"]]
+
+
+def _disc_quantile(vals, wts, q=0.5):
+    """DuckDB ``quantile_disc`` on a weighted histogram: the value at
+    sorted position floor(q * (n - 1)) of the expanded multiset."""
+    order = np.argsort(vals, kind="stable")
+    v, w = np.asarray(vals)[order], np.asarray(wts)[order]
+    total = int(w.sum())
+    pos = int(np.floor(q * (total - 1)))
+    cum = np.cumsum(w)
+    return int(v[np.searchsorted(cum, pos + 1)])
+
+
+def _q_event_value_mad(sf_dir: str):
+    """Per-event-type exact discrete median and MAD (median absolute
+    deviation) from ONE corpus pass: the bounded (type × cents)
+    histogram is the only aggregate; both medians — of the values and
+    of |value − median| — are computed from histogram weights on the
+    driver (domain-bounded work, matching DuckDB's quantile_disc
+    semantics exactly, no sampling)."""
+    import pandas as pd
+
+    h = _value_hist(sf_dir)
+    rows = []
+    for t, g in h.groupby("t", sort=True):
+        med = _disc_quantile(g["c"].to_numpy(), g["n"].to_numpy())
+        dev = np.abs(g["c"].to_numpy() - med)
+        dg = (pd.DataFrame({"d": dev, "n": g["n"].to_numpy()})
+              .groupby("d", sort=False)["n"].sum().reset_index())
+        mad = _disc_quantile(dg["d"].to_numpy(), dg["n"].to_numpy())
+        rows.append((t, med, mad))
+    return pd.DataFrame(rows, columns=["event_type", "median_cents",
+                                       "mad_cents"])
+
+
+def _q_event_type_mode_value(sf_dir: str):
+    """Per-event-type modal value (most frequent cents, smallest value
+    wins ties), read off the same bounded histogram — exact, one
+    corpus pass, no per-row data on the driver."""
+    import pandas as pd
+
+    h = _value_hist(sf_dir)
+    h = h.sort_values(["t", "n", "c"], ascending=[True, False, True])
+    m = h.groupby("t", sort=True).head(1)
+    return pd.DataFrame({
+        "event_type": m["t"].to_numpy(),
+        "mode_cents": m["c"].to_numpy().astype("int64"),
+        "n_events": m["n"].to_numpy().astype("int64")})
+
+
+def _q_brand_supplier_coverage(sf_dir: str):
+    """TPC-H Q16-flavoured distinct-count: how many DISTINCT suppliers
+    ship each part brand.  Scale shape: lineitem pre-dedupes
+    (partkey, suppkey) pairs inside every block (combiner); ONE
+    partkey co-group attaches the brand and re-dedupes; a grouped
+    Count over the distinct (brand, suppkey) pair key finishes — the
+    exchanges carry pair-distinct rows only, never raw lineitems."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from xtract.ops.agg import _hash_part
+
+    P = 64
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+
+    def p_slim(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({
+            "_part": pa.array(_hash_part(b["p_partkey"], P), pa.int64()),
+            "_flag": pa.array(np.zeros(n, np.int8)),
+            "pk": b["p_partkey"],
+            "brand": b["p_brand"],
+            "sk": pa.nulls(n, pa.int64())})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+
+    def l_pairs(b: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({
+            "pk": b["l_partkey"].to_numpy(zero_copy_only=False),
+            "sk": b["l_suppkey"].to_numpy(zero_copy_only=False)})
+            .drop_duplicates())
+        n = len(df)
+        return pa.table({
+            "_part": pa.array(_hash_part(pa.array(df["pk"]), P),
+                              pa.int64()),
+            "_flag": pa.array(np.ones(n, np.int8)),
+            "pk": pa.array(df["pk"], pa.int64()),
+            "brand": pa.nulls(n, pa.string()),
+            "sk": pa.array(df["sk"], pa.int64())})
+
+    def attach(t: pa.Table) -> pa.Table:
+        pt = t.filter(pc.equal(t["_flag"], 0))
+        lt = t.filter(pc.equal(t["_flag"], 1))
+        PD = pd.DataFrame({"pk": pt["pk"].to_pandas(),
+                           "brand": pt["brand"].to_pandas()})
+        L = (pd.DataFrame({"pk": lt["pk"].to_pandas(),
+                           "sk": lt["sk"].to_pandas()})
+             .drop_duplicates())
+        m = (L.merge(PD, on="pk")[["brand", "sk"]].drop_duplicates())
+        return pa.table({
+            "pair": pa.array(m["brand"] + ":" + m["sk"].astype(str))})
+
+    pairs = (part.map_batches(p_slim, batch_format="pyarrow")
+             .union(li.map_batches(l_pairs, batch_format="pyarrow"))
+             .groupby("_part").map_groups(attach,
+                                          batch_format="pyarrow")
+             .groupby("pair").aggregate(Count(alias_name="_n")))
+
+    def brand_of(b: pa.Table) -> pa.Table:
+        brand = pc.replace_substring_regex(b["pair"], pattern=":.*$",
+                                           replacement="")
+        return pa.table({"p_brand": brand})
+
+    out = (pairs.map_batches(brand_of, batch_format="pyarrow")
+           .groupby("p_brand").aggregate(Count(alias_name="n_suppliers"))
+           .to_pandas())
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return (out[["p_brand", "n_suppliers"]]
+            .sort_values("p_brand").reset_index(drop=True))
+
+
+def _q_event_props_key_stats(sf_dir: str):
+    """Typed field extraction from a JSON-string column without a
+    JSON parser in the hot path: ONE vectorized ``extract_regex``
+    kernel pulls ``props.k`` per batch; block-local per-type partials
+    (n/sum/min/max as ints) fold through native grouped Sum/Min/Max —
+    no Python row loop, no per-row JSON object churn."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"],
+                             pattern=r'"k":\s*(?P<v>-?\d+)')
+        v = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        df = pd.DataFrame({
+            "t": b["event_type"].to_pandas(),
+            "v": v.to_numpy(zero_copy_only=False)})
+        df = df.dropna()
+        df["v"] = df["v"].astype("int64")
+        g = df.groupby("t", sort=False)["v"].agg(
+            ["count", "sum", "min", "max"]).reset_index()
+        return pa.table({
+            "event_type": pa.array(g["t"]),
+            "n_with_k": pa.array(g["count"], pa.int64()),
+            "sum_k": pa.array(g["sum"], pa.int64()),
+            "min_k": pa.array(g["min"], pa.int64()),
+            "max_k": pa.array(g["max"], pa.int64())})
+
+    out = (ev.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n_with_k", alias_name="n_with_k"),
+                      Sum("sum_k", alias_name="sum_k"),
+                      Min("min_k", alias_name="min_k"),
+                      Max("max_k", alias_name="max_k"))
+           .to_pandas())
+    for c in ("n_with_k", "sum_k", "min_k", "max_k"):
+        out[c] = out[c].astype("int64")
+    return (out[["event_type", "n_with_k", "sum_k", "min_k", "max_k"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -4311,6 +4559,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": _q_customer_order_distribution,
         "brand_filtered_revenue": _q_brand_filtered_revenue,
         "late_supplier_orders": _q_late_supplier_orders,
+        "order_qty_lines_corr": _q_order_qty_lines_corr,
+        "event_value_mad": _q_event_value_mad,
+        "event_type_mode_value": _q_event_type_mode_value,
+        "brand_supplier_coverage": _q_brand_supplier_coverage,
+        "event_props_key_stats": _q_event_props_key_stats,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -5240,6 +5493,50 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "
             "AND l_shipdate < DATE '1998-01-01') l "
             "JOIN part ON l_partkey = p_partkey",
+        "order_qty_lines_corr":
+            "WITH p AS (SELECT l_orderkey, "
+            "sum(CAST(round(l_quantity) AS BIGINT)) AS x, "
+            "count(*) AS y FROM lineitem GROUP BY 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(x) AS BIGINT) AS sum_x, "
+            "CAST(sum(y) AS BIGINT) AS sum_y, "
+            "CAST(sum(x * y) AS BIGINT) AS sum_xy, "
+            "CAST(sum(x * x) AS BIGINT) AS sum_x2, "
+            "CAST(sum(y * y) AS BIGINT) AS sum_y2 FROM p",
+        "event_value_mad":
+            "WITH v AS (SELECT event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS c FROM events), "
+            "m AS (SELECT event_type, quantile_disc(c, 0.5) AS med "
+            "FROM v GROUP BY 1) "
+            "SELECT v.event_type, "
+            "CAST(any_value(med) AS BIGINT) AS median_cents, "
+            "CAST(quantile_disc(abs(c - med), 0.5) AS BIGINT) "
+            "AS mad_cents FROM v JOIN m USING (event_type) "
+            "GROUP BY 1 ORDER BY 1",
+        "event_type_mode_value":
+            "WITH h AS (SELECT event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS c, count(*) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+            "ORDER BY n DESC, c) AS rn FROM h) "
+            "SELECT event_type, CAST(c AS BIGINT) AS mode_cents, "
+            "CAST(n AS BIGINT) AS n_events FROM r WHERE rn = 1 "
+            "ORDER BY event_type",
+        "brand_supplier_coverage":
+            "SELECT p_brand, "
+            "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "GROUP BY 1 ORDER BY 1",
+        "event_props_key_stats":
+            "WITH v AS (SELECT event_type, "
+            "CAST(nullif(regexp_extract(props, "
+            "'\"k\":\\s*(-?\\d+)', 1), '') AS BIGINT) AS k "
+            "FROM events) "
+            "SELECT event_type, CAST(count(k) AS BIGINT) AS n_with_k, "
+            "CAST(sum(k) AS BIGINT) AS sum_k, "
+            "CAST(min(k) AS BIGINT) AS min_k, "
+            "CAST(max(k) AS BIGINT) AS max_k "
+            "FROM v GROUP BY 1 ORDER BY 1",
         "nation_market_share":
             "WITH rev AS (SELECT year(o_orderdate) AS y, "
             "s_nationkey AS nk, "
