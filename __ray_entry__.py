@@ -4348,13 +4348,14 @@ def _q_event_type_mode_value(sf_dir: str):
         "n_events": m["n"].to_numpy().astype("int64")})
 
 
-def _q_brand_supplier_coverage(sf_dir: str):
-    """TPC-H Q16-flavoured distinct-count: how many DISTINCT suppliers
-    ship each part brand.  Scale shape: lineitem pre-dedupes
-    (partkey, suppkey) pairs inside every block (combiner); ONE
-    partkey co-group attaches the brand and re-dedupes; a grouped
-    Count over the distinct (brand, suppkey) pair key finishes — the
-    exchanges carry pair-distinct rows only, never raw lineitems."""
+def _brand_supplier_pairs(sf_dir: str):
+    """Shared distinct (brand, suppkey) pair stage: lineitem
+    pre-dedupes (partkey, suppkey) pairs inside every block
+    (combiner); ONE partkey co-group attaches the brand and
+    re-dedupes; a grouped Count over the composite pair key yields the
+    globally-distinct pairs — exchanges carry pair-distinct rows only,
+    never raw lineitems.  Returns a Dataset with one ``pair``
+    (``brand:suppkey``) row per distinct pair."""
     import pandas as pd
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -4404,23 +4405,67 @@ def _q_brand_supplier_coverage(sf_dir: str):
         return pa.table({
             "pair": pa.array(m["brand"] + ":" + m["sk"].astype(str))})
 
-    pairs = (part.map_batches(p_slim, batch_format="pyarrow")
-             .union(li.map_batches(l_pairs, batch_format="pyarrow"))
-             .groupby("_part").map_groups(attach,
-                                          batch_format="pyarrow")
-             .groupby("pair").aggregate(Count(alias_name="_n")))
+    return (part.map_batches(p_slim, batch_format="pyarrow")
+            .union(li.map_batches(l_pairs, batch_format="pyarrow"))
+            .groupby("_part").map_groups(attach,
+                                         batch_format="pyarrow")
+            .groupby("pair").aggregate(Count(alias_name="_n")))
+
+
+def _q_brand_supplier_coverage(sf_dir: str):
+    """TPC-H Q16-flavoured distinct-count: how many DISTINCT suppliers
+    ship each part brand, read off the shared distinct-pair stage
+    (`_brand_supplier_pairs`) with one more bounded grouped Count."""
+    from ray.data.aggregate import Count
 
     def brand_of(b: pa.Table) -> pa.Table:
         brand = pc.replace_substring_regex(b["pair"], pattern=":.*$",
                                            replacement="")
         return pa.table({"p_brand": brand})
 
-    out = (pairs.map_batches(brand_of, batch_format="pyarrow")
+    out = (_brand_supplier_pairs(sf_dir)
+           .map_batches(brand_of, batch_format="pyarrow")
            .groupby("p_brand").aggregate(Count(alias_name="n_suppliers"))
            .to_pandas())
     out["n_suppliers"] = out["n_suppliers"].astype("int64")
     return (out[["p_brand", "n_suppliers"]]
             .sort_values("p_brand").reset_index(drop=True))
+
+
+def _q_suppliers_all_brands(sf_dir: str):
+    """Relational division: suppliers that ship EVERY brand in the
+    part catalog.  The divisor cardinality (distinct brands) is one
+    bounded aggregate over part; the dividend reuses the shared
+    distinct (brand, suppkey) pair stage; a grouped Count per supplier
+    + an equality filter finish — no per-lineitem rows past the first
+    combiner."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_brand"])
+    n_brands = (part.map_batches(
+        lambda b: pa.table({"b": pc.unique(b["p_brand"])}),
+        batch_format="pyarrow").groupby("b")
+        .aggregate(Count(alias_name="_n")).count())
+
+    def supp_of(b: pa.Table) -> pa.Table:
+        sk = pc.replace_substring_regex(b["pair"], pattern="^.*:",
+                                        replacement="")
+        return pa.table({"sk": pc.cast(sk, pa.int64())})
+
+    per_supp = (_brand_supplier_pairs(sf_dir)
+                .map_batches(supp_of, batch_format="pyarrow")
+                .groupby("sk").aggregate(Count(alias_name="nb")))
+    out = (per_supp.map_batches(
+        lambda b: b.filter(pc.equal(
+            b["nb"], pa.scalar(n_brands, pa.int64()))),
+        batch_format="pyarrow").to_pandas())
+    if "sk" not in out.columns or not len(out):
+        out = pd.DataFrame({"sk": pd.Series(dtype="int64")})
+    return (pd.DataFrame({"s_suppkey": out["sk"].astype("int64")})
+            .sort_values("s_suppkey").reset_index(drop=True))
 
 
 def _q_event_props_key_stats(sf_dir: str):
@@ -4465,6 +4510,187 @@ def _q_event_props_key_stats(sf_dir: str):
         out[c] = out[c].astype("int64")
     return (out[["event_type", "n_with_k", "sum_k", "min_k", "max_k"]]
             .sort_values("event_type").reset_index(drop=True))
+
+
+def _q_user_longest_streak(sf_dir: str):
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days.  Scale shape: blocks pre-dedupe (user, day) pairs
+    (combiner); ONE user-hash co-group sees each user's full day set
+    and runs the islands trick (day − dense-rank is constant within a
+    run) vectorized per partition; output is user-bounded."""
+    import pandas as pd
+    import ray.data as rd
+
+    from xtract.ops.agg import _hash_part
+
+    P = 64
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(
+            pc.cast(b["ts"], pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()))), pa.int64())
+        df = (pd.DataFrame({
+            "u": b["user_id"].to_numpy(zero_copy_only=False),
+            "d": day.to_numpy(zero_copy_only=False)})
+            .drop_duplicates())
+        return pa.table({
+            "_part": pa.array(_hash_part(pa.array(df["u"]), P),
+                              pa.int64()),
+            "u": pa.array(df["u"], pa.int64()),
+            "d": pa.array(df["d"], pa.int64())})
+
+    def streaks(t: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"u": t["u"].to_pandas(),
+                            "d": t["d"].to_pandas()})
+              .drop_duplicates().sort_values(["u", "d"]))
+        rn = df.groupby("u", sort=False).cumcount()
+        df["grp"] = df["d"] - rn
+        runs = (df.groupby(["u", "grp"], sort=False).size()
+                .reset_index(name="len"))
+        best = runs.groupby("u", sort=False)["len"].max().reset_index()
+        return pa.table({
+            "user_id": pa.array(best["u"], pa.int64()),
+            "streak_days": pa.array(best["len"], pa.int64())})
+
+    out = (ev.map_batches(days, batch_format="pyarrow")
+           .groupby("_part").map_groups(streaks, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_click_no_purchase_users(sf_dir: str):
+    """Set difference on user behavior: how many users ever clicked
+    but never purchased.  Per-block per-user 0/1 flags (combiner) →
+    ONE native grouped Max pair → a vectorized filter + Count — the
+    exchange carries two bits per (block, user), the driver one
+    int."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": b["user_id"].to_numpy(zero_copy_only=False),
+            "c": pc.cast(pc.equal(b["event_type"], "click"),
+                         pa.int64()).to_numpy(zero_copy_only=False),
+            "p": pc.cast(pc.equal(b["event_type"], "purchase"),
+                         pa.int64()).to_numpy(zero_copy_only=False)})
+        g = df.groupby("u", sort=False)[["c", "p"]].max().reset_index()
+        return pa.table({"u": pa.array(g["u"], pa.int64()),
+                         "c": pa.array(g["c"], pa.int64()),
+                         "p": pa.array(g["p"], pa.int64())})
+
+    per_user = (ev.map_batches(flags, batch_format="pyarrow")
+                .groupby("u").aggregate(Max("c", alias_name="c"),
+                                        Max("p", alias_name="p")))
+    n = (per_user.map_batches(
+        lambda b: pa.table({"one": pa.array(
+            [len(b.filter(pc.and_(pc.equal(b["c"], 1),
+                                  pc.equal(b["p"], 0))))], pa.int64())}),
+        batch_format="pyarrow").to_pandas())
+    return pd.DataFrame({"n_users": [int(n["one"].sum())]})
+
+
+def _q_single_month_orders(sf_dir: str):
+    """Orders whose every lineitem shipped inside ONE calendar month
+    (min ship-month == max ship-month per order), counted per month.
+    Block-local per-order min/max month ints (combiner) → native
+    grouped Min/Max → vectorized equality filter → bounded grouped
+    Count per month."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ym = pc.add(pc.multiply(pc.cast(pc.year(b["l_shipdate"]),
+                                        pa.int64()),
+                                pa.scalar(12, pa.int64())),
+                    pc.cast(pc.subtract(pc.month(b["l_shipdate"]),
+                                        pa.scalar(1)), pa.int64()))
+        df = pd.DataFrame({
+            "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "ym": ym.to_numpy(zero_copy_only=False)})
+        g = df.groupby("ok", sort=False)["ym"].agg(["min", "max"])
+        g = g.reset_index()
+        return pa.table({"ok": pa.array(g["ok"], pa.int64()),
+                         "mn": pa.array(g["min"], pa.int64()),
+                         "mx": pa.array(g["max"], pa.int64())})
+
+    per_order = (li.map_batches(partial, batch_format="pyarrow")
+                 .groupby("ok").aggregate(Min("mn", alias_name="mn"),
+                                          Max("mx", alias_name="mx")))
+    out = (per_order.map_batches(
+        lambda b: b.filter(pc.equal(b["mn"], b["mx"]))
+        .select(["mn"]).rename_columns(["ym"]),
+        batch_format="pyarrow")
+        .groupby("ym").aggregate(Count(alias_name="n_orders"))
+        .to_pandas())
+    out["ship_year"] = (out["ym"] // 12).astype("int64")
+    out["ship_month"] = (out["ym"] % 12 + 1).astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (out[["ship_year", "ship_month", "n_orders"]]
+            .sort_values(["ship_year", "ship_month"])
+            .reset_index(drop=True))
+
+
+def _q_user_interarrival_stats(sf_dir: str):
+    """Global inter-arrival-time moments over per-user ordered event
+    streams (lead/lag shape): ONE user-hash co-group sorts each user's
+    timestamps locally and emits a single four-int partial (count /
+    sum / min / max of the microsecond gaps); the driver folds <=P
+    rows.  Equal timestamps contribute zero-gaps deterministically —
+    the gap multiset is tie-order-independent."""
+    import pandas as pd
+    import ray.data as rd
+
+    from xtract.ops.agg import _hash_part
+
+    P = 64
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "_part": pa.array(_hash_part(b["user_id"], P), pa.int64()),
+            "u": b["user_id"],
+            "t": pc.cast(b["ts"], pa.int64())})
+
+    def gaps(t: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"u": t["u"].to_pandas(),
+                            "t": t["t"].to_pandas()})
+              .sort_values(["u", "t"]))
+        d = df.groupby("u", sort=False)["t"].diff().dropna()
+        arr = d.to_numpy().astype("int64")
+        if not len(arr):
+            return pa.table({
+                "n_gaps": pa.array([0], pa.int64()),
+                "sum_us": pa.array([0], pa.int64()),
+                "min_us": pa.array([np.iinfo(np.int64).max], pa.int64()),
+                "max_us": pa.array([np.iinfo(np.int64).min], pa.int64())})
+        return pa.table({
+            "n_gaps": pa.array([len(arr)], pa.int64()),
+            "sum_us": pa.array([int(arr.sum())], pa.int64()),
+            "min_us": pa.array([int(arr.min())], pa.int64()),
+            "max_us": pa.array([int(arr.max())], pa.int64())})
+
+    parts = (ev.map_batches(slim, batch_format="pyarrow")
+             .groupby("_part").map_groups(gaps, batch_format="pyarrow")
+             .to_pandas())
+    return pd.DataFrame({
+        "n_gaps": [int(parts["n_gaps"].sum())],
+        "sum_us": [int(parts["sum_us"].sum())],
+        "min_us": [int(parts["min_us"].min())],
+        "max_us": [int(parts["max_us"].max())]})
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -4564,6 +4790,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_mode_value": _q_event_type_mode_value,
         "brand_supplier_coverage": _q_brand_supplier_coverage,
         "event_props_key_stats": _q_event_props_key_stats,
+        "suppliers_all_brands": _q_suppliers_all_brands,
+        "user_longest_streak": _q_user_longest_streak,
+        "click_no_purchase_users": _q_click_no_purchase_users,
+        "single_month_orders": _q_single_month_orders,
+        "user_interarrival_stats": _q_user_interarrival_stats,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -5493,6 +5724,46 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "
             "AND l_shipdate < DATE '1998-01-01') l "
             "JOIN part ON l_partkey = p_partkey",
+        "suppliers_all_brands":
+            "SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "GROUP BY 1 HAVING count(DISTINCT p_brand) = "
+            "(SELECT count(DISTINCT p_brand) FROM part) "
+            "ORDER BY 1",
+        "user_longest_streak":
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "CAST(ts AS DATE) AS day FROM events), "
+            "r AS (SELECT user_id, day, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY day) AS rn FROM d), "
+            "i AS (SELECT user_id, count(*) AS len FROM (SELECT "
+            "user_id, datediff('day', DATE '1970-01-01', day) - rn "
+            "AS grp FROM r) GROUP BY user_id, grp) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(max(len) AS BIGINT) AS streak_days "
+            "FROM i GROUP BY 1 ORDER BY 1",
+        "click_no_purchase_users":
+            "SELECT CAST(count(*) AS BIGINT) AS n_users FROM "
+            "(SELECT user_id FROM events GROUP BY 1 "
+            "HAVING sum(CASE WHEN event_type = 'click' THEN 1 "
+            "ELSE 0 END) > 0 AND sum(CASE WHEN event_type = "
+            "'purchase' THEN 1 ELSE 0 END) = 0)",
+        "single_month_orders":
+            "WITH m AS (SELECT l_orderkey, "
+            "min(year(l_shipdate) * 12 + month(l_shipdate) - 1) AS mn, "
+            "max(year(l_shipdate) * 12 + month(l_shipdate) - 1) AS mx "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT CAST(mn // 12 AS BIGINT) AS ship_year, "
+            "CAST(mn % 12 + 1 AS BIGINT) AS ship_month, "
+            "CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM m WHERE mn = mx GROUP BY 1, 2 ORDER BY 1, 2",
+        "user_interarrival_stats":
+            "WITH g AS (SELECT date_diff('microsecond', "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) "
+            "AS gap FROM events) "
+            "SELECT CAST(count(gap) AS BIGINT) AS n_gaps, "
+            "CAST(sum(gap) AS BIGINT) AS sum_us, "
+            "CAST(min(gap) AS BIGINT) AS min_us, "
+            "CAST(max(gap) AS BIGINT) AS max_us FROM g",
         "order_qty_lines_corr":
             "WITH p AS (SELECT l_orderkey, "
             "sum(CAST(round(l_quantity) AS BIGINT)) AS x, "
