@@ -4693,6 +4693,129 @@ def _q_user_interarrival_stats(sf_dir: str):
         "max_us": [int(parts["max_us"].max())]})
 
 
+def _q_orders_yoy_growth(sf_dir: str):
+    """Year-over-year revenue growth: LAG over a grouped aggregate.
+    ONE combiner-backed grouped Sum produces the years-bounded table;
+    the shift/delta runs on that bounded result — exact integer cents,
+    years without a predecessor dropped (LAG NULL semantics)."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        df = pd.DataFrame({
+            "y": pc.cast(pc.year(b["o_orderdate"]),
+                         pa.int64()).to_numpy(zero_copy_only=False),
+            "c": cents.to_numpy(zero_copy_only=False)})
+        g = df.groupby("y", sort=False)["c"].sum().reset_index()
+        return pa.table({"y": pa.array(g["y"], pa.int64()),
+                         "c": pa.array(g["c"], pa.int64())})
+
+    agg = (orders.map_batches(partial, batch_format="pyarrow")
+           .groupby("y").aggregate(Sum("c", alias_name="revenue_cents"))
+           .to_pandas().sort_values("y").reset_index(drop=True))
+    agg["prev_revenue_cents"] = agg["revenue_cents"].shift(1)
+    agg = agg.dropna(subset=["prev_revenue_cents"])
+    return pd.DataFrame({
+        "o_year": agg["y"].astype("int64"),
+        "revenue_cents": agg["revenue_cents"].astype("int64"),
+        "prev_revenue_cents": agg["prev_revenue_cents"].astype("int64"),
+        "delta_cents": (agg["revenue_cents"]
+                        - agg["prev_revenue_cents"]).astype("int64"),
+    }).reset_index(drop=True)
+
+
+def _q_events_daily_distinct_users(sf_dir: str):
+    """Distinct users per day: blocks pre-dedupe (day, user) pairs
+    (combiner), a grouped Count over the composite pair key finishes
+    the global dedup, and a second bounded grouped Count per day
+    counts survivors — exchanges carry pair-distinct rows only."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d")
+            .to_pandas(),
+            "u": b["user_id"].to_numpy(zero_copy_only=False)})
+            .drop_duplicates())
+        return pa.table({"k": pa.array(
+            df["day"] + ":" + df["u"].astype(str))})
+
+    out = (ev.map_batches(pairs, batch_format="pyarrow")
+           .groupby("k").aggregate(Count(alias_name="_n"))
+           .map_batches(lambda b: pa.table({
+               "day": pc.replace_substring_regex(
+                   b["k"], pattern=":.*$", replacement="")}),
+               batch_format="pyarrow")
+           .groupby("day").aggregate(Count(alias_name="n_users"))
+           .to_pandas())
+    out["n_users"] = out["n_users"].astype("int64")
+    return (out[["day", "n_users"]].sort_values("day")
+            .reset_index(drop=True))
+
+
+def _q_lineitem_decile_revenue(sf_dir: str):
+    """Decile-banded revenue: the nine exact global deciles of
+    per-lineitem discounted revenue come from the shuffle-free
+    iterative-histogram quantile op; the scalar thresholds broadcast;
+    a second vectorized pass bands every row (band = #thresholds
+    strictly below) and folds per-band count/sum through block
+    partials + ONE bounded grouped Sum."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.quantiles import quantile_report
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice", "l_discount"])
+
+    def micro_col(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        bp = pc.cast(pc.round(pc.multiply(
+            b["l_discount"], pa.scalar(10_000.0))), pa.int64())
+        return pa.table({"micro": pc.multiply(cents, pc.subtract(
+            pa.scalar(10_000, pa.int64()), bp))})
+
+    mds = li.map_batches(micro_col, batch_format="pyarrow")
+    qs = {f"p{i*10}": i / 10 for i in range(1, 10)}
+    rep = quantile_report(mds, "micro", qs, n_bins=256)
+    thresholds = np.array([int(rep[f"p{i*10}"][0])
+                           for i in range(1, 10)], np.int64)
+
+    def band(b: pa.Table) -> pa.Table:
+        m = b["micro"].to_numpy(zero_copy_only=False)
+        bd = np.searchsorted(thresholds, m, side="left")
+        df = pd.DataFrame({"band": bd, "micro": m})
+        g = df.groupby("band", sort=False)["micro"].agg(
+            ["count", "sum"]).reset_index()
+        return pa.table({
+            "band": pa.array(g["band"], pa.int64()),
+            "n_items": pa.array(g["count"], pa.int64()),
+            "sum_micro": pa.array(g["sum"], pa.int64())})
+
+    out = (mds.map_batches(band, batch_format="pyarrow")
+           .groupby("band")
+           .aggregate(Sum("n_items", alias_name="n_items"),
+                      Sum("sum_micro", alias_name="sum_micro"))
+           .to_pandas())
+    for c in ("band", "n_items", "sum_micro"):
+        out[c] = out[c].astype("int64")
+    return (out[["band", "n_items", "sum_micro"]]
+            .sort_values("band").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -4795,6 +4918,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_no_purchase_users": _q_click_no_purchase_users,
         "single_month_orders": _q_single_month_orders,
         "user_interarrival_stats": _q_user_interarrival_stats,
+        "orders_yoy_growth": _q_orders_yoy_growth,
+        "events_daily_distinct_users": _q_events_daily_distinct_users,
+        "lineitem_decile_revenue": _q_lineitem_decile_revenue,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -5724,6 +5850,44 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "
             "AND l_shipdate < DATE '1998-01-01') l "
             "JOIN part ON l_partkey = p_partkey",
+        "orders_yoy_growth":
+            "WITH y AS (SELECT year(o_orderdate) AS y, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS r "
+            "FROM orders GROUP BY 1) "
+            "SELECT CAST(y AS BIGINT) AS o_year, "
+            "CAST(r AS BIGINT) AS revenue_cents, "
+            "CAST(lag(r) OVER (ORDER BY y) AS BIGINT) "
+            "AS prev_revenue_cents, "
+            "CAST(r - lag(r) OVER (ORDER BY y) AS BIGINT) "
+            "AS delta_cents FROM y "
+            "QUALIFY lag(r) OVER (ORDER BY y) IS NOT NULL ORDER BY 1",
+        "events_daily_distinct_users":
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1 ORDER BY 1",
+        "lineitem_decile_revenue":
+            "WITH m AS (SELECT "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(10000 - CAST(round(l_discount * 10000) AS BIGINT)) "
+            "AS micro FROM lineitem), "
+            "t AS (SELECT quantile_disc(micro, 0.1) AS t1, "
+            "quantile_disc(micro, 0.2) AS t2, "
+            "quantile_disc(micro, 0.3) AS t3, "
+            "quantile_disc(micro, 0.4) AS t4, "
+            "quantile_disc(micro, 0.5) AS t5, "
+            "quantile_disc(micro, 0.6) AS t6, "
+            "quantile_disc(micro, 0.7) AS t7, "
+            "quantile_disc(micro, 0.8) AS t8, "
+            "quantile_disc(micro, 0.9) AS t9 FROM m) "
+            "SELECT CAST(CAST(micro > t1 AS INT) + "
+            "CAST(micro > t2 AS INT) + CAST(micro > t3 AS INT) + "
+            "CAST(micro > t4 AS INT) + CAST(micro > t5 AS INT) + "
+            "CAST(micro > t6 AS INT) + CAST(micro > t7 AS INT) + "
+            "CAST(micro > t8 AS INT) + CAST(micro > t9 AS INT) "
+            "AS BIGINT) AS band, "
+            "CAST(count(*) AS BIGINT) AS n_items, "
+            "CAST(sum(micro) AS BIGINT) AS sum_micro "
+            "FROM m, t GROUP BY 1 ORDER BY 1",
         "suppliers_all_brands":
             "SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey "
             "FROM lineitem JOIN part ON p_partkey = l_partkey "
