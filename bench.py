@@ -260,6 +260,16 @@ def bench_once() -> dict:
     queries["host_triangles"] = timed(
         lambda: _E.queries()["host_triangles"](SF_DIR).count())
 
+    # Q8-style market share: three chained co-groups (custkey semi →
+    # orderkey year attach → suppkey nation attach) in one pipeline
+    queries["market_share"] = timed(
+        lambda: len(_E.queries()["nation_market_share"](SF_DIR)))
+
+    # Q21-style blame assignment: per-(order,supplier) combiner +
+    # one orderkey co-group replaying whole orders locally
+    queries["late_supplier"] = timed(
+        lambda: len(_E.queries()["late_supplier_orders"](SF_DIR)))
+
     result = {
         "metric": "extracted documents/sec (byte-identical text per url)",
         "value": round(t_extract, 3),
