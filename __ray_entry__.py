@@ -4816,6 +4816,122 @@ def _q_lineitem_decile_revenue(sf_dir: str):
             .sort_values("band").reset_index(drop=True))
 
 
+def _q_doc_simpson_diversity(sf_dir: str):
+    """Per-document lexical diversity as an exact integer fraction
+    (Simpson index components): num = Σᵢ nᵢ(nᵢ−1) over the doc's token
+    counts, den = N(N−1).  Entirely block-local — a document's text is
+    one row, so there is NO shuffle at all; one pandas groupby chain
+    per batch does every doc in the block.  Docs with fewer than two
+    tokens are dropped (the index is undefined)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from xtract.ops.vocab import sql_tokens
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def per_doc(b: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for d, t in zip(b["doc_id"].to_pylist(),
+                        b["text"].to_pylist()):
+            for tok in sql_tokens(t or ""):
+                ids.append(d)
+                toks.append(tok)
+        if not ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "num": pa.array([], pa.int64()),
+                             "den": pa.array([], pa.int64())})
+        df = pd.DataFrame({"d": ids, "t": toks})
+        c = (df.groupby(["d", "t"], sort=False).size()
+             .reset_index(name="n"))
+        g = c.groupby("d", sort=False)["n"].agg(
+            N="sum", num=lambda s: int((s * (s - 1)).sum()))
+        g = g[g["N"] >= 2].reset_index()
+        return pa.table({
+            "doc_id": pa.array(g["d"], pa.int64()),
+            "num": pa.array(g["num"], pa.int64()),
+            "den": pa.array(g["N"] * (g["N"] - 1), pa.int64())})
+
+    out = docs.map_batches(per_doc, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_bigram_coverage(sf_dir: str):
+    """How much of the corpus the 100 most frequent word bigrams
+    cover, as an exact integer fraction (covered_n / total_n bigram
+    occurrences).  One corpus pass: per-block bigram partial counts
+    (dict combiner) → native grouped Sum; the head comes from
+    per-block partial top-k + global sort-limit, the denominator from
+    ONE native Sum over the same bounded aggregate — the corpus is
+    never re-read and no per-token rows reach the driver."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.collocations import _bigram_counts_batch
+
+    K = 100
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    bi = (docs.map_batches(
+        lambda t: _bigram_counts_batch(t, "text"),
+        batch_format="pyarrow")
+        .groupby(["a", "b"]).aggregate(Sum("n", alias_name="c_ab"))
+        .materialize())
+
+    total = int(bi.aggregate(Sum("c_ab", alias_name="m"))["m"] or 0)
+
+    def topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("c_ab", "descending"), ("a", "ascending"),
+            ("b", "ascending")])
+        return t.take(idx[:K])
+
+    head = (bi.map_batches(topk, batch_format="pyarrow")
+            .sort(["c_ab", "a", "b"], descending=[True, False, False])
+            .limit(K).to_pandas())
+    return pd.DataFrame({
+        "covered_n": [int(head["c_ab"].sum())],
+        "total_n": [total]})
+
+
+def _q_doc_hapax_stats(sf_dir: str):
+    """Long-tail vocabulary profile: hapax-legomena count (tokens
+    occurring exactly once), vocabulary size, and total token count.
+    One corpus pass builds the vocabulary-bounded unigram aggregate
+    (dict combiner → grouped Sum); all three numbers fold from
+    single-row per-block partials over that aggregate — the driver
+    sees O(blocks) rows."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.collocations import _unigram_counts_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    uni = (docs.map_batches(
+        lambda t: _unigram_counts_batch(t, "text"),
+        batch_format="pyarrow")
+        .groupby("token").aggregate(Sum("n", alias_name="c")))
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_hapax": pa.array([int((c == 1).sum())], pa.int64()),
+            "n_vocab": pa.array([len(c)], pa.int64()),
+            "n_tokens": pa.array([int(c.sum())], pa.int64())})
+
+    parts = (uni.map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    return pd.DataFrame({
+        "n_hapax": [int(parts["n_hapax"].sum())],
+        "n_vocab": [int(parts["n_vocab"].sum())],
+        "n_tokens": [int(parts["n_tokens"].sum())]})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -4921,6 +5037,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_yoy_growth": _q_orders_yoy_growth,
         "events_daily_distinct_users": _q_events_daily_distinct_users,
         "lineitem_decile_revenue": _q_lineitem_decile_revenue,
+        "doc_simpson_diversity": _q_doc_simpson_diversity,
+        "bigram_coverage": _q_bigram_coverage,
+        "doc_hapax_stats": _q_doc_hapax_stats,
         "doc_oov_rate": _q_doc_oov_rate,
         "doc_stopword_counts": _q_doc_stopword_counts,
         "doc_packing_stats": _q_doc_packing_stats,
@@ -5850,6 +5969,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "
             "AND l_shipdate < DATE '1998-01-01') l "
             "JOIN part ON l_partkey = p_partkey",
+        "doc_simpson_diversity":
+            "WITH toks AS (SELECT doc_id, unnest("
+            "regexp_split_to_array(lower(coalesce(text,'')), "
+            "'[^a-z]+')) AS token FROM documents), "
+            "c AS (SELECT doc_id, token, count(*) AS n FROM toks "
+            "WHERE token != '' GROUP BY 1, 2) "
+            "SELECT doc_id, CAST(sum(n * (n - 1)) AS BIGINT) AS num, "
+            "CAST(sum(n) * (sum(n) - 1) AS BIGINT) AS den "
+            "FROM c GROUP BY 1 HAVING sum(n) >= 2 ORDER BY 1",
+        "bigram_coverage":
+            "WITH toks AS (SELECT doc, tok, row_number() OVER "
+            "(PARTITION BY doc ORDER BY pos) AS rn FROM ("
+            "SELECT doc_id AS doc, unnest(regexp_split_to_array(lower("
+            "coalesce(text,'')), '[^a-z]+')) AS tok, "
+            "unnest(range(1, len(regexp_split_to_array(lower("
+            "coalesce(text,'')), '[^a-z]+')) + 1)) AS pos "
+            "FROM documents) WHERE tok != ''), "
+            "bi AS (SELECT t1.tok AS a, t2.tok AS b, count(*) AS c_ab "
+            "FROM toks t1 JOIN toks t2 ON t2.doc = t1.doc "
+            "AND t2.rn = t1.rn + 1 GROUP BY 1, 2), "
+            "h AS (SELECT c_ab FROM bi "
+            "ORDER BY c_ab DESC, a, b LIMIT 100) "
+            "SELECT CAST((SELECT sum(c_ab) FROM h) AS BIGINT) "
+            "AS covered_n, "
+            "CAST((SELECT sum(c_ab) FROM bi) AS BIGINT) AS total_n",
+        "doc_hapax_stats":
+            "WITH toks AS (SELECT unnest(regexp_split_to_array(lower("
+            "coalesce(text,'')), '[^a-z]+')) AS token FROM documents), "
+            "uni AS (SELECT token, count(*) AS c FROM toks "
+            "WHERE token != '' GROUP BY 1) "
+            "SELECT CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_hapax, "
+            "CAST(count(*) AS BIGINT) AS n_vocab, "
+            "CAST(sum(c) AS BIGINT) AS n_tokens FROM uni",
         "orders_yoy_growth":
             "WITH y AS (SELECT year(o_orderdate) AS y, "
             "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS r "
