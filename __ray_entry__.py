@@ -4932,6 +4932,191 @@ def _q_doc_hapax_stats(sf_dir: str):
         "n_tokens": [int(parts["n_tokens"].sum())]})
 
 
+def _q_url_redirect_chains(sf_dir: str):
+    """Redirect-chain resolution by POINTER DOUBLING: each round joins
+    the pointer table with itself (ptr ← ptr[ptr], hops ← hops +
+    hops[ptr]) via one equi co-group, so a chain of length L resolves
+    in ⌈log₂ L⌉ all-to-alls instead of L BFS rounds — the shape that
+    matters when crawl redirect chains are thousands of hops of
+    URL-shortener spam.  Edges are planted deterministically (doc d is
+    a redirect source iff d % 8 != 0, target d−1), giving the oracle a
+    closed form; the engine only sees the edge table.  Termination is
+    an exact driver-checked aggregate (#rows whose pointer is still a
+    source), not a fixed round count."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.agg import _hash_part
+
+    P = 16
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def init(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_src = (d % 8) != 0
+        ptr = np.where(is_src, d - 1, d)
+        return pa.table({
+            "d": pa.array(d, pa.int64()),
+            "ptr": pa.array(ptr, pa.int64()),
+            "hops": pa.array(is_src.astype(np.int64), pa.int64()),
+            "src": pa.array(is_src.astype(np.int64), pa.int64())})
+
+    state = docs.map_batches(init, batch_format="pyarrow").materialize()
+
+    def double(t: pa.Table) -> pa.Table:
+        # rows arriving under one hash partition: the "queries"
+        # (flag 1: rows whose ptr lands here) + the "targets"
+        # (flag 0: rows whose d lands here); one vectorized merge
+        q = t.filter(pc.equal(t["_flag"], 1))
+        g = t.filter(pc.equal(t["_flag"], 0))
+        Q = pd.DataFrame({"d": q["d"].to_pandas(),
+                          "ptr": q["ptr"].to_pandas(),
+                          "hops": q["hops"].to_pandas(),
+                          "src": q["src"].to_pandas()})
+        G = pd.DataFrame({"ptr": g["d"].to_pandas(),
+                          "ptr2": g["ptr"].to_pandas(),
+                          "hops2": g["hops"].to_pandas(),
+                          "src2": g["src"].to_pandas()})
+        m = Q.merge(G, on="ptr")
+        moving = m["src2"].to_numpy() == 1
+        new_ptr = np.where(moving, m["ptr2"].to_numpy(),
+                           m["ptr"].to_numpy())
+        new_hops = m["hops"].to_numpy() + np.where(
+            moving, m["hops2"].to_numpy(), 0)
+        return pa.table({
+            "d": pa.array(m["d"], pa.int64()),
+            "ptr": pa.array(new_ptr, pa.int64()),
+            "hops": pa.array(new_hops, pa.int64()),
+            "src": pa.array(m["src"], pa.int64()),
+            "moving": pa.array(moving.astype(np.int64), pa.int64())})
+
+    for _round in range(64):  # 2^64 chain-length ceiling
+        def tag(b: pa.Table, flag: int, key: str) -> pa.Table:
+            return pa.table({
+                "_part": pa.array(_hash_part(b[key], P), pa.int64()),
+                "_flag": pa.array(np.full(len(b), flag, np.int8)),
+                "d": b["d"], "ptr": b["ptr"], "hops": b["hops"],
+                "src": b["src"]})
+
+        both = (state.map_batches(lambda b: tag(b, 1, "ptr"),
+                                  batch_format="pyarrow")
+                .union(state.map_batches(lambda b: tag(b, 0, "d"),
+                                         batch_format="pyarrow")))
+        nxt = (both.groupby("_part")
+               .map_groups(double, batch_format="pyarrow")
+               .materialize())
+        still = int(nxt.aggregate(Sum("moving", alias_name="m"))["m"]
+                    or 0)
+        state = nxt.drop_columns(["moving"]).materialize()
+        if still == 0:
+            break
+
+    out = (state.map_batches(
+        lambda b: b.filter(pc.equal(b["src"], 1))
+        .select(["d", "ptr", "hops"])
+        .rename_columns(["doc_id", "final_doc", "hops"]),
+        batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_parts_never_ordered(sf_dir: str):
+    """Large×large ANTI join without a broadcast: parts with no
+    lineitem in 1996-H1.  The lineitem side contributes block-local
+    DISTINCT partkeys of the window (combiner); ONE partkey co-group
+    does the NOT EXISTS locally — at crawl scale both sides stream,
+    nothing is collected."""
+    import ray.data as rd
+
+    from xtract.ops.agg import _hash_part
+
+    LO, HI = np.datetime64("1996-01-01", "us"), np.datetime64(
+        "1996-07-01", "us")
+    P = 64
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey"])
+
+    def p_slim(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({
+            "_part": pa.array(_hash_part(b["p_partkey"], P), pa.int64()),
+            "_flag": pa.array(np.zeros(n, np.int8)),
+            "pk": b["p_partkey"]})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_shipdate"])
+
+    def l_slim(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(
+            pc.greater_equal(b["l_shipdate"], pa.scalar(LO)),
+            pc.less(b["l_shipdate"], pa.scalar(HI))))
+        pk = pc.unique(t["l_partkey"])
+        return pa.table({
+            "_part": pa.array(_hash_part(pk, P), pa.int64()),
+            "_flag": pa.array(np.ones(len(pk), np.int8)),
+            "pk": pk})
+
+    def anti(t: pa.Table) -> pa.Table:
+        seen = pc.unique(t.filter(pc.equal(t["_flag"], 1))["pk"])
+        p = t.filter(pc.equal(t["_flag"], 0))
+        p = p.filter(pc.invert(pc.is_in(p["pk"], value_set=seen)))
+        return pa.table({"p_partkey": p["pk"]})
+
+    out = (part.map_batches(p_slim, batch_format="pyarrow")
+           .union(li.map_batches(l_slim, batch_format="pyarrow"))
+           .groupby("_part").map_groups(anti, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def _q_supplier_balance_pct_rank(sf_dir: str):
+    """PERCENT_RANK within nation as exact integer components
+    (rank_num = rank − 1, rank_den = partition size − 1): ONE
+    nation-hash co-group sorts each nation locally (pandas min-rank on
+    cents, tie-stable) — no global sort, no floats, no division."""
+    import pandas as pd
+    import ray.data as rd
+
+    from xtract.ops.agg import _hash_part
+
+    P = 16
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey",
+                                    "s_acctbal"])
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "_part": pa.array(_hash_part(pc.cast(
+                b["s_nationkey"], pa.int64()), P), pa.int64()),
+            "sk": b["s_suppkey"],
+            "nk": pc.cast(b["s_nationkey"], pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                b["s_acctbal"], pa.scalar(100.0))), pa.int64())})
+
+    def ranks(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"sk": t["sk"].to_pandas(),
+                           "nk": t["nk"].to_pandas(),
+                           "cents": t["cents"].to_pandas()})
+        df["rank_num"] = (df.groupby("nk", sort=False)["cents"]
+                          .rank(method="min").astype("int64") - 1)
+        df["rank_den"] = (df.groupby("nk", sort=False)["sk"]
+                          .transform("size").astype("int64") - 1)
+        return pa.table({
+            "s_suppkey": pa.array(df["sk"], pa.int64()),
+            "n_nationkey": pa.array(df["nk"], pa.int64()),
+            "rank_num": pa.array(df["rank_num"], pa.int64()),
+            "rank_den": pa.array(df["rank_den"], pa.int64())})
+
+    out = (supp.map_batches(slim, batch_format="pyarrow")
+           .groupby("_part").map_groups(ranks, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5038,6 +5223,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_distinct_users": _q_events_daily_distinct_users,
         "lineitem_decile_revenue": _q_lineitem_decile_revenue,
         "doc_simpson_diversity": _q_doc_simpson_diversity,
+        "url_redirect_chains": _q_url_redirect_chains,
+        "parts_never_ordered": _q_parts_never_ordered,
+        "supplier_balance_pct_rank": _q_supplier_balance_pct_rank,
         "bigram_coverage": _q_bigram_coverage,
         "doc_hapax_stats": _q_doc_hapax_stats,
         "doc_oov_rate": _q_doc_oov_rate,
@@ -5969,6 +6157,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "
             "AND l_shipdate < DATE '1998-01-01') l "
             "JOIN part ON l_partkey = p_partkey",
+        "url_redirect_chains":
+            # closed form of the planted redirect map (src iff
+            # d % 8 != 0, target d-1): final = d - d%8, hops = d%8
+            "SELECT doc_id, CAST(doc_id - doc_id % 8 AS BIGINT) "
+            "AS final_doc, CAST(doc_id % 8 AS BIGINT) AS hops "
+            "FROM documents WHERE doc_id % 8 != 0 ORDER BY doc_id",
+        "parts_never_ordered":
+            "SELECT CAST(p_partkey AS BIGINT) AS p_partkey FROM part "
+            "WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem "
+            "WHERE l_shipdate >= DATE '1996-01-01' "
+            "AND l_shipdate < DATE '1996-07-01') ORDER BY 1",
+        "supplier_balance_pct_rank":
+            "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, "
+            "CAST(s_nationkey AS BIGINT) AS n_nationkey, "
+            "CAST(rank() OVER (PARTITION BY s_nationkey "
+            "ORDER BY CAST(round(s_acctbal * 100) AS BIGINT)) - 1 "
+            "AS BIGINT) AS rank_num, "
+            "CAST(count(*) OVER (PARTITION BY s_nationkey) - 1 "
+            "AS BIGINT) AS rank_den "
+            "FROM supplier ORDER BY s_suppkey",
         "doc_simpson_diversity":
             "WITH toks AS (SELECT doc_id, unnest("
             "regexp_split_to_array(lower(coalesce(text,'')), "
