@@ -5117,6 +5117,175 @@ def _q_supplier_balance_pct_rank(sf_dir: str):
     return out.sort_values("s_suppkey").reset_index(drop=True)
 
 
+def _q_big_spender_customers(sf_dir: str):
+    """ALL-quantifier filter (universal quantification over a group):
+    customers with at least 3 orders where EVERY order is >= $50,000.
+    min() is the universal quantifier — one combiner-backed native
+    grouped Min+Count, then a vectorized Dataset-side filter; nothing
+    but the qualifying rows reaches the driver."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    T = 5_000_000  # cents
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": b["o_custkey"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], pa.scalar(100.0))), pa.int64())})
+
+    agg = (orders.map_batches(slim, batch_format="pyarrow")
+           .groupby("ck").aggregate(Min("cents", alias_name="min_cents"),
+                                    Count(alias_name="n_orders")))
+    out = (agg.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b["min_cents"],
+                             pa.scalar(T, pa.int64())),
+            pc.greater_equal(b["n_orders"], pa.scalar(3, pa.int64())))),
+        batch_format="pyarrow").to_pandas())
+    if "ck" not in out.columns:
+        out = pd.DataFrame({"ck": pd.Series(dtype="int64"),
+                            "min_cents": pd.Series(dtype="int64"),
+                            "n_orders": pd.Series(dtype="int64")})
+    out = out.rename(columns={"ck": "c_custkey"})
+    for c in ("c_custkey", "min_cents", "n_orders"):
+        out[c] = out[c].astype("int64")
+    return (out[["c_custkey", "n_orders", "min_cents"]]
+            .sort_values("c_custkey").reset_index(drop=True))
+
+
+def _q_source_token_divergence(sf_dir: str):
+    """Vocabulary drift between two sources: the 20 tokens most
+    over-represented in src0 vs src1 by exact add-one-smoothed ratio
+    ``ratio_ppm = (n_a+1)(T_b+V) · 10⁶ // ((n_b+1)(T_a+V))`` (big-int,
+    no floats).  One corpus pass builds the vocabulary-bounded
+    (token, source) counts; totals are native aggregates over that
+    bounded table; ONE token-hash co-group pivots and scores; partial
+    top-k + global sort-limit pick the head."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from xtract.ops.agg import _hash_part
+    from xtract.ops.vocab import sql_tokens
+
+    A, B, K, P = "src0", "src1", 20, 16
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["source"], value_set=pa.array([A, B])))
+        c: dict[tuple[str, str], int] = {}
+        for s, x in zip(t["source"].to_pylist(),
+                        t["text"].to_pylist()):
+            for tok in sql_tokens(x or ""):
+                c[(tok, s)] = c.get((tok, s), 0) + 1
+        ks = list(c)
+        return pa.table({
+            "token": pa.array([k[0] for k in ks], pa.string()),
+            "source": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([c[k] for k in ks], pa.int64())})
+
+    ts = (docs.map_batches(counts, batch_format="pyarrow")
+          .groupby(["token", "source"])
+          .aggregate(Sum("n", alias_name="n")).materialize())
+
+    def totals(b: pa.Table) -> pa.Table:
+        isa = pc.equal(b["source"], A)
+        n = b["n"]
+        return pa.table({
+            "sa": pa.array([pc.sum(pc.if_else(
+                isa, n, pa.scalar(0, pa.int64()))).as_py() or 0],
+                pa.int64()),
+            "sb": pa.array([pc.sum(pc.if_else(
+                isa, pa.scalar(0, pa.int64()), n)).as_py() or 0],
+                pa.int64())})
+
+    tot = ts.map_batches(totals, batch_format="pyarrow").to_pandas()
+    ta, tb = int(tot["sa"].sum()), int(tot["sb"].sum())
+    v = (ts.map_batches(
+        lambda b: pa.table({"token": pc.unique(b["token"])}),
+        batch_format="pyarrow")
+        .groupby("token").aggregate(Count(alias_name="_c")).count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("_part", pa.array(
+            _hash_part(b["token"], P), pa.int64()))
+
+    def score(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"token": t["token"].to_pandas(),
+                           "source": t["source"].to_pandas(),
+                           "n": t["n"].to_pandas()})
+        p = (df.pivot_table(index="token", columns="source",
+                            values="n", aggfunc="sum", fill_value=0)
+             .reindex(columns=[A, B], fill_value=0).reset_index())
+        na = p[A].to_numpy().astype(object)
+        nb = p[B].to_numpy().astype(object)
+        r = [int(((x + 1) * (tb + v) * 1_000_000)
+                 // ((y + 1) * (ta + v))) for x, y in zip(na, nb)]
+        out = pd.DataFrame({"token": p["token"], "n_a": p[A],
+                            "n_b": p[B], "ratio_ppm": r})
+        out = out.sort_values(["ratio_ppm", "token"],
+                              ascending=[False, True]).head(K)
+        return pa.table({
+            "token": pa.array(out["token"], pa.string()),
+            "n_a": pa.array(out["n_a"], pa.int64()),
+            "n_b": pa.array(out["n_b"], pa.int64()),
+            "ratio_ppm": pa.array(out["ratio_ppm"], pa.int64())})
+
+    head = (ts.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part").map_groups(score, batch_format="pyarrow")
+            .sort(["ratio_ppm", "token"], descending=[True, False])
+            .limit(K).to_pandas())
+    return head.reset_index(drop=True)
+
+
+def _q_segment_nation_contingency(sf_dir: str):
+    """Contingency-table components (χ² inputs) for market segment ×
+    nation: observed count plus row/column/grand totals per cell, all
+    exact ints.  ONE combiner-backed grouped Count is the only
+    all-to-all; the margins are computed on the segments×nations-
+    bounded aggregate."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_mktsegment", "c_nationkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "seg": b["c_mktsegment"].to_pandas(),
+            "nk": pc.cast(b["c_nationkey"], pa.int64())
+            .to_numpy(zero_copy_only=False)})
+        g = df.groupby(["seg", "nk"], sort=False).size().reset_index(
+            name="n")
+        return pa.table({"seg": pa.array(g["seg"], pa.string()),
+                         "nk": pa.array(g["nk"], pa.int64()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    agg = (cust.map_batches(partial, batch_format="pyarrow")
+           .groupby(["seg", "nk"]).aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    agg["row_total"] = agg.groupby("seg")["n"].transform("sum")
+    agg["col_total"] = agg.groupby("nk")["n"].transform("sum")
+    agg["grand_total"] = int(agg["n"].sum())
+    out = pd.DataFrame({
+        "c_mktsegment": agg["seg"].astype(str),
+        "c_nationkey": agg["nk"].astype("int64"),
+        "n": agg["n"].astype("int64"),
+        "row_total": agg["row_total"].astype("int64"),
+        "col_total": agg["col_total"].astype("int64"),
+        "grand_total": agg["grand_total"].astype("int64")})
+    return (out.sort_values(["c_mktsegment", "c_nationkey"])
+            .reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5226,6 +5395,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_redirect_chains": _q_url_redirect_chains,
         "parts_never_ordered": _q_parts_never_ordered,
         "supplier_balance_pct_rank": _q_supplier_balance_pct_rank,
+        "big_spender_customers": _q_big_spender_customers,
+        "source_token_divergence": _q_source_token_divergence,
+        "segment_nation_contingency": _q_segment_nation_contingency,
         "bigram_coverage": _q_bigram_coverage,
         "doc_hapax_stats": _q_doc_hapax_stats,
         "doc_oov_rate": _q_doc_oov_rate,
@@ -6157,6 +6329,42 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "
             "AND l_shipdate < DATE '1998-01-01') l "
             "JOIN part ON l_partkey = p_partkey",
+        "big_spender_customers":
+            "SELECT CAST(o_custkey AS BIGINT) AS c_custkey, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS min_cents FROM orders GROUP BY 1 "
+            "HAVING min(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            ">= 5000000 AND count(*) >= 3 ORDER BY 1",
+        "source_token_divergence":
+            "WITH toks AS (SELECT source, unnest("
+            "regexp_split_to_array(lower(coalesce(text,'')), "
+            "'[^a-z]+')) AS token FROM documents "
+            "WHERE source IN ('src0', 'src1')), "
+            "c AS (SELECT token, "
+            "sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n_a, "
+            "sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS n_b "
+            "FROM toks WHERE token != '' GROUP BY 1), "
+            "t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, "
+            "count(*) AS v FROM c) "
+            "SELECT token, CAST(n_a AS BIGINT) AS n_a, "
+            "CAST(n_b AS BIGINT) AS n_b, "
+            "CAST(((n_a + 1)::HUGEINT * ((SELECT tb FROM t) + "
+            "(SELECT v FROM t)) * 1000000) // ((n_b + 1) * "
+            "((SELECT ta FROM t) + (SELECT v FROM t))) AS BIGINT) "
+            "AS ratio_ppm FROM c "
+            "ORDER BY ratio_ppm DESC, token LIMIT 20",
+        "segment_nation_contingency":
+            "WITH g AS (SELECT c_mktsegment, "
+            "CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "count(*) AS n FROM customer GROUP BY 1, 2) "
+            "SELECT c_mktsegment, c_nationkey, CAST(n AS BIGINT) AS n, "
+            "CAST(sum(n) OVER (PARTITION BY c_mktsegment) AS BIGINT) "
+            "AS row_total, "
+            "CAST(sum(n) OVER (PARTITION BY c_nationkey) AS BIGINT) "
+            "AS col_total, "
+            "CAST(sum(n) OVER () AS BIGINT) AS grand_total "
+            "FROM g ORDER BY c_mktsegment, c_nationkey",
         "url_redirect_chains":
             # closed form of the planted redirect map (src iff
             # d % 8 != 0, target d-1): final = d - d%8, hops = d%8
