@@ -5286,6 +5286,129 @@ def _q_segment_nation_contingency(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _q_doc_tree_rollup(sf_dir: str):
+    """Hierarchy (subtree) aggregation over a planted 4-ary category
+    tree (parent(d) = d // 4, root 0): every node's subtree character
+    total and descendant count.  Because the parent function is
+    computable, each row EXPLODES its own ancestor chain vectorized
+    (≤ log₄ N pairs per row — no iteration, no driver tree) and ONE
+    native grouped Sum finishes; the oracle is a recursive CTE."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+
+    def ancestors(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = b["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        nodes, chars = [d], [ch]
+        cur, val = d, ch
+        while True:
+            live = cur != 0
+            if not live.any():
+                break
+            cur = cur[live] // 4
+            val = val[live]
+            nodes.append(cur)
+            chars.append(val)
+        return pa.table({
+            "node": pa.array(np.concatenate(nodes), pa.int64()),
+            "chars": pa.array(np.concatenate(chars), pa.int64()),
+            "one": pa.array(np.ones(sum(len(x) for x in nodes),
+                                    np.int64))})
+
+    out = (docs.map_batches(ancestors, batch_format="pyarrow")
+           .groupby("node")
+           .aggregate(Sum("chars", alias_name="subtree_chars"),
+                      Sum("one", alias_name="n_desc"))
+           .to_pandas())
+    out = out.rename(columns={"node": "doc_id"})
+    for c in ("doc_id", "subtree_chars", "n_desc"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "subtree_chars", "n_desc"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _q_part_popularity_gini(sf_dir: str):
+    """Exact integer Gini coefficient of lineitem-count concentration
+    across parts: num = 2·Σ i·xᵢ − (n+1)·Σx, den = n·Σx over the
+    ascending-sorted per-part counts.  The per-part aggregate is ONE
+    combiner-backed grouped Count (catalog-bounded); the rank-weighted
+    sum runs on that bounded table with Python big ints — ties don't
+    affect the value (equal x swap preserves Σ i·x)."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "pk": b["l_partkey"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("pk", sort=False).size().reset_index(name="n")
+        return pa.table({"pk": pa.array(g["pk"], pa.int64()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("pk").aggregate(Sum("n", alias_name="x"))
+           .to_pandas())  # part-catalog-bounded
+    x = np.sort(agg["x"].to_numpy().astype("int64"))
+    n = len(x)
+    sx = int(x.sum())
+    ixs = int(sum(int(i + 1) * int(v) for i, v in enumerate(x)))
+    return pd.DataFrame({
+        "gini_num": [2 * ixs - (n + 1) * sx],
+        "gini_den": [n * sx],
+        "n_parts": [n]})
+
+
+def _q_customer_revenue_concentration(sf_dir: str):
+    """Revenue concentration report: what share of total order value
+    the top 1% / 5% / 10% of customers hold (exact integer cents,
+    num/den — no division).  ONE combiner-backed grouped Sum builds
+    the customer-bounded spend table; it is sorted ONCE (materialized)
+    and each percentile head is a limit + native Sum — the driver
+    never sees per-customer rows."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        df = pd.DataFrame({
+            "ck": b["o_custkey"].to_numpy(zero_copy_only=False),
+            "c": cents.to_numpy(zero_copy_only=False)})
+        g = df.groupby("ck", sort=False)["c"].sum().reset_index()
+        return pa.table({"ck": pa.array(g["ck"], pa.int64()),
+                         "c": pa.array(g["c"], pa.int64())})
+
+    spend = (orders.map_batches(partial, batch_format="pyarrow")
+             .groupby("ck").aggregate(Sum("c", alias_name="cents")))
+    ranked = spend.sort(["cents", "ck"],
+                        descending=[True, False]).materialize()
+    n = ranked.count()
+    total = int(ranked.aggregate(Sum("cents", alias_name="t"))["t"]
+                or 0)
+    rows = []
+    for p in (1, 5, 10):
+        k = math.ceil(n * p / 100)
+        top = int(ranked.limit(k)
+                  .aggregate(Sum("cents", alias_name="t"))["t"] or 0)
+        rows.append((p, k, top, total))
+    return pd.DataFrame(rows, columns=["pct", "top_n", "top_cents",
+                                       "total_cents"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5398,6 +5521,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_spender_customers": _q_big_spender_customers,
         "source_token_divergence": _q_source_token_divergence,
         "segment_nation_contingency": _q_segment_nation_contingency,
+        "doc_tree_rollup": _q_doc_tree_rollup,
+        "part_popularity_gini": _q_part_popularity_gini,
+        "customer_revenue_concentration":
+            _q_customer_revenue_concentration,
         "bigram_coverage": _q_bigram_coverage,
         "doc_hapax_stats": _q_doc_hapax_stats,
         "doc_oov_rate": _q_doc_oov_rate,
@@ -6329,6 +6456,39 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "
             "AND l_shipdate < DATE '1998-01-01') l "
             "JOIN part ON l_partkey = p_partkey",
+        "doc_tree_rollup":
+            "WITH RECURSIVE anc(node, a) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION ALL SELECT node, a // 4 FROM anc WHERE a != 0) "
+            "SELECT CAST(a AS BIGINT) AS doc_id, "
+            "CAST(sum(n_chars) AS BIGINT) AS subtree_chars, "
+            "CAST(count(*) AS BIGINT) AS n_desc "
+            "FROM anc JOIN documents d ON d.doc_id = anc.node "
+            "GROUP BY 1 ORDER BY 1",
+        "part_popularity_gini":
+            "WITH x AS (SELECT count(*) AS x FROM lineitem "
+            "GROUP BY l_partkey), "
+            "r AS (SELECT x, row_number() OVER (ORDER BY x) AS i "
+            "FROM x) "
+            "SELECT CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) "
+            "AS BIGINT) AS gini_num, "
+            "CAST(count(*) * sum(x) AS BIGINT) AS gini_den, "
+            "CAST(count(*) AS BIGINT) AS n_parts FROM r",
+        "customer_revenue_concentration":
+            "WITH s AS (SELECT o_custkey AS ck, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM orders GROUP BY 1), "
+            "r AS (SELECT cents, row_number() OVER "
+            "(ORDER BY cents DESC, ck) AS rn FROM s), "
+            "n AS (SELECT count(*) AS n, sum(cents) AS total FROM s) "
+            "SELECT CAST(p AS BIGINT) AS pct, "
+            "CAST(ceil((SELECT n FROM n) * p / 100.0) AS BIGINT) "
+            "AS top_n, "
+            "CAST((SELECT sum(cents) FROM r WHERE rn <= "
+            "ceil((SELECT n FROM n) * p / 100.0)) AS BIGINT) "
+            "AS top_cents, "
+            "CAST((SELECT total FROM n) AS BIGINT) AS total_cents "
+            "FROM (VALUES (1), (5), (10)) AS t(p) ORDER BY p",
         "big_spender_customers":
             "SELECT CAST(o_custkey AS BIGINT) AS c_custkey, "
             "CAST(count(*) AS BIGINT) AS n_orders, "
