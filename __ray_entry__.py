@@ -5409,6 +5409,198 @@ def _q_customer_revenue_concentration(sf_dir: str):
                                        "total_cents"])
 
 
+def _q_order_fulfillment_lag(sf_dir: str):
+    """Days from order placement to FIRST shipment, rolled up per
+    order priority (n / Σ / min / max of the day lag).  Lineitem
+    pre-reduces to per-order min ship date inside every block
+    (combiner); ONE orderkey co-group joins the order date and
+    priority and emits bounded per-priority partials; a native grouped
+    Sum/Min/Max folds them — exact integer days."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from xtract.ops.agg import _hash_part
+
+    P = 64
+    DAY = 86_400_000_000
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    def o_slim(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({
+            "_part": pa.array(_hash_part(b["o_orderkey"], P), pa.int64()),
+            "_flag": pa.array(np.zeros(n, np.int8)),
+            "ok": b["o_orderkey"],
+            "od": pc.cast(pc.divide(pc.cast(b["o_orderdate"],
+                                            pa.int64()),
+                                    pa.scalar(DAY, pa.int64())),
+                          pa.int64()),
+            "prio": b["o_orderpriority"]})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def l_partial(b: pa.Table) -> pa.Table:
+        sd = pc.cast(pc.divide(pc.cast(b["l_shipdate"], pa.int64()),
+                               pa.scalar(DAY, pa.int64())), pa.int64())
+        df = pd.DataFrame({
+            "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "sd": sd.to_numpy(zero_copy_only=False)})
+        g = df.groupby("ok", sort=False)["sd"].min().reset_index()
+        n = len(g)
+        return pa.table({
+            "_part": pa.array(_hash_part(pa.array(g["ok"]), P),
+                              pa.int64()),
+            "_flag": pa.array(np.ones(n, np.int8)),
+            "ok": pa.array(g["ok"], pa.int64()),
+            "od": pa.array(g["sd"], pa.int64()),
+            "prio": pa.nulls(n, pa.string())})
+
+    def lag(t: pa.Table) -> pa.Table:
+        ot = t.filter(pc.equal(t["_flag"], 0))
+        lt = t.filter(pc.equal(t["_flag"], 1))
+        O = pd.DataFrame({"ok": ot["ok"].to_pandas(),
+                          "od": ot["od"].to_pandas(),
+                          "prio": ot["prio"].to_pandas()})
+        L = (pd.DataFrame({"ok": lt["ok"].to_pandas(),
+                           "sd": lt["od"].to_pandas()})
+             .groupby("ok", sort=False)["sd"].min().reset_index())
+        m = O.merge(L, on="ok")
+        m["lag"] = m["sd"] - m["od"]
+        g = m.groupby("prio", sort=False)["lag"].agg(
+            ["count", "sum", "min", "max"]).reset_index()
+        return pa.table({
+            "o_orderpriority": pa.array(g["prio"], pa.string()),
+            "n_orders": pa.array(g["count"], pa.int64()),
+            "sum_days": pa.array(g["sum"], pa.int64()),
+            "min_days": pa.array(g["min"], pa.int64()),
+            "max_days": pa.array(g["max"], pa.int64())})
+
+    out = (orders.map_batches(o_slim, batch_format="pyarrow")
+           .union(li.map_batches(l_partial, batch_format="pyarrow"))
+           .groupby("_part").map_groups(lag, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("sum_days", alias_name="sum_days"),
+                      Min("min_days", alias_name="min_days"),
+                      Max("max_days", alias_name="max_days"))
+           .to_pandas())
+    for c in ("n_orders", "sum_days", "min_days", "max_days"):
+        out[c] = out[c].astype("int64")
+    return (out[["o_orderpriority", "n_orders", "sum_days",
+                 "min_days", "max_days"]]
+            .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+def _q_user_path_signatures(sf_dir: str):
+    """Behavioral path mining: the 20 most common signatures formed by
+    each user's first five event types in (ts, event_id) order.  ONE
+    user-hash co-group sorts each user's events locally and builds the
+    signature string vectorized; a bounded grouped Sum counts
+    signatures; partial top-k + sort-limit pick the head.  Ties in ts
+    break on event_id, so the signature is deterministic."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.agg import _hash_part
+
+    K, P, H = 20, 64, 5
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "_part": pa.array(_hash_part(b["user_id"], P), pa.int64()),
+            "u": b["user_id"],
+            "t": pc.cast(b["ts"], pa.int64()),
+            "e": b["event_id"],
+            "ty": b["event_type"]})
+
+    def sig(t: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"u": t["u"].to_pandas(),
+                            "t": t["t"].to_pandas(),
+                            "e": t["e"].to_pandas(),
+                            "ty": t["ty"].to_pandas()})
+              .sort_values(["u", "t", "e"]))
+        head = df.groupby("u", sort=False).head(H)
+        s = (head.groupby("u", sort=False)["ty"]
+             .agg(lambda x: ">".join(x)).reset_index(name="sig"))
+        g = s.groupby("sig", sort=False).size().reset_index(name="n")
+        return pa.table({"sig": pa.array(g["sig"], pa.string()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    counts = (ev.map_batches(slim, batch_format="pyarrow")
+              .groupby("_part").map_groups(sig, batch_format="pyarrow")
+              .groupby("sig").aggregate(Sum("n", alias_name="n_users")))
+
+    def topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[
+            ("n_users", "descending"), ("sig", "ascending")])
+        return b.take(idx[:K])
+
+    head = (counts.map_batches(topk, batch_format="pyarrow")
+            .sort(["n_users", "sig"], descending=[True, False])
+            .limit(K).to_pandas())
+    head["n_users"] = head["n_users"].astype("int64")
+    return head[["sig", "n_users"]].reset_index(drop=True)
+
+
+def _q_event_time_weighted_value(sf_dir: str):
+    """Time-weighted value (each event's cents weighted by its
+    dwell — microseconds until the user's next event): num = Σ
+    gap·cents, den = Σ gap, exact ints.  ONE user-hash co-group sorts
+    each user's stream ((ts, event_id) tie-break) and emits a two-int
+    partial per partition; the driver folds ≤P rows."""
+    import pandas as pd
+    import ray.data as rd
+
+    from xtract.ops.agg import _hash_part
+
+    P = 64
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "value"])
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "_part": pa.array(_hash_part(b["user_id"], P), pa.int64()),
+            "u": b["user_id"],
+            "t": pc.cast(b["ts"], pa.int64()),
+            "e": b["event_id"],
+            "c": pc.cast(pc.round(pc.multiply(
+                b["value"], pa.scalar(100.0))), pa.int64())})
+
+    def weight(t: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"u": t["u"].to_pandas(),
+                            "t": t["t"].to_pandas(),
+                            "e": t["e"].to_pandas(),
+                            "c": t["c"].to_pandas()})
+              .sort_values(["u", "t", "e"]))
+        nxt = df.groupby("u", sort=False)["t"].shift(-1)
+        gap = (nxt - df["t"]).dropna().astype("int64")
+        c = df["c"][gap.index].astype("int64")
+        # exact big-int products (gap·cents can pass 2^63 at scale)
+        num = int((gap.astype(object) * c.astype(object)).sum())
+        return pa.table({
+            "num": pa.array([num], pa.int64()),
+            "den": pa.array([int(gap.sum())], pa.int64())})
+
+    parts = (ev.map_batches(slim, batch_format="pyarrow")
+             .groupby("_part").map_groups(weight,
+                                          batch_format="pyarrow")
+             .to_pandas())
+    return pd.DataFrame({"twv_num": [int(parts["num"].sum())],
+                         "twv_den": [int(parts["den"].sum())]})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5525,6 +5717,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_popularity_gini": _q_part_popularity_gini,
         "customer_revenue_concentration":
             _q_customer_revenue_concentration,
+        "order_fulfillment_lag": _q_order_fulfillment_lag,
+        "user_path_signatures": _q_user_path_signatures,
+        "event_time_weighted_value": _q_event_time_weighted_value,
         "bigram_coverage": _q_bigram_coverage,
         "doc_hapax_stats": _q_doc_hapax_stats,
         "doc_oov_rate": _q_doc_oov_rate,
@@ -6456,6 +6651,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "
             "AND l_shipdate < DATE '1998-01-01') l "
             "JOIN part ON l_partkey = p_partkey",
+        "order_fulfillment_lag":
+            "WITH f AS (SELECT l_orderkey, "
+            "min(datediff('day', DATE '1970-01-01', l_shipdate)) "
+            "AS sd FROM lineitem GROUP BY 1) "
+            "SELECT o_orderpriority, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(sd - datediff('day', DATE '1970-01-01', "
+            "o_orderdate)) AS BIGINT) AS sum_days, "
+            "CAST(min(sd - datediff('day', DATE '1970-01-01', "
+            "o_orderdate)) AS BIGINT) AS min_days, "
+            "CAST(max(sd - datediff('day', DATE '1970-01-01', "
+            "o_orderdate)) AS BIGINT) AS max_days "
+            "FROM orders JOIN f ON l_orderkey = o_orderkey "
+            "GROUP BY 1 ORDER BY 1",
+        "user_path_signatures":
+            "WITH r AS (SELECT user_id, event_type, row_number() "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+            "FROM events), "
+            "s AS (SELECT user_id, string_agg(event_type, '>' "
+            "ORDER BY rn) AS sig FROM r WHERE rn <= 5 GROUP BY 1) "
+            "SELECT sig, CAST(count(*) AS BIGINT) AS n_users "
+            "FROM s GROUP BY 1 ORDER BY n_users DESC, sig LIMIT 20",
+        "event_time_weighted_value":
+            "WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) "
+            "AS c, date_diff('microsecond', ts, lead(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)) AS gap "
+            "FROM events) "
+            "SELECT CAST(sum(gap::HUGEINT * c) AS BIGINT) AS twv_num, "
+            "CAST(sum(gap) AS BIGINT) AS twv_den "
+            "FROM g WHERE gap IS NOT NULL",
         "doc_tree_rollup":
             "WITH RECURSIVE anc(node, a) AS ("
             "SELECT doc_id, doc_id FROM documents "
