@@ -5601,6 +5601,105 @@ def _q_event_time_weighted_value(sf_dir: str):
                          "twv_den": [int(parts["den"].sum())]})
 
 
+def _q_orders_weekday_profile(sf_dir: str):
+    """Order volume and value by day of week — the weekday is computed
+    arithmetically ((epoch_days + 4) % 7, Monday=0) so the engine and
+    the oracle share one definition with no calendar-kernel ambiguity.
+    One vectorized pass + ONE bounded grouped Sum."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    DAY = 86_400_000_000
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        days = pc.divide(pc.cast(b["o_orderdate"], pa.int64()),
+                         pa.scalar(DAY, pa.int64()))
+        wd = pc.subtract(pc.add(days, pa.scalar(3, pa.int64())),
+                         pc.multiply(pc.divide(pc.add(
+                             days, pa.scalar(3, pa.int64())),
+                             pa.scalar(7, pa.int64())),
+                             pa.scalar(7, pa.int64())))
+        cents = pc.cast(pc.round(pc.multiply(
+            b["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        df = pd.DataFrame({
+            "wd": wd.to_numpy(zero_copy_only=False),
+            "c": cents.to_numpy(zero_copy_only=False)})
+        g = df.groupby("wd", sort=False)["c"].agg(["count", "sum"])
+        g = g.reset_index()
+        return pa.table({
+            "weekday": pa.array(g["wd"], pa.int64()),
+            "n_orders": pa.array(g["count"], pa.int64()),
+            "revenue_cents": pa.array(g["sum"], pa.int64())})
+
+    out = (orders.map_batches(partial, batch_format="pyarrow")
+           .groupby("weekday")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("revenue_cents", alias_name="revenue_cents"))
+           .to_pandas())
+    for c in ("weekday", "n_orders", "revenue_cents"):
+        out[c] = out[c].astype("int64")
+    return (out[["weekday", "n_orders", "revenue_cents"]]
+            .sort_values("weekday").reset_index(drop=True))
+
+
+def _q_returns_rate_by_month(sf_dir: str):
+    """Monthly return rate as exact integer fractions: per ship month,
+    returned ('R') lineitem count and value vs totals.  One vectorized
+    pass with block-local per-month partials → ONE bounded grouped
+    Sum — four integers per month, no division."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_shipdate", "l_returnflag",
+                                  "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ym = pc.add(pc.multiply(pc.cast(pc.year(b["l_shipdate"]),
+                                        pa.int64()),
+                                pa.scalar(12, pa.int64())),
+                    pc.cast(pc.subtract(pc.month(b["l_shipdate"]),
+                                        pa.scalar(1)), pa.int64()))
+        r = pc.cast(pc.equal(b["l_returnflag"], "R"), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        df = pd.DataFrame({
+            "ym": ym.to_numpy(zero_copy_only=False),
+            "r": r.to_numpy(zero_copy_only=False),
+            "c": cents.to_numpy(zero_copy_only=False)})
+        df["rc"] = df["r"] * df["c"]
+        g = df.groupby("ym", sort=False).agg(
+            n=("r", "size"), n_ret=("r", "sum"),
+            cents=("c", "sum"), ret_cents=("rc", "sum")).reset_index()
+        return pa.table({
+            "ym": pa.array(g["ym"], pa.int64()),
+            "n_items": pa.array(g["n"], pa.int64()),
+            "n_returned": pa.array(g["n_ret"], pa.int64()),
+            "cents": pa.array(g["cents"], pa.int64()),
+            "returned_cents": pa.array(g["ret_cents"], pa.int64())})
+
+    out = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("ym")
+           .aggregate(Sum("n_items", alias_name="n_items"),
+                      Sum("n_returned", alias_name="n_returned"),
+                      Sum("cents", alias_name="cents"),
+                      Sum("returned_cents", alias_name="returned_cents"))
+           .to_pandas())
+    out["ship_year"] = (out["ym"] // 12).astype("int64")
+    out["ship_month"] = (out["ym"] % 12 + 1).astype("int64")
+    for c in ("n_items", "n_returned", "cents", "returned_cents"):
+        out[c] = out[c].astype("int64")
+    return (out[["ship_year", "ship_month", "n_items", "n_returned",
+                 "cents", "returned_cents"]]
+            .sort_values(["ship_year", "ship_month"])
+            .reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5720,6 +5819,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_fulfillment_lag": _q_order_fulfillment_lag,
         "user_path_signatures": _q_user_path_signatures,
         "event_time_weighted_value": _q_event_time_weighted_value,
+        "orders_weekday_profile": _q_orders_weekday_profile,
+        "returns_rate_by_month": _q_returns_rate_by_month,
         "bigram_coverage": _q_bigram_coverage,
         "doc_hapax_stats": _q_doc_hapax_stats,
         "doc_oov_rate": _q_doc_oov_rate,
@@ -6651,6 +6752,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "
             "AND l_shipdate < DATE '1998-01-01') l "
             "JOIN part ON l_partkey = p_partkey",
+        "orders_weekday_profile":
+            "SELECT CAST((datediff('day', DATE '1970-01-01', "
+            "o_orderdate) + 3) % 7 AS BIGINT) AS weekday, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents "
+            "FROM orders GROUP BY 1 ORDER BY 1",
+        "returns_rate_by_month":
+            "SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, "
+            "CAST(month(l_shipdate) AS BIGINT) AS ship_month, "
+            "CAST(count(*) AS BIGINT) AS n_items, "
+            "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_returned, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS cents, "
+            "CAST(sum(CASE WHEN l_returnflag = 'R' THEN "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) "
+            "AS BIGINT) AS returned_cents "
+            "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2",
         "order_fulfillment_lag":
             "WITH f AS (SELECT l_orderkey, "
             "min(datediff('day', DATE '1970-01-01', l_shipdate)) "
