@@ -4943,11 +4943,9 @@ def _q_url_redirect_chains(sf_dir: str):
     closed form; the engine only sees the edge table.  Termination is
     an exact driver-checked aggregate (#rows whose pointer is still a
     source), not a fixed round count."""
-    import pandas as pd
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
-    from xtract.ops.agg import _hash_part
+    from xtract.ops.graph import resolve_pointer_chains
 
     P = 16
 
@@ -4964,55 +4962,8 @@ def _q_url_redirect_chains(sf_dir: str):
             "hops": pa.array(is_src.astype(np.int64), pa.int64()),
             "src": pa.array(is_src.astype(np.int64), pa.int64())})
 
-    state = docs.map_batches(init, batch_format="pyarrow").materialize()
-
-    def double(t: pa.Table) -> pa.Table:
-        # rows arriving under one hash partition: the "queries"
-        # (flag 1: rows whose ptr lands here) + the "targets"
-        # (flag 0: rows whose d lands here); one vectorized merge
-        q = t.filter(pc.equal(t["_flag"], 1))
-        g = t.filter(pc.equal(t["_flag"], 0))
-        Q = pd.DataFrame({"d": q["d"].to_pandas(),
-                          "ptr": q["ptr"].to_pandas(),
-                          "hops": q["hops"].to_pandas(),
-                          "src": q["src"].to_pandas()})
-        G = pd.DataFrame({"ptr": g["d"].to_pandas(),
-                          "ptr2": g["ptr"].to_pandas(),
-                          "hops2": g["hops"].to_pandas(),
-                          "src2": g["src"].to_pandas()})
-        m = Q.merge(G, on="ptr")
-        moving = m["src2"].to_numpy() == 1
-        new_ptr = np.where(moving, m["ptr2"].to_numpy(),
-                           m["ptr"].to_numpy())
-        new_hops = m["hops"].to_numpy() + np.where(
-            moving, m["hops2"].to_numpy(), 0)
-        return pa.table({
-            "d": pa.array(m["d"], pa.int64()),
-            "ptr": pa.array(new_ptr, pa.int64()),
-            "hops": pa.array(new_hops, pa.int64()),
-            "src": pa.array(m["src"], pa.int64()),
-            "moving": pa.array(moving.astype(np.int64), pa.int64())})
-
-    for _round in range(64):  # 2^64 chain-length ceiling
-        def tag(b: pa.Table, flag: int, key: str) -> pa.Table:
-            return pa.table({
-                "_part": pa.array(_hash_part(b[key], P), pa.int64()),
-                "_flag": pa.array(np.full(len(b), flag, np.int8)),
-                "d": b["d"], "ptr": b["ptr"], "hops": b["hops"],
-                "src": b["src"]})
-
-        both = (state.map_batches(lambda b: tag(b, 1, "ptr"),
-                                  batch_format="pyarrow")
-                .union(state.map_batches(lambda b: tag(b, 0, "d"),
-                                         batch_format="pyarrow")))
-        nxt = (both.groupby("_part")
-               .map_groups(double, batch_format="pyarrow")
-               .materialize())
-        still = int(nxt.aggregate(Sum("moving", alias_name="m"))["m"]
-                    or 0)
-        state = nxt.drop_columns(["moving"]).materialize()
-        if still == 0:
-            break
+    state = resolve_pointer_chains(
+        docs.map_batches(init, batch_format="pyarrow"), partitions=P)
 
     out = (state.map_batches(
         lambda b: b.filter(pc.equal(b["src"], 1))

@@ -705,3 +705,82 @@ def jaccard_pairs(ds, set_col: str, member_col: str,
                          "jac_den": pa.array(den, pa.int64())})
 
     return co.map_batches(attach, batch_format="pyarrow")
+
+
+def resolve_pointer_chains(state_ds, partitions: int = 16,
+                           max_rounds: int = 64):
+    """Functional-graph contraction by POINTER DOUBLING.
+
+    ``state_ds`` holds one row per node: ``d`` (node id), ``ptr``
+    (its successor — itself iff terminal), ``hops`` (1 for a source,
+    0 for a terminal) and ``src`` (1 iff the node redirects).  Each
+    round joins the table with itself via one hash co-group
+    (``ptr ← ptr[ptr]``, ``hops ← hops + hops[ptr]``), so a chain of
+    length L resolves in ⌈log₂ L⌉ all-to-alls instead of L BFS rounds
+    — the shape that matters when crawl redirect chains are thousands
+    of hops of URL-shortener spam.  Termination is an exact
+    driver-checked aggregate (#rows whose pointer is still a source),
+    not a fixed round count.
+
+    Returns the converged state Dataset (columns d/ptr/hops/src).
+    Beyond-reference training-data op (redirect/alias resolution for
+    crawl curation); no direct analogue in the reference surface.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .agg import _hash_part
+
+    def double(t: pa.Table) -> pa.Table:
+        q = t.filter(pc.equal(t["_flag"], 1))
+        g = t.filter(pc.equal(t["_flag"], 0))
+        Q = pd.DataFrame({"d": q["d"].to_pandas(),
+                          "ptr": q["ptr"].to_pandas(),
+                          "hops": q["hops"].to_pandas(),
+                          "src": q["src"].to_pandas()})
+        G = pd.DataFrame({"ptr": g["d"].to_pandas(),
+                          "ptr2": g["ptr"].to_pandas(),
+                          "hops2": g["hops"].to_pandas(),
+                          "src2": g["src"].to_pandas()})
+        m = Q.merge(G, on="ptr")
+        moving = m["src2"].to_numpy() == 1
+        new_ptr = np.where(moving, m["ptr2"].to_numpy(),
+                           m["ptr"].to_numpy())
+        new_hops = m["hops"].to_numpy() + np.where(
+            moving, m["hops2"].to_numpy(), 0)
+        return pa.table({
+            "d": pa.array(m["d"], pa.int64()),
+            "ptr": pa.array(new_ptr, pa.int64()),
+            "hops": pa.array(new_hops, pa.int64()),
+            "src": pa.array(m["src"], pa.int64()),
+            "moving": pa.array(moving.astype(np.int64), pa.int64())})
+
+    def tag_both(b: pa.Table) -> pa.Table:
+        # ONE scan emits the query copy (hashed by ptr) and the
+        # target copy (hashed by d) — no second pass, no union
+        n = len(b)
+        cols = {"d": b["d"], "ptr": b["ptr"], "hops": b["hops"],
+                "src": b["src"]}
+        q = pa.table({
+            "_part": pa.array(_hash_part(b["ptr"], partitions),
+                              pa.int64()),
+            "_flag": pa.array(np.ones(n, np.int8)), **cols})
+        g = pa.table({
+            "_part": pa.array(_hash_part(b["d"], partitions),
+                              pa.int64()),
+            "_flag": pa.array(np.zeros(n, np.int8)), **cols})
+        return pa.concat_tables([q, g])
+
+    state = state_ds.materialize()
+    for _round in range(max_rounds):
+        nxt = (state.map_batches(tag_both, batch_format="pyarrow")
+               .groupby("_part")
+               .map_groups(double, batch_format="pyarrow")
+               .materialize())
+        still = int(nxt.aggregate(Sum("moving", alias_name="m"))["m"]
+                    or 0)
+        state = nxt  # 'moving' is ignored by tag_both; dropped at end
+        if still == 0:
+            break
+    return state.drop_columns(["moving"])
