@@ -5651,6 +5651,165 @@ def _q_returns_rate_by_month(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _q_nation_order_count_moments(sf_dir: str):
+    """Aggregate-of-aggregate: exact moments (n, Σx, Σx²) of the
+    per-customer ORDER COUNT distribution within each nation —
+    zero-order customers included.  Orders pre-count per custkey in
+    every block (combiner); ONE custkey co-group left-joins customers
+    and emits bounded per-nation partials; a native grouped Sum folds
+    them.  Variance/mean are derivable from the three integers without
+    any float leaving the engine."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.agg import _hash_part
+
+    P = 64
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+
+    def c_slim(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({
+            "_part": pa.array(_hash_part(b["c_custkey"], P), pa.int64()),
+            "_flag": pa.array(np.zeros(n, np.int8)),
+            "ck": b["c_custkey"],
+            "nk": pc.cast(b["c_nationkey"], pa.int64())})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ck": b["o_custkey"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("ck", sort=False).size().reset_index(name="n")
+        return pa.table({
+            "_part": pa.array(_hash_part(pa.array(g["ck"]), P),
+                              pa.int64()),
+            "_flag": pa.array(np.ones(len(g), np.int8)),
+            "ck": pa.array(g["ck"], pa.int64()),
+            "nk": pa.array(g["n"], pa.int64())})  # nk reused as count
+
+    def moments(t: pa.Table) -> pa.Table:
+        ct = t.filter(pc.equal(t["_flag"], 0))
+        ot = t.filter(pc.equal(t["_flag"], 1))
+        C = pd.DataFrame({"ck": ct["ck"].to_pandas(),
+                          "nk": ct["nk"].to_pandas()})
+        O = (pd.DataFrame({"ck": ot["ck"].to_pandas(),
+                           "n": ot["nk"].to_pandas()})
+             .groupby("ck", sort=False)["n"].sum())
+        C["x"] = C.join(O, on="ck")["n"].fillna(0).astype("int64")
+        C["x2"] = C["x"] * C["x"]
+        g = C.groupby("nk", sort=False).agg(
+            n_customers=("x", "size"), sum_orders=("x", "sum"),
+            sum_orders_sq=("x2", "sum")).reset_index()
+        return pa.table({
+            "nationkey": pa.array(g["nk"], pa.int64()),
+            "n_customers": pa.array(g["n_customers"], pa.int64()),
+            "sum_orders": pa.array(g["sum_orders"], pa.int64()),
+            "sum_orders_sq": pa.array(g["sum_orders_sq"], pa.int64())})
+
+    out = (cust.map_batches(c_slim, batch_format="pyarrow")
+           .union(orders.map_batches(o_partial, batch_format="pyarrow"))
+           .groupby("_part").map_groups(moments, batch_format="pyarrow")
+           .groupby("nationkey")
+           .aggregate(Sum("n_customers", alias_name="n_customers"),
+                      Sum("sum_orders", alias_name="sum_orders"),
+                      Sum("sum_orders_sq", alias_name="sum_orders_sq"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out[["nationkey", "n_customers", "sum_orders",
+                 "sum_orders_sq"]]
+            .sort_values("nationkey").reset_index(drop=True))
+
+
+def _q_event_type_peak_rate(sf_dir: str):
+    """Exact sliding-window burst detection: for each event type, the
+    maximum number of events inside ANY one-hour window (windows
+    anchored at events).  ONE type co-group sorts each type's
+    timestamps and runs a vectorized two-pointer sweep
+    (searchsorted of t+1h against the sorted array) — no window
+    explosion, no self-join; each partition emits one row per type."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    H = 3_600_000_000
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({"ty": b["event_type"],
+                         "t": pc.cast(b["ts"], pa.int64())})
+
+    def peak(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"ty": t["ty"].to_pandas(),
+                           "t": t["t"].to_pandas()})
+        rows = []
+        for ty, g in df.groupby("ty", sort=False):
+            ts = np.sort(g["t"].to_numpy())
+            hi = np.searchsorted(ts, ts + H, side="left")
+            rows.append((ty, int((hi - np.arange(len(ts))).max())))
+        out = pd.DataFrame(rows, columns=["event_type", "peak"])
+        return pa.table({
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "peak_events": pa.array(out["peak"], pa.int64())})
+
+    out = (ev.map_batches(slim, batch_format="pyarrow")
+           .groupby("ty").map_groups(peak, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Max("peak_events", alias_name="peak_events"))
+           .to_pandas())
+    out["peak_events"] = out["peak_events"].astype("int64")
+    return (out[["event_type", "peak_events"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+def _q_orders_rolling_3mo_revenue(sf_dir: str):
+    """Rolling 3-row revenue window over the months-bounded aggregate
+    (LAG-family window on a grouped result): ONE combiner-backed
+    grouped Sum builds per-month cents; the ROWS-frame rolling sum
+    runs on that bounded table — exact ints."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ym = pc.add(pc.multiply(pc.cast(pc.year(b["o_orderdate"]),
+                                        pa.int64()),
+                                pa.scalar(12, pa.int64())),
+                    pc.cast(pc.subtract(pc.month(b["o_orderdate"]),
+                                        pa.scalar(1)), pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            b["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        df = pd.DataFrame({
+            "ym": ym.to_numpy(zero_copy_only=False),
+            "c": cents.to_numpy(zero_copy_only=False)})
+        g = df.groupby("ym", sort=False)["c"].sum().reset_index()
+        return pa.table({"ym": pa.array(g["ym"], pa.int64()),
+                         "c": pa.array(g["c"], pa.int64())})
+
+    agg = (orders.map_batches(partial, batch_format="pyarrow")
+           .groupby("ym").aggregate(Sum("c", alias_name="revenue_cents"))
+           .to_pandas().sort_values("ym").reset_index(drop=True))
+    agg["rolling3_cents"] = (agg["revenue_cents"]
+                             .rolling(3, min_periods=1).sum()
+                             .astype("int64"))
+    out = pd.DataFrame({
+        "o_year": (agg["ym"] // 12).astype("int64"),
+        "o_month": (agg["ym"] % 12 + 1).astype("int64"),
+        "revenue_cents": agg["revenue_cents"].astype("int64"),
+        "rolling3_cents": agg["rolling3_cents"]})
+    return out.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5772,6 +5931,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_time_weighted_value": _q_event_time_weighted_value,
         "orders_weekday_profile": _q_orders_weekday_profile,
         "returns_rate_by_month": _q_returns_rate_by_month,
+        "nation_order_count_moments": _q_nation_order_count_moments,
+        "event_type_peak_rate": _q_event_type_peak_rate,
+        "orders_rolling_3mo_revenue": _q_orders_rolling_3mo_revenue,
         "bigram_coverage": _q_bigram_coverage,
         "doc_hapax_stats": _q_doc_hapax_stats,
         "doc_oov_rate": _q_doc_oov_rate,
@@ -6703,6 +6865,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "
             "AND l_shipdate < DATE '1998-01-01') l "
             "JOIN part ON l_partkey = p_partkey",
+        "nation_order_count_moments":
+            "WITH x AS (SELECT c_custkey, "
+            "CAST(c_nationkey AS BIGINT) AS nk, "
+            "count(o_orderkey) AS x FROM customer "
+            "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY 1, 2) "
+            "SELECT nk AS nationkey, "
+            "CAST(count(*) AS BIGINT) AS n_customers, "
+            "CAST(sum(x) AS BIGINT) AS sum_orders, "
+            "CAST(sum(x * x) AS BIGINT) AS sum_orders_sq "
+            "FROM x GROUP BY 1 ORDER BY 1",
+        "event_type_peak_rate":
+            "SELECT a.event_type, CAST(max(c) AS BIGINT) "
+            "AS peak_events FROM (SELECT a.event_type, a.event_id, "
+            "count(*) AS c FROM events a JOIN events b "
+            "ON b.event_type = a.event_type AND b.ts >= a.ts "
+            "AND b.ts < a.ts + INTERVAL 1 HOUR "
+            "GROUP BY 1, 2) a GROUP BY 1 ORDER BY 1",
+        "orders_rolling_3mo_revenue":
+            "WITH m AS (SELECT year(o_orderdate) AS y, "
+            "month(o_orderdate) AS mo, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS r "
+            "FROM orders GROUP BY 1, 2) "
+            "SELECT CAST(y AS BIGINT) AS o_year, "
+            "CAST(mo AS BIGINT) AS o_month, "
+            "CAST(r AS BIGINT) AS revenue_cents, "
+            "CAST(sum(r) OVER (ORDER BY y, mo "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS rolling3_cents FROM m ORDER BY 1, 2",
         "orders_weekday_profile":
             "SELECT CAST((datediff('day', DATE '1970-01-01', "
             "o_orderdate) + 3) % 7 AS BIGINT) AS weekday, "
