@@ -583,7 +583,8 @@ def _ivf_int_sql() -> str:
     p = _IVF_INT
     fin = f"cent{p['iters']}"
     qv = " UNION ALL ".join(
-        f"SELECT {qi} AS query_id, CAST({vid} AS BIGINT) AS vec_id"
+        f"SELECT CAST({qi} AS BIGINT) AS query_id, "
+        f"CAST({vid} AS BIGINT) AS vec_id"
         for qi, vid in enumerate(p["qids"]))
     q = _ivf_prefix_sql()
     q += (
@@ -7479,7 +7480,7 @@ def oracle_sql() -> dict[str, str]:
             "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
             "JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t "
             "WHERE e.event_type = 'purchase' GROUP BY 1) "
-            "SELECT 1 AS step, 'view' AS event_type, "
+            "SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, "
             "CAST(count(*) AS BIGINT) AS n_users FROM s1 "
             "UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2 "
             "UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) "
