@@ -345,8 +345,12 @@ def _q_event_gaps(sf_dir: str):
 
     def seal(b: pa.Table) -> pa.Table:
         for c in ("gap_prev_us", "gap_next_us"):
-            b = b.set_column(b.column_names.index(c), c,
-                             pc.fill_null(b[c].cast(pa.int64()), -1))
+            # rebuild from numpy so the field drops its validity
+            # bitmap — pandas then sees plain int64, not nullable Int64
+            v = pc.fill_null(b[c].cast(pa.int64()), -1)
+            arr = pa.array(v.to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
+            b = b.set_column(b.column_names.index(c), c, arr)
         return b
 
     return lag_lead_gaps(ev, "user_id", "ts").map_batches(
@@ -6628,7 +6632,8 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY round(sum(o_totalprice), 2) DESC, c_custkey LIMIT 10",
         "part_brand_stats":
             "SELECT p_brand, count(*) AS n_parts, "
-            "round(avg(p_retailprice), 2) AS avg_price, max(p_size) AS max_size "
+            "round(avg(p_retailprice), 2) AS avg_price, "
+            "CAST(max(p_size) AS BIGINT) AS max_size "
             "FROM part GROUP BY p_brand",
         "supplier_nation":
             "SELECT n_name, count(*) AS n_suppliers FROM supplier "
