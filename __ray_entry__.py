@@ -5815,6 +5815,135 @@ def _q_orders_rolling_3mo_revenue(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_event_value_first_digit(sf_dir: str):
+    """Benford first-digit profile of event values (data-quality /
+    fraud screen): leading digit of the integer cents, counted
+    exactly.  The digit comes from one vectorized string-slice kernel
+    (no float log10); block partials fold through ONE bounded grouped
+    Sum."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b["value"], pa.scalar(100.0))), pa.int64())
+        digit = pc.utf8_slice_codeunits(
+            pc.cast(cents, pa.string()), 0, 1)
+        df = pd.DataFrame({"d": digit.to_pandas()})
+        g = df.groupby("d", sort=False).size().reset_index(name="n")
+        return pa.table({"d": pa.array(g["d"], pa.string()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    out = (ev.map_batches(partial, batch_format="pyarrow")
+           .groupby("d").aggregate(Sum("n", alias_name="n_events"))
+           .to_pandas())
+    out = out.rename(columns={"d": "first_digit"})
+    out["n_events"] = out["n_events"].astype("int64")
+    return (out[["first_digit", "n_events"]]
+            .sort_values("first_digit").reset_index(drop=True))
+
+
+def _q_event_type_user_overlap(sf_dir: str):
+    """Pairwise audience overlap: for every ordered pair of event
+    types (a <= b), how many users did both.  Per-user type bitmasks
+    come from ONE grouped Max (block combiner first); each block of
+    the user-bounded mask table then emits bounded pair partials
+    (types² rows) via one vectorized outer product — the driver folds
+    a types²-bounded aggregate."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": b["user_id"].to_numpy(zero_copy_only=False),
+            "ty": b["event_type"].to_pandas()})
+        out = df.groupby("u", sort=False)["ty"].agg(set).reset_index()
+        tab = {"u": pa.array(out["u"], pa.int64())}
+        for t in TYPES:
+            tab[t] = pa.array(out["ty"].map(
+                lambda s, _t=t: int(_t in s)), pa.int64())
+        return pa.table(tab)
+
+    masks = (ev.map_batches(flags, batch_format="pyarrow")
+             .groupby("u").aggregate(*[
+                 Max(t, alias_name=t) for t in TYPES]))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        m = np.column_stack([
+            b[t].to_numpy(zero_copy_only=False) for t in TYPES])
+        co = m.T @ m  # types x types co-occurrence counts
+        rows = []
+        for i, a in enumerate(TYPES):
+            for j in range(i, len(TYPES)):
+                rows.append((a, TYPES[j], int(co[i, j])))
+        df = pd.DataFrame(rows, columns=["type_a", "type_b", "n"])
+        return pa.table({
+            "k": pa.array(df["type_a"] + "|" + df["type_b"]),
+            "n": pa.array(df["n"], pa.int64())})
+
+    agg = (masks.map_batches(pairs, batch_format="pyarrow")
+           .groupby("k").aggregate(Sum("n", alias_name="n_users"))
+           .to_pandas())
+    kv = agg["k"].str.split("|", expand=True)
+    out = pd.DataFrame({"type_a": kv[0], "type_b": kv[1],
+                        "n_users": agg["n_users"].astype("int64")})
+    return (out.sort_values(["type_a", "type_b"])
+            .reset_index(drop=True))
+
+
+def _q_lineitem_tax_discount_grid(sf_dir: str):
+    """2-D histogram: lineitem counts and value over the (tax
+    basis-point band × discount basis-point band) grid — one
+    vectorized banding pass, block partials, ONE bounded grouped
+    Sum."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_tax", "l_discount",
+                                  "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        tax = pc.cast(pc.round(pc.multiply(
+            b["l_tax"], pa.scalar(10_000.0))), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            b["l_discount"], pa.scalar(10_000.0))), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        df = pd.DataFrame({
+            "tb": (tax.to_numpy(zero_copy_only=False) // 200),
+            "db": (disc.to_numpy(zero_copy_only=False) // 200),
+            "c": cents.to_numpy(zero_copy_only=False)})
+        g = df.groupby(["tb", "db"], sort=False)["c"].agg(
+            ["count", "sum"]).reset_index()
+        return pa.table({
+            "tax_band": pa.array(g["tb"], pa.int64()),
+            "discount_band": pa.array(g["db"], pa.int64()),
+            "n_items": pa.array(g["count"], pa.int64()),
+            "cents": pa.array(g["sum"], pa.int64())})
+
+    out = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby(["tax_band", "discount_band"])
+           .aggregate(Sum("n_items", alias_name="n_items"),
+                      Sum("cents", alias_name="cents"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out[["tax_band", "discount_band", "n_items", "cents"]]
+            .sort_values(["tax_band", "discount_band"])
+            .reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5939,6 +6068,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_order_count_moments": _q_nation_order_count_moments,
         "event_type_peak_rate": _q_event_type_peak_rate,
         "orders_rolling_3mo_revenue": _q_orders_rolling_3mo_revenue,
+        "event_value_first_digit": _q_event_value_first_digit,
+        "event_type_user_overlap": _q_event_type_user_overlap,
+        "lineitem_tax_discount_grid": _q_lineitem_tax_discount_grid,
         "bigram_coverage": _q_bigram_coverage,
         "doc_hapax_stats": _q_doc_hapax_stats,
         "doc_oov_rate": _q_doc_oov_rate,
@@ -6871,6 +7003,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "
             "AND l_shipdate < DATE '1998-01-01') l "
             "JOIN part ON l_partkey = p_partkey",
+        "event_value_first_digit":
+            "SELECT substr(CAST(CAST(round(value * 100) AS BIGINT) "
+            "AS VARCHAR), 1, 1) AS first_digit, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY 1 ORDER BY 1",
+        "event_type_user_overlap":
+            "WITH d AS (SELECT DISTINCT user_id, event_type "
+            "FROM events) "
+            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM d a JOIN d b ON b.user_id = a.user_id "
+            "AND b.event_type >= a.event_type "
+            "GROUP BY 1, 2 ORDER BY 1, 2",
+        "lineitem_tax_discount_grid":
+            "SELECT CAST(CAST(round(l_tax * 10000) AS BIGINT) // 200 "
+            "AS BIGINT) AS tax_band, "
+            "CAST(CAST(round(l_discount * 10000) AS BIGINT) // 200 "
+            "AS BIGINT) AS discount_band, "
+            "CAST(count(*) AS BIGINT) AS n_items, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS cents "
+            "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2",
         "nation_order_count_moments":
             "WITH x AS (SELECT c_custkey, "
             "CAST(c_nationkey AS BIGINT) AS nk, "
