@@ -5944,6 +5944,117 @@ def _q_lineitem_tax_discount_grid(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _q_customer_repeat_rate_by_segment(sf_dir: str):
+    """Repeat-buyer rate per market segment as exact integer
+    fractions (n_repeat / n_customers): orders pre-count per custkey
+    in every block (combiner); ONE custkey co-group left-joins the
+    segment and emits bounded per-segment partials; a native grouped
+    Sum folds them — zero-order customers count in the denominator."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.agg import _hash_part
+
+    P = 64
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+
+    def c_slim(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({
+            "_part": pa.array(_hash_part(b["c_custkey"], P), pa.int64()),
+            "_flag": pa.array(np.zeros(n, np.int8)),
+            "ck": b["c_custkey"],
+            "seg": b["c_mktsegment"],
+            "n": pa.nulls(n, pa.int64())})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ck": b["o_custkey"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("ck", sort=False).size().reset_index(name="n")
+        m = len(g)
+        return pa.table({
+            "_part": pa.array(_hash_part(pa.array(g["ck"]), P),
+                              pa.int64()),
+            "_flag": pa.array(np.ones(m, np.int8)),
+            "ck": pa.array(g["ck"], pa.int64()),
+            "seg": pa.nulls(m, pa.string()),
+            "n": pa.array(g["n"], pa.int64())})
+
+    def rates(t: pa.Table) -> pa.Table:
+        ct = t.filter(pc.equal(t["_flag"], 0))
+        ot = t.filter(pc.equal(t["_flag"], 1))
+        C = pd.DataFrame({"ck": ct["ck"].to_pandas(),
+                          "seg": ct["seg"].to_pandas()})
+        O = (pd.DataFrame({"ck": ot["ck"].to_pandas(),
+                           "n": ot["n"].to_pandas()})
+             .groupby("ck", sort=False)["n"].sum())
+        C["x"] = C.join(O, on="ck")["n"].fillna(0).astype("int64")
+        g = C.groupby("seg", sort=False)["x"].agg(
+            n_customers="size",
+            n_repeat=lambda s: int((s >= 2).sum())).reset_index()
+        return pa.table({
+            "c_mktsegment": pa.array(g["seg"], pa.string()),
+            "n_customers": pa.array(g["n_customers"], pa.int64()),
+            "n_repeat": pa.array(g["n_repeat"], pa.int64())})
+
+    out = (cust.map_batches(c_slim, batch_format="pyarrow")
+           .union(orders.map_batches(o_partial, batch_format="pyarrow"))
+           .groupby("_part").map_groups(rates, batch_format="pyarrow")
+           .groupby("c_mktsegment")
+           .aggregate(Sum("n_customers", alias_name="n_customers"),
+                      Sum("n_repeat", alias_name="n_repeat"))
+           .to_pandas())
+    for c in ("n_customers", "n_repeat"):
+        out[c] = out[c].astype("int64")
+    return (out[["c_mktsegment", "n_customers", "n_repeat"]]
+            .sort_values("c_mktsegment").reset_index(drop=True))
+
+
+def _q_events_anomalous_users(sf_dir: str):
+    """Outlier users by activity: users whose event count exceeds
+    1.2× the MEDIAN per-user count (exact integer rule
+    ``5·n > 6·median`` — no float threshold).  Composition of bounded
+    pieces: ONE grouped Count builds the user-bounded activity table;
+    its count-of-counts histogram (value-domain-bounded) gives the
+    exact discrete median; one vectorized filter finishes — per-user
+    rows never hit the driver."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+    per_user = (ev.map_batches(
+        lambda b: pa.table({"u": b["user_id"]}),
+        batch_format="pyarrow")
+        .groupby("u").aggregate(Count(alias_name="n")).materialize())
+
+    hist = (per_user.map_batches(
+        lambda b: pa.table({"n": b["n"]}), batch_format="pyarrow")
+        .groupby("n").aggregate(Count(alias_name="w")).to_pandas())
+    med = _disc_quantile(hist["n"].to_numpy(), hist["w"].to_numpy())
+
+    out = (per_user.map_batches(
+        lambda b: b.filter(pc.greater(
+            pc.multiply(b["n"], pa.scalar(5, pa.int64())),
+            pa.scalar(6 * med, pa.int64()))),
+        batch_format="pyarrow").to_pandas())
+    if "u" not in out.columns:
+        out = pd.DataFrame({"u": pd.Series(dtype="int64"),
+                            "n": pd.Series(dtype="int64")})
+    out = out.rename(columns={"u": "user_id", "n": "n_events"})
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return (out[["user_id", "n_events"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -6071,6 +6182,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_first_digit": _q_event_value_first_digit,
         "event_type_user_overlap": _q_event_type_user_overlap,
         "lineitem_tax_discount_grid": _q_lineitem_tax_discount_grid,
+        "customer_repeat_rate_by_segment":
+            _q_customer_repeat_rate_by_segment,
+        "events_anomalous_users": _q_events_anomalous_users,
         "bigram_coverage": _q_bigram_coverage,
         "doc_hapax_stats": _q_doc_hapax_stats,
         "doc_oov_rate": _q_doc_oov_rate,
@@ -7003,6 +7117,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "
             "AND l_shipdate < DATE '1998-01-01') l "
             "JOIN part ON l_partkey = p_partkey",
+        "customer_repeat_rate_by_segment":
+            "WITH x AS (SELECT c_custkey, c_mktsegment, "
+            "count(o_orderkey) AS n FROM customer "
+            "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY 1, 2) "
+            "SELECT c_mktsegment, "
+            "CAST(count(*) AS BIGINT) AS n_customers, "
+            "CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_repeat FROM x GROUP BY 1 ORDER BY 1",
+        "events_anomalous_users":
+            "WITH u AS (SELECT user_id, count(*) AS n FROM events "
+            "GROUP BY 1), "
+            "m AS (SELECT quantile_disc(n, 0.5) AS med FROM u) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(n AS BIGINT) AS n_events FROM u, m "
+            "WHERE 5 * n > 6 * med ORDER BY user_id",
         "event_value_first_digit":
             "SELECT substr(CAST(CAST(round(value * 100) AS BIGINT) "
             "AS VARCHAR), 1, 1) AS first_digit, "
