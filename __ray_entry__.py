@@ -6055,6 +6055,64 @@ def _q_events_anomalous_users(sf_dir: str):
             .sort_values("user_id").reset_index(drop=True))
 
 
+def _pareto_2d(day: np.ndarray, cents: np.ndarray):
+    """Strict-dominance 2-D skyline (minimize day, maximize cents):
+    keep (d, c) iff no other point has day <= d, cents >= c with one
+    strict.  Vectorized: sort by (day asc, cents desc); a point
+    survives iff its cents strictly exceeds the running max of all
+    points on EARLIER days, and it is the max of its own day."""
+    order = np.lexsort((-cents, day))
+    d, c = day[order], cents[order]
+    keep = np.zeros(len(d), bool)
+    best = np.int64(np.iinfo(np.int64).min)
+    i = 0
+    while i < len(d):
+        j = i
+        while j < len(d) and d[j] == d[i]:
+            j += 1
+        if c[i] > best:       # day-group max (first in group) wins
+            keep[i] = True
+            best = c[i]
+        i = j
+    return d[keep], c[keep]
+
+
+def _q_orders_pareto_frontier(sf_dir: str):
+    """Pareto frontier (skyline) of orders over (earliest date,
+    highest value): the set of orders no other order dominates.
+    Scale shape: skyline-of-skylines is exact, so every block emits
+    its PARTIAL skyline (vectorized sort + running max — typically a
+    tiny fraction of the block) and only those survivors are gated
+    and folded once on the driver; the corpus is read once and the
+    exchange carries frontier candidates only."""
+    import pandas as pd
+    import ray.data as rd
+
+    DAY = 86_400_000_000
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(pc.cast(b["o_orderdate"], pa.int64()),
+                                pa.scalar(DAY, pa.int64())),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            b["o_totalprice"], pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        d, c = _pareto_2d(day, cents)
+        return pa.table({"day": pa.array(d, pa.int64()),
+                         "cents": pa.array(c, pa.int64())})
+
+    cand = (orders.map_batches(partial, batch_format="pyarrow")
+            .limit(1_000_001).to_pandas())
+    assert len(cand) <= 1_000_000, "skyline candidates exceed gate"
+    d, c = _pareto_2d(cand["day"].to_numpy(), cand["cents"].to_numpy())
+    out = pd.DataFrame({"order_day": d.astype("int64"),
+                        "totalprice_cents": c.astype("int64")})
+    return out.sort_values("order_day").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -6185,6 +6243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_repeat_rate_by_segment":
             _q_customer_repeat_rate_by_segment,
         "events_anomalous_users": _q_events_anomalous_users,
+        "orders_pareto_frontier": _q_orders_pareto_frontier,
         "bigram_coverage": _q_bigram_coverage,
         "doc_hapax_stats": _q_doc_hapax_stats,
         "doc_oov_rate": _q_doc_oov_rate,
@@ -7117,6 +7176,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "
             "AND l_shipdate < DATE '1998-01-01') l "
             "JOIN part ON l_partkey = p_partkey",
+        "orders_pareto_frontier":
+            "WITH p AS (SELECT datediff('day', DATE '1970-01-01', "
+            "o_orderdate) AS day, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
+            "FROM orders), "
+            "g AS (SELECT day, max(cents) AS cents FROM p GROUP BY 1), "
+            "f AS (SELECT day, cents, max(cents) OVER (ORDER BY day "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS prevmax FROM g) "
+            "SELECT CAST(day AS BIGINT) AS order_day, "
+            "CAST(cents AS BIGINT) AS totalprice_cents FROM f "
+            "WHERE prevmax IS NULL OR cents > prevmax ORDER BY 1",
         "customer_repeat_rate_by_segment":
             "WITH x AS (SELECT c_custkey, c_mktsegment, "
             "count(o_orderkey) AS n FROM customer "
