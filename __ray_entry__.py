@@ -4307,13 +4307,14 @@ def _value_hist(sf_dir: str):
 
 def _disc_quantile(vals, wts, q=0.5):
     """DuckDB ``quantile_disc`` on a weighted histogram: the value at
-    sorted position floor(q * (n - 1)) of the expanded multiset."""
+    1-based sorted position ceil(q·n) of the expanded multiset,
+    clamped to [1, n] (the rule shared with ``ops/quantiles``)."""
     order = np.argsort(vals, kind="stable")
     v, w = np.asarray(vals)[order], np.asarray(wts)[order]
     total = int(w.sum())
-    pos = int(np.floor(q * (total - 1)))
+    pos = min(max(int(np.ceil(q * total)), 1), total)  # 1-based
     cum = np.cumsum(w)
-    return int(v[np.searchsorted(cum, pos + 1)])
+    return int(v[np.searchsorted(cum, pos)])
 
 
 def _q_event_value_mad(sf_dir: str):
