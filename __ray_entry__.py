@@ -5867,11 +5867,11 @@ def _q_event_type_user_overlap(sf_dir: str):
         df = pd.DataFrame({
             "u": b["user_id"].to_numpy(zero_copy_only=False),
             "ty": b["event_type"].to_pandas()})
-        out = df.groupby("u", sort=False)["ty"].agg(set).reset_index()
-        tab = {"u": pa.array(out["u"], pa.int64())}
+        ct = (pd.crosstab(df["u"], df["ty"]).clip(upper=1)
+              .reindex(columns=TYPES, fill_value=0).reset_index())
+        tab = {"u": pa.array(ct["u"], pa.int64())}
         for t in TYPES:
-            tab[t] = pa.array(out["ty"].map(
-                lambda s, _t=t: int(_t in s)), pa.int64())
+            tab[t] = pa.array(ct[t].to_numpy().astype("int64"))
         return pa.table(tab)
 
     masks = (ev.map_batches(flags, batch_format="pyarrow")
