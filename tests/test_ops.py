@@ -441,3 +441,33 @@ def test_deterministic_sample(ray_session):
     # partition-independent
     out2 = deterministic_sample(ds.repartition(7), "doc_id", every=10).to_pandas()
     assert sorted(out2.doc_id) == sorted(out.doc_id)
+
+
+def test_ivf_append_grows_index(ray_session, tmp_path):
+    """Incremental growth: vectors appended after the build must be
+    findable (each appended query's own vector is its rank-1 hit) and
+    the original contents must be untouched."""
+    import ray.data as rd
+
+    from xtract.ops.similarity import build_ivf_index, ivf_append, knn_ivf_index
+
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((300, 16))
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                        for i in range(300)])
+    out = str(tmp_path / "ivf")
+    build_ivf_index(ds, out, n_cells=8)
+
+    new_vecs = rng.standard_normal((50, 16))
+    new_ds = rd.from_items([
+        {"vec_id": 1000 + i, "embedding": new_vecs[i].tolist()}
+        for i in range(50)])
+    assert ivf_append(out, new_ds) == 50
+
+    got = knn_ivf_index(out, new_vecs[:4], k=3, nprobe=8).to_pandas()
+    for qi in range(4):
+        assert got[got.query_id == qi].iloc[0].vec_id == 1000 + qi
+    # original vectors still served
+    old = knn_ivf_index(out, vecs[:2], k=3, nprobe=8).to_pandas()
+    for qi in range(2):
+        assert old[old.query_id == qi].iloc[0].vec_id == qi

@@ -93,6 +93,34 @@ def build_ivf_index(ds, out_dir: str, n_cells: int = 16,
     return centers
 
 
+def ivf_append(out_dir: str, ds, key: str = "vec_id",
+               col: str = "embedding") -> int:
+    """Incrementally grow a persisted IVF index: assign the NEW
+    vectors to the EXISTING centroids (no retrain — cell geometry is
+    frozen at build time, the standard IVF growth path) and append
+    them as new parquet files inside the same ``cell=<i>/`` hive
+    directories.  ``knn_ivf_index`` picks them up on the next query
+    with zero changes — appends never rewrite existing files, so a
+    crashed append leaves the old index intact and the op is safe to
+    re-run after deleting the partial files it logged.  Returns the
+    number of vectors appended."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    ctab = pq.read_table(os.path.join(out_dir, "centroids.parquet"))
+    order = np.argsort(ctab["cell"].to_numpy())
+    centers = np.asarray(ctab["center"].to_pylist(), np.float64)[order]
+
+    idx = IVFIndex(centers)
+    assigned = ds.select_columns([key, col]).map_batches(
+        lambda b: idx.assign_batch(b, col), batch_format="pyarrow")
+    n = assigned.count()
+    assigned.write_parquet(os.path.join(out_dir, "cells"),
+                           partition_cols=["cell"])
+    return n
+
+
 def knn_ivf_index(out_dir: str, queries: np.ndarray, k: int = 10,
                   nprobe: int = 4, key: str = "vec_id",
                   col: str = "embedding") -> pa.Table:
