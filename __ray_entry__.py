@@ -6114,6 +6114,82 @@ def _q_orders_pareto_frontier(sf_dir: str):
     return out.sort_values("order_day").reset_index(drop=True)
 
 
+def _q_users_all_event_types(sf_dir: str):
+    """Relational division over behavior: how many users performed
+    EVERY event type in the catalog.  The divisor cardinality is one
+    bounded distinct-count; per-user distinct-type counts come from a
+    block combiner + ONE grouped Count over distinct (user, type)
+    pairs; a vectorized equality filter + Count finishes."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    n_types = (ev.map_batches(
+        lambda b: pa.table({"t": pc.unique(b["event_type"])}),
+        batch_format="pyarrow").groupby("t")
+        .aggregate(Count(alias_name="_n")).count())
+
+    def pairs(b: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({
+            "u": b["user_id"].to_numpy(zero_copy_only=False),
+            "t": b["event_type"].to_pandas()}).drop_duplicates())
+        return pa.table({"k": pa.array(
+            df["u"].astype(str) + ":" + df["t"])})
+
+    per_user = (ev.map_batches(pairs, batch_format="pyarrow")
+                .groupby("k").aggregate(Count(alias_name="_n"))
+                .map_batches(lambda b: pa.table({
+                    "u": pc.cast(pc.replace_substring_regex(
+                        b["k"], pattern=":.*$", replacement=""),
+                        pa.int64())}), batch_format="pyarrow")
+                .groupby("u").aggregate(Count(alias_name="nt")))
+    n = (per_user.map_batches(
+        lambda b: pa.table({"one": pa.array([len(b.filter(pc.equal(
+            b["nt"], pa.scalar(n_types, pa.int64()))))], pa.int64())}),
+        batch_format="pyarrow").to_pandas())
+    return pd.DataFrame({"n_users": [int(n["one"].sum())]})
+
+
+def _q_order_priority_mix_shift(sf_dir: str):
+    """Priority-mix drift: per (year, priority) order counts with the
+    year total attached as an exact denominator (window-on-aggregate —
+    the share is num/den, no floats).  One combiner-backed grouped Sum
+    over a composite bounded key; margins on the years×priorities
+    aggregate."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderdate", "o_orderpriority"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "y": pc.cast(pc.year(b["o_orderdate"]),
+                         pa.int64()).to_numpy(zero_copy_only=False),
+            "p": b["o_orderpriority"].to_pandas()})
+        g = df.groupby(["y", "p"], sort=False).size().reset_index(
+            name="n")
+        return pa.table({"y": pa.array(g["y"], pa.int64()),
+                         "p": pa.array(g["p"], pa.string()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    agg = (orders.map_batches(partial, batch_format="pyarrow")
+           .groupby(["y", "p"]).aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    agg["year_total"] = agg.groupby("y")["n"].transform("sum")
+    out = pd.DataFrame({
+        "o_year": agg["y"].astype("int64"),
+        "o_orderpriority": agg["p"].astype(str),
+        "n_orders": agg["n"].astype("int64"),
+        "year_total": agg["year_total"].astype("int64")})
+    return (out.sort_values(["o_year", "o_orderpriority"])
+            .reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -6245,6 +6321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_customer_repeat_rate_by_segment,
         "events_anomalous_users": _q_events_anomalous_users,
         "orders_pareto_frontier": _q_orders_pareto_frontier,
+        "users_all_event_types": _q_users_all_event_types,
+        "order_priority_mix_shift": _q_order_priority_mix_shift,
         "bigram_coverage": _q_bigram_coverage,
         "doc_hapax_stats": _q_doc_hapax_stats,
         "doc_oov_rate": _q_doc_oov_rate,
@@ -7177,6 +7255,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "
             "AND l_shipdate < DATE '1998-01-01') l "
             "JOIN part ON l_partkey = p_partkey",
+        "users_all_event_types":
+            "SELECT CAST(count(*) AS BIGINT) AS n_users FROM "
+            "(SELECT user_id FROM events GROUP BY 1 "
+            "HAVING count(DISTINCT event_type) = "
+            "(SELECT count(DISTINCT event_type) FROM events))",
+        "order_priority_mix_shift":
+            "WITH g AS (SELECT year(o_orderdate) AS y, "
+            "o_orderpriority AS p, count(*) AS n "
+            "FROM orders GROUP BY 1, 2) "
+            "SELECT CAST(y AS BIGINT) AS o_year, "
+            "p AS o_orderpriority, CAST(n AS BIGINT) AS n_orders, "
+            "CAST(sum(n) OVER (PARTITION BY y) AS BIGINT) "
+            "AS year_total FROM g ORDER BY 1, 2",
         "orders_pareto_frontier":
             "WITH p AS (SELECT datediff('day', DATE '1970-01-01', "
             "o_orderdate) AS day, "
