@@ -6190,6 +6190,104 @@ def _q_order_priority_mix_shift(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _q_daily_new_users(sf_dir: str):
+    """Growth curve: users seen for the FIRST time each day.  Per-user
+    first day is a combiner-backed native grouped Min; a bounded
+    grouped Count per day finishes — two exchanges, both carrying at
+    most one row per user / per day."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    DAY = 86_400_000_000
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def slim(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(pc.cast(b["ts"], pa.int64()),
+                                pa.scalar(DAY, pa.int64())), pa.int64())
+        df = (pd.DataFrame({
+            "u": b["user_id"].to_numpy(zero_copy_only=False),
+            "d": day.to_numpy(zero_copy_only=False)})
+            .groupby("u", sort=False)["d"].min().reset_index())
+        return pa.table({"u": pa.array(df["u"], pa.int64()),
+                         "d": pa.array(df["d"], pa.int64())})
+
+    out = (ev.map_batches(slim, batch_format="pyarrow")
+           .groupby("u").aggregate(Min("d", alias_name="first_day"))
+           .groupby("first_day").aggregate(Count(alias_name="n_new"))
+           .to_pandas())
+    out["first_day"] = out["first_day"].astype("int64")
+    out["n_new"] = out["n_new"].astype("int64")
+    return (out[["first_day", "n_new"]].sort_values("first_day")
+            .reset_index(drop=True))
+
+
+def _q_daily_churned_users(sf_dir: str):
+    """Day-over-day churn: users active on day D with NO activity on
+    D+1 (for days that have a successor in the data).  ONE user-hash
+    co-group sees each user's distinct active days and counts
+    lapse transitions locally; a bounded grouped Sum folds per-day
+    partials."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.agg import _hash_part
+
+    P = 64
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def slim(b: pa.Table) -> pa.Table:
+        wk = pc.divide(pc.cast(b["ts"], pa.int64()),
+                       pa.scalar(86_400_000_000, pa.int64()))
+        df = (pd.DataFrame({
+            "u": b["user_id"].to_numpy(zero_copy_only=False),
+            "m": pc.cast(wk, pa.int64()).to_numpy(zero_copy_only=False)})
+            .drop_duplicates())
+        return pa.table({
+            "_part": pa.array(_hash_part(pa.array(df["u"]), P),
+                              pa.int64()),
+            "u": pa.array(df["u"], pa.int64()),
+            "m": pa.array(df["m"], pa.int64())})
+
+    # global max day: churn is undefined for the final day
+    last = None
+
+    def churn(t: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"u": t["u"].to_pandas(),
+                            "m": t["m"].to_pandas()})
+              .drop_duplicates().sort_values(["u", "m"]))
+        nxt = df.groupby("u", sort=False)["m"].shift(-1)
+        gone = (df["m"] < last) & ((nxt.isna()) | (nxt > df["m"] + 1))
+        g = (df.loc[gone].groupby("m", sort=False).size()
+             .reset_index(name="n"))
+        return pa.table({"ym": pa.array(g["m"], pa.int64()),
+                         "n_churned": pa.array(g["n"], pa.int64())})
+
+    from ray.data.aggregate import Max
+
+    slimmed = ev.map_batches(slim, batch_format="pyarrow").materialize()
+    last = int(slimmed.aggregate(Max("m", alias_name="m"))["m"])
+
+    out = (slimmed.groupby("_part")
+           .map_groups(churn, batch_format="pyarrow")
+           .groupby("ym").aggregate(Sum("n_churned",
+                                        alias_name="n_churned"))
+           .to_pandas())
+    if "ym" not in out.columns:  # no churn anywhere: schema-safe empty
+        out = pd.DataFrame({"ym": pd.Series(dtype="int64"),
+                            "n_churned": pd.Series(dtype="int64")})
+    out = out.rename(columns={"ym": "epoch_day"})
+    out["epoch_day"] = out["epoch_day"].astype("int64")
+    out["n_churned"] = out["n_churned"].astype("int64")
+    return (out[["epoch_day", "n_churned"]]
+            .sort_values("epoch_day").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -6323,6 +6421,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pareto_frontier": _q_orders_pareto_frontier,
         "users_all_event_types": _q_users_all_event_types,
         "order_priority_mix_shift": _q_order_priority_mix_shift,
+        "daily_new_users": _q_daily_new_users,
+        "daily_churned_users": _q_daily_churned_users,
         "bigram_coverage": _q_bigram_coverage,
         "doc_hapax_stats": _q_doc_hapax_stats,
         "doc_oov_rate": _q_doc_oov_rate,
@@ -7255,6 +7355,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "
             "AND l_shipdate < DATE '1998-01-01') l "
             "JOIN part ON l_partkey = p_partkey",
+        "daily_new_users":
+            "WITH f AS (SELECT user_id, "
+            "min(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) "
+            "AS first_day FROM events GROUP BY 1) "
+            "SELECT CAST(first_day AS BIGINT) AS first_day, "
+            "CAST(count(*) AS BIGINT) AS n_new "
+            "FROM f GROUP BY 1 ORDER BY 1",
+        "daily_churned_users":
+            "WITH um AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS m FROM events), "
+            "mx AS (SELECT max(m) AS last FROM um) "
+            "SELECT CAST(m AS BIGINT) AS epoch_day, "
+            "CAST(count(*) AS BIGINT) AS n_churned "
+            "FROM um a, mx WHERE m < last AND NOT EXISTS "
+            "(SELECT 1 FROM um b WHERE b.user_id = a.user_id "
+            "AND b.m = a.m + 1) GROUP BY 1 ORDER BY 1",
         "users_all_event_types":
             "SELECT CAST(count(*) AS BIGINT) AS n_users FROM "
             "(SELECT user_id FROM events GROUP BY 1 "
