@@ -4832,23 +4832,27 @@ def _q_doc_simpson_diversity(sf_dir: str):
     import pandas as pd
     import ray.data as rd
 
-    from xtract.ops.vocab import sql_tokens
-
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
     def per_doc(b: pa.Table) -> pa.Table:
-        ids, toks = [], []
-        for d, t in zip(b["doc_id"].to_pylist(),
-                        b["text"].to_pylist()):
-            for tok in sql_tokens(t or ""):
-                ids.append(d)
-                toks.append(tok)
-        if not ids:
+        # fully vectorized tokenization: one split kernel, one
+        # parent-index flatten, one empty-token mask — no Python loop
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(b["text"], pa.scalar(""))),
+            pattern="[^a-z]+").combine_chunks()
+        parents = pc.list_parent_indices(lists)
+        flat = pc.list_flatten(lists)
+        mask = pc.not_equal(flat, "")
+        toks = flat.filter(mask)
+        ids = pc.take(b["doc_id"].combine_chunks(),
+                      parents.filter(mask))
+        if len(toks) == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "num": pa.array([], pa.int64()),
                              "den": pa.array([], pa.int64())})
-        df = pd.DataFrame({"d": ids, "t": toks})
+        df = pd.DataFrame({"d": ids.to_numpy(zero_copy_only=False),
+                           "t": toks.to_pandas()})
         c = (df.groupby(["d", "t"], sort=False).size()
              .reset_index(name="n"))
         g = c.groupby("d", sort=False)["n"].agg(
