@@ -25,34 +25,58 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .vocab import sql_tokens
+from .vocab import sql_tokens  # noqa: F401 — the scalar reference rule
 
 #: fixed-point scale for the exact integer PMI ratio output
 PPM = 1_000_000
 
 
+def _flat_tokens(batch: pa.Table, col: str):
+    """Vectorized tokenization of a whole batch: ONE regex-split
+    kernel + list-flatten + empty mask (no Python loop over rows or
+    tokens).  Returns (tokens, parent_row_indices) — flattened order
+    preserves within-document order, so adjacency in the flat arrays
+    with equal parents IS bigram adjacency after the empty drop
+    (identical to ``sql_tokens``)."""
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern_regex(
+        pc.utf8_lower(pc.coalesce(batch[col], pa.scalar(""))),
+        pattern="[^a-z]+").combine_chunks()
+    parents = pc.list_parent_indices(lists)
+    flat = pc.list_flatten(lists)
+    mask = pc.not_equal(flat, "")
+    return flat.filter(mask), parents.filter(mask)
+
+
 def _bigram_counts_batch(batch: pa.Table, col: str) -> pa.Table:
-    counts: dict[tuple[str, str], int] = {}
-    for t in batch[col].to_pylist():
-        toks = sql_tokens(t or "")
-        for a, b in zip(toks, toks[1:]):
-            counts[(a, b)] = counts.get((a, b), 0) + 1
-    ks = list(counts)
+    import pandas as pd
+
+    toks, parents = _flat_tokens(batch, col)
+    t = np.asarray(toks.to_pylist(), dtype=object)
+    par = parents.to_numpy(zero_copy_only=False)
+    if len(t) < 2:
+        return pa.table({"a": pa.array([], pa.string()),
+                         "b": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    adj = par[1:] == par[:-1]
+    df = pd.DataFrame({"a": t[:-1][adj], "b": t[1:][adj]})
+    g = df.groupby(["a", "b"], sort=False).size().reset_index(name="n")
     return pa.table({
-        "a": pa.array([k[0] for k in ks], pa.string()),
-        "b": pa.array([k[1] for k in ks], pa.string()),
-        "n": pa.array([counts[k] for k in ks], pa.int64()),
+        "a": pa.array(g["a"], pa.string()),
+        "b": pa.array(g["b"], pa.string()),
+        "n": pa.array(g["n"], pa.int64()),
     })
 
 
 def _unigram_counts_batch(batch: pa.Table, col: str) -> pa.Table:
-    counts: dict[str, int] = {}
-    for t in batch[col].to_pylist():
-        for tok in sql_tokens(t or ""):
-            counts[tok] = counts.get(tok, 0) + 1
+    import pandas as pd
+
+    toks, _ = _flat_tokens(batch, col)
+    vc = pd.Series(toks.to_pandas()).value_counts(sort=False)
     return pa.table({
-        "token": pa.array(list(counts), pa.string()),
-        "n": pa.array(list(counts.values()), pa.int64()),
+        "token": pa.array(vc.index.to_numpy(), pa.string()),
+        "n": pa.array(vc.to_numpy(), pa.int64()),
     })
 
 
