@@ -5132,7 +5132,6 @@ def _q_source_token_divergence(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     from xtract.ops.agg import _hash_part
-    from xtract.ops.vocab import sql_tokens
 
     A, B, K, P = "src0", "src1", 20, 16
 
@@ -5140,17 +5139,19 @@ def _q_source_token_divergence(sf_dir: str):
                            columns=["source", "text"])
 
     def counts(b: pa.Table) -> pa.Table:
+        from xtract.ops.collocations import _flat_tokens
+
         t = b.filter(pc.is_in(b["source"], value_set=pa.array([A, B])))
-        c: dict[tuple[str, str], int] = {}
-        for s, x in zip(t["source"].to_pylist(),
-                        t["text"].to_pylist()):
-            for tok in sql_tokens(x or ""):
-                c[(tok, s)] = c.get((tok, s), 0) + 1
-        ks = list(c)
+        toks, parents = _flat_tokens(t, "text")
+        src = pc.take(t["source"].combine_chunks(), parents)
+        df = pd.DataFrame({"token": toks.to_pandas(),
+                           "source": src.to_pandas()})
+        g = (df.groupby(["token", "source"], sort=False).size()
+             .reset_index(name="n"))
         return pa.table({
-            "token": pa.array([k[0] for k in ks], pa.string()),
-            "source": pa.array([k[1] for k in ks], pa.string()),
-            "n": pa.array([c[k] for k in ks], pa.int64())})
+            "token": pa.array(g["token"], pa.string()),
+            "source": pa.array(g["source"], pa.string()),
+            "n": pa.array(g["n"], pa.int64())})
 
     ts = (docs.map_batches(counts, batch_format="pyarrow")
           .groupby(["token", "source"])
