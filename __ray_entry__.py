@@ -2894,6 +2894,102 @@ def _q_customer_spend_bucketed(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_customer_spend_incremental(sf_dir: str):
+    """Per-customer order aggregates via the PERSISTED incremental
+    state store (``ops/incremental``): build the state from pre-1999
+    orders, then fold the 1999+ delta in — the delta pass re-aggregates
+    ONLY the new rows and rewrites ONLY the key-hash buckets they
+    touch (combiner → fragment append → per-bucket compaction with a
+    consumed-tag log).  The committed state equals a one-shot GROUP BY
+    over the full table (the SQL oracle) — the daily-refresh shape at
+    100 TB, where merge cost ∝ delta, not corpus."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from xtract.ops.incremental import (init_agg_state, merge_delta,
+                                        read_agg_state)
+
+    split = pa.scalar(dt.datetime(1999, 1, 1), pa.timestamp("us"))
+
+    def prep(want_delta: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pa.compute.greater_equal(t["o_orderdate"], split)
+            if not want_delta:
+                m = pa.compute.invert(m)
+            t = t.filter(m)
+            return pa.table({
+                "o_custkey": t["o_custkey"],
+                "cents": pa.compute.cast(pa.compute.round(
+                    pa.compute.multiply(t["o_totalprice"], 100)),
+                    pa.int64())})
+        return fn
+
+    def orders():
+        return rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_totalprice", "o_orderdate"])
+
+    specs = {"n_orders": ("cents", "count"),
+             "spend_cents": ("cents", "sum"),
+             "min_order_cents": ("cents", "min"),
+             "max_order_cents": ("cents", "max")}
+    d = tempfile.mkdtemp(prefix="xtract_aggstate_", dir="/tmp")
+    try:
+        init_agg_state(orders().map_batches(
+            prep(False), batch_format="pyarrow"), d, "o_custkey",
+            specs, n_buckets=16)
+        merge_delta(d, orders().map_batches(
+            prep(True), batch_format="pyarrow"))
+        out = read_agg_state(d).to_pandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    out = out[["o_custkey", "n_orders", "spend_cents",
+               "min_order_cents", "max_order_cents"]]
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def _q_events_range_pruned(sf_dir: str):
+    """Range scan through the SORTED zone-map layout
+    (``ops/sorted_layout``): events are written time-sorted once
+    (per-file min/max envelopes in a manifest), then the
+    [Jan 10, Jan 15) scan opens ONLY the envelope-overlapping files —
+    storage-level range pruning, the time-series complement of the
+    hash-bucket point lookup.  Per-type counts + exact cent sums over
+    the pruned scan match the oracle's WHERE-filtered aggregate."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from xtract.ops.sorted_layout import read_range, write_sorted
+
+    d = tempfile.mkdtemp(prefix="xtract_sorted_", dir="/tmp")
+    try:
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "event_type", "value"])
+        write_sorted(ev, d, "ts")
+        sel = read_range(d, dt.datetime(2024, 1, 10),
+                         dt.datetime(2024, 1, 15))
+        cents = sel.map_batches(
+            lambda t: pa.table({
+                "event_type": t["event_type"],
+                "cents": pa.compute.cast(pa.compute.round(
+                    pa.compute.multiply(t["value"], 100)), pa.int64()),
+            }), batch_format="pyarrow")
+        out = (cents.groupby("event_type")
+               .aggregate(Count(alias_name="n_events"),
+                          Sum("cents", alias_name="value_cents"))
+               .to_pandas())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_host_crawl_budget(sf_dir: str):
     """Proportional crawl-budget apportionment (Hamilton / largest-
     remainder, the exact integer allocation rule): each host gets
@@ -6365,6 +6461,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_moments": _q_event_value_moments,
         "regional_revenue": _q_regional_revenue,
         "customer_spend_bucketed": _q_customer_spend_bucketed,
+        "customer_spend_incremental": _q_customer_spend_incremental,
+        "events_range_pruned": _q_events_range_pruned,
         "host_crawl_budget": _q_host_crawl_budget,
         "doc_prefix_dedup": _q_doc_prefix_dedup,
         "event_transitions": _q_event_transitions,
@@ -7909,6 +8007,21 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS spend_cents "
             "FROM customer JOIN orders ON o_custkey = c_custkey "
             "GROUP BY 1",
+        "customer_spend_incremental":
+            "SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) "
+            "AS BIGINT) AS spend_cents, "
+            "CAST(min(CAST(round(o_totalprice*100) AS BIGINT)) "
+            "AS BIGINT) AS min_order_cents, "
+            "CAST(max(CAST(round(o_totalprice*100) AS BIGINT)) "
+            "AS BIGINT) AS max_order_cents "
+            "FROM orders GROUP BY 1",
+        "events_range_pruned":
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) "
+            "AS value_cents FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-10' "
+            "AND ts < TIMESTAMP '2024-01-15' GROUP BY 1",
         "regional_revenue":
             "SELECT r_name AS region, CAST(count(*) AS BIGINT) "
             "AS n_orders, CAST(sum(CAST(round(o_totalprice*100) "
