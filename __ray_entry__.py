@@ -2990,6 +2990,83 @@ def _q_events_range_pruned(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def _q_events_stream_window(sf_dir: str):
+    """Streaming watermark window (``ops/streaming``): the event feed
+    is consumed as an ORDERED stream of Arrow batches through sharded
+    window actors with per-shard watermarks and bounded open-window
+    state — the custom-operator carve-out for unbounded-stream
+    semantics the batch engine can't express.  With the lateness
+    allowance covering the feed's disorder the finalized windows equal
+    the batch hourly groupby EXACTLY (integer cents), which is what
+    the oracle checks; the drop-too-late half of the contract is
+    pytest-covered (``tests/test_streaming.py``)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from xtract.ops.streaming import stream_window_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    cents = ev.map_batches(
+        lambda t: pa.table({
+            "ts": t["ts"], "event_type": t["event_type"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100)),
+                             pa.int64())}),
+        batch_format="pyarrow")
+    tbl, n_late = stream_window_aggregate(
+        cents.iter_batches(batch_format="pyarrow", batch_size=4096),
+        ts_col="ts", key_col="event_type", val_col="cents",
+        width_s=3600, lateness_s=10 ** 9, n_shards=4)
+    assert n_late == 0
+    df = tbl.to_pandas()
+    window = (pd.to_datetime(df["window_start_us"], unit="us")
+              .dt.strftime("%Y-%m-%d %H:00"))
+    out = pd.DataFrame({"window": window, "event_type": df["key"],
+                        "n_events": df["n_events"],
+                        "value_cents": df["value_sum"].round()
+                        .astype("int64")})
+    return (out.sort_values(["window", "event_type"])
+            .reset_index(drop=True))
+
+
+def _q_user_customer_outer(sf_dir: str):
+    """FULL OUTER co-group join (``ops/joins.equi_join_cogroup`` with
+    ``how="outer"``): per-user event counts against the high-balance
+    customer roster — unmatched rows survive on BOTH sides (event
+    users below the balance bar, customers with no events), keys
+    coalesce natively (int64-exact, no float round-trip), and
+    null-padded int columns stay nullable ints."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from xtract.ops.joins import equi_join_cogroup
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ev_agg = ev.groupby("user_id").aggregate(Count(alias_name="n_events"))
+    cust = (rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["c_acctbal"], 5000))
+            .select(["c_custkey", "c_mktsegment"]),
+            batch_format="pyarrow"))
+    j = equi_join_cogroup(ev_agg, cust, on="user_id",
+                          right_on="c_custkey", how="outer",
+                          num_partitions=16)
+
+    def finish(t: pa.Table) -> pa.Table:
+        ne, seg = t["n_events"], t["c_mktsegment"]
+        status = pc.if_else(
+            pc.is_null(ne), pa.scalar("customer_only"),
+            pc.if_else(pc.is_null(seg), pa.scalar("event_only"),
+                       pa.scalar("both")))
+        return pa.table({"user_id": t["user_id"], "n_events": ne,
+                         "segment": seg, "status": status})
+
+    return (j.map_batches(finish, batch_format="pyarrow").to_pandas()
+            .sort_values("user_id").reset_index(drop=True))
+
+
 def _q_host_crawl_budget(sf_dir: str):
     """Proportional crawl-budget apportionment (Hamilton / largest-
     remainder, the exact integer allocation rule): each host gets
@@ -6463,6 +6540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_spend_bucketed": _q_customer_spend_bucketed,
         "customer_spend_incremental": _q_customer_spend_incremental,
         "events_range_pruned": _q_events_range_pruned,
+        "events_stream_window": _q_events_stream_window,
+        "user_customer_outer": _q_user_customer_outer,
         "host_crawl_budget": _q_host_crawl_budget,
         "doc_prefix_dedup": _q_doc_prefix_dedup,
         "event_transitions": _q_event_transitions,
@@ -8022,6 +8101,22 @@ def oracle_sql() -> dict[str, str]:
             "AS value_cents FROM events "
             "WHERE ts >= TIMESTAMP '2024-01-10' "
             "AND ts < TIMESTAMP '2024-01-15' GROUP BY 1",
+        "events_stream_window":
+            "SELECT strftime(ts, '%Y-%m-%d %H:00') AS window, "
+            "event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) "
+            "AS value_cents FROM events GROUP BY 1, 2",
+        "user_customer_outer":
+            "WITH e AS (SELECT user_id, CAST(count(*) AS BIGINT) "
+            "AS n_events FROM events GROUP BY 1), "
+            "c AS (SELECT c_custkey, c_mktsegment FROM customer "
+            "WHERE c_acctbal > 5000) "
+            "SELECT COALESCE(e.user_id, c.c_custkey) AS user_id, "
+            "e.n_events, c.c_mktsegment AS segment, "
+            "CASE WHEN e.user_id IS NULL THEN 'customer_only' "
+            "WHEN c.c_custkey IS NULL THEN 'event_only' "
+            "ELSE 'both' END AS status "
+            "FROM e FULL OUTER JOIN c ON e.user_id = c.c_custkey",
         "regional_revenue":
             "SELECT r_name AS region, CAST(count(*) AS BIGINT) "
             "AS n_orders, CAST(sum(CAST(round(o_totalprice*100) "

@@ -204,6 +204,19 @@ def bench_once() -> dict:
 
     queries["asof_cogroup"] = timed(run_asof)
 
+    from xtract.ops.streaming import stream_window_aggregate
+
+    def run_stream():
+        ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                             columns=["ts", "event_type", "value"])
+        tbl, _ = stream_window_aggregate(
+            ev.iter_batches(batch_format="pyarrow", batch_size=8192),
+            ts_col="ts", key_col="event_type", val_col="value",
+            width_s=3600, lateness_s=10 ** 9, n_shards=8)
+        return tbl.num_rows
+
+    queries["stream_window"] = timed(run_stream)
+
     from xtract.ops.packing import pack_documents
     from xtract.ops.vocab import build_vocab
 

@@ -1,0 +1,154 @@
+"""Streaming watermark window (ops/streaming) + full-outer co-group
+join (ops/joins) — the round-3 session-8 additions."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ev(ts_s, keys, vals):
+    return pa.table({
+        "ts": pa.array([int(t) * 1_000_000 for t in ts_s],
+                       pa.timestamp("us")),
+        "k": pa.array(keys, pa.string()),
+        "v": pa.array(vals, pa.float64())})
+
+
+def test_stream_window_matches_batch_groupby(ray_session):
+    from xtract.ops.streaming import stream_window_aggregate
+
+    rng = np.random.default_rng(7)
+    n = 5_000
+    ts = rng.integers(0, 50_000, n)          # ~14 hourly windows at 3600s
+    keys = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    vals = rng.normal(10.0, 3.0, n)
+    t = _ev(ts, keys.tolist(), vals)
+    batches = [t.slice(i, 500) for i in range(0, n, 500)]
+
+    out, n_late = stream_window_aggregate(
+        batches, ts_col="ts", key_col="k", val_col="v",
+        width_s=3600, lateness_s=10 ** 9, n_shards=3)
+    assert n_late == 0
+
+    got = (out.to_pandas()
+           .sort_values(["window_start_us", "key"]).reset_index(drop=True))
+    want = (pd.DataFrame({"w": (ts.astype(np.int64) * 1_000_000
+                                // 3_600_000_000) * 3_600_000_000,
+                          "k": keys, "v": vals})
+            .groupby(["w", "k"], as_index=False)
+            .agg(n_events=("v", "size"), value_sum=("v", "sum"))
+            .sort_values(["w", "k"]).reset_index(drop=True))
+    assert got["window_start_us"].tolist() == want["w"].tolist()
+    assert got["key"].tolist() == want["k"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    np.testing.assert_allclose(got["value_sum"], want["value_sum"],
+                               rtol=1e-12)
+
+
+def test_stream_window_drops_too_late(ray_session):
+    from xtract.ops.streaming import stream_window_aggregate
+
+    # width 60s, zero lateness: batch1 advances the watermark to 120,
+    # closing [0,60) and [60,120); batch2's ts=30 is too late (dropped),
+    # ts=130 lands in the open [120,180) window.
+    b1 = _ev([5, 50, 70, 120], ["a"] * 4, [1.0, 2.0, 3.0, 4.0])
+    b2 = _ev([30, 130], ["a", "a"], [9.0, 5.0])
+    out, n_late = stream_window_aggregate(
+        [b1, b2], ts_col="ts", key_col="k", val_col="v",
+        width_s=60, lateness_s=0, n_shards=1)
+    assert n_late == 1
+    d = {r["window_start_us"] // 1_000_000: (r["n_events"], r["value_sum"])
+         for r in out.to_pylist()}
+    assert d == {0: (2, 3.0), 60: (1, 3.0), 120: (2, 9.0)}
+
+
+def test_stream_window_late_within_allowance_included(ray_session):
+    from xtract.ops.streaming import stream_window_aggregate
+
+    # max ts 119 with 60s allowance → watermark 59: [0,60) still open,
+    # so the out-of-order ts=30 in batch2 is INCLUDED.
+    b1 = _ev([5, 119], ["a", "a"], [1.0, 2.0])
+    b2 = _ev([30], ["a"], [10.0])
+    out, n_late = stream_window_aggregate(
+        [b1, b2], ts_col="ts", key_col="k", val_col="v",
+        width_s=60, lateness_s=60, n_shards=1)
+    assert n_late == 0
+    d = {r["window_start_us"] // 1_000_000: (r["n_events"], r["value_sum"])
+         for r in out.to_pylist()}
+    assert d == {0: (2, 11.0), 60: (1, 2.0)}
+
+
+def test_stream_window_state_stays_bounded(ray_session):
+    import ray
+
+    from xtract.ops.streaming import _WindowShard
+
+    # 1,000 sequential hourly windows, zero lateness: open-window state
+    # must stay O(1) per key, never O(windows seen).
+    Shard = ray.remote(_WindowShard)
+    a = Shard.remote(3_600_000_000, 0)
+    peak = 0
+    for h in range(1_000):
+        t = pa.table({"_ts": pa.array([h * 3_600_000_000 + 10], pa.int64()),
+                      "_key": pa.array(["k"], pa.string()),
+                      "_val": pa.array([1.0], pa.float64())})
+        peak = max(peak, ray.get(a.ingest.remote(t)))
+    assert peak <= 2
+    tbl, n_late = ray.get(a.flush.remote())
+    assert n_late == 0
+    assert tbl.num_rows == 1_000
+    ray.kill(a)
+
+
+def test_stream_window_empty_shard_schema(ray_session):
+    from xtract.ops.streaming import stream_window_aggregate
+
+    # one key, 4 shards: 3 shards never see data; concat must still work
+    b = _ev([10, 20], ["only", "only"], [1.0, 2.0])
+    out, n_late = stream_window_aggregate(
+        [b], ts_col="ts", key_col="k", val_col="v",
+        width_s=60, lateness_s=0, n_shards=4)
+    assert n_late == 0 and out.num_rows == 1
+    assert out["key"].type == pa.string()
+
+
+def test_equi_join_cogroup_full_outer_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.joins import equi_join_cogroup
+
+    left = pd.DataFrame({"k": [1, 2, 3, 5], "lx": [10, 20, 30, 50]})
+    right = pd.DataFrame({"rk": [2, 3, 4, 6], "ry": [200, 300, 400, 600]})
+    got = (equi_join_cogroup(rd.from_pandas(left).repartition(2),
+                             rd.from_pandas(right).repartition(2),
+                             on="k", right_on="rk", how="outer",
+                             num_partitions=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (left.merge(right.rename(columns={"rk": "k"}), how="outer",
+                       on="k").sort_values("k").reset_index(drop=True))
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["lx"].astype("float").where(got["lx"].notna()).tolist() \
+        == pytest.approx(want["lx"].tolist(), nan_ok=True)
+    assert got["ry"].astype("float").where(got["ry"].notna()).tolist() \
+        == pytest.approx(want["ry"].tolist(), nan_ok=True)
+    # unmatched rows exist on BOTH sides and ints stayed nullable ints
+    assert got["lx"].isna().sum() == 2 and got["ry"].isna().sum() == 2
+    assert str(got["lx"].dtype) == "Int64"
+    assert str(got["ry"].dtype) == "Int64"
+
+
+def test_equi_join_cogroup_outer_keeps_64bit_keys(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.joins import equi_join_cogroup
+
+    big = 2 ** 60
+    left = pd.DataFrame({"k": [big, big + 2], "lx": [1, 2]})
+    right = pd.DataFrame({"rk": [big + 2, big + 4], "ry": [3, 4]})
+    got = (equi_join_cogroup(rd.from_pandas(left), rd.from_pandas(right),
+                             on="k", right_on="rk", how="outer",
+                             num_partitions=2)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # 2^60 and 2^60+2 collide if the key round-trips through float64
+    assert got["k"].tolist() == [big, big + 2, big + 4]

@@ -266,10 +266,21 @@ def equi_join_cogroup(left_ds, right_ds, on: str, right_on: str | None = None,
         Rt = t.filter(pc.equal(side, 1))
         L = pd.DataFrame({c: Lt["l_" + c].to_pandas() for c in lnames})
         R = pd.DataFrame({c: Rt["r_" + c].to_pandas() for c in rnames})
-        merged = L.merge(R, how=how, left_on=on, right_on=right_on,
-                         suffixes=("", suffix))
-        if right_on != on and right_on in merged.columns:
-            merged = merged.drop(columns=[right_on])
+        if how in ("outer", "right") and right_on != on and on not in rnames:
+            # merge on ONE shared key name so pandas coalesces the key
+            # natively (union of both sides, dtype preserved — int64
+            # keys beyond 2^53 survive; a combine_first after the merge
+            # would round-trip unmatched keys through float64)
+            merged = L.merge(R.rename(columns={right_on: on}), how=how,
+                             on=on, suffixes=("", suffix))
+        else:
+            merged = L.merge(R, how=how, left_on=on, right_on=right_on,
+                             suffixes=("", suffix))
+            if right_on != on and right_on in merged.columns:
+                if how in ("outer", "right"):
+                    merged[on] = merged[on].combine_first(merged[right_on])
+                    merged[on] = _to_nullable(merged[on], ltypes[on])
+                merged = merged.drop(columns=[right_on])
         if how != "inner":
             # unmatched rows reintroduce nulls in right columns; pin
             # integer columns to pandas nullable ints so the block
@@ -280,6 +291,11 @@ def equi_join_cogroup(left_ds, right_ds, on: str, right_on: str | None = None,
                 name = c if c in merged.columns else c + suffix
                 if name in merged.columns:
                     merged[name] = _to_nullable(merged[name], rtypes[c])
+            if how in ("outer", "right"):
+                # right-unmatched rows null-pad LEFT columns symmetrically
+                for c in lnames:
+                    if c != on and c in merged.columns:
+                        merged[c] = _to_nullable(merged[c], ltypes[c])
         return merged
 
     return both.groupby("_part").map_groups(per_partition,
