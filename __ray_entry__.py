@@ -2990,6 +2990,47 @@ def _q_events_range_pruned(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def _q_events_zorder_box(sf_dir: str):
+    """2-D box scan through the Z-ORDER zone-map layout
+    (``ops/sorted_layout.write_zorder``): events are Morton-key sorted
+    ONCE on (user_id, ts) so per-file envelopes on BOTH columns prune
+    a user-range × time-range box — the multi-dimension generalization
+    of ``events_range_pruned`` (Delta/Iceberg ZORDER BY shape).  Only
+    envelope-intersecting files are opened; an exact vectorized filter
+    proves the box; per-type counts + exact cent sums match the
+    oracle's WHERE-filtered aggregate."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from xtract.ops.sorted_layout import read_box, write_zorder
+
+    d = tempfile.mkdtemp(prefix="xtract_zorder_", dir="/tmp")
+    try:
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "user_id", "event_type",
+                                      "value"])
+        write_zorder(ev, d, "user_id", "ts", rows_per_file=4_096)
+        sel = read_box(d, 30, 90, dt.datetime(2024, 1, 8),
+                       dt.datetime(2024, 1, 20))
+        cents = sel.map_batches(
+            lambda t: pa.table({
+                "event_type": t["event_type"],
+                "cents": pc.cast(pc.round(pc.multiply(t["value"], 100)),
+                                 pa.int64())}),
+            batch_format="pyarrow")
+        out = (cents.groupby("event_type")
+               .aggregate(Count(alias_name="n_events"),
+                          Sum("cents", alias_name="value_cents"))
+               .to_pandas())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_events_stream_window(sf_dir: str):
     """Streaming watermark window (``ops/streaming``): the event feed
     is consumed as an ORDERED stream of Arrow batches through sharded
@@ -6540,6 +6581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_spend_bucketed": _q_customer_spend_bucketed,
         "customer_spend_incremental": _q_customer_spend_incremental,
         "events_range_pruned": _q_events_range_pruned,
+        "events_zorder_box": _q_events_zorder_box,
         "events_stream_window": _q_events_stream_window,
         "user_customer_outer": _q_user_customer_outer,
         "host_crawl_budget": _q_host_crawl_budget,
@@ -8101,6 +8143,13 @@ def oracle_sql() -> dict[str, str]:
             "AS value_cents FROM events "
             "WHERE ts >= TIMESTAMP '2024-01-10' "
             "AND ts < TIMESTAMP '2024-01-15' GROUP BY 1",
+        "events_zorder_box":
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) "
+            "AS value_cents FROM events "
+            "WHERE user_id >= 30 AND user_id < 90 "
+            "AND ts >= TIMESTAMP '2024-01-08' "
+            "AND ts < TIMESTAMP '2024-01-20' GROUP BY 1",
         "events_stream_window":
             "SELECT strftime(ts, '%Y-%m-%d %H:00') AS window, "
             "event_type, CAST(count(*) AS BIGINT) AS n_events, "

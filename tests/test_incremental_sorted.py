@@ -181,3 +181,77 @@ def test_sorted_timestamp_range(ray_session, sf_dir, tmp_path):
     want = raw[(raw.ts >= lo) & (raw.ts < hi)]
     assert sorted(got.event_id) == sorted(want.event_id)
     assert 0 < len(plan_range(d, lo, hi)) < 6 or len(want) == 0
+
+
+def test_zorder_box_pruning_and_exactness(ray_session, tmp_path):
+    import ray.data as rd
+
+    from xtract.ops.sorted_layout import plan_box, read_box, write_zorder
+
+    r = np.random.RandomState(3)
+    df = pd.DataFrame({"x": r.randint(0, 10_000, 20_000).astype(np.int64),
+                       "y": r.randint(0, 10_000, 20_000).astype(np.int64),
+                       "p": np.arange(20_000, dtype=np.int64)})
+    d = str(tmp_path / "zo")
+    man = write_zorder(rd.from_pandas(df).repartition(8), d, "x", "y",
+                       rows_per_file=1_024)
+    assert man["n_rows"] == len(df)
+    n_files = len(man["files"])
+    assert n_files > 4
+    planned = plan_box(d, 1_000, 3_000, 4_000, 6_000)
+    assert 0 < len(planned) < n_files      # genuine 2-D pruning
+    got = (read_box(d, 1_000, 3_000, 4_000, 6_000).to_pandas()
+           .sort_values("p").reset_index(drop=True))
+    want = (df[(df.x >= 1_000) & (df.x < 3_000)
+               & (df.y >= 4_000) & (df.y < 6_000)]
+            .sort_values("p").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["x", "y", "p"]], want)
+    # half-open box on one dim only
+    got1 = read_box(d, a_hi=500).count()
+    assert got1 == int((df.x < 500).sum())
+    # empty box keeps schema
+    empty = read_box(d, 10**8, 2 * 10**8)
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"x", "y", "p"}
+
+
+def test_zorder_prunes_better_than_single_sort_on_second_dim(
+        ray_session, tmp_path):
+    """The point of z-order: a box selective in BOTH dims prunes files
+    even though neither dim alone was globally sorted."""
+    import ray.data as rd
+
+    from xtract.ops.sorted_layout import plan_box, write_zorder
+
+    r = np.random.RandomState(5)
+    df = pd.DataFrame({"x": r.randint(0, 1 << 20, 40_000).astype(np.int64),
+                       "y": r.randint(0, 1 << 20, 40_000).astype(np.int64)})
+    d = str(tmp_path / "zo2")
+    man = write_zorder(rd.from_pandas(df).repartition(8), d, "x", "y",
+                       rows_per_file=1_024)
+    n = len(man["files"])
+    w = 1 << 17                            # 1/8 of the range per dim
+    frac = len(plan_box(d, 0, w, 0, w)) / n
+    assert frac < 0.5                      # tiny box touches a minority
+
+
+def test_zorder_timestamp_dim(ray_session, sf_dir, tmp_path):
+    import ray.data as rd
+
+    from xtract.ops.sorted_layout import read_box, write_zorder
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    d = str(tmp_path / "zo_ev")
+    write_zorder(ev, d, "user_id", "ts", rows_per_file=512)
+    raw = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts"]).to_pandas()
+    u_lo = int(raw.user_id.quantile(0.2))
+    u_hi = int(raw.user_id.quantile(0.6)) + 1
+    lo = pd.Timestamp("2024-01-10")
+    hi = pd.Timestamp("2024-01-15")
+    got = read_box(d, u_lo, u_hi, lo, hi).to_pandas()
+    want = raw[(raw.user_id >= u_lo) & (raw.user_id < u_hi)
+               & (raw.ts >= lo) & (raw.ts < hi)]
+    assert len(want) > 0
+    assert sorted(got.event_id) == sorted(want.event_id)

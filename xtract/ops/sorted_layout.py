@@ -143,3 +143,181 @@ def read_range(out_dir: str, lo=None, hi=None):
         return t if mask is None else t.filter(mask)
 
     return ds.map_batches(exact, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Z-ORDER (2-D) layout: one Morton-key sort co-locates rows close in
+# BOTH dimensions, so per-file (min, max) envelopes on each column
+# prune 2-D box queries — the multi-dimension generalization of the
+# sort-key zone map above (Delta Lake/Iceberg ``ZORDER BY`` shape).
+# The Morton bucketing only steers placement; envelopes are exact, so
+# pruning is always sound regardless of scaling precision.
+# ---------------------------------------------------------------------------
+
+ZMANIFEST = "_zorder.json"
+
+
+def as_i64(c):
+    """Column → int64 key space (timestamps normalized to epoch us
+    whatever the stored unit, so envelopes and query bounds agree)."""
+    t = c.type
+    if pa.types.is_timestamp(t) and t.unit != "us":
+        c = pc.cast(c, pa.timestamp("us", tz=t.tz))
+    return pc.cast(c, pa.int64())
+
+
+def _spread16(x):
+    """Spread the low 16 bits of a uint32 to even bit positions."""
+    import numpy as np
+
+    x = x.astype(np.uint32)
+    x = (x | (x << np.uint32(8))) & np.uint32(0x00FF00FF)
+    x = (x | (x << np.uint32(4))) & np.uint32(0x0F0F0F0F)
+    x = (x | (x << np.uint32(2))) & np.uint32(0x33333333)
+    x = (x | (x << np.uint32(1))) & np.uint32(0x55555555)
+    return x
+
+
+def _morton(av, bv, a_mn, a_mx, b_mn, b_mx):
+    """Vectorized 2×16-bit Morton key from raw int64 dims (float64
+    scaling — bucket-approximate is fine, envelopes stay exact)."""
+    import numpy as np
+
+    def q16(v, mn, mx):
+        span = float(mx - mn) or 1.0
+        q = np.floor((v.astype(np.float64) - float(mn))
+                     / span * 65535.0)
+        return np.clip(q, 0, 65535).astype(np.uint32)
+
+    return (_spread16(q16(av, a_mn, a_mx))
+            | (_spread16(q16(bv, b_mn, b_mx)) << np.uint32(1))
+            ).astype("int64")
+
+
+def write_zorder(ds, out_dir: str, col_a: str, col_b: str,
+                 rows_per_file: int = 65_536) -> dict:
+    """Z-order ``ds`` by two numeric/timestamp columns: one cheap
+    global Min/Max pass, one Morton-key sort (the single all-to-all,
+    paid at write time), then a streaming writer; the manifest records
+    each file's exact 2-D envelope."""
+    import numpy as np
+    from ray.data.aggregate import Max, Min
+
+    os.makedirs(out_dir, exist_ok=True)
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    ts_a = pa.types.is_timestamp(types[col_a])
+    ts_b = pa.types.is_timestamp(types[col_b])
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table({"_a": as_i64(t[col_a]), "_b": as_i64(t[col_b])})
+
+    mm = (ds.map_batches(slim, batch_format="pyarrow")
+          .aggregate(Min("_a"), Max("_a"), Min("_b"), Max("_b")))
+    a_mn, a_mx = mm["min(_a)"], mm["max(_a)"]
+    b_mn, b_mx = mm["min(_b)"], mm["max(_b)"]
+
+    def add_z(t: pa.Table) -> pa.Table:
+        av = as_i64(t[col_a]).to_numpy()
+        bv = as_i64(t[col_b]).to_numpy()
+        return t.append_column(
+            "_z", pa.array(_morton(av, bv, a_mn, a_mx, b_mn, b_mx),
+                           pa.int64()))
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"file": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "env": pa.array([], pa.list_(pa.int64()))})
+        t = t.drop_columns(["_z"])
+        ma = pc.min_max(as_i64(t[col_a]))
+        mb = pc.min_max(as_i64(t[col_b]))
+        name = f"part-{os.urandom(8).hex()}.parquet"
+        pq.write_table(t, os.path.join(out_dir, name))
+        env = [ma["min"].as_py(), ma["max"].as_py(),
+               mb["min"].as_py(), mb["max"].as_py()]
+        return pa.table({"file": pa.array([name], pa.string()),
+                         "n": pa.array([len(t)], pa.int64()),
+                         "env": pa.array([env], pa.list_(pa.int64()))})
+
+    rows = (ds.map_batches(add_z, batch_format="pyarrow")
+            .sort("_z")
+            .map_batches(write_block, batch_format="pyarrow",
+                         batch_size=rows_per_file)
+            .take_all())  # one tiny row per written file
+    files = sorted(({"file": r["file"], "n": int(r["n"]),
+                     "env": [int(v) for v in r["env"]]} for r in rows),
+                   key=lambda r: (r["env"], r["file"]))
+    man = {"col_a": col_a, "col_b": col_b,
+           "ts_a": bool(ts_a), "ts_b": bool(ts_b), "files": files,
+           "n_rows": int(sum(f["n"] for f in files))}
+    tmp = os.path.join(out_dir, ZMANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, os.path.join(out_dir, ZMANIFEST))
+    return man
+
+
+def _zmanifest(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, ZMANIFEST)) as f:
+        return json.load(f)
+
+
+def _zkey(v, is_ts: bool):
+    if is_ts and not isinstance(v, int):
+        return pc.cast(pa.scalar(v, pa.timestamp("us")), pa.int64()).as_py()
+    return v
+
+
+def plan_box(out_dir: str, a_lo=None, a_hi=None, b_lo=None,
+             b_hi=None) -> "list[str]":
+    """Files a 2-D half-open box can touch (manifest math only)."""
+    man = _zmanifest(out_dir)
+    bounds = [None if v is None else _zkey(v, ts) for v, ts in
+              ((a_lo, man["ts_a"]), (a_hi, man["ts_a"]),
+               (b_lo, man["ts_b"]), (b_hi, man["ts_b"]))]
+    al, ah, bl, bh = bounds
+    out = []
+    for f in man["files"]:
+        amn, amx, bmn, bmx = f["env"]
+        if al is not None and amx < al:
+            continue
+        if ah is not None and amn >= ah:
+            continue
+        if bl is not None and bmx < bl:
+            continue
+        if bh is not None and bmn >= bh:
+            continue
+        out.append(f["file"])
+    return out
+
+
+def read_box(out_dir: str, a_lo=None, a_hi=None, b_lo=None, b_hi=None):
+    """→ Dataset of exactly the rows inside the box; only
+    envelope-intersecting files are opened."""
+    import ray.data as rd
+
+    man = _zmanifest(out_dir)
+    names = plan_box(out_dir, a_lo, a_hi, b_lo, b_hi)
+    if not names:
+        any_f = man["files"][0]["file"] if man["files"] else None
+        if any_f is None:
+            raise ValueError(f"zorder layout at {out_dir} is empty")
+        empty = pq.read_table(os.path.join(out_dir, any_f)).slice(0, 0)
+        return rd.from_arrow(empty)
+    ds = rd.read_parquet([os.path.join(out_dir, n) for n in names])
+
+    def exact(t: pa.Table) -> pa.Table:
+        mask = pa.array([True] * len(t))
+        for col, ts, lo, hi in ((man["col_a"], man["ts_a"], a_lo, a_hi),
+                                (man["col_b"], man["ts_b"], b_lo, b_hi)):
+            c = as_i64(t[col]) if ts else t[col]
+            if lo is not None:
+                mask = pc.and_(mask, pc.greater_equal(
+                    c, pa.scalar(_zkey(lo, ts), c.type)))
+            if hi is not None:
+                mask = pc.and_(mask, pc.less(
+                    c, pa.scalar(_zkey(hi, ts), c.type)))
+        return t.filter(mask)
+
+    return ds.map_batches(exact, batch_format="pyarrow")
