@@ -2990,6 +2990,30 @@ def _q_events_range_pruned(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def _q_doc_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample without replacement
+    (``ops/agg.priority_sample``): bottom-k of ``lcg(doc_id)/weight``
+    with weight = text length + 1 — longer documents proportionally
+    likelier, bit-reproducible under any partitioning, corpus never
+    shuffled (per-block partial top-k, one k·n_blocks sort+limit)."""
+    import ray.data as rd
+
+    from xtract.ops.agg import priority_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    wds = docs.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "weight": pc.cast(pc.add(pc.utf8_length(
+                pc.fill_null(t["text"], "")), 1), pa.int64())}),
+        batch_format="pyarrow")
+    out = priority_sample(wds, k=100, id_col="doc_id",
+                          weight_col="weight")
+    return (out.to_pandas().sort_values("doc_id")
+            .reset_index(drop=True))
+
+
 def _q_events_zorder_box(sf_dir: str):
     """2-D box scan through the Z-ORDER zone-map layout
     (``ops/sorted_layout.write_zorder``): events are Morton-key sorted
@@ -6581,6 +6605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_spend_bucketed": _q_customer_spend_bucketed,
         "customer_spend_incremental": _q_customer_spend_incremental,
         "events_range_pruned": _q_events_range_pruned,
+        "doc_weighted_sample": _q_doc_weighted_sample,
         "events_zorder_box": _q_events_zorder_box,
         "events_stream_window": _q_events_stream_window,
         "user_customer_outer": _q_user_customer_outer,
@@ -8143,6 +8168,14 @@ def oracle_sql() -> dict[str, str]:
             "AS value_cents FROM events "
             "WHERE ts >= TIMESTAMP '2024-01-10' "
             "AND ts < TIMESTAMP '2024-01-15' GROUP BY 1",
+        "doc_weighted_sample":
+            "WITH w AS (SELECT doc_id, "
+            "CAST(length(coalesce(text, '')) + 1 AS BIGINT) AS weight, "
+            "CAST((doc_id * 2654435761 + 12345) % 4294967296 AS BIGINT) "
+            "AS h FROM documents), "
+            "s AS (SELECT * FROM w "
+            "ORDER BY CAST(h AS DOUBLE) / weight, doc_id LIMIT 100) "
+            "SELECT doc_id, weight, h FROM s ORDER BY doc_id",
         "events_zorder_box":
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
             "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) "

@@ -134,3 +134,36 @@ def test_webtext_pipeline_repetition_gate_and_pii(ray_session):
                             "https://a.example.org/spam"}
     assert "a.user@mail.example.org" in df2.set_index("url").loc[
         "https://a.example.org/good"].content_text
+
+
+def test_priority_sample_exact_and_partition_invariant(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xtract.ops.agg import priority_sample
+
+    r = np.random.RandomState(9)
+    n = 5_000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "w": r.randint(1, 500, n).astype(np.int64)})
+    # brute force: bottom-k of lcg(id)/w with id tie-break
+    h = (df.id.values * np.int64(2654435761) + 12345) % np.int64(2 ** 32)
+    p = h.astype(np.float64) / df.w.values
+    order = np.lexsort((df.id.values, p))[:100]
+    want = sorted(df.id.values[order].tolist())
+
+    for parts in (1, 7):
+        got = (priority_sample(rd.from_pandas(df).repartition(parts),
+                               k=100, id_col="id", weight_col="w")
+               .to_pandas())
+        assert sorted(got["id"].tolist()) == want
+        assert set(got.columns) == {"id", "w", "h"}
+
+    # weighting is real: a huge-weight row is near-certain to be chosen
+    df2 = df.copy()
+    df2.loc[42, "w"] = 10 ** 9
+    got2 = priority_sample(rd.from_pandas(df2).repartition(4), k=100,
+                           id_col="id", weight_col="w").to_pandas()
+    assert 42 in set(got2["id"].tolist())

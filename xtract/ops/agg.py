@@ -114,6 +114,38 @@ def deterministic_sample(ds, key: str, every: int = 20):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def priority_sample(ds, k: int, id_col: str, weight_col: str,
+                    a: int = 2654435761, c: int = 12345,
+                    m: int = 2 ** 32):
+    """Deterministic WEIGHTED sample without replacement — bottom-k
+    priority sampling (Efraimidis-Spirakis shape with a reproducible
+    LCG in place of RNG): each row's priority is ``lcg(id) / weight``,
+    the k smallest win, so a row's selection odds scale with its
+    weight while staying bit-reproducible under ANY partitioning (no
+    RNG state, no seed plumbing).  Scale shape: each block keeps its
+    own k best (vectorized argsort + slice on SLIM columns), then ONE
+    small sort+limit over ≤ k·n_blocks rows — the corpus never
+    shuffles.  Ties on the float priority break by id, so the sample
+    is total-order deterministic.  The single IEEE division makes the
+    selection decidable identically in SQL (``CAST(h AS DOUBLE)/w``),
+    which is what the driver oracle checks."""
+    def part(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * np.int64(a) + np.int64(c)) % np.int64(m)
+        p = h.astype(np.float64) / w
+        order = np.lexsort((ids, p))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         weight_col: pa.array(w[order], pa.int64()),
+                         "h": pa.array(h[order], pa.int64()),
+                         "_p": pa.array(p[order], pa.float64())})
+
+    sel = (ds.map_batches(part, batch_format="pyarrow")
+           .sort(["_p", id_col]).limit(k))
+    return sel.map_batches(lambda t: t.drop_columns(["_p"]),
+                           batch_format="pyarrow")
+
+
 def stratified_sample(ds, stratum_col: str, key: str,
                       rates: dict, default_every: int = 1):
     """Deterministic per-stratum downsampling (the data-MIXING surface:
