@@ -2990,6 +2990,112 @@ def _q_events_range_pruned(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def _q_events_time_travel(sf_dir: str):
+    """Snapshot isolation / time travel (``ops/versioned``): commit
+    the pre-Jan-15 events as v1, APPEND the rest as v2, then read
+    **version 1** — the aggregate must see only the old snapshot even
+    though the store has since grown (the Delta/Iceberg transaction-
+    log contract: readers pin a manifest, commits are atomic renames,
+    old files are never touched)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from xtract.ops.versioned import commit_version, read_version
+
+    cut = dt.datetime(2024, 1, 15)
+    store = tempfile.mkdtemp(prefix="xtract_versions_", dir="/tmp")
+    try:
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "event_type", "value"])
+        commit_version(ev.map_batches(
+            lambda t: t.filter(pc.less(t["ts"], pa.scalar(
+                cut, t["ts"].type))), batch_format="pyarrow"), store)
+        commit_version(ev.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["ts"], pa.scalar(
+                cut, t["ts"].type))), batch_format="pyarrow"), store,
+            mode="append")
+        old = read_version(store, 1)
+        cents = old.map_batches(
+            lambda t: pa.table({
+                "event_type": t["event_type"],
+                "cents": pc.cast(pc.round(pc.multiply(t["value"], 100)),
+                                 pa.int64())}),
+            batch_format="pyarrow")
+        out = (cents.groupby("event_type")
+               .aggregate(Count(alias_name="n_events"),
+                          Sum("cents", alias_name="value_cents"))
+               .to_pandas())
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def _q_customer_upsert_merge(sf_dir: str):
+    """MERGE/upsert commit against a bucketed versioned store
+    (``ops/versioned.commit_upsert``): base = customer roster (exact
+    cents), updates = each ordering customer's row with spend folded
+    into the balance.  Only the buckets the update keys hash into are
+    rewritten (untouched files carried by reference — the Delta MERGE
+    shape); the latest snapshot must equal the oracle's LEFT JOIN +
+    COALESCE arithmetic row-for-row."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.joins import equi_join_cogroup
+    from xtract.ops.versioned import (commit_bucketed, commit_upsert,
+                                      read_version)
+
+    store = tempfile.mkdtemp(prefix="xtract_upsert_", dir="/tmp")
+    try:
+        def base_ds():
+            return rd.read_parquet(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_acctbal", "c_mktsegment"]
+            ).map_batches(
+                lambda t: pa.table({
+                    "c_custkey": t["c_custkey"],
+                    "acctbal_cents": pc.cast(pc.round(pc.multiply(
+                        t["c_acctbal"], 100)), pa.int64()),
+                    "segment": t["c_mktsegment"]}),
+                batch_format="pyarrow")
+
+        commit_bucketed(base_ds(), store, key="c_custkey",
+                        n_buckets=16)
+        spend = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_custkey", "o_totalprice"])
+                 .map_batches(
+                     lambda t: pa.table({
+                         "o_custkey": t["o_custkey"],
+                         "cents": pc.cast(pc.round(pc.multiply(
+                             t["o_totalprice"], 100)), pa.int64())}),
+                     batch_format="pyarrow")
+                 .groupby("o_custkey")
+                 .aggregate(Sum("cents", alias_name="spend_cents")))
+        joined = equi_join_cogroup(spend, base_ds(), on="o_custkey",
+                                   right_on="c_custkey", how="inner",
+                                   num_partitions=16)
+        updates = joined.map_batches(
+            lambda t: pa.table({
+                "c_custkey": t["o_custkey"],
+                "acctbal_cents": pc.add(t["acctbal_cents"],
+                                        t["spend_cents"]),
+                "segment": t["segment"]}),
+            batch_format="pyarrow")
+        commit_upsert(updates, store)
+        out = (read_version(store).to_pandas()
+               .sort_values("c_custkey").reset_index(drop=True))
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
 def _q_doc_weighted_sample(sf_dir: str):
     """Deterministic weighted sample without replacement
     (``ops/agg.priority_sample``): bottom-k of ``lcg(doc_id)/weight``
@@ -6606,6 +6712,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_spend_incremental": _q_customer_spend_incremental,
         "events_range_pruned": _q_events_range_pruned,
         "doc_weighted_sample": _q_doc_weighted_sample,
+        "events_time_travel": _q_events_time_travel,
+        "customer_upsert_merge": _q_customer_upsert_merge,
         "events_zorder_box": _q_events_zorder_box,
         "events_stream_window": _q_events_stream_window,
         "user_customer_outer": _q_user_customer_outer,
@@ -8168,6 +8276,20 @@ def oracle_sql() -> dict[str, str]:
             "AS value_cents FROM events "
             "WHERE ts >= TIMESTAMP '2024-01-10' "
             "AND ts < TIMESTAMP '2024-01-15' GROUP BY 1",
+        "customer_upsert_merge":
+            "WITH s AS (SELECT o_custkey AS k, "
+            "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) "
+            "AS BIGINT) AS spend FROM orders GROUP BY 1) "
+            "SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) "
+            "+ COALESCE(s.spend, 0) AS acctbal_cents, "
+            "c_mktsegment AS segment "
+            "FROM customer LEFT JOIN s ON c_custkey = s.k "
+            "ORDER BY c_custkey",
+        "events_time_travel":
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) "
+            "AS value_cents FROM events "
+            "WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1",
         "doc_weighted_sample":
             "WITH w AS (SELECT doc_id, "
             "CAST(length(coalesce(text, '')) + 1 AS BIGINT) AS weight, "

@@ -133,6 +133,48 @@ def bucketed_join(dir_a: str, dir_b: str, on: str,
     return buckets.map_batches(join_bucket, batch_format="pyarrow")
 
 
+def compact_buckets(out_dir: str, min_fragments: int = 2) -> dict:
+    """Small-file compaction — the storage-maintenance pass a long-
+    lived bucketed table needs at 100 TB (every incremental append
+    adds a fragment per touched bucket; reads degrade as open() count,
+    not bytes).  One Ray task per over-fragmented bucket rewrites its
+    fragments as ONE file: write tmp → atomic rename → delete olds.
+    Buckets below ``min_fragments`` are not touched (their bytes stay
+    byte-identical — cheap incremental maintenance).  Buckets are
+    independent, so the pass is embarrassingly parallel and restart-
+    safe per bucket; like Iceberg's rewrite-files action it assumes no
+    CONCURRENT reader mid-bucket (pair with ``ops/versioned`` when
+    readers need snapshot isolation).  Returns per-bucket stats."""
+    import ray
+
+    man = _manifest(out_dir)
+    todo = []
+    for b in range(man["n_buckets"]):
+        frags = sorted(glob.glob(os.path.join(
+            out_dir, f"bucket={b:04d}", "*.parquet")))
+        if len(frags) >= min_fragments:
+            todo.append((b, frags))
+
+    @ray.remote
+    def compact(b: int, frags: "list[str]") -> dict:
+        t = pa.concat_tables([pq.read_table(f) for f in frags])
+        bdir = os.path.join(out_dir, f"bucket={b:04d}")
+        name = f"frag-compact-{os.urandom(8).hex()}.parquet"
+        tmp = os.path.join(bdir, name + ".tmp")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(bdir, name))
+        for f in frags:
+            os.remove(f)
+        return {"bucket": b, "fragments_merged": len(frags),
+                "n_rows": len(t)}
+
+    stats = ray.get([compact.remote(b, f) for b, f in todo])
+    return {"compacted_buckets": len(stats),
+            "fragments_merged": int(sum(s["fragments_merged"]
+                                        for s in stats)),
+            "buckets": stats}
+
+
 def lookup_bucketed(out_dir: str, values) -> pa.Table:
     """Point lookup with storage-level pruning: hash the probe values,
     read ONLY the buckets they can live in (usually 1 of N), filter
