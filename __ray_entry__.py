@@ -3034,6 +3034,58 @@ def _q_events_time_travel(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def _q_events_stream_exactly_once(sf_dir: str):
+    """EXACTLY-ONCE streaming aggregation over an AT-LEAST-ONCE feed
+    (``ops/streaming`` with ``dedup_col``): every batch is delivered
+    TWICE (the standard redelivery failure mode of a real feed); a
+    redelivered copy is excluded exactly once — recognized by the
+    per-window seen-set while its window is open, or dropped as late
+    once the watermark has closed it — so the finalized totals equal
+    the batch groupby over the unique rows, which is what the oracle
+    computes.  Original rows are never late (the feed is time-
+    ordered); dedup state is freed with each finalized window
+    (bounded by the lateness horizon, never the stream)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from xtract.ops.streaming import stream_window_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "event_type",
+                                  "value"])
+    cents = ev.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"], "ts": t["ts"],
+            "event_type": t["event_type"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100)),
+                             pa.int64())}),
+        batch_format="pyarrow")
+    n_rows = cents.count()
+
+    def at_least_once():
+        for b in cents.iter_batches(batch_format="pyarrow",
+                                    batch_size=2048):
+            yield b
+            yield b                      # redelivery
+
+    tbl, stats = stream_window_aggregate(
+        at_least_once(), ts_col="ts", key_col="event_type",
+        val_col="cents", width_s=3600, lateness_s=3 * 86_400,
+        n_shards=4, dedup_col="event_id")
+    # every redelivered copy excluded exactly once, never an original
+    assert stats["n_dup"] > 0
+    assert stats["n_dup"] + stats["n_late"] == n_rows
+    df = tbl.to_pandas()
+    window = (pd.to_datetime(df["window_start_us"], unit="us")
+              .dt.strftime("%Y-%m-%d %H:00"))
+    out = pd.DataFrame({"window": window, "event_type": df["key"],
+                        "n_events": df["n_events"],
+                        "value_cents": df["value_sum"].round()
+                        .astype("int64")})
+    return (out.sort_values(["window", "event_type"])
+            .reset_index(drop=True))
+
+
 def _q_customer_upsert_merge(sf_dir: str):
     """MERGE/upsert commit against a bucketed versioned store
     (``ops/versioned.commit_upsert``): base = customer roster (exact
@@ -3184,11 +3236,11 @@ def _q_events_stream_window(sf_dir: str):
             "cents": pc.cast(pc.round(pc.multiply(t["value"], 100)),
                              pa.int64())}),
         batch_format="pyarrow")
-    tbl, n_late = stream_window_aggregate(
+    tbl, stats = stream_window_aggregate(
         cents.iter_batches(batch_format="pyarrow", batch_size=4096),
         ts_col="ts", key_col="event_type", val_col="cents",
         width_s=3600, lateness_s=10 ** 9, n_shards=4)
-    assert n_late == 0
+    assert stats["n_late"] == 0
     df = tbl.to_pandas()
     window = (pd.to_datetime(df["window_start_us"], unit="us")
               .dt.strftime("%Y-%m-%d %H:00"))
@@ -6714,6 +6766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample": _q_doc_weighted_sample,
         "events_time_travel": _q_events_time_travel,
         "customer_upsert_merge": _q_customer_upsert_merge,
+        "events_stream_exactly_once": _q_events_stream_exactly_once,
         "events_zorder_box": _q_events_zorder_box,
         "events_stream_window": _q_events_stream_window,
         "user_customer_outer": _q_user_customer_outer,
@@ -8276,6 +8329,11 @@ def oracle_sql() -> dict[str, str]:
             "AS value_cents FROM events "
             "WHERE ts >= TIMESTAMP '2024-01-10' "
             "AND ts < TIMESTAMP '2024-01-15' GROUP BY 1",
+        "events_stream_exactly_once":
+            "SELECT strftime(ts, '%Y-%m-%d %H:00') AS window, "
+            "event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) "
+            "AS value_cents FROM events GROUP BY 1, 2",
         "customer_upsert_merge":
             "WITH s AS (SELECT o_custkey AS k, "
             "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) "

@@ -26,10 +26,10 @@ def test_stream_window_matches_batch_groupby(ray_session):
     t = _ev(ts, keys.tolist(), vals)
     batches = [t.slice(i, 500) for i in range(0, n, 500)]
 
-    out, n_late = stream_window_aggregate(
+    out, stats = stream_window_aggregate(
         batches, ts_col="ts", key_col="k", val_col="v",
         width_s=3600, lateness_s=10 ** 9, n_shards=3)
-    assert n_late == 0
+    assert stats["n_late"] == 0
 
     got = (out.to_pandas()
            .sort_values(["window_start_us", "key"]).reset_index(drop=True))
@@ -54,10 +54,10 @@ def test_stream_window_drops_too_late(ray_session):
     # ts=130 lands in the open [120,180) window.
     b1 = _ev([5, 50, 70, 120], ["a"] * 4, [1.0, 2.0, 3.0, 4.0])
     b2 = _ev([30, 130], ["a", "a"], [9.0, 5.0])
-    out, n_late = stream_window_aggregate(
+    out, stats = stream_window_aggregate(
         [b1, b2], ts_col="ts", key_col="k", val_col="v",
         width_s=60, lateness_s=0, n_shards=1)
-    assert n_late == 1
+    assert stats["n_late"] == 1
     d = {r["window_start_us"] // 1_000_000: (r["n_events"], r["value_sum"])
          for r in out.to_pylist()}
     assert d == {0: (2, 3.0), 60: (1, 3.0), 120: (2, 9.0)}
@@ -70,10 +70,10 @@ def test_stream_window_late_within_allowance_included(ray_session):
     # so the out-of-order ts=30 in batch2 is INCLUDED.
     b1 = _ev([5, 119], ["a", "a"], [1.0, 2.0])
     b2 = _ev([30], ["a"], [10.0])
-    out, n_late = stream_window_aggregate(
+    out, stats = stream_window_aggregate(
         [b1, b2], ts_col="ts", key_col="k", val_col="v",
         width_s=60, lateness_s=60, n_shards=1)
-    assert n_late == 0
+    assert stats["n_late"] == 0
     d = {r["window_start_us"] // 1_000_000: (r["n_events"], r["value_sum"])
          for r in out.to_pylist()}
     assert d == {0: (2, 11.0), 60: (1, 2.0)}
@@ -95,8 +95,8 @@ def test_stream_window_state_stays_bounded(ray_session):
                       "_val": pa.array([1.0], pa.float64())})
         peak = max(peak, ray.get(a.ingest.remote(t)))
     assert peak <= 2
-    tbl, n_late = ray.get(a.flush.remote())
-    assert n_late == 0
+    tbl, n_late, n_dup = ray.get(a.flush.remote())
+    assert n_late == 0 and n_dup == 0
     assert tbl.num_rows == 1_000
     ray.kill(a)
 
@@ -106,10 +106,10 @@ def test_stream_window_empty_shard_schema(ray_session):
 
     # one key, 4 shards: 3 shards never see data; concat must still work
     b = _ev([10, 20], ["only", "only"], [1.0, 2.0])
-    out, n_late = stream_window_aggregate(
+    out, stats = stream_window_aggregate(
         [b], ts_col="ts", key_col="k", val_col="v",
         width_s=60, lateness_s=0, n_shards=4)
-    assert n_late == 0 and out.num_rows == 1
+    assert stats["n_late"] == 0 and out.num_rows == 1
     assert out["key"].type == pa.string()
 
 
@@ -152,3 +152,34 @@ def test_equi_join_cogroup_outer_keeps_64bit_keys(ray_session):
            .to_pandas().sort_values("k").reset_index(drop=True))
     # 2^60 and 2^60+2 collide if the key round-trips through float64
     assert got["k"].tolist() == [big, big + 2, big + 4]
+
+
+def test_stream_window_exactly_once_dedup(ray_session):
+    from xtract.ops.streaming import stream_window_aggregate
+
+    def _evi(ts_s, ids, vals):
+        return pa.table({
+            "ts": pa.array([int(t) * 1_000_000 for t in ts_s],
+                           pa.timestamp("us")),
+            "id": pa.array(ids, pa.int64()),
+            "k": pa.array(["a"] * len(ids), pa.string()),
+            "v": pa.array(vals, pa.float64())})
+
+    b1 = _evi([5, 50, 70], [1, 2, 3], [1.0, 2.0, 3.0])
+    # redelivery of b1 plus one genuinely new event
+    b2 = _evi([5, 50, 70, 80], [1, 2, 3, 4], [1.0, 2.0, 3.0, 7.0])
+    out, stats = stream_window_aggregate(
+        [b1, b2], ts_col="ts", key_col="k", val_col="v",
+        width_s=60, lateness_s=600, n_shards=1, dedup_col="id")
+    assert stats["n_dup"] == 3 and stats["n_late"] == 0
+    d = {r["window_start_us"] // 1_000_000: (r["n_events"], r["value_sum"])
+         for r in out.to_pylist()}
+    assert d == {0: (2, 3.0), 60: (2, 10.0)}
+
+    # duplicates INSIDE one batch are also recognized
+    b3 = _evi([5, 5], [9, 9], [4.0, 4.0])
+    out3, st3 = stream_window_aggregate(
+        [b3], ts_col="ts", key_col="k", val_col="v",
+        width_s=60, lateness_s=600, n_shards=1, dedup_col="id")
+    assert st3["n_dup"] == 1
+    assert out3.to_pylist()[0]["n_events"] == 1

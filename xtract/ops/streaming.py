@@ -44,20 +44,24 @@ from .joins import _us_i64
 class _WindowShard:
     """One hash-shard of the keyed window state (Ray actor body)."""
 
-    def __init__(self, width_us: int, lateness_us: int):
+    def __init__(self, width_us: int, lateness_us: int,
+                 dedup: bool = False):
         self.width = int(width_us)
         self.late = int(lateness_us)
-        self.open: dict = {}          # (win_start_us, key) -> [n, vsum]
+        self.dedup = bool(dedup)
+        # (win_start_us, key) -> [n, vsum] (+ seen-id set when dedup)
+        self.open: dict = {}
         self.done: list = []          # finalized (win, key, n, vsum)
         self.max_ts: "int | None" = None
         self.n_late = 0
+        self.n_dup = 0
         self.key_type: "pa.DataType | None" = None
 
     def _finalize_through(self, wm: int) -> None:
         closed = [wk for wk in self.open if wk[0] + self.width <= wm]
         for wk in closed:
-            n, s = self.open.pop(wk)
-            self.done.append((wk[0], wk[1], int(n), float(s)))
+            st = self.open.pop(wk)   # frees the seen-set with the window
+            self.done.append((wk[0], wk[1], int(st[0]), float(st[1])))
 
     def ingest(self, t: pa.Table) -> int:
         if self.key_type is None:
@@ -75,23 +79,59 @@ class _WindowShard:
                 t = t.filter(pa.array(keep))
                 ts, win = ts[keep], win[keep]
         if len(t):
-            g = (pd.DataFrame({"_w": win,
-                               "_k": t["_key"].to_pandas(),
-                               "_v": t["_val"].to_numpy(
-                                   zero_copy_only=False)})
-                 .groupby(["_w", "_k"], sort=False)["_v"]
-                 .agg(["count", "sum"]))
-            for (w, k), row in g.iterrows():
-                st = self.open.get((w, k))
-                if st is None:
-                    self.open[(w, k)] = [int(row["count"]), row["sum"]]
-                else:
-                    st[0] += int(row["count"])
-                    st[1] += row["sum"]
+            if self.dedup:
+                self._ingest_dedup(t, win)
+            else:
+                g = (pd.DataFrame({"_w": win,
+                                   "_k": t["_key"].to_pandas(),
+                                   "_v": t["_val"].to_numpy(
+                                       zero_copy_only=False)})
+                     .groupby(["_w", "_k"], sort=False)["_v"]
+                     .agg(["count", "sum"]))
+                for (w, k), row in g.iterrows():
+                    st = self.open.get((w, k))
+                    if st is None:
+                        self.open[(w, k)] = [int(row["count"]),
+                                             row["sum"]]
+                    else:
+                        st[0] += int(row["count"])
+                        st[1] += row["sum"]
             mx = int(ts.max())
             self.max_ts = mx if self.max_ts is None else max(self.max_ts, mx)
             self._finalize_through(self.max_ts - self.late)
         return len(self.open)
+
+    def _ingest_dedup(self, t: pa.Table, win) -> None:
+        """Exactly-once accumulation over an at-least-once feed: each
+        open window keeps the ids it has counted; redelivered rows are
+        recognized and dropped.  The seen-set lives and dies WITH its
+        window (freed at finalize), so state is bounded by the open-
+        window span, never the stream.  Per-batch Python cost ∝
+        distinct (window, key) groups, not rows."""
+        df = pd.DataFrame({"_w": win, "_k": t["_key"].to_pandas(),
+                           "_v": t["_val"].to_numpy(
+                               zero_copy_only=False),
+                           "_i": t["_id"].to_numpy(
+                               zero_copy_only=False)})
+        before = len(df)
+        df = df.drop_duplicates(subset=["_w", "_k", "_i"],
+                                keep="first")
+        self.n_dup += before - len(df)
+        for (w, k), sub in df.groupby(["_w", "_k"], sort=False):
+            st = self.open.get((w, k))
+            if st is None:
+                st = self.open[(w, k)] = [0, 0.0, set()]
+            ids = sub["_i"].to_numpy()
+            if st[2]:
+                seen = np.fromiter(st[2], dtype=ids.dtype,
+                                   count=len(st[2]))
+                fresh = ~np.isin(ids, seen)
+            else:
+                fresh = np.ones(len(ids), bool)
+            self.n_dup += int((~fresh).sum())
+            st[0] += int(fresh.sum())
+            st[1] += float(sub["_v"].to_numpy()[fresh].sum())
+            st[2].update(ids[fresh].tolist())
 
     def state_size(self) -> int:
         return len(self.open)
@@ -108,38 +148,50 @@ class _WindowShard:
                         "key": pa.array(list(k), ktype),
                         "n_events": pa.array(n, pa.int64()),
                         "value_sum": pa.array(s, pa.float64())})
-        return tbl, self.n_late
+        return tbl, self.n_late, self.n_dup
 
 
 def stream_window_aggregate(batches, ts_col: str, key_col: str,
                             val_col: str, width_s: int = 3600,
                             lateness_s: int = 0, n_shards: int = 4,
-                            max_inflight_per_shard: int = 4):
+                            max_inflight_per_shard: int = 4,
+                            dedup_col: "str | None" = None):
     """Consume an ordered iterable of Arrow batches (e.g.
     ``ds.iter_batches(batch_format="pyarrow")`` or a live feed) through
     sharded watermark-window actors.
 
     Returns ``(pa.Table(window_start_us, key, n_events, value_sum),
-    n_late_dropped)``.  With ``lateness_s`` covering the stream's
-    maximum disorder the table equals the batch tumbling-window
-    groupby exactly (tested); with a finite allowance, too-late rows
-    are dropped and counted — the streaming trade the batch engine
-    cannot express.
+    stats)`` with ``stats = {"n_late": …, "n_dup": …}``.  With
+    ``lateness_s`` covering the stream's maximum disorder the table
+    equals the batch tumbling-window groupby exactly (tested); with a
+    finite allowance, too-late rows are dropped and counted — the
+    streaming trade the batch engine cannot express.
+
+    ``dedup_col`` names a unique-id column and turns the operator
+    EXACTLY-ONCE over an at-least-once feed: redelivered rows (same
+    id, same window) are recognized inside the still-open window and
+    counted once; the per-window seen-set is freed when the window
+    finalizes, so dedup state is bounded by the lateness horizon, not
+    the stream.
     """
     import ray
 
     width_us = int(width_s) * 1_000_000
     late_us = int(lateness_s) * 1_000_000
     Shard = ray.remote(_WindowShard)
-    actors = [Shard.remote(width_us, late_us) for _ in range(n_shards)]
+    actors = [Shard.remote(width_us, late_us, dedup_col is not None)
+              for _ in range(n_shards)]
     inflight: list = []
     cap = max_inflight_per_shard * n_shards
     for b in batches:
         if len(b) == 0:
             continue
-        slim = pa.table({"_ts": _us_i64(b[ts_col]),
-                         "_key": b[key_col],
-                         "_val": b[val_col]})
+        cols = {"_ts": _us_i64(b[ts_col]),
+                "_key": b[key_col],
+                "_val": b[val_col]}
+        if dedup_col is not None:
+            cols["_id"] = b[dedup_col]
+        slim = pa.table(cols)
         part = _hash_part(slim["_key"], n_shards)
         for s in np.unique(part):
             sub = slim.filter(pa.array(part == s))
@@ -151,5 +203,6 @@ def stream_window_aggregate(batches, ts_col: str, key_col: str,
     parts = ray.get([a.flush.remote() for a in actors])
     for a in actors:
         ray.kill(a)
-    tbl = pa.concat_tables([p for p, _ in parts])
-    return tbl, sum(n for _, n in parts)
+    tbl = pa.concat_tables([p for p, _, _ in parts])
+    return tbl, {"n_late": int(sum(l for _, l, _ in parts)),
+                 "n_dup": int(sum(d for _, _, d in parts))}
