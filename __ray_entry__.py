@@ -3086,6 +3086,35 @@ def _q_events_stream_exactly_once(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _q_user_sessions_stream(sf_dir: str):
+    """Streaming SESSION windows (``ops/streaming.
+    stream_session_aggregate``): the time-ordered event feed flows
+    through sharded session actors; a user's session closes as soon as
+    the shard watermark passes its last event + 30 min, so sessions
+    stream out while the feed runs and open state is bounded by LIVE
+    sessions.  On the ordered feed the result equals the batch lag/gap
+    sessionization — the oracle is the identical SQL the batch
+    ``user_sessions`` query is checked against."""
+    import pandas as pd
+    import ray.data as rd
+
+    from xtract.ops.streaming import stream_session_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    tbl, n_dis = stream_session_aggregate(
+        ev.iter_batches(batch_format="pyarrow", batch_size=4096),
+        ts_col="ts", key_col="user_id", gap_s=1800, lateness_s=0,
+        n_shards=4)
+    assert n_dis == 0
+    df = tbl.to_pandas()
+    out = pd.DataFrame({"user_id": df["key"],
+                        "session_id": df["session_id"],
+                        "n_events": df["n_events"]})
+    return (out.sort_values(["user_id", "session_id"])
+            .reset_index(drop=True))
+
+
 def _q_customer_upsert_merge(sf_dir: str):
     """MERGE/upsert commit against a bucketed versioned store
     (``ops/versioned.commit_upsert``): base = customer roster (exact
@@ -6767,6 +6796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_travel": _q_events_time_travel,
         "customer_upsert_merge": _q_customer_upsert_merge,
         "events_stream_exactly_once": _q_events_stream_exactly_once,
+        "user_sessions_stream": _q_user_sessions_stream,
         "events_zorder_box": _q_events_zorder_box,
         "events_stream_window": _q_events_stream_window,
         "user_customer_outer": _q_user_customer_outer,
@@ -8329,6 +8359,17 @@ def oracle_sql() -> dict[str, str]:
             "AS value_cents FROM events "
             "WHERE ts >= TIMESTAMP '2024-01-10' "
             "AND ts < TIMESTAMP '2024-01-15' GROUP BY 1",
+        "user_sessions_stream":
+            "WITH marked AS (SELECT user_id, event_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+            "AS new_s FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "sess AS (SELECT user_id, "
+            "CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM marked) "
+            "SELECT user_id, session_id, count(*) AS n_events "
+            "FROM sess GROUP BY user_id, session_id",
         "events_stream_exactly_once":
             "SELECT strftime(ts, '%Y-%m-%d %H:00') AS window, "
             "event_type, CAST(count(*) AS BIGINT) AS n_events, "

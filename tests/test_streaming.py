@@ -183,3 +183,63 @@ def test_stream_window_exactly_once_dedup(ray_session):
         width_s=60, lateness_s=600, n_shards=1, dedup_col="id")
     assert st3["n_dup"] == 1
     assert out3.to_pylist()[0]["n_events"] == 1
+
+
+def _sess_brute(df, gap_s):
+    out = {}
+    for k, sub in df.sort_values(["k", "ts"]).groupby("k"):
+        ts = sub["ts"].to_numpy()
+        sid, n, last = 1, 0, None
+        for x in ts:
+            if last is not None and x - last > gap_s * 1_000_000:
+                out[(k, sid)] = n
+                sid, n = sid + 1, 0
+            n += 1
+            last = x
+        out[(k, sid)] = n
+    return out
+
+
+def test_stream_sessions_match_batch(ray_session):
+    from xtract.ops.streaming import stream_session_aggregate
+
+    rng = np.random.default_rng(11)
+    n = 4_000
+    ts = np.sort(rng.integers(0, 10 ** 7, n)) * 1_000_000  # ordered feed
+    keys = rng.integers(0, 25, n)
+    t = pa.table({"ts": pa.array(ts, pa.int64()),
+                  "k": pa.array(keys, pa.int64())})
+    batches = [t.slice(i, 500) for i in range(0, n, 500)]
+    out, n_dis = stream_session_aggregate(
+        batches, ts_col="ts", key_col="k", gap_s=1800, lateness_s=0,
+        n_shards=3)
+    assert n_dis == 0
+    got = {(r["key"], r["session_id"]): r["n_events"]
+           for r in out.to_pylist()}
+    want = _sess_brute(pd.DataFrame({"k": keys, "ts": ts}), 1800)
+    assert got == want
+
+
+def test_stream_sessions_disorder_dropped_and_state_bounded(ray_session):
+    import ray
+
+    from xtract.ops.streaming import _SessionShard
+
+    Shard = ray.remote(_SessionShard)
+    a = Shard.remote(60 * 1_000_000, 0)
+    peak = 0
+    for i in range(500):                   # 500 well-separated sessions
+        t = pa.table({"_ts": pa.array([i * 3600 * 1_000_000],
+                                      pa.int64()),
+                      "_key": pa.array([7], pa.int64())})
+        peak = max(peak, ray.get(a.ingest.remote(t)))
+    assert peak <= 1                       # one live session at a time
+    # a row behind the key's last ts is dropped and counted
+    t_old = pa.table({"_ts": pa.array([5], pa.int64()),
+                      "_key": pa.array([7], pa.int64())})
+    ray.get(a.ingest.remote(t_old))
+    tbl, n_dis = ray.get(a.flush.remote())
+    assert n_dis == 1
+    assert tbl.num_rows == 500
+    assert tbl["session_id"].to_pylist() == list(range(1, 501))
+    ray.kill(a)

@@ -151,6 +151,140 @@ class _WindowShard:
         return tbl, self.n_late, self.n_dup
 
 
+class _SessionShard:
+    """One hash-shard of keyed SESSION state (Ray actor body).
+
+    Contract: the feed is per-key time-ordered (a globally time-
+    ordered stream satisfies this for every key).  Rows that arrive
+    out of order for their key are dropped and counted — sessions are
+    order-defined, so the operator refuses to guess.  A session
+    finalizes when the shard watermark passes ``last_ts + gap`` (no
+    ordered row can extend it anymore); its state is freed then, so
+    open state is O(keys with a live session), plus one int per seen
+    key (the session counter)."""
+
+    def __init__(self, gap_us: int, lateness_us: int):
+        self.gap = int(gap_us)
+        self.late = int(lateness_us)
+        self.open: dict = {}      # key -> [start_us, last_ts, n]
+        self.next_id: dict = {}   # key -> next session ordinal (1-based)
+        self.done: list = []      # (key, session_id, n, start, end)
+        self.max_ts: "int | None" = None
+        self.n_disordered = 0
+        self.key_type: "pa.DataType | None" = None
+
+    def _finalize_key(self, k) -> None:
+        st = self.open.pop(k)
+        sid = self.next_id.get(k, 1)
+        self.next_id[k] = sid + 1
+        self.done.append((k, sid, int(st[2]), int(st[0]), int(st[1])))
+
+    def _finalize_through(self, wm: int) -> None:
+        closed = [k for k, st in self.open.items()
+                  if st[1] + self.gap <= wm]
+        for k in closed:
+            self._finalize_key(k)
+
+    def ingest(self, t: pa.Table) -> int:
+        if self.key_type is None:
+            self.key_type = t["_key"].type
+        df = pd.DataFrame({"_k": t["_key"].to_pandas(),
+                           "_ts": t["_ts"].to_numpy(
+                               zero_copy_only=False)})
+        # Python cost ∝ sessions touched, never rows: per key, segment
+        # boundaries come from one vectorized gap diff
+        for k, sub in df.groupby("_k", sort=False):
+            ts = np.sort(sub["_ts"].to_numpy())
+            st = self.open.get(k)
+            if st is not None:
+                cut = int(np.searchsorted(ts, st[1]))
+                self.n_disordered += cut   # per-key order violations
+                ts = ts[cut:]
+                if len(ts) == 0:
+                    continue
+            bnd = np.empty(len(ts), bool)
+            bnd[0] = st is None or (ts[0] - st[1] > self.gap)
+            if len(ts) > 1:
+                bnd[1:] = (ts[1:] - ts[:-1]) > self.gap
+            starts = np.flatnonzero(bnd)
+            if len(starts) == 0:           # whole batch extends the
+                st[1] = int(ts[-1])        # open session
+                st[2] += len(ts)
+                continue
+            first = int(starts[0])
+            if first > 0:                  # prefix extends, then break
+                st[1] = int(ts[first - 1])
+                st[2] += first
+            ends = np.append(starts[1:], len(ts))
+            for s0, e0 in zip(starts, ends):
+                if k in self.open:
+                    self._finalize_key(k)
+                self.open[k] = [int(ts[s0]), int(ts[e0 - 1]),
+                                int(e0 - s0)]
+        mx = int(df["_ts"].max())
+        self.max_ts = mx if self.max_ts is None else max(self.max_ts,
+                                                         mx)
+        self._finalize_through(self.max_ts - self.late)
+        return len(self.open)
+
+    def flush(self):
+        for k in list(self.open):
+            self._finalize_key(k)
+        if self.done:
+            k, sid, n, s, e = zip(*self.done)
+        else:
+            k, sid, n, s, e = (), (), (), (), ()
+        ktype = self.key_type if self.key_type is not None else pa.string()
+        tbl = pa.table({"key": pa.array(list(k), ktype),
+                        "session_id": pa.array(sid, pa.int64()),
+                        "n_events": pa.array(n, pa.int64()),
+                        "start_us": pa.array(s, pa.int64()),
+                        "end_us": pa.array(e, pa.int64())})
+        return tbl, self.n_disordered
+
+
+def stream_session_aggregate(batches, ts_col: str, key_col: str,
+                             gap_s: int = 1800, lateness_s: int = 0,
+                             n_shards: int = 4,
+                             max_inflight_per_shard: int = 4):
+    """Streaming SESSION windows (gap-based, the Flink session-window
+    shape): consume a per-key time-ordered feed through sharded
+    session actors; a key's session closes when the shard watermark
+    passes its last event + gap, so results stream out while the feed
+    is still running and state stays bounded by LIVE sessions.
+
+    Returns ``(pa.Table(key, session_id, n_events, start_us, end_us),
+    n_disordered_dropped)``.  On an ordered feed the output equals the
+    batch lag/gap sessionization exactly (the driver oracle checks
+    this against the same SQL as the batch ``user_sessions``)."""
+    import ray
+
+    gap_us = int(gap_s) * 1_000_000
+    late_us = int(lateness_s) * 1_000_000
+    Shard = ray.remote(_SessionShard)
+    actors = [Shard.remote(gap_us, late_us) for _ in range(n_shards)]
+    inflight: list = []
+    cap = max_inflight_per_shard * n_shards
+    for b in batches:
+        if len(b) == 0:
+            continue
+        slim = pa.table({"_ts": _us_i64(b[ts_col]),
+                         "_key": b[key_col]})
+        part = _hash_part(slim["_key"], n_shards)
+        for s in np.unique(part):
+            sub = slim.filter(pa.array(part == s))
+            inflight.append(actors[int(s)].ingest.remote(sub))
+        while len(inflight) > cap:
+            _, inflight = ray.wait(inflight, num_returns=1)
+    if inflight:
+        ray.get(inflight)
+    parts = ray.get([a.flush.remote() for a in actors])
+    for a in actors:
+        ray.kill(a)
+    tbl = pa.concat_tables([p for p, _ in parts])
+    return tbl, int(sum(n for _, n in parts))
+
+
 def stream_window_aggregate(batches, ts_col: str, key_col: str,
                             val_col: str, width_s: int = 3600,
                             lateness_s: int = 0, n_shards: int = 4,
