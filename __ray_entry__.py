@@ -3086,6 +3086,71 @@ def _q_events_stream_exactly_once(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _q_customer_upsert_cdc(sf_dir: str):
+    """Row-level CDC between snapshots (``ops/versioned.
+    changed_rows``): after the spend-fold upsert (plus five brand-new
+    synthetic customer rows), the v1→v2 change feed must name exactly
+    the ordering customers as ``update`` and the new keys as
+    ``insert`` — and it reads ONLY the buckets the upsert rewrote
+    (manifest math prunes the rest)."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.joins import equi_join_cogroup
+    from xtract.ops.versioned import (changed_rows, commit_bucketed,
+                                      commit_upsert)
+
+    store = tempfile.mkdtemp(prefix="xtract_cdc_", dir="/tmp")
+    try:
+        def base_ds():
+            return rd.read_parquet(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_acctbal", "c_mktsegment"]
+            ).map_batches(
+                lambda t: pa.table({
+                    "c_custkey": t["c_custkey"],
+                    "acctbal_cents": pc.cast(pc.round(pc.multiply(
+                        t["c_acctbal"], 100)), pa.int64()),
+                    "segment": t["c_mktsegment"]}),
+                batch_format="pyarrow")
+
+        commit_bucketed(base_ds(), store, key="c_custkey",
+                        n_buckets=16)
+        spend = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_custkey", "o_totalprice"])
+                 .map_batches(
+                     lambda t: pa.table({
+                         "o_custkey": t["o_custkey"],
+                         "cents": pc.cast(pc.round(pc.multiply(
+                             t["o_totalprice"], 100)), pa.int64())}),
+                     batch_format="pyarrow")
+                 .groupby("o_custkey")
+                 .aggregate(Sum("cents", alias_name="spend_cents")))
+        updates = equi_join_cogroup(
+            spend, base_ds(), on="o_custkey", right_on="c_custkey",
+            how="inner", num_partitions=16).map_batches(
+            lambda t: pa.table({
+                "c_custkey": t["o_custkey"],
+                "acctbal_cents": pc.add(t["acctbal_cents"],
+                                        t["spend_cents"]),
+                "segment": t["segment"]}),
+            batch_format="pyarrow")
+        fresh = rd.from_arrow(pa.table({
+            "c_custkey": pa.array([200000 + i for i in range(5)],
+                                  pa.int64()),
+            "acctbal_cents": pa.array([0] * 5, pa.int64()),
+            "segment": pa.array(["NEW"] * 5, pa.string())}))
+        commit_upsert(updates.union(fresh), store)
+        out = (changed_rows(store, 1, 2).to_pandas()
+               .sort_values("c_custkey").reset_index(drop=True))
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
 def _q_user_sessions_stream(sf_dir: str):
     """Streaming SESSION windows (``ops/streaming.
     stream_session_aggregate``): the time-ordered event feed flows
@@ -6797,6 +6862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_upsert_merge": _q_customer_upsert_merge,
         "events_stream_exactly_once": _q_events_stream_exactly_once,
         "user_sessions_stream": _q_user_sessions_stream,
+        "customer_upsert_cdc": _q_customer_upsert_cdc,
         "events_zorder_box": _q_events_zorder_box,
         "events_stream_window": _q_events_stream_window,
         "user_customer_outer": _q_user_customer_outer,
@@ -8359,6 +8425,12 @@ def oracle_sql() -> dict[str, str]:
             "AS value_cents FROM events "
             "WHERE ts >= TIMESTAMP '2024-01-10' "
             "AND ts < TIMESTAMP '2024-01-15' GROUP BY 1",
+        "customer_upsert_cdc":
+            "SELECT o_custkey AS c_custkey, 'update' AS change "
+            "FROM orders GROUP BY 1 "
+            "UNION ALL "
+            "SELECT CAST(200000 + i AS BIGINT) AS c_custkey, "
+            "'insert' AS change FROM range(5) t(i)",
         "user_sessions_stream":
             "WITH marked AS (SELECT user_id, event_id, ts, "
             "CASE WHEN lag(ts) OVER w IS NULL "

@@ -150,3 +150,43 @@ def test_upsert_requires_bucketed_store(ray_session, tmp_path):
     commit_version(rd.from_pandas(_df(0, 10)), store)
     with pytest.raises(ValueError):
         commit_upsert(rd.from_pandas(_df(0, 5)), store)
+
+
+def test_changed_rows_bucketed_cdc(ray_session, tmp_path):
+    import ray.data as rd
+
+    from xtract.ops.versioned import (changed_rows, commit_bucketed,
+                                      commit_upsert)
+
+    store = str(tmp_path / "cdc")
+    base = pd.DataFrame({"k": np.arange(40, dtype=np.int64),
+                         "val": np.arange(40, dtype=np.int64)})
+    commit_bucketed(rd.from_pandas(base), store, key="k", n_buckets=8)
+    # update 3, insert 2, and one no-op rewrite (same value)
+    ups = pd.DataFrame({"k": np.array([3, 11, 19, 40, 41, 5],
+                                      dtype=np.int64),
+                        "val": np.array([300, 1100, 1900, 4000, 4100,
+                                         5], dtype=np.int64)})
+    commit_upsert(rd.from_pandas(ups), store)
+    got = (changed_rows(store, 1, 2).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    want = {3: "update", 11: "update", 19: "update",
+            40: "insert", 41: "insert"}        # k=5 rewrote same value
+    assert dict(zip(got["k"], got["change"])) == want
+
+
+def test_changed_rows_generic_path(ray_session, tmp_path):
+    import ray.data as rd
+
+    from xtract.ops.versioned import changed_rows, commit_version
+
+    store = str(tmp_path / "cdc2")
+    commit_version(rd.from_pandas(_df(0, 30)), store)
+    v2 = _df(10, 45)                            # drops 0..9, adds 30..44
+    commit_version(rd.from_pandas(v2), store, mode="overwrite")
+    got = (changed_rows(store, 1, 2, key="id").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    d = dict(zip(got["id"], got["change"]))
+    assert all(d[i] == "delete" for i in range(10))
+    assert all(d[i] == "insert" for i in range(30, 45))
+    assert len(d) == 25                         # 10..29 unchanged

@@ -227,6 +227,118 @@ def commit_upsert(updates, store: str) -> dict:
     return entry
 
 
+def changed_rows(store: str, v_old: int, v_new: int,
+                 key: "str | None" = None):
+    """Row-level CDC between two snapshots: → Dataset of
+    ``(key, change)`` with change ∈ insert / delete / update — what an
+    incremental consumer replays instead of re-reading the corpus.
+
+    Scale shape: on a BUCKETED store only the buckets whose file sets
+    differ are read at all (manifest math prunes the rest — an upsert
+    that touched 3 of 4096 buckets costs 3 bucket reads); each changed
+    bucket compares old vs new with one vectorized pandas merge.  On
+    unbucketed stores both snapshots co-group by key hash first (one
+    all-to-all over slim rows).  ``key`` defaults to the store's
+    bucket key."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    a, b = _entry(store, v_old), _entry(store, v_new)
+    key = key or a.get("key") or b.get("key")
+    if key is None:
+        raise ValueError("changed_rows needs a key column "
+                         "(unbucketed store: pass key=...)")
+    data_dir = os.path.join(store, "data")
+
+    def _diff_frames(old: "pd.DataFrame", new: "pd.DataFrame"):
+        cols = [c for c in new.columns if c != key]
+        m = old.merge(new, how="outer", on=key,
+                      suffixes=("_o", "_n"), indicator=True)
+        out = pd.DataFrame({key: m[key]})
+        change = np.where(
+            m["_merge"] == "left_only", "delete",
+            np.where(m["_merge"] == "right_only", "insert", "same"))
+        both = m["_merge"] == "both"
+        if both.any() and cols:
+            diff = np.zeros(len(m), bool)
+            for c in cols:
+                o, n = m[c + "_o"], m[c + "_n"]
+                neq = (o != n) & ~(o.isna() & n.isna())
+                diff |= neq.to_numpy()
+            change = np.where(both & diff, "update", change)
+        out["change"] = change
+        return out[out["change"] != "same"]
+
+    if ("file_buckets" in a and "file_buckets" in b
+            and a.get("n_buckets") == b.get("n_buckets")
+            and a.get("key") == b.get("key") and key == a.get("key")):
+        fa: dict = {}
+        fb: dict = {}
+        for f, bk in zip(a["files"], a["file_buckets"]):
+            fa.setdefault(bk, []).append(f)
+        for f, bk in zip(b["files"], b["file_buckets"]):
+            fb.setdefault(bk, []).append(f)
+        changed = sorted(bk for bk in set(fa) | set(fb)
+                         if sorted(fa.get(bk, ()))
+                         != sorted(fb.get(bk, ())))
+        if not changed:
+            return rd.from_arrow(pa.table({
+                key: pa.array([], pa.int64()),
+                "change": pa.array([], pa.string())}))
+
+        def diff_bucket(t: pa.Table) -> "pd.DataFrame":
+            outs = []
+            for bk in t["bucket"].to_pylist():
+                old = [pq.read_table(os.path.join(data_dir, f))
+                       for f in fa.get(bk, ())]
+                new = [pq.read_table(os.path.join(data_dir, f))
+                       for f in fb.get(bk, ())]
+                o = (pa.concat_tables(old).to_pandas() if old
+                     else None)
+                n = (pa.concat_tables(new).to_pandas() if new
+                     else None)
+                if o is None:
+                    o = n.iloc[0:0]
+                if n is None:
+                    n = o.iloc[0:0]
+                outs.append(_diff_frames(o, n))
+            return (pd.concat(outs, ignore_index=True) if outs
+                    else pd.DataFrame({key: [], "change": []}))
+
+        buckets = rd.from_items([{"bucket": bk} for bk in changed],
+                                override_num_blocks=len(changed))
+        return buckets.map_batches(diff_bucket, batch_format="pyarrow")
+
+    # generic path: co-group both snapshots by key hash
+    from .agg import _hash_part
+
+    old_ds, new_ds = read_version(store, v_old), read_version(store,
+                                                              v_new)
+    names = new_ds.schema().names
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return (t.select(names)
+                    .append_column("_side", pa.array(
+                        np.full(len(t), side, np.int8)))
+                    .append_column("_part", pa.array(
+                        _hash_part(t[key], 64), pa.int64())))
+        return f
+
+    both = old_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        new_ds.map_batches(tag(1), batch_format="pyarrow"))
+
+    def diff_part(t: pa.Table) -> "pd.DataFrame":
+        o = t.filter(pc.equal(t["_side"], 0)).select(names).to_pandas()
+        n = t.filter(pc.equal(t["_side"], 1)).select(names).to_pandas()
+        return _diff_frames(o, n)
+
+    return both.groupby("_part").map_groups(diff_part,
+                                            batch_format="pyarrow")
+
+
 def list_versions(store: str) -> "list[dict]":
     return [{"v": e["v"], "mode": e["mode"], "n_rows": e["n_rows"],
              "n_files": len(e["files"])} for e in
