@@ -3304,6 +3304,11 @@ def _q_events_zorder_box(sf_dir: str):
                .to_pandas())
     finally:
         shutil.rmtree(d, ignore_errors=True)
+    if len(out) == 0:       # empty box (tiny sf): keep the schema
+        import pandas as pd
+        out = pd.DataFrame({"event_type": pd.Series(dtype=object),
+                            "n_events": pd.Series(dtype="int64"),
+                            "value_cents": pd.Series(dtype="int64")})
     return out.sort_values("event_type").reset_index(drop=True)
 
 
