@@ -217,6 +217,37 @@ def bench_once() -> dict:
 
     queries["stream_window"] = timed(run_stream)
 
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from xtract.ops.versioned import commit_bucketed, commit_upsert
+
+    def run_upsert():
+        import shutil
+        import tempfile
+
+        store = tempfile.mkdtemp(prefix="bench_upsert_", dir="/tmp")
+        try:
+            cust = rd.read_parquet(
+                f"{SF_DIR}/customer.parquet",
+                columns=["c_custkey", "c_acctbal"]).map_batches(
+                lambda t: _pa.table({
+                    "c_custkey": t["c_custkey"],
+                    "cents": _pc.cast(_pc.round(_pc.multiply(
+                        t["c_acctbal"], 100)), _pa.int64())}),
+                batch_format="pyarrow")
+            commit_bucketed(cust, store, key="c_custkey",
+                            n_buckets=64)
+            ups = cust.map_batches(
+                lambda t: t.filter(_pc.equal(_pc.bit_wise_and(
+                    t["c_custkey"], 7), 0)),
+                batch_format="pyarrow")
+            return commit_upsert(ups, store)["n_rows"]
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+
+    queries["upsert_merge"] = timed(run_upsert)
+
     from xtract.ops.packing import pack_documents
     from xtract.ops.vocab import build_vocab
 
