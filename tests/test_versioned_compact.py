@@ -190,3 +190,32 @@ def test_changed_rows_generic_path(ray_session, tmp_path):
     assert all(d[i] == "delete" for i in range(10))
     assert all(d[i] == "insert" for i in range(30, 45))
     assert len(d) == 25                         # 10..29 unchanged
+
+
+def test_commit_delete_and_cdc(ray_session, tmp_path):
+    import ray.data as rd
+
+    from xtract.ops.versioned import (changed_rows, commit_bucketed,
+                                      commit_delete)
+
+    store = str(tmp_path / "del")
+    base = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                         "val": np.arange(50, dtype=np.int64)})
+    e1 = commit_bucketed(rd.from_pandas(base), store, key="k",
+                         n_buckets=8)
+    e2 = commit_delete([3, 11, 999], store)     # 999 doesn't exist
+    assert e2["n_rows"] == 48
+    got = (read_version(store).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert got["k"].tolist() == [k for k in range(50)
+                                 if k not in (3, 11)]
+    # earlier snapshot intact; CDC reports exactly the two deletes
+    assert read_version(store, 1).count() == 50
+    cdc = changed_rows(store, 1, 2).to_pandas()
+    assert dict(zip(cdc["k"], cdc["change"])) == {3: "delete",
+                                                  11: "delete"}
+    # untouched buckets carried by reference
+    touched = {3 % 8, 11 % 8, 999 % 8}
+    v1_untouched = {f for f, b in zip(e1["files"], e1["file_buckets"])
+                    if b not in touched}
+    assert v1_untouched and v1_untouched <= set(e2["files"])

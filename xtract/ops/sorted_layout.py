@@ -155,6 +155,95 @@ def read_range(out_dir: str, lo=None, hi=None):
 # ---------------------------------------------------------------------------
 
 ZMANIFEST = "_zorder.json"
+CMANIFEST = "_clustered.json"
+
+
+def _doc_minhash(texts: pa.ChunkedArray) -> "object":
+    """One 64-bit 3-token-shingle MinHash per document, fully
+    vectorized: regex-split → one hash_array over ALL tokens →
+    consecutive-triple mix within each document → per-doc min via
+    ``np.minimum.at`` on list-parent indices.  Shingles (not unigrams)
+    so a universally-shared stopword can't collapse the whole corpus
+    onto one key; near-duplicate and same-boilerplate documents still
+    collide or land adjacent after a sort on this key."""
+    import numpy as np
+    import pandas as pd
+
+    lo = pc.utf8_lower(pc.fill_null(texts, ""))
+    toks = pc.split_pattern_regex(lo, "[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(
+        zero_copy_only=False)
+    n = len(texts)
+    out = np.full(n, np.iinfo(np.uint64).max, np.uint64)
+    if len(flat):
+        h = pd.util.hash_array(
+            np.asarray(flat.to_pylist(), dtype=object))
+        keep = np.asarray(
+            pc.not_equal(flat, "").to_numpy(zero_copy_only=False))
+        h, p = h[keep], parents[keep]
+        if len(h) >= 3:
+            same = (p[:-2] == p[2:])          # triple inside one doc
+            tri = (h[:-2] * np.uint64(0x9E3779B97F4A7C15)
+                   ^ h[1:-1] * np.uint64(0xC2B2AE3D27D4EB4F)
+                   ^ h[2:])[same]
+            np.minimum.at(out, p[:-2][same], tri)
+        # short documents (<3 tokens) fall back to the unigram min
+        short = np.flatnonzero(out == np.iinfo(np.uint64).max)
+        if len(short):
+            mask = np.isin(p, short)
+            if mask.any():
+                np.minimum.at(out, p[mask], h[mask])
+    return out.view(np.int64)
+
+
+def write_clustered(ds, out_dir: str, text_col: str,
+                    rows_per_file: int = 65_536) -> dict:
+    """Similarity-clustered write layout: ONE sort by a per-document
+    MinHash key places near-duplicate / shared-boilerplate documents
+    in the same files and pages, so parquet's dictionary and
+    general-purpose compression see them together — a measurably
+    smaller corpus at rest with zero semantic change (read-back is the
+    same multiset of rows; order was never part of the contract).  The
+    sort is the one all-to-all, paid at write time — the compression
+    twin of ``write_sorted`` (zone maps) and ``write_zorder`` (2-D
+    pruning)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_ckey", pa.array(_doc_minhash(t[text_col]), pa.int64()))
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"file": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "bytes": pa.array([], pa.int64())})
+        t = t.drop_columns(["_ckey"])
+        name = f"part-{os.urandom(8).hex()}.parquet"
+        path = os.path.join(out_dir, name)
+        pq.write_table(t, path)
+        return pa.table({"file": pa.array([name], pa.string()),
+                         "n": pa.array([len(t)], pa.int64()),
+                         "bytes": pa.array([os.path.getsize(path)],
+                                           pa.int64())})
+
+    rows = (ds.map_batches(add_key, batch_format="pyarrow")
+            .sort("_ckey")
+            .map_batches(write_block, batch_format="pyarrow",
+                         batch_size=rows_per_file)
+            .take_all())  # one tiny accounting row per file
+    files = sorted(({"file": r["file"], "n": int(r["n"]),
+                     "bytes": int(r["bytes"])} for r in rows),
+                   key=lambda r: r["file"])
+    man = {"text_col": text_col, "files": files,
+           "n_rows": int(sum(f["n"] for f in files)),
+           "bytes": int(sum(f["bytes"] for f in files))}
+    tmp = os.path.join(out_dir, CMANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, os.path.join(out_dir, CMANIFEST))
+    return man
 
 
 def as_i64(c):

@@ -227,6 +227,66 @@ def commit_upsert(updates, store: str) -> dict:
     return entry
 
 
+def commit_delete(keys, store: str) -> dict:
+    """Key-delete commit against a bucketed snapshot (the GDPR /
+    retention path): rewrites ONLY the buckets the keys hash into,
+    dropping matching rows; untouched files carry by reference; every
+    earlier snapshot stays readable until ``vacuum``.  ``keys`` is a
+    small driver-side iterable (deletion lists are bounded by nature;
+    for corpus-scale deletes express the predicate as an upsert job)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .agg import _hash_part
+
+    parent = _entry(store, None)
+    if parent.get("mode") not in ("bucketed", "upsert", "delete"):
+        raise ValueError("commit_delete needs a bucketed store "
+                         "(commit_bucketed first)")
+    key, nb = parent["key"], parent["n_buckets"]
+    data_dir = os.path.join(store, "data")
+    kvals = np.unique(np.asarray(list(keys), np.int64))
+    karr = pa.chunked_array([pa.array(kvals, pa.int64())])
+    touched = np.unique(_hash_part(karr, nb))
+    by_bucket: dict = {}
+    for f, b, n in zip(parent["files"], parent["file_buckets"],
+                       parent["file_rows"]):
+        by_bucket.setdefault(b, []).append((f, n))
+
+    files, bks, ns = [], [], []
+    vset = pa.array(kvals, pa.int64())
+    for b, fl in sorted(by_bucket.items()):
+        if b not in touched:
+            for f, n in fl:
+                files.append(f)
+                bks.append(b)
+                ns.append(n)
+            continue
+        t = pa.concat_tables([pq.read_table(
+            os.path.join(data_dir, f)) for f, _ in fl])
+        kept = t.filter(pc.invert(pc.is_in(t[key], value_set=vset)))
+        if len(kept) == len(t):              # nothing deleted here:
+            for f, n in fl:                  # carry by reference
+                files.append(f)
+                bks.append(b)
+                ns.append(n)
+            continue
+        if len(kept):
+            name = f"b{b:04d}-part-{os.urandom(8).hex()}.parquet"
+            pq.write_table(kept, os.path.join(data_dir, name))
+            files.append(name)
+            bks.append(b)
+            ns.append(len(kept))
+
+    man = _load(store)
+    entry = {"v": parent["v"] + 1, "mode": "delete", "key": key,
+             "n_buckets": nb, "files": files, "file_buckets": bks,
+             "file_rows": ns, "n_rows": int(sum(ns))}
+    man["versions"].append(entry)
+    _save(store, man)
+    return entry
+
+
 def changed_rows(store: str, v_old: int, v_new: int,
                  key: "str | None" = None):
     """Row-level CDC between two snapshots: → Dataset of
