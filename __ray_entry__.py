@@ -2330,6 +2330,73 @@ def _q_host_reciprocal_links(sf_dir: str):
     return reciprocal_host_pairs(extract_outlinks(pages))
 
 
+def _anchor_pages_batch(t: pa.Table) -> pa.Table:
+    """Planted cross-host anchor fan-in through the REAL tokenizer:
+    page d (on host{d%6}) links to target t{d%7} with anchor
+    'topic {d%5}' and to t{(3d+1)%7} with anchor 'see {d%3}'; an
+    intra-host nav link and an empty-anchor link are planted too and
+    must be filtered out by the op."""
+    urls, htmls = [], []
+    for d in t["doc_id"].to_pylist():
+        d = int(d)
+        urls.append(f"https://host{d % 6}.example.org/p/{d}")
+        h = ("<html><body><p>"
+             f"<a href=\"https://t{d % 7}.example.org/\">topic {d % 5}</a> "
+             f"<a href=\"https://t{(3 * d + 1) % 7}.example.org/\">"
+             f"see {d % 3}</a> "
+             f"<a href=\"https://host{d % 6}.example.org/nav\">home</a> "
+             f"<a href=\"https://t{d % 7}.example.org/\"></a>"
+             "</p></body></html>")
+        htmls.append(h.encode())
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "html": pa.array(htmls, pa.binary())})
+
+
+def _q_anchor_text_profile(sf_dir: str):
+    """Anchor-text harvest (``ops/graph.anchor_text_profile``): per
+    link TARGET, total cross-host in-links, distinct referring hosts,
+    distinct anchor strings, and the modal anchor (ties
+    lexicographic).  Scale shape: slim (target, anchor) pair groupby
+    with block combiners, exact distinct-host pair dedup, grouped
+    top-1 for the mode, two hash co-group joins — no broadcast."""
+    from xtract.links import extract_outlinks
+    from xtract.ops.graph import anchor_text_profile
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _anchor_pages_batch, batch_format="pyarrow")
+    return anchor_text_profile(extract_outlinks(pages))
+
+
+def _anchor_profile_sql() -> str:
+    link1 = ("SELECT 'https://t' || CAST(doc_id % 7 AS VARCHAR) || "
+             "'.example.org/' AS target, "
+             "'topic ' || CAST(doc_id % 5 AS VARCHAR) AS anchor, "
+             "'host' || CAST(doc_id % 6 AS VARCHAR) || '.example.org' "
+             "AS src_host FROM documents")
+    link2 = ("SELECT 'https://t' || CAST((3 * doc_id + 1) % 7 AS VARCHAR) "
+             "|| '.example.org/', "
+             "'see ' || CAST(doc_id % 3 AS VARCHAR), "
+             "'host' || CAST(doc_id % 6 AS VARCHAR) || '.example.org' "
+             "FROM documents")
+    return (
+        f"WITH l AS ({link1} UNION ALL {link2}), "
+        "p AS (SELECT target, anchor, count(*) AS n FROM l "
+        "GROUP BY 1, 2), "
+        "agg AS (SELECT target, CAST(sum(n) AS BIGINT) AS n_links, "
+        "CAST(count(*) AS BIGINT) AS n_distinct_anchors FROM p "
+        "GROUP BY 1), "
+        "top AS (SELECT target, anchor AS top_anchor, "
+        "CAST(n AS BIGINT) AS top_anchor_links, "
+        "row_number() OVER (PARTITION BY target "
+        "ORDER BY n DESC, anchor) AS rn FROM p), "
+        "h AS (SELECT target, CAST(count(DISTINCT src_host) AS BIGINT) "
+        "AS n_hosts FROM l GROUP BY 1) "
+        "SELECT agg.target, n_links, n_hosts, n_distinct_anchors, "
+        "top_anchor, top_anchor_links "
+        "FROM agg JOIN top USING (target) JOIN h USING (target) "
+        "WHERE rn = 1 ORDER BY target")
+
+
 def _q_lineitem_weighted_discount(sf_dir: str):
     """Exact-integer grouped WEIGHTED AVERAGE (price-weighted discount)
     as a num/den fraction — no float accumulation order anywhere: one
@@ -6845,6 +6912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rfm_segments": _q_user_rfm_segments,
         "lineitem_weighted_discount": _q_lineitem_weighted_discount,
         "host_reciprocal_links": _q_host_reciprocal_links,
+        "anchor_text_profile": _q_anchor_text_profile,
         "page_lists": _q_page_lists,
         "bigram_pmi": _q_bigram_pmi,
         "host_triangles": _q_host_triangles,
@@ -7802,6 +7870,7 @@ def oracle_sql() -> dict[str, str]:
             "max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS w "
             "FROM e GROUP BY 1, 2) "
             "SELECT host_a, host_b FROM p WHERE f = 1 AND w = 1",
+        "anchor_text_profile": _anchor_profile_sql(),
         "page_lists": _page_lists_sql(),
         "page_code_blocks": _page_code_sql(),
         "host_link_jaccard": _host_link_jaccard_sql(),

@@ -105,3 +105,59 @@ def test_reciprocal_host_pairs(ray_session):
     out = reciprocal_host_pairs(links).to_pandas().sort_values(
         ["host_a", "host_b"]).reset_index(drop=True)
     assert out.values.tolist() == [["a.org", "b.org"]]
+
+
+# ---------------------------------------------------------------------------
+# anchor-text harvest
+# ---------------------------------------------------------------------------
+
+def _links_tbl(rows):
+    return rd.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "href": pa.array([r[1] for r in rows], pa.string()),
+        "anchor_text": pa.array([r[2] for r in rows], pa.string()),
+        "host": pa.array([r[0].split("/")[2] for r in rows], pa.string()),
+    }))
+
+
+def test_anchor_profile_brute_force(ray_session):
+    from xtract.ops.graph import anchor_text_profile
+    T = "https://t.example.org/"
+    rows = [
+        ("https://a.org/1", T, "best site", ),
+        ("https://a.org/2", T, "best site", ),
+        ("https://b.org/1", T, "a site", ),
+        ("https://b.org/2", T, "best site", ),
+        ("https://t.example.org/x", T, "self nav", ),   # intra-host: dropped
+        ("https://c.org/1", T, "", ),                    # empty anchor: dropped
+        ("https://a.org/3", "https://u.org/", "u page", ),
+    ]
+    df = (anchor_text_profile(_links_tbl(rows))
+          .to_pandas().sort_values("target").reset_index(drop=True))
+    t = df[df["target"] == T].iloc[0]
+    assert t["n_links"] == 4
+    assert t["n_hosts"] == 2
+    assert t["n_distinct_anchors"] == 2
+    assert t["top_anchor"] == "best site" and t["top_anchor_links"] == 3
+    u = df[df["target"] == "https://u.org/"].iloc[0]
+    assert (u["n_links"], u["n_hosts"], u["n_distinct_anchors"]) == (1, 1, 1)
+
+
+def test_anchor_profile_mode_tie_lexicographic(ray_session):
+    from xtract.ops.graph import anchor_text_profile
+    T = "https://t.example.org/"
+    rows = [("https://a.org/1", T, "zeta"), ("https://a.org/2", T, "alpha")]
+    df = anchor_text_profile(_links_tbl(rows)).to_pandas()
+    assert df.iloc[0]["top_anchor"] == "alpha"          # tie 1-1 → lexicographic
+
+
+def test_anchor_profile_partition_invariance(ray_session):
+    from xtract.ops.graph import anchor_text_profile
+    rows = [(f"https://s{i % 9}.org/p{i}",
+             f"https://t{i % 4}.example.org/",
+             f"desc {i % 3}") for i in range(300)]
+    a = (anchor_text_profile(_links_tbl(rows))
+         .to_pandas().sort_values("target").reset_index(drop=True))
+    b = (anchor_text_profile(_links_tbl(rows).repartition(7))
+         .to_pandas().sort_values("target").reset_index(drop=True))
+    assert a.equals(b)

@@ -784,3 +784,104 @@ def resolve_pointer_chains(state_ds, partitions: int = 16,
         if still == 0:
             break
     return state.drop_columns(["moving"])
+
+
+# ---------------------------------------------------------------------------
+# anchor-text harvest (per-target link-description profile)
+# ---------------------------------------------------------------------------
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?P<h>[^/?#]+)"
+
+
+def anchor_text_profile(links_ds, target_col: str = "href",
+                        anchor_col: str = "anchor_text",
+                        src_url_col: str = "url",
+                        num_partitions: int = 64):
+    """→ Dataset(target, n_links, n_hosts, n_distinct_anchors,
+    top_anchor, top_anchor_links): the classic web-corpus anchor-text
+    harvest — for every link TARGET, how other sites describe it
+    (MS-MARCO / anchor-corpus construction; also the strongest
+    relevance signal a crawl-side ranker has).  Reference parity
+    anchor: tesseract-rs has no link surface; this extends
+    `links.extract_outlinks` the way `pagerank` extends the host graph.
+
+    Semantics: only CROSS-HOST links with non-empty anchor text count
+    (intra-host nav/boilerplate anchors describe layout, not content).
+    ``top_anchor`` is the modal anchor string per target, ties broken
+    lexicographically — total-order deterministic.
+
+    Scale shape (no broadcast, no corpus shuffle):
+
+    1. vectorized filter: target + source hosts via TWO Arrow
+       `extract_regex` kernels (`links.extract_outlinks`'s ``host``
+       column is the TARGET's host; the source host comes from the
+       page url);
+    2. slim (target, anchor) projection → ``groupby.Count`` — the pair
+       exchange moves distinct-pair rows, a viral anchor dedups into
+       counts, not rows;
+    3. per-target Sum/Count over the pair table + `top_k_per_key`
+       (block combiner keeps ≤1 candidate pair per block) for the
+       mode; exact distinct referring hosts via
+       `agg.count_distinct_per_key` (pair-dedup combiner);
+    4. the three one-row-per-target tables meet in two hash co-group
+       joins (`joins.equi_join_cogroup`) — slim string/int rows only.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .agg import count_distinct_per_key, first_row_per_key
+    from .joins import equi_join_cogroup
+
+    def cross_host(t: pa.Table) -> pa.Table:
+        th = pc.struct_field(
+            pc.extract_regex(t[target_col], _HOST_RE), "h")
+        sh = pc.struct_field(
+            pc.extract_regex(t[src_url_col], _HOST_RE), "h")
+        keep = pc.and_kleene(
+            pc.not_equal(pc.fill_null(t[anchor_col], ""), ""),
+            pc.not_equal(pc.fill_null(th, ""), pc.fill_null(sh, "")))
+        mask = pc.fill_null(keep, False)
+        out = t.filter(mask)
+        return pa.table({
+            "target": out[target_col].cast(pa.string()),
+            "anchor": out[anchor_col].cast(pa.string()),
+            "src_host": sh.filter(mask).cast(pa.string())})
+
+    slim = links_ds.map_batches(cross_host, batch_format="pyarrow")
+
+    pair_counts = (slim.select_columns(["target", "anchor"])
+                   .groupby(["target", "anchor"])
+                   .aggregate(Count(alias_name="n")))
+
+    per_target = (pair_counts.groupby("target")
+                  .aggregate(Sum("n", alias_name="n_links"),
+                             Count(alias_name="n_distinct_anchors")))
+
+    def neg(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_neg_n", pc.multiply(t["n"].cast(pa.int64()),
+                                  pa.scalar(-1, pa.int64())))
+
+    top = first_row_per_key(
+        pair_counts.map_batches(neg, batch_format="pyarrow"),
+        key="target", order_cols=("_neg_n", "anchor"),
+        num_partitions=num_partitions)
+    top = top.map_batches(
+        lambda t: pa.table({"target": t["target"],
+                            "top_anchor": t["anchor"],
+                            "top_anchor_links": t["n"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    hosts = count_distinct_per_key(
+        slim.select_columns(["target", "src_host"]), "target", "src_host")
+    hosts = hosts.map_batches(
+        lambda t: pa.table({"target": t["target"],
+                            "n_hosts": t["n_distinct"]}),
+        batch_format="pyarrow")
+
+    out = equi_join_cogroup(per_target, hosts, on="target",
+                            num_partitions=num_partitions)
+    out = equi_join_cogroup(out, top, on="target",
+                            num_partitions=num_partitions)
+    return out.select_columns(["target", "n_links", "n_hosts",
+                               "n_distinct_anchors", "top_anchor",
+                               "top_anchor_links"])

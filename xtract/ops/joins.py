@@ -24,6 +24,22 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _as_pa_type(t) -> pa.DataType:
+    """Schema type → Arrow DataType.  A Dataset whose blocks are pandas
+    (e.g. the output of another co-group join) reports numpy dtypes and
+    ``object`` for strings in ``schema().types``; normalize so the
+    null-pad / dtype-restore paths always hold real Arrow types (flat
+    columns only, per the join contract — ``object`` means string)."""
+    if isinstance(t, pa.DataType):
+        return t
+    if t is object or t is str:
+        return pa.string()
+    try:
+        return pa.from_numpy_dtype(t)
+    except (pa.ArrowNotImplementedError, TypeError, ValueError):
+        return pa.string()
+
+
 def _to_nullable(series: "pd.Series", pa_type) -> "pd.Series":
     """Cast a possibly-NaN-upcast column to the pandas NULLABLE dtype
     matching its true Arrow type (Int64/Int32/... survive missing rows
@@ -232,8 +248,8 @@ def equi_join_cogroup(left_ds, right_ds, on: str, right_on: str | None = None,
     right_on = right_on or on
     lnames = list(left_ds.schema().names)
     rnames = list(right_ds.schema().names)
-    ltypes = dict(zip(lnames, left_ds.schema().types))
-    rtypes = dict(zip(rnames, right_ds.schema().types))
+    ltypes = dict(zip(lnames, map(_as_pa_type, left_ds.schema().types)))
+    rtypes = dict(zip(rnames, map(_as_pa_type, right_ds.schema().types)))
 
     def tag(b: pa.Table, side: int, key: str) -> pa.Table:
         from .agg import _hash_part
