@@ -208,6 +208,72 @@ def _q_embedding_knn(sf_dir: str):
     return out[["rank", "vec_id"]]
 
 
+def _q_knn_sq8(sf_dir: str):
+    """Scalar-quantized (int8) ANN (``ops/similarity.knn_sq8``):
+    candidate generation over 8×-compressed codes + exact float64
+    rescore inside each batch.  Same query/top-10 as `embedding_knn`
+    and the SAME SQL oracle — the rescore margin (rescore=8) makes the
+    compressed path land the exact answer on this corpus, which is the
+    check."""
+    from xtract.ops.similarity import knn_sq8
+
+    emb = _emb(sf_dir)
+    q0 = [r["embedding"] for r in emb.take(1)][0]
+    out = knn_sq8(emb, np.asarray([q0], np.float64), k=10).to_pandas()
+    return out[["rank", "vec_id"]]
+
+
+def _q_doc_upsample_mix(sf_dir: str):
+    """Deterministic fractional upsampling to a target mixture
+    (``ops/agg.upsample_mixture``): src0 ×2.5, src1 ×0.25, src2
+    dropped, everything else ×1 — per-row repeat counts are a pure
+    function of (source, lcg(doc_id)), so the exact copy multiset is
+    SQL-reconstructible.  No shuffle; one repeat/take kernel per
+    batch."""
+    from xtract.ops.agg import upsample_mixture
+
+    docs = _docs(sf_dir, ["doc_id", "source"])
+    out = upsample_mixture(docs, "source", "doc_id",
+                           {"src0": 2.5, "src1": 0.25, "src2": 0})
+    return out
+
+
+def _q_doc_hash_split(sf_dir: str):
+    """Deterministic train/val/test split (``ops/agg.hash_split``):
+    lcg(doc_id) basis points → 5% val / 5% test / 90% train; a
+    document keeps its split across corpus versions (leakage-audit
+    property)."""
+    from xtract.ops.agg import hash_split
+
+    return hash_split(_docs(sf_dir, ["doc_id"]), "doc_id")
+
+
+_LCG_SQL = "((doc_id * 2654435761 + 12345) % 4294967296)"
+
+
+def _upsample_mix_sql() -> str:
+    return (
+        "WITH r AS (SELECT doc_id, source, "
+        "CASE WHEN source = 'src0' THEN 2 + (CASE WHEN "
+        f"{_LCG_SQL} % 1000000 < 500000 THEN 1 ELSE 0 END) "
+        "WHEN source = 'src1' THEN (CASE WHEN "
+        f"{_LCG_SQL} % 1000000 < 250000 THEN 1 ELSE 0 END) "
+        "WHEN source = 'src2' THEN 0 ELSE 1 END AS reps "
+        "FROM documents) "
+        "SELECT doc_id, source, CAST(t.copy_idx AS BIGINT) AS copy_idx "
+        "FROM r, UNNEST(range(r.reps)) AS t(copy_idx) "
+        "ORDER BY doc_id, copy_idx")
+
+
+def _hash_split_sql() -> str:
+    return (
+        f"WITH b AS (SELECT doc_id, {_LCG_SQL} % 10000 AS bp "
+        "FROM documents) "
+        "SELECT doc_id, CASE WHEN bp < 500 THEN 'val' "
+        "WHEN bp < 1000 THEN 'test' ELSE 'train' END AS split "
+        "FROM b ORDER BY doc_id")
+
+
 def _q_orders_priority_histogram(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -6870,6 +6936,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_stats": _q_part_brand_stats,
         "supplier_nation": _q_supplier_nation,
         "embedding_knn": _q_embedding_knn,
+        "knn_sq8": _q_knn_sq8,
+        "doc_upsample_mix": _q_doc_upsample_mix,
+        "doc_hash_split": _q_doc_hash_split,
         "orders_priority_histogram": _q_orders_priority_histogram,
         "discount_revenue": _q_discount_revenue,
         "nation_customer_balance": _q_nation_customer_balance,
@@ -8871,6 +8940,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e CROSS JOIN q) "
             "SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rank, vec_id "
             "FROM scored ORDER BY score DESC, vec_id LIMIT 10",
+        # knn_sq8: the int8-compressed path must land the SAME exact
+        # top-10 as brute force (rescore margin covers quantization)
+        "knn_sq8":
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+            "scored AS (SELECT e.vec_id, "
+            "list_cosine_similarity(e.embedding, q.qe) AS score "
+            "FROM embeddings e CROSS JOIN q) "
+            "SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rank, vec_id "
+            "FROM scored ORDER BY score DESC, vec_id LIMIT 10",
+        "doc_upsample_mix": _upsample_mix_sql(),
+        "doc_hash_split": _hash_split_sql(),
         "events_hopping":
             "WITH e AS (SELECT event_type, value, epoch_us(ts) AS us "
             "FROM events), "

@@ -1,0 +1,117 @@
+"""Session-9 ops: mixture upsampling, hash split, SQ8 quantized ANN."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from xtract.ops.agg import _lcg, hash_split, upsample_mixture
+
+
+def _docs_tbl(n=200):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "source": pa.array([f"src{i % 4}" for i in range(n)], pa.string()),
+        "payload": pa.array([[i, i + 1] for i in range(n)],
+                            pa.list_(pa.int64())),
+    }))
+
+
+def test_upsample_brute_force(ray_session):
+    factors = {"src0": 2.5, "src1": 0.25, "src2": 0}
+    out = (upsample_mixture(_docs_tbl(), "source", "doc_id", factors)
+           .to_pandas().sort_values(["doc_id", "copy_idx"])
+           .reset_index(drop=True))
+    # sequential reference
+    exp = []
+    for i in range(200):
+        src = f"src{i % 4}"
+        f = factors.get(src, 1.0)
+        reps = int(f) + (int(_lcg(np.array([i], np.int64))[0]) % 1_000_000
+                         < round((f - int(f)) * 1_000_000))
+        exp.extend((i, src, c) for c in range(reps))
+    assert list(map(tuple, out[["doc_id", "source", "copy_idx"]]
+                    .itertuples(index=False))) == exp
+    # nested payload survives the repeat/take
+    assert out["payload"].iloc[0] is not None
+
+
+def test_upsample_partition_invariance(ray_session):
+    f = {"src0": 3.0, "src3": 0.5}
+    a = (upsample_mixture(_docs_tbl(), "source", "doc_id", f)
+         .to_pandas().sort_values(["doc_id", "copy_idx"])
+         .reset_index(drop=True))
+    b = (upsample_mixture(_docs_tbl().repartition(7), "source", "doc_id", f)
+         .to_pandas().sort_values(["doc_id", "copy_idx"])
+         .reset_index(drop=True))
+    assert a[["doc_id", "source", "copy_idx"]].equals(
+        b[["doc_id", "source", "copy_idx"]])
+
+
+def test_upsample_hits_target_mix(ray_session):
+    # 10k rows, one stratum ×2.5 → realized factor within 3%
+    n = 10_000
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "source": pa.array(["a" if i % 2 else "b" for i in range(n)],
+                           pa.string())}))
+    out = upsample_mixture(ds, "source", "doc_id", {"a": 2.5}).to_pandas()
+    na = (out["source"] == "a").sum()
+    assert abs(na / 5000 - 2.5) < 0.075
+    assert (out["source"] == "b").sum() == 5000
+
+
+def test_hash_split_deterministic_and_stable(ray_session):
+    out = hash_split(_docs_tbl(), "doc_id").to_pandas()
+    bp = _lcg(out["doc_id"].to_numpy().astype(np.int64)) % 10_000
+    exp = np.where(bp < 500, "val", np.where(bp < 1000, "test", "train"))
+    assert (out["split"].to_numpy() == exp).all()
+    # stability: a doc keeps its split in a grown corpus
+    big = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(400)), pa.int64()),
+        "source": pa.array(["x"] * 400, pa.string())}))
+    out2 = hash_split(big, "doc_id").to_pandas().set_index("doc_id")
+    small = out.set_index("doc_id")
+    assert (small["split"] == out2.loc[small.index, "split"]).all()
+
+
+def test_hash_split_proportions(ray_session):
+    n = 20_000
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(list(range(n)),
+                                                    pa.int64())}))
+    out = hash_split(ds, "doc_id", val_bps=1000, test_bps=1000).to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["val"] - 0.10) < 0.02
+    assert abs(frac["test"] - 0.10) < 0.02
+
+
+def _emb_ds(n=3000, dim=32, seed=3):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, dim))
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(list(range(n)), pa.int64()),
+        "embedding": pa.array([row.tolist() for row in v],
+                              pa.list_(pa.float64()))})), v
+
+
+def test_knn_sq8_matches_bruteforce(ray_session):
+    from xtract.ops.similarity import knn_bruteforce, knn_sq8
+
+    ds, v = _emb_ds()
+    q = v[:3] + 0.01
+    exact = knn_bruteforce(ds, q, k=10).to_pandas()
+    quant = knn_sq8(ds, q, k=10).to_pandas()
+    # rescore margin makes the compressed path exact on this data
+    assert exact[["query_id", "rank", "vec_id"]].equals(
+        quant[["query_id", "rank", "vec_id"]])
+    # scores are the exact float64 rescored values
+    assert np.allclose(exact["score"], quant["score"])
+
+
+def test_knn_sq8_codebook_reuse(ray_session):
+    from xtract.ops.similarity import knn_sq8, train_sq8
+
+    ds, v = _emb_ds(n=500)
+    cb = train_sq8(ds)
+    a = knn_sq8(ds, v[:1], k=5, codebook=cb).to_pandas()
+    b = knn_sq8(ds, v[:1], k=5).to_pandas()
+    assert a.equals(b)

@@ -170,6 +170,77 @@ def stratified_sample(ds, stratum_col: str, key: str,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+_LCG_A, _LCG_C, _LCG_M = 2654435761, 12345, 2 ** 32
+
+
+def _lcg(ids: np.ndarray) -> np.ndarray:
+    """The repo's reproducible per-id hash (same constants as
+    `priority_sample`, mirrored in SQL as
+    ``(id * 2654435761 + 12345) % 4294967296``)."""
+    return (ids * np.int64(_LCG_A) + np.int64(_LCG_C)) % np.int64(_LCG_M)
+
+
+def upsample_mixture(ds, stratum_col: str, key: str, factors: dict,
+                     copy_col: str = "copy_idx"):
+    """Deterministic FRACTIONAL upsampling to a target mixture (the
+    complement of `stratified_sample`: epoch-weighting a training mix,
+    e.g. 2.5 epochs of curated text against 1 epoch of crawl).  A row
+    in stratum s with factor f gets ``floor(f)`` copies plus one more
+    iff ``lcg(key) % 10^6 < round(frac(f)·10^6)`` — reproducible under
+    ANY partitioning (no RNG state), and every copy is tagged with
+    ``copy_idx`` (0‥n−1) so downstream shuffles/packing can
+    de-correlate copies.  Unlisted strata keep factor 1.0; factor 0
+    drops the stratum.
+
+    Scale shape: embarrassingly parallel — one dictionary-decode + one
+    ``np.repeat``/``take`` per batch, no shuffle, no driver state.
+    """
+    strata = sorted(factors)
+    base = np.array([int(factors[s]) for s in strata] + [1], np.int64)
+    frac_micro = np.array(
+        [int(round((float(factors[s]) - int(factors[s])) * 1_000_000))
+         for s in strata] + [0], np.int64)
+
+    def expand(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = pc.fill_null(
+            pc.index_in(t[stratum_col], value_set=pa.array(strata)),
+            len(strata)).to_numpy(zero_copy_only=False).astype(np.int64)
+        reps = base[idx] + (_lcg(ids) % 1_000_000 < frac_micro[idx])
+        row_idx = np.repeat(np.arange(len(t), dtype=np.int64), reps)
+        ends = np.cumsum(reps)
+        copy_idx = np.arange(int(ends[-1]) if len(ends) else 0,
+                             dtype=np.int64) - np.repeat(ends - reps, reps)
+        return t.take(pa.array(row_idx)).append_column(
+            copy_col, pa.array(copy_idx, pa.int64()))
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def hash_split(ds, key: str, val_bps: int = 500, test_bps: int = 500,
+               split_col: str = "split"):
+    """Deterministic train/val/test assignment: ``lcg(key) % 10000``
+    lands in [0, val_bps) → 'val', [val_bps, val_bps+test_bps) →
+    'test', else 'train'.  Basis-point thresholds, reproducible under
+    any partitioning and STABLE ACROSS CORPUS VERSIONS (a document
+    keeps its split when other documents come and go — the property a
+    random split lacks and leakage audits need).  No shuffle; one
+    vectorized kernel per batch."""
+    names = np.array(["val", "test", "train"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        bp = _lcg(ids) % 10_000
+        which = np.where(bp < val_bps, 0,
+                         np.where(bp < val_bps + test_bps, 1, 2))
+        return t.append_column(
+            split_col, pa.array(names[which], pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def count_distinct_per_key(ds, key: str, val: str):
     """→ Dataset(key, n_distinct): exact grouped COUNT(DISTINCT val).
 
