@@ -2202,6 +2202,69 @@ def _pagerank_sql(iters: int = 5) -> str:
         f" SELECT node, r AS pagerank_micro FROM r{iters}")
 
 
+def _q_host_hits(sf_dir: str):
+    """Integer HITS (hubs/authorities, ``ops/graph.hits``) over the
+    SAME planted host graph as `host_pagerank`: 3 rounds of
+    max-normalized int64 half-steps, bit-identical at any parallelism,
+    fully re-derived by the SQL oracle's unrolled CTEs."""
+    from xtract.ops.graph import hits
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = ids % 97
+        nl = (ids % 4).astype(np.int64)
+        rep = np.repeat(np.arange(len(ids), dtype=np.int64), nl)
+        run_start = np.repeat(np.cumsum(nl) - nl, nl)
+        j = np.arange(len(rep), dtype=np.int64) - run_start
+        return pa.table({
+            "src": pa.array(h[rep], pa.int64()),
+            "dst": pa.array((h[rep] * 31 + 17 * j + ids[rep]) % 97,
+                            pa.int64())})
+
+    def hosts(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.unique(ids % 97), pa.int64())})
+
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    nodes = docs.map_batches(hosts, batch_format="pyarrow")
+    return hits(e, iters=3, nodes_ds=nodes)
+
+
+def _hits_sql(iters: int = 3) -> str:
+    """Unrolled integer HITS — per round: auth raw = Σ hub over
+    in-edges, max-normalized to micro-units with the same int64 floor
+    division as the op; then hubs symmetrically over out-edges."""
+    step = (
+        "ar{k} AS (SELECT n.node, coalesce(s.c, 0) AS raw "
+        "FROM nodes n LEFT JOIN (SELECT e.dst AS node, sum(h{p}.h) AS c "
+        "FROM e JOIN h{p} ON h{p}.node = e.src GROUP BY e.dst) s "
+        "ON s.node = n.node), "
+        "a{k} AS (SELECT node, CAST(raw * 1000000 // "
+        "greatest((SELECT max(raw) FROM ar{k}), 1) AS BIGINT) AS a "
+        "FROM ar{k}), "
+        "hr{k} AS (SELECT n.node, coalesce(s.c, 0) AS raw "
+        "FROM nodes n LEFT JOIN (SELECT e.src AS node, sum(a{k}.a) AS c "
+        "FROM e JOIN a{k} ON a{k}.node = e.dst GROUP BY e.src) s "
+        "ON s.node = n.node), "
+        "h{k} AS (SELECT node, CAST(raw * 1000000 // "
+        "greatest((SELECT max(raw) FROM hr{k}), 1) AS BIGINT) AS h "
+        "FROM hr{k})")
+    ctes = ", ".join(step.format(k=k, p=k - 1) for k in range(1, iters + 1))
+    return (
+        "WITH e AS (SELECT (doc_id % 97) AS src, "
+        "((doc_id % 97) * 31 + 17 * j + doc_id) % 97 AS dst "
+        "FROM documents, UNNEST(range(0, doc_id % 4)) AS t(j)), "
+        "nodes AS (SELECT DISTINCT (doc_id % 97) AS node FROM documents "
+        "UNION SELECT DISTINCT dst FROM e), "
+        "h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes), "
+        + ctes +
+        f" SELECT h{iters}.node, h{iters}.h AS hub_micro, "
+        f"a{iters}.a AS auth_micro FROM h{iters} "
+        f"JOIN a{iters} ON a{iters}.node = h{iters}.node")
+
+
 def _q_crawl_snapshot_diff(sf_dir: str):
     """Crawl-dump diff: urls added/removed/changed/unchanged between
     two deterministic snapshots of the corpus (old = doc_id%7 != 3,
@@ -7085,6 +7148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_quantiles": _q_order_price_quantiles,
         "nb_lang_classify": _q_nb_lang_classify,
         "host_pagerank": _q_host_pagerank,
+        "host_hits": _q_host_hits,
         "crawl_snapshot_diff": _q_crawl_snapshot_diff,
         "page_head_meta": _q_page_head_meta,
         "heavy_hitter_hosts": _q_heavy_hitter_hosts,
@@ -9038,6 +9102,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, cls AS pred_lang, CAST(score AS BIGINT) "
             "AS nb_score FROM ranked WHERE rn = 1",
         "host_pagerank": _pagerank_sql(5),
+        "host_hits": _hits_sql(3),
         "page_head_meta": _head_meta_sql(),
         "heavy_hitter_hosts":
             "WITH h AS (SELECT 'h' || CAST(doc_id % 199 AS VARCHAR) || "

@@ -161,3 +161,42 @@ def test_anchor_profile_partition_invariance(ray_session):
     b = (anchor_text_profile(_links_tbl(rows).repartition(7))
          .to_pandas().sort_values("target").reset_index(drop=True))
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+def test_hits_hand_computed(ray_session):
+    from xtract.ops.graph import hits
+    # 1->3, 2->3, 3->4; one round:
+    # auth_raw: 3=2e6, 4=1e6 -> auth: 3=1e6, 4=5e5
+    # hub_raw: 1=1e6, 2=1e6, 3=5e5 -> hub: 1=1e6, 2=1e6, 3=5e5
+    df = hits(_edges([1, 2, 3], [3, 3, 4]), iters=1).to_pandas()
+    h = dict(zip(df["node"], df["hub_micro"]))
+    a = dict(zip(df["node"], df["auth_micro"]))
+    assert a == {1: 0, 2: 0, 3: 1_000_000, 4: 500_000}
+    assert h == {1: 1_000_000, 2: 1_000_000, 3: 500_000, 4: 0}
+
+
+def test_hits_partition_invariance(ray_session):
+    from xtract.ops.graph import hits
+    rng = np.random.default_rng(11)
+    e = _edges(rng.integers(0, 50, 600), rng.integers(0, 50, 600))
+    a = hits(e, iters=3).to_pandas().sort_values("node") \
+        .reset_index(drop=True)
+    b = hits(e.repartition(9), iters=3).to_pandas().sort_values("node") \
+        .reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_hits_isolated_node_and_gate(ray_session):
+    from xtract.ops.graph import hits
+    import ray.data as rd
+    nodes = rd.from_arrow(pa.table({"node": pa.array([1, 2, 99],
+                                                     pa.int64())}))
+    df = hits(_edges([1], [2]), iters=2, nodes_ds=nodes).to_pandas()
+    assert set(df["node"]) == {1, 2, 99}
+    assert df.set_index("node").loc[99, "hub_micro"] == 0
+    with pytest.raises(ValueError):
+        hits(_edges([1], [2]), broadcast_limit=1)
