@@ -248,7 +248,24 @@ def _q_doc_hash_split(sf_dir: str):
     return hash_split(_docs(sf_dir, ["doc_id"]), "doc_id")
 
 
+def _q_doc_quality_sample(sf_dir: str):
+    """Per-row soft quality sampling (``ops/agg.weighted_downsample``):
+    keep probability min(1, n_chars/4000) decided by lcg(doc_id) —
+    deterministic, shuffle-free, SQL-replayable."""
+    from xtract.ops.agg import weighted_downsample
+
+    return weighted_downsample(_docs(sf_dir, ["doc_id", "n_chars"]),
+                               "doc_id", "n_chars", scale=4000)
+
+
 _LCG_SQL = "((doc_id * 2654435761 + 12345) % 4294967296)"
+
+
+def _quality_sample_sql() -> str:
+    return (
+        "SELECT doc_id, n_chars FROM documents "
+        f"WHERE {_LCG_SQL} % 1000000 < "
+        "least(n_chars * 1000000 // 4000, 1000000) ORDER BY doc_id")
 
 
 def _upsample_mix_sql() -> str:
@@ -7002,6 +7019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_sq8": _q_knn_sq8,
         "doc_upsample_mix": _q_doc_upsample_mix,
         "doc_hash_split": _q_doc_hash_split,
+        "doc_quality_sample": _q_doc_quality_sample,
         "orders_priority_histogram": _q_orders_priority_histogram,
         "discount_revenue": _q_discount_revenue,
         "nation_customer_balance": _q_nation_customer_balance,
@@ -9015,6 +9033,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored ORDER BY score DESC, vec_id LIMIT 10",
         "doc_upsample_mix": _upsample_mix_sql(),
         "doc_hash_split": _hash_split_sql(),
+        "doc_quality_sample": _quality_sample_sql(),
         "events_hopping":
             "WITH e AS (SELECT event_type, value, epoch_us(ts) AS us "
             "FROM events), "

@@ -115,3 +115,32 @@ def test_knn_sq8_codebook_reuse(ray_session):
     a = knn_sq8(ds, v[:1], k=5, codebook=cb).to_pandas()
     b = knn_sq8(ds, v[:1], k=5).to_pandas()
     assert a.equals(b)
+
+
+def test_weighted_downsample_brute_force(ray_session):
+    from xtract.ops.agg import weighted_downsample
+    n = 5000
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "score": pa.array([(i * 37) % 200 for i in range(n)], pa.int64())}))
+    out = weighted_downsample(ds, "doc_id", "score", scale=100).to_pandas()
+    ids = np.arange(n, dtype=np.int64)
+    w = (ids * 37) % 200
+    thresh = np.minimum(w * 1_000_000 // 100, 1_000_000)
+    exp = ids[_lcg(ids) % 1_000_000 < thresh]
+    assert (out["doc_id"].to_numpy() == exp).all()
+    # weight >= scale rows are ALL kept
+    kept = set(out["doc_id"])
+    assert all(i in kept for i in ids[w >= 100])
+
+
+def test_weighted_downsample_partition_invariance(ray_session):
+    from xtract.ops.agg import weighted_downsample
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(1000)), pa.int64()),
+        "score": pa.array([i % 50 for i in range(1000)], pa.int64())}))
+    a = weighted_downsample(ds, "doc_id", "score", 40).to_pandas()
+    b = weighted_downsample(ds.repartition(7), "doc_id", "score",
+                            40).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(b)

@@ -219,6 +219,28 @@ def upsample_mixture(ds, stratum_col: str, key: str, factors: dict,
     return ds.map_batches(expand, batch_format="pyarrow")
 
 
+def weighted_downsample(ds, key: str, weight_col: str, scale: int,
+                        micro: int = 1_000_000):
+    """Deterministic PER-ROW soft downsampling: keep a row with
+    probability ``min(1, weight/scale)`` — the quality-score sampling
+    step of a curation pipeline (keep all of the best documents, a
+    score-proportional fraction of the middle, almost none of the
+    worst) — decided as ``lcg(key) % micro < weight·micro // scale``,
+    so the choice is reproducible under any partitioning, stable
+    across corpus versions, and exactly replayable in SQL.  Integer
+    weights only (floor semantics documented by the formula).  The
+    per-stratum hard-rate complement is `stratified_sample`; the
+    upsampling complement is `upsample_mixture`.  No shuffle."""
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        thresh = np.minimum(w * np.int64(micro) // np.int64(scale),
+                            np.int64(micro))
+        return t.filter(pa.array(_lcg(ids) % micro < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def hash_split(ds, key: str, val_bps: int = 500, test_bps: int = 500,
                split_col: str = "split"):
     """Deterministic train/val/test assignment: ``lcg(key) % 10000``
