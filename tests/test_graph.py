@@ -200,3 +200,16 @@ def test_hits_isolated_node_and_gate(ray_session):
     assert df.set_index("node").loc[99, "hub_micro"] == 0
     with pytest.raises(ValueError):
         hits(_edges([1], [2]), broadcast_limit=1)
+
+
+def test_hits_broadcast_equals_distributed(ray_session):
+    from xtract.ops.graph import hits
+    rng = np.random.default_rng(23)
+    e = _edges(rng.integers(0, 40, 400),
+               rng.integers(0, 40, 400)).repartition(6)
+    a = hits(e, iters=2).to_pandas().sort_values("node") \
+        .reset_index(drop=True)
+    b = hits(e, iters=2, distributed=True, num_partitions=5) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert a[["node", "hub_micro", "auth_micro"]].equals(
+        b[["node", "hub_micro", "auth_micro"]])

@@ -892,8 +892,8 @@ def anchor_text_profile(links_ds, target_col: str = "href",
 # ---------------------------------------------------------------------------
 
 def hits(edges_ds, src: str = "src", dst: str = "dst", iters: int = 3,
-         unit: int = 1_000_000, nodes_ds=None,
-         broadcast_limit: int = 2_000_000):
+         unit: int = 1_000_000, nodes_ds=None, distributed: bool = False,
+         broadcast_limit: int = 2_000_000, num_partitions: int = 32):
     """→ Dataset(node:int64, hub_micro:int64, auth_micro:int64) after
     ``iters`` HITS rounds — the hubs/authorities complement of
     `pagerank` (link-directory vs destination quality; the pair is the
@@ -903,14 +903,15 @@ def hits(edges_ds, src: str = "src", dst: str = "dst", iters: int = 3,
     int64 and replayable in SQL), and symmetrically for hubs over
     out-edges.  Bit-identical at any parallelism.
 
-    Scale shape (same contract as `pagerank`'s broadcast path): node
-    state is two int64 arrays gated by an exact node count
-    (fail-loud above ``broadcast_limit``), edges are pinned once and
-    re-scanned per half-step with the `_block_sum` per-block combiner
-    (a hot node costs ≤1 row per block), and the fold-tree reduction
-    finishes each sum with NO all-to-all.  For node sets above the
-    gate, partition the graph and run per-partition HITS, or extend
-    with `pagerank`'s distributed co-group shape.
+    Scale shape (same contract as `pagerank`): below
+    ``broadcast_limit`` (exact node count, fail-loud) node state is
+    two int64 arrays, edges are pinned once and re-scanned per
+    half-step with the `_block_sum` per-block combiner (a hot node
+    costs ≤1 row per block), and the fold-tree reduction finishes each
+    sum with NO all-to-all.  Above the gate, ``distributed=True``
+    keeps hub/auth as Datasets and resolves the edge⋈state join per
+    hash partition (two co-group exchanges + one native Max per
+    half-step); both paths are bit-identical.
 
     Overflow guard: normalization computes ``raw · unit`` in int64 —
     the hottest node's raw inflow must stay below 2⁶³/unit (≈9.2e12
@@ -920,12 +921,15 @@ def hits(edges_ds, src: str = "src", dst: str = "dst", iters: int = 3,
 
     nodes = _node_set(edges_ds, src, dst, nodes_ds).materialize()
     n_nodes = nodes.count()
-    if n_nodes > broadcast_limit:
+    if not distributed and n_nodes > broadcast_limit:
         raise ValueError(
             f"hits: {n_nodes} nodes exceed broadcast_limit "
-            f"{broadcast_limit}; partition the graph or extend with "
-            "the distributed co-group shape (see pagerank)")
+            f"{broadcast_limit}; pass distributed=True (co-group state)")
     edges = edges_ds.select_columns([src, dst]).materialize()
+
+    if distributed:
+        return _hits_distributed(edges, nodes, src, dst, iters, unit,
+                                 num_partitions)
 
     node_arr = np.sort(
         nodes.to_pandas()["node"].to_numpy().astype(np.int64))
@@ -988,3 +992,139 @@ def hits(edges_ds, src: str = "src", dst: str = "dst", iters: int = 3,
         "node": pa.array(node_arr, pa.int64()),
         "hub_micro": pa.array(hub, pa.int64()),
         "auth_micro": pa.array(auth, pa.int64())}))
+
+
+def _hits_distributed(edges, nodes, src: str, dst: str, iters: int,
+                      unit: int, num_partitions: int):
+    """HITS with state as Datasets — the above-gate path: per
+    half-step, ONE co-group resolves the edge⋈state join (weights
+    looked up per hash partition), ONE slim grouped Sum finishes the
+    inflow, ONE co-group attaches zeros for inflow-less nodes, and the
+    normalization max is a native aggregate.  All exchanges move
+    (int64, int64) rows only; bit-identical to the broadcast path."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def part_of(ids: np.ndarray) -> np.ndarray:
+        return np.abs(ids) % np.int64(num_partitions)
+
+    def propagate(state_ds, from_col: str, to_col: str):
+        def tag_edges(t: pa.Table) -> pa.Table:
+            f = pc.cast(t[from_col], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            to = pc.cast(t[to_col], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(f), pa.int64()),
+                "a": pa.array(f, pa.int64()),
+                "b": pa.array(to, pa.int64()),
+                "_side": pa.array(np.zeros(len(f), np.int8))})
+
+        def tag_state(t: pa.Table) -> pa.Table:
+            n = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(n), pa.int64()),
+                "a": pa.array(n, pa.int64()),
+                "b": t["w"],
+                "_side": pa.array(np.ones(len(n), np.int8))})
+
+        def per_part(g: pa.Table) -> pa.Table:
+            side = g["_side"].to_numpy(zero_copy_only=False)
+            a = g["a"].to_numpy(zero_copy_only=False)
+            b = g["b"].to_numpy(zero_copy_only=False)
+            wk, wv = a[side == 1], b[side == 1]
+            o = np.argsort(wk, kind="stable")
+            ef, et = a[side == 0], b[side == 0]
+            if not len(ef):
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "inflow": pa.array([], pa.int64())})
+            return _block_sum(et, _sorted_lookup(wk[o], wv[o], ef,
+                                                 np.int64(0)))
+
+        inflow = (edges.map_batches(tag_edges, batch_format="pyarrow")
+                  .union(state_ds.map_batches(tag_state,
+                                              batch_format="pyarrow"))
+                  .groupby("_part")
+                  .map_groups(per_part, batch_format="pyarrow")
+                  .groupby("node")
+                  .aggregate(Sum("inflow", alias_name="inflow")))
+
+        # attach 0 for nodes that received nothing (every node keeps a
+        # row, like pagerank's apply_update co-group)
+        def tag_nodes(t: pa.Table) -> pa.Table:
+            n = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(n), pa.int64()),
+                "a": pa.array(n, pa.int64()),
+                "b": pa.array(np.zeros(len(n), np.int64), pa.int64()),
+                "_side": pa.array(np.zeros(len(n), np.int8))})
+
+        def tag_inflow(t: pa.Table) -> pa.Table:
+            n = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(n), pa.int64()),
+                "a": pa.array(n, pa.int64()),
+                "b": t["inflow"],
+                "_side": pa.array(np.ones(len(n), np.int8))})
+
+        def attach(g: pa.Table) -> pa.Table:
+            side = g["_side"].to_numpy(zero_copy_only=False)
+            a = g["a"].to_numpy(zero_copy_only=False)
+            b = g["b"].to_numpy(zero_copy_only=False)
+            ik, iv = a[side == 1], b[side == 1]
+            o = np.argsort(ik, kind="stable")
+            nh = a[side == 0]
+            return pa.table({
+                "node": pa.array(nh, pa.int64()),
+                "raw": pa.array(_sorted_lookup(ik[o], iv[o], nh,
+                                               np.int64(0)), pa.int64())})
+
+        return (nodes.map_batches(tag_nodes, batch_format="pyarrow")
+                .union(inflow.map_batches(tag_inflow,
+                                          batch_format="pyarrow"))
+                .groupby("_part")
+                .map_groups(attach, batch_format="pyarrow")
+                .materialize())
+
+    def normalize(raw_ds):
+        mx = raw_ds.max("raw")
+        mx = int(mx) if mx is not None else 0
+        if mx > 0 and mx > (2 ** 63 - 1) // unit:
+            raise OverflowError(
+                "hits: raw inflow too hot for int64 normalization; "
+                "lower `unit` or pre-aggregate the hot node")
+
+        def scale(t: pa.Table, _mx=mx) -> pa.Table:
+            raw = t["raw"].to_numpy(zero_copy_only=False)
+            w = (raw * np.int64(unit) // np.int64(_mx)
+                 if _mx > 0 else raw)
+            return pa.table({"node": t["node"],
+                             "w": pa.array(w, pa.int64())})
+
+        return raw_ds.map_batches(scale,
+                                  batch_format="pyarrow").materialize()
+
+    def const_state(v: int):
+        def f(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table({"node": t["node"],
+                             "w": pa.array(np.full(n, v, np.int64),
+                                           pa.int64())})
+        return nodes.map_batches(f, batch_format="pyarrow").materialize()
+
+    hub_ds = const_state(unit)
+    auth_ds = const_state(0)
+    for _ in range(iters):
+        auth_ds = normalize(propagate(hub_ds, src, dst))
+        hub_ds = normalize(propagate(auth_ds, dst, src))
+
+    from .joins import equi_join_cogroup
+    out = equi_join_cogroup(
+        hub_ds.map_batches(lambda t: pa.table(
+            {"node": t["node"], "hub_micro": t["w"]}),
+            batch_format="pyarrow"),
+        auth_ds.map_batches(lambda t: pa.table(
+            {"node": t["node"], "auth_micro": t["w"]}),
+            batch_format="pyarrow"),
+        on="node", num_partitions=num_partitions)
+    return out.select_columns(["node", "hub_micro", "auth_micro"])
