@@ -163,6 +163,17 @@ def bench_once() -> dict:
     queries["outlinks"] = timed(
         lambda: extract_outlinks(read_pages(pages_dir)).count())
 
+    # anchor-text harvest: outlinks → per-target description profile
+    # (pair groupbys + distinct-host dedup + two co-group joins)
+    from xtract.ops.graph import anchor_text_profile
+
+    # cross_host_only=False: the synth corpus links intra-host, and the
+    # bench should time the pair-groupby/top-anchor machinery on real rows
+    queries["anchor_profile"] = timed(
+        lambda: anchor_text_profile(
+            extract_outlinks(read_pages(pages_dir)),
+            cross_host_only=False).count())
+
     # head metadata (canonical/robots/refresh) over the full corpus —
     # same tokenizer walk, per-page row out
     from xtract.links import extract_head_meta

@@ -213,3 +213,17 @@ def test_hits_broadcast_equals_distributed(ray_session):
         .to_pandas().sort_values("node").reset_index(drop=True)
     assert a[["node", "hub_micro", "auth_micro"]].equals(
         b[["node", "hub_micro", "auth_micro"]])
+
+
+def test_anchor_profile_empty_and_intra_host(ray_session):
+    from xtract.ops.graph import anchor_text_profile
+    rows = [("https://a.org/1", "https://a.org/2", "nav link")]
+    out_ds = anchor_text_profile(_links_tbl(rows))
+    # Dataset keeps the 6-column contract even when empty (to_pandas
+    # on an empty Dataset drops columns — a Ray quirk, not ours)
+    assert out_ds.count() == 0
+    assert "top_anchor" in out_ds.schema().names
+    # cross_host_only=False keeps intra-host anchors
+    out2 = anchor_text_profile(_links_tbl(rows),
+                               cross_host_only=False).to_pandas()
+    assert len(out2) == 1 and out2.iloc[0]["n_links"] == 1

@@ -796,6 +796,7 @@ _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?P<h>[^/?#]+)"
 def anchor_text_profile(links_ds, target_col: str = "href",
                         anchor_col: str = "anchor_text",
                         src_url_col: str = "url",
+                        cross_host_only: bool = True,
                         num_partitions: int = 64):
     """→ Dataset(target, n_links, n_hosts, n_distinct_anchors,
     top_anchor, top_anchor_links): the classic web-corpus anchor-text
@@ -805,40 +806,37 @@ def anchor_text_profile(links_ds, target_col: str = "href",
     anchor: tesseract-rs has no link surface; this extends
     `links.extract_outlinks` the way `pagerank` extends the host graph.
 
-    Semantics: only CROSS-HOST links with non-empty anchor text count
-    (intra-host nav/boilerplate anchors describe layout, not content).
-    ``top_anchor`` is the modal anchor string per target, ties broken
-    lexicographically — total-order deterministic.
+    Semantics: with ``cross_host_only`` (default) only CROSS-HOST
+    links with non-empty anchor text count (intra-host nav/boilerplate
+    anchors describe layout, not content).  ``top_anchor`` is the
+    modal anchor string per target, ties broken lexicographically —
+    total-order deterministic.
 
-    Scale shape (no broadcast, no corpus shuffle):
+    Scale shape (no broadcast, ONE all-to-all):
 
     1. vectorized filter: target + source hosts via TWO Arrow
        `extract_regex` kernels (`links.extract_outlinks`'s ``host``
        column is the TARGET's host; the source host comes from the
        page url);
-    2. slim (target, anchor) projection → ``groupby.Count`` — the pair
-       exchange moves distinct-pair rows, a viral anchor dedups into
-       counts, not rows;
-    3. per-target Sum/Count over the pair table + `top_k_per_key`
-       (block combiner keeps ≤1 candidate pair per block) for the
-       mode; exact distinct referring hosts via
-       `agg.count_distinct_per_key` (pair-dedup combiner);
-    4. the three one-row-per-target tables meet in two hash co-group
-       joins (`joins.equi_join_cogroup`) — slim string/int rows only.
+    2. block combiner: distinct (target, anchor, src_host) triples +
+       partial counts via one sort + run-length pass — a viral anchor
+       dedups into counts before the exchange;
+    3. ONE coarse hash co-group by target: every per-target statistic
+       (pair counts, modal anchor, distinct hosts) is then local to
+       its partition and computed with cython pandas kernels.  The
+       first design ran pair-groupby + distinct + top-1 + two joins —
+       7 exchanges whose per-stage scheduling floor dominated wall
+       time 5× over the data cost.
     """
-    from ray.data.aggregate import Count, Sum
-
-    from .agg import count_distinct_per_key, first_row_per_key
-    from .joins import equi_join_cogroup
-
     def cross_host(t: pa.Table) -> pa.Table:
         th = pc.struct_field(
             pc.extract_regex(t[target_col], _HOST_RE), "h")
         sh = pc.struct_field(
             pc.extract_regex(t[src_url_col], _HOST_RE), "h")
-        keep = pc.and_kleene(
-            pc.not_equal(pc.fill_null(t[anchor_col], ""), ""),
-            pc.not_equal(pc.fill_null(th, ""), pc.fill_null(sh, "")))
+        keep = pc.not_equal(pc.fill_null(t[anchor_col], ""), "")
+        if cross_host_only:
+            keep = pc.and_kleene(keep, pc.not_equal(
+                pc.fill_null(th, ""), pc.fill_null(sh, "")))
         mask = pc.fill_null(keep, False)
         out = t.filter(mask)
         return pa.table({
@@ -846,45 +844,80 @@ def anchor_text_profile(links_ds, target_col: str = "href",
             "anchor": out[anchor_col].cast(pa.string()),
             "src_host": sh.filter(mask).cast(pa.string())})
 
-    slim = links_ds.map_batches(cross_host, batch_format="pyarrow")
+    def combine(t: pa.Table) -> pa.Table:
+        # block combiner: collapse to distinct (target, anchor, host)
+        # triples + partial count — sort + run-length, no Python loop;
+        # a hot (viral) anchor contributes ≤1 row per block
+        t = cross_host(t)
+        if len(t) == 0:
+            return t.append_column("n", pa.array([], pa.int64()))
+        idx = pc.sort_indices(t, sort_keys=[("target", "ascending"),
+                                            ("anchor", "ascending"),
+                                            ("src_host", "ascending")])
+        t = t.take(idx)
+        change = np.zeros(len(t), bool)
+        change[0] = True
+        for c in ("target", "anchor", "src_host"):
+            ne = pc.not_equal(t[c].slice(1), t[c].slice(0, len(t) - 1))
+            change[1:] |= pc.fill_null(ne, True).to_numpy(
+                zero_copy_only=False).astype(bool)
+        starts = np.flatnonzero(change)
+        n = np.diff(np.r_[starts, len(t)])
+        return t.take(pa.array(starts)).append_column(
+            "n", pa.array(n.astype(np.int64), pa.int64()))
 
-    pair_counts = (slim.select_columns(["target", "anchor"])
-                   .groupby(["target", "anchor"])
-                   .aggregate(Count(alias_name="n")))
-
-    per_target = (pair_counts.groupby("target")
-                  .aggregate(Sum("n", alias_name="n_links"),
-                             Count(alias_name="n_distinct_anchors")))
-
-    def neg(t: pa.Table) -> pa.Table:
+    def add_part(t: pa.Table) -> pa.Table:
+        from .agg import _hash_part
         return t.append_column(
-            "_neg_n", pc.multiply(t["n"].cast(pa.int64()),
-                                  pa.scalar(-1, pa.int64())))
+            "_part", pa.array(_hash_part(t["target"], num_partitions),
+                              pa.int64()))
 
-    top = first_row_per_key(
-        pair_counts.map_batches(neg, batch_format="pyarrow"),
-        key="target", order_cols=("_neg_n", "anchor"),
-        num_partitions=num_partitions)
-    top = top.map_batches(
-        lambda t: pa.table({"target": t["target"],
-                            "top_anchor": t["anchor"],
-                            "top_anchor_links": t["n"].cast(pa.int64())}),
-        batch_format="pyarrow")
+    def finish(g: pa.Table) -> pa.Table:
+        # all rows of a target are in this partition: pair counts, the
+        # modal anchor, and distinct hosts are all local, vectorized
+        df = g.to_pandas()
+        pair = (df.groupby(["target", "anchor"], sort=False)["n"]
+                .sum().reset_index())
+        agg = pair.groupby("target", sort=False)["n"] \
+            .agg(n_links="sum", n_distinct_anchors="count").reset_index()
+        top = (pair.sort_values(["target", "n", "anchor"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+               .drop_duplicates("target")
+               .rename(columns={"anchor": "top_anchor",
+                                "n": "top_anchor_links"}))
+        hosts = (df[["target", "src_host"]].drop_duplicates()
+                 .groupby("target", sort=False).size()
+                 .rename("n_hosts").reset_index())
+        out = agg.merge(hosts, on="target").merge(
+            top[["target", "top_anchor", "top_anchor_links"]], on="target")
+        return pa.table({
+            "target": pa.array(out["target"], pa.string()),
+            "n_links": pa.array(out["n_links"].to_numpy(np.int64)),
+            "n_hosts": pa.array(out["n_hosts"].to_numpy(np.int64)),
+            "n_distinct_anchors": pa.array(
+                out["n_distinct_anchors"].to_numpy(np.int64)),
+            "top_anchor": pa.array(out["top_anchor"], pa.string()),
+            "top_anchor_links": pa.array(
+                out["top_anchor_links"].to_numpy(np.int64))})
 
-    hosts = count_distinct_per_key(
-        slim.select_columns(["target", "src_host"]), "target", "src_host")
-    hosts = hosts.map_batches(
-        lambda t: pa.table({"target": t["target"],
-                            "n_hosts": t["n_distinct"]}),
-        batch_format="pyarrow")
-
-    out = equi_join_cogroup(per_target, hosts, on="target",
-                            num_partitions=num_partitions)
-    out = equi_join_cogroup(out, top, on="target",
-                            num_partitions=num_partitions)
-    return out.select_columns(["target", "n_links", "n_hosts",
-                               "n_distinct_anchors", "top_anchor",
-                               "top_anchor_links"])
+    out = (links_ds.map_batches(combine, batch_format="pyarrow")
+           .map_batches(add_part, batch_format="pyarrow")
+           .groupby("_part")
+           .map_groups(finish, batch_format="pyarrow"))
+    # ONE all-to-all total (vs pair-groupby + distinct + top-1 + two
+    # joins ≈ 7 exchanges: each costs a scheduling floor regardless of
+    # volume).  Keep the 6-column contract when nothing qualifies.
+    if out.schema() is None or len(out.schema().names) == 0:
+        import ray
+        return ray.data.from_arrow(pa.table({
+            "target": pa.array([], pa.string()),
+            "n_links": pa.array([], pa.int64()),
+            "n_hosts": pa.array([], pa.int64()),
+            "n_distinct_anchors": pa.array([], pa.int64()),
+            "top_anchor": pa.array([], pa.string()),
+            "top_anchor_links": pa.array([], pa.int64())}))
+    return out
 
 
 # ---------------------------------------------------------------------------
