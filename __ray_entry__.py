@@ -2282,6 +2282,55 @@ def _hits_sql(iters: int = 3) -> str:
         f"JOIN a{iters} ON a{iters}.node = h{iters}.node")
 
 
+def _q_host_authority_profile(sf_dir: str):
+    """Composition: PageRank over the planted host graph JOINED to
+    per-host document counts — the crawl-prioritization enrichment
+    shape (graph signal attached to a corpus aggregate via one hash
+    co-group).  Exercises pagerank → groupby → equi_join_cogroup
+    end-to-end in one query."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from xtract.ops.graph import pagerank
+    from xtract.ops.joins import equi_join_cogroup
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = ids % 97
+        nl = (ids % 4).astype(np.int64)
+        rep = np.repeat(np.arange(len(ids), dtype=np.int64), nl)
+        run_start = np.repeat(np.cumsum(nl) - nl, nl)
+        j = np.arange(len(rep), dtype=np.int64) - run_start
+        return pa.table({
+            "src": pa.array(h[rep], pa.int64()),
+            "dst": pa.array((h[rep] * 31 + 17 * j + ids[rep]) % 97,
+                            pa.int64())})
+
+    def hosts(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(ids % 97, pa.int64())})
+
+    pr = pagerank(docs.map_batches(edges, batch_format="pyarrow"),
+                  iters=3,
+                  nodes_ds=docs.map_batches(hosts,
+                                            batch_format="pyarrow"))
+    ndocs = (docs.map_batches(hosts, batch_format="pyarrow")
+             .groupby("node").aggregate(Count(alias_name="n_docs")))
+    out = equi_join_cogroup(ndocs, pr, on="node")
+    return out.select_columns(["node", "n_docs", "pagerank_micro"])
+
+
+def _host_authority_sql() -> str:
+    return (
+        f"WITH pr AS ({_pagerank_sql(3)}), "
+        "nd AS (SELECT (doc_id % 97) AS node, "
+        "CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1) "
+        "SELECT nd.node, nd.n_docs, pr.pagerank_micro "
+        "FROM nd JOIN pr ON pr.node = nd.node ORDER BY nd.node")
+
+
 def _q_crawl_snapshot_diff(sf_dir: str):
     """Crawl-dump diff: urls added/removed/changed/unchanged between
     two deterministic snapshots of the corpus (old = doc_id%7 != 3,
@@ -7167,6 +7216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_classify": _q_nb_lang_classify,
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
+        "host_authority_profile": _q_host_authority_profile,
         "crawl_snapshot_diff": _q_crawl_snapshot_diff,
         "page_head_meta": _q_page_head_meta,
         "heavy_hitter_hosts": _q_heavy_hitter_hosts,
@@ -9122,6 +9172,7 @@ def oracle_sql() -> dict[str, str]:
             "AS nb_score FROM ranked WHERE rn = 1",
         "host_pagerank": _pagerank_sql(5),
         "host_hits": _hits_sql(3),
+        "host_authority_profile": _host_authority_sql(),
         "page_head_meta": _head_meta_sql(),
         "heavy_hitter_hosts":
             "WITH h AS (SELECT 'h' || CAST(doc_id % 199 AS VARCHAR) || "
