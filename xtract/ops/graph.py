@@ -844,13 +844,10 @@ def anchor_text_profile(links_ds, target_col: str = "href",
             "anchor": out[anchor_col].cast(pa.string()),
             "src_host": sh.filter(mask).cast(pa.string())})
 
-    def combine(t: pa.Table) -> pa.Table:
-        # block combiner: collapse to distinct (target, anchor, host)
-        # triples + partial count — sort + run-length, no Python loop;
-        # a hot (viral) anchor contributes ≤1 row per block
-        t = cross_host(t)
-        if len(t) == 0:
-            return t.append_column("n", pa.array([], pa.int64()))
+    def _rollup(t: pa.Table, counts: bool) -> pa.Table:
+        # collapse to distinct (target, anchor, host) triples + count —
+        # sort + run-length, no Python loop; a hot (viral) anchor
+        # contributes ≤1 row per block
         idx = pc.sort_indices(t, sort_keys=[("target", "ascending"),
                                             ("anchor", "ascending"),
                                             ("src_host", "ascending")])
@@ -862,9 +859,32 @@ def anchor_text_profile(links_ds, target_col: str = "href",
             change[1:] |= pc.fill_null(ne, True).to_numpy(
                 zero_copy_only=False).astype(bool)
         starts = np.flatnonzero(change)
-        n = np.diff(np.r_[starts, len(t)])
+        if counts:
+            # re-fold: sum the existing partial counts per run
+            cs = np.r_[np.int64(0),
+                       np.cumsum(t["n"].to_numpy(zero_copy_only=False))]
+            ends = np.r_[starts[1:], len(t)]
+            n = cs[ends] - cs[starts]
+            t = t.drop_columns(["n"])
+        else:
+            n = np.diff(np.r_[starts, len(t)])
         return t.take(pa.array(starts)).append_column(
             "n", pa.array(n.astype(np.int64), pa.int64()))
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = cross_host(t)
+        if len(t) == 0:
+            return t.append_column("n", pa.array([], pa.int64()))
+        return _rollup(t, counts=False)
+
+    def refold(t: pa.Table) -> pa.Table:
+        # fold-tree consolidation: merge many tiny combiner blocks into
+        # a few large ones BEFORE the exchange — Ray's sort-shuffle
+        # floor scales with input block count (measured 7.3 s over 208
+        # near-empty blocks vs <1 s after folding)
+        if len(t) == 0:
+            return t
+        return _rollup(t, counts=True)
 
     def add_part(t: pa.Table) -> pa.Table:
         from .agg import _hash_part
@@ -902,22 +922,26 @@ def anchor_text_profile(links_ds, target_col: str = "href",
                 out["top_anchor_links"].to_numpy(np.int64))})
 
     out = (links_ds.map_batches(combine, batch_format="pyarrow")
+           .map_batches(refold, batch_format="pyarrow",
+                        batch_size=1 << 16, num_cpus=0.5)
            .map_batches(add_part, batch_format="pyarrow")
            .groupby("_part")
            .map_groups(finish, batch_format="pyarrow"))
     # ONE all-to-all total (vs pair-groupby + distinct + top-1 + two
     # joins ≈ 7 exchanges: each costs a scheduling floor regardless of
-    # volume).  Keep the 6-column contract when nothing qualifies.
-    if out.schema() is None or len(out.schema().names) == 0:
-        import ray
-        return ray.data.from_arrow(pa.table({
-            "target": pa.array([], pa.string()),
-            "n_links": pa.array([], pa.int64()),
-            "n_hosts": pa.array([], pa.int64()),
-            "n_distinct_anchors": pa.array([], pa.int64()),
-            "top_anchor": pa.array([], pa.string()),
-            "top_anchor_links": pa.array([], pa.int64())}))
-    return out
+    # volume).  Seed the 6-column schema with an empty block instead
+    # of probing `out.schema()` — the probe would execute the whole
+    # upstream once and the consumer would run it AGAIN (measured 2×
+    # wall on the bench corpus).
+    import ray
+    seed = ray.data.from_arrow(pa.table({
+        "target": pa.array([], pa.string()),
+        "n_links": pa.array([], pa.int64()),
+        "n_hosts": pa.array([], pa.int64()),
+        "n_distinct_anchors": pa.array([], pa.int64()),
+        "top_anchor": pa.array([], pa.string()),
+        "top_anchor_links": pa.array([], pa.int64())}))
+    return seed.union(out)
 
 
 # ---------------------------------------------------------------------------
