@@ -2331,6 +2331,38 @@ def _host_authority_sql() -> str:
         "FROM nd JOIN pr ON pr.node = nd.node ORDER BY nd.node")
 
 
+def _q_crawl_schedule(sf_dir: str):
+    """Politeness-aware crawl-frontier scheduling
+    (``ops/urls.politeness_schedule``): wave k holds ≤1 url per host —
+    one coarse co-group by host, vectorized within-host rank."""
+    import ray.data as rd
+
+    from xtract.ops.urls import politeness_schedule
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def urls(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hosts = [f"host{int(i) % 11}.example.org" for i in ids]
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "url": pa.array([f"https://{h}/p/{int(i)}"
+                             for h, i in zip(hosts, ids)], pa.string())})
+
+    return politeness_schedule(
+        docs.map_batches(urls, batch_format="pyarrow"))
+
+
+_CRAWL_SCHEDULE_SQL = (
+    "WITH u AS (SELECT 'host' || CAST(doc_id % 11 AS VARCHAR) || "
+    "'.example.org' AS host, "
+    "'https://host' || CAST(doc_id % 11 AS VARCHAR) || '.example.org/p/' "
+    "|| CAST(doc_id AS VARCHAR) AS url FROM documents) "
+    "SELECT host, url, CAST(row_number() OVER "
+    "(PARTITION BY host ORDER BY url) - 1 AS BIGINT) AS fetch_wave "
+    "FROM u ORDER BY host, url")
+
+
 def _q_crawl_snapshot_diff(sf_dir: str):
     """Crawl-dump diff: urls added/removed/changed/unchanged between
     two deterministic snapshots of the corpus (old = doc_id%7 != 3,
@@ -7217,6 +7249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
         "host_authority_profile": _q_host_authority_profile,
+        "crawl_schedule": _q_crawl_schedule,
         "crawl_snapshot_diff": _q_crawl_snapshot_diff,
         "page_head_meta": _q_page_head_meta,
         "heavy_hitter_hosts": _q_heavy_hitter_hosts,
@@ -9173,6 +9206,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _pagerank_sql(5),
         "host_hits": _hits_sql(3),
         "host_authority_profile": _host_authority_sql(),
+        "crawl_schedule": _CRAWL_SCHEDULE_SQL,
         "page_head_meta": _head_meta_sql(),
         "heavy_hitter_hosts":
             "WITH h AS (SELECT 'h' || CAST(doc_id % 199 AS VARCHAR) || "

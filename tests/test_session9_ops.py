@@ -144,3 +144,35 @@ def test_weighted_downsample_partition_invariance(ray_session):
                             40).to_pandas().sort_values("doc_id") \
         .reset_index(drop=True)
     assert a.sort_values("doc_id").reset_index(drop=True).equals(b)
+
+
+def test_politeness_schedule(ray_session):
+    from xtract.ops.urls import politeness_schedule
+    rows = [("h1", "https://h1/b"), ("h1", "https://h1/a"),
+            ("h2", "https://h2/x"), ("h1", "https://h1/c")]
+    ds = rd.from_arrow(pa.table({
+        "host": pa.array([r[0] for r in rows], pa.string()),
+        "url": pa.array([r[1] for r in rows], pa.string())}))
+    out = politeness_schedule(ds).to_pandas().sort_values(
+        ["host", "fetch_wave"]).reset_index(drop=True)
+    # wave k has at most one url per host; ranks follow url order
+    assert list(out[out["host"] == "h1"]["url"]) == [
+        "https://h1/a", "https://h1/b", "https://h1/c"]
+    assert list(out[out["host"] == "h1"]["fetch_wave"]) == [0, 1, 2]
+    assert list(out[out["host"] == "h2"]["fetch_wave"]) == [0]
+    # politeness invariant: (host, wave) unique
+    assert not out.duplicated(["host", "fetch_wave"]).any()
+
+
+def test_politeness_schedule_partition_invariance(ray_session):
+    from xtract.ops.urls import politeness_schedule
+    n = 500
+    ds = rd.from_arrow(pa.table({
+        "host": pa.array([f"h{i % 7}" for i in range(n)], pa.string()),
+        "url": pa.array([f"https://h{i % 7}/p/{i}" for i in range(n)],
+                        pa.string())}))
+    a = politeness_schedule(ds).to_pandas().sort_values(
+        ["host", "url"]).reset_index(drop=True)
+    b = politeness_schedule(ds.repartition(9)).to_pandas().sort_values(
+        ["host", "url"]).reset_index(drop=True)
+    assert a.equals(b)

@@ -54,3 +54,52 @@ def dedup_by_canonical_url(ds, col: str = "url"):
     withc = ds.map_batches(lambda b: add_canonical_url(b, col),
                            batch_format="pyarrow")
     return first_row_per_key(withc, "canonical_url", (col,))
+
+
+def politeness_schedule(ds, host_col: str = "host",
+                        url_col: str = "url",
+                        order_cols: tuple = (),
+                        num_partitions: int = 64):
+    """→ input rows + ``fetch_wave:int64``: deterministic crawl-frontier
+    scheduling — within each host, urls are ranked 0,1,2,… by
+    ``(order_cols…, url)``, and wave k contains at most ONE url per
+    host, so fetching wave-by-wave honors per-host politeness (one
+    request per host per wave) while keeping every wave maximally wide
+    across hosts.  The batch complement of a live frontier queue: at
+    100 TB the frontier is a Dataset, not a heap.
+
+    Scale shape: ONE coarse hash co-group by host; rank within each
+    host group is a vectorized sort + run-length subtraction (the
+    `agg.top_k_per_key` kernel shape, without the truncation).  Skewed
+    hosts cost sort time inside one partition, never a driver pull."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .agg import _hash_part
+
+    order = list(order_cols) + [url_col]
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_part", pa.array(_hash_part(t[host_col], num_partitions),
+                              pa.int64()))
+
+    def rank_host(g: pa.Table) -> pa.Table:
+        keys = [(host_col, "ascending")] + [(c, "ascending")
+                                            for c in order]
+        idx = pc.sort_indices(g, sort_keys=keys)
+        g = g.take(idx)
+        h = g[host_col]
+        ne = pc.not_equal(h.slice(1), h.slice(0, len(g) - 1))
+        change = np.concatenate([
+            [True], pc.fill_null(ne, True).to_numpy(
+                zero_copy_only=False).astype(bool)])
+        starts = np.flatnonzero(change)
+        run_id = np.cumsum(change) - 1
+        wave = np.arange(len(g), dtype=np.int64) - starts[run_id]
+        return g.drop_columns(["_part"]).append_column(
+            "fetch_wave", pa.array(wave, pa.int64()))
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(rank_host, batch_format="pyarrow"))
