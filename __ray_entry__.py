@@ -1717,6 +1717,23 @@ def _q_media_features(sf_dir: str):
         ["media_id", "kind", "decode_status"])
 
 
+def _q_image_near_dups(sf_dir: str):
+    """Perceptual image near-dup clusters
+    (``ops/multimodal.image_near_dups``): BMP decode → 64-bit aHash in
+    an actor-pool stage → the SHARED simhash banding / capped pair /
+    hamming-verify / CC pipeline (`precomputed=True`).  Rows-only (no
+    SQL image decoding); clustering exactness is pytest-covered
+    (scale-invariant dup, noise bound, corrupt-payload accounting)."""
+    from xtract.ops.multimodal import image_near_dups, synth_media_batch
+
+    media = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth_media_batch, batch_format="pyarrow")
+    images = media.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "image")),
+        batch_format="pyarrow")
+    return image_near_dups(images)
+
+
 def _q_events_hopping(sf_dir: str):
     """Hopping (sliding) 60-min window, 15-min hop, per event type —
     the streaming-window surface tumbling_window lacks.  Window key is
@@ -7284,6 +7301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": _q_doc_langid,
         "doc_rolling_fp": _q_doc_rolling_fp,
         "media_features": _q_media_features,
+        "image_near_dups": _q_image_near_dups,
         "extract_warc": _q_extract_warc,
         "line_dedup": _q_line_dedup,
         "canonical_url_dedup": _q_canonical_url_dedup,

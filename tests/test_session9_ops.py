@@ -176,3 +176,55 @@ def test_politeness_schedule_partition_invariance(ray_session):
     b = politeness_schedule(ds.repartition(9)).to_pandas().sort_values(
         ["host", "url"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing / near-dup clustering
+# ---------------------------------------------------------------------------
+
+def _bmp_media(specs):
+    """specs: list of (media_id, pixels) → media table rows."""
+    from xtract.ops.multimodal import encode_bmp
+    return rd.from_arrow(pa.table({
+        "media_id": pa.array([s[0] for s in specs], pa.int64()),
+        "kind": pa.array(["image"] * len(specs), pa.string()),
+        "payload": pa.array([encode_bmp(s[1]) for s in specs],
+                            pa.binary())}))
+
+
+def test_average_hash_noise_invariant_and_discriminative():
+    from xtract.ops.multimodal import average_hash
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+    noisy = base.astype(np.int16).copy()
+    noisy[::7, ::5] += 3                       # mild noise
+    noisy = noisy.clip(0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+    h0, h1, h2 = (average_hash(x) for x in (base, noisy, other))
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(h0, h1) <= 6
+    assert ham(h0, h2) > 10
+
+
+def test_image_near_dups_clusters(ray_session):
+    from xtract.ops.multimodal import image_near_dups, resize_nearest
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    a_big = resize_nearest(a, 64, 64)          # scaled copy of a
+    b = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    ds = _bmp_media([(1, a), (2, a_big), (3, b)])
+    out = image_near_dups(ds).to_pandas()
+    lab = dict(zip(out["media_id"], out["cluster_id"]))
+    assert lab[1] == lab[2]                    # scale-invariant dup
+    assert lab[3] != lab[1]
+
+
+def test_image_hash_stage_bad_payload(ray_session):
+    from xtract.ops.multimodal import ImageHashStage
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "kind": pa.array(["image"], pa.string()),
+        "payload": pa.array([b"not a bmp"], pa.binary())}))
+    out = ds.map_batches(ImageHashStage, batch_size=4, concurrency=1,
+                         batch_format="pyarrow").to_pandas()
+    assert out.iloc[0]["hash_status"] == "unsupported_codec"

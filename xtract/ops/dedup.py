@@ -632,13 +632,31 @@ class SimHasher:
 
 def simhash_dedup(ds, col: str = "text", key: str = "doc_id",
                   max_hamming: int = 3, concurrency=(2, 8),
-                  distributed_cc: "bool | None" = None):
+                  distributed_cc: "bool | None" = None,
+                  precomputed: bool = False):
     """→ Dataset(doc_id, cluster_id): SimHash near-dup clusters.
     Candidates from 4×16-bit band buckets (any pair within Hamming ≤ 3
-    shares at least one identical 16-bit band)."""
-    sigs = ds.select_columns([key, col]).map_batches(
-        SimHasher, fn_constructor_args=(col,), batch_format="pyarrow",
-        concurrency=concurrency, num_cpus=1).select_columns([key, "simhash"])
+    shares at least one identical 16-bit band).
+
+    ``precomputed=True``: ``col`` already holds 64-bit fingerprints
+    (int64 bit-pattern or uint64) — e.g. a perceptual image aHash from
+    `ops/multimodal.ImageHashStage` — and the text-hashing actor stage
+    is skipped; banding / capped pair emission / hamming verify / CC
+    are shared unchanged."""
+    if precomputed:
+        def as_sig(t: pa.Table) -> pa.Table:
+            h = t[col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64).view(np.uint64)
+            return pa.table({key: t[key],
+                             "simhash": pa.array(h, pa.uint64())})
+
+        sigs = ds.select_columns([key, col]).map_batches(
+            as_sig, batch_format="pyarrow")
+    else:
+        sigs = ds.select_columns([key, col]).map_batches(
+            SimHasher, fn_constructor_args=(col,), batch_format="pyarrow",
+            concurrency=concurrency, num_cpus=1
+        ).select_columns([key, "simhash"])
 
     def explode(b: pa.Table) -> pa.Table:
         ids = b[key].to_pylist()

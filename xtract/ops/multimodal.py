@@ -343,3 +343,89 @@ class FrameSampleStage:
         return pa.table({"media_id": pa.array(out["media_id"], pa.int64()),
                          "frame_index": pa.array(out["frame_index"], pa.int32()),
                          "frame": pa.array(out["frame"], pa.binary())})
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing + near-duplicate detection
+# ---------------------------------------------------------------------------
+
+def average_hash(pixels: np.ndarray, grid: int = 8) -> int:
+    """64-bit perceptual average-hash (aHash, public algorithm):
+    grayscale → ``grid×grid`` mean-pooled cells → bit = cell > global
+    mean.  Robust to resizing and mild noise, pure numpy, no DCT."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(grid) * h // grid).clip(0, h - 1)
+    xs = (np.arange(grid) * w // grid).clip(0, w - 1)
+    # block means via cumulative sum (exact, no resize artifacts)
+    cs = np.zeros((h + 1, w + 1))
+    cs[1:, 1:] = gray.cumsum(0).cumsum(1)
+    yb = np.r_[ys, h]
+    xb = np.r_[xs, w]
+    cells = (cs[yb[1:]][:, xb[1:]] - cs[yb[:-1]][:, xb[1:]]
+             - cs[yb[1:]][:, xb[:-1]] + cs[yb[:-1]][:, xb[:-1]])
+    area = np.outer(yb[1:] - yb[:-1], xb[1:] - xb[:-1])
+    means = cells / np.maximum(area, 1)
+    bits = (means > means.mean()).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class ImageHashStage:
+    """Actor stage: BMP decode → 64-bit aHash per image.  Non-BMP /
+    corrupt payloads get ``hash_status='unsupported_codec'`` and hash 0
+    (never dropped — accounting survives).  Setup-free but kept as a
+    callable class for parity with the other media stages (a real
+    deployment would hold a decoder context)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        hashes, status = [], []
+        for kind, p in zip(kinds, payloads):
+            try:
+                if kind != "image" or not p:
+                    raise ValueError
+                h = average_hash(decode_bmp(p))
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+                status.append("ok")
+            except Exception:
+                hashes.append(np.int64(0))
+                status.append("unsupported_codec")
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "ahash": pa.array(hashes, pa.int64()),
+            "hash_status": pa.array(status, pa.string())})
+
+
+def image_near_dups(ds, max_hamming: int = 6,
+                    batch_size: int = 16, concurrency=(1, 4)):
+    """→ Dataset(media_id, cluster): perceptual near-duplicate image
+    clusters — the multimodal complement of the text dedup tier.
+
+    Scale shape (the SimHash recipe, reused end-to-end):
+
+    1. aHash per image in an actor-pool `map_batches` stage (small
+       batches — payloads are large binaries);
+    2. band the 64-bit hash into 4×16-bit keys; images sharing
+       a band bucket become candidate pairs (per-partition, with the
+       dedup tier's star-toward-min-id cap on hot buckets via the
+       shared `ops/dedup` machinery shape);
+    3. exact hamming verify ≤ ``max_hamming`` (vectorized popcount);
+    4. connected components (`ops/cc`) label the clusters.
+    """
+    from .dedup import simhash_dedup
+
+    hashes = ds.map_batches(ImageHashStage, batch_size=batch_size,
+                            concurrency=concurrency,
+                            batch_format="pyarrow")
+    import pyarrow.compute as _pc
+
+    ok = hashes.map_batches(
+        lambda t: t.filter(_pc.equal(t["hash_status"], "ok"))
+        .select(["media_id", "ahash"]),
+        batch_format="pyarrow")
+    # simhash_dedup's hamming-banded pipeline works on ANY 64-bit
+    # perceptual hash column — reuse it wholesale
+    return simhash_dedup(ok, col="ahash", key="media_id",
+                         max_hamming=max_hamming, precomputed=True)
