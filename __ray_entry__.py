@@ -1734,6 +1734,21 @@ def _q_image_near_dups(sf_dir: str):
     return image_near_dups(images)
 
 
+def _q_audio_near_dups(sf_dir: str):
+    """Audio near-dup clusters (``ops/multimodal.audio_near_dups``):
+    WAV decode → energy-delta fingerprint (volume-invariant) → the
+    shared precomputed-hash dedup pipeline.  Rows-only; exactness
+    pytest-covered."""
+    from xtract.ops.multimodal import audio_near_dups, synth_media_batch
+
+    media = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth_media_batch, batch_format="pyarrow")
+    audio = media.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "audio")),
+        batch_format="pyarrow")
+    return audio_near_dups(audio)
+
+
 def _q_events_hopping(sf_dir: str):
     """Hopping (sliding) 60-min window, 15-min hop, per event type —
     the streaming-window surface tumbling_window lacks.  Window key is
@@ -7302,6 +7317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rolling_fp": _q_doc_rolling_fp,
         "media_features": _q_media_features,
         "image_near_dups": _q_image_near_dups,
+        "audio_near_dups": _q_audio_near_dups,
         "extract_warc": _q_extract_warc,
         "line_dedup": _q_line_dedup,
         "canonical_url_dedup": _q_canonical_url_dedup,

@@ -228,3 +228,30 @@ def test_image_hash_stage_bad_payload(ray_session):
     out = ds.map_batches(ImageHashStage, batch_size=4, concurrency=1,
                          batch_format="pyarrow").to_pandas()
     assert out.iloc[0]["hash_status"] == "unsupported_codec"
+
+
+def test_audio_fingerprint_volume_invariant(ray_session):
+    from xtract.ops.multimodal import audio_fingerprint
+    rng = np.random.default_rng(4)
+    clip = (rng.normal(0, 3000, 8000)).astype(np.int16)
+    half = (clip.astype(np.int64) // 2).astype(np.int16)   # volume scale
+    other = (rng.normal(0, 3000, 8000)).astype(np.int16)
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(audio_fingerprint(clip), audio_fingerprint(half)) <= 4
+    assert ham(audio_fingerprint(clip), audio_fingerprint(other)) > 10
+
+
+def test_audio_near_dups_clusters(ray_session):
+    from xtract.ops.multimodal import audio_near_dups, encode_wav
+    rng = np.random.default_rng(8)
+    a = (rng.normal(0, 3000, 8000)).astype(np.int16)
+    a_quiet = (a.astype(np.int64) * 3 // 4).astype(np.int16)
+    b = (rng.normal(0, 3000, 8000)).astype(np.int16)
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "kind": pa.array(["audio"] * 3, pa.string()),
+        "payload": pa.array([encode_wav(x, 8000) for x in (a, a_quiet, b)],
+                            pa.binary())}))
+    out = audio_near_dups(ds).to_pandas()
+    lab = dict(zip(out["media_id"], out["cluster_id"]))
+    assert lab[1] == lab[2] and lab[3] != lab[1]

@@ -429,3 +429,73 @@ def image_near_dups(ds, max_hamming: int = 6,
     # perceptual hash column — reuse it wholesale
     return simhash_dedup(ok, col="ahash", key="media_id",
                          max_hamming=max_hamming, precomputed=True)
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprinting + near-duplicate detection
+# ---------------------------------------------------------------------------
+
+def audio_fingerprint(samples: np.ndarray, bits: int = 64) -> int:
+    """64-bit audio fingerprint: the clip is split into ``bits+1``
+    equal frames; bit k = energy(frame k+1) > energy(frame k)
+    (sign-of-energy-delta — the classic robust-hash recipe: invariant
+    to volume scaling and resampling, sensitive to content order).
+    Exact integer energy (int64 sum of squares), pure numpy."""
+    n = len(samples)
+    if n < bits + 1:
+        samples = np.pad(np.asarray(samples, np.int64), (0, bits + 1 - n))
+        n = len(samples)
+    s = np.asarray(samples, np.int64)
+    bounds = (np.arange(bits + 2) * n) // (bits + 1)
+    cs = np.r_[np.int64(0), np.cumsum(s * s)]
+    energy = cs[bounds[1:]] - cs[bounds[:-1]]
+    b = (energy[1:] > energy[:-1]).astype(np.uint8)
+    return int(np.packbits(b).view(">u8")[0])
+
+
+class AudioHashStage:
+    """Actor stage: WAV decode → 64-bit energy-delta fingerprint.
+    Non-audio / corrupt payloads get ``hash_status='unsupported_codec'``
+    and hash 0 (accounted, never dropped)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        hashes, status = [], []
+        for kind, p in zip(kinds, payloads):
+            try:
+                if kind != "audio" or not p:
+                    raise ValueError
+                samples, _ = decode_wav(p)
+                h = audio_fingerprint(samples)
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+                status.append("ok")
+            except Exception:
+                hashes.append(0)
+                status.append("unsupported_codec")
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "afp": pa.array(hashes, pa.int64()),
+            "hash_status": pa.array(status, pa.string())})
+
+
+def audio_near_dups(ds, max_hamming: int = 6,
+                    batch_size: int = 16, concurrency=(1, 4)):
+    """→ Dataset(media_id, cluster_id): audio near-dup clusters — the
+    WAV complement of `image_near_dups`, same shared pipeline: actor
+    fingerprint stage → simhash banding / capped pairs / hamming
+    verify / CC with ``precomputed=True``."""
+    import pyarrow.compute as _pc
+
+    from .dedup import simhash_dedup
+
+    hashes = ds.map_batches(AudioHashStage, batch_size=batch_size,
+                            concurrency=concurrency,
+                            batch_format="pyarrow")
+    ok = hashes.map_batches(
+        lambda t: t.filter(_pc.equal(t["hash_status"], "ok"))
+        .select(["media_id", "afp"]),
+        batch_format="pyarrow")
+    return simhash_dedup(ok, col="afp", key="media_id",
+                         max_hamming=max_hamming, precomputed=True)
