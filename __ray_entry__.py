@@ -1749,6 +1749,21 @@ def _q_audio_near_dups(sf_dir: str):
     return audio_near_dups(audio)
 
 
+def _q_video_near_dups(sf_dir: str):
+    """Video near-dup clusters (``ops/multimodal.video_near_dups``):
+    XRAW frame decode → majority-of-frame-aHash clip fingerprint
+    (frame-rate and rescale invariant) → the shared precomputed-hash
+    dedup pipeline.  Rows-only; exactness pytest-covered."""
+    from xtract.ops.multimodal import synth_media_batch, video_near_dups
+
+    media = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth_media_batch, batch_format="pyarrow")
+    video = media.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "video")),
+        batch_format="pyarrow")
+    return video_near_dups(video)
+
+
 def _q_events_hopping(sf_dir: str):
     """Hopping (sliding) 60-min window, 15-min hop, per event type —
     the streaming-window surface tumbling_window lacks.  Window key is
@@ -7318,6 +7333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "image_near_dups": _q_image_near_dups,
         "audio_near_dups": _q_audio_near_dups,
+        "video_near_dups": _q_video_near_dups,
         "extract_warc": _q_extract_warc,
         "line_dedup": _q_line_dedup,
         "canonical_url_dedup": _q_canonical_url_dedup,

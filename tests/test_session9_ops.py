@@ -255,3 +255,32 @@ def test_audio_near_dups_clusters(ray_session):
     out = audio_near_dups(ds).to_pandas()
     lab = dict(zip(out["media_id"], out["cluster_id"]))
     assert lab[1] == lab[2] and lab[3] != lab[1]
+
+
+def test_video_fingerprint_framerate_invariant(ray_session):
+    from xtract.ops.multimodal import (encode_bmp, video_fingerprint,
+                                       _synth_pixels)
+    frames = [encode_bmp(_synth_pixels(40 + i // 2, 24, 24))
+              for i in range(24)]
+    halved = frames[::2]                      # frame-rate change
+    other = [encode_bmp(_synth_pixels(900 + i, 24, 24))
+             for i in range(12)]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(video_fingerprint(frames), video_fingerprint(halved)) <= 8
+    assert ham(video_fingerprint(frames), video_fingerprint(other)) > 10
+
+
+def test_video_near_dups_clusters(ray_session):
+    from xtract.ops.multimodal import (encode_bmp, encode_xraw,
+                                       video_near_dups, _synth_pixels)
+    mk = lambda seed, n, step=1: encode_xraw(
+        [encode_bmp(_synth_pixels(seed + i, 20, 20))
+         for i in range(0, n, step)])
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "kind": pa.array(["video"] * 3, pa.string()),
+        "payload": pa.array([mk(5, 16), mk(5, 16, 2), mk(333, 16)],
+                            pa.binary())}))
+    out = video_near_dups(ds).to_pandas()
+    lab = dict(zip(out["media_id"], out["cluster_id"]))
+    assert lab[1] == lab[2] and lab[3] != lab[1]

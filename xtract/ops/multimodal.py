@@ -499,3 +499,72 @@ def audio_near_dups(ds, max_hamming: int = 6,
         batch_format="pyarrow")
     return simhash_dedup(ok, col="afp", key="media_id",
                          max_hamming=max_hamming, precomputed=True)
+
+
+# ---------------------------------------------------------------------------
+# video fingerprinting + near-duplicate detection
+# ---------------------------------------------------------------------------
+
+def video_fingerprint(frames: list[bytes], max_frames: int = 16) -> int:
+    """64-bit clip fingerprint: stride-sample ≤``max_frames`` frames,
+    aHash each (BMP decode), take the bitwise MAJORITY over the frame
+    hashes — the temporal-mean perceptual hash (robust to frame-rate
+    changes, per-frame noise and spatial rescaling; sensitive to
+    content).  Ties (exact half) resolve to 1 — deterministic."""
+    if not frames:
+        raise ValueError("empty clip")
+    stride = max(1, len(frames) // max_frames)
+    picked = frames[::stride][:max_frames]
+    hs = np.array([average_hash(decode_bmp(f)) for f in picked],
+                  np.uint64)
+    bits = (hs[:, None] >> np.arange(63, -1, -1, dtype=np.uint64)) \
+        & np.uint64(1)
+    maj = (bits.sum(axis=0) * 2 >= len(hs)).astype(np.uint8)
+    return int(np.packbits(maj).view(">u8")[0])
+
+
+class VideoHashStage:
+    """Actor stage: XRAW decode → majority-of-frame-aHash fingerprint.
+    Non-video / corrupt payloads get ``hash_status='unsupported_codec'``
+    and hash 0 (accounted, never dropped)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        hashes, status = [], []
+        for kind, p in zip(kinds, payloads):
+            try:
+                if kind != "video" or not p:
+                    raise ValueError
+                h = video_fingerprint(decode_xraw(p))
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+                status.append("ok")
+            except Exception:
+                hashes.append(0)
+                status.append("unsupported_codec")
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "vfp": pa.array(hashes, pa.int64()),
+            "hash_status": pa.array(status, pa.string())})
+
+
+def video_near_dups(ds, max_hamming: int = 6,
+                    batch_size: int = 8, concurrency=(1, 4)):
+    """→ Dataset(media_id, cluster_id): video near-dup clusters — the
+    XRAW complement of `image_near_dups`/`audio_near_dups`, same
+    shared precomputed-hash pipeline.  Small batches: video payloads
+    are the largest binaries in the corpus."""
+    import pyarrow.compute as _pc
+
+    from .dedup import simhash_dedup
+
+    hashes = ds.map_batches(VideoHashStage, batch_size=batch_size,
+                            concurrency=concurrency,
+                            batch_format="pyarrow")
+    ok = hashes.map_batches(
+        lambda t: t.filter(_pc.equal(t["hash_status"], "ok"))
+        .select(["media_id", "vfp"]),
+        batch_format="pyarrow")
+    return simhash_dedup(ok, col="vfp", key="media_id",
+                         max_hamming=max_hamming, precomputed=True)
