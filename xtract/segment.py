@@ -406,6 +406,11 @@ class Segmenter:
         return self.blocks
 
 
+#: decoded-tag-name cache (name bytes → lowercase str), shared per
+#: worker process; bounded so hostile unique-tag documents can't grow it
+_TAG_NAMES: dict = {}
+
+
 def segment(html: bytes, monitor=None) -> list[Block]:
     """Tokenize + segment one HTML document into ordered blocks.
 
@@ -449,19 +454,21 @@ def segment(html: bytes, monitor=None) -> list[Block]:
             break
         if lt > pos:
             text_run(pos, lt)
-        if html.startswith(b"<!--", lt):
-            m = _COMMENT_RE.match(html, lt)
-            if m is None:
-                break  # unterminated comment → rest is dropped
+        # one-byte dispatch on the char after '<' (33='!', 63='?'):
+        # replaces three startswith scans per tag candidate
+        nxt = html[lt + 1] if lt + 1 < n else 0
+        if nxt == 33:
+            if html.startswith(b"<!--", lt):
+                m = _COMMENT_RE.match(html, lt)
+                if m is None:
+                    break  # unterminated comment → rest is dropped
+            else:
+                m = _DECL_RE.match(html, lt)
+                if m is None:
+                    break
             pos = m.end()
             continue
-        if html.startswith(b"<!", lt):
-            m = _DECL_RE.match(html, lt)
-            if m is None:
-                break
-            pos = m.end()
-            continue
-        if html.startswith(b"<?", lt):
+        if nxt == 63:
             m = _PI_RE.match(html, lt)
             if m is None:
                 break
@@ -472,9 +479,12 @@ def segment(html: bytes, monitor=None) -> list[Block]:
             text_run(lt, lt + 1)  # literal '<' is text
             pos = lt + 1
             continue
-        closing, name_b, attrs_b, selfclose = (
-            m.group(1), m.group(2), m.group(3), m.group(4))
-        tag = name_b.decode("ascii").lower()
+        closing, name_b, attrs_b, selfclose = m.group(1, 2, 3, 4)
+        tag = _TAG_NAMES.get(name_b)
+        if tag is None:
+            tag = name_b.decode("ascii").lower()
+            if len(_TAG_NAMES) < 4096:  # bounded vs hostile tag spray
+                _TAG_NAMES[name_b] = tag
         pos = m.end()
         if closing:
             end_tag(tag)
