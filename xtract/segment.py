@@ -134,6 +134,11 @@ class Segmenter:
         self._cur: Optional[Block] = None
         self._parts: list[str] = []
         self._link_flags: list[bool] = []
+        # incremental nearest-ancestor state (O(1) at _open_block
+        # instead of two stack scans per block): block-level anchors
+        # and explicit-justification holders currently open
+        self._banchors: list[_Open] = []
+        self._justs: list[_Open] = []
 
     # -- depth-counter bookkeeping -------------------------------------------
     def _enter(self, tag: str) -> None:
@@ -200,12 +205,9 @@ class Segmenter:
     def _open_block(self) -> None:
         b = Block()
         # anchor the block at the nearest block-level container (inline
-        # wrappers like <a>/<b> are not layout parents)
-        top = self.stack[0]
-        for o in reversed(self.stack):
-            if o.tag in BLOCK_ELEMENTS or o.tag == "#root":
-                top = o
-                break
+        # wrappers like <a>/<b> are not layout parents) — maintained
+        # incrementally by _push/_pop, O(1) here
+        top = self._banchors[-1] if self._banchors else self.stack[0]
         b.tag = top.tag
         b.parent_path = top.path
         b.depth = len(self.stack) - 1
@@ -220,15 +222,22 @@ class Segmenter:
         b.is_italic = self.italic_d > 0
         b.is_mono = self.mono_d > 0
         # justification: nearest explicit align on the open ancestry
-        for o in reversed(self.stack):
-            if o.justification:
-                b.justification = o.justification
-                break
+        if self._justs:
+            b.justification = self._justs[-1].justification
         self._cur = b
         self._parts = []
         self._link_flags = []
 
     def text_run(self, start: int, end: int) -> None:
+        # fastest path: the single space/newline between adjacent tags
+        # (the most common text run in rendered HTML) — no slice at all
+        if end - start == 1 and self.html[start] in _WS_BYTES:
+            parts = self._parts
+            if self._cur is not None and parts and \
+                    parts[-1] not in (" ", "\n"):
+                parts.append(" ")
+                self._link_flags.append(False)
+            return
         raw = self.html[start:end]
         # fast path: pure-ASCII-whitespace run (the inter-tag newlines that
         # dominate rendered HTML) — no decode, no unescape, no regex
@@ -327,6 +336,10 @@ class Segmenter:
                 o.justification = {"left": "LEFT", "right": "RIGHT", "center": "CENTER",
                                    "justify": "JUSTIFY"}.get(just.lower())
         self.stack.append(o)
+        if tag in BLOCK_ELEMENTS:
+            self._banchors.append(o)
+        if o.justification:
+            self._justs.append(o)
         self._enter(tag)
 
     def _pop(self) -> None:
@@ -334,6 +347,10 @@ class Segmenter:
             o = self.stack.pop()
             if o.tag == "p":
                 self.p_open -= 1
+            if o.tag in BLOCK_ELEMENTS:
+                self._banchors.pop()
+            if o.justification:
+                self._justs.pop()
             self._leave(o.tag)
 
     def start_tag(self, tag: str, attrs_b: bytes, selfclose: bool, start: int) -> None:
@@ -409,6 +426,9 @@ class Segmenter:
 #: decoded-tag-name cache (name bytes → lowercase str), shared per
 #: worker process; bounded so hostile unique-tag documents can't grow it
 _TAG_NAMES: dict = {}
+
+#: the byte values bytes.isspace() treats as whitespace
+_WS_BYTES = frozenset(b" \t\n\r\x0b\x0c")
 
 
 def segment(html: bytes, monitor=None) -> list[Block]:
