@@ -258,7 +258,27 @@ def _q_doc_quality_sample(sf_dir: str):
                                "doc_id", "n_chars", scale=4000)
 
 
+def _q_doc_sample_per_source(sf_dir: str):
+    """Balanced per-stratum sample (``ops/agg.sample_per_key``): ≤3
+    documents per source, ranked by (lcg(doc_id), doc_id) — the
+    eval-slice construction; block combiner prunes before the one
+    co-group exchange."""
+    from xtract.ops.agg import sample_per_key
+
+    return sample_per_key(_docs(sf_dir, ["doc_id", "source"]),
+                          "source", "doc_id", k=3)
+
+
 _LCG_SQL = "((doc_id * 2654435761 + 12345) % 4294967296)"
+
+
+def _sample_per_source_sql() -> str:
+    return (
+        f"WITH r AS (SELECT doc_id, source, {_LCG_SQL} AS pri, "
+        "row_number() OVER (PARTITION BY source "
+        f"ORDER BY {_LCG_SQL}, doc_id) AS rn FROM documents) "
+        "SELECT doc_id, source FROM r WHERE rn <= 3 "
+        "ORDER BY source, doc_id")
 
 
 def _quality_sample_sql() -> str:
@@ -7148,6 +7168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_upsample_mix": _q_doc_upsample_mix,
         "doc_hash_split": _q_doc_hash_split,
         "doc_quality_sample": _q_doc_quality_sample,
+        "doc_sample_per_source": _q_doc_sample_per_source,
         "orders_priority_histogram": _q_orders_priority_histogram,
         "discount_revenue": _q_discount_revenue,
         "nation_customer_balance": _q_nation_customer_balance,
@@ -9167,6 +9188,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_upsample_mix": _upsample_mix_sql(),
         "doc_hash_split": _hash_split_sql(),
         "doc_quality_sample": _quality_sample_sql(),
+        "doc_sample_per_source": _sample_per_source_sql(),
         "events_hopping":
             "WITH e AS (SELECT event_type, value, epoch_us(ts) AS us "
             "FROM events), "

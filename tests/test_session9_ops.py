@@ -284,3 +284,22 @@ def test_video_near_dups_clusters(ray_session):
     out = video_near_dups(ds).to_pandas()
     lab = dict(zip(out["media_id"], out["cluster_id"]))
     assert lab[1] == lab[2] and lab[3] != lab[1]
+
+
+def test_sample_per_key(ray_session):
+    from xtract.ops.agg import sample_per_key
+    out = sample_per_key(_docs_tbl(), "source", "doc_id", k=5).to_pandas()
+    assert (out.groupby("source").size() == 5).all()
+    # deterministic and partition-invariant
+    out2 = sample_per_key(_docs_tbl().repartition(7), "source",
+                          "doc_id", k=5).to_pandas()
+    a = out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    b = out2.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    assert a[["doc_id", "source"]].equals(b[["doc_id", "source"]])
+    # matches the brute-force lcg ranking
+    ids = np.arange(200, dtype=np.int64)
+    for s in range(4):
+        mine = sorted(out[out["source"] == f"src{s}"]["doc_id"])
+        sub = ids[ids % 4 == s]
+        exp = sorted(sub[np.lexsort((sub, _lcg(sub)))][:5].tolist())
+        assert mine == exp

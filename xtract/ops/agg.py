@@ -219,6 +219,25 @@ def upsample_mixture(ds, stratum_col: str, key: str, factors: dict,
     return ds.map_batches(expand, batch_format="pyarrow")
 
 
+def sample_per_key(ds, stratum_col: str, id_col: str, k: int,
+                   num_partitions: int = 32):
+    """Deterministic k-PER-KEY sample (e.g. ≤k documents per source
+    for a balanced eval slice): rows are ranked within each stratum by
+    ``(lcg(id), id)`` — a reproducible random order — and the first k
+    win.  Same grouped-top-N machinery as `top_k_per_key` (block
+    combiner prunes to ≤k per stratum per block before the exchange);
+    no RNG state, stable under any partitioning."""
+    def pri(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_pri", pa.array(_lcg(ids), pa.int64()))
+
+    out = top_k_per_key(ds.map_batches(pri, batch_format="pyarrow"),
+                        key=stratum_col, order_cols=("_pri", id_col),
+                        k=k, num_partitions=num_partitions)
+    return out.map_batches(lambda t: t.drop_columns(["_pri"]),
+                           batch_format="pyarrow")
+
+
 def weighted_downsample(ds, key: str, weight_col: str, scale: int,
                         micro: int = 1_000_000):
     """Deterministic PER-ROW soft downsampling: keep a row with
