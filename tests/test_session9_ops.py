@@ -303,3 +303,44 @@ def test_sample_per_key(ray_session):
         sub = ids[ids % 4 == s]
         exp = sorted(sub[np.lexsort((sub, _lcg(sub)))][:5].tolist())
         assert mine == exp
+
+
+def _long_text(seed_word):
+    return (" ".join(f"{seed_word} token{i} content" for i in range(20))
+            + " trailing sentinel words close the document")
+
+
+def test_neardup_index_cross_job(ray_session):
+    from xtract.ops.dedup_index import NearDupIndex
+    base = _long_text("alpha")
+    near = base.replace("token7", "tokenX")       # one-word edit, j≈0.95
+    far = _long_text("omega").replace("token", "unit")
+    idx = NearDupIndex(num_shards=3, sim_threshold=0.5, bands=16)
+
+    job1 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([base, far], pa.string())}))
+    kept1 = idx.filter_new(job1, concurrency=1).to_pandas()
+    assert sorted(kept1["doc_id"]) == [1, 2]
+
+    # job 2: a near-dup of job-1 content must be dropped; new survives
+    job2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([3, 4], pa.int64()),
+        "text": pa.array([near, "entirely novel musings on tokenizer "
+                          "vocabularies and sampling temperature"],
+                         pa.string())}))
+    kept2 = idx.filter_new(job2, concurrency=1).to_pandas()
+    assert sorted(kept2["doc_id"]) == [4]
+    assert idx.total() > 0
+
+
+def test_neardup_index_within_batch_first_wins(ray_session):
+    from xtract.ops.dedup_index import NearDupIndex
+    t = _long_text("beta")
+    near = t.replace("token11", "tokenY")          # one-word edit
+    idx = NearDupIndex(num_shards=2, sim_threshold=0.5, bands=16)
+    job = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": pa.array([t, t, near], pa.string())}))
+    kept = idx.filter_new(job, concurrency=1).to_pandas()
+    assert list(kept["doc_id"]) == [10]
