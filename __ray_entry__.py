@@ -269,7 +269,50 @@ def _q_doc_sample_per_source(sf_dir: str):
                           "source", "doc_id", k=3)
 
 
+def _q_doc_curation_pipeline(sf_dir: str):
+    """Capstone composition: quality-weighted downsample → hash split
+    → per-source mixture upsampling on the TRAIN split only — the
+    in-memory shape of ``pipelines.run_curation_job``, SQL-checked
+    end-to-end (the three ops compose as pure functions of
+    lcg(doc_id), so the chained oracle is exact)."""
+    from xtract.ops.agg import (hash_split, upsample_mixture,
+                                weighted_downsample)
+
+    ds = weighted_downsample(_docs(sf_dir, ["doc_id", "source",
+                                            "n_chars"]),
+                             "doc_id", "n_chars", scale=4000)
+    ds = hash_split(ds, "doc_id")
+    train = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["split"], "train")),
+        batch_format="pyarrow")
+    rest = ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["split"], "train")),
+        batch_format="pyarrow")
+    train = upsample_mixture(train, "source", "doc_id", {"src0": 2})
+    rest = upsample_mixture(rest, "source", "doc_id", {})  # copy_idx=0
+    out = train.union(rest)
+    return out.select_columns(["doc_id", "source", "split", "copy_idx"])
+
+
 _LCG_SQL = "((doc_id * 2654435761 + 12345) % 4294967296)"
+
+
+def _curation_pipeline_sql() -> str:
+    return (
+        "WITH kept AS (SELECT doc_id, source, n_chars FROM documents "
+        f"WHERE {_LCG_SQL} % 1000000 < "
+        "least(n_chars * 1000000 // 4000, 1000000)), "
+        f"sp AS (SELECT doc_id, source, CASE WHEN {_LCG_SQL} % 10000 "
+        "< 500 THEN 'val' WHEN "
+        f"{_LCG_SQL} % 10000 < 1000 THEN 'test' ELSE 'train' END "
+        "AS split FROM kept), "
+        "r AS (SELECT doc_id, source, split, "
+        "CASE WHEN split = 'train' AND source = 'src0' THEN 2 ELSE 1 "
+        "END AS reps FROM sp) "
+        "SELECT doc_id, source, split, "
+        "CAST(t.copy_idx AS BIGINT) AS copy_idx "
+        "FROM r, UNNEST(range(r.reps)) AS t(copy_idx) "
+        "ORDER BY doc_id, copy_idx")
 
 
 def _sample_per_source_sql() -> str:
@@ -7169,6 +7212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_split": _q_doc_hash_split,
         "doc_quality_sample": _q_doc_quality_sample,
         "doc_sample_per_source": _q_doc_sample_per_source,
+        "doc_curation_pipeline": _q_doc_curation_pipeline,
         "orders_priority_histogram": _q_orders_priority_histogram,
         "discount_revenue": _q_discount_revenue,
         "nation_customer_balance": _q_nation_customer_balance,
@@ -9189,6 +9233,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_hash_split": _hash_split_sql(),
         "doc_quality_sample": _quality_sample_sql(),
         "doc_sample_per_source": _sample_per_source_sql(),
+        "doc_curation_pipeline": _curation_pipeline_sql(),
         "events_hopping":
             "WITH e AS (SELECT event_type, value, epoch_us(ts) AS us "
             "FROM events), "

@@ -112,3 +112,63 @@ def test_orphan_tmp_dirs_swept(ray_session, tmp_path):
     assert clean_m["complete"]
     assert not os.path.exists(orphan_e)
     assert not os.path.exists(orphan_c)
+
+
+def test_curation_job_splits_resume_and_mixture(ray_session, tmp_path):
+    from xtract.pipelines import run_curation_job
+
+    files = _write_inputs(tmp_path)
+    out = str(tmp_path / "cjob")
+    ex_m, clean_m, cur_m = run_curation_job(
+        files, out, shard_size=2, val_bps=1500, test_bps=1500,
+        mixture={"en": 2.0})
+    assert cur_m["complete"]
+    counts = cur_m["counts"]
+    assert counts["train"] > 0 and counts["val"] > 0 and counts["test"] > 0
+
+    # splits are disjoint by url; copy_idx only on train
+    frames = {s: rd.read_parquet(
+        os.path.join(out, "curate", f"split={s}")).to_pandas()
+        for s in ("train", "val", "test")}
+    urls = [set(frames[s]["url"]) for s in ("train", "val", "test")]
+    assert not (urls[0] & urls[1]) and not (urls[0] & urls[2]) \
+        and not (urls[1] & urls[2])
+    assert "copy_idx" in frames["train"].columns
+    # en docs in train are doubled (factor 2.0 exactly)
+    en = frames["train"][frames["train"]["lang_detected"] == "en"]
+    if len(en):
+        assert (en.groupby("url").size() == 2).all()
+
+    # rerun: clean unchanged → curate phase skipped verbatim
+    listing = sorted(os.listdir(os.path.join(out, "curate")))
+    _, _, cur_m2 = run_curation_job(
+        files, out, shard_size=2, val_bps=1500, test_bps=1500,
+        mixture={"en": 2.0})
+    assert cur_m2["counts"] == counts
+    assert sorted(os.listdir(os.path.join(out, "curate"))) == listing
+
+
+def test_curation_job_split_stability(ray_session, tmp_path):
+    """A document keeps its split when the corpus shrinks (the
+    leakage-audit property: split is a pure function of doc_key)."""
+    from xtract.pipelines import run_curation_job
+
+    files = _write_inputs(tmp_path)
+    out_all = str(tmp_path / "all")
+    _, _, m_all = run_curation_job(files, out_all, shard_size=2,
+                                   val_bps=2000, test_bps=2000)
+    out_half = str(tmp_path / "half")
+    _, _, m_half = run_curation_job(files[:2], out_half, shard_size=2,
+                                    val_bps=2000, test_bps=2000)
+    split_all = {}
+    for s in ("train", "val", "test"):
+        df = rd.read_parquet(
+            os.path.join(out_all, "curate", f"split={s}"),
+            columns=["url"]).to_pandas()
+        split_all.update({u: s for u in df["url"]})
+    for s in ("train", "val", "test"):
+        df = rd.read_parquet(
+            os.path.join(out_half, "curate", f"split={s}"),
+            columns=["url"]).to_pandas()
+        for u in df["url"]:
+            assert split_all[u] == s

@@ -205,9 +205,13 @@ def upsample_mixture(ds, stratum_col: str, key: str, factors: dict,
         import pyarrow.compute as pc
 
         ids = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = pc.fill_null(
-            pc.index_in(t[stratum_col], value_set=pa.array(strata)),
-            len(strata)).to_numpy(zero_copy_only=False).astype(np.int64)
+        if strata:
+            idx = pc.fill_null(
+                pc.index_in(t[stratum_col], value_set=pa.array(strata)),
+                len(strata)).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+        else:  # no factors: every row ×1 (still tags copy_idx = 0)
+            idx = np.zeros(len(t), np.int64)
         reps = base[idx] + (_lcg(ids) % 1_000_000 < frac_micro[idx])
         row_idx = np.repeat(np.arange(len(t), dtype=np.int64), reps)
         ends = np.cumsum(reps)

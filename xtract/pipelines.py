@@ -240,3 +240,114 @@ def run_webtext_job(
         shutil.rmtree(clean_dir)
     os.rename(tmp, clean_dir)
     return manifests, manifest
+
+
+def run_curation_job(
+    input_files,
+    out_dir: str,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    shard_size: int = 8,
+    val_bps: int = 500,
+    test_bps: int = 500,
+    quality_scale: "int | None" = None,
+    mixture: "dict | None" = None,
+    **clean_kw,
+):
+    """Three-phase training-data CURATION job — the full story on top
+    of ``run_webtext_job`` (extract → clean), adding the curate phase:
+
+    3. **curate** (corpus-global, resumable): over the WRITTEN clean
+       output — (a) a stable ``doc_key`` (64-bit url digest) so every
+       later decision is reproducible and corpus-version-stable;
+       (b) optional quality-weighted downsampling (keep probability
+       min(1, n_chars/quality_scale), `ops/agg.weighted_downsample`);
+       (c) deterministic train/val/test assignment
+       (`ops/agg.hash_split`, basis points); (d) optional per-language
+       epoch mixture on the TRAIN split only
+       (`ops/agg.upsample_mixture` — val/test are never upsampled).
+       Output: ``out/curate/split=train|val|test`` parquet + manifest
+       pinning the clean phase's identity (extract checksums + row
+       count) — a rerun skips the phase when clean is unchanged and
+       rebuilds it when any upstream shard was re-extracted.
+
+    Every decision is a pure function of ``doc_key`` — re-running the
+    job on a grown corpus keeps every surviving document's split and
+    sampling fate (the leakage-audit property).
+    Returns (extract_manifests, clean_manifest, curate_manifest)."""
+    import hashlib
+    import shutil
+    import tempfile as _tf
+
+    import ray.data as rd
+
+    from .ops.agg import hash_split, upsample_mixture, weighted_downsample
+    from .pipeline import _sweep_orphan_tmp
+
+    manifests, clean_m = run_webtext_job(
+        input_files, out_dir, cfg, shard_size=shard_size, **clean_kw)
+    clean_key = {"extract_checksums": clean_m["extract_checksums"],
+                 "n_rows": clean_m["n_rows"]}
+
+    curate_dir = os.path.join(out_dir, "curate")
+    man_p = os.path.join(curate_dir, "manifest.json")
+    if os.path.exists(man_p):
+        try:
+            with open(man_p) as f:
+                prev = json.load(f)
+            if prev.get("complete") and prev.get("clean_key") == clean_key:
+                return manifests, clean_m, prev
+        except (json.JSONDecodeError, OSError):
+            pass
+
+    t0 = time.monotonic()
+    clean = rd.read_parquet(os.path.join(out_dir, "clean", "data"))
+
+    def add_key(t: pa.Table) -> pa.Table:
+        keys = [int.from_bytes(
+            hashlib.md5((u or "").encode()).digest()[:8], "big",
+            signed=True) for u in t["url"].to_pylist()]
+        n_chars = pc.utf8_length(
+            pc.fill_null(t["content_text"], "")).cast(pa.int64())
+        return (t.append_column("doc_key", pa.array(keys, pa.int64()))
+                .append_column("n_chars", n_chars))
+
+    ds = clean.map_batches(add_key, batch_format="pyarrow")
+    if quality_scale:
+        ds = weighted_downsample(ds, "doc_key", "n_chars", quality_scale)
+    ds = hash_split(ds, "doc_key", val_bps=val_bps, test_bps=test_bps)
+    # pin: three split filters + counts below consume this multiple
+    # times; unpinned each pass re-reads + re-derives
+    ds = ds.materialize()
+
+    os.makedirs(out_dir, exist_ok=True)
+    _sweep_orphan_tmp(out_dir)
+    tmp = _tf.mkdtemp(prefix=".curate-", dir=out_dir)
+    counts = {}
+    for split in ("train", "val", "test"):
+        part = ds.map_batches(
+            lambda t, _s=split: t.filter(pc.equal(t["split"], _s)),
+            batch_format="pyarrow")
+        if split == "train" and mixture:
+            part = upsample_mixture(part, "lang_detected", "doc_key",
+                                    mixture)
+        d = os.path.join(tmp, f"split={split}")
+        part.write_parquet(d)
+        counts[split] = rd.read_parquet(d, columns=["doc_key"]).count()
+
+    manifest = {
+        "phase": "curate",
+        "clean_key": clean_key,
+        "counts": counts,
+        "val_bps": val_bps, "test_bps": test_bps,
+        "quality_scale": quality_scale,
+        "mixture": mixture,
+        "engine_version": __version__,
+        "wall_s": round(time.monotonic() - t0, 3),
+        "complete": True,
+    }
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    if os.path.exists(curate_dir):
+        shutil.rmtree(curate_dir)
+    os.rename(tmp, curate_dir)
+    return manifests, clean_m, manifest
