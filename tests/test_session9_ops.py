@@ -344,3 +344,50 @@ def test_neardup_index_within_batch_first_wins(ray_session):
         "text": pa.array([t, t, near], pa.string())}))
     kept = idx.filter_new(job, concurrency=1).to_pandas()
     assert list(kept["doc_id"]) == [10]
+
+
+# ---------------------------------------------------------------------------
+# property tests: sampling ops vs brute force
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=60,
+                    unique=True),
+       f_int=st.integers(0, 3), f_frac=st.integers(0, 999_999))
+def test_upsample_property_vs_bruteforce(ray_session, ids, f_int, f_frac):
+    from xtract.ops.agg import upsample_mixture
+    factor = f_int + f_frac / 1_000_000
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "source": pa.array(["s"] * len(ids), pa.string())}))
+    out = upsample_mixture(ds, "source", "doc_id", {"s": factor}) \
+        .to_pandas()
+    exp = []
+    for i in sorted(ids):
+        reps = f_int + (int(_lcg(np.array([i], np.int64))[0]) % 1_000_000
+                        < round((factor - f_int) * 1_000_000))
+        exp.extend((i, c) for c in range(reps))
+    if not exp:
+        assert len(out) == 0   # empty to_pandas drops columns (Ray quirk)
+        return
+    out = out.sort_values(["doc_id", "copy_idx"])
+    got = list(map(tuple, out[["doc_id", "copy_idx"]]
+                   .itertuples(index=False)))
+    assert got == exp
+
+
+@settings(max_examples=20, deadline=None)
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=60,
+                    unique=True),
+       vb=st.integers(0, 5000), tb=st.integers(0, 4999))
+def test_hash_split_property(ray_session, ids, vb, tb):
+    from xtract.ops.agg import hash_split
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    out = hash_split(ds, "doc_id", val_bps=vb, test_bps=tb).to_pandas()
+    bp = _lcg(out["doc_id"].to_numpy().astype(np.int64)) % 10_000
+    exp = np.where(bp < vb, "val", np.where(bp < vb + tb, "test", "train"))
+    assert (out["split"].to_numpy() == exp).all()
