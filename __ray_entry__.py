@@ -3199,15 +3199,51 @@ def _q_event_value_moments(sf_dir: str):
 def _q_embedding_kmeans(sf_dir: str):
     """Full-corpus distributed k-means over the embeddings table
     (``ops/similarity.distributed_kmeans``): integer micro-unit
-    quantization makes every iteration's partial sums exact and
-    commutative — centroids and assignments are bit-identical at any
-    parallelism (pytest cross-layout invariance; no SQL oracle —
-    unrolling 3 Lloyd iterations over 64 dims in SQL is not
-    practical)."""
+    quantization (floor(x·2^20)) makes every iteration's partial sums
+    exact and commutative — centroids and assignments are bit-identical
+    at any parallelism AND fully replayable in SQL: the oracle unrolls
+    the Lloyd iterations as CTEs (assignment = argmin of the integer
+    score c·c − 2x·c via ``list_inner_product`` — every intermediate
+    stays < 2^53, so DuckDB's DOUBLE arithmetic is exact; update =
+    per-dim floor mean via parallel UNNEST; empty centroids keep their
+    position)."""
     from xtract.ops.similarity import distributed_kmeans
 
     _, labels = distributed_kmeans(_emb(sf_dir), k=8, iters=3)
     return labels
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, unit: int = 1 << 20) -> str:
+    """Unrolled integer Lloyd CTEs mirroring `distributed_kmeans`."""
+    assign = (
+        "a{i} AS (SELECT e.vec_id, c.cidx, row_number() OVER ("
+        "PARTITION BY e.vec_id ORDER BY "
+        "list_inner_product(c.q, c.q) - 2 * list_inner_product(e.q, c.q), "
+        "c.cidx) AS rn FROM e CROSS JOIN c{p} c)")
+    update = (
+        "s{i} AS (SELECT cidx, dim, CAST(floor(CAST(sum(val) AS "
+        "DOUBLE) / count(*)) AS BIGINT) AS v FROM "
+        "(SELECT a{i}.cidx, UNNEST(e.q) AS val, "
+        "UNNEST(range(len(e.q))) AS dim FROM e JOIN a{i} "
+        "ON a{i}.vec_id = e.vec_id AND a{i}.rn = 1) "
+        "GROUP BY cidx, dim), "
+        "c{i} AS (SELECT c{p}.cidx, coalesce(m.q, c{p}.q) AS q "
+        "FROM c{p} LEFT JOIN (SELECT cidx, list(v ORDER BY dim) AS q "
+        "FROM s{i} GROUP BY cidx) m ON m.cidx = c{p}.cidx)")
+    parts = []
+    for i in range(1, iters + 1):
+        parts.append(assign.format(i=i, p=i - 1))
+        parts.append(update.format(i=i, p=i - 1))
+    final = assign.format(i=iters + 1, p=iters)
+    return (
+        "WITH e AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(floor(x * {unit}.0) AS BIGINT)) AS q "
+        "FROM embeddings), "
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, "
+        f"q FROM e ORDER BY vec_id LIMIT {k}), "
+        + ", ".join(parts) + ", " + final +
+        f" SELECT vec_id, CAST(cidx AS BIGINT) AS cluster "
+        f"FROM a{iters + 1} WHERE rn = 1 ORDER BY vec_id")
 
 
 def _q_regional_revenue(sf_dir: str):
@@ -9234,6 +9270,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_sample": _quality_sample_sql(),
         "doc_sample_per_source": _sample_per_source_sql(),
         "doc_curation_pipeline": _curation_pipeline_sql(),
+        "embedding_kmeans": _kmeans_sql(8, 3),
         "events_hopping":
             "WITH e AS (SELECT event_type, value, epoch_us(ts) AS us "
             "FROM events), "

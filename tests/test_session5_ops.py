@@ -298,7 +298,7 @@ def test_gap_filled_empty(ray_session):
 def _kmeans_reference(vecs, ids, k, iters, unit=1 << 20):
     """Pure-numpy replica of distributed_kmeans' exact integer
     algorithm (same init, same update, same tie-break)."""
-    q = np.round(np.asarray(vecs, np.float64) * unit).astype(np.int64)
+    q = np.floor(np.asarray(vecs, np.float64) * unit).astype(np.int64)
     order = np.argsort(ids)
     centers = q[order[:k]].copy()
 

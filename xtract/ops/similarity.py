@@ -519,7 +519,10 @@ def distributed_kmeans(ds, k: int = 8, iters: int = 5,
                        unit: int = 1 << 20):
     """Fully-distributed Lloyd k-means over an embedding column with
     **bit-identical results at any parallelism**: vectors quantize to
-    int64 micro-units (``round(x · unit)``), so per-centroid partial
+    int64 micro-units (``floor(x · unit)`` — floor, not round: numpy
+    rounds half-to-even while SQL rounds half-away, and floor of an
+    exact float64 product replays identically in the DuckDB oracle),
+    so per-centroid partial
     sums are exact integers (commutative — no float accumulation
     order), and the centroid update is an integer floor division.
     ``deterministic_kmeans`` (above) trains on a driver-side sample
@@ -544,11 +547,11 @@ def distributed_kmeans(ds, k: int = 8, iters: int = 5,
 
     def quant(b: pa.Table) -> np.ndarray:
         m = np.asarray(b[col].to_pylist(), np.float64)
-        return np.round(m * unit).astype(np.int64)
+        return np.floor(m * unit).astype(np.int64)
 
     # deterministic init: k lowest-id vectors
     seed = ds.sort(id_col).limit(k).to_pandas()
-    centers = np.round(
+    centers = np.floor(
         np.asarray(seed[col].tolist(), np.float64) * unit).astype(np.int64)
 
     def assign(mat: np.ndarray, cen: np.ndarray) -> np.ndarray:
