@@ -391,3 +391,18 @@ def test_hash_split_property(ray_session, ids, vb, tb):
     bp = _lcg(out["doc_id"].to_numpy().astype(np.int64)) % 10_000
     exp = np.where(bp < vb, "val", np.where(bp < vb + tb, "test", "train"))
     assert (out["split"].to_numpy() == exp).all()
+
+
+def test_neardup_index_hot_bucket_capped(ray_session):
+    """500 near-identical docs: one survivor, and the stored state is
+    bounded by bands x bucket_cap, not by corpus duplication."""
+    from xtract.ops.dedup_index import NearDupIndex
+    base = _long_text("gamma")
+    idx = NearDupIndex(num_shards=2, sim_threshold=0.5, bands=16,
+                       bucket_cap=4)
+    job = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(500)), pa.int64()),
+        "text": pa.array([base] * 500, pa.string())}))
+    kept = idx.filter_new(job, concurrency=1, batch_size=100).to_pandas()
+    assert list(kept["doc_id"]) == [0]
+    assert idx.total() <= 16 * 4
