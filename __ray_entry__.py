@@ -1353,6 +1353,31 @@ def _q_semantic_dedup(sf_dir: str):
     return semdedup(_emb(sf_dir), n_clusters=16)
 
 
+def _q_knn_ivfsq(sf_dir: str):
+    """Persisted IVF-SQ8 ANN (``ops/similarity.build_ivfsq_index`` +
+    ``knn_ivfsq_index``): coarse cells + int8 codes at rest (8×
+    smaller candidate reads), two-phase query with storage-level cell
+    pruning and row-group-pruned exact rescore.  nprobe = n_cells here
+    so the result is the EXACT brute-force top-10 (rows-only: the
+    pipeline is storage-layout-dependent; exactness is pytest-covered
+    incl. the pruned-probe recall bound)."""
+    import shutil
+    import tempfile
+
+    from xtract.ops.similarity import build_ivfsq_index, knn_ivfsq_index
+
+    emb = _emb(sf_dir)
+    q0 = [r["embedding"] for r in emb.take(1)][0]
+    d = tempfile.mkdtemp(prefix="ivfsq-")
+    try:
+        build_ivfsq_index(emb, d, n_cells=8)
+        out = knn_ivfsq_index(d, np.asarray([q0], np.float64), k=10,
+                              nprobe=8).to_pandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out[["rank", "vec_id"]]
+
+
 def _q_knn_ivf(sf_dir: str):
     from xtract.ops.similarity import knn_ivf
 
@@ -7244,6 +7269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation": _q_supplier_nation,
         "embedding_knn": _q_embedding_knn,
         "knn_sq8": _q_knn_sq8,
+        "knn_ivfsq": _q_knn_ivfsq,
         "doc_upsample_mix": _q_doc_upsample_mix,
         "doc_hash_split": _q_doc_hash_split,
         "doc_quality_sample": _q_doc_quality_sample,
@@ -9259,6 +9285,15 @@ def oracle_sql() -> dict[str, str]:
         # knn_sq8: the int8-compressed path must land the SAME exact
         # top-10 as brute force (rescore margin covers quantization)
         "knn_sq8":
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+            "scored AS (SELECT e.vec_id, "
+            "list_cosine_similarity(e.embedding, q.qe) AS score "
+            "FROM embeddings e CROSS JOIN q) "
+            "SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rank, vec_id "
+            "FROM scored ORDER BY score DESC, vec_id LIMIT 10",
+        # knn_ivfsq probes ALL cells + exact-rescores, so it must land
+        # the same exact top-10 as brute force
+        "knn_ivfsq":
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
             "scored AS (SELECT e.vec_id, "
             "list_cosine_similarity(e.embedding, q.qe) AS score "

@@ -702,3 +702,175 @@ def knn_sq8(ds, queries: np.ndarray, k: int = 10, key: str = "vec_id",
     parts = ds.select_columns([key, col]).map_batches(
         partial_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
     return _merge_topk(parts, nq, k, key)
+
+
+# ---------------------------------------------------------------------------
+# IVF-SQ8: the production ANN-at-rest shape (coarse cells + int8 codes)
+# ---------------------------------------------------------------------------
+
+def build_ivfsq_index(ds, out_dir: str, n_cells: int = 16,
+                      key: str = "vec_id", col: str = "embedding",
+                      train_sample: int = 2048) -> np.ndarray:
+    """Persist an IVF-SQ8 index — the FAISS ``IVF,SQ8`` layout in
+    parquet: coarse centroids + per-cell hive partitions holding
+    (a) ``codes/cell=<i>/`` — 8×-compressed int8 codes of the UNIT
+    vectors (the bytes a query's candidate phase reads), and
+    (b) ``full/cell=<i>/`` — the float vectors, sorted by id with
+    small row groups so the exact-rescore phase reads only the row
+    groups containing its candidates (parquet predicate pushdown).
+    A query therefore touches  nprobe/n_cells × 1/8  of the corpus
+    bytes for candidates plus a handful of row groups for rescoring.
+    Returns the centroid matrix."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    n = ds.count()
+    stride = max(1, n // train_sample)
+
+    def stratified(b: pa.Table) -> pa.Table:
+        ids = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(ids % stride == 0))
+
+    sample_rows = ds.select_columns([key, col]).map_batches(
+        stratified, batch_format="pyarrow").limit(train_sample).take_all()
+    sample = np.asarray([r[col] for r in sample_rows], np.float64)
+    centers = deterministic_kmeans(sample, n_cells)
+    us = _unit(sample)
+    lo = us.min(axis=0)
+    scale = np.maximum((us.max(axis=0) - lo) / 255.0, 1e-12)
+
+    idx = IVFIndex(centers)
+
+    def encode(b: pa.Table) -> pa.Table:
+        b = idx.assign_batch(b, col)
+        vecs = _unit(np.asarray(b[col].to_pylist(), np.float64))
+        codes = np.clip(np.round((vecs - lo) / scale), 0, 255) \
+            .astype(np.uint8)
+        return pa.table({
+            key: b[key],
+            "code": pa.array([c.tobytes() for c in codes], pa.binary()),
+            "cell": b["cell"]})
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.select_columns([key, col]).map_batches(
+        encode, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "codes"), partition_cols=["cell"])
+    full = ds.select_columns([key, col]).map_batches(
+        lambda b: idx.assign_batch(b, col), batch_format="pyarrow")
+    # sort by id within the write so rescore row-group pruning bites
+    full.sort(key).write_parquet(
+        os.path.join(out_dir, "full"), partition_cols=["cell"],
+        row_group_size=1024)
+    pq.write_table(pa.table({
+        "cell": pa.array(range(len(centers)), pa.int64()),
+        "center": pa.array(list(centers), pa.list_(pa.float64()))}),
+        os.path.join(out_dir, "centroids.parquet"))
+    pq.write_table(pa.table({
+        "lo": pa.array(list(lo.reshape(1, -1)), pa.list_(pa.float64())),
+        "scale": pa.array(list(scale.reshape(1, -1)),
+                          pa.list_(pa.float64()))}),
+        os.path.join(out_dir, "codebook.parquet"))
+    return centers
+
+
+def knn_ivfsq_index(out_dir: str, queries: np.ndarray, k: int = 10,
+                    nprobe: int = 4, rescore: int = 8,
+                    key: str = "vec_id") -> pa.Table:
+    """Query a persisted IVF-SQ8 index in two phases:
+
+    1. **candidates** — read ONLY the probed cells' CODE files (8×
+       smaller than vectors), dequantize to float32, approximate
+       cosine, keep ``rescore·k`` per query;
+    2. **exact rescore** — read ONLY the row groups of the probed
+       cells' FULL files that contain candidate ids (parquet
+       ``filters`` pushdown on the id-sorted layout), exact float64
+       cosine, final deterministic top-k."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    ctab = pq.read_table(os.path.join(out_dir, "centroids.parquet"))
+    order = np.argsort(ctab["cell"].to_numpy())
+    centers = np.asarray(ctab["center"].to_pylist(), np.float64)[order]
+    cb = pq.read_table(os.path.join(out_dir, "codebook.parquet"))
+    lo = np.asarray(cb["lo"].to_pylist()[0], np.float64)
+    scale = np.asarray(cb["scale"].to_pylist()[0], np.float64)
+
+    q = _unit(np.asarray(queries, np.float64))
+    nq = q.shape[0]
+    probe_cells = np.argsort(-(q @ centers.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(c) for row in probe_cells for c in row})
+
+    code_files = []
+    for c in wanted:
+        code_files.extend(sorted(glob.glob(
+            os.path.join(out_dir, "codes", f"cell={c}", "*.parquet"))))
+    ncand = max(k * rescore, k)
+    ref = ray.put((q.astype(np.float32), lo.astype(np.float32),
+                   scale.astype(np.float32), probe_cells))
+
+    def cand_topk(b: pa.Table) -> pa.Table:
+        qm32, lo32, sc32, pr = ray.get(ref)
+        ids = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = b["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.frombuffer(b"".join(b["code"].to_pylist()),
+                              np.uint8).reshape(len(ids), -1)
+        approx = codes.astype(np.float32) * sc32 + lo32
+        out_q, out_i, out_s = [], [], []
+        for qi in range(len(qm32)):
+            mask = np.isin(cells, pr[qi])
+            if not mask.any():
+                continue
+            sims = approx[mask] @ qm32[qi]
+            sub = ids[mask]
+            cc = min(ncand, len(sub))
+            top = np.argpartition(-sims, cc - 1)[:cc]
+            out_q.extend([qi] * cc)
+            out_i.extend(sub[top].tolist())
+            out_s.extend(sims[top].astype(np.float64).tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         key: pa.array(out_i, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    parts = rd.read_parquet(code_files).map_batches(
+        cand_topk, batch_format="pyarrow", batch_size=8192).to_pandas()
+    cand_ids: dict[int, list[int]] = {}
+    for qi in range(nq):
+        g = parts[parts.query_id == qi].sort_values(
+            ["score", key], ascending=[False, True]).head(ncand)
+        cand_ids[qi] = [int(v) for v in g[key]]
+    all_cand = sorted({i for v in cand_ids.values() for i in v})
+    if not all_cand:
+        import pandas as pd
+        return _merge_topk(pd.DataFrame(
+            {"query_id": [], key: [], "score": []}), nq, k, key)
+
+    full_files = []
+    for c in wanted:
+        full_files.extend(sorted(glob.glob(
+            os.path.join(out_dir, "full", f"cell={c}", "*.parquet"))))
+    # row-group pruning: only groups whose id range intersects the
+    # candidate set decompress
+    ftab = pq.read_table(full_files,
+                         filters=[(key, "in", all_cand)])
+    fids = ftab[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    fvecs = _unit(np.asarray(ftab["embedding"].to_pylist(), np.float64))
+    o = np.argsort(fids)
+    fids, fvecs = fids[o], fvecs[o]
+
+    rows = {"query_id": [], key: [], "score": []}
+    for qi in range(nq):
+        ids_q = np.asarray(sorted(set(cand_ids[qi])), np.int64)
+        mask = np.isin(fids, ids_q)
+        sub_i, sub_v = fids[mask], fvecs[mask]
+        exact = sub_v @ q[qi]
+        top = np.lexsort((sub_i, -exact))[:k]
+        rows["query_id"].extend([qi] * len(top))
+        rows[key].extend(sub_i[top].tolist())
+        rows["score"].extend(exact[top].tolist())
+    import pandas as pd
+    return _merge_topk(pd.DataFrame(rows), nq, k, key)
