@@ -248,6 +248,27 @@ def _q_doc_hash_split(sf_dir: str):
     return hash_split(_docs(sf_dir, ["doc_id"]), "doc_id")
 
 
+def _q_doc_content_split(sf_dir: str):
+    """Leak-proof content-hash split (``ops/agg.content_split``):
+    byte-identical documents land in the same split BY CONSTRUCTION
+    (split = f(md5-prefix of text), not of the id) — zero shuffle."""
+    from xtract.ops.agg import content_split
+
+    return content_split(_docs(sf_dir, ["doc_id", "text"])) \
+        .select_columns(["doc_id", "split"])
+
+
+_CONTENT_SPLIT_SQL = (
+    "WITH h AS (SELECT doc_id, "
+    "CAST(('0x' || left(md5(coalesce(text, '')), 16)) AS UBIGINT) AS hu "
+    "FROM documents), "
+    "b AS (SELECT doc_id, (CAST(hu AS HUGEINT) * 2654435761 + 12345) "
+    "% 4294967296 % 10000 AS bp FROM h) "
+    "SELECT doc_id, CASE WHEN bp < 500 THEN 'val' "
+    "WHEN bp < 1000 THEN 'test' ELSE 'train' END AS split "
+    "FROM b ORDER BY doc_id")
+
+
 def _q_doc_quality_sample(sf_dir: str):
     """Per-row soft quality sampling (``ops/agg.weighted_downsample``):
     keep probability min(1, n_chars/4000) decided by lcg(doc_id) —
@@ -7272,6 +7293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivfsq": _q_knn_ivfsq,
         "doc_upsample_mix": _q_doc_upsample_mix,
         "doc_hash_split": _q_doc_hash_split,
+        "doc_content_split": _q_doc_content_split,
         "doc_quality_sample": _q_doc_quality_sample,
         "doc_sample_per_source": _q_doc_sample_per_source,
         "doc_curation_pipeline": _q_doc_curation_pipeline,
@@ -9302,6 +9324,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored ORDER BY score DESC, vec_id LIMIT 10",
         "doc_upsample_mix": _upsample_mix_sql(),
         "doc_hash_split": _hash_split_sql(),
+        "doc_content_split": _CONTENT_SPLIT_SQL,
         "doc_quality_sample": _quality_sample_sql(),
         "doc_sample_per_source": _sample_per_source_sql(),
         "doc_curation_pipeline": _curation_pipeline_sql(),

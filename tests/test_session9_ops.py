@@ -448,3 +448,17 @@ def test_ivfsq_index_pruned_probe(ray_session, tmp_path):
         b = set(exact[exact.query_id == qi]["vec_id"])
         hits += len(a & b)
     assert hits >= 40  # >= 0.8 recall over 50
+
+
+def test_content_split_dups_colocate(ray_session):
+    from xtract.ops.agg import content_split
+    texts = ["alpha doc", "beta doc", "alpha doc", "gamma doc",
+             "alpha doc", "beta doc"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = content_split(ds, val_bps=3000, test_bps=3000).to_pandas()
+    by_text = out.groupby("text")["split"].nunique()
+    assert (by_text == 1).all()      # identical text -> identical split
+    # id-based split CANNOT guarantee this (sanity: ids differ)
+    assert out["doc_id"].nunique() == 6

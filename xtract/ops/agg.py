@@ -286,6 +286,37 @@ def hash_split(ds, key: str, val_bps: int = 500, test_bps: int = 500,
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def content_split(ds, text_col: str = "text", val_bps: int = 500,
+                  test_bps: int = 500, split_col: str = "split"):
+    """LEAK-PROOF train/val/test assignment: the split is a pure
+    function of the CONTENT hash (md5-prefix 64 bits), so
+    byte-identical duplicates land in the same split by construction —
+    no dedup pass required first, no shuffle, stable across corpus
+    versions AND across id-space changes (the property `hash_split`
+    on ids cannot give when duplicates carry different ids).  For
+    NEAR-dup leak-proofness attach `ops/dedup` cluster labels and
+    `hash_split` on the cluster id instead.  Same basis-point
+    thresholds and LCG as `hash_split`; the SQL mirror is
+    ``CAST(('0x' || left(md5(text), 16)) AS UBIGINT)``."""
+    import hashlib
+
+    names = np.array(["val", "test", "train"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        hs = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5((x or "").encode()).digest()[:8], "big",
+                signed=True) for x in t[text_col].to_pylist()),
+            np.int64, len(t))
+        bp = _lcg(hs) % 10_000
+        which = np.where(bp < val_bps, 0,
+                         np.where(bp < val_bps + test_bps, 1, 2))
+        return t.append_column(
+            split_col, pa.array(names[which], pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def count_distinct_per_key(ds, key: str, val: str):
     """→ Dataset(key, n_distinct): exact grouped COUNT(DISTINCT val).
 
