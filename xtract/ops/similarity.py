@@ -816,6 +816,10 @@ def knn_ivfsq_index(out_dir: str, queries: np.ndarray, k: int = 10,
     def cand_topk(b: pa.Table) -> pa.Table:
         qm32, lo32, sc32, pr = ray.get(ref)
         ids = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             key: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         cells = b["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
         codes = np.frombuffer(b"".join(b["code"].to_pylist()),
                               np.uint8).reshape(len(ids), -1)
@@ -840,6 +844,9 @@ def knn_ivfsq_index(out_dir: str, queries: np.ndarray, k: int = 10,
         cand_topk, batch_format="pyarrow", batch_size=8192).to_pandas()
     cand_ids: dict[int, list[int]] = {}
     for qi in range(nq):
+        if len(parts) == 0:       # empty probed cells: to_pandas on an
+            cand_ids[qi] = []     # empty Dataset drops columns
+            continue
         g = parts[parts.query_id == qi].sort_values(
             ["score", key], ascending=[False, True]).head(ncand)
         cand_ids[qi] = [int(v) for v in g[key]]
