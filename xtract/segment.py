@@ -355,7 +355,7 @@ class Segmenter:
 
     def start_tag(self, tag: str, attrs_b: bytes, selfclose: bool, start: int) -> None:
         is_block = tag in BLOCK_ELEMENTS or tag == "hr"
-        if is_block:
+        if is_block and self._cur is not None:   # inline no-op guard
             self.flush()
         # implied end tags
         if self.p_open and tag in CLOSES_P:
@@ -405,7 +405,7 @@ class Segmenter:
         for i in range(len(self.stack) - 1, 0, -1):
             t = self.stack[i].tag
             if t == tag:
-                if tag in BLOCK_ELEMENTS:
+                if tag in BLOCK_ELEMENTS and self._cur is not None:
                     self.flush()
                 while len(self.stack) > i:
                     self._pop()
