@@ -4902,51 +4902,49 @@ def _q_nation_market_share(sf_dir: str):
         m = L.merge(O, on="k")
         g = (m.groupby(["sk", "year"], sort=False)["micro"].sum()
              .reset_index())
-        n = len(g)
         return pa.table({
-            "_part": pa.array(_hash_part(pa.array(g["sk"]), P), pa.int64()),
-            "_flag": pa.array(np.ones(n, np.int8)),
-            "k": pa.array(g["sk"], pa.int64()),
-            "nk": pa.nulls(n, pa.int64()),
+            "sk": pa.array(g["sk"], pa.int64()),
             "year": pa.array(g["year"], pa.int64()),
             "micro": pa.array(g["micro"], pa.int64())})
 
+    # supplier→nation is a DIMENSION side (bounded at any corpus
+    # scale): broadcast it behind an exact-count gate instead of the
+    # round-2 third all-to-all — one fewer exchange floor (~2 s here)
+    import ray
+
     supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
                            columns=["s_suppkey", "s_nationkey"])
+    sdf = supp.limit(2_000_001).to_pandas()
+    if len(sdf) > 2_000_000:
+        raise ValueError(
+            "market_share: supplier side exceeds the broadcast gate; "
+            "restore the co-group attach for this corpus")
+    sk_arr = sdf["s_suppkey"].to_numpy(np.int64)
+    nk_arr = sdf["s_nationkey"].to_numpy(np.int64)
+    so = np.argsort(sk_arr)
+    sn_ref = ray.put((sk_arr[so], nk_arr[so]))
 
-    def s_slim(b: pa.Table) -> pa.Table:
-        n = len(b)
-        return pa.table({
-            "_part": pa.array(_hash_part(b["s_suppkey"], P), pa.int64()),
-            "_flag": pa.array(np.zeros(n, np.int8)),
-            "k": b["s_suppkey"],
-            "nk": pc.cast(b["s_nationkey"], pa.int64()),
-            "year": pa.nulls(n, pa.int64()),
-            "micro": pa.nulls(n, pa.int64())})
-
-    def attach_nation(t: pa.Table) -> pa.Table:
-        st = t.filter(pc.equal(t["_flag"], 0))
-        lt = t.filter(pc.equal(t["_flag"], 1))
-        S = pd.DataFrame({"k": st["k"].to_pandas(),
-                          "nk": st["nk"].to_pandas()})
-        L = pd.DataFrame({"k": lt["k"].to_pandas(),
-                          "year": lt["year"].to_pandas(),
-                          "micro": lt["micro"].to_pandas()})
-        m = L.merge(S, on="k")
-        g = (m.groupby(["year", "nk"], sort=False)["micro"].sum()
-             .reset_index())
+    def to_yn(t: pa.Table) -> pa.Table:
+        sk_s, nk_s = ray.get(sn_ref)
+        sk = t["sk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(sk):
+            return pa.table({"yn": pa.array([], pa.int64()),
+                             "micro": pa.array([], pa.int64())})
+        pos = np.minimum(np.searchsorted(sk_s, sk), len(sk_s) - 1)
+        nk = np.where(sk_s[pos] == sk, nk_s[pos], -1)
+        keep = nk >= 0
+        year = t["year"].to_numpy(zero_copy_only=False)[keep]
+        micro = t["micro"].to_numpy(zero_copy_only=False)[keep]
         # single combined int key: year*100 + nationkey (both small)
         return pa.table({
-            "yn": pa.array(g["year"] * 100 + g["nk"], pa.int64()),
-            "micro": pa.array(g["micro"], pa.int64())})
+            "yn": pa.array(year * 100 + nk[keep], pa.int64()),
+            "micro": pa.array(micro, pa.int64())})
 
     agg = (region_orders
            .union(li.map_batches(l_partial, batch_format="pyarrow"))
            .groupby("_part")
            .map_groups(attach_year, batch_format="pyarrow")
-           .union(supp.map_batches(s_slim, batch_format="pyarrow"))
-           .groupby("_part")
-           .map_groups(attach_nation, batch_format="pyarrow")
+           .map_batches(to_yn, batch_format="pyarrow")
            .groupby("yn").aggregate(Sum("micro", alias_name="micro"))
            .to_pandas())  # <= years x 25 nations rows
     agg["o_year"] = agg["yn"] // 100
