@@ -2509,6 +2509,37 @@ def _q_crawl_schedule(sf_dir: str):
         docs.map_batches(urls, batch_format="pyarrow"))
 
 
+def _q_url_templates(sf_dir: str):
+    """URL-pattern mining (``ops/urls.url_template_profile``): digit
+    runs collapse to N, one grouped Count/Min per (host, template) —
+    the template-farm / crawler-trap detector."""
+    from xtract.ops.urls import url_template_profile
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def urls(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"url": pa.array(
+            [f"https://host{int(i) % 5}.example.org/"
+             f"{('news', 'shop')[int(i) % 2]}/{int(i)}/page"
+             for i in ids], pa.string())})
+
+    return url_template_profile(docs.map_batches(urls,
+                                                 batch_format="pyarrow"))
+
+
+_URL_TEMPLATES_SQL = (
+    "WITH u AS (SELECT 'host' || CAST(doc_id % 5 AS VARCHAR) || "
+    "'.example.org' AS host, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'news' ELSE 'shop' END AS sec, "
+    "doc_id FROM documents) "
+    "SELECT host, '/' || sec || '/N/page' AS template, "
+    "CAST(count(*) AS BIGINT) AS n_urls, "
+    "min('https://' || host || '/' || sec || '/' || "
+    "CAST(doc_id AS VARCHAR) || '/page') AS min_url "
+    "FROM u GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 _CRAWL_SCHEDULE_SQL = (
     "WITH u AS (SELECT 'host' || CAST(doc_id % 11 AS VARCHAR) || "
     "'.example.org' AS host, "
@@ -7444,6 +7475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hits": _q_host_hits,
         "host_authority_profile": _q_host_authority_profile,
         "crawl_schedule": _q_crawl_schedule,
+        "url_templates": _q_url_templates,
         "crawl_snapshot_diff": _q_crawl_snapshot_diff,
         "page_head_meta": _q_page_head_meta,
         "heavy_hitter_hosts": _q_heavy_hitter_hosts,
@@ -9417,6 +9449,7 @@ def oracle_sql() -> dict[str, str]:
         "host_hits": _hits_sql(3),
         "host_authority_profile": _host_authority_sql(),
         "crawl_schedule": _CRAWL_SCHEDULE_SQL,
+        "url_templates": _URL_TEMPLATES_SQL,
         "page_head_meta": _head_meta_sql(),
         "heavy_hitter_hosts":
             "WITH h AS (SELECT 'h' || CAST(doc_id % 199 AS VARCHAR) || "

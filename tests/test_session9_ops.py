@@ -462,3 +462,17 @@ def test_content_split_dups_colocate(ray_session):
     assert (by_text == 1).all()      # identical text -> identical split
     # id-based split CANNOT guarantee this (sanity: ids differ)
     assert out["doc_id"].nunique() == 6
+
+
+def test_url_template_profile(ray_session):
+    from xtract.ops.urls import url_template_profile
+    urls = ["https://h.org/a/1/x", "https://h.org/a/22/x",
+            "https://h.org/a/333/x", "https://h.org/static/about",
+            "https://g.org/p?id=77"]
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    out = url_template_profile(ds).to_pandas().sort_values(
+        ["host", "template"]).reset_index(drop=True)
+    t = out[out["template"] == "/a/N/x"].iloc[0]
+    assert t["host"] == "h.org" and t["n_urls"] == 3
+    assert t["min_url"] == "https://h.org/a/1/x"
+    assert (out[out["host"] == "g.org"]["template"] == "/p?id=N").all()

@@ -103,3 +103,35 @@ def politeness_schedule(ds, host_col: str = "host",
     return (ds.map_batches(add_part, batch_format="pyarrow")
             .groupby("_part")
             .map_groups(rank_host, batch_format="pyarrow"))
+
+
+def url_template_profile(ds, url_col: str = "url",
+                         digit_token: str = "N"):
+    """→ Dataset(host, template, n_urls, min_url): URL-pattern mining —
+    collapse every digit run in the path to ``N`` and count urls per
+    (host, template).  The crawl-side template-farm / infinite-space
+    detector (one template with millions of urls = a calendar, a
+    session-id trap, or a mirror farm — prune before fetching).
+
+    Scale shape: two vectorized Arrow regex kernels per batch (host
+    extract + digit collapse), ONE grouped Count/Min — no Python row
+    loop, no broadcast."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    def template(t: pa.Table) -> pa.Table:
+        u = pc.fill_null(t[url_col].cast(pa.string()), "")
+        host = pc.struct_field(pc.extract_regex(
+            u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?P<h>[^/?#]+)"), "h")
+        tail = pc.replace_substring_regex(
+            u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+", "")
+        tmpl = pc.replace_substring_regex(tail, r"[0-9]+", digit_token)
+        return pa.table({
+            "host": pc.fill_null(host, "").cast(pa.string()),
+            "template": tmpl.cast(pa.string()),
+            url_col: u})
+
+    return (ds.map_batches(template, batch_format="pyarrow")
+            .groupby(["host", "template"])
+            .aggregate(Count(alias_name="n_urls"),
+                       Min(url_col, alias_name="min_url")))
