@@ -2540,6 +2540,55 @@ _URL_TEMPLATES_SQL = (
     "FROM u GROUP BY 1, 2 ORDER BY 1, 2")
 
 
+def _q_host_crawl_waterfill(sf_dir: str):
+    """Crawl-budget waterfilling (``ops/urls.waterfill_allocation``):
+    skewed per-host url counts (host = ⌊√doc_id⌋ → host k holds ~2k+1
+    docs), global budget = half the corpus; τ* found by batched binary
+    search (streaming scans, no shuffle), allocation = min(count, τ*)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from xtract.ops.urls import waterfill_allocation
+
+    docs = _docs(sf_dir, ["doc_id"])
+    budget = docs.count() // 2
+
+    def hosts(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"host": pa.array(
+            np.floor(np.sqrt(ids.astype(np.float64))).astype(np.int64),
+            pa.int64())})
+
+    counts = (docs.map_batches(hosts, batch_format="pyarrow")
+              .groupby("host").aggregate(Count(alias_name="n_urls")))
+    _tau, out = waterfill_allocation(counts, budget)
+    return out
+
+
+# τ* via closed-form segment analysis: between consecutive distinct
+# count values, f(t) = Σ min(c,t) is affine (S + A·t); the max feasible
+# integer t of each feasible segment is a candidate, τ* = their max
+# (a = 0 is the t ≥ max(count) plateau, feasible only when the whole
+# demand fits the budget — τ then caps at max(count), like the op).
+_HOST_CRAWL_WATERFILL_SQL = (
+    "WITH c AS (SELECT CAST(floor(sqrt(doc_id)) AS BIGINT) AS host, "
+    "CAST(count(*) AS BIGINT) AS n_urls FROM documents GROUP BY 1), "
+    "p AS (SELECT (SELECT count(*) // 2 FROM documents) AS b), "
+    "seg AS (SELECT v AS lo, lead(v) OVER (ORDER BY v) AS nxt FROM "
+    "(SELECT 0 AS v UNION SELECT DISTINCT n_urls FROM c)), "
+    "stats AS (SELECT seg.lo, seg.nxt, "
+    "(SELECT coalesce(sum(n_urls), 0) FROM c WHERE n_urls <= seg.lo) "
+    "AS s, (SELECT count(*) FROM c WHERE n_urls > seg.lo) AS a "
+    "FROM seg), "
+    "cand AS (SELECT CASE WHEN a = 0 THEN lo "
+    "ELSE least(nxt - 1, (b - s) // a) END AS t, lo "
+    "FROM stats, p WHERE (a = 0 AND s <= b) "
+    "OR (a > 0 AND s + a * lo <= b)), "
+    "tau AS (SELECT coalesce(max(t), 0) AS t FROM cand WHERE t >= lo) "
+    "SELECT c.host, c.n_urls, CAST(least(c.n_urls, tau.t) AS BIGINT) "
+    "AS alloc FROM c, tau ORDER BY c.host")
+
+
 _CRAWL_SCHEDULE_SQL = (
     "WITH u AS (SELECT 'host' || CAST(doc_id % 11 AS VARCHAR) || "
     "'.example.org' AS host, "
@@ -7476,6 +7525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_authority_profile": _q_host_authority_profile,
         "crawl_schedule": _q_crawl_schedule,
         "url_templates": _q_url_templates,
+        "host_crawl_waterfill": _q_host_crawl_waterfill,
         "crawl_snapshot_diff": _q_crawl_snapshot_diff,
         "page_head_meta": _q_page_head_meta,
         "heavy_hitter_hosts": _q_heavy_hitter_hosts,
@@ -9450,6 +9500,7 @@ def oracle_sql() -> dict[str, str]:
         "host_authority_profile": _host_authority_sql(),
         "crawl_schedule": _CRAWL_SCHEDULE_SQL,
         "url_templates": _URL_TEMPLATES_SQL,
+        "host_crawl_waterfill": _HOST_CRAWL_WATERFILL_SQL,
         "page_head_meta": _head_meta_sql(),
         "heavy_hitter_hosts":
             "WITH h AS (SELECT 'h' || CAST(doc_id % 199 AS VARCHAR) || "

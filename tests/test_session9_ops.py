@@ -476,3 +476,22 @@ def test_url_template_profile(ray_session):
     assert t["host"] == "h.org" and t["n_urls"] == 3
     assert t["min_url"] == "https://h.org/a/1/x"
     assert (out[out["host"] == "g.org"]["template"] == "/p?id=N").all()
+
+
+def test_waterfill_allocation_exact(ray_session):
+    from xtract.ops.urls import waterfill_allocation
+    counts = [1, 2, 3, 100, 50, 7]
+    ds = rd.from_arrow(pa.table({
+        "host": pa.array([f"h{i}" for i in range(6)], pa.string()),
+        "n_urls": pa.array(counts, pa.int64())}))
+    for budget in (0, 3, 6, 17, 63, 120, 163, 200, 1000):
+        tau, out = waterfill_allocation(ds, budget)
+        # brute-force tau
+        best = 0
+        for t in range(0, 101):
+            if sum(min(c, t) for c in counts) <= budget:
+                best = t
+        assert tau == best, (budget, tau, best)
+        df = out.to_pandas()
+        assert (df["alloc"] == np.minimum(df["n_urls"], tau)).all()
+        assert df["alloc"].sum() <= budget
