@@ -2589,6 +2589,44 @@ _HOST_CRAWL_WATERFILL_SQL = (
     "AS alloc FROM c, tau ORDER BY c.host")
 
 
+def _q_host_mirror_pairs(sf_dir: str):
+    """Content-mirror host pairs (``ops/urls.mirror_host_pairs``):
+    planted mirrors — page d on host{d%7} carries content d%97
+    (gcd(97,7)=1 spreads every content across hosts) — exact integer
+    Jaccard per host pair over distinct shared contents."""
+    from xtract.ops.urls import mirror_host_pairs
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "url": pa.array([f"https://host{int(i) % 7}.example.org"
+                             f"/p/{int(i)}" for i in ids], pa.string()),
+            "text": pa.array([f"mirror {int(i) % 97}" for i in ids],
+                             pa.string())})
+
+    return mirror_host_pairs(docs.map_batches(pages,
+                                              batch_format="pyarrow"))
+
+
+_HOST_MIRROR_SQL = (
+    "WITH dt AS (SELECT DISTINCT 'host' || CAST(doc_id % 7 AS VARCHAR) "
+    "|| '.example.org' AS host, (doc_id % 97) AS c FROM documents), "
+    "grp AS (SELECT c, count(*) AS m FROM dt GROUP BY c), "
+    "ok AS (SELECT dt.host, dt.c FROM dt JOIN grp USING (c) "
+    "WHERE m BETWEEN 2 AND 64), "
+    "pr AS (SELECT a.host AS host_a, b.host AS host_b, "
+    "count(*) AS shared FROM ok a JOIN ok b "
+    "ON a.c = b.c AND a.host < b.host GROUP BY 1, 2), "
+    "tot AS (SELECT host, count(*) AS n FROM dt GROUP BY host) "
+    "SELECT pr.host_a, pr.host_b, CAST(shared AS BIGINT) AS shared, "
+    "CAST(shared AS BIGINT) AS jacc_num, "
+    "CAST(ta.n + tb.n - shared AS BIGINT) AS jacc_den "
+    "FROM pr JOIN tot ta ON ta.host = pr.host_a "
+    "JOIN tot tb ON tb.host = pr.host_b ORDER BY 1, 2")
+
+
 _CRAWL_SCHEDULE_SQL = (
     "WITH u AS (SELECT 'host' || CAST(doc_id % 11 AS VARCHAR) || "
     "'.example.org' AS host, "
@@ -7526,6 +7564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_schedule": _q_crawl_schedule,
         "url_templates": _q_url_templates,
         "host_crawl_waterfill": _q_host_crawl_waterfill,
+        "host_mirror_pairs": _q_host_mirror_pairs,
         "crawl_snapshot_diff": _q_crawl_snapshot_diff,
         "page_head_meta": _q_page_head_meta,
         "heavy_hitter_hosts": _q_heavy_hitter_hosts,
@@ -9501,6 +9540,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_schedule": _CRAWL_SCHEDULE_SQL,
         "url_templates": _URL_TEMPLATES_SQL,
         "host_crawl_waterfill": _HOST_CRAWL_WATERFILL_SQL,
+        "host_mirror_pairs": _HOST_MIRROR_SQL,
         "page_head_meta": _head_meta_sql(),
         "heavy_hitter_hosts":
             "WITH h AS (SELECT 'h' || CAST(doc_id % 199 AS VARCHAR) || "

@@ -495,3 +495,57 @@ def test_waterfill_allocation_exact(ray_session):
         df = out.to_pandas()
         assert (df["alloc"] == np.minimum(df["n_urls"], tau)).all()
         assert df["alloc"].sum() <= budget
+
+
+def test_mirror_host_pairs(ray_session):
+    from xtract.ops.urls import mirror_host_pairs
+    rows = []
+    # m1/m2 mirror 4 contents; m2 has one extra; u is unrelated;
+    # 'everywhere' content appears on ALL hosts (excluded by the cap)
+    for i in range(4):
+        rows.append((f"https://m1.org/{i}", f"content {i}"))
+        rows.append((f"https://m2.org/{i}", f"content {i}"))
+    rows.append(("https://m2.org/x", "only on m2"))
+    rows.append(("https://u.org/1", "unique u"))
+    for h in ("m1.org", "m2.org", "u.org", "v.org"):
+        rows.append((f"https://{h}/foot", "everywhere"))
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string())}))
+    out = mirror_host_pairs(ds, max_hosts_per_content=3).to_pandas()
+    out = out.sort_values(["host_a", "host_b"]).reset_index(drop=True)
+    m = out[(out["host_a"] == "m1.org") & (out["host_b"] == "m2.org")]
+    assert len(m) == 1
+    r = m.iloc[0]
+    # shared=4 ('everywhere' excluded); |A|=5, |B|=6 incl. 'everywhere'
+    assert r["shared"] == 4 and r["jacc_num"] == 4
+    assert r["jacc_den"] == 5 + 6 - 4
+    assert not ((out["host_a"] == "u.org") | (out["host_b"] == "u.org")
+                ).any() or out[(out["host_a"] == "u.org") |
+                               (out["host_b"] == "u.org")].empty
+
+
+def test_mirror_host_pairs_partition_invariance(ray_session):
+    from xtract.ops.urls import mirror_host_pairs
+    n = 400
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array([f"https://host{i % 7}.example.org/p/{i}"
+                         for i in range(n)], pa.string()),
+        "text": pa.array([f"mirror {i % 29}" for i in range(n)],
+                         pa.string())}))
+    cols = ["host_a", "host_b", "shared", "jacc_num", "jacc_den"]
+    a = mirror_host_pairs(ds).to_pandas()[cols].sort_values(
+        ["host_a", "host_b"]).reset_index(drop=True)
+    b = mirror_host_pairs(ds.repartition(9)).to_pandas()[cols] \
+        .sort_values(["host_a", "host_b"]).reset_index(drop=True)
+    assert a.equals(b)
+    # brute force one pair
+    import itertools
+    sets = {}
+    for i in range(n):
+        sets.setdefault(f"host{i % 7}.example.org", set()).add(i % 29)
+    ha, hb = "host0.example.org", "host1.example.org"
+    sh = len(sets[ha] & sets[hb])
+    r = a[(a["host_a"] == ha) & (a["host_b"] == hb)].iloc[0]
+    assert r["shared"] == sh
+    assert r["jacc_den"] == len(sets[ha]) + len(sets[hb]) - sh

@@ -219,3 +219,135 @@ def _fits(counts, count_col: str, t: int, budget: int) -> bool:
     row = (counts.map_batches(clip, batch_format="pyarrow")
            .aggregate(Sum("s", alias_name="s")))
     return int(row["s"] or 0) <= budget
+
+
+def mirror_host_pairs(ds, url_col: str = "url", text_col: str = "text",
+                      max_hosts_per_content: int = 64,
+                      num_partitions: int = 64):
+    """→ Dataset(host_a, host_b, shared, jacc_num, jacc_den): content
+    MIRROR detection — host pairs ranked by how much of their distinct
+    content is byte-identical (Jaccard over content-hash sets as an
+    exact integer fraction).  Mirror/aggregator farms waste crawl
+    budget and poison dedup statistics; this is the host-level
+    complement of document dedup.
+
+    Scale shape:
+
+    1. slim (host, content_hash) projection with block-level pair
+       dedup (sort + run length, no Python loop over rows);
+    2. ONE hash co-group by content hash emits host PAIRS per shared
+       content; contents on more than ``max_hosts_per_content``
+       distinct hosts are EXCLUDED (universal boilerplate is not
+       mirror evidence, and C(m,2) on a hot content is quadratic —
+       documented cap; pair COUNTS matter here, so capped runs drop
+       entirely rather than star-reduce);
+    3. grouped Sum per pair + per-host distinct-content totals
+       (`Count` over the deduped projection), two co-group joins
+       attach the totals: num = shared, den = |A| + |B| − shared."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .agg import _hash_part
+    from .joins import equi_join_cogroup
+
+    def slim(t: pa.Table) -> pa.Table:
+        hosts = pc.struct_field(pc.extract_regex(
+            pc.fill_null(t[url_col].cast(pa.string()), ""),
+            r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?P<h>[^/?#]+)"), "h")
+        hs = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5((x or "").encode()).digest()[:8], "big",
+                signed=True) for x in t[text_col].to_pylist()),
+            np.int64, len(t))
+        out = pa.table({"host": pc.fill_null(hosts, "").cast(pa.string()),
+                        "chash": pa.array(hs, pa.int64())})
+        # block dedup (host, chash)
+        idx = pc.sort_indices(out, sort_keys=[("host", "ascending"),
+                                              ("chash", "ascending")])
+        out = out.take(idx)
+        if len(out) <= 1:
+            return out
+        ne_h = pc.not_equal(out["host"].slice(1),
+                            out["host"].slice(0, len(out) - 1))
+        ne_c = pc.not_equal(out["chash"].slice(1),
+                            out["chash"].slice(0, len(out) - 1))
+        ch = pc.fill_null(pc.or_kleene(ne_h, ne_c), True)
+        mask = np.concatenate([[True], ch.to_numpy(
+            zero_copy_only=False).astype(bool)])
+        return out.filter(pa.array(mask))
+
+    pairs_src = ds.map_batches(slim, batch_format="pyarrow").materialize()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_part", pa.array(_hash_part(t["chash"], num_partitions),
+                              pa.int64()))
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("chash", "ascending"),
+                                            ("host", "ascending")])
+        g = g.take(idx)
+        c = g["chash"].to_numpy(zero_copy_only=False)
+        hosts = g["host"].to_pylist()
+        change = np.concatenate([[True], c[1:] != c[:-1]])
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], len(c)]
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            # global dedup of (chash, host): the block combiner only
+            # dedups within a block, so the same host can recur here —
+            # consecutive after the sort, drop repeats
+            hh = [h for k, h in enumerate(hosts[s:e])
+                  if k == 0 or hosts[s + k - 1] != h]
+            m = len(hh)
+            if m < 2 or m > max_hosts_per_content:
+                continue  # unique content or universal boilerplate
+            for i in range(m - 1):
+                for j in range(i + 1, m):
+                    a_out.append(hh[i])
+                    b_out.append(hh[j])
+        return pa.table({"host_a": pa.array(a_out, pa.string()),
+                         "host_b": pa.array(b_out, pa.string()),
+                         "n": pa.array(np.ones(len(a_out), np.int64))})
+
+    shared = (pairs_src.map_batches(add_part, batch_format="pyarrow")
+              .groupby("_part")
+              .map_groups(emit_pairs, batch_format="pyarrow")
+              .groupby(["host_a", "host_b"])
+              .aggregate(Sum("n", alias_name="shared")))
+
+    # per-host DISTINCT content totals (global pair dedup — the
+    # block combiner alone would overcount across blocks)
+    from .agg import count_distinct_per_key
+
+    totals = count_distinct_per_key(pairs_src, "host", "chash")
+    totals = totals.map_batches(
+        lambda t: pa.table({"host": t["host"],
+                            "n_contents": t["n_distinct"]}),
+        batch_format="pyarrow")
+
+    out = equi_join_cogroup(shared, totals, on="host_a",
+                            right_on="host", num_partitions=num_partitions)
+    out = out.map_batches(
+        lambda t: pa.table({"host_a": t["host_a"], "host_b": t["host_b"],
+                            "shared": t["shared"],
+                            "a_total": t["n_contents"]}),
+        batch_format="pyarrow")
+    out = equi_join_cogroup(out, totals, on="host_b",
+                            right_on="host", num_partitions=num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        sh = t["shared"].to_numpy(zero_copy_only=False).astype(np.int64)
+        at = t["a_total"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bt = t["n_contents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "host_a": t["host_a"].cast(pa.string()),
+            "host_b": t["host_b"].cast(pa.string()),
+            "shared": pa.array(sh, pa.int64()),
+            "jacc_num": pa.array(sh, pa.int64()),
+            "jacc_den": pa.array(at + bt - sh, pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
