@@ -2627,6 +2627,49 @@ _HOST_MIRROR_SQL = (
     "JOIN tot tb ON tb.host = pr.host_b ORDER BY 1, 2")
 
 
+def _q_host_crawl_delays(sf_dir: str):
+    """Per-host Crawl-delay harvest (``ops/robots.extract_crawl_delays``
+    through the REAL REP parser): planted robots bodies — host h
+    declares ``Crawl-delay: {h%4}.{h%10}`` for ``*`` and a faster
+    mybot group that must NOT win for the default agent."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from xtract.ops.robots import extract_crawl_delays
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def hosts(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"host": pa.array(
+            [f"host{int(i) % 9}.example.org" for i in ids], pa.string())})
+
+    def robots(t: pa.Table) -> pa.Table:
+        hs = t["host"].to_pylist()
+        bodies = []
+        for h in hs:
+            k = int(h.split(".")[0][4:])
+            bodies.append(
+                f"User-agent: mybot\nCrawl-delay: 0.1\n\n"
+                f"User-agent: *\nDisallow: /private\n"
+                f"Crawl-delay: {k % 4}.{k % 10}  # planted\n")
+        return pa.table({"host": t["host"],
+                         "robots_txt": pa.array(bodies, pa.string())})
+
+    per_host = (docs.map_batches(hosts, batch_format="pyarrow")
+                .groupby("host").aggregate(Count(alias_name="_n"))
+                .select_columns(["host"])
+                .map_batches(robots, batch_format="pyarrow"))
+    return extract_crawl_delays(per_host)
+
+
+_HOST_CRAWL_DELAYS_SQL = (
+    "SELECT DISTINCT 'host' || CAST(doc_id % 9 AS VARCHAR) || "
+    "'.example.org' AS host, "
+    "CAST((doc_id % 9) % 4 * 1000 + (doc_id % 9) % 10 * 100 AS BIGINT) "
+    "AS crawl_delay_ms FROM documents ORDER BY host")
+
+
 _CRAWL_SCHEDULE_SQL = (
     "WITH u AS (SELECT 'host' || CAST(doc_id % 11 AS VARCHAR) || "
     "'.example.org' AS host, "
@@ -7565,6 +7608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_templates": _q_url_templates,
         "host_crawl_waterfill": _q_host_crawl_waterfill,
         "host_mirror_pairs": _q_host_mirror_pairs,
+        "host_crawl_delays": _q_host_crawl_delays,
         "crawl_snapshot_diff": _q_crawl_snapshot_diff,
         "page_head_meta": _q_page_head_meta,
         "heavy_hitter_hosts": _q_heavy_hitter_hosts,
@@ -9541,6 +9585,7 @@ def oracle_sql() -> dict[str, str]:
         "url_templates": _URL_TEMPLATES_SQL,
         "host_crawl_waterfill": _HOST_CRAWL_WATERFILL_SQL,
         "host_mirror_pairs": _HOST_MIRROR_SQL,
+        "host_crawl_delays": _HOST_CRAWL_DELAYS_SQL,
         "page_head_meta": _head_meta_sql(),
         "heavy_hitter_hosts":
             "WITH h AS (SELECT 'h' || CAST(doc_id % 199 AS VARCHAR) || "

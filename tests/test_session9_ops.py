@@ -549,3 +549,28 @@ def test_mirror_host_pairs_partition_invariance(ray_session):
     r = a[(a["host_a"] == ha) & (a["host_b"] == hb)].iloc[0]
     assert r["shared"] == sh
     assert r["jacc_den"] == len(sets[ha]) + len(sets[hb]) - sh
+
+
+def test_parse_crawl_delay_groups_and_fractions():
+    from xtract.ops.robots import parse_crawl_delay
+    txt = ("User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n"
+           "User-agent: mybot\nCrawl-delay: 1.5\nAllow: /\n")
+    assert parse_crawl_delay(txt, "mybot") == 1500
+    assert parse_crawl_delay(txt, "otherbot") == 2000
+    assert parse_crawl_delay("User-agent: *\nDisallow: /", "b") is None
+    # last crawl-delay in a group wins; comments stripped
+    t2 = "User-agent: *\nCrawl-delay: 9\nCrawl-delay: 3 # faster\n"
+    assert parse_crawl_delay(t2, "x") == 3000
+
+
+def test_extract_crawl_delays(ray_session):
+    from xtract.ops.robots import extract_crawl_delays
+    ds = rd.from_arrow(pa.table({
+        "host": pa.array(["a.org", "b.org"], pa.string()),
+        "robots_txt": pa.array([
+            "User-agent: *\nCrawl-delay: 0.25\n",
+            "User-agent: *\nDisallow: /\n"], pa.string())}))
+    out = extract_crawl_delays(ds, default_ms=100).to_pandas() \
+        .set_index("host")
+    assert out.loc["a.org", "crawl_delay_ms"] == 250
+    assert out.loc["b.org", "crawl_delay_ms"] == 100

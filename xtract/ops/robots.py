@@ -217,3 +217,72 @@ def extract_sitemaps(robots_ds, host_col: str = "host",
                          "sitemap_url": pa.array(urls, pa.string())})
 
     return robots_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def parse_crawl_delay(txt: str, agent: str) -> "int | None":
+    """→ the Crawl-delay (whole milliseconds) the selected agent group
+    declares, or None.  Group selection mirrors `parse_robots`
+    (specific agent overrides ``*``); a group's LAST crawl-delay line
+    wins; fractional seconds keep millisecond precision (integer —
+    no float in the value chain)."""
+    agent = agent.lower()
+    groups: list[tuple[list[str], "int | None"]] = []
+    cur_agents: list[str] = []
+    cur_delay: "int | None" = None
+    collecting_agents = False
+    for raw in (txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not collecting_agents:
+                if cur_agents:
+                    groups.append((cur_agents, cur_delay))
+                cur_agents, cur_delay = [], None
+                collecting_agents = True
+            cur_agents.append(val.lower())
+        elif key in ("allow", "disallow", "crawl-delay"):
+            collecting_agents = False
+            if key == "crawl-delay" and cur_agents:
+                try:
+                    # integer milliseconds: "1.5" → 1500, "2" → 2000
+                    whole, _, frac = val.partition(".")
+                    ms = int(whole or 0) * 1000
+                    if frac:
+                        ms += int((frac + "000")[:3])
+                    cur_delay = ms
+                except ValueError:
+                    pass
+    if cur_agents:
+        groups.append((cur_agents, cur_delay))
+
+    for agents, d in groups:
+        if agent in agents and d is not None:
+            return d
+    for agents, d in groups:
+        if "*" in agents and d is not None:
+            return d
+    return None
+
+
+def extract_crawl_delays(robots_ds, agent: str = "*",
+                         host_col: str = "host",
+                         robots_col: str = "robots_txt",
+                         default_ms: int = 0):
+    """→ Dataset(host, crawl_delay_ms): per-host politeness interval
+    from robots.txt — the rate input `urls.politeness_schedule`'s
+    waves are spaced by.  Stateless streaming map, no shuffle."""
+    def per_host(b: pa.Table) -> pa.Table:
+        hosts = b[host_col].to_pylist()
+        delays = [parse_crawl_delay(t, agent)
+                  for t in b[robots_col].to_pylist()]
+        return pa.table({
+            "host": pa.array([h or "" for h in hosts], pa.string()),
+            "crawl_delay_ms": pa.array(
+                [default_ms if d is None else d for d in delays],
+                pa.int64())})
+
+    return robots_ds.map_batches(per_host, batch_format="pyarrow")
