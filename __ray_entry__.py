@@ -2670,6 +2670,60 @@ _HOST_CRAWL_DELAYS_SQL = (
     "AS crawl_delay_ms FROM documents ORDER BY host")
 
 
+def _q_sitemap_entries(sf_dir: str):
+    """Sitemap XML explode (``ops/robots.extract_sitemap_entries``
+    through the REAL tokenizer): planted per-host sitemap bodies —
+    host h lists ⌈(h%3)+1⌉ urls with lastmod 2026-01-(h%9+1); a
+    loc-less entry and an unterminated trailing entry prove the
+    recovery rules."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from xtract.ops.robots import extract_sitemap_entries
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def hosts(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"host": pa.array(
+            [f"host{int(i) % 8}.example.org" for i in ids], pa.string())})
+
+    def bodies(t: pa.Table) -> pa.Table:
+        hs = t["host"].to_pylist()
+        xs = []
+        for h in hs:
+            k = int(h.split(".")[0][4:])
+            urls = "".join(
+                f"<url><loc>https://{h}/p/{j}</loc>"
+                f"<lastmod>2026-01-{k % 9 + 1:02d}</lastmod></url>"
+                for j in range(k % 3 + 1))
+            xs.append(f"<urlset>{urls}<url><lastmod>x</lastmod></url>"
+                      f"<url><loc>https://{h}/tail</loc>")
+        return pa.table({"host": t["host"],
+                         "sitemap_xml": pa.array(xs, pa.string())})
+
+    per_host = (docs.map_batches(hosts, batch_format="pyarrow")
+                .groupby("host").aggregate(Count(alias_name="_n"))
+                .select_columns(["host"])
+                .map_batches(bodies, batch_format="pyarrow"))
+    return extract_sitemap_entries(per_host)
+
+
+_SITEMAP_ENTRIES_SQL = (
+    "WITH h AS (SELECT DISTINCT (doc_id % 8) AS k FROM documents), "
+    "e AS (SELECT k, t.j FROM h, UNNEST(range(0, k % 3 + 1)) AS t(j)) "
+    "SELECT 'host' || CAST(k AS VARCHAR) || '.example.org' AS host, "
+    "'url' AS kind, "
+    "'https://host' || CAST(k AS VARCHAR) || '.example.org/p/' || "
+    "CAST(j AS VARCHAR) AS loc, "
+    "'2026-01-' || lpad(CAST(k % 9 + 1 AS VARCHAR), 2, '0') AS lastmod "
+    "FROM e "
+    "UNION ALL "
+    "SELECT 'host' || CAST(k AS VARCHAR) || '.example.org', 'url', "
+    "'https://host' || CAST(k AS VARCHAR) || '.example.org/tail', '' "
+    "FROM h ORDER BY host, loc")
+
+
 _CRAWL_SCHEDULE_SQL = (
     "WITH u AS (SELECT 'host' || CAST(doc_id % 11 AS VARCHAR) || "
     "'.example.org' AS host, "
@@ -7609,6 +7663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_crawl_waterfill": _q_host_crawl_waterfill,
         "host_mirror_pairs": _q_host_mirror_pairs,
         "host_crawl_delays": _q_host_crawl_delays,
+        "sitemap_entries": _q_sitemap_entries,
         "crawl_snapshot_diff": _q_crawl_snapshot_diff,
         "page_head_meta": _q_page_head_meta,
         "heavy_hitter_hosts": _q_heavy_hitter_hosts,
@@ -9586,6 +9641,7 @@ def oracle_sql() -> dict[str, str]:
         "host_crawl_waterfill": _HOST_CRAWL_WATERFILL_SQL,
         "host_mirror_pairs": _HOST_MIRROR_SQL,
         "host_crawl_delays": _HOST_CRAWL_DELAYS_SQL,
+        "sitemap_entries": _SITEMAP_ENTRIES_SQL,
         "page_head_meta": _head_meta_sql(),
         "heavy_hitter_hosts":
             "WITH h AS (SELECT 'h' || CAST(doc_id % 199 AS VARCHAR) || "

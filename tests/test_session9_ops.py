@@ -574,3 +574,35 @@ def test_extract_crawl_delays(ray_session):
         .set_index("host")
     assert out.loc["a.org", "crawl_delay_ms"] == 250
     assert out.loc["b.org", "crawl_delay_ms"] == 100
+
+
+def test_parse_sitemap_xml():
+    from xtract.ops.robots import parse_sitemap_xml
+    body = (b'<?xml version="1.0"?>\n'
+            b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            b"<url><loc>https://a.org/1</loc>"
+            b"<lastmod>2026-01-02</lastmod></url>"
+            b"<url><loc> https://a.org/2 </loc></url>"
+            b"<url><lastmod>2026-01-03</lastmod></url>"   # no loc: dropped
+            b"<url><loc>https://a.org/3</loc>")           # unterminated
+    got = parse_sitemap_xml(body)
+    assert got == [("url", "https://a.org/1", "2026-01-02"),
+                   ("url", "https://a.org/2", ""),
+                   ("url", "https://a.org/3", "")]
+    idx = (b"<sitemapindex><sitemap><loc>https://a.org/s1.xml</loc>"
+           b"</sitemap></sitemapindex>")
+    assert parse_sitemap_xml(idx) == [("sitemap", "https://a.org/s1.xml", "")]
+    assert parse_sitemap_xml(b"") == []
+    assert parse_sitemap_xml(b"\x00garbage<<<") == []
+
+
+def test_extract_sitemap_entries(ray_session):
+    from xtract.ops.robots import extract_sitemap_entries
+    ds = rd.from_arrow(pa.table({
+        "host": pa.array(["a.org"], pa.string()),
+        "sitemap_xml": pa.array(
+            ["<urlset><url><loc>https://a.org/p</loc></url></urlset>"],
+            pa.string())}))
+    out = extract_sitemap_entries(ds).to_pandas()
+    assert list(out.itertuples(index=False)) == [
+        ("a.org", "url", "https://a.org/p", "")]

@@ -286,3 +286,76 @@ def extract_crawl_delays(robots_ds, agent: str = "*",
                 pa.int64())})
 
     return robots_ds.map_batches(per_host, batch_format="pyarrow")
+
+
+def parse_sitemap_xml(body: bytes) -> list[tuple[str, str, str]]:
+    """→ [(kind, loc, lastmod)] from a sitemap XML body, kind ∈
+    {'url', 'sitemap'} (urlset entries vs sitemapindex children) —
+    parsed with the SAME tokenizer walk as the HTML surfaces (never
+    raises on malformed input; unterminated entries are recovered at
+    EOF).  ``lastmod`` is the raw declared string ('' when absent)."""
+    from ..html_tokenizer import tokenize
+
+    out: list[tuple[str, str, str]] = []
+    kind = ""            # current container: url | sitemap | ''
+    field = ""           # current leaf: loc | lastmod | ''
+    loc_parts: list[str] = []
+    mod_parts: list[str] = []
+
+    def close_entry() -> None:
+        nonlocal loc_parts, mod_parts
+        loc = "".join(loc_parts).strip()
+        if kind and loc:
+            out.append((kind, loc, "".join(mod_parts).strip()))
+        loc_parts, mod_parts = [], []
+
+    for tok in tokenize(body):
+        t = tok[0]
+        if t == "start":
+            tag = tok[3]
+            if tag in ("url", "sitemap"):
+                if kind:
+                    close_entry()  # unterminated previous entry
+                kind = tag
+            elif tag in ("loc", "lastmod") and kind:
+                field = tag
+        elif t == "end":
+            tag = tok[3]
+            if tag in ("loc", "lastmod"):
+                field = ""
+            elif tag in ("url", "sitemap") and kind:
+                close_entry()
+                kind = ""
+        elif t == "text" and field and kind:
+            raw = body[tok[1]:tok[2]]
+            (loc_parts if field == "loc" else mod_parts).append(
+                raw.decode("utf-8", "replace"))
+    if kind:
+        close_entry()  # entry ran to EOF
+    return out
+
+
+def extract_sitemap_entries(sitemaps_ds, host_col: str = "host",
+                            body_col: str = "sitemap_xml"):
+    """→ Dataset(host, kind, loc, lastmod): flat explode of fetched
+    sitemap XML bodies — the frontier-seed surface downstream of
+    `extract_sitemaps` (which finds the sitemap urls in robots.txt).
+    Stateless streaming map, no shuffle."""
+    def explode(b: pa.Table) -> pa.Table:
+        hosts, kinds, locs, mods = [], [], [], []
+        for h, body in zip(b[host_col].to_pylist(),
+                           b[body_col].to_pylist()):
+            if isinstance(body, str):
+                body = body.encode()
+            for kind, loc, mod in parse_sitemap_xml(body or b""):
+                hosts.append(h or "")
+                kinds.append(kind)
+                locs.append(loc)
+                mods.append(mod)
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "loc": pa.array(locs, pa.string()),
+            "lastmod": pa.array(mods, pa.string())})
+
+    return sitemaps_ds.map_batches(explode, batch_format="pyarrow")
