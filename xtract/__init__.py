@@ -15,4 +15,4 @@ share that single implementation, which is what makes per-url output
 byte-identical under any parallelism.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
