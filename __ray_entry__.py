@@ -2724,6 +2724,78 @@ _SITEMAP_ENTRIES_SQL = (
     "FROM h ORDER BY host, loc")
 
 
+def _q_crawl_plan(sf_dir: str):
+    """Capstone crawl-tier composition: per-host counts →
+    `waterfill_allocation` (global budget = 40% of urls) →
+    `politeness_schedule` → keep each host's first ``alloc`` waves —
+    a budgeted, politeness-ordered frontier in one pipeline.  The
+    alloc attach is one hash co-group join; everything upstream is the
+    ops' own scale shapes."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from xtract.ops.joins import equi_join_cogroup
+    from xtract.ops.urls import politeness_schedule, waterfill_allocation
+
+    docs = _docs(sf_dir, ["doc_id"])
+    budget = docs.count() * 2 // 5
+
+    def urls(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hosts = [f"host{int(i) % 13}.example.org" for i in ids]
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "url": pa.array([f"https://{h}/p/{int(i):06d}"
+                             for h, i in zip(hosts, ids)], pa.string())})
+
+    pages = docs.map_batches(urls, batch_format="pyarrow").materialize()
+    counts = pages.groupby("host").aggregate(Count(alias_name="n_urls"))
+    _tau, alloc = waterfill_allocation(counts, budget)
+    sched = politeness_schedule(pages)
+    j = equi_join_cogroup(sched, alloc.select_columns(["host", "alloc"]),
+                          on="host")
+
+    def keep(t: pa.Table) -> pa.Table:
+        w = t["fetch_wave"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = t["alloc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = t.filter(pa.array(w < a))
+        return pa.table({
+            "host": out["host"].cast(pa.string()),
+            "url": out["url"].cast(pa.string()),
+            "fetch_wave": out["fetch_wave"].cast(pa.int64())})
+
+    return j.map_batches(keep, batch_format="pyarrow")
+
+
+_CRAWL_PLAN_SQL = (
+    "WITH u AS (SELECT 'host' || CAST(doc_id % 13 AS VARCHAR) || "
+    "'.example.org' AS host, "
+    "'https://host' || CAST(doc_id % 13 AS VARCHAR) || "
+    "'.example.org/p/' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url "
+    "FROM documents), "
+    "c AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls "
+    "FROM u GROUP BY 1), "
+    "p AS (SELECT (SELECT count(*) * 2 // 5 FROM documents) AS b), "
+    "seg AS (SELECT v AS lo, lead(v) OVER (ORDER BY v) AS nxt FROM "
+    "(SELECT 0 AS v UNION SELECT DISTINCT n_urls FROM c)), "
+    "stats AS (SELECT seg.lo, seg.nxt, "
+    "(SELECT coalesce(sum(n_urls), 0) FROM c WHERE n_urls <= seg.lo) "
+    "AS s, (SELECT count(*) FROM c WHERE n_urls > seg.lo) AS a "
+    "FROM seg), "
+    "cand AS (SELECT CASE WHEN a = 0 THEN lo "
+    "ELSE least(nxt - 1, (b - s) // a) END AS t, lo "
+    "FROM stats, p WHERE (a = 0 AND s <= b) "
+    "OR (a > 0 AND s + a * lo <= b)), "
+    "tau AS (SELECT coalesce(max(t), 0) AS t FROM cand WHERE t >= lo), "
+    "sched AS (SELECT host, url, CAST(row_number() OVER "
+    "(PARTITION BY host ORDER BY url) - 1 AS BIGINT) AS fetch_wave "
+    "FROM u) "
+    "SELECT sched.host AS host, sched.url, sched.fetch_wave "
+    "FROM sched, c, tau WHERE c.host = sched.host "
+    "AND sched.fetch_wave < least(c.n_urls, tau.t) "
+    "ORDER BY sched.host, sched.fetch_wave")
+
+
 _CRAWL_SCHEDULE_SQL = (
     "WITH u AS (SELECT 'host' || CAST(doc_id % 11 AS VARCHAR) || "
     "'.example.org' AS host, "
@@ -7664,6 +7736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_mirror_pairs": _q_host_mirror_pairs,
         "host_crawl_delays": _q_host_crawl_delays,
         "sitemap_entries": _q_sitemap_entries,
+        "crawl_plan": _q_crawl_plan,
         "crawl_snapshot_diff": _q_crawl_snapshot_diff,
         "page_head_meta": _q_page_head_meta,
         "heavy_hitter_hosts": _q_heavy_hitter_hosts,
@@ -9642,6 +9715,7 @@ def oracle_sql() -> dict[str, str]:
         "host_mirror_pairs": _HOST_MIRROR_SQL,
         "host_crawl_delays": _HOST_CRAWL_DELAYS_SQL,
         "sitemap_entries": _SITEMAP_ENTRIES_SQL,
+        "crawl_plan": _CRAWL_PLAN_SQL,
         "page_head_meta": _head_meta_sql(),
         "heavy_hitter_hosts":
             "WITH h AS (SELECT 'h' || CAST(doc_id % 199 AS VARCHAR) || "
