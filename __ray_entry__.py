@@ -1187,6 +1187,93 @@ def _q_host_components(sf_dir: str):
     return connected_components_ds(e, max_rounds=10)
 
 
+def _crawl_depth_sql() -> str:
+    """Recursive-CTE replay of the planted BFS: UNION dedups visited
+    (node, d) pairs, the d < 12 bound terminates the walk, and
+    MIN(d) per node equals the BFS min-hop depth."""
+    return (
+        "WITH RECURSIVE hs AS (SELECT DISTINCT CAST(doc_id % 60 AS "
+        "BIGINT) AS h FROM documents), "
+        "edges AS (SELECT h AS src, h + 1 AS dst FROM hs WHERE h < 59 "
+        "UNION ALL SELECT h, h + 9 FROM hs "
+        "WHERE h % 4 = 0 AND h + 9 < 60), "
+        "walk(node, d) AS ("
+        "SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+        "UNION SELECT CAST(37 AS BIGINT), CAST(0 AS BIGINT) "
+        "UNION SELECT e.dst, w.d + 1 FROM walk w "
+        "JOIN edges e ON e.src = w.node WHERE w.d < 12) "
+        "SELECT node, MIN(d) AS depth FROM walk GROUP BY node "
+        "ORDER BY node")
+
+
+def _k_core_sql(rounds: int = 5) -> str:
+    """The k=2 peel unrolled as CTEs: the planted graph converges in
+    three rounds, so five unrolled rounds reach the same fixpoint the
+    op iterates to."""
+    parts = [
+        "WITH hs AS (SELECT DISTINCT CAST(doc_id % 40 AS BIGINT) AS h "
+        "FROM documents), "
+        "raw AS (SELECT h, CASE WHEN h < 10 THEN (h + 1) % 10 "
+        "ELSE h - 10 END AS o FROM hs), "
+        "e0 AS (SELECT LEAST(h, o) AS a, GREATEST(h, o) AS b FROM raw "
+        "WHERE h <> o GROUP BY 1, 2)"]
+    for i in range(rounds):
+        parts.append(
+            f", d{i} AS (SELECT node, COUNT(*) AS deg FROM "
+            f"(SELECT a AS node FROM e{i} "
+            f"UNION ALL SELECT b FROM e{i}) GROUP BY node)"
+            f", e{i + 1} AS (SELECT e.a, e.b FROM e{i} e "
+            f"JOIN d{i} da ON da.node = e.a "
+            f"JOIN d{i} db ON db.node = e.b "
+            f"WHERE da.deg >= 2 AND db.deg >= 2)")
+    parts.append(
+        f" SELECT node, COUNT(*) AS deg FROM "
+        f"(SELECT a AS node FROM e{rounds} "
+        f"UNION ALL SELECT b FROM e{rounds}) GROUP BY node "
+        "ORDER BY node")
+    return "".join(parts)
+
+
+def _q_host_crawl_depth(sf_dir: str):
+    """Multi-source BFS crawl depth (`ops/graph.bfs_depth`) over a
+    planted host graph: residues h = doc_id % 60, path edges h→h+1
+    plus shortcut edges h→h+9 for h % 4 == 0, seeds {0, 37}.  The
+    DuckDB oracle replays it as a recursive CTE with MIN(depth)."""
+    from xtract.ops.graph import bfs_depth
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        h = np.unique(t["doc_id"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64) % 60)
+        s1, d1 = h[h < 59], h[h < 59] + 1
+        sh = h[(h % 4 == 0) & (h + 9 < 60)]
+        return pa.table({"src": pa.array(np.concatenate([s1, sh])),
+                         "dst": pa.array(np.concatenate([d1, sh + 9]))})
+
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    return bfs_depth(e, [0, 37], max_depth=12)
+
+
+def _q_host_k_core(sf_dir: str):
+    """k-core peeling (`ops/graph.k_core`, k=2) over a planted host
+    graph: a 10-cycle (the surviving core) with a 3-deep pendant chain
+    hanging off every cycle node — the chains peel one layer per round
+    (three cascading rounds).  Oracle: the peel unrolled as CTEs."""
+    from xtract.ops.graph import k_core
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        h = np.unique(t["doc_id"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64) % 40)
+        other = np.where(h < 10, (h + 1) % 10, h - 10)
+        return pa.table({"src": pa.array(h), "dst": pa.array(other)})
+
+    return k_core(docs.map_batches(edges, batch_format="pyarrow"),
+                  k=2).sort("node")
+
+
 def _q_last_order_before_event_cogroup(sf_dir: str):
     """Same as-of semantics via the LARGE-×-LARGE co-group path (hash
     co-partition + one pandas merge_asof per partition) — no broadcast:
@@ -7616,6 +7703,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_images": _q_page_images,
         "user_value_trend": _q_user_value_trend,
         "host_components": _q_host_components,
+        "host_crawl_depth": _q_host_crawl_depth,
+        "host_k_core": _q_host_k_core,
         "host_robots_filter": _q_host_robots_filter,
         "doc_sentences": _q_doc_sentences,
         "event_value_bands": _q_event_value_bands,
@@ -8540,6 +8629,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT CAST(node AS BIGINT) AS node, "
             "CAST(node % 30 AS BIGINT) AS label FROM hosts",
+        "host_crawl_depth": _crawl_depth_sql(),
+        "host_k_core": _k_core_sql(),
         "host_robots_filter":
             # closed-form replay of the planted construction: even
             # hosts carry an agent-specific xbot group (Allow / wins

@@ -227,3 +227,178 @@ def test_anchor_profile_empty_and_intra_host(ray_session):
     out2 = anchor_text_profile(_links_tbl(rows),
                                cross_host_only=False).to_pandas()
     assert len(out2) == 1 and out2.iloc[0]["n_links"] == 1
+
+
+# ---------------------------------------------------------------------------
+# bfs_depth
+# ---------------------------------------------------------------------------
+
+def _bfs_brute(edges, seeds, max_depth):
+    """Reference BFS: dict node -> min hop distance (<= max_depth)."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    depth = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    d = 0
+    while frontier and d < max_depth:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in depth:
+                    depth[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    return depth
+
+
+def test_bfs_depth_vs_brute_force(ray_session):
+    from xtract.ops.graph import bfs_depth
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 50, 300)
+    dst = rng.integers(0, 50, 300)
+    want = _bfs_brute(list(zip(src.tolist(), dst.tolist())), [0, 17], 6)
+    df = bfs_depth(_edges(src, dst), [0, 17], max_depth=6).to_pandas()
+    got = dict(zip(df["node"], df["depth"]))
+    assert got == want
+
+
+def test_bfs_depth_multi_source_min(ray_session):
+    from xtract.ops.graph import bfs_depth
+
+    # path 1->2->3->4; seeds {1,4}: node 3 is depth 2 from 1, node 4
+    # is a seed (depth 0), not depth 3
+    df = bfs_depth(_edges([1, 2, 3], [2, 3, 4]), [1, 4],
+                   max_depth=10).to_pandas()
+    got = dict(zip(df["node"], df["depth"]))
+    assert got == {1: 0, 2: 1, 3: 2, 4: 0}
+
+
+def test_bfs_depth_max_depth_cutoff(ray_session):
+    from xtract.ops.graph import bfs_depth
+
+    df = bfs_depth(_edges([1, 2, 3], [2, 3, 4]), [1],
+                   max_depth=2).to_pandas()
+    got = dict(zip(df["node"], df["depth"]))
+    assert got == {1: 0, 2: 1, 3: 2}  # 4 is 3 hops away - unreached
+
+
+def test_bfs_depth_broadcast_equals_distributed(ray_session):
+    from xtract.ops.graph import bfs_depth
+
+    rng = np.random.default_rng(13)
+    e = _edges(rng.integers(0, 60, 500),
+               rng.integers(0, 60, 500)).repartition(5)
+    a = bfs_depth(e, [3], max_depth=5).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    b = bfs_depth(e, [3], max_depth=5, distributed=True,
+                  num_partitions=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_bfs_depth_seed_without_outlinks(ray_session):
+    from xtract.ops.graph import bfs_depth
+
+    df = bfs_depth(_edges([1], [2]), [9], max_depth=3).to_pandas()
+    assert dict(zip(df["node"], df["depth"])) == {9: 0}
+
+
+def test_bfs_depth_broadcast_gate(ray_session):
+    from xtract.ops.graph import bfs_depth
+
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        bfs_depth(_edges([1, 2], [2, 3]), [1], max_depth=5,
+                  broadcast_limit=1)
+
+
+# ---------------------------------------------------------------------------
+# k_core
+# ---------------------------------------------------------------------------
+
+def _kcore_brute(edges, k):
+    """Reference peel: dict surviving node -> in-core degree."""
+    nbr = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    while True:
+        low = [n for n, s in nbr.items() if len(s) < k]
+        if not low:
+            break
+        for n in low:
+            for m in nbr[n]:
+                nbr[m].discard(n)
+            del nbr[n]
+    return {n: len(s) for n, s in nbr.items()}
+
+
+def test_k_core_cascading_peel(ray_session):
+    from xtract.ops.graph import k_core
+
+    # cycle 0..4 (survives k=2) + pendant chain 0-10-11-12 that peels
+    # one node per round (12 first, then 11, then 10)
+    src = [0, 1, 2, 3, 4, 0, 10, 11]
+    dst = [1, 2, 3, 4, 0, 10, 11, 12]
+    df = k_core(_edges(src, dst), k=2).to_pandas()
+    got = dict(zip(df["node"], df["deg"]))
+    assert got == {0: 2, 1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_k_core_vs_brute_force(ray_session):
+    from xtract.ops.graph import k_core
+
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 40, 250)
+    dst = rng.integers(0, 40, 250)
+    edges = list(zip(src.tolist(), dst.tolist()))
+    for k in (2, 3, 5):
+        df = k_core(_edges(src, dst), k=k).to_pandas()
+        got = dict(zip(df["node"], df["deg"]))
+        assert got == _kcore_brute(edges, k), f"k={k}"
+
+
+def test_k_core_dup_and_reversed_edges_dedup(ray_session):
+    from xtract.ops.graph import k_core
+
+    # triangle listed twice, once reversed, plus a self-loop: distinct
+    # undirected degree is still 2 per node
+    src = [1, 2, 3, 2, 3, 1, 7]
+    dst = [2, 3, 1, 1, 2, 3, 7]
+    df = k_core(_edges(src, dst), k=2).to_pandas()
+    got = dict(zip(df["node"], df["deg"]))
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_empty_core(ray_session):
+    from xtract.ops.graph import k_core
+
+    df = k_core(_edges([1, 2], [2, 3]), k=3).to_pandas()
+    assert len(df) == 0
+
+
+def test_k_core_partition_invariance(ray_session):
+    from xtract.ops.graph import k_core
+
+    rng = np.random.default_rng(19)
+    src = rng.integers(0, 30, 200)
+    dst = rng.integers(0, 30, 200)
+    a = k_core(_edges(src, dst).repartition(1), k=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    b = k_core(_edges(src, dst).repartition(7), k=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_k_core_not_converged_raises(ray_session):
+    from xtract.ops.graph import k_core
+
+    # chain of 6 peels over several rounds under k=2; max_rounds=1
+    # cannot finish
+    with pytest.raises(ValueError, match="not converged"):
+        k_core(_edges([1, 2, 3, 4, 5], [2, 3, 4, 5, 6]), k=2,
+               max_rounds=1)

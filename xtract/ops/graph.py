@@ -1185,3 +1185,278 @@ def _hits_distributed(edges, nodes, src: str, dst: str, iters: int,
             batch_format="pyarrow"),
         on="node", num_partitions=num_partitions)
     return out.select_columns(["node", "hub_micro", "auth_micro"])
+
+
+def _member(sorted_keys: np.ndarray, probe: np.ndarray) -> np.ndarray:
+    """Vectorized membership test probe ∈ sorted_keys (bool mask)."""
+    if not len(sorted_keys) or not len(probe):
+        return np.zeros(len(probe), bool)
+    pos = np.minimum(np.searchsorted(sorted_keys, probe),
+                     len(sorted_keys) - 1)
+    return sorted_keys[pos] == probe
+
+
+def bfs_depth(edges_ds, seeds, src: str = "src", dst: str = "dst",
+              max_depth: int = 15, distributed: bool = False,
+              broadcast_limit: int = 2_000_000, num_partitions: int = 32):
+    """Multi-source BFS hop distance over a directed link graph →
+    Dataset(node:int64, depth:int64) for every node whose min-hop
+    distance from ANY seed is ≤ ``max_depth`` (crawl-depth estimation:
+    how many link hops from the seed list each host sits at).
+
+    Reference parity anchor: tesseract-rs has no graph surface
+    (documents are independent, src/api.rs); crawl-depth is the
+    frontier-expansion complement of `pagerank`/`hits` in this tier.
+
+    Scale shapes (both bit-identical — BFS min-hop is deterministic):
+
+    - default: the visited/frontier sets live as sorted int64 numpy
+      arrays broadcast per round (`ray.put`), edges re-scanned once per
+      round with a per-block unique-dst combiner; the reached-set size
+      is gated by ``broadcast_limit`` (exact count, fail-loud).
+    - ``distributed=True``: frontier and visited stay Datasets; each
+      round is TWO slim co-group exchanges (edges⋈frontier on
+      hash(src), then candidates⋈visited anti-join on hash(node)) —
+      nothing corpus-proportional ever reaches the driver.
+
+    Rounds: ≤ ``max_depth`` either way; each round's exchange carries
+    int64 pairs only.  Seeds absent from the edge set still appear at
+    depth 0 (a seed host with no out-links is itself reached).
+    """
+    import ray
+
+    edges = edges_ds.select_columns([src, dst]).materialize()
+
+    if hasattr(seeds, "map_batches"):  # a Dataset with a 'node' column
+        seed_arr = np.unique(
+            seeds.to_pandas()["node"].to_numpy().astype(np.int64))
+    else:
+        seed_arr = np.unique(np.asarray(list(seeds), np.int64))
+
+    if not distributed:
+        visited = seed_arr.copy()  # sorted (np.unique)
+        depth = np.zeros(len(seed_arr), np.int64)
+        frontier = seed_arr
+        d = 0
+        while len(frontier) and d < max_depth:
+            if len(visited) > broadcast_limit:
+                raise ValueError(
+                    f"bfs_depth: {len(visited)} reached nodes exceed "
+                    f"broadcast_limit {broadcast_limit}; pass "
+                    "distributed=True (co-group frontier)")
+            f_ref = ray.put(np.sort(frontier))
+
+            def step(t: pa.Table, _f=f_ref) -> pa.Table:
+                f = ray.get(_f)
+                s = pc.cast(t[src], pa.int64()).to_numpy(
+                    zero_copy_only=False)
+                dd = pc.cast(t[dst], pa.int64()).to_numpy(
+                    zero_copy_only=False)
+                return pa.table({"node": pa.array(
+                    np.unique(dd[_member(f, s)]), pa.int64())})
+
+            def fold(t: pa.Table) -> pa.Table:
+                return pa.table({"node": pa.array(np.unique(
+                    t["node"].to_numpy(zero_copy_only=False)),
+                    pa.int64())})
+
+            rows = (edges.map_batches(step, batch_format="pyarrow",
+                                      batch_size=262_144)
+                    .map_batches(fold, batch_format="pyarrow",
+                                 batch_size=1 << 20)
+                    .take_all())
+            cand = (np.unique(np.fromiter((r["node"] for r in rows),
+                                          np.int64, len(rows)))
+                    if rows else np.empty(0, np.int64))
+            new = cand[~_member(np.sort(visited), cand)]
+            d += 1
+            visited = np.concatenate([visited, new])
+            depth = np.concatenate([depth, np.full(len(new), d, np.int64)])
+            frontier = new
+        o = np.argsort(visited, kind="stable")
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(visited[o], pa.int64()),
+            "depth": pa.array(depth[o], pa.int64())}))
+
+    # ---- distributed: frontier/visited stay Datasets ----
+    def part_of(ids: np.ndarray) -> np.ndarray:
+        return np.abs(ids) % np.int64(num_partitions)
+
+    def mk_state(arr: np.ndarray, d: int):
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(arr, pa.int64()),
+            "depth": pa.array(np.full(len(arr), d, np.int64),
+                              pa.int64())}))
+
+    visited_ds = mk_state(seed_arr, 0).materialize()
+    frontier_ds = visited_ds
+    d = 0
+    while d < max_depth:
+        def tag_edges(t: pa.Table) -> pa.Table:
+            s = pc.cast(t[src], pa.int64()).to_numpy(zero_copy_only=False)
+            dd = pc.cast(t[dst], pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(s), pa.int64()),
+                "a": pa.array(s, pa.int64()),
+                "b": pa.array(dd, pa.int64()),
+                "_side": pa.array(np.zeros(len(s), np.int8))})
+
+        def tag_front(t: pa.Table) -> pa.Table:
+            n = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(n), pa.int64()),
+                "a": pa.array(n, pa.int64()),
+                "b": pa.array(np.zeros(len(n), np.int64), pa.int64()),
+                "_side": pa.array(np.ones(len(n), np.int8))})
+
+        both = (edges.map_batches(tag_edges, batch_format="pyarrow")
+                .union(frontier_ds.map_batches(tag_front,
+                                               batch_format="pyarrow")))
+
+        def expand(g: pa.Table) -> pa.Table:
+            side = g["_side"].to_numpy(zero_copy_only=False)
+            a = g["a"].to_numpy(zero_copy_only=False)
+            b = g["b"].to_numpy(zero_copy_only=False)
+            f = np.sort(a[side == 1])
+            es, ed = a[side == 0], b[side == 0]
+            return pa.table({"node": pa.array(
+                np.unique(ed[_member(f, es)]), pa.int64())})
+
+        from ray.data.aggregate import Count
+        cand = (both.groupby("_part").map_groups(
+                    expand, batch_format="pyarrow")
+                .groupby("node").aggregate(Count(alias_name="_n"))
+                .select_columns(["node"]))
+
+        # anti-join candidates vs visited per hash partition
+        def tag_cand(t: pa.Table) -> pa.Table:
+            n = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(n), pa.int64()),
+                "a": pa.array(n, pa.int64()),
+                "_side": pa.array(np.zeros(len(n), np.int8))})
+
+        def tag_vis(t: pa.Table) -> pa.Table:
+            n = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(n), pa.int64()),
+                "a": pa.array(n, pa.int64()),
+                "_side": pa.array(np.ones(len(n), np.int8))})
+
+        pair = (cand.map_batches(tag_cand, batch_format="pyarrow")
+                .union(visited_ds.map_batches(tag_vis,
+                                              batch_format="pyarrow")))
+        d += 1
+
+        def anti(g: pa.Table, _d=d) -> pa.Table:
+            side = g["_side"].to_numpy(zero_copy_only=False)
+            a = g["a"].to_numpy(zero_copy_only=False)
+            seen = np.sort(a[side == 1])
+            c = a[side == 0]
+            new = np.unique(c[~_member(seen, c)])
+            return pa.table({
+                "node": pa.array(new, pa.int64()),
+                "depth": pa.array(np.full(len(new), _d, np.int64),
+                                  pa.int64())})
+
+        frontier_ds = (pair.groupby("_part").map_groups(
+            anti, batch_format="pyarrow")).materialize()
+        if frontier_ds.count() == 0:
+            break
+        visited_ds = visited_ds.union(frontier_ds).materialize()
+
+    return visited_ds.sort("node")
+
+
+def k_core(edges_ds, k: int, src: str = "src", dst: str = "dst",
+           max_rounds: int = 30, removed_broadcast_limit: int = 2_000_000):
+    """k-core decomposition by iterative peeling → the subgraph in
+    which every node has UNDIRECTED degree ≥ ``k`` (distinct
+    neighbors; self-loops dropped).  Returns
+    Dataset(node:int64, deg:int64) of surviving nodes with their
+    degree INSIDE the core subgraph.  The crawl use: a host's k-core
+    membership separates organically-linked cores from pendant spam
+    farms that peel away.
+
+    Shape per round: one slim degree aggregation (per-block unique
+    combiner → ``groupby(node).Sum``) + one edge filter against THIS
+    round's removed-node set, broadcast via ``ray.put`` — peeling
+    removes few nodes per round on real graphs; the per-round set is
+    gated by ``removed_broadcast_limit`` (exact count, fail-loud — the
+    `DRIVER_CC_LIMIT` pattern).  Edges shrink monotonically and are
+    re-materialized per round (object-store, spill-backed).
+    Deterministic: peeling is order-free within a round.  Raises if
+    not converged after ``max_rounds`` (like `hits` overflow —
+    fail-loud, never silent wrong answers).
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = pc.cast(t[src], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(t[dst], pa.int64()).to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        m = lo != hi
+        if not m.any():
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        u = np.unique(np.stack([lo[m], hi[m]], 1), axis=0)
+        return pa.table({"a": pa.array(u[:, 0], pa.int64()),
+                         "b": pa.array(u[:, 1], pa.int64())})
+
+    e = (edges_ds.select_columns([src, dst])
+         .map_batches(norm, batch_format="pyarrow")
+         .groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+         .select_columns(["a", "b"]).materialize())
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            t["a"].to_numpy(zero_copy_only=False),
+            t["b"].to_numpy(zero_copy_only=False)])
+        u, cnt = np.unique(ids, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(cnt.astype(np.int64),
+                                         pa.int64())})
+
+    def degrees(e_ds):
+        return (e_ds.map_batches(deg_partial, batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("deg", alias_name="deg")))
+
+    def low_only(t: pa.Table, _k=k) -> pa.Table:
+        return t.filter(pc.less(t["deg"], pa.scalar(_k, pa.int64())))
+
+    converged = False
+    for _ in range(max_rounds):
+        low = degrees(e).map_batches(
+            low_only, batch_format="pyarrow").materialize()
+        n_low = low.count()
+        if not n_low:
+            converged = True
+            break
+        if n_low > removed_broadcast_limit:
+            raise ValueError(
+                f"k_core: {n_low} nodes peel in one round, over "
+                f"removed_broadcast_limit {removed_broadcast_limit}")
+        rows = low.take_all()
+        removed = np.sort(np.fromiter((r["node"] for r in rows),
+                                      np.int64, len(rows)))
+        r_ref = ray.put(removed)
+
+        def drop(t: pa.Table, _r=r_ref) -> pa.Table:
+            rem = ray.get(_r)
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            keep = ~_member(rem, a) & ~_member(rem, b)
+            return t.filter(pa.array(keep))
+
+        e = e.map_batches(drop, batch_format="pyarrow").materialize()
+
+    if not converged:
+        # one more degree pass to check the fixpoint actually holds
+        if degrees(e).map_batches(
+                low_only, batch_format="pyarrow").count():
+            raise ValueError(
+                f"k_core: not converged after {max_rounds} rounds; "
+                "raise max_rounds")
+
+    return degrees(e)
