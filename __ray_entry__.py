@@ -1187,6 +1187,69 @@ def _q_host_components(sf_dir: str):
     return connected_components_ds(e, max_rounds=10)
 
 
+def _q_doc_phrase_search(sf_dir: str):
+    """Exact token-adjacency phrase search (`ops/ranking.phrase_search`)
+    — fully-vectorized Arrow normalize + count_substring; the oracle
+    replays the non-overlapping scan rule via replace()-length
+    arithmetic on the identically-normalized token string."""
+    from xtract.ops.ranking import phrase_search
+
+    return phrase_search(_docs(sf_dir, ["doc_id", "text"]),
+                         "table table").sort("doc_id")
+
+
+_ENTITY_NAMES = ["Alice", "Bob", "Carol", "Dave", "Erin", "Frank",
+                 "Grace", "Heidi"]
+
+
+def _entity_pages_batch(t: pa.Table) -> pa.Table:
+    """doc_id → a sentence mentioning three planted names (with one
+    repeated, so per-doc distinctness is exercised)."""
+    ids, texts = [], []
+    for d in t["doc_id"].to_pylist():
+        n1 = _ENTITY_NAMES[d % 8]
+        n2 = _ENTITY_NAMES[(d * 3 + 1) % 8]
+        n3 = _ENTITY_NAMES[(d * 5 + 2) % 8]
+        ids.append(d)
+        texts.append(f"{n1} met {n2} and {n3}, said {n1}.")
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def _q_entity_cooccurrence(sf_dir: str):
+    """Entity co-occurrence pairs (`ops/collocations.entity_cooccurrence`)
+    over planted name sentences; the oracle rebuilds the same distinct
+    per-doc name sets from doc_id with list indexing."""
+    from xtract.ops.collocations import entity_cooccurrence
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _entity_pages_batch, batch_format="pyarrow")
+    return entity_cooccurrence(pages).sort(["ent_a", "ent_b"])
+
+
+def _phrase_search_sql() -> str:
+    p = " table table "
+    return (
+        "WITH s AS (SELECT doc_id, ' ' || array_to_string("
+        "regexp_extract_all(lower(text), '[a-z0-9_]+'), ' ') || ' ' "
+        "AS s FROM documents) "
+        f"SELECT doc_id, CAST((length(s) - length(replace(s, '{p}', "
+        f"''))) / length('{p}') AS BIGINT) AS n_occ "
+        f"FROM s WHERE position('{p}' IN s) > 0 ORDER BY doc_id")
+
+
+def _entity_cooc_sql() -> str:
+    lst = "[" + ", ".join(f"'{n}'" for n in _ENTITY_NAMES) + "]"
+    return (
+        f"WITH ns AS (SELECT doc_id, {lst} AS a FROM documents), "
+        "d AS (SELECT doc_id, a[(doc_id % 8) + 1] AS e FROM ns "
+        "UNION SELECT doc_id, a[((doc_id * 3 + 1) % 8) + 1] FROM ns "
+        "UNION SELECT doc_id, a[((doc_id * 5 + 2) % 8) + 1] FROM ns) "
+        "SELECT x.e AS ent_a, y.e AS ent_b, COUNT(*) AS n_docs "
+        "FROM d x JOIN d y ON x.doc_id = y.doc_id AND x.e < y.e "
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 def _crawl_depth_sql() -> str:
     """Recursive-CTE replay of the planted BFS: UNION dedups visited
     (node, d) pairs, the d < 12 bound terminates the walk, and
@@ -7705,6 +7768,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_components": _q_host_components,
         "host_crawl_depth": _q_host_crawl_depth,
         "host_k_core": _q_host_k_core,
+        "doc_phrase_search": _q_doc_phrase_search,
+        "entity_cooccurrence": _q_entity_cooccurrence,
         "host_robots_filter": _q_host_robots_filter,
         "doc_sentences": _q_doc_sentences,
         "event_value_bands": _q_event_value_bands,
@@ -8631,6 +8696,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(node % 30 AS BIGINT) AS label FROM hosts",
         "host_crawl_depth": _crawl_depth_sql(),
         "host_k_core": _k_core_sql(),
+        "doc_phrase_search": _phrase_search_sql(),
+        "entity_cooccurrence": _entity_cooc_sql(),
         "host_robots_filter":
             # closed-form replay of the planted construction: even
             # hosts carry an agent-specific xbot group (Allow / wins

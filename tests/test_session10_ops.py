@@ -1,0 +1,141 @@
+"""Session-10 ops: phrase_search, entity_cooccurrence, bfs/k-core are
+in test_graph.py."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _docs(texts):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+
+# ---------------------------------------------------------------------------
+# phrase_search
+# ---------------------------------------------------------------------------
+
+def _phrase_brute(texts, phrase):
+    import re
+    tok = re.compile(r"[a-z0-9_]+")
+    pat = " " + " ".join(tok.findall(phrase.lower())) + " "
+    out = {}
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        s = " " + " ".join(tok.findall(t.lower())) + " "
+        n = s.count(pat)
+        if n:
+            out[i] = n
+    return out
+
+
+def test_phrase_search_vs_brute(ray_session):
+    from xtract.ops.ranking import phrase_search
+
+    texts = ["the quick brown fox", "Quick, brown! fox quick brown",
+             "quick brownie", None, "", "a quick  brown\tthing",
+             "brown quick"]
+    df = phrase_search(_docs(texts), "quick brown").to_pandas()
+    got = dict(zip(df["doc_id"], df["n_occ"]))
+    assert got == _phrase_brute(texts, "quick brown")
+    assert got == {0: 1, 1: 2, 5: 1}
+
+
+def test_phrase_search_nonoverlapping_rule(ray_session):
+    from xtract.ops.ranking import phrase_search
+
+    # "a a a" contains "a a" ONCE under the left-to-right scan rule
+    # (consecutive matches share the delimiter space, so even four
+    # a's count 1 — five are needed for a second disjoint match; the
+    # brute-force twin uses str.count, the same rule as SQL replace)
+    texts = ["a a a", "a a a a", "a a a a a"]
+    df = phrase_search(_docs(texts), "a a").to_pandas()
+    got = dict(zip(df["doc_id"], df["n_occ"]))
+    assert got == _phrase_brute(texts, "a a") == {0: 1, 1: 1, 2: 2}
+
+
+def test_phrase_search_punctuation_and_case(ray_session):
+    from xtract.ops.ranking import phrase_search
+
+    df = phrase_search(_docs(["END. Table,table! start"]),
+                       "Table ... TABLE").to_pandas()
+    assert dict(zip(df["doc_id"], df["n_occ"])) == {0: 1}
+
+
+def test_phrase_search_empty_phrase_raises(ray_session):
+    from xtract.ops.ranking import phrase_search
+
+    with pytest.raises(ValueError, match="no tokens"):
+        phrase_search(_docs(["x"]), "!!!")
+
+
+def test_phrase_search_single_token(ray_session):
+    from xtract.ops.ranking import phrase_search
+
+    df = phrase_search(_docs(["x y x", "y"]), "x").to_pandas()
+    assert dict(zip(df["doc_id"], df["n_occ"])) == {0: 2}
+
+
+# ---------------------------------------------------------------------------
+# entity_cooccurrence
+# ---------------------------------------------------------------------------
+
+def _cooc_brute(texts, cap=64):
+    import re
+    ent = re.compile(r"[A-Z][a-z]+")
+    out = {}
+    for t in texts:
+        if not t:
+            continue
+        es = sorted(set(ent.findall(t)))
+        if len(es) < 2 or len(es) > cap:
+            continue
+        for a, b in itertools.combinations(es, 2):
+            out[(a, b)] = out.get((a, b), 0) + 1
+    return out
+
+
+def test_entity_cooccurrence_vs_brute(ray_session):
+    from xtract.ops.collocations import entity_cooccurrence
+
+    texts = ["Alice met Bob, said Alice near Carol",
+             "Bob saw Alice", "only lowercase here", None,
+             "Solo", "Alice Bob Alice Bob"]
+    df = entity_cooccurrence(_docs(texts)).to_pandas()
+    got = {(r.ent_a, r.ent_b): r.n_docs for r in df.itertuples()}
+    assert got == _cooc_brute(texts)
+    assert got[("Alice", "Bob")] == 3
+
+
+def test_entity_cooccurrence_cap_drops_doc(ray_session):
+    from xtract.ops.collocations import entity_cooccurrence
+
+    big = " ".join(f"Name{chr(97 + i)}x" for i in range(26))
+    # Namea..Namez: regex matches e.g. 'Namea' (capital + lowercase
+    # run); 26 entities > cap 10 -> doc dropped whole
+    texts = [big, "Alice Bob"]
+    df = entity_cooccurrence(_docs(texts),
+                             max_entities_per_doc=10).to_pandas()
+    got = {(r.ent_a, r.ent_b): r.n_docs for r in df.itertuples()}
+    assert got == {("Alice", "Bob"): 1}
+
+
+def test_entity_cooccurrence_partition_invariance(ray_session):
+    from xtract.ops.collocations import entity_cooccurrence
+
+    rng = np.random.default_rng(23)
+    names = ["Alice", "Bob", "Carol", "Dave", "Erin"]
+    texts = [" ".join(rng.choice(names, rng.integers(0, 5)))
+             for _ in range(60)]
+    a = entity_cooccurrence(_docs(texts).repartition(1)).to_pandas() \
+        .sort_values(["ent_a", "ent_b"]).reset_index(drop=True)
+    b = entity_cooccurrence(_docs(texts).repartition(9)).to_pandas() \
+        .sort_values(["ent_a", "ent_b"]).reset_index(drop=True)
+    assert a.equals(b)
+    got = {(r.ent_a, r.ent_b): r.n_docs for r in a.itertuples()}
+    assert got == _cooc_brute(texts)

@@ -152,3 +152,64 @@ def bigram_pmi(ds, col: str = "text", min_count: int = 5, k: int = 50):
             [], dtype=(object if c in ("a", "b") else "int64"))
             for c in cols})
     return out[cols]
+
+
+#: the SQL-mirrorable entity rule: a capitalized letter run —
+#: ``regexp_extract_all(text, '[A-Z][a-z]+')`` in DuckDB
+import re as _re
+
+_ENTITY_RE = _re.compile(r"[A-Z][a-z]+")
+
+
+def entity_cooccurrence(ds, key: str = "doc_id", col: str = "text",
+                        max_entities_per_doc: int = 64):
+    """Entity co-occurrence counts → Dataset(ent_a, ent_b, n_docs):
+    for every unordered pair of DISTINCT heuristic entities
+    (capitalized-word rule ``[A-Z][a-z]+`` — deterministic and
+    SQL-replicable) appearing in the same document, the number of
+    documents containing both.  The knowledge-graph seed op for a
+    crawl corpus (which names travel together).
+
+    Shape: one streaming pass; each block emits its DISTINCT
+    (ent_a < ent_b) pairs with partial doc counts (np.unique combiner
+    — a pair hot across the corpus still contributes ≤1 row per
+    block), then ONE native ``groupby.aggregate(Sum)``.  Documents
+    with more than ``max_entities_per_doc`` distinct entities are
+    DROPPED whole (deterministic, the m² pair-explosion guard — the
+    LSH hot-bucket cap pattern); the oracle replicates the same rule.
+    """
+    from ray.data.aggregate import Sum
+
+    def pairs_partial(t: pa.Table) -> pa.Table:
+        pair_a: list[str] = []
+        pair_b: list[str] = []
+        for txt in t[col].to_pylist():
+            if not txt:
+                continue
+            ents = sorted(set(_ENTITY_RE.findall(txt)))
+            if len(ents) < 2 or len(ents) > max_entities_per_doc:
+                continue
+            for i in range(len(ents) - 1):
+                for j in range(i + 1, len(ents)):
+                    pair_a.append(ents[i])
+                    pair_b.append(ents[j])
+        if not pair_a:
+            return pa.table({"ent_a": pa.array([], pa.string()),
+                             "ent_b": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64())})
+        # entities are letter-only ([A-Z][a-z]+), so a space joint
+        # key is unambiguous (numpy str arrays cannot hold NUL)
+        joint = np.char.add(np.char.add(np.asarray(pair_a, object)
+                                        .astype(str), " "),
+                            np.asarray(pair_b, object).astype(str))
+        u, cnt = np.unique(joint, return_counts=True)
+        split = np.char.partition(u, " ")
+        return pa.table({
+            "ent_a": pa.array(split[:, 0], pa.string()),
+            "ent_b": pa.array(split[:, 2], pa.string()),
+            "n_docs": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return (ds.select_columns([key, col])
+            .map_batches(pairs_partial, batch_format="pyarrow")
+            .groupby(["ent_a", "ent_b"])
+            .aggregate(Sum("n_docs", alias_name="n_docs")))

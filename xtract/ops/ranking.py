@@ -400,3 +400,41 @@ def tfidf_top_terms(ds, k: int = 3, key: str = "doc_id", col: str = "text",
     return (scored.map_batches(repart_by_doc, batch_format="pyarrow")
                   .groupby("_part")
                   .map_groups(topk_by_doc, batch_format="pandas"))
+
+
+def phrase_search(ds, phrase: str, key: str = "doc_id",
+                  col: str = "text"):
+    """Exact-phrase (token-adjacency) search → Dataset(key, n_occ)
+    for every document containing the phrase's tokens contiguously,
+    with the NON-OVERLAPPING left-to-right occurrence count (the
+    `str.count` / SQL `replace()` scan rule — ``"a a a"`` contains
+    ``"a a"`` once, not twice; documented contract, SQL-replicable as
+    ``(length(s) - length(replace(s, p, ''))) / length(p)``).
+
+    Fully vectorized — zero per-row Python: lower + one regex
+    normalize (non-token runs → single space) + element-wise pad +
+    `count_substring`, all Arrow kernels over zero-copy batches.  The
+    phrase-absent rows are filtered batch-side, so only matches leave
+    each task.  Null text never matches.
+
+    Reference parity anchor: the text-retrieval twin of
+    `bm25_score` (tesseract-rs has no cross-document surface;
+    src/api.rs:1003 `is_valid_word` is the closest single-token
+    membership op — this is its n-token contiguous generalization).
+    """
+    toks = _TOKEN_RE.findall(phrase.lower())
+    if not toks:
+        raise ValueError("phrase_search: phrase has no tokens")
+    pat = " " + " ".join(toks) + " "
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        lo = pc.utf8_lower(pc.cast(t[col], pa.string()))
+        norm = pc.replace_substring_regex(lo, "[^a-z0-9_]+", " ")
+        pad = pc.binary_join_element_wise(" ", norm, " ", "")
+        n = pc.fill_null(pc.count_substring(pad, pat), 0)
+        keep = pc.greater(n, 0)
+        return pa.table({key: t[key],
+                         "n_occ": pc.cast(n, pa.int64())}).filter(keep)
+
+    return ds.select_columns([key, col]).map_batches(
+        count_batch, batch_format="pyarrow")
