@@ -1227,6 +1227,36 @@ def _q_entity_cooccurrence(sf_dir: str):
     return entity_cooccurrence(pages).sort(["ent_a", "ent_b"])
 
 
+def _q_orders_fd_audit(sf_dir: str):
+    """Exact functional-dependency mining (`ops/profile.fd_candidates`)
+    over three orders columns: o_orderkey → * holds (key), the
+    reverse directions fail."""
+    import ray.data as rd
+
+    from xtract.ops.profile import fd_candidates
+
+    cols = ["o_orderkey", "o_custkey", "o_orderpriority"]
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+    return fd_candidates(orders, cols).sort(["col_a", "col_b"])
+
+
+def _fd_audit_sql() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderpriority"]
+    blocks = []
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            n_lhs = f"(SELECT COUNT(DISTINCT {a}) FROM orders)"
+            n_pairs = ("(SELECT COUNT(*) FROM (SELECT DISTINCT "
+                       f"{a}, {b} FROM orders))")
+            blocks.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"{n_lhs} AS n_lhs, {n_pairs} AS n_pairs, "
+                f"{n_lhs} = {n_pairs} AS fd_holds")
+    return " UNION ALL ".join(blocks)
+
+
 def _phrase_search_sql() -> str:
     p = " table table "
     return (
@@ -7770,6 +7800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_k_core": _q_host_k_core,
         "doc_phrase_search": _q_doc_phrase_search,
         "entity_cooccurrence": _q_entity_cooccurrence,
+        "orders_fd_audit": _q_orders_fd_audit,
         "host_robots_filter": _q_host_robots_filter,
         "doc_sentences": _q_doc_sentences,
         "event_value_bands": _q_event_value_bands,
@@ -8698,6 +8729,7 @@ def oracle_sql() -> dict[str, str]:
         "host_k_core": _k_core_sql(),
         "doc_phrase_search": _phrase_search_sql(),
         "entity_cooccurrence": _entity_cooc_sql(),
+        "orders_fd_audit": _fd_audit_sql(),
         "host_robots_filter":
             # closed-form replay of the planted construction: even
             # hosts carry an agent-specific xbot group (Allow / wins

@@ -139,3 +139,52 @@ def test_entity_cooccurrence_partition_invariance(ray_session):
     assert a.equals(b)
     got = {(r.ent_a, r.ent_b): r.n_docs for r in a.itertuples()}
     assert got == _cooc_brute(texts)
+
+
+# ---------------------------------------------------------------------------
+# fd_candidates
+# ---------------------------------------------------------------------------
+
+def _fd_brute(rows, names):
+    out = {}
+    for a in names:
+        for b in names:
+            if a == b:
+                continue
+            lhs = {str(r[a]) for r in rows}
+            pairs = {(str(r[a]), str(r[b])) for r in rows}
+            out[(a, b)] = (len(lhs), len(pairs), len(lhs) == len(pairs))
+    return out
+
+
+def test_fd_candidates_vs_brute(ray_session):
+    from xtract.ops.profile import fd_candidates
+
+    rows = [{"k": i, "g": i % 3, "lab": f"L{i % 3}"} for i in range(30)]
+    # k -> g holds, k -> lab holds, g <-> lab holds both ways,
+    # g -> k fails
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([r["k"] for r in rows], pa.int64()),
+        "g": pa.array([r["g"] for r in rows], pa.int64()),
+        "lab": pa.array([r["lab"] for r in rows], pa.string())}))
+    df = fd_candidates(ds, ["k", "g", "lab"]).to_pandas()
+    got = {(r.col_a, r.col_b): (r.n_lhs, r.n_pairs, r.fd_holds)
+           for r in df.itertuples()}
+    assert got == _fd_brute(rows, ["k", "g", "lab"])
+    assert got[("k", "g")][2] and got[("g", "lab")][2]
+    assert not got[("g", "k")][2]
+
+
+def test_fd_candidates_partition_invariance(ray_session):
+    from xtract.ops.profile import fd_candidates
+
+    rng = np.random.default_rng(29)
+    t = pa.table({"x": pa.array(rng.integers(0, 12, 200), pa.int64()),
+                  "y": pa.array(rng.integers(0, 5, 200), pa.int64())})
+    a = fd_candidates(rd.from_arrow(t).repartition(1),
+                      ["x", "y"]).to_pandas() \
+        .sort_values(["col_a", "col_b"]).reset_index(drop=True)
+    b = fd_candidates(rd.from_arrow(t).repartition(8),
+                      ["x", "y"]).to_pandas() \
+        .sort_values(["col_a", "col_b"]).reset_index(drop=True)
+    assert a.equals(b)

@@ -13,6 +13,7 @@ estimate suffices.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -112,3 +113,69 @@ def profile_dataset(ds, columns=None, distinct: bool = False):
                                        "n_nulls"].iloc[0] > 0 else 0))
         df["n_distinct"] = pd.Series(nd, dtype="int64")
     return df
+
+
+def fd_candidates(ds, columns, sep: str = "\x1f"):
+    """Exact functional-dependency discovery over ``columns`` →
+    Dataset(col_a, col_b, n_lhs, n_pairs, fd_holds) for every ordered
+    pair: ``fd_holds`` iff A → B (each distinct A value maps to
+    exactly one B value, i.e. COUNT(DISTINCT A) == COUNT(DISTINCT
+    (A, B))) — the data-quality rule miner that belongs next to
+    `profile_dataset` (is url → host? is orderkey → custkey?).
+
+    Shape: ONE streaming pass emits each block's DISTINCT
+    (pair, A-value, B-value) string rows (np.unique combiner — a hot
+    value contributes ≤1 row per block per pair), then one
+    ``groupby`` finishes global distinctness and two slim aggregates
+    fold to per-pair counts.  The exchange is Σ|distinct (A,B)| over
+    the pairs — the inherent cost of EXACT FD mining (values travel
+    as strings, no hash-collision risk).  Null values render as the
+    string 'None' (deterministic; pick non-null columns or treat the
+    sentinel as a value).  ``sep`` (default unit-separator \\x1f) must
+    not occur inside the LEFT column's rendered values — the joint-key
+    encoding splits on its first occurrence.
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    names = list(columns)
+    pairs = [(a, b) for a in names for b in names if a != b]
+    pair_id = {p: i for i, p in enumerate(pairs)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        arrs = {c: pc.cast(t[c], pa.string()).to_numpy(
+            zero_copy_only=False).astype(str) for c in names}
+        pid_out, va_out, vb_out = [], [], []
+        for (a, b), pid in pair_id.items():
+            joint = np.char.add(np.char.add(arrs[a], sep), arrs[b])
+            u = np.unique(joint)
+            sp = np.char.partition(u, sep)
+            pid_out.append(np.full(len(u), pid, np.int64))
+            va_out.append(sp[:, 0])
+            vb_out.append(sp[:, 2])
+        return pa.table({
+            "pid": pa.array(np.concatenate(pid_out), pa.int64()),
+            "va": pa.array(np.concatenate(va_out).tolist(), pa.string()),
+            "vb": pa.array(np.concatenate(vb_out).tolist(), pa.string())})
+
+    distinct_ab = (ds.select_columns(names)
+                   .map_batches(partial, batch_format="pyarrow")
+                   .groupby(["pid", "va", "vb"])
+                   .aggregate(Count(alias_name="_c"))
+                   .select_columns(["pid", "va"]))
+    per_lhs = distinct_ab.groupby(["pid", "va"]).aggregate(
+        Count(alias_name="n_b"))
+    per_pair = per_lhs.groupby("pid").aggregate(
+        Count(alias_name="n_lhs"),
+        Sum("n_b", alias_name="n_pairs"),
+        Max("n_b", alias_name="max_b"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        pid = t["pid"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "col_a": pa.array([pairs[i][0] for i in pid], pa.string()),
+            "col_b": pa.array([pairs[i][1] for i in pid], pa.string()),
+            "n_lhs": pc.cast(t["n_lhs"], pa.int64()),
+            "n_pairs": pc.cast(t["n_pairs"], pa.int64()),
+            "fd_holds": pc.equal(t["max_b"], pa.scalar(1, pa.int64()))})
+
+    return per_pair.map_batches(finish, batch_format="pyarrow")
