@@ -1227,6 +1227,36 @@ def _q_entity_cooccurrence(sf_dir: str):
     return entity_cooccurrence(pages).sort(["ent_a", "ent_b"])
 
 
+def _q_events_stream_enrich(sf_dir: str):
+    """Stream-table join (`ops/streaming.stream_enrich`): the events
+    feed streams through sharded lookup actors that each own a slice
+    of a BUCKETED customer dimension (written once with
+    `ops/bucketed.write_bucketed`); LEFT-join semantics — events
+    whose user has no customer row keep a null nation.  Oracle: the
+    same LEFT JOIN in SQL."""
+    import tempfile
+
+    import ray.data as rd
+
+    from xtract.ops.bucketed import write_bucketed
+    from xtract.ops.streaming import stream_enrich
+
+    dim_dir = tempfile.mkdtemp(prefix="stream_dim_")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda b: pa.table({"user_id": b["c_custkey"],
+                            "c_nationkey": b["c_nationkey"]}),
+        batch_format="pyarrow")
+    write_bucketed(cust, dim_dir, "user_id", 16)
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id"])
+    tbl, _miss = stream_enrich(
+        ev.iter_batches(batch_format="pyarrow", batch_size=2048),
+        dim_dir, "user_id", ["c_nationkey"], n_shards=4)
+    return tbl
+
+
 def _q_orders_fd_audit(sf_dir: str):
     """Exact functional-dependency mining (`ops/profile.fd_candidates`)
     over three orders columns: o_orderkey → * holds (key), the
@@ -7801,6 +7831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_phrase_search": _q_doc_phrase_search,
         "entity_cooccurrence": _q_entity_cooccurrence,
         "orders_fd_audit": _q_orders_fd_audit,
+        "events_stream_enrich": _q_events_stream_enrich,
         "host_robots_filter": _q_host_robots_filter,
         "doc_sentences": _q_doc_sentences,
         "event_value_bands": _q_event_value_bands,
@@ -8730,6 +8761,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_phrase_search": _phrase_search_sql(),
         "entity_cooccurrence": _entity_cooc_sql(),
         "orders_fd_audit": _fd_audit_sql(),
+        "events_stream_enrich":
+            "SELECT e.event_id, e.user_id, c.c_nationkey "
+            "FROM events e LEFT JOIN customer c "
+            "ON e.user_id = c.c_custkey",
         "host_robots_filter":
             # closed-form replay of the planted construction: even
             # hosts carry an agent-specific xbot group (Allow / wins

@@ -243,3 +243,81 @@ def test_stream_sessions_disorder_dropped_and_state_bounded(ray_session):
     assert tbl.num_rows == 500
     assert tbl["session_id"].to_pylist() == list(range(1, 501))
     ray.kill(a)
+
+
+# ---------------------------------------------------------------------------
+# stream_enrich (stream-table join against a bucketed dimension)
+# ---------------------------------------------------------------------------
+
+def _mk_dim(tmp, keys, labs, n_buckets=8):
+    import ray.data as rd
+
+    from xtract.ops.bucketed import write_bucketed
+
+    dim = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "lab": pa.array(labs, pa.string())}))
+    write_bucketed(dim, tmp, "k", n_buckets)
+    return tmp
+
+
+def test_stream_enrich_matches_batch_left_join(ray_session, tmp_path):
+    import pandas as pd
+
+    from xtract.ops.streaming import stream_enrich
+
+    rng = np.random.default_rng(31)
+    dim_keys = list(range(0, 40, 2))          # even keys only
+    d = _mk_dim(str(tmp_path), dim_keys, [f"L{k}" for k in dim_keys])
+    feed_keys = rng.integers(0, 40, 300)
+    feed = [pa.table({"k": pa.array(feed_keys[i:i + 50], pa.int64()),
+                      "x": pa.array(range(i, i + 50), pa.int64())})
+            for i in range(0, 300, 50)]
+    tbl, miss = stream_enrich(iter(feed), d, "k", ["lab"], n_shards=3)
+    got = tbl.to_pandas().sort_values(["x"]).reset_index(drop=True)
+    want = pd.DataFrame({"k": feed_keys, "x": range(300)}).merge(
+        pd.DataFrame({"k": dim_keys, "lab": [f"L{k}" for k in dim_keys]}),
+        on="k", how="left").sort_values(["x"]).reset_index(drop=True)
+    assert got[["k", "x"]].equals(want[["k", "x"]])
+    assert got["lab"].fillna("-").tolist() == \
+        want["lab"].fillna("-").tolist()
+    assert miss == int(want["lab"].isna().sum())
+
+
+def test_stream_enrich_shard_count_invariance(ray_session, tmp_path):
+    from xtract.ops.streaming import stream_enrich
+
+    d = _mk_dim(str(tmp_path), [1, 2, 3], ["a", "b", "c"])
+    feed = lambda: iter([pa.table({  # noqa: E731
+        "k": pa.array([3, 1, 7], pa.int64()),
+        "x": pa.array([1, 2, 3], pa.int64())})])
+    a, ma = stream_enrich(feed(), d, "k", ["lab"], n_shards=2)
+    b, mb = stream_enrich(feed(), d, "k", ["lab"], n_shards=5)
+    pa_sort = lambda t: t.to_pandas().sort_values(  # noqa: E731
+        ["x"]).reset_index(drop=True)
+    assert pa_sort(a).equals(pa_sort(b)) and ma == mb == 1
+
+
+def test_stream_enrich_duplicate_dim_key_raises(ray_session, tmp_path):
+    from xtract.ops.streaming import stream_enrich
+
+    d = _mk_dim(str(tmp_path), [1, 1, 2], ["a", "b", "c"])
+    feed = iter([pa.table({"k": pa.array([1], pa.int64())})])
+    with pytest.raises(Exception, match="duplicate dimension keys"):
+        stream_enrich(feed, d, "k", ["lab"], n_shards=1)
+
+
+def test_stream_enrich_wrong_key_raises(ray_session, tmp_path):
+    from xtract.ops.streaming import stream_enrich
+
+    d = _mk_dim(str(tmp_path), [1], ["a"])
+    with pytest.raises(ValueError, match="bucketed by"):
+        stream_enrich(iter([]), d, "wrong", ["lab"])
+
+
+def test_stream_enrich_empty_feed(ray_session, tmp_path):
+    from xtract.ops.streaming import stream_enrich
+
+    d = _mk_dim(str(tmp_path), [1], ["a"])
+    tbl, miss = stream_enrich(iter([]), d, "k", ["lab"])
+    assert tbl.num_rows == 0 and miss == 0

@@ -36,6 +36,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .agg import _hash_part
 from .joins import _us_i64
@@ -340,3 +341,119 @@ def stream_window_aggregate(batches, ts_col: str, key_col: str,
     tbl = pa.concat_tables([p for p, _, _ in parts])
     return tbl, {"n_late": int(sum(l for _, l, _ in parts)),
                  "n_dup": int(sum(d for _, _, d in parts))}
+
+
+class _EnrichShard:
+    """One enrichment shard: owns the dimension buckets ``b`` with
+    ``b % n_shards == shard_id``, loaded ONCE at init (sorted-key
+    arrays), then joins every routed feed batch locally."""
+
+    def __init__(self, dim_dir: str, shard_id: int, n_shards: int,
+                 key_col: str, val_cols: "list[str]"):
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        frags = []
+        for d in sorted(_glob.glob(_os.path.join(dim_dir, "bucket=*"))):
+            b = int(d.rsplit("=", 1)[1])
+            if b % n_shards != shard_id:
+                continue
+            frags += sorted(_glob.glob(_os.path.join(d, "*.parquet")))
+        cols = [key_col] + val_cols
+        if frags:
+            t = pa.concat_tables([_pq.read_table(f, columns=cols)
+                                  for f in frags])
+        else:
+            t = pa.table({c: pa.array([]) for c in cols})
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        o = np.argsort(k, kind="stable")
+        self.keys = k[o]
+        if len(self.keys) > 1 and (self.keys[1:] == self.keys[:-1]).any():
+            raise ValueError(
+                "stream_enrich: duplicate dimension keys in shard "
+                f"{shard_id}; dedup the dimension first")
+        self.vals = t.take(pa.array(o)).select(val_cols)
+        self.key_col, self.val_cols = key_col, val_cols
+
+    def enrich(self, t: pa.Table):
+        probe = t[self.key_col].to_numpy(zero_copy_only=False)
+        n = len(self.keys)
+        if n:
+            pos = np.minimum(np.searchsorted(self.keys, probe), n - 1)
+            hit = self.keys[pos] == probe
+        else:
+            pos = np.zeros(len(probe), np.int64)
+            hit = np.zeros(len(probe), bool)
+        out = {c: t[c] for c in t.column_names}
+        # null out the miss indices (take(null) -> null), vectorized
+        idx = pc.if_else(pa.array(hit),
+                         pa.array(np.where(hit, pos, 0).astype(np.int64),
+                                  pa.int64()),
+                         pa.scalar(None, pa.int64()))
+        for c in self.val_cols:
+            out[c] = self.vals[c].combine_chunks().take(idx)
+        return pa.table(out), int((~hit).sum())
+
+
+def stream_enrich(batches, dim_dir: str, key_col: str,
+                  val_cols: "list[str]", n_shards: int = 4,
+                  max_inflight_per_shard: int = 4):
+    """Stream-table join: enrich a live feed against a BUCKETED
+    dimension store (``ops/bucketed.write_bucketed`` /
+    ``ops/versioned.commit_bucketed`` layout) — the lookup side of a
+    streaming pipeline (user → segment, host → crawl policy).
+
+    Each of ``n_shards`` actors loads ONLY its share of the
+    dimension's buckets once at init (dimension_bytes / n_shards per
+    actor — never broadcast whole, never re-read per batch); feed
+    batches hash-route rows to the owning shard (the SAME `_hash_part`
+    the store was written with, so routing and storage agree), join
+    locally against sorted-key arrays, and stream enriched rows back
+    under the inflight cap (backpressure, like the window actors).
+
+    LEFT-join semantics: unmatched feed rows keep nulls in the
+    dimension columns and are counted.  Returns
+    ``(pa.Table(feed_cols + val_cols), n_unmatched)``.  Duplicate
+    dimension keys fail loudly at actor init.
+    """
+    import ray
+
+    man_bucket = None
+    import json as _json
+    import os as _os
+    with open(_os.path.join(dim_dir, "_bucketed.json")) as f:
+        man = _json.load(f)
+    if man["key"] != key_col:
+        raise ValueError(
+            f"stream_enrich: store is bucketed by {man['key']!r}, "
+            f"not {key_col!r}")
+    n_buckets = int(man["n_buckets"])
+    man_bucket = n_buckets
+
+    Shard = ray.remote(_EnrichShard)
+    actors = [Shard.remote(dim_dir, s, n_shards, key_col, val_cols)
+              for s in range(n_shards)]
+    inflight: list = []
+    ordered: list = []
+    cap = max_inflight_per_shard * n_shards
+    for b in batches:
+        if len(b) == 0:
+            continue
+        bucket = _hash_part(b[key_col], man_bucket)
+        shard = bucket % n_shards
+        for s in np.unique(shard):
+            sub = b.filter(pa.array(shard == s))
+            ref = actors[int(s)].enrich.remote(sub)
+            inflight.append(ref)
+            ordered.append(ref)
+        while len(inflight) > cap:
+            _, inflight = ray.wait(inflight, num_returns=1)
+    parts = ray.get(ordered)
+    for a in actors:
+        ray.kill(a)
+    if not parts:
+        return pa.table({}), 0
+    tbl = pa.concat_tables([p for p, _ in parts])
+    return tbl, int(sum(n for _, n in parts))
