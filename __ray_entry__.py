@@ -1227,6 +1227,33 @@ def _q_entity_cooccurrence(sf_dir: str):
     return entity_cooccurrence(pages).sort(["ent_a", "ent_b"])
 
 
+def _q_host_scc(sf_dir: str):
+    """Strongly connected components
+    (`ops/graph.strongly_connected_components`) over a planted DAG of
+    3-cycles: block b = {3b, 3b+1, 3b+2} is one cycle (one SCC), with
+    one-way bridges 3b → 3b+3 between consecutive blocks — so the
+    provable label is 3·(node // 3) (bridge targets whose block is
+    absent are singletons, for which the same closed form holds)."""
+    from xtract.ops.graph import strongly_connected_components
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        h = np.unique(t["doc_id"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64) % 90)
+        b = np.unique(h // 3)
+        base = b * 3
+        s = np.concatenate([base, base + 1, base + 2])
+        d = np.concatenate([base + 1, base + 2, base])
+        bb = b[b < 29]
+        return pa.table({
+            "src": pa.array(np.concatenate([s, bb * 3])),
+            "dst": pa.array(np.concatenate([d, bb * 3 + 3]))})
+
+    return strongly_connected_components(
+        docs.map_batches(edges, batch_format="pyarrow")).sort("node")
+
+
 def _q_events_stream_enrich(sf_dir: str):
     """Stream-table join (`ops/streaming.stream_enrich`): the events
     feed streams through sharded lookup actors that each own a slice
@@ -7832,6 +7859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_cooccurrence": _q_entity_cooccurrence,
         "orders_fd_audit": _q_orders_fd_audit,
         "events_stream_enrich": _q_events_stream_enrich,
+        "host_scc": _q_host_scc,
         "host_robots_filter": _q_host_robots_filter,
         "doc_sentences": _q_doc_sentences,
         "event_value_bands": _q_event_value_bands,
@@ -8761,6 +8789,18 @@ def oracle_sql() -> dict[str, str]:
         "doc_phrase_search": _phrase_search_sql(),
         "entity_cooccurrence": _entity_cooc_sql(),
         "orders_fd_audit": _fd_audit_sql(),
+        "host_scc":
+            # the planted construction makes the SCC fixpoint
+            # closed-form: each present block's 3-cycle is one SCC
+            # labeled by its min member 3b; dangling bridge targets
+            # are singletons whose own id is also 3*(node//3)
+            "WITH hs AS (SELECT DISTINCT "
+            "CAST((doc_id % 90) // 3 AS BIGINT) AS b FROM documents), "
+            "n AS (SELECT b * 3 + o AS node FROM hs, "
+            "(VALUES (0), (1), (2)) t(o) "
+            "UNION SELECT b * 3 + 3 FROM hs WHERE b < 29) "
+            "SELECT node, (node // 3) * 3 AS scc_label FROM n "
+            "ORDER BY node",
         "events_stream_enrich":
             "SELECT e.event_id, e.user_id, c.c_nationkey "
             "FROM events e LEFT JOIN customer c "

@@ -402,3 +402,113 @@ def test_k_core_not_converged_raises(ray_session):
     with pytest.raises(ValueError, match="not converged"):
         k_core(_edges([1, 2, 3, 4, 5], [2, 3, 4, 5, 6]), k=2,
                max_rounds=1)
+
+
+# ---------------------------------------------------------------------------
+# strongly_connected_components
+# ---------------------------------------------------------------------------
+
+def _scc_brute(edges, nodes=None):
+    """Iterative Tarjan; returns {node: min id of its SCC}."""
+    adj = {}
+    ns = set(nodes or [])
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        ns.add(s)
+        ns.add(d)
+    index, low, on, stack = {}, {}, set(), []
+    out, counter = {}, [0]
+
+    def strong(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            recurse = False
+            for i in range(pi, len(adj.get(v, []))):
+                w = adj[v][i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    for v in sorted(ns):
+        if v not in index:
+            strong(v)
+    return out
+
+
+def test_scc_vs_tarjan_random(ray_session):
+    from xtract.ops.graph import strongly_connected_components
+
+    rng = np.random.default_rng(37)
+    src = rng.integers(0, 30, 150)
+    dst = rng.integers(0, 30, 150)
+    df = strongly_connected_components(_edges(src, dst)).to_pandas()
+    got = dict(zip(df["node"], df["scc_label"]))
+    assert got == _scc_brute(list(zip(src.tolist(), dst.tolist())))
+
+
+def test_scc_path_graph_fast(ray_session):
+    from xtract.ops.graph import strongly_connected_components
+
+    # a pure path is n singleton SCCs; chunk refinement must resolve
+    # it well inside max_rounds (two rounds, not n)
+    n = 40
+    df = strongly_connected_components(
+        _edges(list(range(n - 1)), list(range(1, n))),
+        max_rounds=5).to_pandas()
+    got = dict(zip(df["node"], df["scc_label"]))
+    assert got == {i: i for i in range(n)}
+
+
+def test_scc_cycles_and_bridges(ray_session):
+    from xtract.ops.graph import strongly_connected_components
+
+    # two 3-cycles joined by a one-way bridge: SCCs stay separate
+    src = [0, 1, 2, 10, 11, 12, 2]
+    dst = [1, 2, 0, 11, 12, 10, 10]
+    df = strongly_connected_components(_edges(src, dst)).to_pandas()
+    got = dict(zip(df["node"], df["scc_label"]))
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_scc_isolated_node_and_self_loop(ray_session):
+    from xtract.ops.graph import strongly_connected_components
+    import ray.data as _rd
+
+    nodes = _rd.from_arrow(pa.table({"node": pa.array([99], pa.int64())}))
+    df = strongly_connected_components(
+        _edges([5, 1], [5, 2]), nodes_ds=nodes).to_pandas()
+    got = dict(zip(df["node"], df["scc_label"]))
+    assert got == {1: 1, 2: 2, 5: 5, 99: 99}
+
+
+def test_scc_broadcast_gate(ray_session):
+    from xtract.ops.graph import strongly_connected_components
+
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        strongly_connected_components(_edges([1, 2], [2, 3]),
+                                      broadcast_limit=1)

@@ -1460,3 +1460,144 @@ def k_core(edges_ds, k: int, src: str = "src", dst: str = "dst",
                 "raise max_rounds")
 
     return degrees(e)
+
+
+def strongly_connected_components(edges_ds, src: str = "src",
+                                  dst: str = "dst",
+                                  nodes_ds=None,
+                                  max_rounds: int = 30,
+                                  max_iters: int = 100,
+                                  broadcast_limit: int = 2_000_000):
+    """Strongly connected components of a DIRECTED link graph →
+    Dataset(node:int64, scc_label:int64) with label = min node id in
+    the SCC.  The web-graph use: reciprocal-linking farms and genuine
+    communities are dense SCCs; a crawl frontier's DAG condensation
+    needs them.
+
+    Algorithm (Fleischer FW–BW by min-label, chunk-refined): per
+    round, compute WITHIN each live chunk the min FORWARD-reachable
+    label mf(v) and min BACKWARD-reachable label mb(v) (two directed
+    min-label fixpoints — each inner iteration is one distributed
+    edge scan against broadcast state, the `pagerank` shape);
+    ``mf(v) == mb(v) == x`` proves v and x reach each other, so those
+    nodes finalize with label x; the rest re-chunk by the (mf, mb)
+    pair — edges crossing chunks can never sit inside an SCC, so
+    chunks refine independently and a path graph resolves in two
+    rounds, not n.
+
+    State is driver-held sorted arrays gated by ``broadcast_limit``
+    (exact node count, fail-loud — the repo's gated-broadcast
+    placement; at cluster scale chunks would shard across the same
+    co-group machinery as `pagerank(distributed=True)`).  Edges are
+    scanned once per inner iteration and never leave the cluster;
+    per-block combiners emit ≤1 row per (block, node).  Raises when
+    not converged inside ``max_rounds``/``max_iters`` — never a
+    silent wrong answer.
+    """
+    import ray
+
+    nodes = _node_set(edges_ds, src, dst, nodes_ds).materialize()
+    n_nodes = nodes.count()
+    if n_nodes > broadcast_limit:
+        raise ValueError(
+            f"strongly_connected_components: {n_nodes} nodes exceed "
+            f"broadcast_limit {broadcast_limit}")
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "scc_label": pa.array([], pa.int64())}))
+    node_arr = np.sort(nodes.to_pandas()["node"].to_numpy()
+                       .astype(np.int64))
+    edges = edges_ds.select_columns([src, dst]).materialize()
+
+    chunk = np.zeros(n_nodes, np.int64)
+    final = np.zeros(n_nodes, bool)
+    label = np.full(n_nodes, -1, np.int64)
+
+    def minlabel_fixpoint(forward: bool) -> np.ndarray:
+        """Min-label propagation within chunks, over live nodes.
+        forward=True: m(v) = min label reachable FROM v (pull along
+        v→w); forward=False: min label that reaches v (push along
+        v→w)."""
+        m = node_arr.copy()
+        m[final] = -1  # finalized nodes never participate
+        for _ in range(max_iters):
+            m_ref = ray.put(m)
+            c_ref = ray.put(chunk)
+            f_ref = ray.put(final)
+            n_ref = ray.put(node_arr)
+
+            def step(t: pa.Table, _m=m_ref, _c=c_ref, _f=f_ref,
+                     _n=n_ref, _fwd=forward) -> pa.Table:
+                nk = ray.get(_n)
+                mv = ray.get(_m)
+                cv = ray.get(_c)
+                fv = ray.get(_f)
+                s = pc.cast(t[src], pa.int64()).to_numpy(
+                    zero_copy_only=False)
+                d = pc.cast(t[dst], pa.int64()).to_numpy(
+                    zero_copy_only=False)
+                si = np.searchsorted(nk, s)
+                di = np.searchsorted(nk, d)
+                ok = (~fv[si] & ~fv[di] & (cv[si] == cv[di])
+                      & (s != d))
+                si, di = si[ok], di[ok]
+                if _fwd:
+                    tgt, val = si, mv[di]
+                else:
+                    tgt, val = di, mv[si]
+                if not len(tgt):
+                    return pa.table({
+                        "i": pa.array([], pa.int64()),
+                        "m": pa.array([], pa.int64())})
+                u, inv = np.unique(tgt, return_inverse=True)
+                best = np.full(len(u), np.iinfo(np.int64).max,
+                               np.int64)
+                np.minimum.at(best, inv, val)
+                return pa.table({"i": pa.array(u, pa.int64()),
+                                 "m": pa.array(best, pa.int64())})
+
+            rows = edges.map_batches(step, batch_format="pyarrow",
+                                     batch_size=262_144).take_all()
+            if not rows:
+                break
+            ii = np.fromiter((r["i"] for r in rows), np.int64,
+                             len(rows))
+            vv = np.fromiter((r["m"] for r in rows), np.int64,
+                             len(rows))
+            u, inv = np.unique(ii, return_inverse=True)
+            best = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(best, inv, vv)
+            new = m.copy()
+            imp = best < new[u]
+            new[u[imp]] = best[imp]
+            if (new == m).all():
+                return m
+            m = new
+        else:
+            raise ValueError(
+                "strongly_connected_components: min-label fixpoint "
+                f"not reached in max_iters={max_iters}")
+        return m
+
+    for _ in range(max_rounds):
+        mf = minlabel_fixpoint(True)
+        mb = minlabel_fixpoint(False)
+        done = ~final & (mf == mb)
+        label[done] = mf[done]
+        final |= done
+        if final.all():
+            break
+        # re-chunk the survivors by their (chunk, mf, mb) signature
+        live = ~final
+        sig = np.stack([chunk[live], mf[live], mb[live]], 1)
+        _, new_ids = np.unique(sig, axis=0, return_inverse=True)
+        chunk[live] = new_ids
+    if not final.all():
+        raise ValueError(
+            "strongly_connected_components: not converged after "
+            f"max_rounds={max_rounds}")
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(node_arr, pa.int64()),
+        "scc_label": pa.array(label, pa.int64())}))
