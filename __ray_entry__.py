@@ -1227,6 +1227,26 @@ def _q_entity_cooccurrence(sf_dir: str):
     return entity_cooccurrence(pages).sort(["ent_a", "ent_b"])
 
 
+def _q_url_change_rate(sf_dir: str):
+    """Recrawl change-rate estimation (`ops/urls.change_rate`) over a
+    planted 10-visit history per url (url_id = doc_id % 50, fp cycles
+    at a per-url cadence); the oracle replays it with a LAG window."""
+    from xtract.ops.urls import change_rate
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "url_id": pa.array(d % 50),
+            "ts": pa.array(d),
+            "fingerprint": pa.array(
+                ((d // 50) // (1 + (d % 50) % 3)) % 4)})
+
+    return change_rate(docs.map_batches(hist, batch_format="pyarrow"),
+                       key="url_id").sort("url_id")
+
+
 def _q_host_scc(sf_dir: str):
     """Strongly connected components
     (`ops/graph.strongly_connected_components`) over a planted DAG of
@@ -7860,6 +7880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_fd_audit": _q_orders_fd_audit,
         "events_stream_enrich": _q_events_stream_enrich,
         "host_scc": _q_host_scc,
+        "url_change_rate": _q_url_change_rate,
         "host_robots_filter": _q_host_robots_filter,
         "doc_sentences": _q_doc_sentences,
         "event_value_bands": _q_event_value_bands,
@@ -8789,6 +8810,21 @@ def oracle_sql() -> dict[str, str]:
         "doc_phrase_search": _phrase_search_sql(),
         "entity_cooccurrence": _entity_cooc_sql(),
         "orders_fd_audit": _fd_audit_sql(),
+        "url_change_rate":
+            "WITH h AS (SELECT CAST(doc_id % 50 AS BIGINT) AS url_id, "
+            "CAST(doc_id AS BIGINT) AS ts, "
+            "CAST(((doc_id // 50) // (1 + (doc_id % 50) % 3)) % 4 "
+            "AS BIGINT) AS fp FROM documents), "
+            "l AS (SELECT url_id, fp, LAG(fp) OVER "
+            "(PARTITION BY url_id ORDER BY ts, fp) AS pfp FROM h), "
+            "g AS (SELECT url_id, COUNT(*) AS n_obs, "
+            "SUM(CASE WHEN pfp IS NOT NULL AND fp <> pfp "
+            "THEN 1 ELSE 0 END) AS n_changes FROM l GROUP BY url_id) "
+            "SELECT url_id, n_obs, CAST(n_changes AS BIGINT) AS n_changes, "
+            "CAST(CASE WHEN n_obs = 1 THEN 0 ELSE "
+            "1000000 * n_changes // (n_obs - 1) END AS BIGINT) "
+            "AS change_rate_ppm "
+            "FROM g ORDER BY url_id",
         "host_scc":
             # the planted construction makes the SCC fixpoint
             # closed-form: each present block's 3-cycle is one SCC

@@ -188,3 +188,57 @@ def test_fd_candidates_partition_invariance(ray_session):
                       ["x", "y"]).to_pandas() \
         .sort_values(["col_a", "col_b"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# change_rate
+# ---------------------------------------------------------------------------
+
+def _change_brute(rows):
+    """rows: (url, ts, fp) — dict url -> (n_obs, n_changes, ppm)."""
+    by = {}
+    for u, ts, fp in rows:
+        by.setdefault(u, []).append((ts, fp))
+    out = {}
+    for u, obs in by.items():
+        obs.sort()
+        ch = sum(1 for i in range(1, len(obs))
+                 if obs[i][1] != obs[i - 1][1])
+        ppm = 0 if len(obs) == 1 else 1_000_000 * ch // (len(obs) - 1)
+        out[u] = (len(obs), ch, ppm)
+    return out
+
+
+def test_change_rate_vs_brute(ray_session):
+    from xtract.ops.urls import change_rate
+
+    rng = np.random.default_rng(41)
+    rows = [(int(rng.integers(0, 20)), int(ts), int(rng.integers(0, 3)))
+            for ts in range(300)]
+    rows.append((99, 0, 7))             # single-observation url
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+        "fingerprint": pa.array([r[2] for r in rows], pa.int64())}))
+    df = change_rate(ds).to_pandas()
+    got = {r.url: (r.n_obs, r.n_changes, r.change_rate_ppm)
+           for r in df.itertuples()}
+    assert got == _change_brute(rows)
+    assert got[99] == (1, 0, 0)
+
+
+def test_change_rate_partition_invariance(ray_session):
+    from xtract.ops.urls import change_rate
+
+    rng = np.random.default_rng(43)
+    t = pa.table({
+        "url": pa.array(rng.integers(0, 15, 200), pa.int64()),
+        "ts": pa.array(rng.permutation(200), pa.int64()),
+        "fingerprint": pa.array(rng.integers(0, 2, 200), pa.int64())})
+    a = change_rate(rd.from_arrow(t).repartition(1),
+                    num_partitions=3).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    b = change_rate(rd.from_arrow(t).repartition(8),
+                    num_partitions=17).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert a.equals(b)

@@ -351,3 +351,56 @@ def mirror_host_pairs(ds, url_col: str = "url", text_col: str = "text",
             "jacc_den": pa.array(at + bt - sh, pa.int64())})
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def change_rate(history_ds, key: str = "url", ts_col: str = "ts",
+                fp_col: str = "fingerprint", num_partitions: int = 32):
+    """Per-URL content change rate from a recrawl history →
+    Dataset(key, n_obs, n_changes, change_rate_ppm): the freshness
+    input a recrawl scheduler needs (how often does this page's
+    content hash actually change between visits).
+
+    ``n_changes`` counts observations whose fingerprint differs from
+    the PREVIOUS observation of the same url (time order, ties broken
+    by fingerprint — deterministic); ``change_rate_ppm`` =
+    ``1_000_000 * n_changes // (n_obs - 1)`` (0 for a single
+    observation; exact integer arithmetic, no floats).
+
+    Shape: the repo's coarse hash co-group (``hash(url) % P``), one
+    vectorized pandas pass per partition — sort + shift + one groupby
+    agg; Python runs P times, not per url.  Partitioning assumption:
+    one url's history fits in one partition (recrawl counts are small
+    by construction).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .joins import _add_key_part
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, fp_col],
+                          kind="mergesort").reset_index(drop=True)
+        k = g[key].to_numpy()
+        fp = g[fp_col].to_numpy()
+        same_key = np.zeros(len(g), bool)
+        if len(g) > 1:
+            same_key[1:] = k[1:] == k[:-1]
+        changed = same_key & (fp != np.roll(fp, 1))
+        out = pd.DataFrame({key: k, "_c": changed.astype(np.int64)})
+        agg = out.groupby(key, sort=False).agg(
+            n_obs=(key, "size"), n_changes=("_c", "sum")).reset_index()
+        denom = (agg["n_obs"] - 1).clip(lower=1)
+        agg["change_rate_ppm"] = (
+            1_000_000 * agg["n_changes"] // denom).astype(np.int64)
+        agg.loc[agg["n_obs"] == 1, "change_rate_ppm"] = 0
+        agg["n_obs"] = agg["n_obs"].astype(np.int64)
+        agg["n_changes"] = agg["n_changes"].astype(np.int64)
+        return agg
+
+    return (history_ds.select_columns([key, ts_col, fp_col])
+            .map_batches(lambda b: _add_key_part(b, key, num_partitions),
+                         batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(per_partition, batch_format="pandas")
+            .select_columns([key, "n_obs", "n_changes",
+                             "change_rate_ppm"]))
