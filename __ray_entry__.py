@@ -1227,6 +1227,21 @@ def _q_entity_cooccurrence(sf_dir: str):
     return entity_cooccurrence(pages).sort(["ent_a", "ent_b"])
 
 
+def _q_user_event_breadth(sf_dir: str):
+    """Running COUNT(DISTINCT event_type) per user
+    (`ops/joins.cumulative_distinct`) — the window family's
+    exploration-breadth member; oracle = SUM-of-first-flag window
+    rewrite."""
+    import ray.data as rd
+
+    from xtract.ops.joins import cumulative_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type",
+                                  "event_id"])
+    return cumulative_distinct(ev, "user_id", "ts", "event_type")
+
+
 def _q_url_change_rate(sf_dir: str):
     """Recrawl change-rate estimation (`ops/urls.change_rate`) over a
     planted 10-visit history per url (url_id = doc_id % 50, fp cycles
@@ -7881,6 +7896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stream_enrich": _q_events_stream_enrich,
         "host_scc": _q_host_scc,
         "url_change_rate": _q_url_change_rate,
+        "user_event_breadth": _q_user_event_breadth,
         "host_robots_filter": _q_host_robots_filter,
         "doc_sentences": _q_doc_sentences,
         "event_value_bands": _q_event_value_bands,
@@ -8810,6 +8826,15 @@ def oracle_sql() -> dict[str, str]:
         "doc_phrase_search": _phrase_search_sql(),
         "entity_cooccurrence": _entity_cooc_sql(),
         "orders_fd_audit": _fd_audit_sql(),
+        "user_event_breadth":
+            "WITH f AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, "
+            "event_type ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END "
+            "AS first_flag FROM events) "
+            "SELECT user_id, event_id, CAST(SUM(first_flag) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS n_distinct_so_far FROM f",
         "url_change_rate":
             "WITH h AS (SELECT CAST(doc_id % 50 AS BIGINT) AS url_id, "
             "CAST(doc_id AS BIGINT) AS ts, "

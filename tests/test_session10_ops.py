@@ -242,3 +242,54 @@ def test_change_rate_partition_invariance(ray_session):
                     num_partitions=17).to_pandas() \
         .sort_values("url").reset_index(drop=True)
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# cumulative_distinct
+# ---------------------------------------------------------------------------
+
+def _cumdist_brute(rows):
+    """rows: (key, ts, val, id) -> {id: n_distinct_so_far}."""
+    out = {}
+    by = {}
+    for k, ts, v, i in sorted(rows, key=lambda r: (r[0], r[1], r[3])):
+        seen = by.setdefault(k, set())
+        seen.add(v)
+        out[i] = len(seen)
+    return out
+
+
+def test_cumulative_distinct_vs_brute(ray_session):
+    from xtract.ops.joins import cumulative_distinct
+
+    rng = np.random.default_rng(47)
+    rows = [(int(rng.integers(0, 10)), int(rng.integers(0, 50)),
+             int(rng.integers(0, 4)), i) for i in range(250)]
+    ds = rd.from_arrow(pa.table({
+        "user": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+        "etype": pa.array([r[2] for r in rows], pa.int64()),
+        "event_id": pa.array([r[3] for r in rows], pa.int64())}))
+    df = cumulative_distinct(ds, "user", "ts", "etype").to_pandas()
+    got = dict(zip(df["event_id"], df["n_distinct_so_far"]))
+    assert got == _cumdist_brute(rows)
+
+
+def test_cumulative_distinct_partition_invariance(ray_session):
+    from xtract.ops.joins import cumulative_distinct
+
+    rng = np.random.default_rng(53)
+    t = pa.table({
+        "user": pa.array(rng.integers(0, 8, 150), pa.int64()),
+        "ts": pa.array(rng.permutation(150), pa.int64()),
+        "etype": pa.array(rng.integers(0, 3, 150), pa.int64()),
+        "event_id": pa.array(range(150), pa.int64())})
+    a = cumulative_distinct(rd.from_arrow(t).repartition(1),
+                            "user", "ts", "etype",
+                            num_partitions=2).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    b = cumulative_distinct(rd.from_arrow(t).repartition(7),
+                            "user", "ts", "etype",
+                            num_partitions=13).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert a.equals(b)

@@ -963,3 +963,42 @@ def gap_filled_daily_counts(ds, ts_col: str, key_col: str):
         "k": grid_k,
         "day": np.tile(day_str, len(keys)),
         "n_events": n})
+
+
+def cumulative_distinct(ds, key: str, ts_col: str, val_col: str,
+                        id_col: str = "event_id",
+                        num_partitions: int = 32):
+    """Running COUNT(DISTINCT val) per key — at each event, how many
+    distinct values the key has produced SO FAR (inclusive).  The
+    exploration-breadth window (how many distinct event types has
+    this user touched by time t) that plain frames can't express.
+
+    → (key, id_col, n_distinct_so_far:int64).  Determinism: events
+    order by (ts, id) within a key; a value's FIRST occurrence flags
+    1, duplicates 0, and the running sum is the answer — exactly the
+    ``SUM(first_flag) OVER (...)`` rewrite the DuckDB oracle uses
+    (COUNT(DISTINCT) OVER is not a thing in most engines).
+
+    Shape: ONE coarse hash co-group; per partition one mergesort +
+    one ``duplicated()`` + one grouped ``cumsum`` (all cython) —
+    Python runs P times.  Partitioning assumption: one key's events
+    fit in one partition.
+    """
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, id_col],
+                          kind="mergesort").reset_index(drop=True)
+        first = ~g.duplicated([key, val_col])
+        run = first.astype("int64").groupby(
+            g[key].to_numpy(), sort=False).cumsum()
+        return pd.DataFrame({
+            key: g[key],
+            id_col: g[id_col],
+            "n_distinct_so_far": run.astype("int64"),
+        })
+
+    return (ds.select_columns([key, ts_col, val_col, id_col])
+            .map_batches(lambda b: _add_key_part(b, key, num_partitions),
+                         batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(per_partition, batch_format="pandas")
+            .select_columns([key, id_col, "n_distinct_so_far"]))
