@@ -1227,6 +1227,47 @@ def _q_entity_cooccurrence(sf_dir: str):
     return entity_cooccurrence(pages).sort(["ent_a", "ent_b"])
 
 
+def _q_host_homographs(sf_dir: str):
+    """Homograph host detection (`ops/urls.homograph_groups`) over
+    planted hosts where every doc_id % 7 == 0 row spoofs its site's
+    'example' with a Cyrillic а; the oracle folds the same confusable
+    table with a replace() chain."""
+    from xtract.ops.urls import homograph_groups
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def hosts(t: pa.Table) -> pa.Table:
+        out = []
+        for d in t["doc_id"].to_pylist():
+            dom = "exаmple" if d % 7 == 0 else "example"
+            out.append(f"site{d % 20}.{dom}.org")
+        return pa.table({"host": pa.array(out, pa.string())})
+
+    return homograph_groups(
+        docs.map_batches(hosts, batch_format="pyarrow")) \
+        .sort(["skeleton", "host"])
+
+
+def _homograph_sql() -> str:
+    from xtract.ops.urls import CONFUSABLES
+
+    expr = "lower(host)"
+    for k, v in CONFUSABLES.items():
+        expr = f"replace({expr}, '{k}', '{v}')"
+    return (
+        "WITH hosts AS (SELECT DISTINCT CASE WHEN doc_id % 7 = 0 "
+        "THEN 'site' || CAST(doc_id % 20 AS VARCHAR) || "
+        "'.exаmple.org' "
+        "ELSE 'site' || CAST(doc_id % 20 AS VARCHAR) || "
+        "'.example.org' END AS host FROM documents), "
+        f"sk AS (SELECT host, {expr} AS skeleton FROM hosts), "
+        "g AS (SELECT skeleton, COUNT(DISTINCT host) AS n_hosts "
+        "FROM sk GROUP BY skeleton) "
+        "SELECT s.skeleton, s.host, CAST(g.n_hosts AS BIGINT) "
+        "AS n_hosts FROM sk s JOIN g USING (skeleton) "
+        "WHERE g.n_hosts >= 2 ORDER BY 1, 2")
+
+
 def _q_user_event_breadth(sf_dir: str):
     """Running COUNT(DISTINCT event_type) per user
     (`ops/joins.cumulative_distinct`) — the window family's
@@ -7897,6 +7938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_scc": _q_host_scc,
         "url_change_rate": _q_url_change_rate,
         "user_event_breadth": _q_user_event_breadth,
+        "host_homographs": _q_host_homographs,
         "host_robots_filter": _q_host_robots_filter,
         "doc_sentences": _q_doc_sentences,
         "event_value_bands": _q_event_value_bands,
@@ -8826,6 +8868,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_phrase_search": _phrase_search_sql(),
         "entity_cooccurrence": _entity_cooc_sql(),
         "orders_fd_audit": _fd_audit_sql(),
+        "host_homographs": _homograph_sql(),
         "user_event_breadth":
             "WITH f AS (SELECT user_id, ts, event_id, "
             "CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, "

@@ -293,3 +293,54 @@ def test_cumulative_distinct_partition_invariance(ray_session):
                             num_partitions=13).to_pandas() \
         .sort_values("event_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# homograph_groups
+# ---------------------------------------------------------------------------
+
+def test_homograph_groups_detects_spoof(ray_session):
+    from xtract.ops.urls import homograph_groups
+
+    hosts = ["example.org", "exаmple.org",   # Cyrillic а spoof
+             "example.org",                        # dup of the real one
+             "unique.net", "bank.com", "bαnk.com"]  # Greek α
+    ds = rd.from_arrow(pa.table({"host": pa.array(hosts, pa.string())}))
+    df = homograph_groups(ds).to_pandas()
+    got = {(r.skeleton, r.host): r.n_hosts for r in df.itertuples()}
+    assert got == {
+        ("example.org", "example.org"): 2,
+        ("example.org", "exаmple.org"): 2,
+        ("bank.com", "bank.com"): 2,
+        ("bank.com", "bαnk.com"): 2,
+    }
+
+
+def test_homograph_groups_case_fold_not_flagged_alone(ray_session):
+    from xtract.ops.urls import homograph_groups
+
+    # case variants fold to DIFFERENT... no: lower() folds them to the
+    # SAME raw? skeleton equal but raw hosts differ -> flagged; a
+    # single host (any case) is never flagged
+    ds = rd.from_arrow(pa.table({"host": pa.array(
+        ["Only.One.org", "only.one.org", "solo.net"], pa.string())}))
+    df = homograph_groups(ds).to_pandas()
+    got = {(r.skeleton, r.host) for r in df.itertuples()}
+    assert got == {("only.one.org", "Only.One.org"),
+                   ("only.one.org", "only.one.org")}
+
+
+def test_homograph_groups_partition_invariance(ray_session):
+    from xtract.ops.urls import homograph_groups
+
+    hosts = (["example.org", "exаmple.org"] * 10
+             + [f"h{i}.net" for i in range(30)])
+    a = homograph_groups(rd.from_arrow(pa.table(
+        {"host": pa.array(hosts, pa.string())})).repartition(1)) \
+        .to_pandas().sort_values(["skeleton", "host"]) \
+        .reset_index(drop=True)
+    b = homograph_groups(rd.from_arrow(pa.table(
+        {"host": pa.array(hosts, pa.string())})).repartition(6)) \
+        .to_pandas().sort_values(["skeleton", "host"]) \
+        .reset_index(drop=True)
+    assert a.equals(b) and len(a) == 2

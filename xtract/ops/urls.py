@@ -404,3 +404,63 @@ def change_rate(history_ds, key: str = "url", ts_col: str = "ts",
             .map_groups(per_partition, batch_format="pandas")
             .select_columns([key, "n_obs", "n_changes",
                              "change_rate_ppm"]))
+
+
+#: fixed confusable→ASCII skeleton map (a UTS #39 subset: the Cyrillic
+#: and Greek letters that render identically to Latin in hostnames).
+#: SQL-replicable as a chain of replace() calls over the same pairs.
+CONFUSABLES = {
+    "а": "a", "е": "e", "о": "o", "р": "p",
+    "с": "c", "х": "x", "у": "y", "і": "i",
+    "ѕ": "s", "ј": "j",          # Cyrillic а е о р с х у і ѕ ј
+    "ο": "o", "α": "a", "ν": "v",  # Greek ο α ν
+}
+_CONF_TABLE = str.maketrans(CONFUSABLES)
+
+
+def confusable_skeleton(host: str) -> str:
+    """Lowercased host with confusable Unicode letters folded to their
+    Latin look-alikes — two hosts with equal skeletons but different
+    raw bytes are homograph-attack candidates."""
+    return host.lower().translate(_CONF_TABLE)
+
+
+def homograph_groups(ds, host_col: str = "host"):
+    """Homograph (look-alike hostname) detection →
+    Dataset(skeleton, host, n_hosts): every host whose confusable
+    skeleton is shared by ≥ 2 DISTINCT raw hosts, with the group
+    size — the crawl-security screen for spoofed domains.
+
+    Shape: per-block distinct (skeleton, host) combiner → one grouped
+    distinct → one co-group by skeleton that emits only ambiguous
+    groups (skeleton groups are tiny by construction; nothing
+    corpus-proportional leaves the exchange)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    def partial(t: pa.Table) -> pa.Table:
+        hosts = t[host_col].to_pylist()
+        sk = [confusable_skeleton(h) for h in hosts if h]
+        hs = [h for h in hosts if h]
+        if not hs:
+            return pa.table({"skeleton": pa.array([], pa.string()),
+                             "host": pa.array([], pa.string())})
+        df = pd.DataFrame({"skeleton": sk, "host": hs}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = (ds.select_columns([host_col])
+                .map_batches(partial, batch_format="pyarrow")
+                .groupby(["skeleton", "host"])
+                .aggregate(Count(alias_name="_n"))
+                .select_columns(["skeleton", "host"]))
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g.groupby("skeleton", sort=False)["host"].transform(
+            "nunique")
+        out = g.assign(n_hosts=counts.astype(np.int64))
+        return out[out["n_hosts"] >= 2]
+
+    return (distinct.groupby("skeleton")
+            .map_groups(flag, batch_format="pandas"))
