@@ -1227,6 +1227,65 @@ def _q_entity_cooccurrence(sf_dir: str):
     return entity_cooccurrence(pages).sort(["ent_a", "ent_b"])
 
 
+def _feed_pages_batch(t: pa.Table) -> pa.Table:
+    """doc_id → an RSS body (even ids, two items, entity in the first
+    title) or an Atom body (odd ids, one entry with a decoy second
+    <link href>)."""
+    urls, htmls = [], []
+    for d in t["doc_id"].to_pylist():
+        urls.append(f"https://feeds.example.org/{d}")
+        if d % 2 == 0:
+            h = (f"<rss><channel><title>chan</title>"
+                 f"<item><title>P{d} &amp; x</title>"
+                 f"<link>https://h{d % 5}.org/{d}/0</link>"
+                 f"<pubDate>D{d % 9}</pubDate></item>"
+                 f"<item><title>Q{d}</title>"
+                 f"<link>https://h{d % 5}.org/{d}/1</link></item>"
+                 f"</channel></rss>")
+        else:
+            h = (f"<feed><entry><title>E{d}</title>"
+                 f"<link href='https://a{d % 3}.net/{d}'/>"
+                 f"<link href='https://decoy'/>"
+                 f"<updated>U{d % 7}</updated></entry></feed>")
+        htmls.append(h.encode())
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "html": pa.array(htmls, pa.binary())})
+
+
+def _q_feed_entries(sf_dir: str):
+    """RSS/Atom feed parsing (`xtract/tables.parse_feed`) — the eighth
+    tokenizer-walk surface; planted mixed-kind bodies, closed-form
+    oracle."""
+    from xtract.tables import extract_feed_entries
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _feed_pages_batch, batch_format="pyarrow")
+    return extract_feed_entries(pages)
+
+
+def _feed_entries_sql() -> str:
+    url = "'https://feeds.example.org/' || CAST(doc_id AS VARCHAR)"
+    return (
+        f"SELECT {url} AS url, CAST(0 AS BIGINT) AS entry_idx, "
+        "'rss' AS kind, "
+        "'P' || CAST(doc_id AS VARCHAR) || ' & x' AS title, "
+        "'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.org/' || "
+        "CAST(doc_id AS VARCHAR) || '/0' AS link, "
+        "'D' || CAST(doc_id % 9 AS VARCHAR) AS ts_raw "
+        "FROM documents WHERE doc_id % 2 = 0 "
+        f"UNION ALL SELECT {url}, 1, 'rss', "
+        "'Q' || CAST(doc_id AS VARCHAR), "
+        "'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.org/' || "
+        "CAST(doc_id AS VARCHAR) || '/1', '' "
+        "FROM documents WHERE doc_id % 2 = 0 "
+        f"UNION ALL SELECT {url}, 0, 'atom', "
+        "'E' || CAST(doc_id AS VARCHAR), "
+        "'https://a' || CAST(doc_id % 3 AS VARCHAR) || '.net/' || "
+        "CAST(doc_id AS VARCHAR), "
+        "'U' || CAST(doc_id % 7 AS VARCHAR) "
+        "FROM documents WHERE doc_id % 2 = 1")
+
+
 def _q_host_homographs(sf_dir: str):
     """Homograph host detection (`ops/urls.homograph_groups`) over
     planted hosts where every doc_id % 7 == 0 row spoofs its site's
@@ -7939,6 +7998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_change_rate": _q_url_change_rate,
         "user_event_breadth": _q_user_event_breadth,
         "host_homographs": _q_host_homographs,
+        "feed_entries": _q_feed_entries,
         "host_robots_filter": _q_host_robots_filter,
         "doc_sentences": _q_doc_sentences,
         "event_value_bands": _q_event_value_bands,
@@ -8869,6 +8929,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_cooccurrence": _entity_cooc_sql(),
         "orders_fd_audit": _fd_audit_sql(),
         "host_homographs": _homograph_sql(),
+        "feed_entries": _feed_entries_sql(),
         "user_event_breadth":
             "WITH f AS (SELECT user_id, ts, event_id, "
             "CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, "

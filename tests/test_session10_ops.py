@@ -344,3 +344,63 @@ def test_homograph_groups_partition_invariance(ray_session):
         .to_pandas().sort_values(["skeleton", "host"]) \
         .reset_index(drop=True)
     assert a.equals(b) and len(a) == 2
+
+
+# ---------------------------------------------------------------------------
+# parse_feed / extract_feed_entries (8th tokenizer-walk surface)
+# ---------------------------------------------------------------------------
+
+def test_parse_feed_rss_and_atom():
+    from xtract.tables import parse_feed
+
+    rss = (b"<?xml version='1.0'?><rss><channel><title>Chan</title>"
+           b"<link>https://chan</link>"
+           b"<item><title>A &amp; B</title><link>https://x/1</link>"
+           b"<pubDate>Mon, 01 Jan 2024</pubDate></item>"
+           b"<item><title>Two</title><link>https://x/2</link></item>"
+           b"</channel></rss>")
+    assert parse_feed(rss) == [
+        ("rss", "A & B", "https://x/1", "Mon, 01 Jan 2024"),
+        ("rss", "Two", "https://x/2", "")]
+    atom = (b"<feed><title>F</title>"
+            b"<entry><title>E1</title><link href='https://a/1'/>"
+            b"<updated>2024-01-01</updated></entry>"
+            b"<entry><link rel='alt' href='https://a/2'/>"
+            b"<link href='https://ignored'/><title>E2</title></entry>"
+            b"</feed>")
+    assert parse_feed(atom) == [
+        ("atom", "E1", "https://a/1", "2024-01-01"),
+        ("atom", "E2", "https://a/2", "")]
+
+
+def test_parse_feed_recovery():
+    from xtract.tables import parse_feed
+
+    # unterminated entry recovers at EOF; <title> follows the shared
+    # tokenizer's HTML raw-text rule (absorbs markup until its close
+    # tag — documented contract); garbage never raises
+    assert parse_feed(b"<rss><item><title>T1"
+                      b"<item><title>T2</title></item>") == [
+        ("rss", "T1<item><title>T2", "", "")]
+    assert parse_feed(b"<rss><item><title>T1</title>"
+                      b"<item><title>T2</title></item>") == [
+        ("rss", "T1", "", ""), ("rss", "T2", "", "")]
+    assert parse_feed(b"") == []
+    assert parse_feed(b"<<<>not xml &&& <entry>") == [
+        ("atom", "", "", "")]
+    # channel-level title/link never emit rows
+    assert parse_feed(b"<rss><channel><title>C</title>"
+                      b"<link>https://c</link></channel></rss>") == []
+
+
+def test_extract_feed_entries_dataset(ray_session):
+    from xtract.tables import extract_feed_entries
+
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(["u1", "u2"], pa.string()),
+        "html": pa.array(
+            [b"<rss><item><title>X</title><link>l1</link></item></rss>",
+             None], pa.binary())}))
+    df = extract_feed_entries(pages).to_pandas()
+    assert len(df) == 1
+    assert df.iloc[0].tolist() == ["u1", 0, "rss", "X", "l1", ""]

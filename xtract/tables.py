@@ -501,3 +501,115 @@ def code_batch(batch: pa.Table) -> pa.Table:
 def extract_code_blocks(ds):
     """pages Dataset → code-block rows (streaming flat explode)."""
     return ds.map_batches(code_batch, batch_format="pyarrow")
+
+
+FEED_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("entry_idx", pa.int64()),
+    ("kind", pa.string()),
+    ("title", pa.string()),
+    ("link", pa.string()),
+    ("ts_raw", pa.string()),
+])
+
+
+def parse_feed(body: bytes) -> "list[tuple[str, str, str, str]]":
+    """→ ordered [(kind, title, link, ts_raw)] from an RSS 2.0 or Atom
+    feed body — the EIGHTH surface walked by the shared tokenizer
+    (reference parity anchor: one recognition result projected into
+    many formats, src/api.rs:303-548; here one tokenizer serves HTML,
+    sitemap and feed XML alike).  kind ∈ {'rss', 'atom'} per entry
+    (``<item>`` vs ``<entry>`` container); RSS links are ``<link>``
+    text, Atom links the FIRST ``<link href>`` attribute;
+    ``ts_raw`` is the raw declared ``<pubDate>``/``<updated>`` string
+    ('' when absent).  Titles are entity-unescaped and stripped.
+    Never raises; unterminated entries recover at the next entry or
+    EOF (channel/feed-level title/link rows are NOT emitted).
+    ``<title>`` follows the shared tokenizer's HTML raw-text rule:
+    its content runs to the matching close tag, markup included — so
+    an unterminated title absorbs what follows (documented contract,
+    exercised in tests).
+    """
+    from .html_tokenizer import parse_attrs
+
+    out: list[tuple[str, str, str, str]] = []
+    kind = ""
+    field = ""
+    title_parts: list[str] = []
+    link_parts: list[str] = []
+    ts_parts: list[str] = []
+    atom_href = ""
+
+    def close_entry() -> None:
+        nonlocal title_parts, link_parts, ts_parts, atom_href
+        link = atom_href or "".join(link_parts).strip()
+        if kind:
+            out.append((kind,
+                        unescape("".join(title_parts)).strip(),
+                        link,
+                        "".join(ts_parts).strip()))
+        title_parts, link_parts, ts_parts = [], [], []
+        atom_href = ""
+
+    for tok in tokenize(body):
+        t = tok[0]
+        if t == "start":
+            tag = tok[3]
+            if tag in ("item", "entry"):
+                if kind:
+                    close_entry()
+                kind = "rss" if tag == "item" else "atom"
+            elif kind and tag in ("title", "pubdate", "updated"):
+                field = tag
+            elif kind and tag == "link":
+                if kind == "atom":
+                    href = parse_attrs(tok[4]).get("href", "")
+                    if href and not atom_href:
+                        atom_href = href
+                else:
+                    field = "link"
+        elif t == "end":
+            tag = tok[3]
+            if tag in ("title", "pubdate", "updated", "link"):
+                field = ""
+            elif tag in ("item", "entry") and kind:
+                close_entry()
+                kind = ""
+        elif t == "text" and field and kind:
+            raw = body[tok[1]:tok[2]].decode("utf-8", "replace")
+            if field == "title":
+                title_parts.append(raw)
+            elif field == "link":
+                link_parts.append(raw)
+            else:
+                ts_parts.append(raw)
+    if kind:
+        close_entry()
+    return out
+
+
+def feed_batch(batch: pa.Table) -> pa.Table:
+    urls, idxs, kinds, titles, links, tss = [], [], [], [], [], []
+    for url, body in zip(batch["url"].to_pylist(),
+                         batch["html"].to_pylist()):
+        if not body:
+            continue
+        for i, (k, t, l, ts) in enumerate(parse_feed(body)):
+            urls.append(url)
+            idxs.append(i)
+            kinds.append(k)
+            titles.append(t)
+            links.append(l)
+            tss.append(ts)
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "entry_idx": pa.array(idxs, pa.int64()),
+                     "kind": pa.array(kinds, pa.string()),
+                     "title": pa.array(titles, pa.string()),
+                     "link": pa.array(links, pa.string()),
+                     "ts_raw": pa.array(tss, pa.string())})
+
+
+def extract_feed_entries(ds):
+    """feed-body Dataset (url, html) → per-entry rows (streaming flat
+    explode, one tokenizer pass per body)."""
+    return ds.map_batches(feed_batch, batch_format="pyarrow")
