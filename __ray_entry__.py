@@ -1286,6 +1286,55 @@ def _feed_entries_sql() -> str:
         "FROM documents WHERE doc_id % 2 = 1")
 
 
+def _media_pages_batch(t: pa.Table) -> pa.Table:
+    """doc_id → a page with a base-href video carrying two sources
+    (one typed), a direct-src audio, and for doc_id % 4 == 0 an
+    orphan <source> that must be skipped."""
+    urls, htmls = [], []
+    for d in t["doc_id"].to_pylist():
+        urls.append(f"https://m{d % 6}.example.org/v/{d}")
+        h = (f"<html><head><base href='/mm{d % 2}/'></head><body>"
+             f"<video poster='po{d % 3}.jpg'>"
+             f"<source src='v{d % 4}.mp4' type='video/mp4'>"
+             f"<source src='v{d % 4}.webm'></video>"
+             f"<audio src='a{d % 5}.ogg'></audio>")
+        if d % 4 == 0:
+            h += "<source src='orphan.mp4'>"
+        h += "</body></html>"
+        htmls.append(h.encode())
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "html": pa.array(htmls, pa.binary())})
+
+
+def _q_page_media(sf_dir: str):
+    """Audio/video reference harvest (`xtract/tables.extract_media`)
+    — the media-tier crawl surface: source scoping, parent tag,
+    poster/base resolution; closed-form planted oracle."""
+    from xtract.tables import extract_media
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _media_pages_batch, batch_format="pyarrow")
+    return extract_media(pages)
+
+
+def _page_media_sql() -> str:
+    url = ("'https://m' || CAST(doc_id % 6 AS VARCHAR) || "
+           "'.example.org/v/' || CAST(doc_id AS VARCHAR)")
+    root = ("'https://m' || CAST(doc_id % 6 AS VARCHAR) || "
+            "'.example.org/mm' || CAST(doc_id % 2 AS VARCHAR) || '/'")
+    poster = f"{root} || 'po' || CAST(doc_id % 3 AS VARCHAR) || '.jpg'"
+    return (
+        f"SELECT {url} AS url, CAST(0 AS BIGINT) AS rank, "
+        f"'video' AS media_tag, {root} || 'v' || "
+        "CAST(doc_id % 4 AS VARCHAR) || '.mp4' AS src, "
+        f"'video/mp4' AS mime_type, {poster} AS poster FROM documents "
+        f"UNION ALL SELECT {url}, 1, 'video', {root} || 'v' || "
+        "CAST(doc_id % 4 AS VARCHAR) || '.webm', '', "
+        f"{poster} FROM documents "
+        f"UNION ALL SELECT {url}, 2, 'audio', {root} || 'a' || "
+        "CAST(doc_id % 5 AS VARCHAR) || '.ogg', '', '' FROM documents")
+
+
 def _q_host_homographs(sf_dir: str):
     """Homograph host detection (`ops/urls.homograph_groups`) over
     planted hosts where every doc_id % 7 == 0 row spoofs its site's
@@ -7999,6 +8048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_breadth": _q_user_event_breadth,
         "host_homographs": _q_host_homographs,
         "feed_entries": _q_feed_entries,
+        "page_media": _q_page_media,
         "host_robots_filter": _q_host_robots_filter,
         "doc_sentences": _q_doc_sentences,
         "event_value_bands": _q_event_value_bands,
@@ -8930,6 +8980,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_fd_audit": _fd_audit_sql(),
         "host_homographs": _homograph_sql(),
         "feed_entries": _feed_entries_sql(),
+        "page_media": _page_media_sql(),
         "user_event_breadth":
             "WITH f AS (SELECT user_id, ts, event_id, "
             "CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, "

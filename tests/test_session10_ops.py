@@ -404,3 +404,40 @@ def test_extract_feed_entries_dataset(ray_session):
     df = extract_feed_entries(pages).to_pandas()
     assert len(df) == 1
     assert df.iloc[0].tolist() == ["u1", 0, "rss", "X", "l1", ""]
+
+
+# ---------------------------------------------------------------------------
+# extract_media (audio/video reference harvest)
+# ---------------------------------------------------------------------------
+
+def test_extract_media_one_scoping_and_base():
+    from xtract.tables import extract_media_one
+
+    h = (b"<html><head><base href='/m/'></head><body>"
+         b"<video poster='p.jpg'><source src='a.mp4' type='video/mp4'>"
+         b"<source src='b.webm'></video>"
+         b"<audio src='s.ogg'></audio>"
+         b"<source src='orphan.mp4'>"
+         b"<video src='direct.mp4' type='video/mp4'/></body>")
+    assert extract_media_one(h, "https://x.org/page") == [
+        ("video", "https://x.org/m/a.mp4", "video/mp4",
+         "https://x.org/m/p.jpg"),
+        ("video", "https://x.org/m/b.webm", "",
+         "https://x.org/m/p.jpg"),
+        ("audio", "https://x.org/m/s.ogg", "", ""),
+        ("video", "https://x.org/m/direct.mp4", "video/mp4", ""),
+    ]
+
+
+def test_extract_media_dataset(ray_session):
+    from xtract.tables import extract_media
+
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(["u1", "u2"], pa.string()),
+        "html": pa.array(
+            [b"<audio><source src='x.ogg' type='audio/ogg'></audio>",
+             None], pa.binary())}))
+    df = extract_media(pages).to_pandas()
+    assert len(df) == 1
+    assert df.iloc[0].tolist() == ["u1", 0, "audio", "x.ogg",
+                                   "audio/ogg", ""]

@@ -613,3 +613,98 @@ def extract_feed_entries(ds):
     """feed-body Dataset (url, html) → per-entry rows (streaming flat
     explode, one tokenizer pass per body)."""
     return ds.map_batches(feed_batch, batch_format="pyarrow")
+
+
+MEDIA_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("rank", pa.int64()),
+    ("media_tag", pa.string()),
+    ("src", pa.string()),
+    ("mime_type", pa.string()),
+    ("poster", pa.string()),
+])
+
+
+def extract_media_one(html: bytes, base_url: str = ""
+                      ) -> "list[tuple[str, str, str, str]]":
+    """→ ordered [(media_tag, src, mime_type, poster)] for every
+    ``<video>``/``<audio>`` src and every ``<source>`` INSIDE one —
+    the audio/video crawl harvest (the `extract_images_one` sibling
+    feeding the media near-dup tier).  ``src`` and ``poster`` resolve
+    against the page url honoring the first ``<base href>`` (same
+    link-path rule); a ``<source>`` row reports its PARENT element as
+    ``media_tag`` and carries its declared ``type`` ('' when absent);
+    src-less ``<video>/<audio>`` emit nothing themselves but still
+    scope their sources; ``<source>`` outside a media element is
+    skipped.  Pure function (oracle-shared), never raises."""
+    from urllib.parse import urljoin
+
+    from .html_tokenizer import parse_attrs
+
+    out: list[tuple[str, str, str, str]] = []
+    base = base_url
+    base_seen = False
+    in_media = ""          # 'video' | 'audio' | ''
+    media_poster = ""
+    for tok in tokenize(html):
+        t = tok[0]
+        if t == "end":
+            if tok[3] in ("video", "audio"):
+                in_media, media_poster = "", ""
+            continue
+        if t != "start":
+            continue
+        tag = tok[3]
+        if tag == "base" and not base_seen:
+            b = parse_attrs(tok[4]).get("href")
+            if b:
+                base = urljoin(base_url, b) if base_url else b
+                base_seen = True
+        elif tag in ("video", "audio"):
+            attrs = parse_attrs(tok[4])
+            poster = attrs.get("poster", "")
+            if poster:
+                poster = urljoin(base, poster) if base else poster
+            src = attrs.get("src")
+            if src:
+                out.append((tag, urljoin(base, src) if base else src,
+                            attrs.get("type", ""), poster))
+            if not tok[5]:                 # not self-closing: scope
+                in_media, media_poster = tag, poster
+        elif tag == "source" and in_media:
+            attrs = parse_attrs(tok[4])
+            src = attrs.get("src")
+            if src:
+                out.append((in_media,
+                            urljoin(base, src) if base else src,
+                            attrs.get("type", ""), media_poster))
+    return out
+
+
+def media_batch(batch: pa.Table) -> pa.Table:
+    urls = batch["url"].to_pylist()
+    htmls = (batch["html"].to_pylist() if "html" in batch.column_names
+             else [None] * len(urls))
+    cols: "list[list]" = [[], [], [], [], [], []]
+    for url, html in zip(urls, htmls):
+        if not url or not html:
+            continue
+        for i, (tag, src, mt, poster) in enumerate(
+                extract_media_one(html, url)):
+            cols[0].append(url)
+            cols[1].append(i)
+            cols[2].append(tag)
+            cols[3].append(src)
+            cols[4].append(mt)
+            cols[5].append(poster)
+    return pa.Table.from_arrays(
+        [pa.array(cols[0], pa.string()), pa.array(cols[1], pa.int64()),
+         pa.array(cols[2], pa.string()), pa.array(cols[3], pa.string()),
+         pa.array(cols[4], pa.string()), pa.array(cols[5], pa.string())],
+        schema=MEDIA_SCHEMA)
+
+
+def extract_media(ds):
+    """pages Dataset → audio/video reference rows (streaming flat
+    explode, one tokenizer pass per page)."""
+    return ds.map_batches(media_batch, batch_format="pyarrow")
