@@ -1335,6 +1335,70 @@ def _page_media_sql() -> str:
         "CAST(doc_id % 5 AS VARCHAR) || '.ogg', '', '' FROM documents")
 
 
+def _q_site_doc_counts(sf_dir: str):
+    """Registrable-domain (eTLD+1) aggregation
+    (`ops/urls.add_site_column`): planted hosts across PSL suffixes
+    with www/cdn prefixes collapse to one site each; closed-form
+    oracle."""
+    from ray.data.aggregate import Count
+
+    from xtract.ops.urls import add_site_column
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def hosts(t: pa.Table) -> pa.Table:
+        sufs = ["co.uk", "org", "github.io", "com.au", "net"]
+        out = []
+        for d in t["doc_id"].to_pylist():
+            pre = "www." if d % 3 == 0 else ("cdn." if d % 3 == 1
+                                             else "")
+            out.append(f"{pre}s{d % 10}.{sufs[d % 5]}")
+        return pa.table({"host": pa.array(out, pa.string())})
+
+    sites = add_site_column(docs.map_batches(hosts,
+                                             batch_format="pyarrow"))
+    return sites.groupby("site").aggregate(Count(alias_name="n_docs"))
+
+
+def _site_counts_sql() -> str:
+    site = ("'s' || CAST(doc_id % 10 AS VARCHAR) || '.' || "
+            "CASE doc_id % 5 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'org' "
+            "WHEN 2 THEN 'github.io' WHEN 3 THEN 'com.au' "
+            "ELSE 'net' END")
+    return (f"SELECT {site} AS site, COUNT(*) AS n_docs "
+            "FROM documents GROUP BY 1 ORDER BY 1")
+
+
+def _q_lineitem_unpivot(sf_dir: str):
+    """Generic UNPIVOT/melt (`ops/agg.unpivot`) of three lineitem
+    measures to long form (sampled keys); oracle = UNION ALL."""
+    import ray.data as rd
+
+    from xtract.ops.agg import unpivot
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_discount", "l_tax"])
+    li = li.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(
+            pc.cast(b["l_orderkey"], pa.int64()), pa.scalar(31)), 0)),
+        batch_format="pyarrow")
+    return unpivot(li, ["l_orderkey", "l_linenumber"],
+                   ["l_quantity", "l_discount", "l_tax"],
+                   value_type=pa.float64())
+
+
+def _lineitem_unpivot_sql() -> str:
+    base = ("FROM lineitem WHERE (l_orderkey & 31) = 0")
+    parts = []
+    for c in ("l_quantity", "l_discount", "l_tax"):
+        parts.append(
+            f"SELECT l_orderkey, l_linenumber, '{c}' AS variable, "
+            f"CAST({c} AS DOUBLE) AS value {base}")
+    return " UNION ALL ".join(parts)
+
+
 def _q_host_homographs(sf_dir: str):
     """Homograph host detection (`ops/urls.homograph_groups`) over
     planted hosts where every doc_id % 7 == 0 row spoofs its site's
@@ -8049,6 +8113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_homographs": _q_host_homographs,
         "feed_entries": _q_feed_entries,
         "page_media": _q_page_media,
+        "site_doc_counts": _q_site_doc_counts,
+        "lineitem_unpivot": _q_lineitem_unpivot,
         "host_robots_filter": _q_host_robots_filter,
         "doc_sentences": _q_doc_sentences,
         "event_value_bands": _q_event_value_bands,
@@ -8981,6 +9047,8 @@ def oracle_sql() -> dict[str, str]:
         "host_homographs": _homograph_sql(),
         "feed_entries": _feed_entries_sql(),
         "page_media": _page_media_sql(),
+        "site_doc_counts": _site_counts_sql(),
+        "lineitem_unpivot": _lineitem_unpivot_sql(),
         "user_event_breadth":
             "WITH f AS (SELECT user_id, ts, event_id, "
             "CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, "

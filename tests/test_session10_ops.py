@@ -441,3 +441,59 @@ def test_extract_media_dataset(ray_session):
     assert len(df) == 1
     assert df.iloc[0].tolist() == ["u1", 0, "audio", "x.ogg",
                                    "audio/ogg", ""]
+
+
+# ---------------------------------------------------------------------------
+# registrable_domain / add_site_column
+# ---------------------------------------------------------------------------
+
+def test_registrable_domain_rules():
+    from xtract.ops.urls import registrable_domain as r
+
+    assert r("A.B.co.uk") == "b.co.uk"
+    assert r("x.y.example.org") == "example.org"
+    assert r("example.org") == "example.org"
+    assert r("org") == "org"
+    assert r("deep.user.github.io") == "user.github.io"
+    assert r("host.example.org.") == "example.org"
+
+
+def test_add_site_column(ray_session):
+    from xtract.ops.urls import add_site_column
+
+    ds = rd.from_arrow(pa.table({"host": pa.array(
+        ["www.shop.co.uk", "cdn.shop.co.uk", "m.news.org", None],
+        pa.string())}))
+    df = add_site_column(ds).to_pandas()
+    assert df["site"].tolist() == ["shop.co.uk", "shop.co.uk",
+                                   "news.org", ""]
+
+
+# ---------------------------------------------------------------------------
+# unpivot
+# ---------------------------------------------------------------------------
+
+def test_unpivot_matches_manual(ray_session):
+    from xtract.ops.agg import unpivot
+
+    t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "a": pa.array([10, 20], pa.int64()),
+                  "b": pa.array([30, 40], pa.int64())})
+    df = unpivot(rd.from_arrow(t), ["k"], ["a", "b"]).to_pandas() \
+        .sort_values(["k", "variable"]).reset_index(drop=True)
+    assert df.to_dict("records") == [
+        {"k": 1, "variable": "a", "value": 10},
+        {"k": 1, "variable": "b", "value": 30},
+        {"k": 2, "variable": "a", "value": 20},
+        {"k": 2, "variable": "b", "value": 40}]
+
+
+def test_unpivot_type_unification(ray_session):
+    from xtract.ops.agg import unpivot
+
+    t = pa.table({"k": pa.array([1], pa.int64()),
+                  "a": pa.array([2], pa.int64()),
+                  "b": pa.array([2.5], pa.float64())})
+    df = unpivot(rd.from_arrow(t), ["k"], ["a", "b"],
+                 value_type=pa.float64()).to_pandas()
+    assert sorted(df["value"].tolist()) == [2.0, 2.5]

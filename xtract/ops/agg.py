@@ -487,3 +487,32 @@ def grouped_mode(ds, key: str, val: str, num_partitions: int = 32):
                          "n": pc.cast(t["n"], pa.int64())})
 
     return win.map_batches(fin, batch_format="pyarrow")
+
+
+def unpivot(ds, id_cols: "list[str]", value_cols: "list[str]",
+            var_name: str = "variable", value_name: str = "value",
+            value_type: "pa.DataType | None" = None):
+    """UNPIVOT / melt: wide → long, one output row per (input row ×
+    value column) — pure per-batch reshaping, zero shuffle, zero
+    Python per row (each value column contributes one `pc.cast` and
+    one column slice per batch).
+
+    ``value_type`` unifies the value columns' types (default: the
+    first value column's type; pass explicitly when mixing int/float
+    — the cast is checked, so a lossy mix fails loudly rather than
+    silently truncating).
+    """
+    import pyarrow.compute as _pc
+
+    def mapper(t: pa.Table) -> pa.Table:
+        vt = value_type or t.schema.field(value_cols[0]).type
+        pieces = []
+        for c in value_cols:
+            cols = {ic: t[ic] for ic in id_cols}
+            cols[var_name] = pa.array([c] * len(t), pa.string())
+            cols[value_name] = _pc.cast(t[c], vt)
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    return ds.select_columns(list(id_cols) + list(value_cols)) \
+             .map_batches(mapper, batch_format="pyarrow")

@@ -464,3 +464,44 @@ def homograph_groups(ds, host_col: str = "host"):
 
     return (distinct.groupby("skeleton")
             .map_groups(flag, batch_format="pandas"))
+
+
+#: embedded public-suffix subset: the two-level suffixes under which
+#: registrations happen (a deterministic PSL excerpt — the full list
+#: is a data file in a real deployment; the RULE is what matters:
+#: registrable domain = one label beyond the public suffix).
+PSL_2LEVEL = frozenset({
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp",
+    "com.br", "com.cn", "com.mx", "com.tr",
+    "co.in", "co.kr", "co.za", "co.nz",
+    "github.io", "blogspot.com",
+})
+
+
+def registrable_domain(host: str) -> str:
+    """Host → its registrable domain (eTLD+1) under the embedded
+    public-suffix subset: ``a.b.co.uk`` → ``b.co.uk``,
+    ``x.y.example.org`` → ``example.org``; hosts at or below two
+    labels pass through.  Lowercases and strips a trailing dot."""
+    parts = host.lower().rstrip(".").split(".")
+    if len(parts) < 2:
+        return host.lower().rstrip(".")
+    last2 = ".".join(parts[-2:])
+    if last2 in PSL_2LEVEL and len(parts) >= 3:
+        return ".".join(parts[-3:])
+    return last2
+
+
+def add_site_column(ds, host_col: str = "host",
+                    out_col: str = "site"):
+    """Append the registrable-domain column (vectorized batch map, no
+    shuffle) — the grouping key that makes per-SITE crawl policy
+    possible where per-host would overcount (www./m./cdn. splits)."""
+    def mapper(t: pa.Table) -> pa.Table:
+        sites = [registrable_domain(h) if h else ""
+                 for h in t[host_col].to_pylist()]
+        return t.append_column(out_col, pa.array(sites, pa.string()))
+
+    return ds.map_batches(mapper, batch_format="pyarrow")
