@@ -1335,6 +1335,27 @@ def _page_media_sql() -> str:
         "CAST(doc_id % 5 AS VARCHAR) || '.ogg', '', '' FROM documents")
 
 
+def _q_orders_sorted_join(sf_dir: str):
+    """Zero-shuffle sort-merge join (`ops/sorted_layout.sorted_join`):
+    orders and customer each written once as range-sorted stores, the
+    join plan pairs files by envelope overlap and never exchanges a
+    row; oracle = plain inner join."""
+    import tempfile
+
+    import ray.data as rd
+
+    from xtract.ops.sorted_layout import sorted_join, write_sorted
+
+    base = tempfile.mkdtemp(prefix="sorted_join_")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    write_sorted(orders.repartition(8), f"{base}/orders", "o_custkey")
+    write_sorted(cust.repartition(4), f"{base}/customer", "c_custkey")
+    return sorted_join(f"{base}/orders", f"{base}/customer")
+
+
 def _q_site_doc_counts(sf_dir: str):
     """Registrable-domain (eTLD+1) aggregation
     (`ops/urls.add_site_column`): planted hosts across PSL suffixes
@@ -8114,6 +8135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feed_entries": _q_feed_entries,
         "page_media": _q_page_media,
         "site_doc_counts": _q_site_doc_counts,
+        "orders_sorted_join": _q_orders_sorted_join,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "host_robots_filter": _q_host_robots_filter,
         "doc_sentences": _q_doc_sentences,
@@ -9048,6 +9070,10 @@ def oracle_sql() -> dict[str, str]:
         "feed_entries": _feed_entries_sql(),
         "page_media": _page_media_sql(),
         "site_doc_counts": _site_counts_sql(),
+        "orders_sorted_join":
+            "SELECT o.o_orderkey, o.o_custkey, c.c_custkey, "
+            "c.c_nationkey FROM orders o JOIN customer c "
+            "ON o.o_custkey = c.c_custkey",
         "lineitem_unpivot": _lineitem_unpivot_sql(),
         "user_event_breadth":
             "WITH f AS (SELECT user_id, ts, event_id, "

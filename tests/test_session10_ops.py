@@ -497,3 +497,67 @@ def test_unpivot_type_unification(ray_session):
     df = unpivot(rd.from_arrow(t), ["k"], ["a", "b"],
                  value_type=pa.float64()).to_pandas()
     assert sorted(df["value"].tolist()) == [2.0, 2.5]
+
+
+# ---------------------------------------------------------------------------
+# sorted_join (zero-shuffle sort-merge join over range-sorted stores)
+# ---------------------------------------------------------------------------
+
+def _sorted_store(tmp, name, keys, vals, vname):
+    import os
+
+    import ray.data as rdd
+
+    from xtract.ops.sorted_layout import write_sorted
+
+    d = os.path.join(str(tmp), name)
+    ds = rdd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        vname: pa.array(vals, pa.int64())})).repartition(4)
+    write_sorted(ds, d, "k")
+    return d
+
+
+def test_sorted_join_matches_pandas(ray_session, tmp_path):
+    import pandas as pd
+
+    from xtract.ops.sorted_layout import sorted_join
+
+    rng = np.random.default_rng(59)
+    ka = rng.integers(0, 60, 200)
+    kb = rng.integers(30, 90, 150)   # partial key overlap
+    da = _sorted_store(tmp_path, "a", ka, np.arange(200), "va")
+    db = _sorted_store(tmp_path, "b", kb, np.arange(150) * 10, "vb")
+    got = sorted_join(da, db).to_pandas() \
+        .sort_values(["k", "va", "vb"]).reset_index(drop=True)
+    want = (pd.DataFrame({"k": ka, "va": np.arange(200)})
+            .merge(pd.DataFrame({"k": kb, "vb": np.arange(150) * 10}),
+                   on="k", how="inner")
+            .sort_values(["k", "va", "vb"]).reset_index(drop=True))
+    # column order may differ; right key column name collides to k
+    assert sorted(got.columns) == sorted(want.columns)
+    assert got[want.columns.tolist()].equals(want)
+
+
+def test_sorted_join_no_overlap_empty_with_schema(ray_session,
+                                                  tmp_path):
+    from xtract.ops.sorted_layout import sorted_join
+
+    da = _sorted_store(tmp_path, "a2", [1, 2, 3], [1, 2, 3], "va")
+    db = _sorted_store(tmp_path, "b2", [100, 101], [5, 6], "vb")
+    out = sorted_join(da, db)
+    # Dataset keeps the merged schema; (to_pandas on a 0-row Dataset
+    # drops columns — a Ray quirk, so assert on the Dataset schema)
+    assert set(out.schema().names) >= {"k", "va", "vb"}
+    assert out.count() == 0
+
+
+def test_sorted_join_duplicate_keys_multiplicity(ray_session,
+                                                 tmp_path):
+    from xtract.ops.sorted_layout import sorted_join
+
+    da = _sorted_store(tmp_path, "a3", [5, 5, 7], [1, 2, 3], "va")
+    db = _sorted_store(tmp_path, "b3", [5, 5, 9], [10, 20, 30], "vb")
+    df = sorted_join(da, db).to_pandas()
+    # 2 left fives x 2 right fives = 4 rows
+    assert len(df) == 4 and (df["k"] == 5).all()

@@ -410,3 +410,68 @@ def read_box(out_dir: str, a_lo=None, a_hi=None, b_lo=None, b_hi=None):
         return t.filter(mask)
 
     return ds.map_batches(exact, batch_format="pyarrow")
+
+
+def sorted_join(dir_a: str, dir_b: str, suffix: str = "_r"):
+    """Zero-shuffle SORT-MERGE join of two range-sorted stores
+    (`write_sorted` layout) on their sort columns → Dataset of inner-
+    joined rows.  The range-layout complement of
+    `bucketed.bucketed_join`: no exchange ever happens — the join
+    plan pairs each LEFT file with exactly the RIGHT files whose
+    key envelopes overlap it (manifest zone maps), and one Ray task
+    per left file reads only that slice of the right side.
+
+    Correctness: every left row lives in exactly one left file, so
+    each (left, right) match is emitted exactly once; right files
+    overlapping several left envelopes are re-read per overlap (cost
+    bounded by key-range skew, the documented trade of range layout —
+    rebalance with `write_sorted` if a store develops hot ranges).
+    Left files whose envelope overlaps NO right file are never even
+    opened at join time.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    ma, mb = _manifest(dir_a), _manifest(dir_b)
+    key_a, key_b = ma["col"], mb["col"]
+
+    plan = []
+    for fa in ma["files"]:
+        bs = [fb["file"] for fb in mb["files"]
+              if fb["lo"] <= fa["hi"] and fb["hi"] >= fa["lo"]]
+        if bs:
+            plan.append({"a": fa["file"], "b": "\x1f".join(bs)})
+    if not plan:
+        # no overlapping envelopes: empty result, schema preserved
+        # from zero-row slices of each side when files exist
+        if ma["files"] and mb["files"]:
+            A = pq.read_table(os.path.join(
+                dir_a, ma["files"][0]["file"])).slice(0, 0).to_pandas()
+            B = pq.read_table(os.path.join(
+                dir_b, mb["files"][0]["file"])).slice(0, 0).to_pandas()
+            m = A.merge(B, how="inner", left_on=key_a, right_on=key_b,
+                        suffixes=("", suffix))
+        else:
+            m = pd.DataFrame()
+        # go through Arrow: from_pandas drops a 0-row frame's schema
+        return rd.from_arrow(pa.Table.from_pandas(
+            m, preserve_index=False))
+
+    def join_one(t: pa.Table) -> pd.DataFrame:
+        out = []
+        for a_file, b_join in zip(t["a"].to_pylist(),
+                                  t["b"].to_pylist()):
+            A = pq.read_table(os.path.join(dir_a, a_file)).to_pandas()
+            B = pa.concat_tables(
+                [pq.read_table(os.path.join(dir_b, f))
+                 for f in b_join.split("\x1f")]).to_pandas()
+            m = A.merge(B, how="inner", left_on=key_a, right_on=key_b,
+                        suffixes=("", suffix))
+            if len(m):
+                out.append(m)
+        if not out:
+            return pd.DataFrame()
+        return pd.concat(out, ignore_index=True)
+
+    items = rd.from_items(plan, override_num_blocks=len(plan))
+    return items.map_batches(join_one, batch_format="pyarrow")
