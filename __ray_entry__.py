@@ -1335,6 +1335,51 @@ def _page_media_sql() -> str:
         "CAST(doc_id % 5 AS VARCHAR) || '.ogg', '', '' FROM documents")
 
 
+def _q_customers_no_events_except(sf_dir: str):
+    """Relational EXCEPT (`ops/agg.except_distinct`): customers who
+    never produced an event, as one tagged groupby exchange; oracle =
+    SQL EXCEPT."""
+    import ray.data as rd
+
+    from xtract.ops.agg import except_distinct
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"]).map_batches(
+        lambda b: pa.table({"c_custkey": b["user_id"]}),
+        batch_format="pyarrow")
+    return except_distinct(cust, ev, ["c_custkey"]).sort("c_custkey")
+
+
+def _q_events_users_intersect(sf_dir: str):
+    """Relational INTERSECT (`ops/agg.intersect_distinct`): user ids
+    present in BOTH the events feed and the customer table."""
+    import ray.data as rd
+
+    from xtract.ops.agg import intersect_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"]).map_batches(
+        lambda b: pa.table({"user_id": b["c_custkey"]}),
+        batch_format="pyarrow")
+    return intersect_distinct(ev, cust, ["user_id"]).sort("user_id")
+
+
+def _q_events_pseudonymized(sf_dir: str):
+    """Salted-SHA256 pseudonymization (`ops/pii.pseudonymize`) of the
+    events user ids; oracle = DuckDB sha256 over the same rendering."""
+    import ray.data as rd
+
+    from xtract.ops.pii import pseudonymize
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id"])
+    return pseudonymize(ev, ["user_id"], salt="corpus1")
+
+
 def _q_orders_sorted_join(sf_dir: str):
     """Zero-shuffle sort-merge join (`ops/sorted_layout.sorted_join`):
     orders and customer each written once as range-sorted stores, the
@@ -8136,6 +8181,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_media": _q_page_media,
         "site_doc_counts": _q_site_doc_counts,
         "orders_sorted_join": _q_orders_sorted_join,
+        "customers_no_events_except": _q_customers_no_events_except,
+        "events_users_intersect": _q_events_users_intersect,
+        "events_pseudonymized": _q_events_pseudonymized,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "host_robots_filter": _q_host_robots_filter,
         "doc_sentences": _q_doc_sentences,
@@ -9070,6 +9118,17 @@ def oracle_sql() -> dict[str, str]:
         "feed_entries": _feed_entries_sql(),
         "page_media": _page_media_sql(),
         "site_doc_counts": _site_counts_sql(),
+        "customers_no_events_except":
+            "SELECT c_custkey FROM customer "
+            "EXCEPT SELECT user_id AS c_custkey FROM events "
+            "ORDER BY c_custkey",
+        "events_users_intersect":
+            "SELECT user_id FROM events "
+            "INTERSECT SELECT c_custkey AS user_id FROM customer "
+            "ORDER BY user_id",
+        "events_pseudonymized":
+            "SELECT event_id, sha256('corpus1' || "
+            "CAST(user_id AS VARCHAR)) AS user_id FROM events",
         "orders_sorted_join":
             "SELECT o.o_orderkey, o.o_custkey, c.c_custkey, "
             "c.c_nationkey FROM orders o JOIN customer c "

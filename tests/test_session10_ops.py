@@ -561,3 +561,56 @@ def test_sorted_join_duplicate_keys_multiplicity(ray_session,
     df = sorted_join(da, db).to_pandas()
     # 2 left fives x 2 right fives = 4 rows
     assert len(df) == 4 and (df["k"] == 5).all()
+
+
+# ---------------------------------------------------------------------------
+# intersect_distinct / except_distinct / pseudonymize
+# ---------------------------------------------------------------------------
+
+def test_set_ops_match_python_sets(ray_session):
+    from xtract.ops.agg import except_distinct, intersect_distinct
+
+    a = rd.from_arrow(pa.table({
+        "x": pa.array([1, 1, 2, 3, 4], pa.int64()),
+        "y": pa.array(["a", "a", "b", "c", "d"], pa.string())}))
+    b = rd.from_arrow(pa.table({
+        "x": pa.array([2, 3, 3, 9], pa.int64()),
+        "y": pa.array(["b", "zzz", "c", "j"], pa.string())}))
+    inter = intersect_distinct(a, b, ["x", "y"]).to_pandas()
+    got_i = {tuple(r) for r in inter.itertuples(index=False)}
+    assert got_i == {(2, "b"), (3, "c")}
+    ex = except_distinct(a, b, ["x", "y"]).to_pandas()
+    got_e = {tuple(r) for r in ex.itertuples(index=False)}
+    assert got_e == {(1, "a"), (4, "d")}
+
+
+def test_set_ops_partition_invariance(ray_session):
+    from xtract.ops.agg import intersect_distinct
+
+    rng = np.random.default_rng(61)
+    ta = pa.table({"x": pa.array(rng.integers(0, 40, 300), pa.int64())})
+    tb = pa.table({"x": pa.array(rng.integers(20, 60, 300), pa.int64())})
+    a1 = intersect_distinct(rd.from_arrow(ta).repartition(1),
+                            rd.from_arrow(tb).repartition(1),
+                            ["x"]).to_pandas().sort_values("x") \
+        .reset_index(drop=True)
+    a2 = intersect_distinct(rd.from_arrow(ta).repartition(7),
+                            rd.from_arrow(tb).repartition(5),
+                            ["x"]).to_pandas().sort_values("x") \
+        .reset_index(drop=True)
+    assert a1.equals(a2)
+
+
+def test_pseudonymize_stable_and_null_safe(ray_session):
+    import hashlib
+
+    from xtract.ops.pii import pseudonymize
+
+    ds = rd.from_arrow(pa.table({
+        "uid": pa.array([7, 7, None, 9], pa.int64()),
+        "keep": pa.array([1, 2, 3, 4], pa.int64())}))
+    df = pseudonymize(ds, ["uid"], salt="s").to_pandas()
+    want7 = hashlib.sha256(b"s7").hexdigest()
+    assert df["uid"].tolist()[:2] == [want7, want7]
+    assert df["uid"].isna().tolist() == [False, False, True, False]
+    assert df["keep"].tolist() == [1, 2, 3, 4]

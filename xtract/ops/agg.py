@@ -516,3 +516,49 @@ def unpivot(ds, id_cols: "list[str]", value_cols: "list[str]",
 
     return ds.select_columns(list(id_cols) + list(value_cols)) \
              .map_batches(mapper, batch_format="pyarrow")
+
+
+def _tagged_side_counts(ds_a, ds_b, columns: "list[str]"):
+    from ray.data.aggregate import Sum
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {c: t[c] for c in columns}
+            n = len(t)
+            cols["_a"] = pa.array(
+                np.full(n, 1 - side, np.int64), pa.int64())
+            cols["_b"] = pa.array(np.full(n, side, np.int64),
+                                  pa.int64())
+            return pa.table(cols)
+        return f
+
+    both = (ds_a.select_columns(columns)
+            .map_batches(tag(0), batch_format="pyarrow")
+            .union(ds_b.select_columns(columns)
+                   .map_batches(tag(1), batch_format="pyarrow")))
+    return both.groupby(columns).aggregate(
+        Sum("_a", alias_name="_na"), Sum("_b", alias_name="_nb"))
+
+
+def intersect_distinct(ds_a, ds_b, columns: "list[str]"):
+    """SQL ``INTERSECT`` (set semantics): distinct rows present in
+    BOTH datasets over ``columns`` — ONE tagged groupby exchange, no
+    driver materialization (the relational set-op the engine lacked;
+    ``union`` Ray has natively, EXCEPT is the sibling below)."""
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater(t["_na"], 0), pc.greater(t["_nb"], 0))
+        return t.filter(m).select(columns)
+
+    return _tagged_side_counts(ds_a, ds_b, columns).map_batches(
+        keep, batch_format="pyarrow")
+
+
+def except_distinct(ds_a, ds_b, columns: "list[str]"):
+    """SQL ``EXCEPT`` (set semantics): distinct rows of A absent from
+    B over ``columns`` — same single tagged exchange."""
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater(t["_na"], 0), pc.equal(t["_nb"], 0))
+        return t.filter(m).select(columns)
+
+    return _tagged_side_counts(ds_a, ds_b, columns).map_batches(
+        keep, batch_format="pyarrow")

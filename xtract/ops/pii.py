@@ -17,6 +17,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 #: (column suffix, pattern source, replacement token) — pattern sources
 #: are shared verbatim with the SQL oracle (one definition, two engines)
@@ -61,3 +62,26 @@ def redact_pii_ds(ds, key: str = "doc_id", col: str = "text"):
     """Dataset op: streaming PII redaction (no shuffle)."""
     return ds.map_batches(lambda b: redact_pii_batch(b, key, col),
                           batch_format="pyarrow")
+
+
+def pseudonymize(ds, columns: "list[str]", salt: str = ""):
+    """Replace identifier columns with salted SHA-256 hex digests —
+    the GDPR-style pseudonymization pass a shared corpus ships with
+    (same value → same token, so joins/groupbys still work; the salt
+    keeps rainbow tables out).  digest = sha256(salt ‖ str(value));
+    null stays null.  Per-row cost is one C hashlib call (no Python
+    arithmetic); everything else stays Arrow.  SQL-replicable as
+    ``sha256(salt || CAST(col AS VARCHAR))``."""
+    import hashlib
+
+    def mapper(t: pa.Table) -> pa.Table:
+        out = {c: t[c] for c in t.column_names}
+        for c in columns:
+            vals = pc.cast(t[c], pa.string()).to_pylist()
+            out[c] = pa.array(
+                [None if v is None else
+                 hashlib.sha256((salt + v).encode()).hexdigest()
+                 for v in vals], pa.string())
+        return pa.table(out)
+
+    return ds.map_batches(mapper, batch_format="pyarrow")
