@@ -1335,6 +1335,43 @@ def _page_media_sql() -> str:
         "CAST(doc_id % 5 AS VARCHAR) || '.ogg', '', '' FROM documents")
 
 
+def _q_doc_set_containment(sf_dir: str):
+    """Asymmetric set containment (`ops/graph.containment_pairs`) —
+    the near-SUPERSET detector Jaccard misses; planted membership
+    table with per-set domain sizes so small sets sit inside big
+    ones; the oracle brute-forces the same pairs in SQL."""
+    from xtract.ops.graph import containment_pairs
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def members(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = d % 20
+        m = (d // 20) % (2 + s % 5)
+        return pa.table({"s": pa.array(s), "m": pa.array(m)})
+
+    return containment_pairs(
+        docs.map_batches(members, batch_format="pyarrow"), "s", "m",
+        min_contain_ppm=800_000).sort(["a", "b"])
+
+
+def _containment_sql() -> str:
+    return (
+        "WITH mem AS (SELECT DISTINCT CAST(doc_id % 20 AS BIGINT) "
+        "AS s, CAST((doc_id // 20) % (2 + (doc_id % 20) % 5) "
+        "AS BIGINT) AS m FROM documents), "
+        "sz AS (SELECT s, COUNT(*) AS n FROM mem GROUP BY s), "
+        "pr AS (SELECT x.s AS a, y.s AS b, COUNT(*) AS shared "
+        "FROM mem x JOIN mem y ON x.m = y.m AND x.s < y.s "
+        "GROUP BY 1, 2) "
+        "SELECT pr.a, pr.b, shared, sa.n AS n_a, sb.n AS n_b, "
+        "1000000 * shared // LEAST(sa.n, sb.n) AS contain_ppm "
+        "FROM pr JOIN sz sa ON sa.s = pr.a "
+        "JOIN sz sb ON sb.s = pr.b "
+        "WHERE 1000000 * shared // LEAST(sa.n, sb.n) >= 800000 "
+        "ORDER BY 1, 2")
+
+
 def _q_customers_no_events_except(sf_dir: str):
     """Relational EXCEPT (`ops/agg.except_distinct`): customers who
     never produced an event, as one tagged groupby exchange; oracle =
@@ -8182,6 +8219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "site_doc_counts": _q_site_doc_counts,
         "orders_sorted_join": _q_orders_sorted_join,
         "customers_no_events_except": _q_customers_no_events_except,
+        "doc_set_containment": _q_doc_set_containment,
         "events_users_intersect": _q_events_users_intersect,
         "events_pseudonymized": _q_events_pseudonymized,
         "lineitem_unpivot": _q_lineitem_unpivot,
@@ -9118,6 +9156,7 @@ def oracle_sql() -> dict[str, str]:
         "feed_entries": _feed_entries_sql(),
         "page_media": _page_media_sql(),
         "site_doc_counts": _site_counts_sql(),
+        "doc_set_containment": _containment_sql(),
         "customers_no_events_except":
             "SELECT c_custkey FROM customer "
             "EXCEPT SELECT user_id AS c_custkey FROM events "

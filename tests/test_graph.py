@@ -512,3 +512,55 @@ def test_scc_broadcast_gate(ray_session):
     with pytest.raises(ValueError, match="broadcast_limit"):
         strongly_connected_components(_edges([1, 2], [2, 3]),
                                       broadcast_limit=1)
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+def _members(sets):
+    s, m = [], []
+    for sid, ms in sets.items():
+        for x in ms:
+            s.append(sid)
+            m.append(x)
+    return rd.from_arrow(pa.table({"s": pa.array(s, pa.int64()),
+                                   "m": pa.array(m, pa.int64())}))
+
+
+def test_containment_catches_subset_jaccard_misses(ray_session):
+    from xtract.ops.graph import containment_pairs
+
+    # set 1 = {1..20}, set 2 = {1..3}: Jaccard 3/20 but containment
+    # of the smaller set is 100%
+    sets = {1: list(range(1, 21)), 2: [1, 2, 3], 3: [100, 101]}
+    df = containment_pairs(_members(sets), "s", "m",
+                           min_contain_ppm=900_000).to_pandas()
+    assert len(df) == 1
+    r = df.iloc[0]
+    assert (r["a"], r["b"], r["shared"], r["n_a"], r["n_b"],
+            r["contain_ppm"]) == (1, 2, 3, 20, 3, 1_000_000)
+
+
+def test_containment_vs_brute(ray_session):
+    from xtract.ops.graph import containment_pairs
+
+    rng = np.random.default_rng(67)
+    sets = {i: list(set(rng.integers(0, 30, rng.integers(1, 15))
+                        .tolist())) for i in range(12)}
+    df = containment_pairs(_members(sets), "s", "m",
+                           min_contain_ppm=0).to_pandas()
+    got = {(r.a, r.b): (r.shared, r.n_a, r.n_b, r.contain_ppm)
+           for r in df.itertuples()}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            sh = len(set(sets[a]) & set(sets[b]))
+            if sh < 1:
+                continue
+            small = min(len(sets[a]), len(sets[b]))
+            want[(a, b)] = (sh, len(sets[a]), len(sets[b]),
+                            1_000_000 * sh // small)
+    assert got == want

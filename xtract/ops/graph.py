@@ -571,7 +571,8 @@ def jaccard_pairs(ds, set_col: str, member_col: str,
                   min_overlap: int = 1,
                   max_member_fanout: int | None = None,
                   num_partitions: int = 32,
-                  broadcast_limit: int = 2_000_000):
+                  broadcast_limit: int = 2_000_000,
+                  emit_sizes: bool = False):
     """Pairwise Jaccard similarity between SETS from a flat membership
     table (set_id, member) — e.g. hosts by shared outlink targets,
     users by shared items.  Exact integers only: the similarity is the
@@ -691,18 +692,27 @@ def jaccard_pairs(ds, set_col: str, member_col: str,
         t = t.filter(pc.greater_equal(t["jac_num"],
                                       pa.scalar(min_overlap)))
         if len(t) == 0:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
-                             "jac_num": pa.array([], pa.int64()),
-                             "jac_den": pa.array([], pa.int64())})
+            cols = {"a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "jac_num": pa.array([], pa.int64()),
+                    "jac_den": pa.array([], pa.int64())}
+            if emit_sizes:
+                cols["n_a"] = pa.array([], pa.int64())
+                cols["n_b"] = pa.array([], pa.int64())
+            return pa.table(cols)
         a = t["a"].to_numpy(zero_copy_only=False)
         b = t["b"].to_numpy(zero_copy_only=False)
         co_ = t["jac_num"].to_numpy(zero_copy_only=False)
-        den = (szs[np.searchsorted(nodes, a)]
-               + szs[np.searchsorted(nodes, b)] - co_)
-        return pa.table({"a": t["a"], "b": t["b"],
-                         "jac_num": t["jac_num"],
-                         "jac_den": pa.array(den, pa.int64())})
+        sa = szs[np.searchsorted(nodes, a)]
+        sb = szs[np.searchsorted(nodes, b)]
+        den = sa + sb - co_
+        cols = {"a": t["a"], "b": t["b"],
+                "jac_num": t["jac_num"],
+                "jac_den": pa.array(den, pa.int64())}
+        if emit_sizes:
+            cols["n_a"] = pa.array(sa, pa.int64())
+            cols["n_b"] = pa.array(sb, pa.int64())
+        return pa.table(cols)
 
     return co.map_batches(attach, batch_format="pyarrow")
 
@@ -1601,3 +1611,43 @@ def strongly_connected_components(edges_ds, src: str = "src",
     return ray.data.from_arrow(pa.table({
         "node": pa.array(node_arr, pa.int64()),
         "scc_label": pa.array(label, pa.int64())}))
+
+
+def containment_pairs(ds, set_col: str, member_col: str,
+                      min_contain_ppm: int = 500_000,
+                      min_overlap: int = 1,
+                      max_member_fanout: "int | None" = None,
+                      num_partitions: int = 32,
+                      broadcast_limit: int = 2_000_000):
+    """ASYMMETRIC set containment between sets of a membership table:
+    → (a, b, shared, n_a, n_b, contain_ppm) where
+    ``contain_ppm = 1_000_000 · |A∩B| // min(|A|, |B|)`` — the
+    smaller set's coverage.  Jaccard misses near-SUPERSET pairs (a
+    quote inside a long page scores low Jaccard but full
+    containment); this is the dedup-tier op that catches them.
+    Same machinery and gates as `jaccard_pairs` (one pair-count
+    exchange, stop-member cap, gated size broadcast); exact integers
+    only.
+    """
+    pairs = jaccard_pairs(ds, set_col, member_col,
+                          min_overlap=min_overlap,
+                          max_member_fanout=max_member_fanout,
+                          num_partitions=num_partitions,
+                          broadcast_limit=broadcast_limit,
+                          emit_sizes=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        num = t["jac_num"].to_numpy(zero_copy_only=False)
+        na = t["n_a"].to_numpy(zero_copy_only=False)
+        nb = t["n_b"].to_numpy(zero_copy_only=False)
+        small = np.minimum(na, nb)
+        ppm = np.where(small > 0, 1_000_000 * num // np.maximum(
+            small, 1), 0).astype(np.int64)
+        out = pa.table({"a": t["a"], "b": t["b"],
+                        "shared": t["jac_num"],
+                        "n_a": t["n_a"], "n_b": t["n_b"],
+                        "contain_ppm": pa.array(ppm, pa.int64())})
+        return out.filter(pc.greater_equal(
+            out["contain_ppm"], pa.scalar(min_contain_ppm, pa.int64())))
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
