@@ -1335,6 +1335,22 @@ def _page_media_sql() -> str:
         "CAST(doc_id % 5 AS VARCHAR) || '.ogg', '', '' FROM documents")
 
 
+def _q_user_event_paths(sf_dir: str):
+    """Ordered per-key string aggregation
+    (`ops/agg.grouped_ordered_concat`) — each user's full event-type
+    breadcrumb in (ts, event_id) order; oracle = string_agg with
+    ORDER BY."""
+    import ray.data as rd
+
+    from xtract.ops.agg import grouped_ordered_concat
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    return grouped_ordered_concat(ev, "user_id", "event_type",
+                                  ["ts", "event_id"]).sort("user_id")
+
+
 def _q_doc_set_containment(sf_dir: str):
     """Asymmetric set containment (`ops/graph.containment_pairs`) —
     the near-SUPERSET detector Jaccard misses; planted membership
@@ -8220,6 +8236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_sorted_join": _q_orders_sorted_join,
         "customers_no_events_except": _q_customers_no_events_except,
         "doc_set_containment": _q_doc_set_containment,
+        "user_event_paths": _q_user_event_paths,
         "events_users_intersect": _q_events_users_intersect,
         "events_pseudonymized": _q_events_pseudonymized,
         "lineitem_unpivot": _q_lineitem_unpivot,
@@ -9157,6 +9174,11 @@ def oracle_sql() -> dict[str, str]:
         "page_media": _page_media_sql(),
         "site_doc_counts": _site_counts_sql(),
         "doc_set_containment": _containment_sql(),
+        "user_event_paths":
+            "SELECT user_id, string_agg(event_type, '|' "
+            "ORDER BY ts, event_id) AS path, "
+            "COUNT(*) AS n_items FROM events "
+            "GROUP BY user_id ORDER BY user_id",
         "customers_no_events_except":
             "SELECT c_custkey FROM customer "
             "EXCEPT SELECT user_id AS c_custkey FROM events "

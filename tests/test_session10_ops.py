@@ -614,3 +614,47 @@ def test_pseudonymize_stable_and_null_safe(ray_session):
     assert df["uid"].tolist()[:2] == [want7, want7]
     assert df["uid"].isna().tolist() == [False, False, True, False]
     assert df["keep"].tolist() == [1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# grouped_ordered_concat
+# ---------------------------------------------------------------------------
+
+def test_grouped_ordered_concat_vs_brute(ray_session):
+    from xtract.ops.agg import grouped_ordered_concat
+
+    rng = np.random.default_rng(71)
+    rows = [(int(rng.integers(0, 8)), int(ts),
+             ["a", "b", "c"][int(rng.integers(0, 3))])
+            for ts in range(120)]
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+        "ev": pa.array([r[2] for r in rows], pa.string())}))
+    df = grouped_ordered_concat(ds, "u", "ev", ["ts"]).to_pandas()
+    got = {r.u: (r.path, r.n_items) for r in df.itertuples()}
+    want = {}
+    for u, ts, ev in sorted(rows, key=lambda r: (r[0], r[1])):
+        p, n = want.get(u, ("", 0))
+        want[u] = (p + ("|" if p else "") + ev, n + 1)
+    assert got == want
+
+
+def test_grouped_ordered_concat_partition_invariance(ray_session):
+    from xtract.ops.agg import grouped_ordered_concat
+
+    rng = np.random.default_rng(73)
+    t = pa.table({
+        "u": pa.array(rng.integers(0, 6, 100), pa.int64()),
+        "ts": pa.array(rng.permutation(100), pa.int64()),
+        "ev": pa.array([str(x) for x in rng.integers(0, 4, 100)],
+                       pa.string())})
+    a = grouped_ordered_concat(rd.from_arrow(t).repartition(1),
+                               "u", "ev", ["ts"],
+                               num_partitions=2).to_pandas() \
+        .sort_values("u").reset_index(drop=True)
+    b = grouped_ordered_concat(rd.from_arrow(t).repartition(7),
+                               "u", "ev", ["ts"],
+                               num_partitions=11).to_pandas() \
+        .sort_values("u").reset_index(drop=True)
+    assert a.equals(b)

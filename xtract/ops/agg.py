@@ -562,3 +562,39 @@ def except_distinct(ds_a, ds_b, columns: "list[str]"):
 
     return _tagged_side_counts(ds_a, ds_b, columns).map_batches(
         keep, batch_format="pyarrow")
+
+
+def grouped_ordered_concat(ds, key: str, val_col: str, order_cols,
+                           sep: str = "|", num_partitions: int = 32):
+    """Per-key ORDERED string aggregation — SQL's
+    ``string_agg(val, sep ORDER BY order_cols)`` (the event-path /
+    breadcrumb builder).  → (key, path:string, n_items:int64).
+
+    Shape: ONE coarse hash co-group; per partition one mergesort +
+    one cython ``groupby.agg(join)`` — Python runs P times.  Ordering
+    must be made unique by ``order_cols`` (include a tiebreaker id)
+    or cross-run determinism is lost; the mergesort keeps equal keys
+    stable as a last resort.  Partitioning assumption: one key's rows
+    fit in one partition."""
+    import pandas as pd
+
+    from .joins import _add_key_part
+
+    order_cols = list(order_cols)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order_cols,
+                          kind="mergesort").reset_index(drop=True)
+        gb = g.groupby(key, sort=False)[val_col]
+        out = gb.agg(lambda s: sep.join(s.astype(str))).reset_index()
+        out.columns = [key, "path"]
+        out["n_items"] = gb.size().to_numpy()
+        return out
+
+    cols = list(dict.fromkeys([key, val_col] + order_cols))
+    return (ds.select_columns(cols)
+            .map_batches(lambda b: _add_key_part(b, key, num_partitions),
+                         batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(per_partition, batch_format="pandas")
+            .select_columns([key, "path", "n_items"]))
