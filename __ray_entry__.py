@@ -1335,6 +1335,39 @@ def _page_media_sql() -> str:
         "CAST(doc_id % 5 AS VARCHAR) || '.ogg', '', '' FROM documents")
 
 
+def _q_event_type_rules(sf_dir: str):
+    """Market-basket association rules
+    (`ops/behavior.association_rules`) over per-user event-type
+    baskets — exact integer confidence and lift."""
+    import ray.data as rd
+
+    from xtract.ops.behavior import association_rules
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return association_rules(ev, "user_id", "event_type") \
+        .sort(["item_a", "item_b"])
+
+
+def _assoc_rules_sql() -> str:
+    return (
+        "WITH mem AS (SELECT DISTINCT user_id AS k, event_type AS i "
+        "FROM events), "
+        "nk AS (SELECT COUNT(DISTINCT k) AS n FROM mem), "
+        "sup AS (SELECT i, COUNT(*) AS n FROM mem GROUP BY i), "
+        "pr AS (SELECT a.i AS item_a, b.i AS item_b, "
+        "COUNT(*) AS n_both FROM mem a JOIN mem b "
+        "ON a.k = b.k AND a.i <> b.i GROUP BY 1, 2) "
+        "SELECT item_a, item_b, CAST(n_both AS BIGINT) AS n_both, "
+        "CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b, "
+        "CAST((SELECT n FROM nk) AS BIGINT) AS n_keys, "
+        "CAST(1000000 * n_both // sa.n AS BIGINT) AS conf_ppm, "
+        "CAST(1000000 * n_both * (SELECT n FROM nk) // "
+        "(sa.n * sb.n) AS BIGINT) AS lift_ppm "
+        "FROM pr JOIN sup sa ON sa.i = item_a "
+        "JOIN sup sb ON sb.i = item_b ORDER BY 1, 2")
+
+
 def _q_user_event_paths(sf_dir: str):
     """Ordered per-key string aggregation
     (`ops/agg.grouped_ordered_concat`) — each user's full event-type
@@ -8237,6 +8270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_events_except": _q_customers_no_events_except,
         "doc_set_containment": _q_doc_set_containment,
         "user_event_paths": _q_user_event_paths,
+        "event_type_rules": _q_event_type_rules,
         "events_users_intersect": _q_events_users_intersect,
         "events_pseudonymized": _q_events_pseudonymized,
         "lineitem_unpivot": _q_lineitem_unpivot,
@@ -9174,6 +9208,7 @@ def oracle_sql() -> dict[str, str]:
         "page_media": _page_media_sql(),
         "site_doc_counts": _site_counts_sql(),
         "doc_set_containment": _containment_sql(),
+        "event_type_rules": _assoc_rules_sql(),
         "user_event_paths":
             "SELECT user_id, string_agg(event_type, '|' "
             "ORDER BY ts, event_id) AS path, "

@@ -658,3 +658,64 @@ def test_grouped_ordered_concat_partition_invariance(ray_session):
                                num_partitions=11).to_pandas() \
         .sort_values("u").reset_index(drop=True)
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# association_rules
+# ---------------------------------------------------------------------------
+
+def _assoc_brute(rows, cap=64):
+    baskets = {}
+    for k, i in rows:
+        baskets.setdefault(k, set()).add(i)
+    nk = len(baskets)
+    sup = {}
+    for items in baskets.values():
+        for i in items:
+            sup[i] = sup.get(i, 0) + 1
+    out = {}
+    for items in baskets.values():
+        if len(items) < 2 or len(items) > cap:
+            continue
+        for a in items:
+            for b in items:
+                if a != b:
+                    out[(a, b)] = out.get((a, b), 0) + 1
+    return {
+        (a, b): (c, sup[a], sup[b], nk,
+                 1_000_000 * c // sup[a],
+                 1_000_000 * c * nk // (sup[a] * sup[b]))
+        for (a, b), c in out.items()}
+
+
+def test_association_rules_vs_brute(ray_session):
+    from xtract.ops.behavior import association_rules
+
+    rng = np.random.default_rng(79)
+    rows = [(int(rng.integers(0, 25)),
+             ["x", "y", "z", "w"][int(rng.integers(0, 4))])
+            for _ in range(300)]
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "it": pa.array([r[1] for r in rows], pa.string())}))
+    df = association_rules(ds, "u", "it").to_pandas()
+    got = {(r.item_a, r.item_b): (r.n_both, r.n_a, r.n_b, r.n_keys,
+                                  r.conf_ppm, r.lift_ppm)
+           for r in df.itertuples()}
+    assert got == _assoc_brute(rows)
+
+
+def test_association_rules_basket_cap(ray_session):
+    from xtract.ops.behavior import association_rules
+
+    rows = ([(1, f"i{k}") for k in range(10)]   # oversized basket
+            + [(2, "a"), (2, "b"), (3, "a"), (3, "b")])
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "it": pa.array([r[1] for r in rows], pa.string())}))
+    df = association_rules(ds, "u", "it",
+                           max_items_per_key=5).to_pandas()
+    got = {(r.item_a, r.item_b) for r in df.itertuples()}
+    assert got == {("a", "b"), ("b", "a")}
+    # n_keys still counts the dropped basket (support semantics)
+    assert set(df["n_keys"]) == {3}

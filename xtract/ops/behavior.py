@@ -209,3 +209,92 @@ def rfm_segments(ds, key: str = "user_id", ts_col: str = "ts",
         return pa.table(out)
 
     return ua.map_batches(score, batch_format="pyarrow")
+
+
+def association_rules(ds, key: str, item_col: str,
+                      min_pair_users: int = 1,
+                      max_items_per_key: int = 64):
+    """Market-basket association mining over (key, item) events →
+    one row per ORDERED item pair (a → b):
+    ``(item_a, item_b, n_both, n_a, n_b, n_keys, conf_ppm,
+    lift_ppm)`` with conf = P(b|a) = n_both/n_a and
+    lift = conf / P(b) — all as exact integer ppm
+    (``1_000_000 · n_both // n_a`` and
+    ``1_000_000² · n_both · n_keys // (n_a · n_b) // 1`` computed in
+    Python big-ints, so the oracle can replay it bit-exactly).
+
+    Shape: ONE pass emits per-block DISTINCT (key, item) rows
+    (np.unique combiner) → grouped distinct; item supports are a slim
+    grouped Count; baskets co-group ONCE by key to emit ordered
+    pairs (bounded by ``max_items_per_key`` — oversized baskets drop
+    whole, the m² guard) → grouped pair Count; supports broadcast
+    (item vocabulary is bounded).  ``n_keys`` is the distinct basket
+    count (exact)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from .agg import _hash_part  # noqa: F401 (co-group convention)
+
+    def distinct_block(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "k": t[key].to_pylist(),
+            "i": t[item_col].to_pylist()}).dropna().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    mem = (ds.select_columns([key, item_col])
+           .map_batches(distinct_block, batch_format="pyarrow")
+           .groupby(["k", "i"]).aggregate(Count(alias_name="_n"))
+           .select_columns(["k", "i"]).materialize())
+
+    n_keys = mem.groupby("k").aggregate(
+        Count(alias_name="_c")).count()
+    support = mem.groupby("i").aggregate(
+        Count(alias_name="n")).to_pandas()
+    sup = dict(zip(support["i"], support["n"].astype(int)))
+    sup_ref = ray.put(sup)
+
+    def pairs(g) -> pa.Table:
+        import pandas as pd
+
+        aa, bb = [], []
+        for _, grp in g.groupby("k", sort=False):
+            items = sorted(grp["i"].tolist())
+            if len(items) < 2 or len(items) > max_items_per_key:
+                continue
+            for x in items:
+                for y in items:
+                    if x != y:
+                        aa.append(x)
+                        bb.append(y)
+        return pd.DataFrame({"item_a": aa, "item_b": bb})
+
+    pair_counts = (mem.groupby("k")
+                   .map_groups(pairs, batch_format="pandas")
+                   .groupby(["item_a", "item_b"])
+                   .aggregate(Count(alias_name="n_both")))
+
+    def finish(t: pa.Table, _s=sup_ref, _nk=n_keys) -> pa.Table:
+        s = ray.get(_s)
+        ia = t["item_a"].to_pylist()
+        ib = t["item_b"].to_pylist()
+        nb_ = t["n_both"].to_pylist()
+        na = [s[x] for x in ia]
+        nbv = [s[x] for x in ib]
+        conf = [1_000_000 * c // a for c, a in zip(nb_, na)]
+        lift = [1_000_000 * c * _nk // (a * b)
+                for c, a, b in zip(nb_, na, nbv)]
+        keep = [c >= min_pair_users for c in nb_]
+        out = pa.table({
+            "item_a": pa.array(ia, pa.string()),
+            "item_b": pa.array(ib, pa.string()),
+            "n_both": pa.array(nb_, pa.int64()),
+            "n_a": pa.array(na, pa.int64()),
+            "n_b": pa.array(nbv, pa.int64()),
+            "n_keys": pa.array([_nk] * len(ia), pa.int64()),
+            "conf_ppm": pa.array(conf, pa.int64()),
+            "lift_ppm": pa.array(lift, pa.int64())})
+        return out.filter(pa.array(keep))
+
+    return pair_counts.map_batches(finish, batch_format="pyarrow")
