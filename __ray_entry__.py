@@ -1335,6 +1335,60 @@ def _page_media_sql() -> str:
         "CAST(doc_id % 5 AS VARCHAR) || '.ogg', '', '' FROM documents")
 
 
+def _q_host_neighbor_features(sf_dir: str):
+    """Two-hop neighborhood feature aggregation
+    (`ops/graph.neighbor_aggregate`) over a planted host graph; edge
+    duplicates are removed with a global distinct first (sums are
+    duplicate-sensitive, unlike the CC plants)."""
+    from ray.data.aggregate import Count
+
+    from xtract.ops.graph import neighbor_aggregate
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def res(t: pa.Table) -> pa.Table:
+        h = np.unique(t["doc_id"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64) % 40)
+        return pa.table({"h": pa.array(h)})
+
+    hs = (docs.map_batches(res, batch_format="pyarrow")
+          .groupby("h").aggregate(Count(alias_name="_n"))
+          .select_columns(["h"]))
+
+    def edges(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([h, h])),
+            "dst": pa.array(np.concatenate([(h + 1) % 40,
+                                            (h + 13) % 40]))})
+
+    def feats(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(h),
+                         "f": pa.array((h * h) % 101)})
+
+    return neighbor_aggregate(
+        hs.map_batches(edges, batch_format="pyarrow"),
+        hs.map_batches(feats, batch_format="pyarrow"),
+        hops=2).sort("node")
+
+
+def _neighbor_features_sql() -> str:
+    return (
+        "WITH hs AS (SELECT DISTINCT CAST(doc_id % 40 AS BIGINT) "
+        "AS h FROM documents), "
+        "e AS (SELECT h AS src, (h + 1) % 40 AS dst FROM hs "
+        "UNION ALL SELECT h, (h + 13) % 40 FROM hs), "
+        "f0 AS (SELECT h AS node, (h * h) % 101 AS f FROM hs), "
+        "a1 AS (SELECT e.dst AS node, SUM(f0.f) AS s "
+        "FROM e JOIN f0 ON f0.node = e.src GROUP BY 1), "
+        "a2 AS (SELECT e.dst AS node, SUM(a1.s) AS s, "
+        "COUNT(*) AS c FROM e JOIN a1 ON a1.node = e.src "
+        "GROUP BY 1) "
+        "SELECT node, CAST(s AS BIGINT) AS agg_sum, "
+        "CAST(c AS BIGINT) AS agg_cnt FROM a2 ORDER BY node")
+
+
 def _q_event_type_rules(sf_dir: str):
     """Market-basket association rules
     (`ops/behavior.association_rules`) over per-user event-type
@@ -8271,6 +8325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_set_containment": _q_doc_set_containment,
         "user_event_paths": _q_user_event_paths,
         "event_type_rules": _q_event_type_rules,
+        "host_neighbor_features": _q_host_neighbor_features,
         "events_users_intersect": _q_events_users_intersect,
         "events_pseudonymized": _q_events_pseudonymized,
         "lineitem_unpivot": _q_lineitem_unpivot,
@@ -9209,6 +9264,7 @@ def oracle_sql() -> dict[str, str]:
         "site_doc_counts": _site_counts_sql(),
         "doc_set_containment": _containment_sql(),
         "event_type_rules": _assoc_rules_sql(),
+        "host_neighbor_features": _neighbor_features_sql(),
         "user_event_paths":
             "SELECT user_id, string_agg(event_type, '|' "
             "ORDER BY ts, event_id) AS path, "

@@ -564,3 +564,53 @@ def test_containment_vs_brute(ray_session):
             want[(a, b)] = (sh, len(sets[a]), len(sets[b]),
                             1_000_000 * sh // small)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# neighbor_aggregate
+# ---------------------------------------------------------------------------
+
+def _nagg_brute(edges, feats, hops):
+    state = dict(feats)
+    for _ in range(hops):
+        agg = {}
+        for s, d in edges:
+            if s in state:
+                cur = agg.get(d, (0, 0))
+                agg[d] = (cur[0] + state[s], cur[1] + 1)
+        state = {n: v[0] for n, v in agg.items()}
+        last = agg
+    return last
+
+
+def test_neighbor_aggregate_one_hop(ray_session):
+    from xtract.ops.graph import neighbor_aggregate
+    import ray.data as _rd
+
+    edges = [(1, 3), (2, 3), (3, 4), (9, 4)]
+    feats = {1: 10, 2: 20, 3: 5}          # node 9 has no feature
+    e = _edges([a for a, _ in edges], [b for _, b in edges])
+    f = _rd.from_arrow(pa.table({
+        "node": pa.array(list(feats), pa.int64()),
+        "f": pa.array(list(feats.values()), pa.int64())}))
+    df = neighbor_aggregate(e, f, hops=1).to_pandas()
+    got = {r.node: (r.agg_sum, r.agg_cnt) for r in df.itertuples()}
+    assert got == _nagg_brute(edges, feats, 1) == {3: (30, 2),
+                                                   4: (5, 1)}
+
+
+def test_neighbor_aggregate_two_hops_vs_brute(ray_session):
+    from xtract.ops.graph import neighbor_aggregate
+    import ray.data as _rd
+
+    rng = np.random.default_rng(83)
+    edges = list(zip(rng.integers(0, 25, 120).tolist(),
+                     rng.integers(0, 25, 120).tolist()))
+    feats = {i: int(rng.integers(1, 50)) for i in range(20)}
+    e = _edges([a for a, _ in edges], [b for _, b in edges])
+    f = _rd.from_arrow(pa.table({
+        "node": pa.array(list(feats), pa.int64()),
+        "f": pa.array(list(feats.values()), pa.int64())}))
+    df = neighbor_aggregate(e, f, hops=2).to_pandas()
+    got = {r.node: (r.agg_sum, r.agg_cnt) for r in df.itertuples()}
+    assert got == _nagg_brute(edges, feats, 2)

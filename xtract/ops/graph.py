@@ -1651,3 +1651,59 @@ def containment_pairs(ds, set_col: str, member_col: str,
             out["contain_ppm"], pa.scalar(min_contain_ppm, pa.int64())))
 
     return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+def neighbor_aggregate(edges_ds, feats_ds, hops: int = 1,
+                       src: str = "src", dst: str = "dst",
+                       node_col: str = "node", feat_col: str = "f",
+                       num_partitions: int = 32):
+    """K-hop neighborhood feature aggregation (the GNN-prep /
+    label-propagation-feature op): per node, the Sum and Count of its
+    IN-neighBORS' features, iterated ``hops`` times (hop k aggregates
+    hop k−1's sums — the standard message-passing unroll).  →
+    Dataset(node, agg_sum:int64, agg_cnt:int64) for nodes with ≥1
+    in-edge at the final hop.
+
+    Shape per hop: ONE co-group equi join (edges ⋈ features on src,
+    `ops.joins.equi_join_cogroup` — large×large safe, no broadcast)
+    + ONE grouped Sum/Count exchange.  Integer features only —
+    deterministic at any parallelism.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import equi_join_cogroup
+
+    edges = edges_ds.select_columns([src, dst]).materialize()
+
+    def as_feats(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pc.cast(t[node_col], pa.int64()),
+            "f": pc.cast(t[feat_col], pa.int64())})
+
+    state = feats_ds.map_batches(as_feats, batch_format="pyarrow")
+    for _ in range(hops):
+        def tag(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": pc.cast(t[src], pa.int64()),
+                "dst": pc.cast(t[dst], pa.int64())})
+
+        joined = equi_join_cogroup(
+            edges.map_batches(tag, batch_format="pyarrow"), state,
+            on="node", num_partitions=num_partitions)
+        # pandas suffixes right columns only on collision; "f" is
+        # unique here so it keeps its name through the join
+        agg = (joined.groupby("dst").aggregate(
+            Sum("f", alias_name="agg_sum"),
+            Count(alias_name="agg_cnt")))
+        state = agg.map_batches(
+            lambda t: pa.table({
+                "node": pc.cast(t["dst"], pa.int64()),
+                "f": pc.cast(t["agg_sum"], pa.int64())}),
+            batch_format="pyarrow")
+        last = agg
+    return last.map_batches(
+        lambda t: pa.table({
+            "node": pc.cast(t["dst"], pa.int64()),
+            "agg_sum": pc.cast(t["agg_sum"], pa.int64()),
+            "agg_cnt": pc.cast(t["agg_cnt"], pa.int64())}),
+        batch_format="pyarrow")
