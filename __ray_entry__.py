@@ -1335,6 +1335,66 @@ def _page_media_sql() -> str:
         "CAST(doc_id % 5 AS VARCHAR) || '.ogg', '', '' FROM documents")
 
 
+def _q_host_pagerank_weighted(sf_dir: str):
+    """Edge-weighted integer PageRank
+    (`ops/graph.pagerank_weighted`, 2 iterations) on a planted
+    weighted host graph; the oracle unrolls both iterations as CTEs
+    with the same per-edge floor rule."""
+    from ray.data.aggregate import Count
+
+    from xtract.ops.graph import pagerank_weighted
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def res(t: pa.Table) -> pa.Table:
+        h = np.unique(t["doc_id"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64) % 50)
+        return pa.table({"h": pa.array(h)})
+
+    hs = (docs.map_batches(res, batch_format="pyarrow")
+          .groupby("h").aggregate(Count(alias_name="_n"))
+          .select_columns(["h"]))
+
+    def edges(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([h, h])),
+            "dst": pa.array(np.concatenate([(h + 7) % 50,
+                                            (h + 1) % 50])),
+            "w": pa.array(np.concatenate([1 + h % 4,
+                                          np.full(len(h), 2,
+                                                  np.int64)]))})
+
+    return pagerank_weighted(
+        hs.map_batches(edges, batch_format="pyarrow"),
+        iters=2).sort("node")
+
+
+def _pagerank_weighted_sql(iters: int = 2) -> str:
+    parts = [
+        "WITH hs AS (SELECT DISTINCT CAST(doc_id % 50 AS BIGINT) "
+        "AS h FROM documents), "
+        "e AS (SELECT h AS s, (h + 7) % 50 AS d, 1 + h % 4 AS w "
+        "FROM hs UNION ALL SELECT h, (h + 1) % 50, 2 FROM hs), "
+        "ws AS (SELECT s, SUM(w) AS t FROM e GROUP BY s), "
+        "n AS (SELECT DISTINCT x AS node FROM "
+        "(SELECT s AS x FROM e UNION SELECT d FROM e)), "
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n)"]
+    for k in range(iters):
+        parts.append(
+            f", i{k + 1} AS (SELECT e.d AS node, "
+            f"SUM(r{k}.r * e.w // ws.t) AS inflow FROM e "
+            f"JOIN r{k} ON r{k}.node = e.s "
+            f"JOIN ws ON ws.s = e.s GROUP BY 1)"
+            f", r{k + 1} AS (SELECT n.node, 150000 + 85 * "
+            f"COALESCE(i{k + 1}.inflow, 0) // 100 AS r "
+            f"FROM n LEFT JOIN i{k + 1} USING (node))")
+    parts.append(
+        f" SELECT node, CAST(r AS BIGINT) AS pagerank_micro "
+        f"FROM r{iters} ORDER BY node")
+    return "".join(parts)
+
+
 def _q_host_neighbor_features(sf_dir: str):
     """Two-hop neighborhood feature aggregation
     (`ops/graph.neighbor_aggregate`) over a planted host graph; edge
@@ -8326,6 +8386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": _q_user_event_paths,
         "event_type_rules": _q_event_type_rules,
         "host_neighbor_features": _q_host_neighbor_features,
+        "host_pagerank_weighted": _q_host_pagerank_weighted,
         "events_users_intersect": _q_events_users_intersect,
         "events_pseudonymized": _q_events_pseudonymized,
         "lineitem_unpivot": _q_lineitem_unpivot,
@@ -9265,6 +9326,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_set_containment": _containment_sql(),
         "event_type_rules": _assoc_rules_sql(),
         "host_neighbor_features": _neighbor_features_sql(),
+        "host_pagerank_weighted": _pagerank_weighted_sql(),
         "user_event_paths":
             "SELECT user_id, string_agg(event_type, '|' "
             "ORDER BY ts, event_id) AS path, "

@@ -1707,3 +1707,106 @@ def neighbor_aggregate(edges_ds, feats_ds, hops: int = 1,
             "agg_sum": pc.cast(t["agg_sum"], pa.int64()),
             "agg_cnt": pc.cast(t["agg_cnt"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def pagerank_weighted(edges_ds, weight_col: str = "w",
+                      src: str = "src", dst: str = "dst",
+                      iters: int = 5, damping_pct: int = 85,
+                      unit: int = 1_000_000, nodes_ds=None,
+                      broadcast_limit: int = 2_000_000):
+    """Edge-WEIGHTED integer PageRank → Dataset(node, pagerank_micro):
+    a source's rank splits across its out-edges in proportion to the
+    edge weight — contribution over edge e = ``rank(u) · w_e //
+    Σw(out(u))`` (exact floor per edge, so results are bit-identical
+    at any parallelism, same contract as `pagerank`).  Zero/negative
+    weights are rejected.  The crawl use: anchor-count-weighted host
+    authority instead of the unweighted link count.
+
+    Same shapes and gates as `pagerank`'s broadcast path (state
+    arrays gated by exact node count; per-iteration one distributed
+    edge scan with a per-block `np.add.at` combiner); at cluster
+    scale the state shards over the identical co-group machinery —
+    `pagerank(distributed=True)` is the template.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    base = (100 - damping_pct) * unit // 100
+    nodes = _node_set(edges_ds, src, dst, nodes_ds).materialize()
+    n_nodes = nodes.count()
+    if n_nodes > broadcast_limit:
+        raise ValueError(
+            f"pagerank_weighted: {n_nodes} nodes exceed "
+            f"broadcast_limit {broadcast_limit}")
+    edges = edges_ds.select_columns(
+        [src, dst, weight_col]).materialize()
+
+    def wsum_partial(t: pa.Table) -> pa.Table:
+        w = pc.cast(t[weight_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if len(w) and w.min() <= 0:
+            raise ValueError("pagerank_weighted: weights must be > 0")
+        s = pc.cast(t[src], pa.int64()).to_numpy(zero_copy_only=False)
+        u, inv = np.unique(s, return_inverse=True)
+        acc = np.zeros(len(u), np.int64)
+        np.add.at(acc, inv, w)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "wsum": pa.array(acc, pa.int64())})
+
+    wdf = (edges.map_batches(wsum_partial, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("wsum", alias_name="wsum"))
+           .to_pandas())
+    wk = wdf["node"].to_numpy().astype(np.int64)
+    wv = wdf["wsum"].to_numpy().astype(np.int64)
+    o = np.argsort(wk, kind="stable")
+    w_ref = ray.put((wk[o], wv[o]))
+
+    node_arr = np.sort(nodes.to_pandas()["node"].to_numpy()
+                       .astype(np.int64))
+    ranks = np.full(len(node_arr), unit, np.int64)
+
+    for _ in range(iters):
+        r_ref = ray.put(ranks)
+        n_ref = ray.put(node_arr)
+
+        def contrib(t: pa.Table, _r=r_ref, _n=n_ref, _w=w_ref
+                    ) -> pa.Table:
+            nk = ray.get(_n)
+            rv = ray.get(_r)
+            wkk, wvv = ray.get(_w)
+            s = pc.cast(t[src], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            d = pc.cast(t[dst], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            w = pc.cast(t[weight_col], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            r_src = _sorted_lookup(nk, rv, s, np.int64(0))
+            wsum = _sorted_lookup(wkk, wvv, s, np.int64(1))
+            return _block_sum(d, r_src * w // wsum)
+
+        def fold(t: pa.Table) -> pa.Table:
+            return _block_sum(
+                t["node"].to_numpy(zero_copy_only=False),
+                t["inflow"].to_numpy(zero_copy_only=False))
+
+        rows = (edges.map_batches(contrib, batch_format="pyarrow",
+                                  batch_size=262_144)
+                .map_batches(fold, batch_format="pyarrow",
+                             batch_size=1 << 20)
+                .take_all())
+        got = np.zeros(len(node_arr), np.int64)
+        if rows:
+            nk = np.fromiter((r["node"] for r in rows), np.int64,
+                             len(rows))
+            nv = np.fromiter((r["inflow"] for r in rows), np.int64,
+                             len(rows))
+            u, inv = np.unique(nk, return_inverse=True)
+            acc = np.zeros(len(u), np.int64)
+            np.add.at(acc, inv, nv)
+            got = _sorted_lookup(u, acc, node_arr, np.int64(0))
+        ranks = base + damping_pct * got // 100
+
+    import ray as _ray
+    return _ray.data.from_arrow(pa.table({
+        "node": pa.array(node_arr, pa.int64()),
+        "pagerank_micro": pa.array(ranks, pa.int64())}))
