@@ -1335,6 +1335,26 @@ def _page_media_sql() -> str:
         "CAST(doc_id % 5 AS VARCHAR) || '.ogg', '', '' FROM documents")
 
 
+def _q_user_freshness_score(sf_dir: str):
+    """Exponential time-decay activity score per user
+    (`ops/behavior.decayed_counts`, half-life 1 day, exact power-of-
+    two integer weights); the reference instant is the corpus max ts
+    (deterministic), and the oracle replays the shift arithmetic."""
+    import ray.data as rd
+
+    from xtract.ops.behavior import decayed_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    ref = ev.max("ts")
+    import pandas as pd
+
+    ref_us = int(pd.Timestamp(ref).value // 1_000)
+    return decayed_counts(ev, "user_id", "ts", ref_us,
+                          half_life_s=86_400, age_cap=30) \
+        .sort("user_id")
+
+
 def _q_host_pagerank_weighted(sf_dir: str):
     """Edge-weighted integer PageRank
     (`ops/graph.pagerank_weighted`, 2 iterations) on a planted
@@ -8387,6 +8407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_rules": _q_event_type_rules,
         "host_neighbor_features": _q_host_neighbor_features,
         "host_pagerank_weighted": _q_host_pagerank_weighted,
+        "user_freshness_score": _q_user_freshness_score,
         "events_users_intersect": _q_events_users_intersect,
         "events_pseudonymized": _q_events_pseudonymized,
         "lineitem_unpivot": _q_lineitem_unpivot,
@@ -9327,6 +9348,13 @@ def oracle_sql() -> dict[str, str]:
         "event_type_rules": _assoc_rules_sql(),
         "host_neighbor_features": _neighbor_features_sql(),
         "host_pagerank_weighted": _pagerank_weighted_sql(),
+        "user_freshness_score":
+            "WITH ref AS (SELECT MAX(epoch_us(ts)) AS r FROM events) "
+            "SELECT user_id, CAST(SUM(CAST(1 AS BIGINT) << "
+            "(30 - LEAST(((SELECT r FROM ref) - epoch_us(ts)) "
+            "// 86400000000, 30))) AS BIGINT) AS decayed, "
+            "COUNT(*) AS n_rows FROM events "
+            "GROUP BY user_id ORDER BY user_id",
         "user_event_paths":
             "SELECT user_id, string_agg(event_type, '|' "
             "ORDER BY ts, event_id) AS path, "

@@ -719,3 +719,48 @@ def test_association_rules_basket_cap(ray_session):
     assert got == {("a", "b"), ("b", "a")}
     # n_keys still counts the dropped basket (support semantics)
     assert set(df["n_keys"]) == {3}
+
+
+# ---------------------------------------------------------------------------
+# decayed_counts
+# ---------------------------------------------------------------------------
+
+def test_decayed_counts_vs_brute(ray_session):
+    from xtract.ops.behavior import decayed_counts
+
+    ref = 1_000_000 * 86_400 * 100          # day 100, epoch us
+    rng = np.random.default_rng(97)
+    rows = [(int(rng.integers(0, 6)),
+             int(ref - rng.integers(0, 50) * 86_400 * 1_000_000),
+             int(rng.integers(1, 5))) for _ in range(200)]
+    ds = rd.from_arrow(pa.table({
+        "h": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows],
+                       pa.timestamp("us")),
+        "v": pa.array([r[2] for r in rows], pa.int64())}))
+    df = decayed_counts(ds, "h", "ts", ref, value_col="v",
+                        age_cap=30).to_pandas()
+    got = {r.h: (r.decayed, r.n_rows) for r in df.itertuples()}
+    want = {}
+    for h, ts, v in rows:
+        age = min((ref - ts) // (86_400 * 1_000_000), 30)
+        s, n = want.get(h, (0, 0))
+        want[h] = (s + (v << (30 - age)), n + 1)
+    assert got == want
+
+
+def test_decayed_counts_partition_invariance(ray_session):
+    from xtract.ops.behavior import decayed_counts
+
+    ref = 86_400 * 1_000_000 * 10
+    t = pa.table({
+        "h": pa.array([1, 1, 2, 2, 2] * 20, pa.int64()),
+        "ts": pa.array([ref - i * 3_600_000_000 for i in range(100)],
+                       pa.timestamp("us"))})
+    a = decayed_counts(rd.from_arrow(t).repartition(1), "h", "ts",
+                       ref).to_pandas().sort_values("h") \
+        .reset_index(drop=True)
+    b = decayed_counts(rd.from_arrow(t).repartition(9), "h", "ts",
+                       ref).to_pandas().sort_values("h") \
+        .reset_index(drop=True)
+    assert a.equals(b)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .joins import _add_key_part
 
@@ -298,3 +299,51 @@ def association_rules(ds, key: str, item_col: str,
         return out.filter(pa.array(keep))
 
     return pair_counts.map_batches(finish, batch_format="pyarrow")
+
+
+def decayed_counts(ds, key: str, ts_col: str, ref_ts_us: int,
+                   value_col: "str | None" = None,
+                   half_life_s: int = 86_400, age_cap: int = 30):
+    """Exponential time-decay aggregate per key, EXACT-integer:
+    each row weighs ``2^(age_cap − age)`` where
+    ``age = min((ref − ts) // half_life, age_cap)`` — a freshest row
+    weighs ``2^age_cap``, one half-life older weighs half, ages past
+    the cap weigh 1 (never 0, so history is bounded but not erased).
+    → (key, decayed:int64, n_rows:int64); ``decayed`` is in units of
+    ``2^−age_cap · value`` (divide by ``2**age_cap`` for the decayed
+    float if wanted — the op itself never touches floats, so results
+    are bit-identical at any parallelism and SQL-replicable with the
+    ``<<`` operator).  ``ref_ts_us`` is the caller's explicit
+    reference instant (epoch µs) — never wall-clock.
+
+    The crawl use: freshness-weighted host activity for recrawl
+    priority.  Shape: one vectorized block combiner (shift + add) →
+    one native grouped Sum."""
+    from ray.data.aggregate import Count, Sum
+
+    hl_us = int(half_life_s) * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        age = np.clip((ref_ts_us - ts) // hl_us, 0, age_cap)
+        v = (pc.cast(t[value_col], pa.int64())
+             .to_numpy(zero_copy_only=False)
+             if value_col else np.ones(len(ts), np.int64))
+        w = v << (age_cap - age).astype(np.int64)
+        k = t[key].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(k, return_inverse=True)
+        acc = np.zeros(len(u), np.int64)
+        cnt = np.zeros(len(u), np.int64)
+        np.add.at(acc, inv, w)
+        np.add.at(cnt, inv, 1)
+        return pa.table({key: pa.array(u),
+                         "decayed": pa.array(acc, pa.int64()),
+                         "n_rows": pa.array(cnt, pa.int64())})
+
+    return (ds.select_columns(
+        [key, ts_col] + ([value_col] if value_col else []))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key).aggregate(
+            Sum("decayed", alias_name="decayed"),
+            Sum("n_rows", alias_name="n_rows")))
