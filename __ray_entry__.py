@@ -8330,6 +8330,115 @@ def _q_daily_churned_users(sf_dir: str):
             .sort_values("epoch_day").reset_index(drop=True))
 
 
+def _host_edge_batch_97(t: pa.Table) -> pa.Table:
+    """The planted mod-97 host link graph shared by the graph-family
+    queries (same construction as ``host_triangles``)."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    h = ids % 97
+    nl = (ids % 4).astype(np.int64)
+    rep = np.repeat(np.arange(len(ids), dtype=np.int64), nl)
+    run_start = np.repeat(np.cumsum(nl) - nl, nl)
+    j = np.arange(len(rep), dtype=np.int64) - run_start
+    return pa.table({
+        "src": pa.array(h[rep], pa.int64()),
+        "dst": pa.array((h[rep] * 31 + 17 * j + ids[rep]) % 97,
+                        pa.int64())})
+
+
+def _q_host_clustering(sf_dir: str):
+    """Per-host local clustering coefficient as exact integers
+    (n_triangles, n_wedges = C(deg,2)) over the planted host graph —
+    distinct-edge dedup runs once and feeds degrees + the
+    degree-ordered triangle kernel; attach is a tagged union → one
+    grouped Sum (``ops/graph.clustering_coefficients``)."""
+    from xtract.ops.graph import clustering_coefficients
+
+    edges = _docs(sf_dir, ["doc_id"]).map_batches(
+        _host_edge_batch_97, batch_format="pyarrow")
+    return clustering_coefficients(edges)
+
+
+def _host_clustering_sql() -> str:
+    return (
+        "WITH raw AS (SELECT (doc_id % 97) AS x, "
+        "((doc_id % 97) * 31 + 17 * j + doc_id) % 97 AS y "
+        "FROM documents, UNNEST(range(0, doc_id % 4)) AS t(j)), "
+        "e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v "
+        "FROM raw WHERE x != y), "
+        "deg AS (SELECT node, count(*) AS d FROM "
+        "(SELECT u AS node FROM e UNION ALL SELECT v FROM e) "
+        "GROUP BY node), "
+        "tri AS (SELECT a.u AS n1, a.v AS n2, b.v AS n3 FROM e a "
+        "JOIN e b ON b.u = a.v JOIN e c ON c.u = a.u AND c.v = b.v), "
+        "corners AS (SELECT n1 AS node FROM tri UNION ALL "
+        "SELECT n2 FROM tri UNION ALL SELECT n3 FROM tri), "
+        "tc AS (SELECT node, count(*) AS t FROM corners GROUP BY node) "
+        "SELECT CAST(deg.node AS BIGINT) AS node, "
+        "CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles, "
+        "CAST(deg.d * (deg.d - 1) // 2 AS BIGINT) AS n_wedges "
+        "FROM deg LEFT JOIN tc ON tc.node = deg.node WHERE deg.d >= 2")
+
+
+def _form_pages_batch(t: pa.Table) -> pa.Table:
+    """doc_id → a page with a search-style form (action + method +
+    three field kinds, one required) and for doc_id%4==0 a second
+    action-less form (submits to the page url, HTML-spec default)."""
+    urls, htmls = [], []
+    for d in t["doc_id"].to_pylist():
+        urls.append(f"https://host{d % 6}.example.org/p/{d}")
+        h = (f"<html><head><base href='/app{d % 2}/'></head><body>"
+             f"<form action='go{d % 3}' "
+             f"method='{'post' if d % 2 else 'GET'}'>"
+             f"<input name='q{d % 5}' type='Text' required>"
+             f"<select name='s{d % 3}'></select>"
+             "<textarea name='t'></textarea></form>")
+        if d % 4 == 0:
+            h += f"<form><input type='hidden' name='h{d % 7}'></form>"
+        h += "</body></html>"
+        htmls.append(h.encode())
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "html": pa.array(htmls, pa.binary())})
+
+
+def _q_page_forms(sf_dir: str):
+    """Form-field extraction: one row per input/select/textarea/button
+    with resolved action + normalized method — the interactivity
+    surface crawl scheduling and boilerplate filters read
+    (``xtract/tables.extract_forms``)."""
+    from xtract.tables import extract_forms
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _form_pages_batch, batch_format="pyarrow")
+    return extract_forms(pages)
+
+
+def _page_forms_sql() -> str:
+    page = ("'https://host' || CAST(doc_id % 6 AS VARCHAR) || "
+            "'.example.org/p/' || CAST(doc_id AS VARCHAR)")
+    act = ("'https://host' || CAST(doc_id % 6 AS VARCHAR) || "
+           "'.example.org/app' || CAST(doc_id % 2 AS VARCHAR) || "
+           "'/go' || CAST(doc_id % 3 AS VARCHAR)")
+    meth = "CASE WHEN doc_id % 2 = 1 THEN 'post' ELSE 'get' END"
+    core = [
+        ("0", "'input'", "'q' || CAST(doc_id % 5 AS VARCHAR)",
+         "'text'", "true"),
+        ("1", "'select'", "'s' || CAST(doc_id % 3 AS VARCHAR)",
+         "''", "false"),
+        ("2", "'textarea'", "'t'", "''", "false"),
+    ]
+    parts = [
+        (f"SELECT {page} AS url, CAST(0 AS BIGINT) AS form_idx, "
+         f"CAST({fi} AS BIGINT) AS field_idx, {act} AS action, "
+         f"{meth} AS method, {tag} AS field_tag, {name} AS field_name, "
+         f"{ftype} AS field_type, {req} AS required FROM documents")
+        for fi, tag, name, ftype, req in core]
+    parts.append(
+        f"SELECT {page}, 1, 0, {page}, 'get', 'input', "
+        "'h' || CAST(doc_id % 7 AS VARCHAR), 'hidden', false "
+        "FROM documents WHERE doc_id % 4 = 0")
+    return " UNION ALL ".join(parts)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -8384,6 +8493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_tables": _q_page_tables,
         "doc_chunks": _q_doc_chunks,
         "page_headings": _q_page_headings,
+        "page_forms": _q_page_forms,
         "page_images": _q_page_images,
         "user_value_trend": _q_user_value_trend,
         "host_components": _q_host_components,
@@ -8423,6 +8533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_lists": _q_page_lists,
         "bigram_pmi": _q_bigram_pmi,
         "host_triangles": _q_host_triangles,
+        "host_clustering": _q_host_clustering,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -9325,6 +9436,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_title_match": _fuzzy_sql(),
         "page_tables": _page_tables_sql(),
         "page_headings": _page_headings_sql(),
+        "page_forms": _page_forms_sql(),
         "page_images": _page_images_sql(),
         "host_components":
             # the thirty chains' components are the mod-30 residue
@@ -10209,6 +10321,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY 1) o ON o.o_custkey = c_custkey",
         "bigram_pmi": _bigram_pmi_sql(),
         "host_triangles": _host_triangles_sql(),
+        "host_clustering": _host_clustering_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",

@@ -1,0 +1,154 @@
+"""Session-11 ops: form-field extraction and exact local clustering
+coefficients."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from xtract.tables import extract_forms_one
+
+# ---------------------------------------------------------------------------
+# extract_forms_one (pure function)
+# ---------------------------------------------------------------------------
+
+PAGE = "https://h.example.org/p/1"
+
+
+def test_forms_basic_resolution_and_defaults():
+    h = (b"<html><head><base href='/app/'></head><body>"
+         b"<form action='go' method='POST'>"
+         b"<input name='q' type='Text' required>"
+         b"<select name='s'></select>"
+         b"<textarea name='t'></textarea>"
+         b"<button name='b' type='submit'></button>"
+         b"</form></body></html>")
+    rows = extract_forms_one(h, PAGE)
+    assert rows == [
+        (0, 0, "https://h.example.org/app/go", "post", "input", "q",
+         "text", True),
+        (0, 1, "https://h.example.org/app/go", "post", "select", "s",
+         "", False),
+        (0, 2, "https://h.example.org/app/go", "post", "textarea", "t",
+         "", False),
+        (0, 3, "https://h.example.org/app/go", "post", "button", "b",
+         "", False),
+    ]
+
+
+def test_forms_missing_action_submits_to_page_url_not_base():
+    h = (b"<html><head><base href='/app/'></head><body>"
+         b"<form><input name='x'></form></body></html>")
+    rows = extract_forms_one(h, PAGE)
+    assert rows == [(0, 0, PAGE, "get", "input", "x", "text", False)]
+
+
+def test_forms_fields_outside_any_form_skipped():
+    h = b"<body><input name='loose'><form action='a'><input name='in'></form>"
+    rows = extract_forms_one(h, PAGE)
+    assert [r[5] for r in rows] == ["in"]
+
+
+def test_forms_new_form_start_closes_open_one():
+    # browsers ignore nested <form> tags: the second start takes over
+    h = (b"<form action='one'><input name='a'>"
+         b"<form action='two'><input name='b'></form>")
+    rows = extract_forms_one(h, PAGE)
+    assert rows[0][:3] == (0, 0, "https://h.example.org/p/one")
+    assert rows[1][0] == 1 and rows[1][2] == "https://h.example.org/p/two"
+    assert rows[1][1] == 0  # field_idx restarts per form
+
+
+def test_forms_self_closing_form_holds_no_fields():
+    h = b"<form action='a'/><input name='x'>"
+    assert extract_forms_one(h, PAGE) == []
+
+
+def test_forms_input_type_default_and_lowering():
+    h = b"<form action='a'><input name='u' type='EMAIL'><input name='v'></form>"
+    rows = extract_forms_one(h, PAGE)
+    assert [(r[5], r[6]) for r in rows] == [("u", "email"), ("v", "text")]
+
+
+def test_forms_after_close_fields_skipped():
+    h = b"<form action='a'><input name='in'></form><input name='out'>"
+    rows = extract_forms_one(h, PAGE)
+    assert [r[5] for r in rows] == ["in"]
+
+
+def test_forms_dataset_explode(ray_session):
+    from xtract.tables import extract_forms
+
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array([PAGE, "https://h2.example.org/"], pa.string()),
+        "html": pa.array(
+            [b"<form action='a'><input name='x' required></form>",
+             b"<p>no forms</p>"], pa.binary())}))
+    out = extract_forms(pages).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["url"], r["field_name"], bool(r["required"])) == (
+        PAGE, "x", True)
+    assert r["action"] == "https://h.example.org/p/a"
+
+
+# ---------------------------------------------------------------------------
+# clustering_coefficients
+# ---------------------------------------------------------------------------
+
+def _brute_clustering(edges):
+    """Exact (node -> (tri, wedges)) over distinct undirected edges."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = {}
+    for n, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        tri = sum(1 for a, b in itertools.combinations(sorted(nb), 2)
+                  if tuple(sorted((a, b))) in und)
+        out[n] = (tri, d * (d - 1) // 2)
+    return out
+
+
+def _run_cc(edges, ray_session, **kw):
+    from xtract.ops.graph import clustering_coefficients
+
+    src = pa.array([e[0] for e in edges], pa.int64())
+    dst = pa.array([e[1] for e in edges], pa.int64())
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    df = clustering_coefficients(ds, **kw).to_pandas()
+    return {int(r.node): (int(r.n_triangles), int(r.n_wedges))
+            for r in df.itertuples()}
+
+
+def test_clustering_triangle_plus_pendant(ray_session):
+    # triangle 1-2-3 plus pendant 3-4: node 3 has deg 3 -> 3 wedges
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    got = _run_cc(edges, ray_session)
+    assert got == {1: (1, 1), 2: (1, 1), 3: (1, 3)}
+
+
+def test_clustering_dupes_direction_selfloops_ignored(ray_session):
+    edges = [(1, 2), (2, 1), (1, 1), (2, 3), (3, 1), (1, 2), (1, 2)]
+    got = _run_cc(edges, ray_session)
+    assert got == {1: (1, 1), 2: (1, 1), 3: (1, 1)}
+
+
+def test_clustering_vs_brute_random(ray_session):
+    rng = np.random.default_rng(7)
+    edges = [tuple(x) for x in rng.integers(0, 25, size=(200, 2))]
+    got = _run_cc(edges, ray_session)
+    assert got == _brute_clustering(edges)
+
+
+def test_clustering_cogroup_path_matches_broadcast(ray_session):
+    rng = np.random.default_rng(11)
+    edges = [tuple(x) for x in rng.integers(0, 20, size=(120, 2))]
+    a = _run_cc(edges, ray_session)
+    b = _run_cc(edges, ray_session, broadcast_limit=1)  # force co-group
+    assert a == b

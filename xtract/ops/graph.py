@@ -1810,3 +1810,80 @@ def pagerank_weighted(edges_ds, weight_col: str = "w",
     return _ray.data.from_arrow(pa.table({
         "node": pa.array(node_arr, pa.int64()),
         "pagerank_micro": pa.array(ranks, pa.int64())}))
+
+
+def clustering_coefficients(edges_ds, src: str = "src", dst: str = "dst",
+                            num_partitions: int = 32,
+                            broadcast_limit: int = 2_000_000):
+    """Per-node local clustering over the distinct undirected edge set,
+    as EXACT integers: ``n_triangles`` and ``n_wedges`` = C(degree, 2).
+    The coefficient is their ratio; keeping numerator/denominator
+    integral sidesteps float nondeterminism across engines.  Dense
+    local clustering with low degree is the template-farm / link-ring
+    density signal that complements raw ``triangle_counts``.
+
+    Shape: one distinct-edge dedup (block-local unordered-pair combiner
+    → native groupby), materialized ONCE and feeding both the degree
+    Sum and :func:`triangle_counts`; the final attach is a tagged
+    union → a single grouped Sum — no join stage.
+
+    → Dataset(node int64, n_triangles int64, n_wedges int64), one row
+    per node with degree ≥ 2 (n_triangles may be 0).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def undirect(b: pa.Table) -> pa.Table:
+        u = b[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        key = np.unique(lo * (np.int64(1) << 31) + hi)
+        return pa.table({
+            "u": pa.array(key >> 31, pa.int64()),
+            "v": pa.array(key & ((1 << 31) - 1), pa.int64())})
+
+    edges = (edges_ds.map_batches(undirect, batch_format="pyarrow")
+             .groupby(["u", "v"]).aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"])
+             .materialize())  # reused: degrees + triangle kernel
+
+    tri = triangle_counts(edges, "u", "v",
+                          num_partitions=num_partitions,
+                          broadcast_limit=broadcast_limit)
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            b["u"].to_numpy(zero_copy_only=False),
+            b["v"].to_numpy(zero_copy_only=False)])
+        un, cnt = np.unique(ids, return_counts=True)
+        return pa.table({"node": pa.array(un, pa.int64()),
+                         "d": pa.array(cnt, pa.int64())})
+
+    deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("d", alias_name="d")))
+
+    def wedge_rows(b: pa.Table) -> pa.Table:
+        n = b["node"].to_numpy(zero_copy_only=False)
+        d = b["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = d >= 2
+        n, d = n[keep], d[keep]
+        return pa.table({
+            "node": pa.array(n, pa.int64()),
+            "n_triangles": pa.array(np.zeros(len(n), np.int64)),
+            "n_wedges": pa.array(d * (d - 1) // 2, pa.int64())})
+
+    def tri_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["node"],
+            "n_triangles": b["n_triangles"].cast(pa.int64()),
+            "n_wedges": pa.array(
+                np.zeros(len(b), np.int64))})
+
+    # tagged union → ONE grouped Sum; triangle corners always have
+    # degree ≥ 2, so the union introduces no extra nodes
+    return (deg.map_batches(wedge_rows, batch_format="pyarrow")
+            .union(tri.map_batches(tri_rows, batch_format="pyarrow"))
+            .groupby("node")
+            .aggregate(Sum("n_triangles", alias_name="n_triangles"),
+                       Sum("n_wedges", alias_name="n_wedges")))

@@ -708,3 +708,112 @@ def extract_media(ds):
     """pages Dataset → audio/video reference rows (streaming flat
     explode, one tokenizer pass per page)."""
     return ds.map_batches(media_batch, batch_format="pyarrow")
+
+
+FORMS_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("form_idx", pa.int64()),
+    ("field_idx", pa.int64()),
+    ("action", pa.string()),
+    ("method", pa.string()),
+    ("field_tag", pa.string()),
+    ("field_name", pa.string()),
+    ("field_type", pa.string()),
+    ("required", pa.bool_()),
+])
+
+_FIELD_TAGS = ("input", "select", "textarea", "button")
+
+
+def extract_forms_one(html: bytes, page_url: str = ""
+                      ) -> "list[tuple[int, int, str, str, str, str, str, bool]]":
+    """→ ordered [(form_idx, field_idx, action, method, field_tag,
+    field_name, field_type, required)] for every form field — the
+    interactivity surface a crawler uses to skip search/login pages
+    and a quality filter uses as a boilerplate signal.
+
+    Semantics (oracle-shared):
+
+    - ``form_idx``: document-order index of each ``<form>``; a new
+      ``<form>`` start implicitly closes an open one (browsers ignore
+      nested form tags — the shared recovery convention).
+    - ``action``: resolved against the page url honoring the first
+      ``<base href>`` (the link-path rule); a form with NO action
+      attribute submits to the page url itself (HTML spec), not the
+      base.
+    - ``method``: lowercased, defaulting to ``get``.
+    - fields are ``<input>/<select>/<textarea>/<button>`` starts inside
+      a form, 0-indexed per form; ``field_type`` is the lowercased
+      ``type`` attribute for ``<input>`` (default ``text``), '' for
+      the other tags; ``required`` is the boolean attribute.
+    Pure function (oracle-shared)."""
+    from urllib.parse import urljoin
+
+    from .html_tokenizer import parse_attrs
+
+    out: "list[tuple[int, int, str, str, str, str, str, bool]]" = []
+    base = page_url
+    base_seen = False
+    form_i = -1
+    in_form = False
+    action = ""
+    method = "get"
+    field_i = 0
+    for tok in tokenize(html):
+        if tok[0] == "end":
+            if tok[3] == "form":
+                in_form = False
+            continue
+        if tok[0] != "start":
+            continue
+        tag = tok[3]
+        if tag == "base" and not base_seen:
+            b = parse_attrs(tok[4]).get("href")
+            if b:
+                base = urljoin(page_url, b) if page_url else b
+                base_seen = True
+        elif tag == "form":
+            attrs = parse_attrs(tok[4])
+            form_i += 1
+            in_form = not tok[5]  # self-closing <form/> holds no fields
+            a = attrs.get("action")
+            if a:
+                action = urljoin(base, a) if base else a
+            else:
+                action = page_url
+            method = attrs.get("method", "get").lower() or "get"
+            field_i = 0
+        elif in_form and tag in _FIELD_TAGS:
+            attrs = parse_attrs(tok[4])
+            ftype = attrs.get("type", "text").lower() if tag == "input" else ""
+            out.append((form_i, field_i, action, method, tag,
+                        attrs.get("name", ""), ftype, "required" in attrs))
+            field_i += 1
+    return out
+
+
+def forms_batch(batch: pa.Table) -> pa.Table:
+    urls = batch["url"].to_pylist()
+    htmls = (batch["html"].to_pylist() if "html" in batch.column_names
+             else [None] * len(urls))
+    cols: "list[list]" = [[], [], [], [], [], [], [], [], []]
+    for url, html in zip(urls, htmls):
+        if not url or not html:
+            continue
+        for row in extract_forms_one(html, url):
+            cols[0].append(url)
+            for k, v in enumerate(row):
+                cols[k + 1].append(v)
+    return pa.Table.from_arrays(
+        [pa.array(cols[0], pa.string()), pa.array(cols[1], pa.int64()),
+         pa.array(cols[2], pa.int64()), pa.array(cols[3], pa.string()),
+         pa.array(cols[4], pa.string()), pa.array(cols[5], pa.string()),
+         pa.array(cols[6], pa.string()), pa.array(cols[7], pa.string()),
+         pa.array(cols[8], pa.bool_())],
+        schema=FORMS_SCHEMA)
+
+
+def extract_forms(ds):
+    """pages Dataset → form-field rows (streaming flat explode, one
+    tokenizer pass per page)."""
+    return ds.map_batches(forms_batch, batch_format="pyarrow")
