@@ -8379,6 +8379,37 @@ def _host_clustering_sql() -> str:
         "FROM deg LEFT JOIN tc ON tc.node = deg.node WHERE deg.d >= 2")
 
 
+def _q_part_butterflies(sf_dir: str):
+    """Per-part butterfly (bipartite 4-cycle) counts over the
+    order–part graph — the bipartite clustering signal behind
+    recommendation density (``ops/graph.butterfly_counts``): distinct
+    (order, part) → coarse order co-group pair counts → one native
+    Sum → endpoint explode → grouped Sum, all exact integers."""
+    import ray.data as rd
+
+    from xtract.ops.graph import butterfly_counts
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    out = butterfly_counts(li, "l_orderkey", "l_partkey")
+    return out.map_batches(
+        lambda t: t.rename_columns(["partkey", "n_butterflies"]),
+        batch_format="pyarrow")
+
+
+def _part_butterflies_sql() -> str:
+    return (
+        "WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+        "FROM lineitem), "
+        "pairs AS (SELECT a.p AS p1, b.p AS p2, count(*) AS n "
+        "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2), "
+        "contrib AS (SELECT p1 AS p, n * (n - 1) // 2 AS b FROM pairs "
+        "UNION ALL SELECT p2, n * (n - 1) // 2 FROM pairs) "
+        "SELECT CAST(p AS BIGINT) AS partkey, "
+        "CAST(sum(b) AS BIGINT) AS n_butterflies "
+        "FROM contrib GROUP BY p HAVING sum(b) > 0")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -8534,6 +8565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": _q_bigram_pmi,
         "host_triangles": _q_host_triangles,
         "host_clustering": _q_host_clustering,
+        "part_butterflies": _q_part_butterflies,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -10322,6 +10354,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_pmi": _bigram_pmi_sql(),
         "host_triangles": _host_triangles_sql(),
         "host_clustering": _host_clustering_sql(),
+        "part_butterflies": _part_butterflies_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",

@@ -152,3 +152,57 @@ def test_clustering_cogroup_path_matches_broadcast(ray_session):
     a = _run_cc(edges, ray_session)
     b = _run_cc(edges, ray_session, broadcast_limit=1)  # force co-group
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# butterfly_counts
+# ---------------------------------------------------------------------------
+
+def _brute_butterflies(pairs):
+    """pairs = [(group, item)] -> {item: butterflies} exact."""
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for o, p in pairs:
+        groups[o].add(p)
+    co = defaultdict(int)
+    for items in groups.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            co[(a, b)] += 1
+    out = defaultdict(int)
+    for (a, b), n in co.items():
+        bf = n * (n - 1) // 2
+        if bf:
+            out[a] += bf
+            out[b] += bf
+    return dict(out)
+
+
+def _run_bf(pairs, ray_session, **kw):
+    from xtract.ops.graph import butterfly_counts
+
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array([p[0] for p in pairs], pa.int64()),
+        "i": pa.array([p[1] for p in pairs], pa.int64())}))
+    df = butterfly_counts(ds, "g", "i", **kw).to_pandas()
+    return {int(r.item): int(r.n_butterflies) for r in df.itertuples()}
+
+
+def test_butterflies_single_square(ray_session):
+    # two groups each containing items {1, 2} -> one butterfly each
+    pairs = [(10, 1), (10, 2), (20, 1), (20, 2), (30, 3)]
+    assert _run_bf(pairs, ray_session) == {1: 1, 2: 1}
+
+
+def test_butterflies_duplicates_collapse(ray_session):
+    # duplicated (group, item) rows must not inflate counts
+    pairs = [(10, 1), (10, 1), (10, 2), (20, 1), (20, 2), (20, 2)]
+    assert _run_bf(pairs, ray_session) == {1: 1, 2: 1}
+
+
+def test_butterflies_vs_brute_random(ray_session):
+    rng = np.random.default_rng(13)
+    pairs = [tuple(x) for x in np.column_stack([
+        rng.integers(0, 40, 300), rng.integers(0, 15, 300)])]
+    got = _run_bf(pairs, ray_session, num_partitions=7)
+    assert got == _brute_butterflies(pairs)

@@ -1887,3 +1887,71 @@ def clustering_coefficients(edges_ds, src: str = "src", dst: str = "dst",
             .groupby("node")
             .aggregate(Sum("n_triangles", alias_name="n_triangles"),
                        Sum("n_wedges", alias_name="n_wedges")))
+
+
+def butterfly_counts(ds, group_col: str, item_col: str,
+                     num_partitions: int = 64):
+    """Per-item butterfly (bipartite 4-cycle) counts over the
+    group–item bipartite graph: butterflies(p) = Σ_q C(co(p,q), 2)
+    where co(p,q) = #groups containing both items — the bipartite
+    clustering signal (recommendation density, template co-occurrence)
+    that pairwise co-occurrence counts alone don't capture.
+
+    Scale shape: distinct (group, item) dedup per block → coarse
+    group co-group (every row of a group lands in ONE of
+    ``num_partitions`` partitions) → per-partition vectorized
+    self-merge emits item pairs with LOCAL counts → ONE native Sum
+    over the pair key → each pair explodes to its two endpoints with
+    C(n,2) → grouped Sum.  Per-group pair blowup is quadratic in
+    group size — the same bounded-group assumption the co-purchase
+    op documents (orders, shingle buckets); for unbounded groups cap
+    upstream.  All counts exact integers.
+
+    → Dataset(item int64, n_butterflies int64), rows with ≥1
+    butterfly.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .agg import _hash_part
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o": b[group_col].cast(pa.int64()),
+            "p": b[item_col].cast(pa.int64()),
+            "_part": pa.array(_hash_part(b[group_col], num_partitions),
+                              pa.int64())})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o": g["o"].to_numpy(zero_copy_only=False),
+            "p": g["p"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        m = df.merge(df, on="o")
+        m = m[m["p_x"] < m["p_y"]]
+        cnt = (m.groupby(["p_x", "p_y"], sort=False).size()
+               .reset_index(name="n"))
+        return pa.table({"p1": pa.array(cnt["p_x"], pa.int64()),
+                         "p2": pa.array(cnt["p_y"], pa.int64()),
+                         "n": pa.array(cnt["n"], pa.int64())})
+
+    pair_counts = (ds.map_batches(tag, batch_format="pyarrow")
+                   .groupby("_part")
+                   .map_groups(pairs, batch_format="pyarrow")
+                   .groupby(["p1", "p2"])
+                   .aggregate(Sum("n", alias_name="n")))
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bf = n * (n - 1) // 2
+        keep = bf > 0
+        p1 = b["p1"].to_numpy(zero_copy_only=False)[keep]
+        p2 = b["p2"].to_numpy(zero_copy_only=False)[keep]
+        bf = bf[keep]
+        return pa.table({
+            "item": pa.array(np.concatenate([p1, p2]), pa.int64()),
+            "b": pa.array(np.concatenate([bf, bf]), pa.int64())})
+
+    return (pair_counts.map_batches(endpoints, batch_format="pyarrow")
+            .groupby("item")
+            .aggregate(Sum("b", alias_name="n_butterflies")))
