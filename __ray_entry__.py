@@ -8410,6 +8410,38 @@ def _part_butterflies_sql() -> str:
         "FROM contrib GROUP BY p HAVING sum(b) > 0")
 
 
+def _q_url_param_cardinality(sf_dir: str):
+    """Per-(host, query-param) URL vs distinct-value counts — measured
+    evidence for stripping volatile params (session ids) before
+    canonical dedup (``ops/urls.param_cardinality``): block pre-count
+    combiner → native Sum over (h,p,v) → Count+Sum over (h,p)."""
+    from xtract.ops.urls import param_cardinality
+
+    def urls(t: pa.Table) -> pa.Table:
+        us = [f"https://host{d % 4}.example.org/x?"
+              f"id={d}&page={d % 3}&utm={d % 2}"
+              for d in t["doc_id"].to_pylist()]
+        return pa.table({"url": pa.array(us, pa.string())})
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        urls, batch_format="pyarrow")
+    return param_cardinality(pages)
+
+
+def _url_param_cardinality_sql() -> str:
+    return (
+        "WITH u AS (SELECT 'host' || CAST(doc_id % 4 AS VARCHAR) || "
+        "'.example.org' AS h, doc_id FROM documents), "
+        "p AS (SELECT h, 'id' AS param, CAST(doc_id AS VARCHAR) AS v "
+        "FROM u UNION ALL "
+        "SELECT h, 'page', CAST(doc_id % 3 AS VARCHAR) FROM u "
+        "UNION ALL SELECT h, 'utm', CAST(doc_id % 2 AS VARCHAR) FROM u) "
+        "SELECT h AS host, param, "
+        "CAST(count(DISTINCT v) AS BIGINT) AS n_values, "
+        "CAST(count(*) AS BIGINT) AS n_urls "
+        "FROM p GROUP BY 1, 2")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -8566,6 +8598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_triangles": _q_host_triangles,
         "host_clustering": _q_host_clustering,
         "part_butterflies": _q_part_butterflies,
+        "url_param_cardinality": _q_url_param_cardinality,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -10355,6 +10388,7 @@ def oracle_sql() -> dict[str, str]:
         "host_triangles": _host_triangles_sql(),
         "host_clustering": _host_clustering_sql(),
         "part_butterflies": _part_butterflies_sql(),
+        "url_param_cardinality": _url_param_cardinality_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",

@@ -206,3 +206,41 @@ def test_butterflies_vs_brute_random(ray_session):
         rng.integers(0, 40, 300), rng.integers(0, 15, 300)])]
     got = _run_bf(pairs, ray_session, num_partitions=7)
     assert got == _brute_butterflies(pairs)
+
+
+# ---------------------------------------------------------------------------
+# param_cardinality
+# ---------------------------------------------------------------------------
+
+def test_param_cardinality_counts(ray_session):
+    from xtract.ops.urls import param_cardinality
+
+    urls = [
+        "https://A.example.org/x?sid=1&page=1",
+        "https://a.example.org/y?sid=2&page=1",   # host case-folds
+        "https://a.example.org/z?sid=3&page=2&empty=",
+        "https://b.example.org/?sid=9",
+        None, "",                                  # skipped
+        "https://a.example.org/k",                 # no query
+    ]
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    df = param_cardinality(ds).to_pandas()
+    got = {(r.host, r.param): (int(r.n_values), int(r.n_urls))
+           for r in df.itertuples()}
+    assert got == {
+        ("a.example.org", "sid"): (3, 3),
+        ("a.example.org", "page"): (2, 3),
+        ("a.example.org", "empty"): (1, 1),   # blank value kept
+        ("b.example.org", "sid"): (1, 1),
+    }
+
+
+def test_param_cardinality_repeated_values_counted_once(ray_session):
+    from xtract.ops.urls import param_cardinality
+
+    urls = ["https://h.org/?v=1"] * 5 + ["https://h.org/?v=2"]
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    df = param_cardinality(ds).to_pandas()
+    assert len(df) == 1
+    r = df.iloc[0]
+    assert (int(r.n_values), int(r.n_urls)) == (2, 6)

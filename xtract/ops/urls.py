@@ -505,3 +505,57 @@ def add_site_column(ds, host_col: str = "host",
         return t.append_column(out_col, pa.array(sites, pa.string()))
 
     return ds.map_batches(mapper, batch_format="pyarrow")
+
+
+def param_cardinality(ds, url_col: str = "url"):
+    """Per-(host, query-parameter) URL and distinct-value counts — the
+    signal behind data-driven canonicalization: a parameter whose
+    ``n_values`` ≈ ``n_urls`` is volatile (session ids, cache busters)
+    and should be stripped before dedup; a low-cardinality parameter is
+    a real content axis (page number, category).  Complements the
+    static ``_TRACKING`` blocklist with measured evidence.
+
+    Shape: flat explode to slim (host, param, value) rows with a
+    per-block pre-count combiner → native Sum over the (h, p, v) key →
+    second native aggregate over (h, p): Count of surviving rows =
+    distinct values, Sum of counts = URL occurrences.  Both exchanges
+    carry pre-reduced slim string rows only.
+
+    → Dataset(host, param, n_values int64, n_urls int64).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    def explode(b: pa.Table) -> pa.Table:
+        hs: list[str] = []
+        ps: list[str] = []
+        vs: list[str] = []
+        for u in b[url_col].to_pylist():
+            if not u:
+                continue
+            sp = urlsplit(u)
+            host = (sp.hostname or "").lower()
+            for k, v in parse_qsl(sp.query, keep_blank_values=True):
+                hs.append(host)
+                ps.append(k)
+                vs.append(v)
+        if not hs:
+            return pa.table({"host": pa.array([], pa.string()),
+                             "param": pa.array([], pa.string()),
+                             "value": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        cnt = (pd.DataFrame({"host": hs, "param": ps, "value": vs})
+               .groupby(["host", "param", "value"], sort=False)
+               .size().reset_index(name="n"))
+        return pa.table({
+            "host": pa.array(cnt["host"], pa.string()),
+            "param": pa.array(cnt["param"], pa.string()),
+            "value": pa.array(cnt["value"], pa.string()),
+            "n": pa.array(cnt["n"], pa.int64())})
+
+    per_value = (ds.map_batches(explode, batch_format="pyarrow")
+                 .groupby(["host", "param", "value"])
+                 .aggregate(Sum("n", alias_name="n")))
+    return (per_value.groupby(["host", "param"])
+            .aggregate(Count(alias_name="n_values"),
+                       Sum("n", alias_name="n_urls")))
