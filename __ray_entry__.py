@@ -8442,6 +8442,55 @@ def _url_param_cardinality_sql() -> str:
         "FROM p GROUP BY 1, 2")
 
 
+def _hreflang_pages_batch(t: pa.Table) -> pa.Table:
+    """doc_id → a page with two hreflang alternates (one base-relative,
+    one absolute cross-host), for doc_id%4==1 a third, plus a
+    no-hreflang alternate link that must be skipped."""
+    urls, htmls = [], []
+    for d in t["doc_id"].to_pylist():
+        urls.append(f"https://host{d % 6}.example.org/p/{d}")
+        h = (f"<html><head><base href='/l{d % 2}/'>"
+             f"<link rel='Alternate' hreflang='EN' href='en/{d % 7}'>"
+             f"<link rel='alternate' hreflang='de-"
+             f"{'AT' if d % 3 == 0 else 'DE'}' "
+             f"href='https://de.example.org/{d % 5}'>")
+        if d % 4 == 1:
+            h += f"<link rel='alternate' hreflang='fr' href='f{d % 2}'>"
+        h += "<link rel='alternate' href='feed.xml'></head></html>"
+        htmls.append(h.encode())
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "html": pa.array(htmls, pa.binary())})
+
+
+def _q_page_hreflang(sf_dir: str):
+    """Language-edition (hreflang alternate) harvest — the cluster key
+    translation-aware dedup collapses before per-language sampling
+    (``xtract/links.extract_hreflang``)."""
+    from xtract.links import extract_hreflang
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _hreflang_pages_batch, batch_format="pyarrow")
+    return extract_hreflang(pages)
+
+
+def _page_hreflang_sql() -> str:
+    page = ("'https://host' || CAST(doc_id % 6 AS VARCHAR) || "
+            "'.example.org/p/' || CAST(doc_id AS VARCHAR)")
+    basep = ("'https://host' || CAST(doc_id % 6 AS VARCHAR) || "
+             "'.example.org/l' || CAST(doc_id % 2 AS VARCHAR) || '/'")
+    return (
+        f"SELECT {page} AS url, CAST(0 AS BIGINT) AS rank, "
+        f"'en' AS hreflang, {basep} || 'en/' || "
+        "CAST(doc_id % 7 AS VARCHAR) AS href FROM documents "
+        f"UNION ALL SELECT {page}, 1, "
+        "CASE WHEN doc_id % 3 = 0 THEN 'de-at' ELSE 'de-de' END, "
+        "'https://de.example.org/' || CAST(doc_id % 5 AS VARCHAR) "
+        "FROM documents "
+        f"UNION ALL SELECT {page}, 2, 'fr', "
+        f"{basep} || 'f' || CAST(doc_id % 2 AS VARCHAR) "
+        "FROM documents WHERE doc_id % 4 = 1")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -8599,6 +8648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_clustering": _q_host_clustering,
         "part_butterflies": _q_part_butterflies,
         "url_param_cardinality": _q_url_param_cardinality,
+        "page_hreflang": _q_page_hreflang,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -10389,6 +10439,7 @@ def oracle_sql() -> dict[str, str]:
         "host_clustering": _host_clustering_sql(),
         "part_butterflies": _part_butterflies_sql(),
         "url_param_cardinality": _url_param_cardinality_sql(),
+        "page_hreflang": _page_hreflang_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",

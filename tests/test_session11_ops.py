@@ -244,3 +244,36 @@ def test_param_cardinality_repeated_values_counted_once(ray_session):
     assert len(df) == 1
     r = df.iloc[0]
     assert (int(r.n_values), int(r.n_urls)) == (2, 6)
+
+
+# ---------------------------------------------------------------------------
+# extract_hreflang
+# ---------------------------------------------------------------------------
+
+def test_hreflang_basics():
+    from xtract.links import extract_hreflang_one
+
+    h = (b"<html><head><base href='/l/'>"
+         b"<link rel='Alternate' hreflang='EN-us' href='en'>"
+         b"<link rel='alternate' hreflang='de' href='/de/x'>"
+         b"<link rel='alternate' href='feed.xml'>"
+         b"<link hreflang='fr' href='no-rel'>"
+         b"<link rel='canonical' href='c'></head></html>")
+    rows = extract_hreflang_one(h, "https://h.org/p/1")
+    assert rows == [("en-us", "https://h.org/l/en"),
+                    ("de", "https://h.org/de/x")]
+
+
+def test_hreflang_dataset_explode(ray_session):
+    from xtract.links import extract_hreflang
+
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(["https://a.org/", "https://b.org/"], pa.string()),
+        "html": pa.array(
+            [b"<link rel='alternate' hreflang='ES' href='s'>",
+             b"<p>none</p>"], pa.binary())}))
+    out = extract_hreflang(pages).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["url"], int(r["rank"]), r["hreflang"], r["href"]) == (
+        "https://a.org/", 0, "es", "https://a.org/s")

@@ -229,3 +229,69 @@ def host_link_counts(links_ds):
     from ray.data.aggregate import Count
 
     return links_ds.groupby("host").aggregate(Count(alias_name="n_links"))
+
+
+HREFLANG_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("rank", pa.int64()),
+    ("hreflang", pa.string()),
+    ("href", pa.string()),
+])
+
+
+def extract_hreflang_one(html: bytes, base_url: str = ""
+                         ) -> "list[tuple[str, str]]":
+    """→ ordered [(hreflang, href)] for every ``<link rel=alternate
+    hreflang=..>`` — the language-edition cluster a multilingual
+    pipeline uses to collapse translations of one page before
+    per-language sampling.  ``rel`` is the case-insensitive token
+    list, hreflang codes lowercase (BCP-47 is case-insensitive),
+    hrefs resolve against the page url honoring the first ``<base>``.
+    Pure function (oracle-shared)."""
+    out: "list[tuple[str, str]]" = []
+    base = base_url
+    base_seen = False
+    for tok in tokenize(html):
+        if tok[0] != "start":
+            continue
+        tag = tok[3]
+        if tag == "base" and not base_seen:
+            b = parse_attrs(tok[4]).get("href")
+            if b:
+                base = urljoin(base_url, b) if base_url else b
+                base_seen = True
+        elif tag == "link":
+            attrs = parse_attrs(tok[4])
+            rel = (attrs.get("rel") or "").lower().split()
+            lang = attrs.get("hreflang")
+            href = attrs.get("href")
+            if "alternate" in rel and lang and href:
+                out.append((lang.lower(),
+                            urljoin(base, href) if base else href))
+    return out
+
+
+def hreflang_batch(batch: pa.Table) -> pa.Table:
+    urls = batch["url"].to_pylist()
+    htmls = (batch["html"].to_pylist() if "html" in batch.column_names
+             else [None] * len(urls))
+    c_url, c_rank, c_lang, c_href = [], [], [], []
+    for url, html in zip(urls, htmls):
+        if not url or not html:
+            continue
+        for i, (lang, href) in enumerate(extract_hreflang_one(html, url)):
+            c_url.append(url)
+            c_rank.append(i)
+            c_lang.append(lang)
+            c_href.append(href)
+    return pa.Table.from_arrays(
+        [pa.array(c_url, pa.string()), pa.array(c_rank, pa.int64()),
+         pa.array(c_lang, pa.string()), pa.array(c_href, pa.string())],
+        schema=HREFLANG_SCHEMA)
+
+
+def extract_hreflang(ds):
+    """pages Dataset → hreflang alternate rows (streaming flat
+    explode); the cluster key for translation-aware dedup is the
+    row's ``href`` joined back on page url."""
+    return ds.map_batches(hreflang_batch, batch_format="pyarrow")
