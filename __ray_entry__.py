@@ -8491,6 +8491,87 @@ def _page_hreflang_sql() -> str:
         "FROM documents WHERE doc_id % 4 = 1")
 
 
+def _q_pagination_chains(sf_dir: str):
+    """Multi-page-article stitching: harvest ``rel=next`` pagination
+    edges (``xtract/links.extract_rel_next``), build a functional
+    graph, contract it by pointer doubling
+    (``ops/graph.resolve_pointer_chains``) — each page resolves to its
+    chain END in O(log L) all-to-alls, the key training-data assembly
+    groups on.  Fixture: pages chain in runs of 5 (doc d → d+1 unless
+    d%5==4 or d is the last doc).  State build uses the composite-Max
+    idiom (src‖ptr) so the union of terminal + edge rows collapses to
+    one row per page with NO anti-join or broadcast."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from xtract.links import extract_rel_next
+    from xtract.ops.graph import resolve_pointer_chains
+
+    docs = _docs(sf_dir, ["doc_id"])
+    maxid = int(docs.aggregate(Max("doc_id", alias_name="m"))["m"])
+
+    def pages(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for d in t["doc_id"].to_pylist():
+            urls.append(f"https://news.example.org/p/{d}")
+            h = f"<html><head><title>part {d}</title>"
+            if d % 5 != 4 and d < maxid:
+                h += f"<link rel='Next' href='{d + 1}'>"
+            h += "</head></html>"
+            htmls.append(h.encode())
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    edges = extract_rel_next(docs.map_batches(pages,
+                                              batch_format="pyarrow"))
+
+    BIG = np.int64(1) << 32
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        # url tail is the doc id by construction
+        d = np.array([int(u.rsplit("/", 1)[1])
+                      for u in t["url"].to_pylist()], np.int64)
+        p = np.array([int(u.rsplit("/", 1)[1])
+                      for u in t["next_url"].to_pylist()], np.int64)
+        return pa.table({"d": pa.array(d, pa.int64()),
+                         "key": pa.array(BIG + p, pa.int64())})
+
+    def term_rows(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].cast(pa.int64())
+        return pa.table({"d": d, "key": d})  # src=0 ⇒ key = ptr = d
+
+    state_keys = (edges.map_batches(edge_rows, batch_format="pyarrow")
+                  .union(docs.map_batches(term_rows,
+                                          batch_format="pyarrow"))
+                  .groupby("d").aggregate(Max("key", alias_name="key")))
+
+    def decode(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy(zero_copy_only=False)
+        src = (k >= BIG).astype(np.int64)
+        return pa.table({
+            "d": t["d"].cast(pa.int64()),
+            "ptr": pa.array(k - src * BIG, pa.int64()),
+            "hops": pa.array(src, pa.int64()),
+            "src": pa.array(src, pa.int64())})
+
+    state = state_keys.map_batches(decode, batch_format="pyarrow")
+    out = resolve_pointer_chains(state, partitions=16)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["d"],
+                            "end_doc_id": t["ptr"],
+                            "n_hops": t["hops"]}),
+        batch_format="pyarrow")
+
+
+def _pagination_chains_sql() -> str:
+    return (
+        "WITH m AS (SELECT max(doc_id) AS mx FROM documents) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(least((doc_id // 5) * 5 + 4, mx) AS BIGINT) AS end_doc_id, "
+        "CAST(least((doc_id // 5) * 5 + 4, mx) - doc_id AS BIGINT) "
+        "AS n_hops FROM documents, m")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -8649,6 +8730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_butterflies": _q_part_butterflies,
         "url_param_cardinality": _q_url_param_cardinality,
         "page_hreflang": _q_page_hreflang,
+        "pagination_chains": _q_pagination_chains,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -10440,6 +10522,7 @@ def oracle_sql() -> dict[str, str]:
         "part_butterflies": _part_butterflies_sql(),
         "url_param_cardinality": _url_param_cardinality_sql(),
         "page_hreflang": _page_hreflang_sql(),
+        "pagination_chains": _pagination_chains_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",

@@ -277,3 +277,31 @@ def test_hreflang_dataset_explode(ray_session):
     r = out.iloc[0]
     assert (r["url"], int(r["rank"]), r["hreflang"], r["href"]) == (
         "https://a.org/", 0, "es", "https://a.org/s")
+
+
+# ---------------------------------------------------------------------------
+# extract_rel_next
+# ---------------------------------------------------------------------------
+
+def test_rel_next_first_wins_and_resolution():
+    from xtract.links import extract_rel_next_one
+
+    h = (b"<html><head><base href='/a/'>"
+         b"<link rel='Next' href='6'><link rel='next' href='7'>"
+         b"</head></html>")
+    assert extract_rel_next_one(h, "https://h.org/p/5") == "https://h.org/a/6"
+    assert extract_rel_next_one(b"<link rel='prev' href='4'>",
+                                "https://h.org/p/5") is None
+
+
+def test_rel_next_dataset_pages_without_next_emit_no_row(ray_session):
+    from xtract.links import extract_rel_next
+
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(["https://h.org/p/1", "https://h.org/p/2"],
+                        pa.string()),
+        "html": pa.array([b"<link rel='next' href='2'>", b"<p>end</p>"],
+                         pa.binary())}))
+    out = extract_rel_next(pages).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["next_url"] == "https://h.org/p/2"

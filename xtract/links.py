@@ -295,3 +295,53 @@ def extract_hreflang(ds):
     explode); the cluster key for translation-aware dedup is the
     row's ``href`` joined back on page url."""
     return ds.map_batches(hreflang_batch, batch_format="pyarrow")
+
+
+def extract_rel_next_one(html: bytes, base_url: str = "") -> "str | None":
+    """→ the first ``<link rel=next>`` target (resolved through the
+    base-href rule) or None — the pagination edge used to stitch
+    multi-page articles back into one document before training-data
+    assembly.  ``rel`` is the case-insensitive token list.  Pure
+    function (oracle-shared)."""
+    base = base_url
+    base_seen = False
+    for tok in tokenize(html):
+        if tok[0] != "start":
+            continue
+        tag = tok[3]
+        if tag == "base" and not base_seen:
+            b = parse_attrs(tok[4]).get("href")
+            if b:
+                base = urljoin(base_url, b) if base_url else b
+                base_seen = True
+        elif tag == "link":
+            attrs = parse_attrs(tok[4])
+            rel = (attrs.get("rel") or "").lower().split()
+            href = attrs.get("href")
+            if "next" in rel and href:
+                return urljoin(base, href) if base else href
+    return None
+
+
+def rel_next_batch(batch: pa.Table) -> pa.Table:
+    urls = batch["url"].to_pylist()
+    htmls = (batch["html"].to_pylist() if "html" in batch.column_names
+             else [None] * len(urls))
+    c_url, c_next = [], []
+    for url, html in zip(urls, htmls):
+        if not url or not html:
+            continue
+        nxt = extract_rel_next_one(html, url)
+        if nxt is not None:
+            c_url.append(url)
+            c_next.append(nxt)
+    return pa.table({"url": pa.array(c_url, pa.string()),
+                     "next_url": pa.array(c_next, pa.string())})
+
+
+def extract_rel_next(ds):
+    """pages Dataset → (url, next_url) pagination edges (streaming
+    flat harvest; pages without a next link emit no row).  Chain
+    assembly is ``ops/graph.resolve_pointer_chains`` over these
+    edges."""
+    return ds.map_batches(rel_next_batch, batch_format="pyarrow")
