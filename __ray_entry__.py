@@ -2298,6 +2298,96 @@ def _q_customer_spend_cogroup(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def _q_nation_trade_flows(sf_dir: str):
+    """TPC-H Q7-style bi-nation trade volume by order year: the
+    supplier's nation × the customer's nation × year with EXACT
+    integer revenue (cents × basis-point discount → int64).  Scale
+    shape: nation + supplier are dimension tables (broadcast once via
+    ``ray.put``); customer and lineitem attach to orders through TWO
+    large-×-large co-group equi-joins (hash co-partition + one pandas
+    merge per partition); names attach in the same slim pass; ONE
+    native grouped Sum finishes."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.joins import equi_join_cogroup
+
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"]).to_pandas()
+    nat = nat.sort_values("n_nationkey")
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup.sort_values("s_suppkey")
+    dims_ref = ray.put((
+        nat.n_nationkey.to_numpy(np.int64), nat.n_name.to_numpy(),
+        sup.s_suppkey.to_numpy(np.int64),
+        sup.s_nationkey.to_numpy(np.int64)))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64())}),
+        batch_format="pyarrow")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    oc = equi_join_cogroup(orders, cust, "o_custkey", "c_custkey")
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "rev": pc.multiply(
+                pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                        pa.int64()),
+                pc.subtract(
+                    pa.scalar(10000, pa.int64()),
+                    pc.cast(pc.round(pc.multiply(t["l_discount"], 10000)),
+                            pa.int64())))}),
+        batch_format="pyarrow")
+    lo = equi_join_cogroup(li, oc, "l_orderkey", "o_orderkey")
+
+    def attach(b: pa.Table) -> pa.Table:
+        # vectorized sorted-array lookups — no per-row Python
+        nk, nname, sk_sorted, snat = ray.get(dims_ref)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s_nat = snat[np.searchsorted(sk_sorted, sk)]
+        return pa.table({
+            "supp_nation": pa.array(nname[np.searchsorted(nk, s_nat)],
+                                    pa.string()),
+            "cust_nation": pa.array(nname[np.searchsorted(nk, ck)],
+                                    pa.string()),
+            "o_year": b["o_year"].cast(pa.int64()),
+            "rev": b["rev"].cast(pa.int64())})
+
+    return (lo.map_batches(attach, batch_format="pyarrow")
+            .groupby(["supp_nation", "cust_nation", "o_year"])
+            .aggregate(Sum("rev", alias_name="revenue_micro")))
+
+
+def _nation_trade_flows_sql() -> str:
+    return (
+        "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+        "CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS BIGINT) "
+        "AS revenue_micro "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+        "GROUP BY 1, 2, 3")
+
+
 def _q_decontaminate(sf_dir: str):
     """13-gram benchmark decontamination: the first 20 documents stand
     in as the 'benchmark set'; every document is flagged for n-gram
@@ -8731,6 +8821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_param_cardinality": _q_url_param_cardinality,
         "page_hreflang": _q_page_hreflang,
         "pagination_chains": _q_pagination_chains,
+        "nation_trade_flows": _q_nation_trade_flows,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -10523,6 +10614,7 @@ def oracle_sql() -> dict[str, str]:
         "url_param_cardinality": _url_param_cardinality_sql(),
         "page_hreflang": _page_hreflang_sql(),
         "pagination_chains": _pagination_chains_sql(),
+        "nation_trade_flows": _nation_trade_flows_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",
