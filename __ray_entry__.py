@@ -8662,6 +8662,51 @@ def _pagination_chains_sql() -> str:
         "AS n_hops FROM documents, m")
 
 
+def _og_pages_batch(t: pa.Table) -> pa.Table:
+    """doc_id → a page with og:title (entity), og:type cycling over 3
+    values, twitter:card for doc_id%2==0, a duplicate og:title that
+    must lose to the first, and a non-OG meta that must be skipped."""
+    urls, htmls = [], []
+    for d in t["doc_id"].to_pylist():
+        urls.append(f"https://host{d % 6}.example.org/p/{d}")
+        h = (f"<html><head>"
+             f"<meta property='og:Title' content='T &amp; {d % 5}'>"
+             f"<meta property='og:type' content='type{d % 3}'>"
+             "<meta property='og:title' content='loser'>")
+        if d % 2 == 0:
+            h += "<meta name='twitter:card' content='summary'>"
+        h += ("<meta name='description' content='skip'>"
+              "</head></html>")
+        htmls.append(h.encode())
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "html": pa.array(htmls, pa.binary())})
+
+
+def _q_page_opengraph(sf_dir: str):
+    """Open-Graph / twitter-card metadata harvest — the social-card
+    layer used as title/date/quality evidence when body markup is
+    poor (``xtract/links.extract_opengraph``)."""
+    from xtract.links import extract_opengraph
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _og_pages_batch, batch_format="pyarrow")
+    return extract_opengraph(pages)
+
+
+def _page_opengraph_sql() -> str:
+    page = ("'https://host' || CAST(doc_id % 6 AS VARCHAR) || "
+            "'.example.org/p/' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"SELECT {page} AS url, CAST(0 AS BIGINT) AS rank, "
+        "'og:title' AS property, "
+        "'T & ' || CAST(doc_id % 5 AS VARCHAR) AS content "
+        "FROM documents "
+        f"UNION ALL SELECT {page}, 1, 'og:type', "
+        "'type' || CAST(doc_id % 3 AS VARCHAR) FROM documents "
+        f"UNION ALL SELECT {page}, 2, 'twitter:card', 'summary' "
+        "FROM documents WHERE doc_id % 2 = 0")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -8822,6 +8867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_hreflang": _q_page_hreflang,
         "pagination_chains": _q_pagination_chains,
         "nation_trade_flows": _q_nation_trade_flows,
+        "page_opengraph": _q_page_opengraph,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -10615,6 +10661,7 @@ def oracle_sql() -> dict[str, str]:
         "page_hreflang": _page_hreflang_sql(),
         "pagination_chains": _pagination_chains_sql(),
         "nation_trade_flows": _nation_trade_flows_sql(),
+        "page_opengraph": _page_opengraph_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",

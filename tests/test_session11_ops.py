@@ -305,3 +305,34 @@ def test_rel_next_dataset_pages_without_next_emit_no_row(ray_session):
     out = extract_rel_next(pages).to_pandas()
     assert len(out) == 1
     assert out.iloc[0]["next_url"] == "https://h.org/p/2"
+
+
+# ---------------------------------------------------------------------------
+# extract_opengraph
+# ---------------------------------------------------------------------------
+
+def test_opengraph_first_wins_unescape_and_filter():
+    from xtract.links import extract_opengraph_one
+
+    h = (b"<meta property='og:Title' content='A &amp; B'>"
+         b"<meta property='og:title' content='dup'>"
+         b"<meta name='twitter:card' content='summary'>"
+         b"<meta property='article:author' content='x'>"
+         b"<meta property='og:image' content=''>"
+         b"<meta name='description' content='not og'>")
+    assert extract_opengraph_one(h) == [
+        ("og:title", "A & B"), ("twitter:card", "summary"),
+        ("article:author", "x")]
+
+
+def test_opengraph_dataset_explode(ray_session):
+    from xtract.links import extract_opengraph
+
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(["https://a.org/"], pa.string()),
+        "html": pa.array([b"<meta property='og:type' content='web'>"],
+                         pa.binary())}))
+    out = extract_opengraph(pages).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["property"], out.iloc[0]["content"]) == (
+        "og:type", "web")

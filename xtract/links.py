@@ -345,3 +345,62 @@ def extract_rel_next(ds):
     assembly is ``ops/graph.resolve_pointer_chains`` over these
     edges."""
     return ds.map_batches(rel_next_batch, batch_format="pyarrow")
+
+
+OPENGRAPH_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("rank", pa.int64()),
+    ("property", pa.string()),
+    ("content", pa.string()),
+])
+
+_OG_PREFIXES = ("og:", "twitter:", "article:")
+
+
+def extract_opengraph_one(html: bytes) -> "list[tuple[str, str]]":
+    """→ ordered [(property, content)] for every Open-Graph-family
+    ``<meta property=..>`` / ``<meta name=twitter:..>`` tag — the
+    social-card metadata layer (og:title/og:image/article:author)
+    that doubles as a title/date/quality evidence source when body
+    markup is poor.  Property names lowercase; the first occurrence
+    of a property wins (the de-facto consumer rule); content is
+    entity-unescaped; empty/absent content skipped.  Pure function
+    (oracle-shared)."""
+    out: "list[tuple[str, str]]" = []
+    seen: set[str] = set()
+    for tok in tokenize(html):
+        if tok[0] != "start" or tok[3] != "meta":
+            continue
+        attrs = parse_attrs(tok[4])
+        prop = (attrs.get("property") or attrs.get("name") or "").lower()
+        content = attrs.get("content")
+        if (prop.startswith(_OG_PREFIXES) and content
+                and prop not in seen):
+            seen.add(prop)
+            out.append((prop, unescape(content)))
+    return out
+
+
+def opengraph_batch(batch: pa.Table) -> pa.Table:
+    urls = batch["url"].to_pylist()
+    htmls = (batch["html"].to_pylist() if "html" in batch.column_names
+             else [None] * len(urls))
+    c_url, c_rank, c_prop, c_val = [], [], [], []
+    for url, html in zip(urls, htmls):
+        if not url or not html:
+            continue
+        for i, (p, v) in enumerate(extract_opengraph_one(html)):
+            c_url.append(url)
+            c_rank.append(i)
+            c_prop.append(p)
+            c_val.append(v)
+    return pa.Table.from_arrays(
+        [pa.array(c_url, pa.string()), pa.array(c_rank, pa.int64()),
+         pa.array(c_prop, pa.string()), pa.array(c_val, pa.string())],
+        schema=OPENGRAPH_SCHEMA)
+
+
+def extract_opengraph(ds):
+    """pages Dataset → Open-Graph property rows (streaming flat
+    explode)."""
+    return ds.map_batches(opengraph_batch, batch_format="pyarrow")
