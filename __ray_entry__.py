@@ -8707,6 +8707,44 @@ def _page_opengraph_sql() -> str:
         "FROM documents WHERE doc_id % 2 = 0")
 
 
+def _q_source_lang_mix(sf_dir: str):
+    """Per-source language-mix profile (multilingual-host signal for
+    crawl curation): doc count, distinct languages, majority language
+    (tie → lexicographic) and its exact ppm share —
+    ``ops/agg.grouped_value_profile`` + one vectorized ppm map."""
+    from xtract.ops.agg import grouped_value_profile
+
+    prof = grouped_value_profile(
+        _docs(sf_dir, ["source", "lang"]), "source", "lang")
+
+    def ppm(t: pa.Table) -> pa.Table:
+        mn = t["mode_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nr = t["n_rows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "source": t["source"],
+            "n_docs": t["n_rows"].cast(pa.int64()),
+            "n_langs": t["n_values"].cast(pa.int64()),
+            "majority_lang": t["mode"],
+            "majority_ppm": pa.array(mn * 1_000_000 // nr, pa.int64())})
+
+    return prof.map_batches(ppm, batch_format="pyarrow")
+
+
+def _source_lang_mix_sql() -> str:
+    return (
+        "WITH c AS (SELECT source, lang, count(*) AS n FROM documents "
+        "GROUP BY 1, 2), "
+        "t AS (SELECT source, sum(n) AS n_docs, count(*) AS n_langs "
+        "FROM c GROUP BY 1), "
+        "m AS (SELECT source, lang, n, row_number() OVER "
+        "(PARTITION BY source ORDER BY n DESC, lang) AS rn FROM c) "
+        "SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs, "
+        "CAST(t.n_langs AS BIGINT) AS n_langs, "
+        "m.lang AS majority_lang, "
+        "CAST(m.n * 1000000 // t.n_docs AS BIGINT) AS majority_ppm "
+        "FROM t JOIN m ON m.source = t.source AND m.rn = 1")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -8868,6 +8906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagination_chains": _q_pagination_chains,
         "nation_trade_flows": _q_nation_trade_flows,
         "page_opengraph": _q_page_opengraph,
+        "source_lang_mix": _q_source_lang_mix,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -10662,6 +10701,7 @@ def oracle_sql() -> dict[str, str]:
         "pagination_chains": _pagination_chains_sql(),
         "nation_trade_flows": _nation_trade_flows_sql(),
         "page_opengraph": _page_opengraph_sql(),
+        "source_lang_mix": _source_lang_mix_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",

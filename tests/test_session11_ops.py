@@ -336,3 +336,47 @@ def test_opengraph_dataset_explode(ray_session):
     assert len(out) == 1
     assert (out.iloc[0]["property"], out.iloc[0]["content"]) == (
         "og:type", "web")
+
+
+# ---------------------------------------------------------------------------
+# grouped_value_profile
+# ---------------------------------------------------------------------------
+
+def _brute_profile(pairs):
+    from collections import Counter, defaultdict
+
+    byk = defaultdict(list)
+    for k, v in pairs:
+        byk[k].append(v)
+    out = {}
+    for k, vals in byk.items():
+        c = Counter(vals)
+        mode = min(c, key=lambda v: (-c[v], v))
+        out[k] = (len(vals), len(c), mode, c[mode])
+    return out
+
+
+def _run_profile(pairs, ray_session, **kw):
+    from xtract.ops.agg import grouped_value_profile
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([p[0] for p in pairs], pa.string()),
+        "v": pa.array([p[1] for p in pairs], pa.string())}))
+    df = grouped_value_profile(ds, "k", "v", **kw).to_pandas()
+    return {r.k: (int(r.n_rows), int(r.n_values), r.mode, int(r.mode_n))
+            for r in df.itertuples()}
+
+
+def test_profile_tie_breaks_lexicographic(ray_session):
+    pairs = [("a", "y"), ("a", "x"), ("b", "q"), ("b", "p"),
+             ("b", "q"), ("b", "p")]
+    got = _run_profile(pairs, ray_session)
+    assert got == {"a": (2, 2, "x", 1), "b": (4, 2, "p", 2)}
+
+
+def test_profile_vs_brute_random(ray_session):
+    rng = np.random.default_rng(17)
+    pairs = [(f"k{int(a)}", f"v{int(b)}") for a, b in np.column_stack(
+        [rng.integers(0, 12, 400), rng.integers(0, 6, 400)])]
+    got = _run_profile(pairs, ray_session, num_partitions=5)
+    assert got == _brute_profile(pairs)

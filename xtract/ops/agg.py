@@ -598,3 +598,58 @@ def grouped_ordered_concat(ds, key: str, val_col: str, order_cols,
             .groupby("_part")
             .map_groups(per_partition, batch_format="pandas")
             .select_columns([key, "path", "n_items"]))
+
+
+def grouped_value_profile(ds, key: str, val: str, num_partitions: int = 32):
+    """→ Dataset(key, n_rows, n_values, mode, mode_n): each key's full
+    categorical-distribution profile — row count, distinct-value
+    count, and most frequent value (ties → lexicographically smallest)
+    with its count — in ONE pass more than :func:`grouped_mode` would
+    give (which returns only the winner).
+
+    Shape: block combiner + ONE groupby Sum produces the slim distinct
+    (key, val, n) table (a hot pair contributes ≤1 row per block); a
+    single coarse co-group over ``key`` then computes all three
+    statistics per partition with one cython pandas kernel — the
+    multi-stat-per-exchange discipline (tag once, compute everything
+    inside that partition)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        df = (t.select([key, val]).to_pandas()
+               .groupby([key, val], sort=False).size()
+               .rename("_n").reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counted = (ds.map_batches(pair_counts, batch_format="pyarrow")
+                 .groupby([key, val])
+                 .aggregate(Sum("_n", alias_name="n")))
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("_part", pa.array(
+            _hash_part(b[key], num_partitions), pa.int64()))
+
+    def profile(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": g[key].to_pandas(),
+            "v": g[val].to_pandas(),
+            "n": g["n"].to_numpy(zero_copy_only=False).astype("int64")})
+        tot = df.groupby("k", sort=False)["n"].agg(["sum", "size"])
+        # winner under (-n, v): sort once, take first per key
+        w = (df.sort_values(["k", "v"])
+               .sort_values(["k", "n"], kind="mergesort",
+                            ascending=[True, False])
+               .drop_duplicates("k"))
+        w = w.set_index("k")
+        return pa.table({
+            key: pa.array(tot.index, g[key].type),
+            "n_rows": pa.array(tot["sum"].to_numpy(), pa.int64()),
+            "n_values": pa.array(tot["size"].to_numpy(), pa.int64()),
+            "mode": pa.array(w.loc[tot.index, "v"], g[val].type),
+            "mode_n": pa.array(
+                w.loc[tot.index, "n"].to_numpy(), pa.int64())})
+
+    return (counted.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(profile, batch_format="pyarrow"))
