@@ -8745,6 +8745,51 @@ def _source_lang_mix_sql() -> str:
         "FROM t JOIN m ON m.source = t.source AND m.rn = 1")
 
 
+def _q_returnflag_weighted_median(sf_dir: str):
+    """Exact quantity-weighted lower median of line price per return
+    flag (``ops/quantiles.grouped_weighted_median``): block pre-sum
+    combiner → one native Sum → one coarse co-group selection — only
+    the distinct (flag, cents) table crosses the wire."""
+    import ray.data as rd
+
+    from xtract.ops.quantiles import grouped_weighted_median
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "cents": pc.cast(pc.round(
+                pc.multiply(t["l_extendedprice"], 100)), pa.int64()),
+            "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64())})
+
+    out = grouped_weighted_median(
+        li.map_batches(slim, batch_format="pyarrow"),
+        "l_returnflag", "cents", "qty")
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["l_returnflag", "wmedian_cents", "total_qty"]),
+        batch_format="pyarrow")
+
+
+def _returnflag_weighted_median_sql() -> str:
+    return (
+        "WITH src AS (SELECT l_returnflag AS k, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS v, "
+        "CAST(round(l_quantity) AS BIGINT) AS w FROM lineitem), "
+        "c AS (SELECT k, v, sum(w) AS w FROM src GROUP BY 1, 2), "
+        "s AS (SELECT k, v, sum(w) OVER (PARTITION BY k ORDER BY v) "
+        "AS cum, (sum(w) OVER (PARTITION BY k) + 1) // 2 AS tgt FROM c), "
+        "t AS (SELECT k, sum(w) AS total_w FROM c GROUP BY 1), "
+        "m AS (SELECT k, min(v) AS wm FROM s WHERE cum >= tgt "
+        "GROUP BY k) "
+        "SELECT m.k AS l_returnflag, CAST(m.wm AS BIGINT) AS "
+        "wmedian_cents, CAST(t.total_w AS BIGINT) AS total_qty "
+        "FROM m JOIN t ON t.k = m.k")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -8907,6 +8952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_flows": _q_nation_trade_flows,
         "page_opengraph": _q_page_opengraph,
         "source_lang_mix": _q_source_lang_mix,
+        "returnflag_weighted_median": _q_returnflag_weighted_median,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -10702,6 +10748,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_trade_flows": _nation_trade_flows_sql(),
         "page_opengraph": _page_opengraph_sql(),
         "source_lang_mix": _source_lang_mix_sql(),
+        "returnflag_weighted_median": _returnflag_weighted_median_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",

@@ -380,3 +380,61 @@ def test_profile_vs_brute_random(ray_session):
         [rng.integers(0, 12, 400), rng.integers(0, 6, 400)])]
     got = _run_profile(pairs, ray_session, num_partitions=5)
     assert got == _brute_profile(pairs)
+
+
+# ---------------------------------------------------------------------------
+# grouped_weighted_median
+# ---------------------------------------------------------------------------
+
+def _brute_wmedian(rows):
+    from collections import defaultdict
+
+    byk = defaultdict(list)
+    for k, v, w in rows:
+        byk[k].append((v, w))
+    out = {}
+    for k, vw in byk.items():
+        agg = defaultdict(int)
+        for v, w in vw:
+            agg[v] += w
+        total = sum(agg.values())
+        tgt = (total + 1) // 2
+        cum = 0
+        for v in sorted(agg):
+            cum += agg[v]
+            if cum >= tgt:
+                out[k] = (v, total)
+                break
+    return out
+
+
+def _run_wm(rows, ray_session, **kw):
+    from xtract.ops.quantiles import grouped_weighted_median
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([r[0] for r in rows], pa.string()),
+        "v": pa.array([r[1] for r in rows], pa.int64()),
+        "w": pa.array([r[2] for r in rows], pa.int64())}))
+    df = grouped_weighted_median(ds, "k", "v", "w", **kw).to_pandas()
+    return {r.k: (int(r.wmedian), int(r.total_w)) for r in df.itertuples()}
+
+
+def test_wmedian_heavy_row_dominates(ray_session):
+    rows = [("a", 1, 1), ("a", 2, 1), ("a", 100, 1),
+            ("b", 5, 10), ("b", 7, 1)]
+    assert _run_wm(rows, ray_session) == {"a": (2, 3), "b": (5, 11)}
+
+
+def test_wmedian_even_total_takes_lower(ray_session):
+    # W=4 -> tgt=2 -> running weight hits 2 at v=1
+    rows = [("a", 1, 2), ("a", 9, 2)]
+    assert _run_wm(rows, ray_session) == {"a": (1, 4)}
+
+
+def test_wmedian_vs_brute_random(ray_session):
+    rng = np.random.default_rng(23)
+    rows = [(f"k{int(a)}", int(b), int(c)) for a, b, c in np.column_stack(
+        [rng.integers(0, 8, 300), rng.integers(-50, 50, 300),
+         rng.integers(1, 9, 300)])]
+    got = _run_wm(rows, ray_session, num_partitions=5)
+    assert got == _brute_wmedian(rows)

@@ -215,3 +215,69 @@ def global_rank(ds, key: str, col: str, max_distinct: int = 2_000_000):
         })
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def grouped_weighted_median(ds, key: str, val: str, weight: str,
+                            num_partitions: int = 32):
+    """Exact per-key LOWER WEIGHTED MEDIAN of an integer value column:
+    the smallest ``v`` whose running weight reaches ``(W+1)//2``
+    (odd/even deterministic, no float midpoints) — the robust center
+    a skew-heavy corpus statistic wants when rows carry multiplicity
+    (bytes, quantities, repeat counts) and an unweighted median would
+    over-count light rows.
+
+    Shape: per-block (key, val) weight pre-sum combiner → ONE native
+    groupby Sum (a hot value contributes ≤1 row per block) → one
+    coarse co-group over ``key`` → per-partition vectorized sort +
+    run-offset cumsum + searchsorted pick.  Only the distinct
+    (key, val) table crosses the wire.
+
+    → Dataset(key, wmedian int64, total_w int64).
+    """
+    from ray.data.aggregate import Sum
+
+    from .agg import _hash_part  # shared coarse-partition helper
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": t[key].to_pandas(),
+            "v": t[val].to_numpy(zero_copy_only=False).astype("int64"),
+            "w": t[weight].to_numpy(zero_copy_only=False).astype("int64")})
+        g = df.groupby(["k", "v"], sort=False)["w"].sum().reset_index()
+        return pa.table({key: pa.array(g["k"], t[key].type),
+                         val: pa.array(g["v"], pa.int64()),
+                         "w": pa.array(g["w"], pa.int64())})
+
+    counted = (ds.map_batches(pre, batch_format="pyarrow")
+               .groupby([key, val]).aggregate(Sum("w", alias_name="w")))
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("_part", pa.array(
+            _hash_part(b[key], num_partitions), pa.int64()))
+
+    def pick(g: pa.Table) -> pa.Table:
+        k = g[key].to_numpy(zero_copy_only=False)
+        v = g[val].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = g["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, k))
+        k, v, w = k[order], v[order], w[order]
+        change = np.ones(len(k), bool)
+        change[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(k))
+        cum = np.cumsum(w)
+        base = np.repeat(cum[starts] - w[starts], ends - starts)
+        run_cum = cum - base                      # per-key running weight
+        totals = run_cum[ends - 1]
+        tgt = (totals + 1) // 2
+        # first index in each run where run_cum >= tgt
+        med_idx = np.empty(len(starts), np.int64)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            med_idx[i] = s + np.searchsorted(run_cum[s:e], tgt[i])
+        return pa.table({
+            key: pa.array(k[starts], g[key].type),
+            "wmedian": pa.array(v[med_idx], pa.int64()),
+            "total_w": pa.array(totals, pa.int64())})
+
+    return (counted.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part").map_groups(pick, batch_format="pyarrow"))
