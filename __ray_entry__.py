@@ -8790,6 +8790,43 @@ def _returnflag_weighted_median_sql() -> str:
         "FROM m JOIN t ON t.k = m.k")
 
 
+def _q_host_bipartite(sf_dir: str):
+    """Per-component bipartiteness over the planted 30-chain host
+    graph with odd cycles injected on every third chain (edge
+    (r, r+60) closes a triangle with the chain edges for r%3==0) —
+    the doubled-graph one-CC-run reduction
+    (``ops/graph.bipartite_components``).  Expected: component r is
+    bipartite iff r % 3 != 0; n_nodes = 4 for r ≤ 6 else 3."""
+    from xtract.ops.graph import bipartite_components
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        h = np.unique(t["doc_id"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64) % 97)
+        hi = h[h >= 30]
+        tri = h[(h < 30) & (h % 3 == 0)]
+        return pa.table({
+            "src": pa.array(np.concatenate([hi, tri]), pa.int64()),
+            "dst": pa.array(np.concatenate([hi - 30, tri + 60]),
+                            pa.int64())})
+
+    return bipartite_components(
+        docs.map_batches(edges, batch_format="pyarrow"))
+
+
+def _host_bipartite_sql() -> str:
+    # closed form for the planted graph (all 97 residues present at
+    # every sweep sf): chains r→r+30→r+60(→r+90 for r≤6) are paths
+    # (bipartite) unless the injected (r, r+60) edge closes a triangle
+    return (
+        "WITH r AS (SELECT DISTINCT doc_id % 30 AS c FROM documents) "
+        "SELECT CAST(c AS BIGINT) AS component, "
+        "(c % 3 != 0) AS is_bipartite, "
+        "CAST(CASE WHEN c <= 6 THEN 4 ELSE 3 END AS BIGINT) AS n_nodes "
+        "FROM r")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -8953,6 +8990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_opengraph": _q_page_opengraph,
         "source_lang_mix": _q_source_lang_mix,
         "returnflag_weighted_median": _q_returnflag_weighted_median,
+        "host_bipartite": _q_host_bipartite,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -10749,6 +10787,7 @@ def oracle_sql() -> dict[str, str]:
         "page_opengraph": _page_opengraph_sql(),
         "source_lang_mix": _source_lang_mix_sql(),
         "returnflag_weighted_median": _returnflag_weighted_median_sql(),
+        "host_bipartite": _host_bipartite_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",

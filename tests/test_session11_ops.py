@@ -438,3 +438,69 @@ def test_wmedian_vs_brute_random(ray_session):
          rng.integers(1, 9, 300)])]
     got = _run_wm(rows, ray_session, num_partitions=5)
     assert got == _brute_wmedian(rows)
+
+
+# ---------------------------------------------------------------------------
+# bipartite_components
+# ---------------------------------------------------------------------------
+
+def _brute_bipartite(edges):
+    """{component_min_node: (is_bipartite, n_nodes)} by BFS 2-coloring."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    seen, out = set(), {}
+    for s in sorted(adj):
+        if s in seen:
+            continue
+        color = {s: 0}
+        comp = [s]
+        ok = True
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in color:
+                    color[y] = color[x] ^ 1
+                    comp.append(y)
+                    q.append(y)
+                elif color[y] == color[x]:
+                    ok = False
+        seen.update(comp)
+        out[min(comp)] = (ok, len(comp))
+    return out
+
+
+def _run_bip(edges, ray_session, **kw):
+    from xtract.ops.graph import bipartite_components
+
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64())}))
+    df = bipartite_components(ds, **kw).to_pandas()
+    return {int(r.component): (bool(r.is_bipartite), int(r.n_nodes))
+            for r in df.itertuples()}
+
+
+def test_bipartite_shapes(ray_session):
+    edges = [(1, 2), (2, 3), (3, 1),            # triangle: odd
+             (10, 11), (11, 12), (12, 13), (13, 10),  # square: even
+             (20, 21)]                           # path: even
+    assert _run_bip(edges, ray_session) == {
+        1: (False, 3), 10: (True, 4), 20: (True, 2)}
+
+
+def test_bipartite_selfloop_and_dupes_ignored(ray_session):
+    edges = [(5, 5), (5, 6), (6, 5), (5, 6)]
+    assert _run_bip(edges, ray_session) == {5: (True, 2)}
+
+
+def test_bipartite_vs_brute_random(ray_session):
+    rng = np.random.default_rng(31)
+    edges = [tuple(x) for x in rng.integers(0, 30, size=(60, 2))]
+    edges = [e for e in edges if e[0] != e[1]]
+    assert _run_bip(edges, ray_session) == _brute_bipartite(edges)

@@ -1955,3 +1955,66 @@ def butterfly_counts(ds, group_col: str, item_col: str,
     return (pair_counts.map_batches(endpoints, batch_format="pyarrow")
             .groupby("item")
             .aggregate(Sum("b", alias_name="n_butterflies")))
+
+
+def bipartite_components(edges_ds, src: str = "src", dst: str = "dst",
+                         num_partitions: int = 8, max_rounds: int = 12):
+    """Per-component bipartiteness (odd-cycle detection) — the
+    two-sidedness test that separates genuine two-tier structures
+    (hubs ↔ leaves, mirrors ↔ origins) from odd-cycle link rings.
+
+    Classic doubled-graph reduction, ONE distributed CC run: every
+    edge (u,v) becomes (2u, 2v+1) and (2u+1, 2v); an original
+    component is non-bipartite iff some node's two parity copies land
+    in the same doubled component (an odd cycle connects the parity
+    layers).  The original component id recovers as
+    ``min(label(2u), label(2u+1)) // 2`` — no second CC run.
+
+    → Dataset(component int64, is_bipartite bool, n_nodes int64),
+    components keyed by their min node id; isolated nodes (no edges)
+    are not emitted, matching ``connected_components_ds``.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    from .cc import connected_components_ds
+
+    def double(b: pa.Table) -> pa.Table:
+        u = b[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({
+            "a": pa.array(np.concatenate([2 * u, 2 * u + 1]), pa.int64()),
+            "b": pa.array(np.concatenate([2 * v + 1, 2 * v]), pa.int64())})
+
+    labels = connected_components_ds(
+        edges_ds.map_batches(double, batch_format="pyarrow"),
+        num_partitions=num_partitions, max_rounds=max_rounds)
+
+    def fold(b: pa.Table) -> pa.Table:
+        n = b["node"].to_numpy(zero_copy_only=False)
+        return pa.table({"u": pa.array(n >> 1, pa.int64()),
+                         "label": b["label"].cast(pa.int64())})
+
+    per_node = (labels.map_batches(fold, batch_format="pyarrow")
+                .groupby("u")
+                .aggregate(Min("label", alias_name="lab_min"),
+                           Max("label", alias_name="lab_max")))
+
+    def comp_rows(b: pa.Table) -> pa.Table:
+        lo = b["lab_min"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = b["lab_max"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "component": pa.array(lo >> 1, pa.int64()),
+            "bip": pa.array((lo != hi).astype(np.int64), pa.int64())})
+
+    agg = (per_node.map_batches(comp_rows, batch_format="pyarrow")
+           .groupby("component")
+           .aggregate(Min("bip", alias_name="bip"),
+                      Count(alias_name="n_nodes")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "component": t["component"],
+            "is_bipartite": pc.equal(t["bip"], 1),
+            "n_nodes": t["n_nodes"].cast(pa.int64())}),
+        batch_format="pyarrow")
