@@ -8827,6 +8827,53 @@ def _host_bipartite_sql() -> str:
         "FROM r")
 
 
+def _q_doc_winnowing(sf_dir: str):
+    """MOSS winnowing fingerprints (k=16-byte grams, w=4 windows,
+    rightmost-min rule) — the position-aware local-dedup layer between
+    whole-doc hashing and shingle MinHash
+    (``ops/textstats.winnow_fingerprints``); streaming flat explode,
+    no shuffle."""
+    from xtract.ops.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(sf_dir, ["doc_id", "text"]),
+                               k=16, w=4)
+
+
+def _doc_winnowing_sql(k: int = 16, w: int = 4, base: int = 257,
+                       mod: int = (1 << 61) - 1) -> str:
+    """Replays winnowing from scratch: per-position HUGEINT polynomial
+    k-gram hashes (the ``_rolling_fp_sql`` pattern), then each window
+    of ``w`` consecutive hashes selects its rightmost minimum via a
+    bounded self-join, DISTINCT over selections.  ASCII-valid (char
+    code == utf-8 byte), like the rolling-fp oracle."""
+    pows = ", ".join(f"({i}, {pow(base, i, mod)})" for i in range(k))
+    return (
+        "WITH d2 AS (SELECT doc_id, coalesce(text,'') AS t, "
+        "length(coalesce(text,'')) AS n FROM documents), "
+        "ch AS (SELECT doc_id, i-1 AS pos, unicode(t[i]) AS code, n "
+        "FROM d2, UNNEST(range(1, n+1)) AS u(i)), "
+        f"p(i, pw) AS (VALUES {pows}), "
+        f"wins AS (SELECT doc_id, e FROM (SELECT DISTINCT doc_id, n "
+        f"FROM ch WHERE n >= {k}), UNNEST(range({k - 1}, n)) AS u(e)), "
+        "h AS (SELECT w.doc_id, w.e, "
+        f"CAST(sum(CAST(c.code AS HUGEINT) * p.pw) % {mod} AS BIGINT) "
+        "AS hv FROM wins w JOIN ch c ON c.doc_id = w.doc_id "
+        f"AND c.pos BETWEEN w.e - {k - 1} AND w.e "
+        "JOIN p ON p.i = w.e - c.pos GROUP BY w.doc_id, w.e), "
+        "ww AS (SELECT a.doc_id, a.e AS wend, b.e AS pos, b.hv "
+        "FROM h a JOIN h b ON b.doc_id = a.doc_id "
+        f"AND b.e BETWEEN a.e - {w - 1} AND a.e "
+        f"WHERE a.e >= {k - 1 + w - 1}), "
+        "m AS (SELECT doc_id, wend, min(hv) AS mn FROM ww "
+        "GROUP BY 1, 2), "
+        "s AS (SELECT ww.doc_id, ww.wend, max(ww.pos) AS pos FROM ww "
+        "JOIN m ON m.doc_id = ww.doc_id AND m.wend = ww.wend "
+        "AND ww.hv = m.mn GROUP BY 1, 2) "
+        "SELECT DISTINCT s.doc_id, CAST(s.pos AS BIGINT) AS pos, "
+        "CAST(h.hv AS UBIGINT) AS fp "
+        "FROM s JOIN h ON h.doc_id = s.doc_id AND h.e = s.pos")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -8991,6 +9038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_mix": _q_source_lang_mix,
         "returnflag_weighted_median": _q_returnflag_weighted_median,
         "host_bipartite": _q_host_bipartite,
+        "doc_winnowing": _q_doc_winnowing,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -10788,6 +10836,7 @@ def oracle_sql() -> dict[str, str]:
         "source_lang_mix": _source_lang_mix_sql(),
         "returnflag_weighted_median": _returnflag_weighted_median_sql(),
         "host_bipartite": _host_bipartite_sql(),
+        "doc_winnowing": _doc_winnowing_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",

@@ -504,3 +504,60 @@ def test_bipartite_vs_brute_random(ray_session):
     edges = [tuple(x) for x in rng.integers(0, 30, size=(60, 2))]
     edges = [e for e in edges if e[0] != e[1]]
     assert _run_bip(edges, ray_session) == _brute_bipartite(edges)
+
+
+# ---------------------------------------------------------------------------
+# winnow_fingerprints
+# ---------------------------------------------------------------------------
+
+def _brute_winnow(text, k, w):
+    from xtract.ops.textstats import rolling_hashes
+
+    hv = rolling_hashes(text.encode(), k)
+    if len(hv) < w:
+        return set()
+    sel = set()
+    for e in range(w - 1, len(hv)):
+        lo = e - w + 1
+        m = min(hv[lo:e + 1])
+        pos = max(i for i in range(lo, e + 1) if hv[i] == m)
+        sel.add((pos + k - 1, hv[pos]))
+    return sel
+
+
+def _run_winnow(texts, ray_session, k, w):
+    from xtract.ops.textstats import winnow_fingerprints
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    df = winnow_fingerprints(ds, k=k, w=w).to_pandas()
+    if df.empty:
+        return {i: set() for i in range(len(texts))}
+    return {i: {(int(r.pos), int(r.fp)) for r in df[df.doc_id == i]
+                .itertuples()} for i in range(len(texts))}
+
+
+def test_winnow_vs_brute(ray_session):
+    texts = ["abracadabra abracadabra xyz repeated phrase here",
+             "the quick brown fox jumps over the lazy dog again and again"]
+    got = _run_winnow(texts, ray_session, k=4, w=3)
+    for i, t in enumerate(texts):
+        assert got[i] == _brute_winnow(t, 4, 3)
+
+
+def test_winnow_short_doc_emits_nothing(ray_session):
+    # len < k+w-1 -> fewer than w hashes -> no selections
+    got = _run_winnow(["abcde"], ray_session, k=4, w=3)
+    assert got[0] == set()
+
+
+def test_winnow_shared_substring_shares_fingerprint(ray_session):
+    # the guarantee: a shared substring of length >= k+w-1 yields a
+    # common (fp) value across both docs
+    shared = "zqxwvutsrqponmlk"  # 16 chars >= 4+3-1
+    got = _run_winnow(["AAA " + shared + " BBB",
+                       "CCCCC " + shared + " DD"], ray_session, k=4, w=3)
+    fps0 = {fp for _, fp in got[0]}
+    fps1 = {fp for _, fp in got[1]}
+    assert fps0 & fps1

@@ -399,3 +399,70 @@ def assign_split_batch(batch: pa.Table, col: str = "text",
         out.append("train" if h < train_hi else
                    "val" if h < val_hi else "test")
     return batch.append_column("split", pa.array(out, pa.string()))
+
+
+def rolling_hashes(data: bytes, window: int, mod: int = (1 << 61) - 1,
+                   base: int = 257) -> "list[int]":
+    """All rolling polynomial window hashes of ``data`` (one per end
+    position ``window-1 .. n-1``; empty when ``n < window``) — the
+    per-position layer under :func:`rolling_fingerprint`'s min."""
+    n = len(data)
+    if n < window:
+        return []
+    out = []
+    h = 0
+    pw = pow(base, window - 1, mod)
+    for i, b in enumerate(data):
+        if i >= window:
+            h = (h - data[i - window] * pw) % mod
+        h = (h * base + b) % mod
+        if i >= window - 1:
+            out.append(h)
+    return out
+
+
+def winnow_fingerprints(ds, key: str = "doc_id", col: str = "text",
+                        k: int = 16, w: int = 4,
+                        mod: int = (1 << 61) - 1, base: int = 257):
+    """MOSS-style winnowing fingerprint selection (Schleimer, Wilkerson
+    & Aiken 2003, public algorithm): over the k-gram rolling-hash
+    sequence, each window of ``w`` consecutive hashes selects its
+    minimum (ties → RIGHTMOST, the paper's rule), selections dedup to
+    one row per position.  Guarantee: two documents sharing any
+    substring of length ≥ k + w - 1 share at least one fingerprint —
+    the local, position-aware dedup layer between whole-doc hashing
+    and shingle MinHash.
+
+    Documents with fewer than ``w`` k-gram hashes (length < k+w-1)
+    emit nothing — the caller's short-doc path is whole-doc hashing.
+
+    Streaming flat explode, no shuffle.  → Dataset(key, pos, fp):
+    ``pos`` is the k-gram's END byte offset, ``fp`` the uint64 hash.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def batch_fn(b: pa.Table) -> pa.Table:
+        keys, poss, fps = [], [], []
+        kt = b[key].to_pylist()
+        for kid, t in zip(kt, b[col].to_pylist()):
+            hv_list = rolling_hashes((t or "").encode("utf-8"), k,
+                                     mod, base)
+            if len(hv_list) < w:
+                continue
+            hv = np.array(hv_list, np.uint64)
+            win = sliding_window_view(hv, w)
+            right = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+            sel = np.unique(np.arange(len(win), dtype=np.int64) + right)
+            keys.extend([kid] * len(sel))
+            poss.append(sel + (k - 1))
+            fps.append(hv[sel])
+        if not keys:
+            return pa.table({key: pa.array([], b[key].type),
+                             "pos": pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.uint64())})
+        return pa.table({
+            key: pa.array(keys, b[key].type),
+            "pos": pa.array(np.concatenate(poss), pa.int64()),
+            "fp": pa.array(np.concatenate(fps), pa.uint64())})
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")
