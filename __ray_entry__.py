@@ -8839,16 +8839,17 @@ def _q_doc_winnowing(sf_dir: str):
                                k=16, w=4)
 
 
-def _doc_winnowing_sql(k: int = 16, w: int = 4, base: int = 257,
-                       mod: int = (1 << 61) - 1) -> str:
-    """Replays winnowing from scratch: per-position HUGEINT polynomial
-    k-gram hashes (the ``_rolling_fp_sql`` pattern), then each window
-    of ``w`` consecutive hashes selects its rightmost minimum via a
-    bounded self-join, DISTINCT over selections.  ASCII-valid (char
-    code == utf-8 byte), like the rolling-fp oracle."""
+def _winnow_cte(k: int = 16, w: int = 4, base: int = 257,
+                mod: int = (1 << 61) - 1) -> str:
+    """Shared winnowing CTE body ending in ``selfp(doc_id, pos, hv)``:
+    per-position HUGEINT polynomial k-gram hashes (the
+    ``_rolling_fp_sql`` pattern), then each window of ``w`` consecutive
+    hashes selects its rightmost minimum via a bounded self-join,
+    DISTINCT over selections.  ASCII-valid (char code == utf-8 byte),
+    like the rolling-fp oracle."""
     pows = ", ".join(f"({i}, {pow(base, i, mod)})" for i in range(k))
     return (
-        "WITH d2 AS (SELECT doc_id, coalesce(text,'') AS t, "
+        "d2 AS (SELECT doc_id, coalesce(text,'') AS t, "
         "length(coalesce(text,'')) AS n FROM documents), "
         "ch AS (SELECT doc_id, i-1 AS pos, unicode(t[i]) AS code, n "
         "FROM d2, UNNEST(range(1, n+1)) AS u(i)), "
@@ -8868,10 +8869,74 @@ def _doc_winnowing_sql(k: int = 16, w: int = 4, base: int = 257,
         "GROUP BY 1, 2), "
         "s AS (SELECT ww.doc_id, ww.wend, max(ww.pos) AS pos FROM ww "
         "JOIN m ON m.doc_id = ww.doc_id AND m.wend = ww.wend "
-        "AND ww.hv = m.mn GROUP BY 1, 2) "
-        "SELECT DISTINCT s.doc_id, CAST(s.pos AS BIGINT) AS pos, "
-        "CAST(h.hv AS UBIGINT) AS fp "
-        "FROM s JOIN h ON h.doc_id = s.doc_id AND h.e = s.pos")
+        "AND ww.hv = m.mn GROUP BY 1, 2), "
+        "selfp AS (SELECT DISTINCT s.doc_id, s.pos, h.hv "
+        "FROM s JOIN h ON h.doc_id = s.doc_id AND h.e = s.pos)")
+
+
+def _doc_winnowing_sql() -> str:
+    return ("WITH " + _winnow_cte() +
+            " SELECT doc_id, CAST(pos AS BIGINT) AS pos, "
+            "CAST(hv AS UBIGINT) AS fp FROM selfp")
+
+
+def _q_winnow_near_dups(sf_dir: str):
+    """Winnowed near-dup candidate pairs: exact Jaccard over each
+    doc's SELECTED fingerprint set (winnowing above, the pair/size
+    machinery of ``ops/graph.jaccard_pairs`` below) — top-50 pairs by
+    integer ppm similarity, ≥2 shared fingerprints.  Deterministic
+    boundary: (ppm desc, doc_a, doc_b)."""
+    import pandas as pd
+
+    from xtract.ops.graph import jaccard_pairs
+    from xtract.ops.textstats import winnow_fingerprints
+
+    K = 50
+    fps = winnow_fingerprints(_docs(sf_dir, ["doc_id", "text"]),
+                              k=16, w=4)
+    fps = fps.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "fp": t["fp"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    pairs = jaccard_pairs(fps, "doc_id", "fp", min_overlap=2)
+
+    def ppm(t: pa.Table) -> pa.Table:
+        num = t["jac_num"].to_numpy(zero_copy_only=False).astype(np.int64)
+        den = t["jac_den"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_a": t["a"].cast(pa.int64()),
+            "doc_b": t["b"].cast(pa.int64()),
+            "jac_num": pa.array(num, pa.int64()),
+            "jac_den": pa.array(den, pa.int64()),
+            "jac_ppm": pa.array(num * 1_000_000 // den, pa.int64())})
+
+    def topk(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[
+            ("jac_ppm", "descending"), ("doc_a", "ascending"),
+            ("doc_b", "ascending")])
+        return t.take(order[:K])
+
+    head = (pairs.map_batches(ppm, batch_format="pyarrow")
+            .map_batches(topk, batch_format="pyarrow").to_pandas())
+    head = head.sort_values(["jac_ppm", "doc_a", "doc_b"],
+                            ascending=[False, True, True]).head(K)
+    return head.reset_index(drop=True)
+
+
+def _winnow_near_dups_sql() -> str:
+    return (
+        "WITH " + _winnow_cte() + ", "
+        "sets AS (SELECT DISTINCT doc_id, hv FROM selfp), "
+        "sizes AS (SELECT doc_id, count(*) AS nf FROM sets GROUP BY 1), "
+        "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n "
+        "FROM sets x JOIN sets y ON y.hv = x.hv AND x.doc_id < y.doc_id "
+        "GROUP BY 1, 2 HAVING count(*) >= 2), "
+        "j AS (SELECT a, b, n, sa.nf + sb.nf - n AS den FROM inter "
+        "JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b) "
+        "SELECT CAST(a AS BIGINT) AS doc_a, CAST(b AS BIGINT) AS doc_b, "
+        "CAST(n AS BIGINT) AS jac_num, CAST(den AS BIGINT) AS jac_den, "
+        "CAST(n * 1000000 // den AS BIGINT) AS jac_ppm "
+        "FROM j ORDER BY jac_ppm DESC, a, b LIMIT 50")
 
 
 def _form_pages_batch(t: pa.Table) -> pa.Table:
@@ -9039,6 +9104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_weighted_median": _q_returnflag_weighted_median,
         "host_bipartite": _q_host_bipartite,
         "doc_winnowing": _q_doc_winnowing,
+        "winnow_near_dups": _q_winnow_near_dups,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -10837,6 +10903,7 @@ def oracle_sql() -> dict[str, str]:
         "returnflag_weighted_median": _returnflag_weighted_median_sql(),
         "host_bipartite": _host_bipartite_sql(),
         "doc_winnowing": _doc_winnowing_sql(),
+        "winnow_near_dups": _winnow_near_dups_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",
