@@ -8939,6 +8939,72 @@ def _winnow_near_dups_sql() -> str:
         "FROM j ORDER BY jac_ppm DESC, a, b LIMIT 50")
 
 
+def _q_bm25_length_rerank(sf_dir: str):
+    """Second-stage retrieval reranking: rank-sum fusion (integer
+    Borda) of the BM25 top-20 with each candidate's GLOBAL length rank
+    — the length rank of 20 docs among N computes in ONE streaming
+    counting pass against the broadcast candidate list (count rows
+    strictly longer, plus equal-length smaller-id — no global sort,
+    the scale shape for reranking few candidates against a huge
+    corpus).  Output: top-10 by (rank_sum, doc_id), all integers."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.ranking import bm25_score
+
+    cands = bm25_score(_docs(sf_dir, ["doc_id", "text"]),
+                       _BM25_QUERY).to_pandas()  # 20 rows — driver-small
+    c_ids = cands["doc_id"].to_numpy(np.int64)
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    lens_ref = None
+
+    def cand_lens(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False)
+        m = np.isin(ids, c_ids)
+        return pa.table({"doc_id": pa.array(ids[m], pa.int64()),
+                         "n_chars": pa.array(nc[m], pa.int64())})
+
+    cl = docs.map_batches(cand_lens, batch_format="pyarrow").to_pandas()
+    cl = cl.set_index("doc_id").loc[c_ids]
+    lens_ref = ray.put((c_ids, cl["n_chars"].to_numpy(np.int64)))
+
+    def rank_partials(t: pa.Table) -> pa.Table:
+        cid, clen = ray.get(lens_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # per candidate: rows longer, or equal length with smaller id
+        gt = (nc[None, :] > clen[:, None])
+        eq = (nc[None, :] == clen[:, None]) & (ids[None, :] < cid[:, None])
+        return pa.table({
+            "ci": pa.array(np.arange(len(cid), dtype=np.int64)),
+            "n_before": pa.array((gt | eq).sum(axis=1), pa.int64())})
+
+    parts = (docs.map_batches(rank_partials, batch_format="pyarrow")
+             .groupby("ci").aggregate(Sum("n_before", alias_name="nb"))
+             .to_pandas().sort_values("ci"))
+    len_rank = parts["nb"].to_numpy(np.int64) + 1
+    out = cands[["rank", "doc_id"]].rename(columns={"rank": "bm25_rank"})
+    out["bm25_rank"] = out["bm25_rank"].astype("int64")
+    out["len_rank"] = len_rank
+    out["rank_sum"] = out["bm25_rank"] + out["len_rank"]
+    out = out.sort_values(["rank_sum", "doc_id"]).head(10)
+    return out[["doc_id", "bm25_rank", "len_rank",
+                "rank_sum"]].reset_index(drop=True)
+
+
+def _bm25_length_rerank_sql() -> str:
+    return (
+        "WITH b AS (" + _bm25_sql() + "), "
+        "lr AS (SELECT doc_id, rank() OVER (ORDER BY n_chars DESC, "
+        "doc_id) AS len_rank FROM documents) "
+        "SELECT b.doc_id, CAST(b.rank AS BIGINT) AS bm25_rank, "
+        "CAST(lr.len_rank AS BIGINT) AS len_rank, "
+        "CAST(b.rank + lr.len_rank AS BIGINT) AS rank_sum "
+        "FROM b JOIN lr USING (doc_id) "
+        "ORDER BY rank_sum, b.doc_id LIMIT 10")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -9105,6 +9171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_bipartite": _q_host_bipartite,
         "doc_winnowing": _q_doc_winnowing,
         "winnow_near_dups": _q_winnow_near_dups,
+        "bm25_length_rerank": _q_bm25_length_rerank,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -10904,6 +10971,7 @@ def oracle_sql() -> dict[str, str]:
         "host_bipartite": _host_bipartite_sql(),
         "doc_winnowing": _doc_winnowing_sql(),
         "winnow_near_dups": _winnow_near_dups_sql(),
+        "bm25_length_rerank": _bm25_length_rerank_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",
