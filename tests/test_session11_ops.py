@@ -561,3 +561,72 @@ def test_winnow_shared_substring_shares_fingerprint(ray_session):
     fps0 = {fp for _, fp in got[0]}
     fps1 = {fp for _, fp in got[1]}
     assert fps0 & fps1
+
+
+# ---------------------------------------------------------------------------
+# pure-kernel property tests (no Ray)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 7), min_size=1, max_size=60),
+       st.integers(1, 6))
+def test_winnow_select_matches_bruteforce(hashes, w):
+    from xtract.ops.textstats import winnow_select
+
+    hv = np.array(hashes, np.uint64)
+    got = winnow_select(hv, w).tolist()
+    sel = set()
+    for e in range(w - 1, len(hv)):
+        lo = e - w + 1
+        m = min(hashes[lo:e + 1])
+        sel.add(max(i for i in range(lo, e + 1) if hashes[i] == m))
+    assert got == sorted(sel)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 7), min_size=1, max_size=60),
+       st.integers(1, 6))
+def test_winnow_select_density_and_coverage(hashes, w):
+    # every window must contain >= 1 selection (the coverage guarantee)
+    from xtract.ops.textstats import winnow_select
+
+    hv = np.array(hashes, np.uint64)
+    got = set(winnow_select(hv, w).tolist())
+    if len(hv) < w:
+        assert got == set()
+        return
+    for e in range(w - 1, len(hv)):
+        assert got & set(range(e - w + 1, e + 1))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_forms_extractor_never_raises_on_garbage(blob):
+    from xtract.tables import extract_forms_one
+
+    rows = extract_forms_one(blob, "https://h.org/p/1")
+    # invariants: form_idx nondecreasing; field_idx restarts per form
+    last_form = -1
+    expect_field = 0
+    for r in rows:
+        if r[0] != last_form:
+            assert r[0] > last_form
+            last_form = r[0]
+            expect_field = 0
+        assert r[1] == expect_field
+        expect_field += 1
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_hreflang_opengraph_relnext_never_raise(blob):
+    from xtract.links import (extract_hreflang_one, extract_opengraph_one,
+                              extract_rel_next_one)
+
+    extract_hreflang_one(blob, "https://h.org/")
+    extract_opengraph_one(blob)
+    extract_rel_next_one(blob, "https://h.org/")

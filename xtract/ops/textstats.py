@@ -421,6 +421,19 @@ def rolling_hashes(data: bytes, window: int, mod: int = (1 << 61) - 1,
     return out
 
 
+def winnow_select(hv: np.ndarray, w: int) -> np.ndarray:
+    """Pure winnowing selection: indices into ``hv`` picked as the
+    RIGHTMOST minimum of each window of ``w`` consecutive hashes,
+    deduplicated ascending.  Empty when ``len(hv) < w``."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    if len(hv) < w:
+        return np.empty(0, np.int64)
+    win = sliding_window_view(hv, w)
+    right = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+    return np.unique(np.arange(len(win), dtype=np.int64) + right)
+
+
 def winnow_fingerprints(ds, key: str = "doc_id", col: str = "text",
                         k: int = 16, w: int = 4,
                         mod: int = (1 << 61) - 1, base: int = 257):
@@ -439,7 +452,6 @@ def winnow_fingerprints(ds, key: str = "doc_id", col: str = "text",
     Streaming flat explode, no shuffle.  → Dataset(key, pos, fp):
     ``pos`` is the k-gram's END byte offset, ``fp`` the uint64 hash.
     """
-    from numpy.lib.stride_tricks import sliding_window_view
 
     def batch_fn(b: pa.Table) -> pa.Table:
         keys, poss, fps = [], [], []
@@ -450,9 +462,7 @@ def winnow_fingerprints(ds, key: str = "doc_id", col: str = "text",
             if len(hv_list) < w:
                 continue
             hv = np.array(hv_list, np.uint64)
-            win = sliding_window_view(hv, w)
-            right = (w - 1) - np.argmin(win[:, ::-1], axis=1)
-            sel = np.unique(np.arange(len(win), dtype=np.int64) + right)
+            sel = winnow_select(hv, w)
             keys.extend([kid] * len(sel))
             poss.append(sel + (k - 1))
             fps.append(hv[sel])
