@@ -9005,6 +9005,80 @@ def _bm25_length_rerank_sql() -> str:
         "ORDER BY rank_sum, b.doc_id LIMIT 10")
 
 
+def _q_schema_evolution_union(sf_dir: str):
+    """Schema-evolution read: two parquet stores written from the same
+    event log at different schema epochs (v1: event_id int32 + value;
+    v2: event_id int64 + value + the later-added user_id column) read
+    back as ONE Dataset via footer-only union-schema inference,
+    widening casts and typed-null fill
+    (``xtract/sources.read_union_evolved``).  Output: per schema epoch
+    (event parity), row count, exact value cents, and the null
+    user_id count the v1 store contributes."""
+    import os
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from xtract.sources import read_union_evolved
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/xtract_evolved_{tag}"
+    done = os.path.join(base, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(base, exist_ok=True)
+
+        def v1(t: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)
+            t = t.filter(keep)
+            return pa.table({
+                "event_id": t["event_id"].cast(pa.int32()),
+                "value": t["value"].cast(pa.float64())})
+
+        def v2(t: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(t["event_id"], 1), 1)
+            t = t.filter(keep)
+            return pa.table({
+                "event_id": t["event_id"].cast(pa.int64()),
+                "value": t["value"].cast(pa.float64()),
+                "user_id": t["user_id"].cast(pa.int64())})
+
+        ev.map_batches(v1, batch_format="pyarrow").write_parquet(
+            f"{base}/v1")
+        ev.map_batches(v2, batch_format="pyarrow").write_parquet(
+            f"{base}/v2")
+        with open(done, "w") as f:
+            f.write("ok")
+
+    uni = read_union_evolved([f"{base}/v1", f"{base}/v2"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "parity": pc.cast(pc.bit_wise_and(
+                pc.cast(t["event_id"], pa.int64()), 1), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100)),
+                             pa.int64()),
+            "u_null": pc.cast(pc.is_null(t["user_id"]), pa.int64())})
+
+    return (uni.map_batches(slim, batch_format="pyarrow")
+            .groupby("parity")
+            .aggregate(Count(alias_name="n_rows"),
+                       Sum("cents", alias_name="value_cents"),
+                       Sum("u_null", alias_name="n_user_null")))
+
+
+def _schema_evolution_union_sql() -> str:
+    return (
+        "SELECT CAST(event_id % 2 AS BIGINT) AS parity, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS value_cents, "
+        "CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_user_null "
+        "FROM events GROUP BY 1")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -9172,6 +9246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnowing": _q_doc_winnowing,
         "winnow_near_dups": _q_winnow_near_dups,
         "bm25_length_rerank": _q_bm25_length_rerank,
+        "schema_evolution_union": _q_schema_evolution_union,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -10972,6 +11047,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnowing": _doc_winnowing_sql(),
         "winnow_near_dups": _winnow_near_dups_sql(),
         "bm25_length_rerank": _bm25_length_rerank_sql(),
+        "schema_evolution_union": _schema_evolution_union_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",

@@ -630,3 +630,68 @@ def test_hreflang_opengraph_relnext_never_raise(blob):
     extract_hreflang_one(blob, "https://h.org/")
     extract_opengraph_one(blob)
     extract_rel_next_one(blob, "https://h.org/")
+
+
+# ---------------------------------------------------------------------------
+# read_union_evolved
+# ---------------------------------------------------------------------------
+
+def test_union_evolved_widen_and_null_fill(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from xtract.sources import read_union_evolved
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    pq.write_table(pa.table({
+        "id": pa.array([1, 2], pa.int32()),
+        "v": pa.array([1.5, 2.5], pa.float64())}), a / "p.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array([3], pa.int64()),
+        "v": pa.array([3.5], pa.float64()),
+        "extra": pa.array(["x"], pa.string())}), b / "p.parquet")
+    out = read_union_evolved([str(a), str(b)]).to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    assert list(out.columns) == ["id", "v", "extra"]
+    assert out["id"].tolist() == [1, 2, 3]
+    assert out["extra"].tolist()[:2] == [None, None]
+    assert out["extra"].tolist()[2] == "x"
+
+
+def test_union_evolved_int_float_widens_to_double(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from xtract.sources import read_union_evolved
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    pq.write_table(pa.table({"x": pa.array([1], pa.int64())}),
+                   a / "p.parquet")
+    pq.write_table(pa.table({"x": pa.array([0.5], pa.float32())}),
+                   b / "p.parquet")
+    ds = read_union_evolved([str(a), str(b)])
+    out = ds.to_pandas()
+    assert sorted(out["x"].tolist()) == [0.5, 1.0]
+
+
+def test_union_evolved_incompatible_types_fail_loudly(ray_session,
+                                                      tmp_path):
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from xtract.sources import read_union_evolved
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    pq.write_table(pa.table({"x": pa.array([1], pa.int64())}),
+                   a / "p.parquet")
+    pq.write_table(pa.table({"x": pa.array(["s"], pa.string())}),
+                   b / "p.parquet")
+    with _pytest.raises(ValueError, match="cannot unify"):
+        read_union_evolved([str(a), str(b)])

@@ -224,3 +224,83 @@ def read_pages_files(paths, **kw):
         })
 
     return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
+def _unify_types(a: pa.DataType, b: pa.DataType) -> pa.DataType:
+    """Widen two parquet column types (schema-evolution rule): equal →
+    keep; both integers → the wider (signedness must match); any
+    float with a numeric → float64.  Anything else fails loudly."""
+    if a.equals(b):
+        return a
+    ints = {pa.int8(): 8, pa.int16(): 16, pa.int32(): 32, pa.int64(): 64}
+    uints = {pa.uint8(): 8, pa.uint16(): 16, pa.uint32(): 32,
+             pa.uint64(): 64}
+    floats = (pa.float32(), pa.float64())
+    if a in ints and b in ints:
+        return a if ints[a] >= ints[b] else b
+    if a in uints and b in uints:
+        return a if uints[a] >= uints[b] else b
+    numerics = set(ints) | set(uints) | set(floats)
+    if a in numerics and b in numerics and (a in floats or b in floats):
+        return pa.float64()
+    raise ValueError(f"cannot unify parquet types {a} and {b}")
+
+
+def read_union_evolved(paths: "list[str]", **read_kwargs):
+    """Read several parquet stores whose schemas DRIFTED (columns
+    added or dropped between writes, integers widened) as ONE
+    Dataset — the long-lived-corpus reality a fixed-schema
+    ``read_parquet([dirs])`` rejects.
+
+    The union schema computes from file FOOTERS only (one per store,
+    no data read): column order = first appearance across stores;
+    types unify by the widening rule (int widths up, int+float →
+    float64, incompatible → loud ``ValueError``).  Each store then
+    streams through one vectorized align pass (missing columns →
+    typed nulls, checked casts) and plain ``Dataset.union`` chains
+    the stores — no shuffle, no materialization.
+    """
+    import pyarrow.compute as pc  # noqa: F401  (checked casts below)
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from pyarrow import fs as pafs
+
+    schemas = []
+    for p in paths:
+        fsys, rel = pafs.FileSystem.from_uri(p) if "://" in p else (
+            pafs.LocalFileSystem(), p)
+        files = [f.path for f in fsys.get_file_info(
+            pafs.FileSelector(rel, recursive=True))
+            if f.path.endswith(".parquet")]
+        if not files:
+            raise ValueError(f"no parquet files under {p}")
+        schemas.append(pq.read_schema(files[0], filesystem=fsys))
+
+    names: "list[str]" = []
+    types: "dict[str, pa.DataType]" = {}
+    for sch in schemas:
+        for f in sch:
+            if f.name not in types:
+                names.append(f.name)
+                types[f.name] = f.type
+            else:
+                types[f.name] = _unify_types(types[f.name], f.type)
+    unified = pa.schema([(n, types[n]) for n in names])
+
+    def aligner(sch_cols: "frozenset[str]"):
+        def align(b: pa.Table) -> pa.Table:
+            cols = []
+            for n in names:
+                if n in b.column_names:
+                    cols.append(b[n].cast(types[n]))
+                else:
+                    cols.append(pa.nulls(len(b), types[n]))
+            return pa.Table.from_arrays(cols, schema=unified)
+        return align
+
+    out = None
+    for p, sch in zip(paths, schemas):
+        ds = rd.read_parquet(p, **read_kwargs).map_batches(
+            aligner(frozenset(sch.names)), batch_format="pyarrow")
+        out = ds if out is None else out.union(ds)
+    return out
