@@ -9079,6 +9079,66 @@ def _schema_evolution_union_sql() -> str:
         "FROM events GROUP BY 1")
 
 
+def _q_source_trigram_growth(sf_dir: str):
+    """Per-source vocabulary-growth statistics over word TRIGRAMS
+    (Heaps-law shape check for corpus mixing): total trigrams,
+    distinct trigrams, and the most frequent one — composition of the
+    shared vectorized tokenizer (``collocations._flat_tokens``) and
+    ``ops/agg.grouped_value_profile`` (block combiner → native Sum →
+    one co-group)."""
+    from xtract.ops.agg import grouped_value_profile
+    from xtract.ops.collocations import _flat_tokens
+
+    def grams(b: pa.Table) -> pa.Table:
+        toks, parents = _flat_tokens(b, "text")
+        t = np.asarray(toks.to_pylist(), dtype=object)
+        par = parents.to_numpy(zero_copy_only=False)
+        src = np.asarray(b["source"].to_pylist(), dtype=object)
+        if len(t) < 3:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "gram": pa.array([], pa.string())})
+        m = par[:-2] == par[2:]
+        gram = t[:-2][m] + " " + t[1:-1][m] + " " + t[2:][m]
+        return pa.table({
+            "source": pa.array(src[par[:-2][m]], pa.string()),
+            "gram": pa.array(gram, pa.string())})
+
+    prof = grouped_value_profile(
+        _docs(sf_dir, ["source", "text"]).map_batches(
+            grams, batch_format="pyarrow"),
+        "source", "gram")
+    return prof.map_batches(
+        lambda t: t.rename_columns(
+            ["source", "n_trigrams", "n_distinct", "top_trigram",
+             "top_n"]),
+        batch_format="pyarrow")
+
+
+def _source_trigram_growth_sql() -> str:
+    return (
+        "WITH toks AS (SELECT doc, src, tok, row_number() OVER "
+        "(PARTITION BY doc ORDER BY pos) AS rn FROM ("
+        "SELECT doc_id AS doc, source AS src, "
+        "unnest(regexp_split_to_array(lower(coalesce(text,'')), "
+        "'[^a-z]+')) AS tok, "
+        "unnest(range(1, len(regexp_split_to_array(lower("
+        "coalesce(text,'')), '[^a-z]+')) + 1)) AS pos FROM documents) "
+        "WHERE tok != ''), "
+        "tri AS (SELECT t1.src, t1.tok || ' ' || t2.tok || ' ' || "
+        "t3.tok AS g FROM toks t1 "
+        "JOIN toks t2 ON t2.doc = t1.doc AND t2.rn = t1.rn + 1 "
+        "JOIN toks t3 ON t3.doc = t1.doc AND t3.rn = t1.rn + 2), "
+        "c AS (SELECT src, g, count(*) AS n FROM tri GROUP BY 1, 2), "
+        "m AS (SELECT src, g, n, row_number() OVER (PARTITION BY src "
+        "ORDER BY n DESC, g) AS r FROM c), "
+        "t AS (SELECT src, sum(n) AS tot, count(*) AS dis FROM c "
+        "GROUP BY 1) "
+        "SELECT t.src AS source, CAST(t.tot AS BIGINT) AS n_trigrams, "
+        "CAST(t.dis AS BIGINT) AS n_distinct, m.g AS top_trigram, "
+        "CAST(m.n AS BIGINT) AS top_n "
+        "FROM t JOIN m ON m.src = t.src AND m.r = 1")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -9247,6 +9307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_near_dups": _q_winnow_near_dups,
         "bm25_length_rerank": _q_bm25_length_rerank,
         "schema_evolution_union": _q_schema_evolution_union,
+        "source_trigram_growth": _q_source_trigram_growth,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -11048,6 +11109,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_near_dups": _winnow_near_dups_sql(),
         "bm25_length_rerank": _bm25_length_rerank_sql(),
         "schema_evolution_union": _schema_evolution_union_sql(),
+        "source_trigram_growth": _source_trigram_growth_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",
