@@ -695,3 +695,53 @@ def test_union_evolved_incompatible_types_fail_loudly(ray_session,
                    b / "p.parquet")
     with _pytest.raises(ValueError, match="cannot unify"):
         read_union_evolved([str(a), str(b)])
+
+
+# ---------------------------------------------------------------------------
+# <template> inert-content rule (segmenter)
+# ---------------------------------------------------------------------------
+
+def _raw_text(h: bytes) -> str:
+    from xtract.config import ExtractionConfig
+    from xtract.extract import extract_document
+
+    return extract_document(h, None, None,
+                            ExtractionConfig(seg_mode="raw"))["content_text"]
+
+
+def test_template_content_inert():
+    h = (b"<p>before</p><template><p>hidden</p><br>"
+         b"<div>also hidden</div></template><p>after</p>")
+    assert _raw_text(h) == "before\n\nafter"
+
+
+def test_template_nested_and_tail_recovery():
+    nested = (b"<p>a</p><template><template><p>x</p></template>"
+              b"<p>y</p></template><p>b</p>")
+    assert _raw_text(nested) == "a\n\nb"
+    # unterminated template suppresses the remainder (the unterminated-
+    # comment recovery convention)
+    assert _raw_text(b"<p>a</p><template><p>x</p>") == "a"
+
+
+def test_template_oracle_pipeline_agree(ray_session):
+    import ray.data as rd
+
+    from xtract.config import ExtractionConfig
+    from xtract.oracle import oracle_corpus
+    from xtract.pipeline import extract_pages
+
+    rows = [{"url": f"https://t.org/{i}",
+             "warc_ts": None,
+             "html": (f"<p>keep {i}</p><template><p>drop {i}</p>"
+                      "</template>").encode(),
+             "text": None, "lang": None} for i in range(8)]
+    pages = rd.from_items(rows)
+    cfg = ExtractionConfig(seg_mode="raw")
+    dist = {r.url: r.content_text
+            for r in extract_pages(pages, cfg).to_pandas().itertuples()}
+    gold = {g["url"]: g["content_text"]
+            for g in oracle_corpus(rows, cfg)}
+    assert dist == gold
+    assert all(v == f"keep {i}" for i, v in
+               enumerate(dist[f"https://t.org/{i}"] for i in range(8)))

@@ -129,6 +129,10 @@ class Segmenter:
         self.caption_d = 0
         self.bq_d = 0
         self.title_d = 0
+        # <template> content is INERT per the HTML spec (parsed, never
+        # rendered) — depth-tracked so nested markup inside it emits no
+        # text and no line breaks (trafilatura/readability behavior)
+        self.template_d = 0
         self.p_open = 0   # open <p> count (fast CLOSES_P check)
         self.heading = 0  # innermost heading level
         self._cur: Optional[Block] = None
@@ -166,6 +170,8 @@ class Segmenter:
             self.bq_d += 1
         elif tag == "title":
             self.title_d += 1
+        elif tag == "template":
+            self.template_d += 1
         if tag in HEADING_TAGS:
             self.heading = HEADING_TAGS[tag]
 
@@ -194,6 +200,8 @@ class Segmenter:
             self.bq_d = max(0, self.bq_d - 1)
         elif tag == "title":
             self.title_d = max(0, self.title_d - 1)
+        elif tag == "template":
+            self.template_d = max(0, self.template_d - 1)
         if tag in HEADING_TAGS:
             # recompute innermost heading from remaining stack
             self.heading = 0
@@ -229,6 +237,8 @@ class Segmenter:
         self._link_flags = []
 
     def text_run(self, start: int, end: int) -> None:
+        if self.template_d:   # inert <template> content never renders
+            return
         # fastest path: the single space/newline between adjacent tags
         # (the most common text run in rendered HTML) — no slice at all
         if end - start == 1 and self.html[start] in _WS_BYTES:
@@ -294,6 +304,8 @@ class Segmenter:
         b.spans.append((start, end))
 
     def line_break(self) -> None:
+        if self.template_d:   # a <br> inside inert <template> content
+            return
         if self._cur is not None:
             self._parts.append("\n")
             self._link_flags.append(False)
