@@ -745,3 +745,21 @@ def test_template_oracle_pipeline_agree(ray_session):
     assert dist == gold
     assert all(v == f"keep {i}" for i, v in
                enumerate(dist[f"https://t.org/{i}"] for i in range(8)))
+
+
+def test_hidden_attribute_content_dropped():
+    assert _raw_text(
+        b"<p>a</p><div hidden><p>x</p></div><p>b</p>") == "a\n\nb"
+    assert _raw_text(
+        b"<p>a</p><div aria-hidden='true'>x</div><p>b</p>") == "a\n\nb"
+    # aria-hidden must be exactly 'true'; class substrings don't count
+    assert _raw_text(
+        b"<p>a</p><div aria-hidden='false'>x</div><p>b</p>") == "a\n\nx\n\nb"
+    assert _raw_text(
+        b"<p>a</p><div class='hidden-x'>x</div><p>b</p>") == "a\n\nx\n\nb"
+
+
+def test_hidden_nested_and_inline():
+    assert _raw_text(b"<div hidden><div hidden><p>x</p></div>"
+                     b"<p>y</p></div><p>b</p>") == "b"
+    assert _raw_text(b"<p>a</p><span hidden>x</span><p>b</p>") == "a\n\nb"

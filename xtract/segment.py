@@ -100,13 +100,14 @@ _TEXT_ALIGN_RE = re.compile(r"text-align\s*:\s*(left|right|center|justify)", re.
 
 
 class _Open:
-    __slots__ = ("tag", "path", "child_counts", "justification")
+    __slots__ = ("tag", "path", "child_counts", "justification", "hidden")
 
     def __init__(self, tag: str, path: str) -> None:
         self.tag = tag
         self.path = path
         self.child_counts: dict[str, int] = {}
         self.justification: Optional[str] = None
+        self.hidden = False
 
 
 class Segmenter:
@@ -133,6 +134,10 @@ class Segmenter:
         # rendered) — depth-tracked so nested markup inside it emits no
         # text and no line breaks (trafilatura/readability behavior)
         self.template_d = 0
+        # elements carrying the boolean `hidden` attribute or
+        # aria-hidden="true" never render either — per-entry flag so
+        # the depth counter decrements exactly when that entry pops
+        self.hidden_d = 0
         self.p_open = 0   # open <p> count (fast CLOSES_P check)
         self.heading = 0  # innermost heading level
         self._cur: Optional[Block] = None
@@ -237,7 +242,7 @@ class Segmenter:
         self._link_flags = []
 
     def text_run(self, start: int, end: int) -> None:
-        if self.template_d:   # inert <template> content never renders
+        if self.template_d or self.hidden_d:   # never-rendered content
             return
         # fastest path: the single space/newline between adjacent tags
         # (the most common text run in rendered HTML) — no slice at all
@@ -304,7 +309,7 @@ class Segmenter:
         b.spans.append((start, end))
 
     def line_break(self) -> None:
-        if self.template_d:   # a <br> inside inert <template> content
+        if self.template_d or self.hidden_d:   # never-rendered content
             return
         if self._cur is not None:
             self._parts.append("\n")
@@ -338,6 +343,13 @@ class Segmenter:
         o = _Open(tag, path)
         if tag == "p":
             self.p_open += 1
+        if attrs_b and b"hidden" in attrs_b:
+            # cheap substring pre-filter; parse_attrs confirms a real
+            # attribute (not class="hidden-x")
+            a = parse_attrs(attrs_b)
+            if "hidden" in a or a.get("aria-hidden", "").lower() == "true":
+                o.hidden = True
+                self.hidden_d += 1
         if attrs_b and _ALIGN_RE.search(attrs_b):
             attrs = parse_attrs(attrs_b)
             just = attrs.get("align", "")
@@ -363,6 +375,8 @@ class Segmenter:
                 self._banchors.pop()
             if o.justification:
                 self._justs.pop()
+            if o.hidden:
+                self.hidden_d -= 1
             self._leave(o.tag)
 
     def start_tag(self, tag: str, attrs_b: bytes, selfclose: bool, start: int) -> None:
