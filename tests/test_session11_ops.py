@@ -763,3 +763,10 @@ def test_hidden_nested_and_inline():
     assert _raw_text(b"<div hidden><div hidden><p>x</p></div>"
                      b"<p>y</p></div><p>b</p>") == "b"
     assert _raw_text(b"<p>a</p><span hidden>x</span><p>b</p>") == "a\n\nb"
+
+
+def test_dialog_renders_only_when_open():
+    assert _raw_text(b"<p>a</p><dialog><p>x</p></dialog><p>b</p>") == \
+        "a\n\nb"
+    assert _raw_text(b"<p>a</p><dialog open><p>x</p></dialog>"
+                     b"<p>b</p>") == "a\n\nx\n\nb"

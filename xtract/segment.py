@@ -350,6 +350,12 @@ class Segmenter:
             if "hidden" in a or a.get("aria-hidden", "").lower() == "true":
                 o.hidden = True
                 self.hidden_d += 1
+        if tag == "dialog" and not o.hidden:
+            # a <dialog> renders only when the open attribute is present
+            if not (attrs_b and b"open" in attrs_b
+                    and "open" in parse_attrs(attrs_b)):
+                o.hidden = True
+                self.hidden_d += 1
         if attrs_b and _ALIGN_RE.search(attrs_b):
             attrs = parse_attrs(attrs_b)
             just = attrs.get("align", "")
