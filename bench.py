@@ -325,6 +325,23 @@ def bench_once() -> dict:
     queries["late_supplier"] = timed(
         lambda: len(_E.queries()["late_supplier_orders"](SF_DIR)))
 
+    # session-11 heavyweights: winnowing fingerprint selection over the
+    # documents table (rolling hash + sliding-window argmin per doc)
+    # and bipartite butterfly counting over lineitem (pair co-group)
+    from xtract.ops.graph import butterfly_counts
+    from xtract.ops.textstats import winnow_fingerprints
+
+    queries["winnow_fp"] = timed(
+        lambda: winnow_fingerprints(
+            rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                            columns=["doc_id", "text"]),
+            k=16, w=4).count())
+    queries["butterflies"] = timed(
+        lambda: butterfly_counts(
+            rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"]),
+            "l_orderkey", "l_partkey").count())
+
     result = {
         "metric": "extracted documents/sec (byte-identical text per url)",
         "value": round(t_extract, 3),
