@@ -9139,6 +9139,57 @@ def _source_trigram_growth_sql() -> str:
         "FROM t JOIN m ON m.src = t.src AND m.r = 1")
 
 
+def _q_orders_expectations(sf_dir: str):
+    """Data-quality expectations audit over orders
+    (``ops/profile.expectation_report``): five declarative rules —
+    key uniqueness + not-null, a price range, a priority pattern, a
+    status value set — with exact violation counts in one shared
+    streaming pass plus one slim groupby for the uniqueness rule."""
+    import ray.data as rd
+
+    from xtract.ops.profile import expectation_report
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority",
+                 "o_orderstatus"])
+    rules = [
+        {"name": "okey_not_null", "kind": "not_null", "col": "o_orderkey"},
+        {"name": "okey_unique", "kind": "unique", "col": "o_orderkey"},
+        {"name": "price_range", "kind": "in_range", "col": "o_totalprice",
+         "lo": 0.0, "hi": 200000.0},
+        {"name": "priority_pattern", "kind": "regex_match",
+         "col": "o_orderpriority", "pattern": "[1-5]-[A-Z ]+"},
+        {"name": "status_accepted", "kind": "accepted_values",
+         "col": "o_orderstatus", "values": ["O", "F", "P"]},
+    ]
+    return expectation_report(orders, rules)
+
+
+def _orders_expectations_sql() -> str:
+    total = "(SELECT count(*) FROM orders)"
+    return (
+        f"SELECT 'okey_not_null' AS rule, "
+        "CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) "
+        f"AS n_violations, CAST({total} AS BIGINT) AS n_checked "
+        "FROM orders "
+        "UNION ALL SELECT 'okey_unique', CAST(coalesce((SELECT sum(n) "
+        "FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey "
+        f"HAVING count(*) > 1)), 0) AS BIGINT), CAST({total} AS BIGINT) "
+        "UNION ALL SELECT 'price_range', CAST(count(*) FILTER ("
+        "WHERE o_totalprice IS NOT NULL AND (o_totalprice < 0 OR "
+        f"o_totalprice > 200000)) AS BIGINT), CAST({total} AS BIGINT) "
+        "FROM orders "
+        "UNION ALL SELECT 'priority_pattern', CAST(count(*) FILTER ("
+        "WHERE o_orderpriority IS NOT NULL AND NOT "
+        "regexp_full_match(o_orderpriority, '[1-5]-[A-Z ]+')) AS BIGINT), "
+        f"CAST({total} AS BIGINT) FROM orders "
+        "UNION ALL SELECT 'status_accepted', CAST(count(*) FILTER ("
+        "WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN "
+        f"('O', 'F', 'P')) AS BIGINT), CAST({total} AS BIGINT) "
+        "FROM orders")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -9308,6 +9359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_length_rerank": _q_bm25_length_rerank,
         "schema_evolution_union": _q_schema_evolution_union,
         "source_trigram_growth": _q_source_trigram_growth,
+        "orders_expectations": _q_orders_expectations,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -11110,6 +11162,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_length_rerank": _bm25_length_rerank_sql(),
         "schema_evolution_union": _schema_evolution_union_sql(),
         "source_trigram_growth": _source_trigram_growth_sql(),
+        "orders_expectations": _orders_expectations_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",

@@ -770,3 +770,42 @@ def test_dialog_renders_only_when_open():
         "a\n\nb"
     assert _raw_text(b"<p>a</p><dialog open><p>x</p></dialog>"
                      b"<p>b</p>") == "a\n\nx\n\nb"
+
+
+# ---------------------------------------------------------------------------
+# expectation_report
+# ---------------------------------------------------------------------------
+
+def test_expectations_all_kinds(ray_session):
+    from xtract.ops.profile import expectation_report
+
+    t = pa.table({"id": [1, 2, 2, 3, None],
+                  "v": [5.0, 50.0, None, 200.0, 7.0],
+                  "s": ["1-URGENT", "9-BAD", "2-HIGH", None, "3-MEDIUM"]})
+    rules = [
+        {"name": "id_not_null", "kind": "not_null", "col": "id"},
+        {"name": "id_unique", "kind": "unique", "col": "id"},
+        {"name": "v_range", "kind": "in_range", "col": "v",
+         "lo": 0, "hi": 100},
+        {"name": "s_pattern", "kind": "regex_match", "col": "s",
+         "pattern": "[1-5]-[A-Z]+"},
+        {"name": "s_accepted", "kind": "accepted_values", "col": "s",
+         "values": ["1-URGENT", "2-HIGH", "3-MEDIUM"]},
+    ]
+    out = expectation_report(rd.from_arrow(t), rules).to_pandas()
+    got = {r.rule: (int(r.n_violations), int(r.n_checked))
+           for r in out.itertuples()}
+    assert got == {"id_not_null": (1, 5), "id_unique": (2, 5),
+                   "v_range": (1, 5), "s_pattern": (1, 5),
+                   "s_accepted": (1, 5)}
+
+
+def test_expectations_unknown_kind_fails(ray_session):
+    import pytest as _pytest
+
+    from xtract.ops.profile import expectation_report
+
+    ds = rd.from_arrow(pa.table({"x": [1]}))
+    with _pytest.raises(Exception):
+        expectation_report(
+            ds, [{"name": "r", "kind": "nope", "col": "x"}]).to_pandas()

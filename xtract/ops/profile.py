@@ -179,3 +179,118 @@ def fd_candidates(ds, columns, sep: str = "\x1f"):
             "fd_holds": pc.equal(t["max_b"], pa.scalar(1, pa.int64()))})
 
     return per_pair.map_batches(finish, batch_format="pyarrow")
+
+
+def expectation_report(ds, rules: "list[dict]", num_partitions: int = 32):
+    """Data-quality assertion audit (the expectations gate a corpus
+    pipeline runs before committing a snapshot): evaluate declarative
+    rules and return one row per rule with its violation count —
+    counts, not booleans, so regressions are quantifiable.
+
+    Rule kinds (each a dict with ``name``, ``kind``, ``col`` + extras):
+
+    - ``not_null``: violations = null rows;
+    - ``in_range`` (``lo``/``hi`` inclusive): non-null rows outside;
+    - ``regex_match`` (``pattern``): non-null rows NOT fully matching;
+    - ``accepted_values`` (``values``): non-null rows outside the set;
+    - ``unique``: rows participating in any duplicated value (Σ n over
+      values with n > 1).
+
+    Shape: every non-unique rule evaluates in ONE shared streaming
+    pass (vectorized Arrow kernels, per-block partial counts → native
+    Sum); each ``unique`` rule adds one slim pre-counted groupby over
+    its value column.  → Dataset(rule, n_violations, n_checked).
+    """
+    from ray.data.aggregate import Sum
+
+    scan_rules = [r for r in rules if r["kind"] != "unique"]
+    uniq_rules = [r for r in rules if r["kind"] == "unique"]
+    cols = sorted({r["col"] for r in rules})
+
+    def scan(b: pa.Table) -> pa.Table:
+        names, viols, checked = [], [], []
+        n = len(b)
+        for r in scan_rules:
+            c = b[r["col"]]
+            nulls = pc.is_null(c)
+            n_null = int(pc.sum(pc.cast(nulls, pa.int64())).as_py() or 0)
+            kind = r["kind"]
+            if kind == "not_null":
+                bad = n_null
+            elif kind == "in_range":
+                ok = pc.and_(pc.greater_equal(c, r["lo"]),
+                             pc.less_equal(c, r["hi"]))
+                n_ok = int(pc.sum(pc.cast(
+                    pc.fill_null(ok, False), pa.int64())).as_py() or 0)
+                bad = n - n_null - n_ok
+            elif kind == "regex_match":
+                ok = pc.match_substring_regex(
+                    c, "^(?:" + r["pattern"] + ")$")
+                n_ok = int(pc.sum(pc.cast(
+                    pc.fill_null(ok, False), pa.int64())).as_py() or 0)
+                bad = n - n_null - n_ok
+            elif kind == "accepted_values":
+                ok = pc.is_in(c, value_set=pa.array(r["values"]))
+                n_ok = int(pc.sum(pc.cast(
+                    pc.fill_null(ok, False), pa.int64())).as_py() or 0)
+                bad = n - n_null - n_ok
+            else:
+                raise ValueError(f"unknown rule kind {kind!r}")
+            names.append(r["name"])
+            viols.append(bad)
+            checked.append(n)
+        return pa.table({"rule": pa.array(names, pa.string()),
+                         "n_violations": pa.array(viols, pa.int64()),
+                         "n_checked": pa.array(checked, pa.int64())})
+
+    parts = [ds.select_columns(cols).map_batches(
+        scan, batch_format="pyarrow")] if scan_rules else []
+
+    for r in uniq_rules:
+        col = r["col"]
+
+        def pre(b: pa.Table, _c=col) -> pa.Table:
+            vals = b[_c].drop_null()
+            un, cnt = np.unique(
+                np.asarray(vals.to_pylist(), dtype=object),
+                return_counts=True)
+            nulls = len(b) - len(vals)
+            t = pa.table({"v": pa.array(un.astype(str), pa.string()),
+                          "n": pa.array(cnt, pa.int64()),
+                          "rows": pa.array(
+                              np.full(len(un), 0, np.int64), pa.int64())})
+            # carry the block's row count on a sentinel row so
+            # n_checked sums exactly once per block
+            s = pa.table({"v": pa.array(["\x00rows"], pa.string()),
+                          "n": pa.array([0], pa.int64()),
+                          "rows": pa.array([len(b)], pa.int64())})
+            _ = nulls
+            return pa.concat_tables([t, s])
+
+        counted = (ds.select_columns([col])
+                   .map_batches(pre, batch_format="pyarrow")
+                   .groupby("v")
+                   .aggregate(Sum("n", alias_name="n"),
+                              Sum("rows", alias_name="rows")))
+
+        def fin(b: pa.Table, _name=r["name"]) -> pa.Table:
+            n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            rows = int(b["rows"].to_numpy(
+                zero_copy_only=False).astype(np.int64).sum())
+            dup_rows = int(n[n > 1].sum())
+            return pa.table({
+                "rule": pa.array([_name], pa.string()),
+                "n_violations": pa.array([dup_rows], pa.int64()),
+                "n_checked": pa.array([rows], pa.int64())})
+
+        # grouped distinct-value table is partition-bounded; the final
+        # fold is one row — safe single-batch repartition
+        parts.append(counted.repartition(1).map_batches(
+            fin, batch_format="pyarrow"))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.groupby("rule").aggregate(
+        Sum("n_violations", alias_name="n_violations"),
+        Sum("n_checked", alias_name="n_checked"))
