@@ -9190,6 +9190,58 @@ def _orders_expectations_sql() -> str:
         "FROM orders")
 
 
+def _q_shard_rebalance_audit(sf_dir: str):
+    """Rendezvous-hashing resize audit (``ops/bucketed.
+    rendezvous_shard``): assign every doc to 8 and to 32 shards, then
+    per old shard report how many keys move — and that NONE move to
+    another OLD shard (the HRW guarantee that makes N→4N growth cheap
+    for a bucketed store)."""
+    from ray.data.aggregate import Count, Sum
+
+    from xtract.ops.bucketed import rendezvous_shard
+
+    docs = _docs(sf_dir, ["doc_id"])
+    both = rendezvous_shard(
+        rendezvous_shard(docs, "doc_id", 8, out_col="shard8"),
+        "doc_id", 32, out_col="shard32")
+
+    def flags(t: pa.Table) -> pa.Table:
+        s8 = t["shard8"].to_numpy(zero_copy_only=False)
+        s32 = t["shard32"].to_numpy(zero_copy_only=False)
+        moved = (s8 != s32).astype(np.int64)
+        return pa.table({
+            "shard8": pa.array(s8, pa.int64()),
+            "moved": pa.array(moved, pa.int64()),
+            "moved_to_old": pa.array(moved * (s32 < 8), pa.int64())})
+
+    return (both.map_batches(flags, batch_format="pyarrow")
+            .groupby("shard8")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("moved", alias_name="n_moved"),
+                       Sum("moved_to_old", alias_name="n_moved_to_old")))
+
+
+def _shard_rebalance_audit_sql() -> str:
+    mix = "((doc_id * 2654435761 + n * 40503 + 7) % 4294967296)"
+    score = f"(CAST({mix} AS HUGEINT) * {mix}) % 4294967296"
+    return (
+        f"WITH s AS (SELECT doc_id, n, {score} AS sc "
+        "FROM documents, UNNEST(range(0, 32)) AS t(n)), "
+        "a8 AS (SELECT doc_id, n AS s8 FROM (SELECT doc_id, n, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, n) "
+        "AS rn FROM s WHERE n < 8) WHERE rn = 1), "
+        "a32 AS (SELECT doc_id, n AS s32 FROM (SELECT doc_id, n, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, n) "
+        "AS rn FROM s) WHERE rn = 1) "
+        "SELECT CAST(s8 AS BIGINT) AS shard8, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(CASE WHEN s32 != s8 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_moved, "
+        "CAST(sum(CASE WHEN s32 != s8 AND s32 < 8 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_moved_to_old "
+        "FROM a8 JOIN a32 USING (doc_id) GROUP BY 1")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -9360,6 +9412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_evolution_union": _q_schema_evolution_union,
         "source_trigram_growth": _q_source_trigram_growth,
         "orders_expectations": _q_orders_expectations,
+        "shard_rebalance_audit": _q_shard_rebalance_audit,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -11163,6 +11216,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_evolution_union": _schema_evolution_union_sql(),
         "source_trigram_growth": _source_trigram_growth_sql(),
         "orders_expectations": _orders_expectations_sql(),
+        "shard_rebalance_audit": _shard_rebalance_audit_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",

@@ -809,3 +809,33 @@ def test_expectations_unknown_kind_fails(ray_session):
     with _pytest.raises(Exception):
         expectation_report(
             ds, [{"name": "r", "kind": "nope", "col": "x"}]).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# rendezvous_shard
+# ---------------------------------------------------------------------------
+
+def test_rendezvous_hrw_growth_property(ray_session):
+    """Growing the shard set must only move keys ONTO new shards."""
+    from xtract.ops.bucketed import rendezvous_shard
+
+    ds = rd.from_arrow(pa.table({"k": pa.array(range(2000), pa.int64())}))
+    df = rendezvous_shard(
+        rendezvous_shard(ds, "k", 8, out_col="s8"),
+        "k", 32, out_col="s32").to_pandas()
+    moved = df[df.s8 != df.s32]
+    assert (moved.s32 >= 8).all()
+    assert df.s8.between(0, 7).all() and df.s32.between(0, 31).all()
+    # a same-size assignment is stable (determinism)
+    df2 = rendezvous_shard(ds, "k", 8, out_col="s8").to_pandas()
+    assert (df2.s8.to_numpy() == df.s8.to_numpy()).all()
+
+
+def test_rendezvous_reasonable_balance(ray_session):
+    from xtract.ops.bucketed import rendezvous_shard
+
+    ds = rd.from_arrow(pa.table({"k": pa.array(range(4000), pa.int64())}))
+    df = rendezvous_shard(ds, "k", 8).to_pandas()
+    load = df["shard"].value_counts()
+    assert len(load) == 8
+    assert load.max() < 2 * load.min()

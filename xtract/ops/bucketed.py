@@ -204,3 +204,32 @@ def lookup_bucketed(out_dir: str, values) -> pa.Table:
             raise ValueError(f"{out_dir}: bucketed table has no rows")
         return pq.read_table(any_file[0]).slice(0, 0)
     return pa.concat_tables(out)
+
+
+def rendezvous_shard(ds, key: str, n_shards: int,
+                     out_col: str = "shard"):
+    """Rendezvous (highest-random-weight) shard assignment: each key
+    goes to ``argmax_node score(key, node)`` — the consistent-hashing
+    rule under which GROWING the shard set only moves keys ONTO new
+    shards (old→old moves never happen), so an N→4N cluster resize
+    relocates ≈ 3/4 · |keys| instead of rehashing everything, and a
+    bucketed store stays mostly valid across resizes.
+
+    ``score`` is a squared LCG mix (SQL-replayable, the
+    ``doc_weighted_sample`` oracle precedent — the square makes it
+    NONLINEAR in the node id, which a bare LCG is not):
+    ``m = (key·2654435761 + node·40503 + 7) mod 2^32;  score = m²
+    mod 2^32``; ties break to the smaller node id.  Vectorized: one
+    (rows × shards) uint64 matrix + argmax per batch, no shuffle.
+    """
+    def assign(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        nodes = np.arange(n_shards, dtype=np.uint64)
+        m = (k[:, None] * np.uint64(2654435761)
+             + nodes[None, :] * np.uint64(40503)
+             + np.uint64(7)) & np.uint64(0xFFFFFFFF)
+        scores = (m * m) & np.uint64(0xFFFFFFFF)
+        return b.append_column(out_col, pa.array(
+            np.argmax(scores, axis=1).astype(np.int64), pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
