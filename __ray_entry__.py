@@ -9242,6 +9242,30 @@ def _shard_rebalance_audit_sql() -> str:
         "FROM a8 JOIN a32 USING (doc_id) GROUP BY 1")
 
 
+def _q_source_token_budget(sf_dir: str):
+    """Per-source budgeted selection (fill each source's 3k-char
+    budget longest-first — the mixing step that caps any one source's
+    contribution): ``ops/agg.take_until_budget``, one coarse co-group
+    with a vectorized run-cumsum mask."""
+    from xtract.ops.agg import take_until_budget
+
+    return take_until_budget(
+        _docs(sf_dir, ["doc_id", "source", "n_chars"]),
+        key="source", order_col="n_chars", weight_col="n_chars",
+        budget=3_000, id_col="doc_id")
+
+
+def _source_token_budget_sql() -> str:
+    return (
+        "WITH s AS (SELECT source, doc_id, n_chars, "
+        "sum(n_chars) OVER (PARTITION BY source "
+        "ORDER BY n_chars DESC, doc_id) AS cum FROM documents) "
+        "SELECT source, CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(n_chars AS BIGINT) AS n_chars, "
+        "CAST(cum AS BIGINT) AS cum_weight "
+        "FROM s WHERE cum <= 3000")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -9413,6 +9437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_trigram_growth": _q_source_trigram_growth,
         "orders_expectations": _q_orders_expectations,
         "shard_rebalance_audit": _q_shard_rebalance_audit,
+        "source_token_budget": _q_source_token_budget,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -11217,6 +11242,7 @@ def oracle_sql() -> dict[str, str]:
         "source_trigram_growth": _source_trigram_growth_sql(),
         "orders_expectations": _orders_expectations_sql(),
         "shard_rebalance_audit": _shard_rebalance_audit_sql(),
+        "source_token_budget": _source_token_budget_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",

@@ -839,3 +839,58 @@ def test_rendezvous_reasonable_balance(ray_session):
     load = df["shard"].value_counts()
     assert len(load) == 8
     assert load.max() < 2 * load.min()
+
+
+# ---------------------------------------------------------------------------
+# take_until_budget
+# ---------------------------------------------------------------------------
+
+def _brute_budget(rows, budget):
+    from collections import defaultdict
+
+    byk = defaultdict(list)
+    for k, o, w, i in rows:
+        byk[k].append((o, w, i))
+    out = []
+    for k, items in byk.items():
+        cum = 0
+        for o, w, i in sorted(items, key=lambda x: (-x[0], x[2])):
+            if cum + w > budget:
+                break
+            cum += w
+            out.append((k, i, cum))
+    return sorted(out)
+
+
+def test_budget_selection_vs_brute(ray_session):
+    rng = np.random.default_rng(41)
+    rows = [(f"s{int(a)}", int(b), int(c), i) for i, (a, b, c) in
+            enumerate(np.column_stack([rng.integers(0, 4, 80),
+                                       rng.integers(0, 100, 80),
+                                       rng.integers(1, 30, 80)]))]
+    from xtract.ops.agg import take_until_budget
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([r[0] for r in rows], pa.string()),
+        "q": pa.array([r[1] for r in rows], pa.int64()),
+        "w": pa.array([r[2] for r in rows], pa.int64()),
+        "i": pa.array([r[3] for r in rows], pa.int64())}))
+    df = take_until_budget(ds, "k", "q", "w", budget=60, id_col="i",
+                           num_partitions=3).to_pandas()
+    got = sorted((r.k, int(r.i), int(r.cum_weight))
+                 for r in df.itertuples())
+    assert got == _brute_budget(rows, 60)
+
+
+def test_budget_stops_at_first_overflow_not_skips(ray_session):
+    # greedy prefix rule: the first item that would overflow STOPS the
+    # key (no skip-and-continue knapsack behavior)
+    from xtract.ops.agg import take_until_budget
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(["a"] * 3, pa.string()),
+        "q": pa.array([3, 2, 1], pa.int64()),
+        "w": pa.array([5, 10, 1], pa.int64()),
+        "i": pa.array([1, 2, 3], pa.int64())}))
+    df = take_until_budget(ds, "k", "q", "w", budget=7, id_col="i")
+    assert df.to_pandas()["i"].tolist() == [1]

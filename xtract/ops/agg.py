@@ -653,3 +653,54 @@ def grouped_value_profile(ds, key: str, val: str, num_partitions: int = 32):
     return (counted.map_batches(tag, batch_format="pyarrow")
             .groupby("_part")
             .map_groups(profile, batch_format="pyarrow"))
+
+
+def take_until_budget(ds, key: str, order_col: str, weight_col: str,
+                      budget: int, id_col: str,
+                      num_partitions: int = 32):
+    """Per-key budgeted selection (the curation step that fills a
+    per-source token budget with the best documents first): within
+    each key, rows order by (``order_col`` DESC, ``id_col`` ASC) and
+    are kept while the INCLUSIVE running ``weight_col`` sum stays
+    ≤ ``budget``.  Deterministic, exact integers; emits the kept rows
+    with their running total (``cum_weight``).
+
+    Shape: slim (key, order, weight, id) projection → ONE coarse
+    co-group over ``key`` → per-partition vectorized lexsort +
+    run-offset cumsum + mask.  Partitioning assumption (documented
+    co-group rule): one key's rows materialize in one partition.
+    """
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b[key],
+            "o": b[order_col].cast(pa.int64()),
+            "w": b[weight_col].cast(pa.int64()),
+            "i": b[id_col].cast(pa.int64()),
+            "_part": pa.array(_hash_part(b[key], num_partitions),
+                              pa.int64())})
+
+    def pick(g: pa.Table) -> pa.Table:
+        k = np.asarray(g["k"].to_pylist(), dtype=object)
+        o = g["o"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = g["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = g["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((i, -o, k))
+        k, o, w, i = k[order], o[order], w[order], i[order]
+        change = np.ones(len(k), bool)
+        change[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(change)
+        cum = np.cumsum(w)
+        base = np.repeat(cum[starts] - w[starts],
+                         np.diff(np.append(starts, len(k))))
+        run = cum - base
+        keep = run <= budget
+        cols = {key: pa.array(k[keep], g["k"].type),
+                id_col: pa.array(i[keep], pa.int64()),
+                order_col: pa.array(o[keep], pa.int64())}
+        # order and weight may be the SAME column — dict dedupes
+        cols[weight_col] = pa.array(w[keep], pa.int64())
+        cols["cum_weight"] = pa.array(run[keep], pa.int64())
+        return pa.table(cols)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part").map_groups(pick, batch_format="pyarrow"))
