@@ -9266,6 +9266,74 @@ def _source_token_budget_sql() -> str:
         "FROM s WHERE cum <= 3000")
 
 
+def _q_embedding_norm_stats(sf_dir: str):
+    """Per-label embedding-norm audit over the vector column: count
+    and EXACT squared-norm sum in micro-units (each component rounds
+    to int64 micros before squaring, so the reduction is
+    order-independent and bit-comparable to SQL) — the drift check a
+    vector store runs before re-quantizing an index."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["label", "embedding"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        m = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        # DuckDB round() is half-AWAY-from-zero; np.rint is half-even —
+        # match the SQL rule explicitly
+        s = m * 1_000_000
+        q = np.where(s >= 0, np.floor(s + 0.5),
+                     np.ceil(s - 0.5)).astype(np.int64)
+        return pa.table({
+            "label": t["label"],
+            "sq": pa.array((q * q).sum(axis=1), pa.int64())})
+
+    return (emb.map_batches(slim, batch_format="pyarrow")
+            .groupby("label")
+            .aggregate(Count(alias_name="n_vecs"),
+                       Sum("sq", alias_name="sum_sq_micro")))
+
+
+def _embedding_norm_stats_sql() -> str:
+    return (
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, "
+        "CAST(sum(list_sum(list_transform(embedding, "
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * "
+        "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))) "
+        "AS BIGINT) AS sum_sq_micro "
+        "FROM embeddings GROUP BY label")
+
+
+def _q_host_degree_mixing(sf_dir: str):
+    """Degree-assortativity sufficient statistics over the planted
+    host graph (``ops/graph.degree_mixing_sums``): exact integer
+    Σdᵤdᵥ / Σ(dᵤ+dᵥ) / Σ(dᵤ²+dᵥ²) over distinct undirected edges —
+    hubs-link-hubs vs link-farm signature, no float on either side."""
+    from xtract.ops.graph import degree_mixing_sums
+
+    edges = _docs(sf_dir, ["doc_id"]).map_batches(
+        _host_edge_batch_97, batch_format="pyarrow")
+    return degree_mixing_sums(edges)
+
+
+def _host_degree_mixing_sql() -> str:
+    return (
+        "WITH raw AS (SELECT (doc_id % 97) AS x, "
+        "((doc_id % 97) * 31 + 17 * j + doc_id) % 97 AS y "
+        "FROM documents, UNNEST(range(0, doc_id % 4)) AS t(j)), "
+        "e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v "
+        "FROM raw WHERE x != y), "
+        "deg AS (SELECT node, count(*) AS d FROM "
+        "(SELECT u AS node FROM e UNION ALL SELECT v FROM e) "
+        "GROUP BY node) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_edges, "
+        "CAST(sum(a.d * b.d) AS BIGINT) AS sum_prod, "
+        "CAST(sum(a.d + b.d) AS BIGINT) AS sum_deg, "
+        "CAST(sum(a.d * a.d + b.d * b.d) AS BIGINT) AS sum_sq "
+        "FROM e JOIN deg a ON a.node = e.u JOIN deg b ON b.node = e.v")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -9438,6 +9506,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_expectations": _q_orders_expectations,
         "shard_rebalance_audit": _q_shard_rebalance_audit,
         "source_token_budget": _q_source_token_budget,
+        "embedding_norm_stats": _q_embedding_norm_stats,
+        "host_degree_mixing": _q_host_degree_mixing,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -11243,6 +11313,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_expectations": _orders_expectations_sql(),
         "shard_rebalance_audit": _shard_rebalance_audit_sql(),
         "source_token_budget": _source_token_budget_sql(),
+        "embedding_norm_stats": _embedding_norm_stats_sql(),
+        "host_degree_mixing": _host_degree_mixing_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",

@@ -894,3 +894,45 @@ def test_budget_stops_at_first_overflow_not_skips(ray_session):
         "i": pa.array([1, 2, 3], pa.int64())}))
     df = take_until_budget(ds, "k", "q", "w", budget=7, id_col="i")
     assert df.to_pandas()["i"].tolist() == [1]
+
+
+# ---------------------------------------------------------------------------
+# degree_mixing_sums
+# ---------------------------------------------------------------------------
+
+def test_degree_mixing_vs_brute(ray_session):
+    from xtract.ops.graph import degree_mixing_sums
+
+    rng = np.random.default_rng(47)
+    edges = [tuple(x) for x in rng.integers(0, 20, size=(80, 2))]
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    deg = {}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    want = (len(und),
+            sum(deg[u] * deg[v] for u, v in und),
+            sum(deg[u] + deg[v] for u, v in und),
+            sum(deg[u] ** 2 + deg[v] ** 2 for u, v in und))
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64())}))
+    out = degree_mixing_sums(ds).to_pandas().iloc[0]
+    assert (int(out.n_edges), int(out.sum_prod), int(out.sum_deg),
+            int(out.sum_sq)) == want
+
+
+def test_embedding_norm_rounding_rule(ray_session):
+    # half-away-from-zero at the .5 micro boundary, both signs
+    emb = rd.from_arrow(pa.table({
+        "label": pa.array([0, 0], pa.int64()),
+        "embedding": pa.array([[0.0000015, 0.0], [-0.0000015, 0.0]],
+                              pa.list_(pa.float64()))}))
+    import __ray_entry__  # noqa: F401  (the slim kernel lives there)
+    import numpy as np_
+
+    m = np.stack(emb.to_pandas()["embedding"].tolist())
+    s = m * 1_000_000
+    q = np_.where(s >= 0, np_.floor(s + 0.5),
+                  np_.ceil(s - 0.5)).astype(np_.int64)
+    assert q[0, 0] == 2 and q[1, 0] == -2  # away from zero

@@ -2039,3 +2039,83 @@ def bipartite_components(edges_ds, src: str = "src", dst: str = "dst",
             "is_bipartite": pc.equal(t["bip"], 1),
             "n_nodes": t["n_nodes"].cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def degree_mixing_sums(edges_ds, src: str = "src", dst: str = "dst",
+                       broadcast_limit: int = 2_000_000):
+    """Exact integer sufficient statistics for DEGREE ASSORTATIVITY
+    (Newman 2002, public) over the distinct undirected edge set:
+    ``n_edges``, ``sum_prod`` = Σ dᵤ·dᵥ, ``sum_deg`` = Σ (dᵤ+dᵥ),
+    ``sum_sq`` = Σ (dᵤ²+dᵥ²).  The coefficient is
+    ``(4m·sum_prod − sum_deg²) / (2m·sum_sq − sum_deg²)`` — keeping
+    the sums integral leaves the one float division to the caller.
+    Positive assortativity (hubs linking hubs) is the organic-web
+    signature; link farms skew strongly negative.
+
+    Shape: distinct-edge dedup → node-bounded degree table attached
+    by broadcast under an exact-count gate (the ``triangle_counts``
+    rule) → per-block integer partials → ONE native global Sum.
+    → Dataset with a single row.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def undirect(b: pa.Table) -> pa.Table:
+        u = b[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        key = np.unique(lo * (np.int64(1) << 31) + hi)
+        return pa.table({
+            "u": pa.array(key >> 31, pa.int64()),
+            "v": pa.array(key & ((1 << 31) - 1), pa.int64())})
+
+    edges = (edges_ds.map_batches(undirect, batch_format="pyarrow")
+             .groupby(["u", "v"]).aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"])
+             .materialize())
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            b["u"].to_numpy(zero_copy_only=False),
+            b["v"].to_numpy(zero_copy_only=False)])
+        un, cnt = np.unique(ids, return_counts=True)
+        return pa.table({"node": pa.array(un, pa.int64()),
+                         "d": pa.array(cnt, pa.int64())})
+
+    deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("d", alias_name="d")))
+    dt = deg.limit(broadcast_limit + 1).to_pandas()
+    if len(dt) > broadcast_limit:
+        raise ValueError(
+            f"degree table exceeds broadcast gate ({broadcast_limit}); "
+            "shard the graph or raise the limit")
+    dn = dt["node"].to_numpy(np.int64)
+    dd = dt["d"].to_numpy(np.int64)
+    order = np.argsort(dn)
+    deg_ref = ray.put((dn[order], dd[order]))
+
+    def partials(b: pa.Table) -> pa.Table:
+        nodes, ds_ = ray.get(deg_ref)
+        du = ds_[np.searchsorted(nodes, b["u"].to_numpy(
+            zero_copy_only=False))]
+        dv = ds_[np.searchsorted(nodes, b["v"].to_numpy(
+            zero_copy_only=False))]
+        return pa.table({
+            "n_edges": pa.array([len(du)], pa.int64()),
+            "sum_prod": pa.array([int((du * dv).sum())], pa.int64()),
+            "sum_deg": pa.array([int((du + dv).sum())], pa.int64()),
+            "sum_sq": pa.array([int((du * du + dv * dv).sum())],
+                               pa.int64())})
+
+    parts = edges.map_batches(partials, batch_format="pyarrow")
+    row = parts.aggregate(Sum("n_edges", alias_name="n_edges"),
+                          Sum("sum_prod", alias_name="sum_prod"),
+                          Sum("sum_deg", alias_name="sum_deg"),
+                          Sum("sum_sq", alias_name="sum_sq"))
+    import ray.data as rd
+
+    return rd.from_items([{k: int(row[k]) for k in
+                           ("n_edges", "sum_prod", "sum_deg",
+                            "sum_sq")}])
