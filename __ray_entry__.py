@@ -9334,6 +9334,62 @@ def _host_degree_mixing_sql() -> str:
         "FROM e JOIN deg a ON a.node = e.u JOIN deg b ON b.node = e.v")
 
 
+def _q_winnow_fp_postings(sf_dir: str):
+    """Posting-list view of the winnowing layer: the top-20 most
+    widely shared fingerprints (boilerplate phrases) with doc counts
+    and owning min-doc — what a phrase-provenance index serves.
+    Distinct (fp, doc) combiner → one grouped Count+Min → partial
+    top-k → tiny final sort."""
+    from ray.data.aggregate import Count, Min
+
+    from xtract.ops.textstats import winnow_fingerprints
+
+    K = 20
+    fps = winnow_fingerprints(_docs(sf_dir, ["doc_id", "text"]),
+                              k=16, w=4)
+
+    def distinct(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "fp": t["fp"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64),
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64)}).drop_duplicates()
+        return pa.table({"fp": pa.array(df["fp"], pa.int64()),
+                         "doc_id": pa.array(df["doc_id"], pa.int64())})
+
+    agg = (fps.map_batches(distinct, batch_format="pyarrow")
+           .groupby("fp")
+           .aggregate(Count(alias_name="n_docs"),
+                      Min("doc_id", alias_name="min_doc")))
+
+    def topk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n_docs"], 2))
+        order = pc.sort_indices(t, sort_keys=[
+            ("n_docs", "descending"), ("fp", "ascending")])
+        return t.take(order[:K])
+
+    head = agg.map_batches(topk, batch_format="pyarrow").to_pandas()
+    head = head.sort_values(["n_docs", "fp"],
+                            ascending=[False, True]).head(K)
+    head["fp"] = head["fp"].astype("int64")
+    head["n_docs"] = head["n_docs"].astype("int64")
+    head["min_doc"] = head["min_doc"].astype("int64")
+    return head.reset_index(drop=True)
+
+
+def _winnow_fp_postings_sql() -> str:
+    return (
+        "WITH " + _winnow_cte() + ", "
+        "sets AS (SELECT DISTINCT doc_id, hv FROM selfp) "
+        "SELECT CAST(hv AS BIGINT) AS fp, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(min(doc_id) AS BIGINT) AS min_doc "
+        "FROM sets GROUP BY hv HAVING count(*) >= 2 "
+        "ORDER BY n_docs DESC, fp LIMIT 20")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -9508,6 +9564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_token_budget": _q_source_token_budget,
         "embedding_norm_stats": _q_embedding_norm_stats,
         "host_degree_mixing": _q_host_degree_mixing,
+        "winnow_fp_postings": _q_winnow_fp_postings,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -11315,6 +11372,7 @@ def oracle_sql() -> dict[str, str]:
         "source_token_budget": _source_token_budget_sql(),
         "embedding_norm_stats": _embedding_norm_stats_sql(),
         "host_degree_mixing": _host_degree_mixing_sql(),
+        "winnow_fp_postings": _winnow_fp_postings_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",
