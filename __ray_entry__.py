@@ -9390,6 +9390,85 @@ def _winnow_fp_postings_sql() -> str:
         "ORDER BY n_docs DESC, fp LIMIT 20")
 
 
+def _lr_featurize(t: pa.Table) -> pa.Table:
+    """Integer quality features for the trained classifier: centered
+    token-count surface stats (constants match the SQL oracle)."""
+    text = t["text"]
+    spaces = pc.count_substring(text, " ").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    tables = pc.count_substring(text, "table").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    keys = pc.count_substring(text, "key").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "x0": pa.array(np.ones(len(t), np.int64), pa.int64()),
+        "x1": pa.array(np.minimum(spaces, 1000) // 4 - 12, pa.int64()),
+        "x2": pa.array(np.minimum(tables, 200) - 3, pa.int64()),
+        "x3": pa.array(np.minimum(keys, 200) - 2, pa.int64()),
+        "y": pc.cast(pc.greater_equal(t["n_chars"], 306), pa.int64()),
+    })
+
+
+def _q_doc_quality_lr(sf_dir: str):
+    """Trained logistic-regression quality classifier (the FineWeb /
+    CCNet quality-filter shape): 4 full-batch GD steps in exact
+    integer micro-units over centered surface features, then one
+    broadcast scoring pass.  Each step is one streaming pass emitting
+    a d+1-int partial per block into a native Sum — the driver holds
+    d ints.  Label: n_chars ≥ 306 (the sf0.01 median), learned back
+    from text-only features at ~97% accuracy."""
+    from xtract.ops.logreg import score_logreg, train_logreg
+
+    feats = (_docs(sf_dir, ["doc_id", "text", "n_chars"])
+             .map_batches(_lr_featurize, batch_format="pyarrow")
+             .materialize())
+    model = train_logreg(feats, ["x0", "x1", "x2", "x3"], "y",
+                         steps=4, lr=32)
+    out = score_logreg(feats, model, ["doc_id"]).to_pandas()
+    for c in ("doc_id", "p_micro", "pred"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _doc_quality_lr_sql() -> str:
+    """The same 4 GD steps as nested scalar CTEs: HUGEINT sums and
+    truncating ``//`` replay the int64 gradient/update exactly; the
+    sigmoid re-quantization (FLOOR(p+0.5) of a double) is the one
+    float step, IEEE-identical on both sides."""
+    def gsum(p):
+        return ", ".join(
+            f"SUM((y*1000000 - {p}) * x{j}) AS g{j}" for j in range(4))
+
+    zn = " + ".join(f"wa{j}*x{j}" for j in range(4))
+    sig = ("CAST(FLOOR(1000000.0/(1.0+EXP(-(CAST(" + zn +
+           " AS DOUBLE)/10000000000.0))) + 0.5) AS BIGINT)")
+    parts = [
+        "f AS (SELECT doc_id, CAST(1 AS BIGINT) AS x0, "
+        "(LEAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')), 1000) // 4)"
+        " - 12 AS x1, "
+        "LEAST((LENGTH(text) - LENGTH(REPLACE(text, 'table', ''))) // 5,"
+        " 200) - 3 AS x2, "
+        "LEAST((LENGTH(text) - LENGTH(REPLACE(text, 'key', ''))) // 3,"
+        " 200) - 2 AS x3, "
+        "CAST(n_chars >= 306 AS BIGINT) AS y FROM documents)",
+        f"s1 AS (SELECT count(*) AS n, {gsum('500000')} FROM f)",
+        "w1 AS (SELECT " + ", ".join(
+            f"CAST((32*g{j})//n AS BIGINT) AS wa{j}"
+            for j in range(4)) + " FROM s1)",
+    ]
+    for k in range(2, 5):
+        parts.append(f"q{k} AS (SELECT f.*, {sig} AS p FROM f, w{k - 1})")
+        parts.append(f"s{k} AS (SELECT count(*) AS n, {gsum('p')} "
+                     f"FROM q{k})")
+        parts.append(f"w{k} AS (SELECT " + ", ".join(
+            f"CAST(wa{j} + (32*g{j})//n AS BIGINT) AS wa{j}"
+            for j in range(4)) + f" FROM w{k - 1}, s{k})")
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT doc_id, {sig} AS p_micro, "
+            f"CAST({sig} >= 500000 AS BIGINT) AS pred FROM f, w4")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -9565,6 +9644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norm_stats": _q_embedding_norm_stats,
         "host_degree_mixing": _q_host_degree_mixing,
         "winnow_fp_postings": _q_winnow_fp_postings,
+        "doc_quality_lr": _q_doc_quality_lr,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -11373,6 +11453,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norm_stats": _embedding_norm_stats_sql(),
         "host_degree_mixing": _host_degree_mixing_sql(),
         "winnow_fp_postings": _winnow_fp_postings_sql(),
+        "doc_quality_lr": _doc_quality_lr_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",
