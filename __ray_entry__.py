@@ -9469,6 +9469,98 @@ def _doc_quality_lr_sql() -> str:
             f"CAST({sig} >= 500000 AS BIGINT) AS pred FROM f, w4")
 
 
+def _q_nation_profit(sf_dir: str):
+    """TPC-H Q9-shape product-line profit: revenue from lineitems of
+    parts matching a name word, by supplier nation × order year, in
+    exact integer micro-units.  Scale shape: the part filter is a
+    broadcast semi-join (the published-scale path is
+    ``bloom_semi_join`` when the filtered key set outgrows the 2M
+    gate); supplier→nation is a vectorized searchsorted against a
+    broadcast dimension; lineitem revenue is block-combined per
+    (orderkey, nation) BEFORE the one large×large orderkey co-group
+    that attaches the order year; the final exchange is a native Sum
+    over a nations×years-bounded key space."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.joins import anti_join_broadcast, equi_join_cogroup
+
+    WORD = "bolt"
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_name"]).to_pandas()
+    pkeys = part.loc[part["p_name"].str.contains(WORD),
+                     "p_partkey"].tolist()
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]
+                           ).to_pandas().sort_values("s_suppkey")
+    sk_ref = ray.put((supp["s_suppkey"].to_numpy(np.int64),
+                      supp["s_nationkey"].to_numpy(np.int64)))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    li = anti_join_broadcast(li, "l_partkey", pkeys, semi=True)
+
+    def combine(b: pa.Table) -> pa.Table:
+        sk, nk = ray.get(sk_ref)
+        cents = pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        bp = pc.cast(pc.round(pc.multiply(
+            b["l_discount"], pa.scalar(10_000.0))), pa.int64())
+        micro = pc.multiply(cents, pc.subtract(
+            pa.scalar(10_000, pa.int64()), bp)).to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(
+            sk, b["l_suppkey"].to_numpy(zero_copy_only=False))
+        g = (pd.DataFrame({
+            "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "nk": nk[pos], "micro": micro})
+            .groupby(["ok", "nk"], sort=False)["micro"].sum()
+            .reset_index())
+        return pa.table({"ok": pa.array(g["ok"], pa.int64()),
+                         "nk": pa.array(g["nk"], pa.int64()),
+                         "micro": pa.array(g["micro"], pa.int64())})
+
+    li_c = li.map_batches(combine, batch_format="pyarrow")
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+    o_slim = orders.map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64())}),
+        batch_format="pyarrow")
+
+    joined = equi_join_cogroup(li_c, o_slim, on="ok",
+                               right_on="o_orderkey", how="inner")
+    agg = (joined.groupby(["nk", "o_year"])
+           .aggregate(Sum("micro", alias_name="profit_micro"))
+           .to_pandas())
+    nt = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    agg = agg.merge(nt[["n_nationkey", "n_name"]], left_on="nk",
+                    right_on="n_nationkey")
+    out = (agg[["n_name", "o_year", "profit_micro"]]
+           .sort_values(["n_name", "o_year"]).reset_index(drop=True))
+    out["o_year"] = out["o_year"].astype("int64")
+    out["profit_micro"] = out["profit_micro"].astype("int64")
+    return out
+
+
+def _nation_profit_sql() -> str:
+    return (
+        "SELECT n_name, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+        "(10000 - CAST(ROUND(l_discount*10000) AS BIGINT))) AS BIGINT) "
+        "AS profit_micro "
+        "FROM lineitem, orders, supplier, nation, part "
+        "WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey "
+        "AND s_nationkey = n_nationkey AND l_partkey = p_partkey "
+        "AND p_name LIKE '%bolt%' "
+        "GROUP BY n_name, o_year ORDER BY n_name, o_year")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -9645,6 +9737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_degree_mixing": _q_host_degree_mixing,
         "winnow_fp_postings": _q_winnow_fp_postings,
         "doc_quality_lr": _q_doc_quality_lr,
+        "nation_profit": _q_nation_profit,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -11454,6 +11547,7 @@ def oracle_sql() -> dict[str, str]:
         "host_degree_mixing": _host_degree_mixing_sql(),
         "winnow_fp_postings": _winnow_fp_postings_sql(),
         "doc_quality_lr": _doc_quality_lr_sql(),
+        "nation_profit": _nation_profit_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",
