@@ -9561,6 +9561,80 @@ def _nation_profit_sql() -> str:
         "GROUP BY n_name, o_year ORDER BY n_name, o_year")
 
 
+def _q_doc_dsir_select(sf_dir: str):
+    """DSIR data selection (Xie et al. 2023 shape): importance weight
+    log p_target − log p_raw per document under two unigram LMs
+    (target = lang='en' rows), exact integer micro-nats, then the top
+    quartile selected by (score desc, doc_id).  vocab_size=24 < the
+    corpus's 31 distinct tokens so the OOV bucket path is live.
+    Scale shape: one token-count pass (combiner → grouped Sum), top-K
+    vocab via block partial top-k, broadcast K-row weight table, one
+    scoring pass; the threshold pull is N_sel slim rows."""
+    from xtract.ops.dsir import dsir_scores
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    tagged = docs.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"], "text": t["text"],
+            "is_tgt": pc.cast(pc.equal(t["lang"], "en"), pa.int64())}),
+        batch_format="pyarrow")
+    scores = dsir_scores(tagged, "text", "is_tgt", "doc_id",
+                         vocab_size=24).materialize()
+    n_sel = _docs(sf_dir, ["doc_id"]).count() // 4
+
+    def btopk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("dsir_score", "descending"), ("doc_id", "ascending")])
+        return t.take(idx[:n_sel])
+
+    head = (scores.map_batches(btopk, batch_format="pyarrow")
+            .sort(["dsir_score", "doc_id"], descending=[True, False])
+            .limit(n_sel).take_all())
+    thr_s, thr_d = head[-1]["dsir_score"], head[-1]["doc_id"]
+
+    def flag(t: pa.Table) -> pa.Table:
+        s = t["dsir_score"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        sel = (s > thr_s) | ((s == thr_s) & (d <= thr_d))
+        return t.append_column(
+            "selected", pa.array(sel.astype(np.int64), pa.int64()))
+
+    out = scores.map_batches(flag, batch_format="pyarrow").to_pandas()
+    for c in ("doc_id", "dsir_score", "selected"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_DOC_DSIR_SQL = (
+    "WITH toks AS (SELECT doc_id, lang, "
+    "UNNEST(regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9_]+')) "
+    "AS tok FROM documents), "
+    "cnt AS (SELECT tok, count(*) AS n_raw, "
+    "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt "
+    "FROM toks GROUP BY 1), "
+    "vocab AS (SELECT * FROM cnt ORDER BY n_raw DESC, tok LIMIT 24), "
+    "vs AS (SELECT count(*) AS v, sum(n_raw) AS t_raw, "
+    "sum(n_tgt) AS t_tgt FROM vocab), "
+    "w AS (SELECT tok, "
+    "CAST(floor(1000000 * ln((n_tgt + 1.0) / (t_tgt + v))) AS BIGINT) - "
+    "CAST(floor(1000000 * ln((n_raw + 1.0) / (t_raw + v))) AS BIGINT) "
+    "AS w FROM vocab CROSS JOIN vs), "
+    "oov AS (SELECT "
+    "CAST(floor(1000000 * ln(1.0 / (t_tgt + v))) AS BIGINT) - "
+    "CAST(floor(1000000 * ln(1.0 / (t_raw + v))) AS BIGINT) AS w "
+    "FROM vs), "
+    "tokw AS (SELECT t.doc_id, coalesce(w.w, (SELECT w FROM oov)) AS w "
+    "FROM toks t LEFT JOIN w ON w.tok = t.tok), "
+    "ssum AS (SELECT doc_id, sum(w) AS s FROM tokw GROUP BY 1), "
+    "sc AS (SELECT d.doc_id, CAST(coalesce(s.s, 0) AS BIGINT) AS "
+    "dsir_score FROM documents d LEFT JOIN ssum s ON s.doc_id = d.doc_id), "
+    "ranked AS (SELECT doc_id, dsir_score, row_number() OVER "
+    "(ORDER BY dsir_score DESC, doc_id) AS rn FROM sc) "
+    "SELECT doc_id, dsir_score, "
+    "CAST(rn <= (SELECT count(*) // 4 FROM documents) AS BIGINT) "
+    "AS selected FROM ranked ORDER BY doc_id")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -9738,6 +9812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fp_postings": _q_winnow_fp_postings,
         "doc_quality_lr": _q_doc_quality_lr,
         "nation_profit": _q_nation_profit,
+        "doc_dsir_select": _q_doc_dsir_select,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -11548,6 +11623,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fp_postings": _winnow_fp_postings_sql(),
         "doc_quality_lr": _doc_quality_lr_sql(),
         "nation_profit": _nation_profit_sql(),
+        "doc_dsir_select": _DOC_DSIR_SQL,
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",
