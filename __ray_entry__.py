@@ -9635,6 +9635,48 @@ _DOC_DSIR_SQL = (
     "AS selected FROM ranked ORDER BY doc_id")
 
 
+def _q_source_fp_overlap(sf_dir: str):
+    """Cross-source contamination matrix: pairwise Jaccard (exact
+    integer milli-units) between each source's winnowing-fingerprint
+    set — the audit that catches one training source republishing
+    another's text.  Winnowing explode keyed by source (no join:
+    fingerprints are per-row) → keyed_set_overlap's single
+    hash(fp) co-group (diagonal rows carry set sizes) → K²-bounded
+    driver fold."""
+    from xtract.ops.overlap import keyed_set_overlap, overlap_matrix
+    from xtract.ops.textstats import winnow_fingerprints
+
+    fps = winnow_fingerprints(
+        _docs(sf_dir, ["source", "text"]), key="source", k=16, w=4)
+    fps = fps.map_batches(
+        lambda t: pa.table({"source": t["source"],
+                            "fp": t["fp"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    out = overlap_matrix(keyed_set_overlap(fps, "source", "fp"))
+    out = out.rename(columns={"key_a": "source_a", "key_b": "source_b"})
+    for c in ("inter", "union_n", "jaccard_milli"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _source_fp_overlap_sql() -> str:
+    return (
+        "WITH " + _winnow_cte() + ", "
+        "sets AS (SELECT DISTINCT d.source, f.hv FROM selfp f "
+        "JOIN documents d USING (doc_id)), "
+        "sizes AS (SELECT source, count(*) AS n FROM sets GROUP BY 1), "
+        "pairs AS (SELECT a.source AS source_a, b.source AS source_b, "
+        "count(*) AS inter FROM sets a JOIN sets b ON a.hv = b.hv "
+        "AND a.source < b.source GROUP BY 1, 2) "
+        "SELECT source_a, source_b, CAST(inter AS BIGINT) AS inter, "
+        "CAST(sa.n + sb.n - inter AS BIGINT) AS union_n, "
+        "CAST((1000 * inter) // (sa.n + sb.n - inter) AS BIGINT) "
+        "AS jaccard_milli "
+        "FROM pairs JOIN sizes sa ON sa.source = source_a "
+        "JOIN sizes sb ON sb.source = source_b "
+        "ORDER BY source_a, source_b")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -9813,6 +9855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_lr": _q_doc_quality_lr,
         "nation_profit": _q_nation_profit,
         "doc_dsir_select": _q_doc_dsir_select,
+        "source_fp_overlap": _q_source_fp_overlap,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -11624,6 +11667,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_lr": _doc_quality_lr_sql(),
         "nation_profit": _nation_profit_sql(),
         "doc_dsir_select": _DOC_DSIR_SQL,
+        "source_fp_overlap": _source_fp_overlap_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",
