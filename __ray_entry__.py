@@ -9677,6 +9677,40 @@ def _source_fp_overlap_sql() -> str:
         "ORDER BY source_a, source_b")
 
 
+def _q_part_name_linkage(sf_dir: str):
+    """Entity resolution over part names: exact lev≤2 near-name pairs
+    via FastSS deletion-neighborhood blocking — complete blocking, so
+    the result equals the full n² SQL self-join without running one.
+    Names are deduped to (name, min partkey) first (a grouped Min),
+    then exploded/verified distributed."""
+    from ray.data.aggregate import Min
+
+    from xtract.ops.linkage import deletion_neighborhood_pairs
+
+    import ray.data as rd
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_name"])
+    names = part.groupby("p_name").aggregate(
+        Min("p_partkey", alias_name="id"))
+    pairs = deletion_neighborhood_pairs(names, "id", "p_name",
+                                        max_dist=2)
+    out = pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(
+        drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_PART_NAME_LINKAGE_SQL = (
+    "WITH nm AS (SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS id "
+    "FROM part GROUP BY 1) "
+    "SELECT a.id AS id_a, b.id AS id_b, "
+    "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "
+    "FROM nm a JOIN nm b ON a.id < b.id "
+    "WHERE levenshtein(a.p_name, b.p_name) <= 2 ORDER BY id_a, id_b")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -9856,6 +9890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_profit": _q_nation_profit,
         "doc_dsir_select": _q_doc_dsir_select,
         "source_fp_overlap": _q_source_fp_overlap,
+        "part_name_linkage": _q_part_name_linkage,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -11668,6 +11703,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_profit": _nation_profit_sql(),
         "doc_dsir_select": _DOC_DSIR_SQL,
         "source_fp_overlap": _source_fp_overlap_sql(),
+        "part_name_linkage": _PART_NAME_LINKAGE_SQL,
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",
