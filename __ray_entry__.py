@@ -9711,6 +9711,56 @@ _PART_NAME_LINKAGE_SQL = (
     "WHERE levenshtein(a.p_name, b.p_name) <= 2 ORDER BY id_a, id_b")
 
 
+def _template_pages_batch(t: pa.Table) -> pa.Table:
+    """doc_id → a page rendered from one of FOUR fixed tag templates
+    (doc_id%4) with per-page text and attribute values — structure is
+    the only template-determined part, so the real DOM walk must map
+    template k to exactly one fingerprint."""
+    urls, htmls = [], []
+    tpl = [
+        "<div class='c{v}'><p>alpha {d}</p><p>beta {d}</p></div>",
+        "<table id='t{v}'><tr><td>a {d}</td><td>b {d}</td></tr></table>",
+        "<div><ul data-x='{v}'><li>one {d}</li><li>two</li><li>{d}</li>"
+        "</ul></div>",
+        "<article><h1>Head {d}</h1><p>body {d}</p><footer>f{v}</footer>"
+        "</article>",
+    ]
+    for d in t["doc_id"].to_pylist():
+        urls.append(f"https://host{d % 6}.example.org/p/{d}")
+        body = tpl[d % 4].format(d=d, v=d % 7)
+        htmls.append((f"<html><head><title>p{d}</title></head>"
+                      f"<body>{body}</body></html>").encode())
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "html": pa.array(htmls, pa.binary())})
+
+
+def _q_page_template_stats(sf_dir: str):
+    """DOM template detection: per host, how many pages / distinct
+    structural templates / pages under the dominant template.  The
+    oracle replays the generator's doc_id arithmetic, so it only
+    matches if the real tokenizer walk collapses every page of a
+    template to ONE fingerprint and never collides across the four
+    templates."""
+    from xtract.ops.templates import page_templates, template_host_stats
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _template_pages_batch, batch_format="pyarrow")
+    out = template_host_stats(page_templates(pages)).to_pandas()
+    for c in ("n_pages", "n_templates", "top_template_pages"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+_PAGE_TEMPLATE_STATS_SQL = (
+    "WITH g AS (SELECT 'host' || CAST(doc_id % 6 AS VARCHAR) || "
+    "'.example.org' AS host, doc_id % 4 AS tpl FROM documents), "
+    "c AS (SELECT host, tpl, count(*) AS n FROM g GROUP BY 1, 2) "
+    "SELECT host, CAST(sum(n) AS BIGINT) AS n_pages, "
+    "CAST(count(*) AS BIGINT) AS n_templates, "
+    "CAST(max(n) AS BIGINT) AS top_template_pages "
+    "FROM c GROUP BY host ORDER BY host")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -9891,6 +9941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_select": _q_doc_dsir_select,
         "source_fp_overlap": _q_source_fp_overlap,
         "part_name_linkage": _q_part_name_linkage,
+        "page_template_stats": _q_page_template_stats,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -11704,6 +11755,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dsir_select": _DOC_DSIR_SQL,
         "source_fp_overlap": _source_fp_overlap_sql(),
         "part_name_linkage": _PART_NAME_LINKAGE_SQL,
+        "page_template_stats": _PAGE_TEMPLATE_STATS_SQL,
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",
