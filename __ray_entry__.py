@@ -9761,6 +9761,88 @@ _PAGE_TEMPLATE_STATS_SQL = (
     "FROM c GROUP BY host ORDER BY host")
 
 
+def _q_knn_pq(sf_dir: str):
+    """Product-quantization ANN (Jégou 2011 shape): train m=2
+    integer-micro-unit codebooks (distributed k-means per subspace),
+    encode the corpus to 2 codes/vector in one broadcast pass, answer
+    the top-10 query from the codes alone via an exact-int ADC lookup
+    table — the compressed-index regime where raw vectors no longer
+    fit.  Bit-identical at any parallelism; the full
+    train→encode→search chain replays in SQL."""
+    from xtract.ops.pq import pq_encode, pq_search, train_pq
+
+    emb = _emb(sf_dir)
+    q_vec = np.asarray(
+        emb.sort("vec_id").limit(1).take_all()[0]["embedding"],
+        np.float64)
+    books = train_pq(emb, dim=64, m=2, k=8, iters=2)
+    codes = pq_encode(emb, books)
+    out = pq_search(codes, books, q_vec, topk=10).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["pq_dist"] = out["pq_dist"].astype("int64")
+    return out
+
+
+def _pq_sql(m: int = 2, k: int = 8, iters: int = 2, dim: int = 64,
+            unit: int = 1 << 20) -> str:
+    """Unrolled PQ replay: per subspace the `_kmeans_sql` Lloyd CTEs
+    over the sliced sub-vectors, a final assignment (the codes), the
+    query row's exact-int distance table, then the ADC top-10."""
+    sub = dim // m
+    parts = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f"e{s} AS (SELECT vec_id, list_transform("
+            f"embedding[{lo}:{hi}], x -> CAST(floor(x * {unit}.0) AS "
+            "BIGINT)) AS q FROM embeddings)")
+        parts.append(
+            f"c{s}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 "
+            f"AS cidx, q FROM e{s} ORDER BY vec_id LIMIT {k})")
+        for i in range(1, iters + 1):
+            parts.append(
+                f"a{s}_{i} AS (SELECT e.vec_id, c.cidx, row_number() "
+                "OVER (PARTITION BY e.vec_id ORDER BY "
+                "list_inner_product(c.q, c.q) - "
+                "2 * list_inner_product(e.q, c.q), c.cidx) AS rn "
+                f"FROM e{s} e CROSS JOIN c{s}_{i - 1} c)")
+            parts.append(
+                f"s{s}_{i} AS (SELECT cidx, dim, CAST(floor(CAST("
+                "sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS v FROM "
+                f"(SELECT a.cidx, UNNEST(e.q) AS val, "
+                f"UNNEST(range(len(e.q))) AS dim FROM e{s} e "
+                f"JOIN a{s}_{i} a ON a.vec_id = e.vec_id AND a.rn = 1) "
+                "GROUP BY cidx, dim)")
+            parts.append(
+                f"c{s}_{i} AS (SELECT p.cidx, coalesce(mm.q, p.q) AS q "
+                f"FROM c{s}_{i - 1} p LEFT JOIN (SELECT cidx, "
+                f"list(v ORDER BY dim) AS q FROM s{s}_{i} GROUP BY cidx) "
+                "mm ON mm.cidx = p.cidx)")
+        parts.append(
+            f"a{s}_F AS (SELECT e.vec_id, c.cidx, row_number() OVER ("
+            "PARTITION BY e.vec_id ORDER BY "
+            "list_inner_product(c.q, c.q) - "
+            "2 * list_inner_product(e.q, c.q), c.cidx) AS rn "
+            f"FROM e{s} e CROSS JOIN c{s}_{iters} c)")
+        parts.append(f"f{s} AS (SELECT vec_id, cidx FROM a{s}_F "
+                     "WHERE rn = 1)")
+        parts.append(f"q{s} AS (SELECT q FROM e{s} ORDER BY vec_id "
+                     "LIMIT 1)")
+        parts.append(
+            f"d{s} AS (SELECT c.cidx, list_inner_product(c.q, c.q) - "
+            "2 * list_inner_product(qq.q, c.q) + "
+            "list_inner_product(qq.q, qq.q) AS dd "
+            f"FROM c{s}_{iters} c, q{s} qq)")
+    dist = " + ".join(f"d{s}.dd" for s in range(m))
+    joins = "f0" + "".join(
+        f" JOIN f{s} ON f{s}.vec_id = f0.vec_id" for s in range(1, m))
+    joins += "".join(
+        f" JOIN d{s} ON d{s}.cidx = f{s}.cidx" for s in range(m))
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT f0.vec_id, CAST({dist} AS BIGINT) AS pq_dist "
+            f"FROM {joins} ORDER BY pq_dist, f0.vec_id LIMIT 10")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -9942,6 +10024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_fp_overlap": _q_source_fp_overlap,
         "part_name_linkage": _q_part_name_linkage,
         "page_template_stats": _q_page_template_stats,
+        "knn_pq": _q_knn_pq,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -11756,6 +11839,7 @@ def oracle_sql() -> dict[str, str]:
         "source_fp_overlap": _source_fp_overlap_sql(),
         "part_name_linkage": _PART_NAME_LINKAGE_SQL,
         "page_template_stats": _PAGE_TEMPLATE_STATS_SQL,
+        "knn_pq": _pq_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",
