@@ -95,6 +95,12 @@ class Block:
         self.lang = ""
 
 
+#: subtrees that never contribute rendered text: ruby annotation text
+#: (rt) and its fallback parentheses (rp), and the option lists of
+#: form widgets (select, datalist) — extraction keeps the page's
+#: prose, not UI chrome (trafilatura/readability behavior)
+_INERT_TAGS = frozenset({"rt", "rp", "select", "datalist"})
+
 _ALIGN_RE = re.compile(rb"align", re.I)
 _TEXT_ALIGN_RE = re.compile(r"text-align\s*:\s*(left|right|center|justify)", re.I)
 
@@ -356,6 +362,12 @@ class Segmenter:
                     and "open" in parse_attrs(attrs_b)):
                 o.hidden = True
                 self.hidden_d += 1
+        if tag in _INERT_TAGS and not o.hidden:
+            # ruby annotations (rt/rp) and form-widget option lists
+            # (select/datalist) are never part of the rendered text
+            # flow — same never-renders mechanism as hidden/dialog
+            o.hidden = True
+            self.hidden_d += 1
         if attrs_b and _ALIGN_RE.search(attrs_b):
             attrs = parse_attrs(attrs_b)
             just = attrs.get("align", "")
