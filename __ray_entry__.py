@@ -9843,6 +9843,49 @@ def _pq_sql(m: int = 2, k: int = 8, iters: int = 2, dim: int = 64,
             f"FROM {joins} ORDER BY pq_dist, f0.vec_id LIMIT 10")
 
 
+def _q_event_value_bootstrap(sf_dir: str):
+    """Deterministic Poisson bootstrap (Chamandy/Google 2012 shape):
+    per (event_type, replica) the Poisson(1)-weighted integer-cent
+    value sum and effective count, weights a pure function of
+    splitmix64(event_id·B + b) against exact uint64 inverse-CDF
+    thresholds — the replicate table any SE/CI computation folds,
+    bit-identical at any parallelism.  One streaming pass, keys×B
+    combiner rows per block, ONE grouped Sum."""
+    import ray.data as rd
+
+    from xtract.ops.bootstrap import bootstrap_group_sums
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    out = bootstrap_group_sums(ev, "event_type", "value", "event_id",
+                               n_replicas=16).to_pandas()
+    for c in ("replica", "sw", "n_eff"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "replica"]).reset_index(
+        drop=True)
+
+
+def _event_value_bootstrap_sql() -> str:
+    from xtract.ops.bootstrap import POISSON1_THRESHOLDS
+
+    case = "CASE " + " ".join(
+        f"WHEN u < {t} THEN {k}"
+        for k, t in enumerate(POISSON1_THRESHOLDS)) + " ELSE 9 END"
+    ctes, last = _sql_chain("h0", _sql_mix64("x0", "u", "bp"), "bs_")
+    return (
+        "WITH r AS (SELECT event_type, event_id, "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, b "
+        "FROM events, UNNEST(range(0, 16)) AS t(b)), "
+        "h0 AS (SELECT *, CAST((CAST(event_id AS HUGEINT) * 16 + b) % "
+        f"{_U64} AS UBIGINT) AS x0 FROM r), "
+        + ", ".join(ctes) + ", "
+        f"wt AS (SELECT event_type, b, cents, {case} AS w FROM {last}) "
+        "SELECT event_type, CAST(b AS BIGINT) AS replica, "
+        "CAST(sum(w * cents) AS BIGINT) AS sw, "
+        "CAST(sum(w) AS BIGINT) AS n_eff "
+        "FROM wt GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -10025,6 +10068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_name_linkage": _q_part_name_linkage,
         "page_template_stats": _q_page_template_stats,
         "knn_pq": _q_knn_pq,
+        "event_value_bootstrap": _q_event_value_bootstrap,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -11840,6 +11884,7 @@ def oracle_sql() -> dict[str, str]:
         "part_name_linkage": _PART_NAME_LINKAGE_SQL,
         "page_template_stats": _PAGE_TEMPLATE_STATS_SQL,
         "knn_pq": _pq_sql(),
+        "event_value_bootstrap": _event_value_bootstrap_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",
