@@ -9886,6 +9886,36 @@ def _event_value_bootstrap_sql() -> str:
         "FROM wt GROUP BY 1, 2 ORDER BY 1, 2")
 
 
+def _q_shard_assign_2level(sf_dir: str):
+    """Two-level rendezvous sharding (8 groups × 8 shards): the
+    thousands-of-shards HRW path — rows×(G+S) score work instead of
+    rows×(G·S).  Per-doc assignment, SQL-replayed via two unrolled
+    argmax windows."""
+    from xtract.ops.bucketed import rendezvous_shard_2level
+
+    out = rendezvous_shard_2level(
+        _docs(sf_dir, ["doc_id"]), "doc_id", n_groups=8,
+        shards_per_group=8).to_pandas()
+    out["shard"] = out["shard"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SHARD_2LEVEL_SQL = (
+    "WITH l1 AS (SELECT doc_id, g, "
+    "((doc_id * 2654435761 + g * 40503 + 7) % 4294967296) AS m "
+    "FROM documents, UNNEST(range(0, 8)) AS t(g)), "
+    "b1 AS (SELECT doc_id, g FROM (SELECT doc_id, g, row_number() "
+    "OVER (PARTITION BY doc_id ORDER BY (CAST(m AS HUGEINT) * m) % 4294967296 DESC, g) "
+    "AS rn FROM l1) WHERE rn = 1), "
+    "l2 AS (SELECT b1.doc_id, b1.g * 8 + s AS sid, s, "
+    "((doc_id * 2654435761 + b1.g * 40503 + s * 69069 + 11) % "
+    "4294967296) AS m FROM b1, UNNEST(range(0, 8)) AS t(s)) "
+    "SELECT doc_id, CAST(sid AS BIGINT) AS shard FROM "
+    "(SELECT doc_id, sid, row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY (CAST(m AS HUGEINT) * m) % 4294967296 DESC, s) AS rn FROM l2) "
+    "WHERE rn = 1 ORDER BY doc_id")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -10069,6 +10099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_template_stats": _q_page_template_stats,
         "knn_pq": _q_knn_pq,
         "event_value_bootstrap": _q_event_value_bootstrap,
+        "shard_assign_2level": _q_shard_assign_2level,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -11885,6 +11916,7 @@ def oracle_sql() -> dict[str, str]:
         "page_template_stats": _PAGE_TEMPLATE_STATS_SQL,
         "knn_pq": _pq_sql(),
         "event_value_bootstrap": _event_value_bootstrap_sql(),
+        "shard_assign_2level": _SHARD_2LEVEL_SQL,
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",

@@ -233,3 +233,42 @@ def rendezvous_shard(ds, key: str, n_shards: int,
             np.argmax(scores, axis=1).astype(np.int64), pa.int64()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def rendezvous_shard_2level(ds, key: str, n_groups: int,
+                            shards_per_group: int,
+                            out_col: str = "shard"):
+    """Two-level HRW for THOUSANDS of shards — the scale path the flat
+    ``rendezvous_shard`` docstring reserves: the flat rule's per-batch
+    score matrix is rows × n_shards, which at 4096 shards is 32 MB per
+    1k rows; here each key argmaxes over ``n_groups`` group scores,
+    then over ``shards_per_group`` member scores — rows × (G + S)
+    work/memory for G·S shards.
+
+    Resize semantics (tested): adding a GROUP only moves keys onto the
+    new group's shards (level-1 HRW), and widening one group only
+    moves that group's keys onto its new members (level-2 HRW) —
+    old→old moves never happen at either level.
+
+    Scores are the flat op's squared-LCG family (SQL-replayable),
+    salted per level (+7 / +11) so the two argmaxes are decoupled.
+    Level 2 scores the pair (group, MEMBER INDEX) with independent
+    multipliers — deliberately NOT the global shard id, which would
+    renumber every member on a width change and break the
+    widening-monotonicity guarantee.  Ties break to the smaller id."""
+    def assign(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mask = np.uint64(0xFFFFFFFF)
+        groups = np.arange(n_groups, dtype=np.uint64)
+        m1 = (k[:, None] * np.uint64(2654435761)
+              + groups[None, :] * np.uint64(40503) + np.uint64(7)) & mask
+        g = np.argmax((m1 * m1) & mask, axis=1).astype(np.uint64)
+        members = np.arange(shards_per_group, dtype=np.uint64)
+        m2 = (k[:, None] * np.uint64(2654435761)
+              + g[:, None] * np.uint64(40503)
+              + members[None, :] * np.uint64(69069) + np.uint64(11)) & mask
+        s = np.argmax((m2 * m2) & mask, axis=1).astype(np.uint64)
+        shard = (g * np.uint64(shards_per_group) + s).astype(np.int64)
+        return b.append_column(out_col, pa.array(shard, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
