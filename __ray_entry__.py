@@ -9916,6 +9916,71 @@ _SHARD_2LEVEL_SQL = (
     "WHERE rn = 1 ORDER BY doc_id")
 
 
+def _q_host_truss(sf_dir: str):
+    """3-truss of the planted host link graph (every surviving edge in
+    ≥1 triangle within the truss): iterative support peel over the
+    degree-ordered wedge/closure machinery — the community-core filter
+    stricter than k-core (``host_k_core``'s sibling)."""
+    from xtract.ops.graph import k_truss
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = ids % 97
+        nl = (ids % 4).astype(np.int64)
+        rep = np.repeat(np.arange(len(ids), dtype=np.int64), nl)
+        run_start = np.repeat(np.cumsum(nl) - nl, nl)
+        j = np.arange(len(rep), dtype=np.int64) - run_start
+        return pa.table({
+            "src": pa.array(h[rep], pa.int64()),
+            "dst": pa.array((h[rep] * 31 + 17 * j + ids[rep]) % 97,
+                            pa.int64())})
+
+    out = k_truss(docs.map_batches(edges, batch_format="pyarrow"),
+                  k=3, max_rounds=4).to_pandas()
+    for c in ("u", "v", "support"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+def _host_truss_sql(rounds: int = 4) -> str:
+    """Unrolled peel: R rounds of (triangle triple-join → per-edge
+    incidence count → keep support ≥ 1); fixpoint reached by round 2
+    on this graph, extra rounds are no-ops, and the Ray side raises
+    past max_rounds=R so both sides stay honest."""
+    parts = [
+        "raw AS MATERIALIZED (SELECT (doc_id % 97) AS x, "
+        "((doc_id % 97) * 31 + 17 * j + doc_id) % 97 AS y "
+        "FROM documents, UNNEST(range(0, doc_id % 4)) AS t(j)), "
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(x, y) AS u, "
+        "greatest(x, y) AS v FROM raw WHERE x != y)"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"tri{i} AS MATERIALIZED (SELECT a.u AS n1, a.v AS n2, b.v AS n3 "
+            f"FROM e{p} a JOIN e{p} b ON b.u = a.v "
+            f"JOIN e{p} c ON c.u = a.u AND c.v = b.v)")
+        parts.append(
+            f"inc{i} AS (SELECT n1 AS u, n2 AS v FROM tri{i} "
+            f"UNION ALL SELECT n2, n3 FROM tri{i} "
+            f"UNION ALL SELECT n1, n3 FROM tri{i})")
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT u, v FROM (SELECT u, v, "
+            f"count(*) AS c FROM inc{i} GROUP BY 1, 2) WHERE c >= 1)")
+    return (
+        "WITH " + ", ".join(parts) +
+        f", trif AS (SELECT a.u AS n1, a.v AS n2, b.v AS n3 "
+        f"FROM e{rounds} a JOIN e{rounds} b ON b.u = a.v "
+        f"JOIN e{rounds} c ON c.u = a.u AND c.v = b.v), "
+        "incf AS (SELECT n1 AS u, n2 AS v FROM trif "
+        "UNION ALL SELECT n2, n3 FROM trif "
+        "UNION ALL SELECT n1, n3 FROM trif) "
+        "SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, "
+        "CAST(count(*) AS BIGINT) AS support FROM incf "
+        "GROUP BY u, v ORDER BY u, v")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -10100,6 +10165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq": _q_knn_pq,
         "event_value_bootstrap": _q_event_value_bootstrap,
         "shard_assign_2level": _q_shard_assign_2level,
+        "host_truss": _q_host_truss,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -11917,6 +11983,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_pq": _pq_sql(),
         "event_value_bootstrap": _event_value_bootstrap_sql(),
         "shard_assign_2level": _SHARD_2LEVEL_SQL,
+        "host_truss": _host_truss_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",
