@@ -9981,6 +9981,49 @@ def _host_truss_sql(rounds: int = 4) -> str:
         "GROUP BY u, v ORDER BY u, v")
 
 
+def _q_events_late_arrivals(sf_dir: str):
+    """Watermark lateness audit: replay the (time-ordered) event log
+    in a deterministic LCG-shuffled arrival order and flag events more
+    than 7 days behind the running event-time max over earlier
+    arrivals — the allowed-lateness sizing pass run before deploying a
+    streaming window.  A distributed GLOBAL prefix scan: per-block
+    exclusive running max folded on the driver (n_blocks rows),
+    finished in-block with one maximum.accumulate (~77% late at this
+    knob — the label is live at both SFs)."""
+    import ray.data as rd
+
+    from xtract.ops.streaming import tag_late_events
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts"])
+
+    def arrival(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = ((e * 2654435761 + 12345) % 4294967296) * 2147483648 + e
+        return pa.table({"event_id": b["event_id"], "ts": b["ts"],
+                         "arr": pa.array(arr, pa.int64())})
+
+    out = tag_late_events(ev.map_batches(arrival, batch_format="pyarrow"),
+                          "arr", "ts",
+                          lateness_us=7 * 86_400_000_000).to_pandas()
+    arr = out["arr"].to_numpy(np.int64)
+    out["event_id"] = arr % 2147483648
+    out = out[["event_id", "late"]]
+    for c in ("event_id", "late"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_EVENTS_LATE_SQL = (
+    "WITH x AS (SELECT event_id, ts, "
+    "((event_id * 2654435761 + 12345) % 4294967296) * 2147483648 "
+    "+ event_id AS arr FROM events) "
+    "SELECT event_id, CAST(CASE WHEN epoch_us(ts) < "
+    "MAX(epoch_us(ts)) OVER (ORDER BY arr ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND 1 PRECEDING) - 604800000000 THEN 1 ELSE 0 END "
+    "AS BIGINT) AS late FROM x ORDER BY event_id")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -10166,6 +10209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_bootstrap": _q_event_value_bootstrap,
         "shard_assign_2level": _q_shard_assign_2level,
         "host_truss": _q_host_truss,
+        "events_late_arrivals": _q_events_late_arrivals,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -11984,6 +12028,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_bootstrap": _event_value_bootstrap_sql(),
         "shard_assign_2level": _SHARD_2LEVEL_SQL,
         "host_truss": _host_truss_sql(),
+        "events_late_arrivals": _EVENTS_LATE_SQL,
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",

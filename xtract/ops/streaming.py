@@ -457,3 +457,66 @@ def stream_enrich(batches, dim_dir: str, key_col: str,
         return pa.table({}), 0
     tbl = pa.concat_tables([p for p, _ in parts])
     return tbl, int(sum(n for _, n in parts))
+
+
+def tag_late_events(ds, order_col: str, ts_col: str, lateness_us: int,
+                    out_col: str = "late"):
+    """Replay-time watermark audit over a STORED event log: flag every
+    row whose event time sits more than ``lateness_us`` behind the
+    watermark its arrival position implies — ``late_i = ts_i <
+    max_{arrival<i}(ts) − L``, arrival order = ``order_col``.  The
+    batch-side complement of the actor-based ``stream_window_aggregate``
+    (which drops late rows live): run this over yesterday's log to SIZE
+    the allowed-lateness knob before deploying it.
+
+    Shape — a distributed GLOBAL prefix scan (the one aggregate shape
+    the keyed co-groups here can't express, since every row depends on
+    ALL earlier rows): sort by arrival → materialize (pins block
+    boundaries, so both passes see identical blocks with
+    ``batch_size=None``) → pass 1 emits one (first_key, max_ts) row
+    per block (driver holds n_blocks rows) → driver folds the
+    EXCLUSIVE running max across blocks → pass 2 broadcasts that
+    breakpoint table and finishes the scan inside each block with one
+    ``np.maximum.accumulate``.  First event overall is never late
+    (empty prefix), matching the SQL window's NULL comparison.
+    """
+    import ray
+
+    s = ds.sort(order_col).materialize()
+
+    def block_meta(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts_col], pa.int64())
+        return pa.table({
+            "first": pa.array([b[order_col][0].as_py()], pa.int64()),
+            "mx": pa.array([pc.max(us).as_py()], pa.int64())})
+
+    meta = (s.map_batches(block_meta, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+            .sort_values("first").reset_index(drop=True))
+    # exclusive prefix max per block, keyed by the block's first order
+    firsts = meta["first"].to_numpy(np.int64)
+    mx = meta["mx"].to_numpy(np.int64)
+    # sentinel well below any epoch-µs timestamp but safe against the
+    # int64 underflow that iinfo.min − lateness would wrap into
+    sentinel = -(np.int64(1) << 62)
+    incoming = np.empty(len(mx), np.int64)
+    run = sentinel
+    for i in range(len(mx)):
+        incoming[i] = run
+        run = max(run, mx[i])
+    ref = ray.put((firsts, incoming))
+
+    def tag(b: pa.Table) -> pa.Table:
+        fk, inc = ray.get(ref)
+        us = pc.cast(b[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(fk, b[order_col][0].as_py())
+        prev = np.empty(len(us), np.int64)
+        prev[0] = inc[pos]
+        if len(us) > 1:
+            np.maximum.accumulate(us[:-1], out=prev[1:])
+            prev[1:] = np.maximum(prev[1:], inc[pos])
+        late = (us < prev - lateness_us).astype(np.int64)
+        return pa.table({order_col: b[order_col],
+                         out_col: pa.array(late, pa.int64())})
+
+    return s.map_batches(tag, batch_format="pyarrow", batch_size=None)
