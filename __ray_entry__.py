@@ -10024,6 +10024,69 @@ _EVENTS_LATE_SQL = (
     "AS BIGINT) AS late FROM x ORDER BY event_id")
 
 
+def _q_events_k_anonymity(sf_dir: str):
+    """k-anonymity audit (k=10) over the quasi-identifier pair
+    (event_type, user_id): the combinations a linkage attacker can
+    isolate below the k threshold (9 violators at sf0.001, 107 at
+    sf0.01 — the label is live).  One grouped Count + vectorized
+    filter (``ops/pii.k_anonymity_audit``)."""
+    import ray.data as rd
+
+    from xtract.ops.pii import k_anonymity_audit
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    out = k_anonymity_audit(ev, ["event_type", "user_id"],
+                            k=10).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values(["event_type", "user_id"]).reset_index(
+        drop=True)
+
+
+_EVENTS_K_ANON_SQL = (
+    "SELECT event_type, user_id, "
+    "CAST(count(*) AS BIGINT) AS n FROM events "
+    "GROUP BY 1, 2 HAVING count(*) < 10 ORDER BY 1, 2")
+
+
+def _q_event_type_dp_counts(sf_dir: str):
+    """ε-DP histogram release (discrete Laplace, ε=1/2) with
+    hash-seeded noise — reproducible across runs and parallelism, the
+    mechanism documented as seed-swappable for a real release
+    (``ops/pii.dp_noisy_counts``)."""
+    import ray.data as rd
+
+    from xtract.ops.pii import dp_noisy_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type"])
+    out = dp_noisy_counts(ev, "event_type", eps_num=1,
+                          eps_den=2).to_pandas()
+    for c in ("n_true", "noise", "n_noisy"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def _event_type_dp_counts_sql() -> str:
+    from xtract.ops.pii import _dgeom_thresholds
+
+    thr = _dgeom_thresholds(1, 2, 64)
+    vals = ", ".join(f"(CAST('{t}' AS UBIGINT))" for t in thr)
+    ctes, last = _sql_chain("h0", _sql_mix64("x0", "u", "dp"), "dp_")
+    return (
+        "WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS "
+        "n_true FROM events GROUP BY 1), "
+        "h0 AS (SELECT *, md5_number_upper(event_type) AS x0 FROM c), "
+        + ", ".join(ctes) + ", "
+        f"thr(t) AS (VALUES {vals}) "
+        "SELECT event_type, n_true, "
+        "CAST((SELECT count(*) FROM thr WHERE thr.t <= u) - 64 "
+        "AS BIGINT) AS noise, "
+        "CAST(n_true + (SELECT count(*) FROM thr WHERE thr.t <= u) - 64 "
+        f"AS BIGINT) AS n_noisy FROM {last} ORDER BY event_type")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -10210,6 +10273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_assign_2level": _q_shard_assign_2level,
         "host_truss": _q_host_truss,
         "events_late_arrivals": _q_events_late_arrivals,
+        "events_k_anonymity": _q_events_k_anonymity,
+        "event_type_dp_counts": _q_event_type_dp_counts,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -12029,6 +12094,8 @@ def oracle_sql() -> dict[str, str]:
         "shard_assign_2level": _SHARD_2LEVEL_SQL,
         "host_truss": _host_truss_sql(),
         "events_late_arrivals": _EVENTS_LATE_SQL,
+        "events_k_anonymity": _EVENTS_K_ANON_SQL,
+        "event_type_dp_counts": _event_type_dp_counts_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",

@@ -85,3 +85,81 @@ def pseudonymize(ds, columns: "list[str]", salt: str = ""):
         return pa.table(out)
 
     return ds.map_batches(mapper, batch_format="pyarrow")
+
+
+def k_anonymity_audit(ds, quasi_cols: "list[str]", k: int = 5):
+    """k-anonymity audit over quasi-identifier combinations: a release
+    is k-anonymous iff every combination of the quasi columns appears
+    ≥ k times.  → Dataset of the VIOLATING combinations
+    (quasi_cols..., n:int64, n < k) — empty means the release passes.
+    ONE grouped Count over the combo key space; run before
+    ``pseudonymize`` to find what pseudonymization alone won't hide."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    counts = (ds.select_columns(list(quasi_cols))
+              .groupby(list(quasi_cols))
+              .aggregate(Count(alias_name="n")))
+    return counts.map_batches(
+        lambda t: t.filter(pc.less(t["n"], k)),
+        batch_format="pyarrow")
+
+
+def _dgeom_thresholds(eps_num: int, eps_den: int, bound: int = 64
+                      ) -> "list[int]":
+    """Inverse-CDF thresholds for the two-sided geometric (discrete
+    Laplace) distribution with α = exp(−eps_num/eps_den):
+    T[i] = floor(P(G ≤ i − bound) · 2^64) for i = 0..2·bound−1 — the
+    top value g = +bound is the ELSE branch (no threshold), so noise =
+    (#T ≤ u) − bound stays in [−bound, +bound] and every literal fits
+    uint64.  Shared verbatim with the SQL oracle."""
+    import math
+
+    a = math.exp(-eps_num / eps_den)
+    # P(G = 0) = (1−α)/(1+α); P(G = ±g) = P(0)·α^|g|
+    p0 = (1.0 - a) / (1.0 + a)
+    cdf, acc = [], 0.0
+    for g in range(-bound, bound):
+        acc += p0 * (a ** abs(g))
+        cdf.append(min(acc, 1.0))
+    return [min(math.floor(c * (1 << 64)), (1 << 64) - 1) for c in cdf]
+
+
+def dp_noisy_counts(ds, key_col: str, eps_num: int = 1,
+                    eps_den: int = 2, bound: int = 64):
+    """Discrete-Laplace (two-sided geometric) noisy counts per key —
+    the ε-DP release mechanism for a histogram, with the noise drawn
+    DETERMINISTICALLY from ``splitmix64(md5_number_upper(key))``
+    against exact inverse-CDF thresholds so the release is
+    reproducible and SQL-replayable.  CAVEAT (documented, not hidden):
+    hash-seeded noise gives run-to-run reproducibility for pipeline
+    testing; a real privacy release must draw fresh randomness —
+    swap the seed source, the mechanism is unchanged.
+
+    → Dataset (key, n_true:int64, noise:int64, n_noisy:int64).
+    ONE grouped Count; the noise attach is a stateless map."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from .dedup import _md5_u64, _mix64
+
+    thr = np.asarray(_dgeom_thresholds(eps_num, eps_den, bound),
+                     np.uint64)
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        h = np.asarray([_md5_u64(str(k)) for k in keys], np.uint64)
+        u = _mix64(h)
+        g = (np.searchsorted(thr, u, side="right").astype(np.int64)
+             - bound)
+        n = t["n_true"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: t[key_col],
+            "n_true": pa.array(n, pa.int64()),
+            "noise": pa.array(g, pa.int64()),
+            "n_noisy": pa.array(n + g, pa.int64())})
+
+    counts = (ds.select_columns([key_col]).groupby(key_col)
+              .aggregate(Count(alias_name="n_true")))
+    return counts.map_batches(attach, batch_format="pyarrow")
