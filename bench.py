@@ -342,6 +342,16 @@ def bench_once() -> dict:
                             columns=["l_orderkey", "l_partkey"]),
             "l_orderkey", "l_partkey").count())
 
+    # session-12 heavyweights: trained LR (4 GD passes over the
+    # feature table), PQ train→encode→search (2 kmeans + ADC), and the
+    # global prefix-scan lateness audit over 150k events
+    queries["logreg_train_score"] = timed(
+        lambda: len(_E.queries()["doc_quality_lr"](SF_DIR)))
+    queries["knn_pq"] = timed(
+        lambda: len(_E.queries()["knn_pq"](SF_DIR)))
+    queries["late_scan"] = timed(
+        lambda: len(_E.queries()["events_late_arrivals"](SF_DIR)))
+
     result = {
         "metric": "extracted documents/sec (byte-identical text per url)",
         "value": round(t_extract, 3),
