@@ -9431,11 +9431,10 @@ def _q_doc_quality_lr(sf_dir: str):
     return out
 
 
-def _doc_quality_lr_sql() -> str:
-    """The same 4 GD steps as nested scalar CTEs: HUGEINT sums and
-    truncating ``//`` replay the int64 gradient/update exactly; the
-    sigmoid re-quantization (FLOOR(p+0.5) of a double) is the one
-    float step, IEEE-identical on both sides."""
+def _lr_sql_parts() -> tuple[str, str]:
+    """Shared CTE body (features → 4 GD steps → w4) + the sigmoid
+    micro-probability expression — reused by the scoring, confusion
+    and calibration oracles."""
     def gsum(p):
         return ", ".join(
             f"SUM((y*1000000 - {p}) * x{j}) AS g{j}" for j in range(4))
@@ -9464,9 +9463,90 @@ def _doc_quality_lr_sql() -> str:
         parts.append(f"w{k} AS (SELECT " + ", ".join(
             f"CAST(wa{j} + (32*g{j})//n AS BIGINT) AS wa{j}"
             for j in range(4)) + f" FROM w{k - 1}, s{k})")
-    return ("WITH " + ", ".join(parts) +
-            f" SELECT doc_id, {sig} AS p_micro, "
+    return ", ".join(parts), sig
+
+
+def _doc_quality_lr_sql() -> str:
+    """The 4 GD steps as nested scalar CTEs: HUGEINT sums and
+    truncating ``//`` replay the int64 gradient/update exactly; the
+    sigmoid re-quantization (FLOOR(p+0.5) of a double) is the one
+    float step, IEEE-identical on both sides."""
+    body, sig = _lr_sql_parts()
+    return (f"WITH {body} SELECT doc_id, {sig} AS p_micro, "
             f"CAST({sig} >= 500000 AS BIGINT) AS pred FROM f, w4")
+
+
+def _q_lr_confusion(sf_dir: str):
+    """Exact-integer confusion matrix + precision/recall/accuracy ppm
+    of the trained quality classifier against its label — the
+    evaluation pass closing the train→score loop
+    (``ops/mleval.confusion_stats``: one 4-value partial per block
+    into a native Sum)."""
+    import pandas as pd
+
+    from xtract.ops.logreg import score_logreg, train_logreg
+    from xtract.ops.mleval import confusion_stats
+
+    feats = (_docs(sf_dir, ["doc_id", "text", "n_chars"])
+             .map_batches(_lr_featurize, batch_format="pyarrow")
+             .materialize())
+    model = train_logreg(feats, ["x0", "x1", "x2", "x3"], "y",
+                         steps=4, lr=32)
+    scored = score_logreg(feats, model, ["doc_id", "y"])
+    s = confusion_stats(scored, "y", "pred")
+    return pd.DataFrame([s]).astype("int64")
+
+
+def _lr_confusion_sql() -> str:
+    body, sig = _lr_sql_parts()
+    return (
+        f"WITH {body}, scored AS (SELECT y, "
+        f"CAST({sig} >= 500000 AS BIGINT) AS pred FROM f, w4), "
+        "c AS (SELECT "
+        "sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp, "
+        "sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS fp, "
+        "sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS fn, "
+        "sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS tn "
+        "FROM scored) "
+        "SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, "
+        "CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn, "
+        "CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE (1000000 * tp) // "
+        "(tp + fp) END AS BIGINT) AS precision_ppm, "
+        "CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE (1000000 * tp) // "
+        "(tp + fn) END AS BIGINT) AS recall_ppm, "
+        "CAST((1000000 * (tp + tn)) // (tp + fp + fn + tn) AS BIGINT) "
+        "AS accuracy_ppm FROM c")
+
+
+def _q_lr_calibration(sf_dir: str):
+    """Reliability-diagram bins of the trained classifier: per decile
+    of predicted micro-probability, (n, n_pos, Σp) exact ints —
+    over/under-confidence shows as n_pos/n diverging from sum_p/n
+    (``ops/mleval.calibration_bins``)."""
+    from xtract.ops.logreg import score_logreg, train_logreg
+    from xtract.ops.mleval import calibration_bins
+
+    feats = (_docs(sf_dir, ["doc_id", "text", "n_chars"])
+             .map_batches(_lr_featurize, batch_format="pyarrow")
+             .materialize())
+    model = train_logreg(feats, ["x0", "x1", "x2", "x3"], "y",
+                         steps=4, lr=32)
+    scored = score_logreg(feats, model, ["doc_id", "y"])
+    out = calibration_bins(scored, "p_micro", "y").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+def _lr_calibration_sql() -> str:
+    body, sig = _lr_sql_parts()
+    return (
+        f"WITH {body}, scored AS (SELECT y, {sig} AS p FROM f, w4) "
+        "SELECT LEAST(p // 100000, 9) AS bin, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(y) AS BIGINT) AS n_pos, "
+        "CAST(sum(p) AS BIGINT) AS sum_p "
+        "FROM scored GROUP BY 1 ORDER BY 1")
 
 
 def _q_nation_profit(sf_dir: str):
@@ -10275,6 +10355,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late_arrivals": _q_events_late_arrivals,
         "events_k_anonymity": _q_events_k_anonymity,
         "event_type_dp_counts": _q_event_type_dp_counts,
+        "lr_confusion": _q_lr_confusion,
+        "lr_calibration": _q_lr_calibration,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -12096,6 +12178,8 @@ def oracle_sql() -> dict[str, str]:
         "events_late_arrivals": _EVENTS_LATE_SQL,
         "events_k_anonymity": _EVENTS_K_ANON_SQL,
         "event_type_dp_counts": _event_type_dp_counts_sql(),
+        "lr_confusion": _lr_confusion_sql(),
+        "lr_calibration": _lr_calibration_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",
