@@ -10167,6 +10167,46 @@ def _event_type_dp_counts_sql() -> str:
         f"AS BIGINT) AS n_noisy FROM {last} ORDER BY event_type")
 
 
+def _q_event_user_kmv(sf_dir: str):
+    """KMV distinct-users sketch per event type (k=64): the mergeable
+    distinct estimator whose SKETCH is bit-identical at any
+    parallelism (deterministic splitmix64 hash).  Exact path live at
+    sf0.001 (15 < k), estimate path at sf0.01 (150 > k)."""
+    import ray.data as rd
+
+    from xtract.ops.kmv import grouped_kmv_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    out = grouped_kmv_distinct(ev, "event_type", "user_id",
+                               k=64).to_pandas()
+    for c in ("n_hashes", "kth_min", "est"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def _event_user_kmv_sql(k: int = 64) -> str:
+    ctes, last = _sql_chain("h0", _sql_mix64("x0", "u", "kmv"), "kmv_")
+    two64 = 1 << 64
+    return (
+        "WITH h0 AS (SELECT DISTINCT event_type, "
+        "CAST(user_id AS UBIGINT) AS x0 FROM events), "
+        + ", ".join(ctes) + ", "
+        f"r AS (SELECT event_type, u, row_number() OVER ("
+        "PARTITION BY event_type ORDER BY u) AS rn FROM "
+        f"(SELECT DISTINCT event_type, u FROM {last})), "
+        f"agg AS (SELECT event_type, "
+        f"count(*) FILTER (WHERE rn <= {k}) AS n_hashes, "
+        f"max(CASE WHEN rn = {k} THEN u END) AS kth FROM r GROUP BY 1) "
+        "SELECT event_type, CAST(n_hashes AS BIGINT) AS n_hashes, "
+        f"CAST(CASE WHEN n_hashes < {k} THEN 0 ELSE "
+        "CAST(kth AS HUGEINT) - 9223372036854775808 END AS BIGINT) "
+        "AS kth_min, "
+        f"CAST(CASE WHEN n_hashes < {k} THEN n_hashes ELSE "
+        f"({k - 1} * CAST({two64} AS HUGEINT)) // CAST(kth AS HUGEINT) "
+        "END AS BIGINT) AS est FROM agg ORDER BY event_type")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -10357,6 +10397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_dp_counts": _q_event_type_dp_counts,
         "lr_confusion": _q_lr_confusion,
         "lr_calibration": _q_lr_calibration,
+        "event_user_kmv": _q_event_user_kmv,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -12180,6 +12221,7 @@ def oracle_sql() -> dict[str, str]:
         "event_type_dp_counts": _event_type_dp_counts_sql(),
         "lr_confusion": _lr_confusion_sql(),
         "lr_calibration": _lr_calibration_sql(),
+        "event_user_kmv": _event_user_kmv_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",
