@@ -9431,10 +9431,12 @@ def _q_doc_quality_lr(sf_dir: str):
     return out
 
 
-def _lr_sql_parts() -> tuple[str, str]:
+def _lr_sql_parts(train_where: str = "") -> tuple[str, str]:
     """Shared CTE body (features → 4 GD steps → w4) + the sigmoid
-    micro-probability expression — reused by the scoring, confusion
-    and calibration oracles."""
+    micro-probability expression — reused by the scoring, confusion,
+    calibration and conformal oracles.  ``train_where`` restricts the
+    GRADIENT passes to a split (scoring still covers all of ``f``);
+    ``f`` always carries ``bp`` (the LCG split basis points)."""
     def gsum(p):
         return ", ".join(
             f"SUM((y*1000000 - {p}) * x{j}) AS g{j}" for j in range(4))
@@ -9442,6 +9444,7 @@ def _lr_sql_parts() -> tuple[str, str]:
     zn = " + ".join(f"wa{j}*x{j}" for j in range(4))
     sig = ("CAST(FLOOR(1000000.0/(1.0+EXP(-(CAST(" + zn +
            " AS DOUBLE)/10000000000.0))) + 0.5) AS BIGINT)")
+    src = "f"
     parts = [
         "f AS (SELECT doc_id, CAST(1 AS BIGINT) AS x0, "
         "(LEAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')), 1000) // 4)"
@@ -9450,14 +9453,21 @@ def _lr_sql_parts() -> tuple[str, str]:
         " 200) - 3 AS x2, "
         "LEAST((LENGTH(text) - LENGTH(REPLACE(text, 'key', ''))) // 3,"
         " 200) - 2 AS x3, "
-        "CAST(n_chars >= 306 AS BIGINT) AS y FROM documents)",
-        f"s1 AS (SELECT count(*) AS n, {gsum('500000')} FROM f)",
+        "CAST(n_chars >= 306 AS BIGINT) AS y, "
+        f"{_LCG_SQL} % 10000 AS bp FROM documents)",
+    ]
+    if train_where:
+        src = "ftr"
+        parts.append(f"ftr AS (SELECT * FROM f WHERE {train_where})")
+    parts += [
+        f"s1 AS (SELECT count(*) AS n, {gsum('500000')} FROM {src})",
         "w1 AS (SELECT " + ", ".join(
             f"CAST((32*g{j})//n AS BIGINT) AS wa{j}"
             for j in range(4)) + " FROM s1)",
     ]
     for k in range(2, 5):
-        parts.append(f"q{k} AS (SELECT f.*, {sig} AS p FROM f, w{k - 1})")
+        parts.append(f"q{k} AS (SELECT {src}.*, {sig} AS p "
+                     f"FROM {src}, w{k - 1})")
         parts.append(f"s{k} AS (SELECT count(*) AS n, {gsum('p')} "
                      f"FROM q{k})")
         parts.append(f"w{k} AS (SELECT " + ", ".join(
@@ -9547,6 +9557,66 @@ def _lr_calibration_sql() -> str:
         "CAST(sum(y) AS BIGINT) AS n_pos, "
         "CAST(sum(p) AS BIGINT) AS sum_p "
         "FROM scored GROUP BY 1 ORDER BY 1")
+
+
+def _q_lr_conformal(sf_dir: str):
+    """Split conformal prediction around the quality classifier:
+    train on the ≥40% LCG bucket, calibrate the 90%-coverage
+    nonconformity quantile on the <20% bucket, report coverage and
+    prediction-set sizes on the 20–40% bucket
+    (``ops/mleval.conformal_binary`` — the q̂ pull is ~α·n_cal slim
+    rows, everything else is partial sums)."""
+    import pandas as pd
+
+    from xtract.ops.logreg import score_logreg, train_logreg
+    from xtract.ops.mleval import conformal_binary
+
+    def with_split(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bp = ((d * 2654435761 + 12345) % 4294967296) % 10000
+        split = np.where(bp < 2000, "calib",
+                         np.where(bp < 4000, "test", "train"))
+        return t.append_column("split", pa.array(split, pa.string()))
+
+    feats = (_docs(sf_dir, ["doc_id", "text", "n_chars"])
+             .map_batches(_lr_featurize, batch_format="pyarrow")
+             .map_batches(with_split, batch_format="pyarrow")
+             .materialize())
+    train = feats.map_batches(
+        lambda t: t.filter(pc.equal(t["split"], "train")),
+        batch_format="pyarrow")
+    model = train_logreg(train, ["x0", "x1", "x2", "x3"], "y",
+                         steps=4, lr=32)
+    scored = score_logreg(feats, model, ["doc_id", "y", "split"])
+    s = conformal_binary(scored, "y", "p_micro", "split")
+    return pd.DataFrame([s]).astype("int64")
+
+
+def _lr_conformal_sql() -> str:
+    body, sig = _lr_sql_parts(train_where="bp >= 4000")
+    return (
+        f"WITH {body}, "
+        f"scored AS (SELECT f.doc_id, f.y, f.bp, {sig} AS p "
+        "FROM f, w4), "
+        "cal AS (SELECT CASE WHEN y = 1 THEN 1000000 - p ELSE p END "
+        "AS nc FROM scored WHERE bp < 2000), "
+        "nn AS (SELECT count(*) AS n_cal FROM cal), "
+        "rk AS (SELECT n_cal, LEAST((9 * (n_cal + 1) + 9) // 10, "
+        "n_cal) AS rank FROM nn), "
+        "q AS (SELECT nc AS qhat FROM (SELECT nc, row_number() OVER "
+        "(ORDER BY nc) AS rn FROM cal), rk WHERE rn = rank), "
+        "ev AS (SELECT count(*) AS n_eval, "
+        "sum(CASE WHEN (y = 1 AND 1000000 - p <= qhat) OR "
+        "(y = 0 AND p <= qhat) THEN 1 ELSE 0 END) AS n_covered, "
+        "sum(CASE WHEN 1000000 - p <= qhat THEN 1 ELSE 0 END + "
+        "CASE WHEN p <= qhat THEN 1 ELSE 0 END) AS sum_set_size "
+        "FROM scored, q WHERE bp >= 2000 AND bp < 4000) "
+        "SELECT CAST(qhat AS BIGINT) AS qhat, "
+        "CAST(n_cal AS BIGINT) AS n_cal, CAST(rank AS BIGINT) AS rank, "
+        "CAST(n_eval AS BIGINT) AS n_eval, "
+        "CAST(n_covered AS BIGINT) AS n_covered, "
+        "CAST(sum_set_size AS BIGINT) AS sum_set_size "
+        "FROM q, rk, ev")
 
 
 def _q_nation_profit(sf_dir: str):
@@ -10398,6 +10468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lr_confusion": _q_lr_confusion,
         "lr_calibration": _q_lr_calibration,
         "event_user_kmv": _q_event_user_kmv,
+        "lr_conformal": _q_lr_conformal,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -12222,6 +12293,7 @@ def oracle_sql() -> dict[str, str]:
         "lr_confusion": _lr_confusion_sql(),
         "lr_calibration": _lr_calibration_sql(),
         "event_user_kmv": _event_user_kmv_sql(),
+        "lr_conformal": _lr_conformal_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",

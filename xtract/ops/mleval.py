@@ -73,3 +73,62 @@ def calibration_bins(ds, p_col: str, label_col: str,
             .aggregate(Sum("n", alias_name="n"),
                        Sum("n_pos", alias_name="n_pos"),
                        Sum("sum_p", alias_name="sum_p")))
+
+
+def conformal_binary(scored, label_col: str, p_col: str,
+                     split_col: str, alpha_num: int = 1,
+                     alpha_den: int = 10, p_scale: int = 1_000_000):
+    """Split conformal prediction (Vovk et al.; Angelopoulos & Bates
+    2021 tutorial — public method) for a binary scorer emitting
+    integer micro-probabilities: calibrate the nonconformity quantile
+    ``q̂`` on the 'calib' split, then report coverage and set sizes on
+    the 'test' split.  Nonconformity of class c = p_scale − p(c); the
+    prediction set is every class with nonconformity ≤ q̂, giving
+    ≥ 1−α marginal coverage for exchangeable data.
+
+    Exact integers throughout: ``rank = ⌈(n_cal+1)(1−α)⌉`` by integer
+    ceiling, q̂ is an order statistic fetched as the (n_cal−rank+1)-th
+    LARGEST — a sort+limit pull of only ~α·n_cal slim rows — and
+    coverage/set-size are one partial-sum pass.
+
+    → dict {qhat, n_cal, rank, n_eval, n_covered, sum_set_size}."""
+    import pyarrow.compute as pc
+
+    def nc_batch(t: pa.Table) -> pa.Table:
+        p = t[p_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = np.where(y == 1, p_scale - p, p)
+        return pa.table({"nc": pa.array(nc, pa.int64())})
+
+    def keep(split):
+        return lambda t: t.filter(pc.equal(t[split_col], split))
+
+    calib = scored.map_batches(keep("calib"),
+                               batch_format="pyarrow").materialize()
+    n_cal = calib.count()
+    if n_cal == 0:
+        raise ValueError("conformal_binary: empty calibration split")
+    rank = -((-(n_cal + 1) * (alpha_den - alpha_num)) // alpha_den)
+    rank = min(rank, n_cal)
+    k2 = n_cal - rank + 1
+    pulled = (calib.map_batches(nc_batch, batch_format="pyarrow")
+              .sort("nc", descending=True).limit(k2).to_pandas())
+    qhat = int(pulled["nc"].min())
+
+    def eval_partial(t: pa.Table) -> pa.Table:
+        p = t[p_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        in1 = (p_scale - p) <= qhat          # class 1 in the set
+        in0 = p <= qhat                      # class 0 in the set
+        covered = np.where(y == 1, in1, in0)
+        return pa.table({
+            "n": pa.array([len(p)], pa.int64()),
+            "cov": pa.array([int(covered.sum())], pa.int64()),
+            "sz": pa.array([int(in1.sum() + in0.sum())], pa.int64())})
+
+    test = scored.map_batches(keep("test"), batch_format="pyarrow")
+    s = test.map_batches(eval_partial, batch_format="pyarrow").sum(
+        ["n", "cov", "sz"])
+    return {"qhat": qhat, "n_cal": n_cal, "rank": rank,
+            "n_eval": int(s["sum(n)"]), "n_covered": int(s["sum(cov)"]),
+            "sum_set_size": int(s["sum(sz)"])}
