@@ -10277,6 +10277,37 @@ def _event_user_kmv_sql(k: int = 64) -> str:
         "END AS BIGINT) AS est FROM agg ORDER BY event_type")
 
 
+def _q_doc_neyman_sample(sf_dir: str):
+    """Neyman-allocation stratified sample (n=200 across sources,
+    allocation ∝ N_h·σ_h of n_chars): the eval-set construction that
+    oversamples internally-variable strata.  One grouped-Sum stats
+    pass, broadcast allocation, per-stratum deterministic
+    (lcg(id), id) selection with a block top-k combiner."""
+    from xtract.ops.neyman import neyman_stratified_sample
+
+    _, sel = neyman_stratified_sample(
+        _docs(sf_dir, ["doc_id", "source", "n_chars"]),
+        "source", "n_chars", "doc_id", n_total=200)
+    out = sel.to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+_DOC_NEYMAN_SQL = (
+    "WITH st AS (SELECT source, count(*) AS n, sum(n_chars) AS sx, "
+    "sum(n_chars * n_chars) AS sxx FROM documents GROUP BY 1), "
+    "sg AS (SELECT source, n, CAST(FLOOR(SQRT(CAST((n * sxx - sx * sx) "
+    "// (n * n) AS DOUBLE))) AS BIGINT) AS sigma FROM st), "
+    "tot AS (SELECT sum(n * sigma) AS a FROM sg), "
+    "al AS (SELECT source, LEAST(CAST((200 * n * sigma) // "
+    "(SELECT a FROM tot) AS BIGINT), n) AS n_alloc FROM sg), "
+    "r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY "
+    "source ORDER BY (doc_id * 2654435761 + 12345) % 4294967296, "
+    "doc_id) AS rn FROM documents) "
+    "SELECT r.source, r.doc_id FROM r JOIN al ON al.source = r.source "
+    "WHERE r.rn <= al.n_alloc ORDER BY r.source, r.doc_id")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -10469,6 +10500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lr_calibration": _q_lr_calibration,
         "event_user_kmv": _q_event_user_kmv,
         "lr_conformal": _q_lr_conformal,
+        "doc_neyman_sample": _q_doc_neyman_sample,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -12294,6 +12326,7 @@ def oracle_sql() -> dict[str, str]:
         "lr_calibration": _lr_calibration_sql(),
         "event_user_kmv": _event_user_kmv_sql(),
         "lr_conformal": _lr_conformal_sql(),
+        "doc_neyman_sample": _DOC_NEYMAN_SQL,
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",
