@@ -10308,6 +10308,97 @@ _DOC_NEYMAN_SQL = (
     "WHERE r.rn <= al.n_alloc ORDER BY r.source, r.doc_id")
 
 
+def _q_source_zipf_slope(sf_dir: str):
+    """Zipf rank-frequency fit per source: OLS slope of
+    (floor(10⁶·ln rank), floor(10⁶·ln freq)) over each source's top-20
+    tokens — natural corpora sit near slope −1; synthetic/templated
+    text shows up flatter.  Exact integer sufficient statistics
+    (slope as num/den pair — no float division crosses the wire).
+    One token-count pass (combiner → grouped Sum), per-source top-k,
+    sources×20-bounded driver fold."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.nbayes import flat_tokens
+
+    R = 20
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, cnts = flat_tokens(b["text"])
+        src = np.repeat(
+            np.asarray(b["source"].to_pylist(), dtype=object), cnts)
+        g = (pd.DataFrame({"source": src, "tok": flat})
+             .groupby(["source", "tok"], sort=False).size()
+             .reset_index(name="n"))
+        return pa.table({
+            "source": pa.array(g["source"], pa.string()),
+            "tok": pa.array(g["tok"], pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
+
+    counts = (_docs(sf_dir, ["source", "text"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["source", "tok"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+              .sort_values(["source", "n", "tok"],
+                           ascending=[True, False, True],
+                           kind="mergesort")
+              .groupby("source", sort=False).head(R))
+        return pa.table({"source": pa.array(df["source"], pa.string()),
+                         "tok": pa.array(df["tok"], pa.string()),
+                         "n": pa.array(df["n"].to_numpy(np.int64),
+                                       pa.int64())})
+
+    head = (counts.map_batches(block_topk, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["source", "n", "tok"],
+                         ascending=[True, False, True],
+                         kind="mergesort")
+            .groupby("source", sort=False).head(R))
+
+    S = 1_000_000
+    rows = []
+    for src, g in head.groupby("source", sort=True):
+        f = g["n"].to_numpy(np.int64)
+        r = np.arange(1, len(f) + 1)
+        x = np.asarray([math.floor(S * math.log(int(v))) for v in r],
+                       dtype=object)
+        y = np.asarray([math.floor(S * math.log(int(v))) for v in f],
+                       dtype=object)
+        nn = len(f)
+        num = nn * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+        den = nn * int((x * x).sum()) - int(x.sum()) ** 2
+        rows.append((src, num, den))
+    out = pd.DataFrame(rows, columns=["source", "slope_num",
+                                      "slope_den"])
+    for c in ("slope_num", "slope_den"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_SOURCE_ZIPF_SQL = (
+    "WITH toks AS (SELECT source, "
+    "UNNEST(regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9_]+')) "
+    "AS tok FROM documents), "
+    "cnt AS (SELECT source, tok, count(*) AS n FROM toks GROUP BY 1, 2), "
+    "rk AS (SELECT source, n, row_number() OVER (PARTITION BY source "
+    "ORDER BY n DESC, tok) AS r FROM cnt), "
+    "top AS (SELECT source, "
+    "CAST(floor(1000000 * ln(r)) AS BIGINT) AS x, "
+    "CAST(floor(1000000 * ln(n)) AS BIGINT) AS y "
+    "FROM rk WHERE r <= 20) "
+    "SELECT source, "
+    "CAST(count(*) * sum(CAST(x AS HUGEINT) * y) - sum(CAST(x AS "
+    "HUGEINT)) * sum(CAST(y AS HUGEINT)) AS BIGINT) AS slope_num, "
+    "CAST(count(*) * sum(CAST(x AS HUGEINT) * x) - sum(CAST(x AS "
+    "HUGEINT)) * sum(CAST(x AS HUGEINT)) AS BIGINT) AS slope_den "
+    "FROM top GROUP BY source ORDER BY source")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -10501,6 +10592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_user_kmv": _q_event_user_kmv,
         "lr_conformal": _q_lr_conformal,
         "doc_neyman_sample": _q_doc_neyman_sample,
+        "source_zipf_slope": _q_source_zipf_slope,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -12327,6 +12419,7 @@ def oracle_sql() -> dict[str, str]:
         "event_user_kmv": _event_user_kmv_sql(),
         "lr_conformal": _lr_conformal_sql(),
         "doc_neyman_sample": _DOC_NEYMAN_SQL,
+        "source_zipf_slope": _SOURCE_ZIPF_SQL,
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",
