@@ -10399,6 +10399,82 @@ _SOURCE_ZIPF_SQL = (
     "FROM top GROUP BY source ORDER BY source")
 
 
+def _q_lr_tune(sf_dir: str):
+    """Successive-halving hyperparameter search over the classifier's
+    learning rate (grid 8/32/128/512, 2-step rungs): exact integer L1
+    losses drive the halving, so the SEARCH ITSELF — losses,
+    selections, winning weights — replays in SQL.  Compute = half the
+    full grid's passes (``ops/logreg.tune_logreg_halving``)."""
+    import pandas as pd
+
+    from xtract.ops.logreg import tune_logreg_halving
+
+    feats = (_docs(sf_dir, ["doc_id", "text", "n_chars"])
+             .map_batches(_lr_featurize, batch_format="pyarrow")
+             .materialize())
+    best = tune_logreg_halving(feats, ["x0", "x1", "x2", "x3"], "y",
+                               lr_grid=(8, 32, 128, 512), rung_steps=2)
+    row = {"best_lr": best["best_lr"], "loss": best["loss"],
+           **{f"w{j}": best["w"][j] for j in range(4)}}
+    return pd.DataFrame([row]).astype("int64")
+
+
+def _lr_tune_sql(grid=(8, 32, 128, 512), rung: int = 2) -> str:
+    """Every candidate's 2·rung-step GD chain unrolled (the oracle
+    skips the compute saving, not the selection rule): rung-1 losses →
+    top-half by (loss, lr) → final winner among survivors."""
+    def gsum(p, src):
+        return ", ".join(
+            f"SUM((y*1000000 - {p}) * x{j}) AS g{j}" for j in range(4))
+
+    zn = " + ".join(f"wa{j}*x{j}" for j in range(4))
+    sig = ("CAST(FLOOR(1000000.0/(1.0+EXP(-(CAST(" + zn +
+           " AS DOUBLE)/10000000000.0))) + 0.5) AS BIGINT)")
+    body, _ = _lr_sql_parts()
+    # reuse only the f CTE from the shared body
+    f_cte = body.split(", s1 AS ")[0]
+    parts = [f_cte]
+    total = 2 * rung
+    for lr in grid:
+        p = f"c{lr}_"
+        parts.append(f"{p}s1 AS (SELECT count(*) AS n, "
+                     f"{gsum('500000', 'f')} FROM f)")
+        parts.append(f"{p}w1 AS (SELECT " + ", ".join(
+            f"CAST(({lr}*g{j})//n AS BIGINT) AS wa{j}"
+            for j in range(4)) + f" FROM {p}s1)")
+        for k in range(2, total + 1):
+            parts.append(f"{p}q{k} AS (SELECT f.*, {sig} AS p "
+                         f"FROM f, {p}w{k - 1})")
+            parts.append(f"{p}s{k} AS (SELECT count(*) AS n, "
+                         f"{gsum('p', f'{p}q{k}')} FROM {p}q{k})")
+            parts.append(f"{p}w{k} AS (SELECT " + ", ".join(
+                f"CAST(wa{j} + ({lr}*g{j})//n AS BIGINT) AS wa{j}"
+                for j in range(4)) + f" FROM {p}w{k - 1}, {p}s{k})")
+        for k in (rung, total):
+            parts.append(
+                f"{p}loss{k} AS (SELECT CAST(sum(ABS(y*1000000 - p)) "
+                f"AS BIGINT) AS loss FROM (SELECT y, {sig} AS p "
+                f"FROM f, {p}w{k}))")
+    r1 = " UNION ALL ".join(
+        f"SELECT {lr} AS lr, (SELECT loss FROM c{lr}_loss{rung}) AS loss"
+        for lr in grid)
+    r2 = " UNION ALL ".join(
+        f"SELECT {lr} AS lr, (SELECT loss FROM c{lr}_loss{total}) AS loss"
+        for lr in grid)
+    wts = " UNION ALL ".join(
+        f"SELECT {lr} AS lr, wa0, wa1, wa2, wa3 FROM c{lr}_w{total}"
+        for lr in grid)
+    half = max(1, len(grid) // 2)
+    return (
+        "WITH " + ", ".join(parts) + f", r1 AS ({r1}), "
+        f"keep AS (SELECT lr FROM r1 ORDER BY loss, lr LIMIT {half}), "
+        f"r2 AS ({r2}), wts AS ({wts}) "
+        "SELECT CAST(r2.lr AS BIGINT) AS best_lr, r2.loss, "
+        "wa0 AS w0, wa1 AS w1, wa2 AS w2, wa3 AS w3 "
+        "FROM r2 JOIN keep USING (lr) JOIN wts ON wts.lr = r2.lr "
+        "ORDER BY r2.loss, r2.lr LIMIT 1")
+
+
 def _form_pages_batch(t: pa.Table) -> pa.Table:
     """doc_id → a page with a search-style form (action + method +
     three field kinds, one required) and for doc_id%4==0 a second
@@ -10593,6 +10669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lr_conformal": _q_lr_conformal,
         "doc_neyman_sample": _q_doc_neyman_sample,
         "source_zipf_slope": _q_source_zipf_slope,
+        "lr_tune": _q_lr_tune,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -12420,6 +12497,7 @@ def oracle_sql() -> dict[str, str]:
         "lr_conformal": _lr_conformal_sql(),
         "doc_neyman_sample": _DOC_NEYMAN_SQL,
         "source_zipf_slope": _SOURCE_ZIPF_SQL,
+        "lr_tune": _lr_tune_sql(),
         "orders_anti_events":
             "SELECT o_orderkey, o_custkey FROM orders "
             "WHERE o_custkey NOT IN (SELECT user_id FROM events)",

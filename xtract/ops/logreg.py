@@ -60,7 +60,8 @@ def _p_micro(X: np.ndarray, W: np.ndarray, w_scale: int, z_den: int,
 def train_logreg(feats, x_cols: list[str], label_col: str,
                  steps: int = 4, lr: int = 32, w_scale: int = 1_000_000,
                  z_den: int = 10_000, p_scale: int = 1_000_000,
-                 max_rows: int = 10_000_000) -> dict:
+                 max_rows: int = 10_000_000,
+                 w0: "list[int] | None" = None) -> dict:
     """Full-batch GD from zero weights over int64 feature columns
     (include an all-ones bias column; CENTER features with fixed
     constants — an uncentered large-scale feature starves the bias).
@@ -71,7 +72,7 @@ def train_logreg(feats, x_cols: list[str], label_col: str,
     one row per block) → native Sum → driver-side integer weight
     update.  d+1 int64s move per block; the driver holds d ints."""
     d = len(x_cols)
-    W = [0] * d
+    W = list(w0) if w0 is not None else [0] * d
     g_names = [f"g{j}" for j in range(d)]
 
     for _ in range(steps):
@@ -129,3 +130,56 @@ def score_logreg(ds, model: dict, id_cols: list[str],
         return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def l1_loss(feats, model: dict, x_cols: list[str], label_col: str) -> int:
+    """Exact integer L1 training loss Σ|y·p_scale − p_micro| — the
+    tuning objective (order-free int sum, SQL-replayable)."""
+    W = np.asarray(model["w"], np.int64)
+    p_scale = model["p_scale"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = np.stack([t[c].to_numpy(zero_copy_only=False)
+                      for c in x_cols], axis=1).astype(np.int64)
+        y = t[label_col].to_numpy(zero_copy_only=False)
+        P = _p_micro(X, W, model["w_scale"], model["z_den"], p_scale)
+        return pa.table({"l": pa.array(
+            [int(np.abs(y * p_scale - P).sum())], pa.int64())})
+
+    return int(feats.map_batches(partial,
+                                 batch_format="pyarrow").sum("l"))
+
+
+def tune_logreg_halving(feats, x_cols: list[str], label_col: str,
+                        lr_grid: "list[int]" = (8, 32, 128, 512),
+                        rung_steps: int = 2, **kw) -> dict:
+    """Successive halving (Jamieson & Talwalkar 2016, public) over the
+    learning rate: train every candidate ``rung_steps`` GD steps,
+    keep the best half by exact integer L1 loss (ties → smaller lr),
+    continue the survivors another ``rung_steps``, repeat to one
+    winner.  Everything — losses, selections, final weights — is a
+    pure function of integers, so the whole search replays in SQL.
+
+    Compute shape: Σ over rungs of (candidates·rung_steps) streaming
+    passes — the halving schedule does half the full-grid work; each
+    pass is the train_logreg partial-Sum pass."""
+    cands = sorted(lr_grid)
+    models = {lr: {"w": None} for lr in cands}
+    state: dict[int, list[int]] = {lr: None for lr in cands}
+    while True:
+        scored = []
+        for lr in cands:
+            m = train_logreg(feats, x_cols, label_col,
+                             steps=rung_steps, lr=lr,
+                             w0=state[lr], **kw)
+            state[lr] = m["w"]
+            models[lr] = m
+            scored.append((l1_loss(feats, m, x_cols, label_col), lr))
+        scored.sort()
+        keep = scored[:max(1, len(cands) // 2)]
+        if len(keep) == 1:
+            # the halving decided: the survivor's CURRENT model is the
+            # winner (no bonus rung — total steps = rungs·rung_steps)
+            loss, lr = keep[0]
+            return {"best_lr": lr, "loss": loss, **models[lr]}
+        cands = sorted(lr for _, lr in keep)
