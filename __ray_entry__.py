@@ -10535,6 +10535,35 @@ def _page_forms_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _q_user_value_cusum(sf_dir: str):
+    """Sequential changepoint detection: one-sided CUSUM per user over
+    event values in cents (Page's statistic via the prefix-sum /
+    running-min closed form, ``ops/changepoint.cusum_alarms``) —
+    drift 6000 cents, alarm threshold 50000 cents.  Exact int64, one
+    coarse user-hash co-group, vectorized cython per partition."""
+    import ray.data as rd
+
+    from xtract.ops.changepoint import cusum_alarms
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value", "event_id"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        c = np.round(b["value"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts": b["ts"],
+            "event_id": b["event_id"],
+            "cents": pa.array(c, pa.int64())})
+
+    out = cusum_alarms(ev.map_batches(to_cents, batch_format="pyarrow"),
+                       key="user_id", ts_col="ts", val_col="cents",
+                       id_col="event_id", drift=6000,
+                       threshold=50000).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -10670,6 +10699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_neyman_sample": _q_doc_neyman_sample,
         "source_zipf_slope": _q_source_zipf_slope,
         "lr_tune": _q_lr_tune,
+        "user_value_cusum": _q_user_value_cusum,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -13002,4 +13032,21 @@ def oracle_sql() -> dict[str, str]:
             "WHEN o.digest = n.digest THEN 'unchanged' "
             "ELSE 'changed' END AS status "
             "FROM olds o FULL OUTER JOIN news n ON n.url = o.url",
+        "user_value_cusum":
+            # Page's CUSUM via the prefix-sum/running-min closed form:
+            # S_i = P_i - min(0, min_{j<=i} P_j); first alarm by (ts, id).
+            "WITH x AS (SELECT user_id, ts, event_id, "
+            "CAST(round(value * 100) AS BIGINT) - 6000 AS d FROM events), "
+            "p AS (SELECT user_id, ts, event_id, sum(d) OVER w AS pp, "
+            "row_number() OVER w AS rn FROM x "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)), "
+            "s AS (SELECT user_id, event_id, rn, pp - least(0, min(pp) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)) AS cusum FROM p) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(max(cusum) AS BIGINT) AS max_cusum, "
+            "CAST(coalesce(min_by(event_id, rn) "
+            "FILTER (WHERE cusum > 50000), -1) AS BIGINT) AS alarm_id "
+            "FROM s GROUP BY 1 ORDER BY 1",
     }

@@ -1,0 +1,94 @@
+"""Session-13 ops: CUSUM changepoint detection (and friends)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _brute_cusum(df, drift, threshold):
+    """Sequential reference: the literal Page recursion per key."""
+    out = []
+    for k, g in df.sort_values(["k", "ts", "i"]).groupby("k"):
+        s, smax, alarm = 0, 0, -1
+        for _, r in g.iterrows():
+            s = max(0, s + int(r.v) - drift)
+            smax = max(smax, s)
+            if alarm < 0 and s > threshold:
+                alarm = int(r.i)
+        out.append((k, len(g), smax, alarm))
+    return pd.DataFrame(out, columns=["k", "n_events", "max_cusum",
+                                      "alarm_id"])
+
+
+def _to_ds(rd, df):
+    return rd.from_arrow(pa.table({
+        "k": pa.array(df.k, pa.int64()),
+        "ts": pa.array(df.ts, pa.int64()),
+        "v": pa.array(df.v, pa.int64()),
+        "i": pa.array(df.i, pa.int64())}))
+
+
+def _run(ray_session, df, drift, threshold, parts):
+    import ray.data as rd
+
+    from xtract.ops.changepoint import cusum_alarms
+
+    ds = _to_ds(rd, df)
+    out = cusum_alarms(ds, key="k", ts_col="ts", val_col="v",
+                       id_col="i", drift=drift, threshold=threshold,
+                       num_partitions=parts).to_pandas()
+    return out.sort_values("k").reset_index(drop=True)
+
+
+def _rand_frame(seed=7, n=400, keys=9):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame({
+        "k": rng.randint(0, keys, n).astype(np.int64),
+        "ts": rng.randint(0, 40, n).astype(np.int64),  # many ties
+        "v": rng.randint(-50, 120, n).astype(np.int64),
+        "i": np.arange(n, dtype=np.int64),
+    })
+
+
+def test_cusum_matches_sequential_reference(ray_session):
+    df = _rand_frame()
+    got = _run(ray_session, df, drift=30, threshold=200, parts=16)
+    exp = (_brute_cusum(df, 30, 200).sort_values("k")
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64"))
+    # non-degenerate: some alarm, some don't
+    assert (got.alarm_id >= 0).any() and (got.alarm_id < 0).any()
+
+
+def test_cusum_partition_invariance(ray_session):
+    df = _rand_frame(seed=11)
+    a = _run(ray_session, df, drift=25, threshold=150, parts=1)
+    b = _run(ray_session, df, drift=25, threshold=150, parts=64)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_cusum_never_alarms_below_threshold(ray_session):
+    df = pd.DataFrame({
+        "k": np.zeros(5, np.int64),
+        "ts": np.arange(5, dtype=np.int64),
+        "v": np.array([1, 2, 1, 2, 1], np.int64),
+        "i": np.arange(5, dtype=np.int64)})
+    out = _run(ray_session, df, drift=0, threshold=10**9, parts=4)
+    assert out.alarm_id.tolist() == [-1]
+    assert out.max_cusum.tolist() == [7]
+
+
+def test_cusum_resets_at_zero(ray_session):
+    # big negative run then a shift: the statistic must restart from 0,
+    # not climb out of a deep negative prefix
+    df = pd.DataFrame({
+        "k": np.zeros(6, np.int64),
+        "ts": np.arange(6, dtype=np.int64),
+        "v": np.array([-1000, -1000, 50, 50, 50, 50], np.int64),
+        "i": np.arange(6, dtype=np.int64)})
+    out = _run(ray_session, df, drift=10, threshold=100, parts=2)
+    # S after resets: 0,0,40,80,120(alarm at i=4),160
+    assert out.alarm_id.tolist() == [4]
+    assert out.max_cusum.tolist() == [160]
