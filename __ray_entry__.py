@@ -10564,6 +10564,21 @@ def _q_user_value_cusum(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_source_length_ks(sf_dir: str):
+    """Distribution drift between two sources: exact two-sample KS
+    statistic over document lengths (``ops/drift.two_sample_ks``) —
+    integer cross-multiplied cumulative counts, distributed global
+    prefix scan over the distinct-value table."""
+    import ray.data as rd
+
+    from xtract.ops.drift import two_sample_ks
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "n_chars"])
+    return two_sample_ks(docs, group_col="source", val_col="n_chars",
+                         group_a="src0", group_b="src1")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -10700,6 +10715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_zipf_slope": _q_source_zipf_slope,
         "lr_tune": _q_lr_tune,
         "user_value_cusum": _q_user_value_cusum,
+        "source_length_ks": _q_source_length_ks,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -13049,4 +13065,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(min_by(event_id, rn) "
             "FILTER (WHERE cusum > 50000), -1) AS BIGINT) AS alarm_id "
             "FROM s GROUP BY 1 ORDER BY 1",
+        "source_length_ks":
+            # exact two-sample KS: D·n_a·n_b = max |n_b·C_a − n_a·C_b|
+            "WITH x AS (SELECT n_chars AS v, "
+            "CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS a, "
+            "CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS b "
+            "FROM documents WHERE source IN ('src0', 'src1')), "
+            "g AS (SELECT v, sum(a) AS na, sum(b) AS nb FROM x "
+            "GROUP BY v), "
+            "c AS (SELECT sum(na) OVER w AS ca, sum(nb) OVER w AS cb "
+            "FROM g WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)), "
+            "t AS (SELECT CAST(sum(a) AS BIGINT) AS n_a, "
+            "CAST(sum(b) AS BIGINT) AS n_b FROM x) "
+            "SELECT t.n_a, t.n_b, "
+            "CAST(max(abs(t.n_b * c.ca - t.n_a * c.cb)) AS BIGINT) "
+            "AS d_num, CAST(max(abs(t.n_b * c.ca - t.n_a * c.cb)) "
+            "AS DOUBLE) / (t.n_a * t.n_b) AS ks "
+            "FROM c, t GROUP BY t.n_a, t.n_b",
     }

@@ -92,3 +92,77 @@ def test_cusum_resets_at_zero(ray_session):
     # S after resets: 0,0,40,80,120(alarm at i=4),160
     assert out.alarm_id.tolist() == [4]
     assert out.max_cusum.tolist() == [160]
+
+
+# ---------------------------------------------------------------------------
+# two_sample_ks
+# ---------------------------------------------------------------------------
+
+def _brute_ks(va, vb):
+    """Reference: evaluate |F_a - F_b| at every pooled value."""
+    va, vb = np.asarray(va), np.asarray(vb)
+    pool = np.unique(np.concatenate([va, vb]))
+    ca = np.searchsorted(np.sort(va), pool, side="right")
+    cb = np.searchsorted(np.sort(vb), pool, side="right")
+    d_num = np.abs(len(vb) * ca - len(va) * cb).max()
+    return int(d_num), d_num / (len(va) * len(vb))
+
+
+def _ks_ds(rd, va, vb, parts=None):
+    t = pa.table({
+        "g": pa.array(["a"] * len(va) + ["b"] * len(vb)),
+        "v": pa.array(list(va) + list(vb), pa.int64())})
+    ds = rd.from_arrow(t)
+    if parts:
+        ds = ds.repartition(parts)
+    return ds
+
+
+def test_ks_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.drift import two_sample_ks
+
+    rng = np.random.RandomState(3)
+    va = rng.randint(0, 60, 300)          # many ties
+    vb = rng.randint(10, 80, 211)
+    out = two_sample_ks(_ks_ds(rd, va, vb), "g", "v", "a", "b")
+    d_num, ks = _brute_ks(va, vb)
+    assert out.n_a[0] == 300 and out.n_b[0] == 211
+    assert out.d_num[0] == d_num
+    assert out.ks[0] == ks
+
+
+def test_ks_disjoint_is_one_identical_is_zero(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.drift import two_sample_ks
+
+    out = two_sample_ks(_ks_ds(rd, [1, 2, 3], [10, 11]), "g", "v",
+                        "a", "b")
+    assert out.ks[0] == 1.0
+    same = list(range(50)) * 2
+    out2 = two_sample_ks(_ks_ds(rd, same, same), "g", "v", "a", "b")
+    assert out2.d_num[0] == 0
+
+
+def test_ks_block_invariance(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.drift import two_sample_ks
+
+    rng = np.random.RandomState(9)
+    va = rng.randint(0, 40, 150)
+    vb = rng.randint(5, 45, 170)
+    a = two_sample_ks(_ks_ds(rd, va, vb, parts=1), "g", "v", "a", "b")
+    b = two_sample_ks(_ks_ds(rd, va, vb, parts=23), "g", "v", "a", "b")
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ks_empty_group_raises(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.drift import two_sample_ks
+
+    with pytest.raises(ValueError):
+        two_sample_ks(_ks_ds(rd, [1, 2], []), "g", "v", "a", "b")
