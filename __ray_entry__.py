@@ -10579,6 +10579,53 @@ def _q_source_length_ks(sf_dir: str):
                          group_a="src0", group_b="src1")
 
 
+def _q_embedding_coreset(sf_dir: str):
+    """Diversity coreset: Gonzalez farthest-first k-center exemplars
+    over the embeddings table (``ops/similarity.farthest_first_centers``)
+    — exact integer distances, k corpus passes, one candidate row per
+    block per pass."""
+    import ray.data as rd
+
+    from xtract.ops.similarity import farthest_first_centers
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out = farthest_first_centers(emb, k=5)
+    return out.rename(columns={"round": "sel_round"})
+
+
+def _coreset_sql(k: int = 5, unit: int = 1 << 20) -> str:
+    """Unrolled Gonzalez farthest-first replay mirroring
+    ``farthest_first_centers`` (same quantization as `_kmeans_sql`)."""
+    dist = ("CAST({x}.n2 - 2 * list_inner_product({x}.q, {c}.q) "
+            "+ {c}.n2 AS BIGINT)")
+    parts = [
+        f"e AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(floor(x * {unit}.0) AS BIGINT)) AS q FROM embeddings)",
+        "n AS (SELECT vec_id, q, CAST(list_inner_product(q, q) AS BIGINT)"
+        " AS n2 FROM e)",
+        "c1 AS (SELECT vec_id, q, n2 FROM n ORDER BY vec_id LIMIT 1)",
+        "d1 AS (SELECT n.vec_id, n.q, n.n2, "
+        + dist.format(x="n", c="c1") + " AS d FROM n, c1)",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"c{r} AS (SELECT vec_id, q, n2, d FROM d{r-1} "
+            f"ORDER BY d DESC, vec_id LIMIT 1)")
+        if r < k:
+            parts.append(
+                f"d{r} AS (SELECT d{r-1}.vec_id, d{r-1}.q, d{r-1}.n2, "
+                f"least(d{r-1}.d, "
+                + dist.format(x=f"d{r-1}", c=f"c{r}")
+                + f") AS d FROM d{r-1}, c{r})")
+    sel = [" SELECT CAST(1 AS BIGINT) AS sel_round, vec_id, "
+           "CAST(0 AS BIGINT) AS dist2 FROM c1"]
+    for r in range(2, k + 1):
+        sel.append(f"SELECT CAST({r} AS BIGINT), vec_id, d FROM c{r}")
+    return ("WITH " + ", ".join(parts)
+            + " UNION ALL ".join(sel) + " ORDER BY sel_round")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -10716,6 +10763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lr_tune": _q_lr_tune,
         "user_value_cusum": _q_user_value_cusum,
         "source_length_ks": _q_source_length_ks,
+        "embedding_coreset": _q_embedding_coreset,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -13082,4 +13130,5 @@ def oracle_sql() -> dict[str, str]:
             "AS d_num, CAST(max(abs(t.n_b * c.ca - t.n_a * c.cb)) "
             "AS DOUBLE) / (t.n_a * t.n_b) AS ks "
             "FROM c, t GROUP BY t.n_a, t.n_b",
+        "embedding_coreset": _coreset_sql(5),
     }

@@ -166,3 +166,79 @@ def test_ks_empty_group_raises(ray_session):
 
     with pytest.raises(ValueError):
         two_sample_ks(_ks_ds(rd, [1, 2], []), "g", "v", "a", "b")
+
+
+# ---------------------------------------------------------------------------
+# farthest_first_centers
+# ---------------------------------------------------------------------------
+
+def _brute_ff(vecs, ids, k, unit=1 << 20):
+    q = np.floor(np.asarray(vecs, np.float64) * unit).astype(np.int64)
+    ids = np.asarray(ids, np.int64)
+    order = np.argsort(ids)
+    q, ids = q[order], ids[order]
+    chosen = [0]
+    rounds = [(1, int(ids[0]), 0)]
+    d = ((q - q[0]) ** 2).sum(axis=1)
+    for r in range(2, k + 1):
+        w = np.lexsort((ids, -d))[0]
+        rounds.append((r, int(ids[w]), int(d[w])))
+        chosen.append(w)
+        d = np.minimum(d, ((q - q[w]) ** 2).sum(axis=1))
+    return pd.DataFrame(rounds, columns=["round", "vec_id", "dist2"])
+
+
+def _ff_ds(rd, vecs, ids, parts=None):
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t)
+    return ds.repartition(parts) if parts else ds
+
+
+def test_farthest_first_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.similarity import farthest_first_centers
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(120, 8).astype(np.float32)
+    ids = rng.permutation(1000)[:120]
+    got = farthest_first_centers(_ff_ds(rd, vecs, ids), k=6)
+    exp = _brute_ff(vecs.astype(np.float64), ids, 6)
+    pd.testing.assert_frame_equal(got, exp.astype("int64"))
+    # coverage radius shrinks (weakly) after round 2
+    d = got.dist2.to_numpy()
+    assert (np.diff(d[1:]) <= 0).all()
+
+
+def test_farthest_first_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.similarity import farthest_first_centers
+
+    rng = np.random.RandomState(2)
+    vecs = rng.randn(90, 6).astype(np.float32)
+    ids = np.arange(90)
+    a = farthest_first_centers(_ff_ds(rd, vecs, ids, parts=1), k=4)
+    b = farthest_first_centers(_ff_ds(rd, vecs, ids, parts=17), k=4)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_farthest_first_covers_planted_clusters(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.similarity import farthest_first_centers
+
+    rng = np.random.RandomState(1)
+    blobs = [np.array([0.0, 0.0]), np.array([100.0, 0.0]),
+             np.array([0.0, 100.0])]
+    vecs, labels = [], []
+    for li, c in enumerate(blobs):
+        vecs.extend((c + rng.randn(30, 2) * 0.1).tolist())
+        labels.extend([li] * 30)
+    ids = np.arange(90)
+    out = farthest_first_centers(_ff_ds(rd, vecs, ids), k=3)
+    picked = {labels[int(i)] for i in out.vec_id}
+    assert picked == {0, 1, 2}

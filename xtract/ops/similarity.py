@@ -881,3 +881,71 @@ def knn_ivfsq_index(out_dir: str, queries: np.ndarray, k: int = 10,
         rows["score"].extend(exact[top].tolist())
     import pandas as pd
     return _merge_topk(pd.DataFrame(rows), nq, k, key)
+
+
+def farthest_first_centers(ds, k: int = 5, col: str = "embedding",
+                           id_col: str = "vec_id", unit: int = 1 << 20):
+    """Gonzalez farthest-first traversal — the classic 2-approximation
+    k-center coreset (Gonzalez 1985, public), the "pick maximally
+    diverse exemplars" primitive for training-data selection.
+
+    Deterministic and exact: vectors quantize to int64 micro-units
+    (``floor(x · unit)``, same contract as ``distributed_kmeans``),
+    distances are exact integer squared L2, the first center is the
+    lowest ``id_col``, and each round picks the point with the MAX
+    min-distance-to-chosen (ties → lowest id) — bit-identical at any
+    parallelism and fully replayable in SQL.
+
+    Scale shape: k passes over the corpus; each pass broadcasts the
+    ≤k chosen centers (tiny), computes per-row min distance
+    vectorized (one matmul per block), and emits ONE candidate row
+    per block (winner dist, id, vector) — the driver folds n_blocks
+    rows per round, never the corpus.
+
+    → DataFrame (round 1..k, id, dist2) where dist2 is the point's
+    min squared distance to the previously-chosen set at selection
+    (0 for round 1); the dist2 sequence is the shrinking coverage
+    radius.
+    """
+    import pandas as pd
+    import ray
+
+    def quant(b: pa.Table) -> np.ndarray:
+        return np.floor(
+            np.asarray(b[col].to_pylist(), np.float64) * unit
+        ).astype(np.int64)
+
+    seed = ds.sort(id_col).limit(1).to_pandas()
+    first_id = int(seed[id_col][0])
+    centers = np.floor(
+        np.asarray(seed[col].tolist(), np.float64) * unit
+    ).astype(np.int64)
+    rounds = [(1, first_id, 0)]
+
+    for r in range(2, k + 1):
+        cen_ref = ray.put(centers)
+
+        def block_best(b: pa.Table, _c=cen_ref) -> pa.Table:
+            cen = ray.get(_c)
+            mat = quant(b)
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            x2 = np.einsum("ij,ij->i", mat, mat)
+            c2 = np.einsum("ij,ij->i", cen, cen)
+            d = (x2[:, None] - 2 * (mat @ cen.T) + c2[None, :]).min(axis=1)
+            # winner: max d, tie -> min id (lexsort on (-d, id))
+            w = np.lexsort((ids, -d))[0]
+            return pa.table({
+                "d": pa.array([int(d[w])], pa.int64()),
+                "i": pa.array([int(ids[w])], pa.int64()),
+                "v": pa.array([mat[w].tolist()],
+                              pa.list_(pa.int64()))})
+
+        cand = ds.map_batches(block_best, batch_format="pyarrow").to_pandas()
+        cand = cand.sort_values(["d", "i"], ascending=[False, True])
+        win = cand.iloc[0]
+        rounds.append((r, int(win["i"]), int(win["d"])))
+        centers = np.vstack([centers,
+                             np.asarray(win["v"], np.int64)[None, :]])
+
+    return pd.DataFrame(rounds, columns=["round", id_col, "dist2"]).astype(
+        {"round": "int64", id_col: "int64", "dist2": "int64"})
