@@ -10626,6 +10626,53 @@ def _coreset_sql(k: int = 5, unit: int = 1 << 20) -> str:
             + " UNION ALL ".join(sel) + " ORDER BY sel_round")
 
 
+def _q_knn_mmr(sf_dir: str):
+    """Diverse retrieval: MMR top-5 (λ=0.7) from the relevance top-20
+    for the vec_id=0 query (``ops/similarity.mmr_select``) — exact
+    integer objective, one corpus pass + bounded-pool greedy."""
+    from xtract.ops.similarity import mmr_select
+
+    emb = _emb(sf_dir)
+    q0 = [r["embedding"] for r in emb.take(1)][0]
+    return mmr_select(emb, np.asarray(q0, np.float64), k=5, pool=20)
+
+
+def _mmr_sql(k: int = 5, pool: int = 20, lam_num: int = 7,
+             lam_den: int = 10, unit: int = 1 << 20) -> str:
+    """Unrolled MMR greedy replay mirroring ``mmr_select``."""
+    mu = lam_den - lam_num
+    parts = [
+        f"qv AS (SELECT list_transform(embedding, x -> CAST(floor("
+        f"x * {unit}.0) AS BIGINT)) AS q FROM embeddings WHERE vec_id = 0)",
+        f"e AS (SELECT vec_id, list_transform(embedding, x -> "
+        f"CAST(floor(x * {unit}.0) AS BIGINT)) AS q FROM embeddings)",
+        f"p AS (SELECT e.vec_id, e.q, CAST(list_inner_product(e.q, qv.q)"
+        f" AS BIGINT) AS rel FROM e, qv ORDER BY rel DESC, vec_id "
+        f"LIMIT {pool})",
+        "ch1 AS (SELECT CAST(1 AS BIGINT) AS sel_round, vec_id, q, rel, "
+        "CAST(0 AS BIGINT) AS max_sim FROM p "
+        "ORDER BY rel DESC, vec_id LIMIT 1)",
+    ]
+    for r in range(2, k + 1):
+        prev = f"ch{r-1}"
+        parts.append(
+            f"sc{r} AS (SELECT p.vec_id, max(CAST(list_inner_product("
+            f"p.q, c.q) AS BIGINT)) AS ms FROM p, {prev} c "
+            f"WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev}) "
+            f"GROUP BY p.vec_id)")
+        parts.append(
+            f"pk{r} AS (SELECT p.vec_id, p.q, p.rel, s.ms FROM p "
+            f"JOIN sc{r} s USING (vec_id) ORDER BY "
+            f"{lam_num} * p.rel - {mu} * s.ms DESC, p.vec_id LIMIT 1)")
+        parts.append(
+            f"ch{r} AS (SELECT * FROM {prev} UNION ALL "
+            f"SELECT CAST({r} AS BIGINT), vec_id, q, rel, ms "
+            f"FROM pk{r})")
+    return ("WITH " + ", ".join(parts)
+            + f" SELECT sel_round, vec_id, rel, max_sim FROM ch{k} "
+            "ORDER BY sel_round")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -10764,6 +10811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_cusum": _q_user_value_cusum,
         "source_length_ks": _q_source_length_ks,
         "embedding_coreset": _q_embedding_coreset,
+        "knn_mmr": _q_knn_mmr,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -13131,4 +13179,5 @@ def oracle_sql() -> dict[str, str]:
             "AS DOUBLE) / (t.n_a * t.n_b) AS ks "
             "FROM c, t GROUP BY t.n_a, t.n_b",
         "embedding_coreset": _coreset_sql(5),
+        "knn_mmr": _mmr_sql(5, 20),
     }

@@ -242,3 +242,82 @@ def test_farthest_first_covers_planted_clusters(ray_session):
     out = farthest_first_centers(_ff_ds(rd, vecs, ids), k=3)
     picked = {labels[int(i)] for i in out.vec_id}
     assert picked == {0, 1, 2}
+
+
+# ---------------------------------------------------------------------------
+# mmr_select
+# ---------------------------------------------------------------------------
+
+def _brute_mmr(vecs, ids, qv, k, pool, lam_num=7, lam_den=10,
+               unit=1 << 20):
+    q = np.floor(np.asarray(vecs, np.float64) * unit).astype(np.int64)
+    qq = np.floor(np.asarray(qv, np.float64) * unit).astype(np.int64)
+    ids = np.asarray(ids, np.int64)
+    rel = q @ qq
+    top = np.lexsort((ids, -rel))[:pool]
+    q, ids, rel = q[top], ids[top], rel[top]
+    sel, rows = [0], [(1, int(ids[0]), int(rel[0]), 0)]
+    rem = list(range(1, len(ids)))
+    for r in range(2, min(k, len(ids)) + 1):
+        best = None
+        for i in rem:
+            ms = max(int(q[i] @ q[j]) for j in sel)
+            mmr = lam_num * int(rel[i]) - (lam_den - lam_num) * ms
+            key = (-mmr, int(ids[i]))
+            if best is None or key < best[0]:
+                best = (key, i, ms)
+        _, w, ms = best
+        rows.append((r, int(ids[w]), int(rel[w]), ms))
+        sel.append(w)
+        rem.remove(w)
+    return pd.DataFrame(rows, columns=["sel_round", "vec_id", "rel",
+                                       "max_sim"])
+
+
+def test_mmr_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.similarity import mmr_select
+
+    rng = np.random.RandomState(8)
+    vecs = rng.randn(150, 10).astype(np.float32)
+    ids = rng.permutation(900)[:150]
+    qv = rng.randn(10)
+    got = mmr_select(_ff_ds(rd, vecs, ids), qv, k=6, pool=15)
+    exp = _brute_mmr(vecs.astype(np.float64), ids, qv, 6, 15)
+    pd.testing.assert_frame_equal(got, exp.astype("int64"))
+
+
+def test_mmr_partition_invariance_and_diversity(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.similarity import mmr_select
+
+    # two tight near-duplicate clusters close to the query plus one
+    # farther distinct direction: pure relevance top-3 stays inside
+    # cluster A; MMR must mix in the distinct direction.
+    rng = np.random.RandomState(4)
+    a = np.array([1.0, 0.0]) + rng.randn(20, 2) * 0.01
+    bcl = np.array([0.8, 0.59]) + rng.randn(20, 2) * 0.01
+    vecs = np.vstack([a, bcl]).astype(np.float32)
+    ids = np.arange(40)
+    qv = np.array([1.0, 0.2])
+    x = mmr_select(_ff_ds(rd, vecs, ids, parts=1), qv, k=3, pool=40,
+                   lam_num=1, lam_den=10)
+    y = mmr_select(_ff_ds(rd, vecs, ids, parts=13), qv, k=3, pool=40,
+                   lam_num=1, lam_den=10)
+    pd.testing.assert_frame_equal(x, y)
+    picked_clusters = {0 if i < 20 else 1 for i in x.vec_id}
+    assert picked_clusters == {0, 1}
+
+
+def test_mmr_pool_smaller_than_k(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.similarity import mmr_select
+
+    vecs = np.eye(3, 4, dtype=np.float32)
+    out = mmr_select(_ff_ds(rd, vecs, np.arange(3)),
+                     np.ones(4), k=10, pool=10)
+    assert len(out) == 3
+    assert out.sel_round.tolist() == [1, 2, 3]

@@ -949,3 +949,76 @@ def farthest_first_centers(ds, k: int = 5, col: str = "embedding",
 
     return pd.DataFrame(rounds, columns=["round", id_col, "dist2"]).astype(
         {"round": "int64", id_col: "int64", "dist2": "int64"})
+
+
+def mmr_select(ds, query_vec, k: int = 5, pool: int = 20,
+               lam_num: int = 7, lam_den: int = 10,
+               col: str = "embedding", id_col: str = "vec_id",
+               unit: int = 1 << 20):
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998, public)
+    diverse top-k: greedily pick items maximizing
+    ``λ·relevance − (1−λ)·max-similarity-to-selected`` from the
+    relevance top-``pool`` candidates.
+
+    Exact and deterministic: vectors quantize to int64 micro-units
+    (the ``distributed_kmeans`` contract), relevance and pairwise
+    similarity are integer inner products, λ is the rational
+    ``lam_num/lam_den`` so the greedy objective
+    ``lam_num·rel − (lam_den−lam_num)·max_sim`` is pure int64 —
+    bit-identical at any parallelism and SQL-replayable.
+
+    Scale shape: ONE corpus pass (broadcast query, per-block partial
+    top-``pool`` rows carrying their quantized vectors) → driver
+    merges n_blocks×pool candidate rows and runs the greedy over the
+    bounded pool (pool², tiny).  Ties: higher rel/mmr first, then
+    lowest id.
+
+    → DataFrame (sel_round 1..k, id, rel, max_sim) — ``max_sim`` is
+    the winner's similarity to the previously-selected set (0 for
+    round 1).
+    """
+    import pandas as pd
+    import ray
+
+    q = np.floor(np.asarray(query_vec, np.float64) * unit).astype(np.int64)
+    q_ref = ray.put(q)
+
+    def block_top(b: pa.Table, _q=q_ref) -> pa.Table:
+        qq = ray.get(_q)
+        mat = np.floor(
+            np.asarray(b[col].to_pylist(), np.float64) * unit
+        ).astype(np.int64)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rel = mat @ qq
+        top = np.lexsort((ids, -rel))[:pool]
+        return pa.table({
+            "i": pa.array(ids[top], pa.int64()),
+            "rel": pa.array(rel[top], pa.int64()),
+            "v": pa.array([mat[t].tolist() for t in top],
+                          pa.list_(pa.int64()))})
+
+    cand = (ds.map_batches(block_top, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["rel", "i"], ascending=[False, True])
+            .head(pool).reset_index(drop=True))
+    vecs = np.asarray(cand["v"].tolist(), np.int64)
+    ids = cand["i"].to_numpy(np.int64)
+    rel = cand["rel"].to_numpy(np.int64)
+
+    sel = [0]
+    rows = [(1, int(ids[0]), int(rel[0]), 0)]
+    remaining = list(range(1, len(ids)))
+    for r in range(2, min(k, len(ids)) + 1):
+        best = None
+        for i in remaining:
+            ms = int(max(int(vecs[i] @ vecs[j]) for j in sel))
+            mmr = lam_num * int(rel[i]) - (lam_den - lam_num) * ms
+            key = (-mmr, int(ids[i]))
+            if best is None or key < best[0]:
+                best = (key, i, ms)
+        _, w, ms = best
+        rows.append((r, int(ids[w]), int(rel[w]), ms))
+        sel.append(w)
+        remaining.remove(w)
+    return pd.DataFrame(rows, columns=["sel_round", id_col, "rel",
+                                       "max_sim"]).astype("int64")
