@@ -2298,6 +2298,70 @@ def _q_customer_spend_cogroup(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def _q_orders_skew_join(sf_dir: str):
+    """Skew-aware join (``ops/joins.skew_join``): a planted hot key —
+    70% of orders land on sk=0 — would pile one co-group partition;
+    the op measures left-key frequency with a per-block combiner,
+    broadcasts the right rows of keys ≥ ``hot_count``, and co-groups
+    only the cold tail.  Oracle = the same join in SQL (the split is
+    an internal routing decision, rows are identical)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min, Sum
+
+    from xtract.ops.joins import skew_join
+
+    def mk_left(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = np.where(ok % 10 < 7, np.int64(0), 1 + ck % 997)
+        return pa.table({"sk": pa.array(sk, pa.int64()),
+                         "okey": pa.array(ok, pa.int64())})
+
+    def mk_right(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "rk": pa.array(ck % 998, pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                t["c_acctbal"], 100)), pa.int64())})
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"]).map_batches(
+        mk_left, batch_format="pyarrow")
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal"]).map_batches(
+        mk_right, batch_format="pyarrow").groupby("rk").aggregate(
+        Min("cents", alias_name="bal_cents"))
+    joined = skew_join(orders, cust, on="sk", right_on="rk",
+                       hot_count=500)
+    out = joined.groupby("sk").aggregate(
+        Count(alias_name="n"),
+        Sum("okey", alias_name="sum_okey"),
+        Min("bal_cents", alias_name="bal_cents"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "sk": pc.cast(t["sk"], pa.int64()),
+            "n": pc.cast(t["n"], pa.int64()),
+            "sum_okey": pc.cast(t["sum_okey"], pa.int64()),
+            "bal_cents": pc.cast(t["bal_cents"], pa.int64())}),
+        batch_format="pyarrow").sort("sk")
+
+
+def _orders_skew_join_sql() -> str:
+    return (
+        "WITH l AS (SELECT CASE WHEN o_orderkey % 10 < 7 THEN 0 "
+        "ELSE 1 + o_custkey % 997 END AS sk, o_orderkey AS okey "
+        "FROM orders), "
+        "r AS (SELECT c_custkey % 998 AS rk, "
+        "MIN(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents "
+        "FROM customer GROUP BY 1) "
+        "SELECT CAST(sk AS BIGINT) AS sk, COUNT(*) AS n, "
+        "CAST(SUM(okey) AS BIGINT) AS sum_okey, MIN(bal_cents) AS "
+        "bal_cents FROM l JOIN r ON l.sk = r.rk "
+        "GROUP BY 1 ORDER BY 1")
+
+
 def _q_nation_trade_flows(sf_dir: str):
     """TPC-H Q7-style bi-nation trade volume by order year: the
     supplier's nation × the customer's nation × year with EXACT
@@ -10673,6 +10737,34 @@ def _mmr_sql(k: int = 5, pool: int = 20, lam_num: int = 7,
             "ORDER BY sel_round")
 
 
+def _q_host_weighted_sssp(sf_dir: str):
+    """Weighted shortest paths (``ops/graph.sssp``) over a planted
+    weighted host DAG: nodes h = doc_id % 50, path edges h→h+1 with
+    cost h%7+1, shortcut edges h→h+5 cost 3 for h%3==0.
+    Frontier-based Bellman–Ford (broadcast-gated distance table, one
+    edge scan per round with a per-block dst-min combiner); the
+    oracle is a recursive CTE (terminates: the plant is a DAG)."""
+    from xtract.ops.graph import sssp
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        h = np.unique(t["doc_id"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64) % 50)
+        s1 = h[h < 49]
+        sh = h[(h % 3 == 0) & (h + 5 < 50)]
+        return pa.table({
+            "src": pa.array(np.concatenate([s1, sh]), pa.int64()),
+            "dst": pa.array(np.concatenate([s1 + 1, sh + 5]), pa.int64()),
+            "w": pa.array(np.concatenate([s1 % 7 + 1,
+                                          np.full(len(sh), 3)]),
+                          pa.int64())})
+
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    out = sssp(e, [0]).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -10812,6 +10904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_length_ks": _q_source_length_ks,
         "embedding_coreset": _q_embedding_coreset,
         "knn_mmr": _q_knn_mmr,
+        "host_weighted_sssp": _q_host_weighted_sssp,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -10966,6 +11059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "decontaminate": _q_decontaminate,
         "customer_spend_cogroup": _q_customer_spend_cogroup,
+        "orders_skew_join": _q_orders_skew_join,
         "doc_sample": _q_doc_sample,
         "doc_repetition": _q_doc_repetition,
         "doc_mixture_sample": _q_doc_mixture_sample,
@@ -12867,6 +12961,7 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_orders "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY o_custkey, c_name",
+        "orders_skew_join": _orders_skew_join_sql(),
         "decontaminate":
             "WITH toks AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(lower(coalesce(text,'')), '[^a-z]+'), "
@@ -13180,4 +13275,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM c, t GROUP BY t.n_a, t.n_b",
         "embedding_coreset": _coreset_sql(5),
         "knn_mmr": _mmr_sql(5, 20),
+        "host_weighted_sssp":
+            # recursive-CTE replay; the plant is a DAG so UNION
+            # (distinct) terminates
+            "WITH RECURSIVE nodes AS (SELECT DISTINCT "
+            "CAST(doc_id % 50 AS BIGINT) AS h FROM documents), "
+            "e AS (SELECT h AS src, h + 1 AS dst, h % 7 + 1 AS w "
+            "FROM nodes WHERE h < 49 UNION ALL "
+            "SELECT h, h + 5, 3 FROM nodes "
+            "WHERE h % 3 = 0 AND h + 5 < 50), "
+            "r AS (SELECT CAST(0 AS BIGINT) AS node, "
+            "CAST(0 AS BIGINT) AS d UNION "
+            "SELECT e.dst, r.d + e.w FROM r JOIN e ON e.src = r.node) "
+            "SELECT node, CAST(min(d) AS BIGINT) AS dist FROM r "
+            "GROUP BY 1 ORDER BY 1",
     }

@@ -1,0 +1,163 @@
+"""Session-14 ops: weighted SSSP and the skew-aware equi join."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------------- sssp
+
+def _brute_sssp(edges, sources):
+    """Sequential Bellman–Ford reference (positive int weights)."""
+    dist = {s: 0 for s in sources}
+    changed = True
+    while changed:
+        changed = False
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < dist.get(d, 1 << 62):
+                dist[d] = dist[s] + w
+                changed = True
+    return (pd.DataFrame(sorted(dist.items()),
+                         columns=["node", "dist"]).astype("int64"))
+
+
+def _edges_ds(rd, edges):
+    s, d, w = (np.array([e[i] for e in edges], np.int64)
+               for i in range(3))
+    return rd.from_arrow(pa.table({
+        "src": pa.array(s), "dst": pa.array(d), "w": pa.array(w)}))
+
+
+def _rand_graph(seed=3, n_nodes=60, n_edges=400):
+    rng = np.random.RandomState(seed)
+    return list(zip(
+        rng.randint(0, n_nodes, n_edges).tolist(),
+        rng.randint(0, n_nodes, n_edges).tolist(),
+        rng.randint(1, 9, n_edges).tolist()))
+
+
+@pytest.mark.parametrize("distributed", [False, True])
+def test_sssp_matches_bellman_ford(ray_session, distributed):
+    import ray.data as rd
+
+    from xtract.ops.graph import sssp
+
+    edges = _rand_graph()
+    got = (sssp(_edges_ds(rd, edges), [0, 7],
+                distributed=distributed, num_partitions=8)
+           .to_pandas().sort_values("node").reset_index(drop=True)
+           .astype("int64"))
+    exp = _brute_sssp(edges, [0, 7])
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_sssp_shortcut_beats_path(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.graph import sssp
+
+    # 0→1→2→3 cost 5 each, shortcut 0→3 cost 4
+    edges = [(0, 1, 5), (1, 2, 5), (2, 3, 5), (0, 3, 4)]
+    out = sssp(_edges_ds(rd, edges), [0]).to_pandas()
+    d = dict(zip(out.node, out.dist))
+    assert d == {0: 0, 1: 5, 2: 10, 3: 4}
+
+
+def test_sssp_broadcast_gate_fails_loud(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.graph import sssp
+
+    edges = [(0, 1, 1), (1, 2, 1), (2, 3, 1)]
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        sssp(_edges_ds(rd, edges), [0], broadcast_limit=2)
+
+
+def test_sssp_unreachable_nodes_absent(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.graph import sssp
+
+    edges = [(0, 1, 2), (5, 6, 1)]  # 5,6 unreachable from 0
+    out = sssp(_edges_ds(rd, edges), [0]).to_pandas()
+    assert set(out.node) == {0, 1}
+
+
+# ----------------------------------------------------------- skew_join
+
+def _skew_frames(seed=11, n_left=3000, hot_frac=0.6):
+    rng = np.random.RandomState(seed)
+    hot = rng.rand(n_left) < hot_frac
+    k = np.where(hot, np.int64(42), rng.randint(0, 50, n_left))
+    left = pd.DataFrame({"k": k.astype(np.int64),
+                         "x": np.arange(n_left, dtype=np.int64)})
+    right = pd.DataFrame({
+        "rk": np.arange(0, 50, dtype=np.int64),
+        "y": (np.arange(0, 50, dtype=np.int64) * 7) % 13})
+    return left, right
+
+
+def _run_skew(rd, left, right, **kw):
+    from xtract.ops.joins import skew_join
+
+    lds = rd.from_arrow(pa.Table.from_pandas(left)).repartition(8)
+    rds = rd.from_arrow(pa.Table.from_pandas(right)).repartition(4)
+    return skew_join(lds, rds, on="k", right_on="rk", **kw)
+
+
+def _norm(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_skew_join_matches_pandas_merge(ray_session):
+    import ray.data as rd
+
+    left, right = _skew_frames()
+    out, stats = _run_skew(rd, left, right, hot_count=200,
+                           return_stats=True)
+    exp = left.merge(right, left_on="k", right_on="rk").drop(
+        columns=["rk"])
+    pd.testing.assert_frame_equal(_norm(out.to_pandas()), _norm(exp))
+    assert stats["n_hot_keys"] == 1 and stats["hot_keys"] == [42]
+
+
+def test_skew_join_no_hot_keys_path(ray_session):
+    import ray.data as rd
+
+    left, right = _skew_frames(hot_frac=0.0)
+    out, stats = _run_skew(rd, left, right, hot_count=10_000,
+                           return_stats=True)
+    exp = left.merge(right, left_on="k", right_on="rk").drop(
+        columns=["rk"])
+    pd.testing.assert_frame_equal(_norm(out.to_pandas()), _norm(exp))
+    assert stats["n_hot_keys"] == 0
+
+
+def test_skew_join_int64_keys_exact(ray_session):
+    """Keys beyond 2^53 must not collide (the ADVICE float trap)."""
+    import ray.data as rd
+
+    big = np.int64(1) << 60
+    left = pd.DataFrame({"k": np.array([big, big + 2, big, 5], np.int64),
+                         "x": np.arange(4, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.array([big, big + 2, 5], np.int64),
+                          "y": np.array([1, 2, 3], np.int64)})
+    out = _run_skew(rd, left, right, hot_count=2).to_pandas()
+    exp = left.merge(right, left_on="k", right_on="rk").drop(
+        columns=["rk"])
+    pd.testing.assert_frame_equal(_norm(out), _norm(exp))
+
+
+def test_skew_join_right_rows_gate(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame({"k": np.zeros(100, np.int64),
+                         "x": np.arange(100, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.zeros(50, np.int64),
+                          "y": np.arange(50, dtype=np.int64)})
+    with pytest.raises(RuntimeError, match="max_hot_right_rows"):
+        _run_skew(rd, left, right, hot_count=10, max_hot_right_rows=5)

@@ -2287,3 +2287,227 @@ def k_truss(edges_ds, k: int = 3, src: str = "src", dst: str = "dst",
         n_prev = n
         cur = kept.drop_columns(["support"]).materialize()
     raise RuntimeError(f"k_truss: no fixpoint within {max_rounds} rounds")
+
+
+def sssp(edges_ds, sources, src: str = "src", dst: str = "dst",
+         weight: str = "w", max_rounds: int = 50,
+         distributed: bool = False, broadcast_limit: int = 2_000_000,
+         num_partitions: int = 32):
+    """Weighted single/multi-source shortest paths (POSITIVE integer
+    weights) → Dataset(node:int64, dist:int64) for every reachable
+    node — the weighted complement of `bfs_depth` (hop counts) when
+    links carry costs (latency, crawl budget, click distance).
+
+    Reference parity anchor: tesseract-rs has no graph surface
+    (src/api.rs processes documents independently); this extends the
+    crawl-graph tier the way `pagerank`/`bfs_depth` do.
+
+    Delta-stepping-flavoured Bellman–Ford with a FRONTIER: only nodes
+    whose distance improved last round relax their out-edges, so late
+    rounds touch a shrinking edge subset and termination is exact
+    (frontier empty ⇔ no tense edge; positive weights ⇒ ≤ n rounds,
+    fail-loud at ``max_rounds``).  Bit-identical at any parallelism
+    (integer min is commutative) and across both modes:
+
+    - default: the distance table lives as two sorted int64 numpy
+      arrays broadcast per round (``ray.put``), gated by
+      ``broadcast_limit`` (exact count, fail-loud — the
+      `pagerank`/`bfs_depth` state-placement pattern).  Each round
+      scans edges once; a per-block lexsort+reduceat combiner emits
+      ≤1 (dst, min cand) row per block before the driver fold, so a
+      hot dst costs one slim row per block, not one per in-edge.
+    - ``distributed=True``: state stays a Dataset; each round is TWO
+      slim co-group exchanges (edges⋈frontier on hash(src) to relax,
+      then candidates⋈dist on hash(node) to fold the min) — nothing
+      node-proportional reaches the driver.
+    """
+    import ray
+
+    edges = edges_ds.select_columns([src, dst, weight]).materialize()
+    seed_arr = np.unique(np.asarray(list(sources), np.int64))
+
+    def block_min(nodes: np.ndarray, dists: np.ndarray) -> pa.Table:
+        """(node, dist) rows → one (node, min dist) row per node."""
+        if not len(nodes):
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        o = np.lexsort((dists, nodes))
+        n, d = nodes[o], dists[o]
+        first = np.ones(len(n), bool)
+        first[1:] = n[1:] != n[:-1]
+        return pa.table({"node": pa.array(n[first], pa.int64()),
+                         "dist": pa.array(d[first], pa.int64())})
+
+    if not distributed:
+        nodes = seed_arr.copy()          # sorted
+        dist = np.zeros(len(seed_arr), np.int64)
+        f_nodes, f_dist = nodes, dist    # frontier (sorted by node)
+        for _ in range(max_rounds):
+            if len(nodes) > broadcast_limit:
+                raise ValueError(
+                    f"sssp: {len(nodes)} reached nodes exceed "
+                    f"broadcast_limit {broadcast_limit}; pass "
+                    "distributed=True (co-group frontier)")
+            f_ref = ray.put((f_nodes, f_dist))
+
+            def relax(t: pa.Table, _f=f_ref) -> pa.Table:
+                fn, fd = ray.get(_f)
+                s = pc.cast(t[src], pa.int64()).to_numpy(
+                    zero_copy_only=False)
+                dd = pc.cast(t[dst], pa.int64()).to_numpy(
+                    zero_copy_only=False)
+                w = pc.cast(t[weight], pa.int64()).to_numpy(
+                    zero_copy_only=False)
+                m = _member(fn, s)
+                pos = np.searchsorted(fn, s[m])
+                return block_min(dd[m], fd[pos] + w[m])
+
+            rows = (edges.map_batches(relax, batch_format="pyarrow",
+                                      batch_size=262_144)
+                    .take_all())
+            if rows:
+                cn = np.fromiter((r["node"] for r in rows), np.int64,
+                                 len(rows))
+                cd = np.fromiter((r["dist"] for r in rows), np.int64,
+                                 len(rows))
+                folded = block_min(cn, cd)
+                cn = folded["node"].to_numpy(zero_copy_only=False)
+                cd = folded["dist"].to_numpy(zero_copy_only=False)
+            else:
+                cn = np.empty(0, np.int64)
+                cd = np.empty(0, np.int64)
+            # merge candidates into the settled table; keep improvers
+            known = _member(nodes, cn)
+            pos = np.searchsorted(nodes, cn[known])
+            better = cd[known] < dist[pos]
+            dist[pos[better]] = cd[known][better]
+            new_n = cn[~known]
+            new_d = cd[~known]
+            f_nodes = np.concatenate([cn[known][better], new_n])
+            f_dist = np.concatenate([cd[known][better], new_d])
+            if not len(f_nodes):
+                o = np.argsort(nodes, kind="stable")
+                return ray.data.from_arrow(pa.table({
+                    "node": pa.array(nodes[o], pa.int64()),
+                    "dist": pa.array(dist[o], pa.int64())}))
+            nodes = np.concatenate([nodes, new_n])
+            dist = np.concatenate([dist, new_d])
+            o = np.argsort(nodes, kind="stable")
+            nodes, dist = nodes[o], dist[o]
+            fo = np.argsort(f_nodes, kind="stable")
+            f_nodes, f_dist = f_nodes[fo], f_dist[fo]
+        raise RuntimeError(f"sssp: no fixpoint within {max_rounds} rounds")
+
+    # ---- distributed: dist/frontier stay Datasets ----
+    def part_of(ids: np.ndarray) -> np.ndarray:
+        return np.abs(ids) % np.int64(num_partitions)
+
+    def mk_state(n: np.ndarray, d: np.ndarray):
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(n, pa.int64()),
+            "dist": pa.array(d, pa.int64())}))
+
+    dist_ds = mk_state(seed_arr,
+                       np.zeros(len(seed_arr), np.int64)).materialize()
+    frontier_ds = dist_ds
+    for _ in range(max_rounds):
+        def tag_edges(t: pa.Table) -> pa.Table:
+            s = pc.cast(t[src], pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(s), pa.int64()),
+                "a": pa.array(s, pa.int64()),
+                "b": pc.cast(t[dst], pa.int64()),
+                "c": pc.cast(t[weight], pa.int64()),
+                "_side": pa.array(np.zeros(len(s), np.int8))})
+
+        def tag_front(t: pa.Table) -> pa.Table:
+            n = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(n), pa.int64()),
+                "a": pa.array(n, pa.int64()),
+                "b": pa.array(np.zeros(len(n), np.int64), pa.int64()),
+                "c": pc.cast(t["dist"], pa.int64()),
+                "_side": pa.array(np.ones(len(n), np.int8))})
+
+        both = (edges.map_batches(tag_edges, batch_format="pyarrow")
+                .union(frontier_ds.map_batches(tag_front,
+                                               batch_format="pyarrow")))
+
+        def relax_part(g: pa.Table) -> pa.Table:
+            side = g["_side"].to_numpy(zero_copy_only=False)
+            a = g["a"].to_numpy(zero_copy_only=False)
+            b = g["b"].to_numpy(zero_copy_only=False)
+            c = g["c"].to_numpy(zero_copy_only=False)
+            fm = side == 1
+            fn, fd = a[fm], c[fm]
+            fo = np.argsort(fn, kind="stable")
+            fn, fd = fn[fo], fd[fo]
+            es, ed, ew = a[~fm], b[~fm], c[~fm]
+            m = _member(fn, es)
+            pos = np.searchsorted(fn, es[m])
+            return block_min(ed[m], fd[pos] + ew[m])
+
+        cand = (both.groupby("_part")
+                .map_groups(relax_part, batch_format="pyarrow"))
+
+        def tag_cand(t: pa.Table) -> pa.Table:
+            n = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(n), pa.int64()),
+                "a": pa.array(n, pa.int64()),
+                "c": pc.cast(t["dist"], pa.int64()),
+                "_side": pa.array(np.zeros(len(n), np.int8))})
+
+        def tag_dist(t: pa.Table) -> pa.Table:
+            n = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(n), pa.int64()),
+                "a": pa.array(n, pa.int64()),
+                "c": pc.cast(t["dist"], pa.int64()),
+                "_side": pa.array(np.ones(len(n), np.int8))})
+
+        pair = (cand.map_batches(tag_cand, batch_format="pyarrow")
+                .union(dist_ds.map_batches(tag_dist,
+                                           batch_format="pyarrow")))
+
+        def fold(g: pa.Table) -> pa.Table:
+            """Per hash(node) partition: min(settled, candidates);
+            emit the FULL updated rows for this partition plus an
+            _improved flag for the frontier split."""
+            side = g["_side"].to_numpy(zero_copy_only=False)
+            a = g["a"].to_numpy(zero_copy_only=False)
+            c = g["c"].to_numpy(zero_copy_only=False)
+            sm = side == 1
+            sn, sd = a[sm], c[sm]
+            so = np.argsort(sn, kind="stable")
+            sn, sd = sn[so], sd[so]
+            cn, cd = a[~sm], c[~sm]
+            ct = block_min(cn, cd)
+            cn = ct["node"].to_numpy(zero_copy_only=False)
+            cd = ct["dist"].to_numpy(zero_copy_only=False)
+            known = _member(sn, cn)
+            pos = np.searchsorted(sn, cn[known])
+            sd = sd.copy()
+            improved_mask = cd[known] < sd[pos]
+            sd[pos[improved_mask]] = cd[known][improved_mask]
+            new_n, new_d = cn[~known], cd[~known]
+            imp = np.zeros(len(sn), bool)
+            imp[pos[improved_mask]] = True
+            return pa.table({
+                "node": pa.array(np.concatenate([sn, new_n]), pa.int64()),
+                "dist": pa.array(np.concatenate([sd, new_d]), pa.int64()),
+                "_improved": pa.array(np.concatenate(
+                    [imp, np.ones(len(new_n), bool)]))})
+
+        merged = (pair.groupby("_part")
+                  .map_groups(fold, batch_format="pyarrow")
+                  .materialize())
+        frontier_ds = merged.map_batches(
+            lambda t: t.filter(t["_improved"]).drop_columns(["_improved"]),
+            batch_format="pyarrow").materialize()
+        dist_ds = merged.map_batches(
+            lambda t: t.drop_columns(["_improved"]),
+            batch_format="pyarrow").materialize()
+        if frontier_ds.count() == 0:
+            return dist_ds.sort("node")
+    raise RuntimeError(f"sssp: no fixpoint within {max_rounds} rounds")

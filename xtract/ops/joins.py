@@ -1002,3 +1002,124 @@ def cumulative_distinct(ds, key: str, ts_col: str, val_col: str,
             .groupby("_part")
             .map_groups(per_partition, batch_format="pandas")
             .select_columns([key, id_col, "n_distinct_so_far"]))
+
+
+def skew_join(left_ds, right_ds, on: str, right_on: str | None = None,
+              hot_count: int = 100_000, max_hot_keys: int = 100_000,
+              max_hot_right_rows: int = 2_000_000,
+              num_partitions: int = 32, suffix: str = "_r",
+              return_stats: bool = False):
+    """Skew-aware large×large INNER equi-join.
+
+    A plain hash co-group sends every row of a hot key to ONE
+    partition: a key holding 10% of a 10^12-row fact table turns a
+    32-way co-group into a single straggler doing 10^11-row merges.
+    This operator splits the key space by measured LEFT-side frequency:
+
+    - **Cold keys** (< ``hot_count`` rows) take the normal
+      ``equi_join_cogroup`` path.
+    - **Hot keys** (≥ ``hot_count``) never enter the shuffle — the
+      RIGHT side's rows for exactly those keys (small by the usual
+      fact×dimension skew shape) are broadcast once via ``ray.put``,
+      and hot left rows merge against them inside ``map_batches``,
+      spread over ALL partitions instead of piling onto one.
+
+    Both paths produce rows identical to
+    ``equi_join_cogroup(how="inner")``; the union is the full join in
+    arbitrary order.  Frequency measurement is itself skew-proof: a
+    per-block ``value_counts`` combiner emits ≤1 row per (block, key)
+    before the slim ``groupby(key).Sum`` exchange.
+
+    Fail-loud gates (the ``DRIVER_CC_LIMIT`` pattern): the number of
+    hot keys is bounded by n_left / hot_count by construction, but
+    both the hot-key list (``max_hot_keys``) and the broadcast right
+    rows (``max_hot_right_rows``) are exact-counted BEFORE any
+    ``take_all`` and raise instead of OOMing the driver.
+
+    Reference parity anchor: the skew mechanism of
+    ``pipeline.extract_pages`` (oversized-document salting) applied to
+    the relational tier; tesseract-rs has no join surface
+    (src/api.rs processes documents independently).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    right_on = right_on or on
+    lnames = list(left_ds.schema().names)
+    rnames = list(right_ds.schema().names)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b[on])
+        return pa.table({on: vc.field("values"),
+                         "_n": pc.cast(vc.field("counts"), pa.int64())})
+
+    freq = (left_ds.select_columns([on])
+            .map_batches(count_partial, batch_format="pyarrow")
+            .groupby(on).aggregate(Sum("_n", alias_name="_n")))
+    hot = freq.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["_n"],
+                                            pa.scalar(int(hot_count)))),
+        batch_format="pyarrow")
+    n_hot = hot.count()
+    stats = {"n_hot_keys": int(n_hot)}
+    if n_hot == 0:
+        out = equi_join_cogroup(left_ds, right_ds, on=on,
+                                right_on=right_on, how="inner",
+                                num_partitions=num_partitions,
+                                suffix=suffix)
+        return (out, stats) if return_stats else out
+    if n_hot > max_hot_keys:
+        raise RuntimeError(
+            f"skew_join: {n_hot} hot keys exceeds max_hot_keys="
+            f"{max_hot_keys}; raise hot_count or the gate")
+    hot_keys = pa.array(
+        sorted(r[on] for r in hot.take_all()),
+        type=_as_pa_type(left_ds.schema().types[lnames.index(on)]))
+    stats["hot_keys"] = hot_keys.to_pylist()
+
+    right_hot_ds = right_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b[right_on], value_set=hot_keys)),
+        batch_format="pyarrow")
+    n_rh = right_hot_ds.count()
+    stats["n_hot_right_rows"] = int(n_rh)
+    if n_rh > max_hot_right_rows:
+        raise RuntimeError(
+            f"skew_join: {n_rh} right rows on hot keys exceeds "
+            f"max_hot_right_rows={max_hot_right_rows}; the hot side "
+            f"is large on BOTH sides — use a salted co-group instead")
+    # column-wise conversion keeps int64 keys exact (no null-pad here,
+    # but mirror equi_join_cogroup's dtype discipline)
+    rh_tbl = pa.concat_tables(
+        list(right_hot_ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=65536)),
+        promote_options="default") if n_rh else None
+    R_hot = (pd.DataFrame({c: rh_tbl[c].to_pandas() for c in rnames})
+             if n_rh else pd.DataFrame(
+                 {c: pd.Series(dtype="object") for c in rnames}))
+    ref = ray.put(R_hot)
+
+    def merge_hot(b: pa.Table) -> pd.DataFrame:
+        keep = b.filter(pc.is_in(b[on], value_set=hot_keys))
+        L = pd.DataFrame({c: keep[c].to_pandas() for c in lnames})
+        R = ray.get(ref)
+        merged = L.merge(R, how="inner", left_on=on, right_on=right_on,
+                         suffixes=("", suffix))
+        if right_on != on and right_on in merged.columns:
+            merged = merged.drop(columns=[right_on])
+        return merged
+
+    left_cold = left_ds.map_batches(
+        lambda b: b.filter(
+            pc.invert(pc.is_in(b[on], value_set=hot_keys))),
+        batch_format="pyarrow")
+    right_cold = right_ds.map_batches(
+        lambda b: b.filter(
+            pc.invert(pc.is_in(b[right_on], value_set=hot_keys))),
+        batch_format="pyarrow")
+    hot_joined = left_ds.map_batches(merge_hot, batch_format="pyarrow")
+    cold_joined = equi_join_cogroup(left_cold, right_cold, on=on,
+                                    right_on=right_on, how="inner",
+                                    num_partitions=num_partitions,
+                                    suffix=suffix)
+    out = hot_joined.union(cold_joined)
+    return (out, stats) if return_stats else out
