@@ -9683,6 +9683,40 @@ def _lr_conformal_sql() -> str:
         "FROM q, rk, ev")
 
 
+def _q_lr_auc(sf_dir: str):
+    """Exact ROC AUC of the trained quality classifier's micro-
+    probability against its label (``ops/mleval.roc_auc``: grouped
+    Sum over distinct scores → range sort → two-pass distributed
+    prefix scan of negatives; doubled integer numerator, one IEEE
+    division)."""
+    from xtract.ops.logreg import score_logreg, train_logreg
+    from xtract.ops.mleval import roc_auc
+
+    feats = (_docs(sf_dir, ["doc_id", "text", "n_chars"])
+             .map_batches(_lr_featurize, batch_format="pyarrow")
+             .materialize())
+    model = train_logreg(feats, ["x0", "x1", "x2", "x3"], "y",
+                         steps=4, lr=32)
+    scored = score_logreg(feats, model, ["doc_id", "y"])
+    return roc_auc(scored, "p_micro", "y")
+
+
+def _lr_auc_sql() -> str:
+    body, sig = _lr_sql_parts()
+    return (
+        f"WITH {body}, scored AS (SELECT y, {sig} AS p FROM f, w4), "
+        "s AS (SELECT p AS v, sum(y) AS np, count(*) - sum(y) AS nn "
+        "FROM scored GROUP BY 1), "
+        "c AS (SELECT np, nn, COALESCE(sum(nn) OVER (ORDER BY v "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS cneg FROM s) "
+        "SELECT CAST(sum(np) AS BIGINT) AS n_pos, "
+        "CAST(sum(nn) AS BIGINT) AS n_neg, "
+        "CAST(sum(2 * np * cneg + np * nn) AS BIGINT) AS auc_num2, "
+        "CAST(sum(2 * np * cneg + np * nn) AS DOUBLE) / "
+        "(2.0 * sum(np) * sum(nn)) AS auc FROM c")
+
+
 def _q_nation_profit(sf_dir: str):
     """TPC-H Q9-shape product-line profit: revenue from lineitems of
     parts matching a name word, by supplier nation × order year, in
@@ -10897,6 +10931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lr_calibration": _q_lr_calibration,
         "event_user_kmv": _q_event_user_kmv,
         "lr_conformal": _q_lr_conformal,
+        "lr_auc": _q_lr_auc,
         "doc_neyman_sample": _q_doc_neyman_sample,
         "source_zipf_slope": _q_source_zipf_slope,
         "lr_tune": _q_lr_tune,
@@ -12731,6 +12766,7 @@ def oracle_sql() -> dict[str, str]:
         "lr_calibration": _lr_calibration_sql(),
         "event_user_kmv": _event_user_kmv_sql(),
         "lr_conformal": _lr_conformal_sql(),
+        "lr_auc": _lr_auc_sql(),
         "doc_neyman_sample": _DOC_NEYMAN_SQL,
         "source_zipf_slope": _SOURCE_ZIPF_SQL,
         "lr_tune": _lr_tune_sql(),

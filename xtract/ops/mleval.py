@@ -75,6 +75,87 @@ def calibration_bins(ds, p_col: str, label_col: str,
                        Sum("sum_p", alias_name="sum_p")))
 
 
+def roc_auc(ds, score_col: str, label_col: str):
+    """Exact ROC AUC (Mann–Whitney U with midrank tie handling) of an
+    integer score column against a 0/1 label — threshold-free ranking
+    quality for the trained classifier tier.
+
+    Exact integers end to end:  group the corpus by DISTINCT score v
+    into (n_pos(v), n_neg(v)) via ONE grouped Sum (pre-summed per
+    block by the groupby's combiner), range-sort the distinct-score
+    table (tiny vs the corpus), then a distributed global prefix scan
+    of negatives in two block passes (the ``two_sample_ks`` /
+    ``tag_late_events`` shape: pass 1 emits one partial row per
+    block, the driver folds n_blocks rows, pass 2 finishes inside
+    each block).  The doubled numerator
+
+        auc_num2 = Σ_v  2·n_pos(v)·C_neg(<v)  +  n_pos(v)·n_neg(v)
+
+    is an order-free int64 sum, so the statistic is bit-identical at
+    any parallelism; the final ``auc = auc_num2 / (2·n_pos·n_neg)``
+    is one IEEE division both numpy and DuckDB reproduce exactly
+    (operands below 2^53 — document the bound at extreme corpus
+    sizes).  → one-row DataFrame (n_pos, n_neg, auc_num2, auc)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def project(b: pa.Table) -> pa.Table:
+        y = pc.cast(b[label_col], pa.int64())
+        return pa.table({
+            "v": pc.cast(b[score_col], pa.int64()),
+            "np": y,
+            "nn": pc.subtract(pa.scalar(1, pa.int64()), y)})
+
+    counts = (ds.map_batches(project, batch_format="pyarrow")
+              .groupby("v")
+              .aggregate(Sum("np", alias_name="np"),
+                         Sum("nn", alias_name="nn"))
+              .sort("v").materialize())
+
+    def block_meta(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "first": pa.array([b["v"][0].as_py()], pa.int64()),
+            "sn": pa.array([pc.sum(b["nn"]).as_py() or 0], pa.int64())})
+
+    meta = (counts.map_batches(block_meta, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+            .sort_values("first").reset_index(drop=True))
+    if not len(meta):
+        raise ValueError("roc_auc: empty input")
+    firsts = meta["first"].to_numpy(np.int64)
+    sn = meta["sn"].to_numpy(np.int64)
+    off_n = np.concatenate(([0], np.cumsum(sn)[:-1]))
+    ref = ray.put((firsts, off_n))
+
+    def block_num(b: pa.Table) -> pa.Table:
+        fk, on = ray.get(ref)
+        pos = np.searchsorted(fk, b["v"][0].as_py())
+        npos = b["np"].to_numpy(zero_copy_only=False)
+        nneg = b["nn"].to_numpy(zero_copy_only=False)
+        cneg = on[pos] + np.cumsum(nneg) - nneg   # negatives STRICTLY below
+        num2 = int((2 * npos * cneg + npos * nneg).sum())
+        return pa.table({
+            "num2": pa.array([num2], pa.int64()),
+            "tp": pa.array([int(npos.sum())], pa.int64()),
+            "tn": pa.array([int(nneg.sum())], pa.int64())})
+
+    s = (counts.map_batches(block_num, batch_format="pyarrow",
+                            batch_size=None).sum(["num2", "tp", "tn"]))
+    n_pos, n_neg = int(s["sum(tp)"]), int(s["sum(tn)"])
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"roc_auc: need both classes (n_pos={n_pos}, n_neg={n_neg})")
+    num2 = int(s["sum(num2)"])
+    return pd.DataFrame({
+        "n_pos": pa.array([n_pos], pa.int64()).to_pandas(),
+        "n_neg": pa.array([n_neg], pa.int64()).to_pandas(),
+        "auc_num2": pa.array([num2], pa.int64()).to_pandas(),
+        "auc": [num2 / (2 * n_pos * n_neg)],
+    })
+
+
 def conformal_binary(scored, label_col: str, p_col: str,
                      split_col: str, alpha_num: int = 1,
                      alpha_den: int = 10, p_scale: int = 1_000_000):
