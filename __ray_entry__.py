@@ -10799,6 +10799,76 @@ def _q_host_weighted_sssp(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def _comm_edges(sf_dir: str):
+    """Planted 6-community host graph over h = doc_id % 60: each block
+    of 10 gets ring edges h→h+1 and h→h+2 (mod 10, intra-block) plus
+    one bridge per block (offset-0 node → next block's offset-0)."""
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        h = np.unique(t["doc_id"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64) % 60)
+        c, off = h // 10, h % 10
+        s = np.concatenate([h, h, h[off == 0]])
+        d = np.concatenate([c * 10 + (off + 1) % 10,
+                            c * 10 + (off + 2) % 10,
+                            ((c[off == 0] + 1) % 6) * 10])
+        return pa.table({"src": pa.array(s, pa.int64()),
+                         "dst": pa.array(d, pa.int64())})
+
+    return docs.map_batches(edges, batch_format="pyarrow")
+
+
+_LP_SQL_BODY = (
+    "nodes AS (SELECT DISTINCT CAST(doc_id % 60 AS BIGINT) AS h "
+    "FROM documents), "
+    "e0 AS (SELECT h AS u, (h // 10) * 10 + (h % 10 + 1) % 10 AS v "
+    "FROM nodes "
+    "UNION ALL SELECT h, (h // 10) * 10 + (h % 10 + 2) % 10 FROM nodes "
+    "UNION ALL SELECT h, (((h // 10) + 1) % 6) * 10 FROM nodes "
+    "WHERE h % 10 = 0), "
+    "ee0 AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v "
+    "FROM e0 WHERE u <> v), "
+    "ee AS (SELECT u AS s, v AS d FROM ee0 "
+    "UNION ALL SELECT v, u FROM ee0), "
+    "l0 AS (SELECT h AS node, h AS lab FROM nodes)"
+    + "".join(
+        f", c{r} AS (SELECT e.d AS node, l.lab, count(*) AS c "
+        f"FROM ee e JOIN l{r-1} l ON l.node = e.s GROUP BY 1, 2), "
+        f"b{r} AS (SELECT node, lab FROM (SELECT node, lab, "
+        f"row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) "
+        f"AS rn FROM c{r}) WHERE rn = 1), "
+        f"l{r} AS (SELECT p.node, COALESCE(b.lab, p.lab) AS lab "
+        f"FROM l{r-1} p LEFT JOIN b{r} b USING (node))"
+        for r in (1, 2, 3, 4)))
+
+
+def _q_host_communities(sf_dir: str):
+    """Synchronous label-propagation communities
+    (``ops/graph.label_propagation``, 4 deterministic rounds,
+    min-label ties) over the planted 6-community host graph; the
+    oracle unrolls the identical rounds as CTEs."""
+    from xtract.ops.graph import label_propagation
+
+    out = label_propagation(_comm_edges(sf_dir), rounds=4).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _q_host_modularity(sf_dir: str):
+    """Exact integer Newman modularity statistics per LP community
+    (``ops/graph.modularity_stats``: q_num = 4·m·m_in − d_tot², global
+    Q = Σ q_num / 4m²) — the partition-quality audit chained onto
+    ``host_communities``."""
+    from xtract.ops.graph import label_propagation, modularity_stats
+
+    e = _comm_edges(sf_dir)
+    labels = label_propagation(e, rounds=4)
+    out = modularity_stats(e, labels).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lab").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -10940,6 +11010,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_coreset": _q_embedding_coreset,
         "knn_mmr": _q_knn_mmr,
         "host_weighted_sssp": _q_host_weighted_sssp,
+        "host_communities": _q_host_communities,
+        "host_modularity": _q_host_modularity,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -13311,6 +13383,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM c, t GROUP BY t.n_a, t.n_b",
         "embedding_coreset": _coreset_sql(5),
         "knn_mmr": _mmr_sql(5, 20),
+        "host_communities":
+            f"WITH {_LP_SQL_BODY} "
+            "SELECT node, lab FROM l4 ORDER BY node",
+        "host_modularity":
+            f"WITH {_LP_SQL_BODY}, "
+            "lab AS (SELECT node, lab FROM l4), "
+            "mm AS (SELECT count(*) AS m FROM ee0), "
+            "intra AS (SELECT l1.lab AS lab, count(*) AS m_in "
+            "FROM ee0 e JOIN lab l1 ON l1.node = e.u "
+            "JOIN lab l2 ON l2.node = e.v AND l2.lab = l1.lab "
+            "GROUP BY 1), "
+            "deg AS (SELECT l.lab, count(*) AS d_tot FROM "
+            "(SELECT u AS n FROM ee0 UNION ALL SELECT v FROM ee0) x "
+            "JOIN lab l ON l.node = x.n GROUP BY 1) "
+            "SELECT d.lab, CAST(COALESCE(i.m_in, 0) AS BIGINT) "
+            "AS m_in, CAST(d.d_tot AS BIGINT) AS d_tot, "
+            "CAST(4 * mm.m * COALESCE(i.m_in, 0) - "
+            "d.d_tot * d.d_tot AS BIGINT) AS q_num "
+            "FROM deg d LEFT JOIN intra i USING (lab), mm "
+            "ORDER BY d.lab",
         "host_weighted_sssp":
             # recursive-CTE replay; the plant is a DAG so UNION
             # (distinct) terminates

@@ -161,3 +161,105 @@ def test_skew_join_right_rows_gate(ray_session):
                           "y": np.arange(50, dtype=np.int64)})
     with pytest.raises(RuntimeError, match="max_hot_right_rows"):
         _run_skew(rd, left, right, hot_count=10, max_hot_right_rows=5)
+
+
+# ------------------------------------------- label propagation / modularity
+
+def _undirected(edges):
+    s = set()
+    for u, v, *_ in edges:
+        if u != v:
+            s.add((min(u, v), max(u, v)))
+    return sorted(s)
+
+
+def _brute_lp(edges, rounds):
+    """Sequential synchronous LP, majority with min-label ties."""
+    und = _undirected(edges)
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    lab = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = {}
+            for b in nbrs:
+                cnt[lab[b]] = cnt.get(lab[b], 0) + 1
+            best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[n] = best
+        if new == lab:
+            break
+        lab = new
+    return lab
+
+
+def _brute_modularity(edges, lab):
+    und = _undirected(edges)
+    m = len(und)
+    m_in, d_tot = {}, {}
+    for u, v in und:
+        if lab[u] == lab[v]:
+            m_in[lab[u]] = m_in.get(lab[u], 0) + 1
+        d_tot[lab[u]] = d_tot.get(lab[u], 0) + 1
+        d_tot[lab[v]] = d_tot.get(lab[v], 0) + 1
+    return {c: (m_in.get(c, 0), d_tot[c],
+                4 * m * m_in.get(c, 0) - d_tot[c] ** 2)
+            for c in d_tot}
+
+
+def _two_cliques_bridge():
+    e = []
+    for grp in (range(0, 6), range(10, 16)):
+        g = list(grp)
+        e += [(a, b, 1) for i, a in enumerate(g) for b in g[i + 1:]]
+    e.append((5, 10, 1))
+    return e
+
+
+@pytest.mark.parametrize("distributed", [False, True])
+def test_label_propagation_matches_sequential(ray_session, distributed):
+    import ray.data as rd
+
+    from xtract.ops.graph import label_propagation
+
+    edges = _rand_graph(seed=9, n_nodes=40, n_edges=180)
+    got = (label_propagation(_edges_ds(rd, edges), rounds=4,
+                             distributed=distributed, num_partitions=8)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    exp = _brute_lp(edges, 4)
+    assert dict(zip(got.node, got.lab)) == exp
+
+
+def test_label_propagation_finds_two_cliques(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.graph import label_propagation
+
+    out = (label_propagation(_edges_ds(rd, _two_cliques_bridge()),
+                             rounds=4).to_pandas())
+    lab = dict(zip(out.node, out.lab))
+    assert len({lab[n] for n in range(0, 6)}) == 1
+    assert len({lab[n] for n in range(10, 16)}) == 1
+    assert lab[0] != lab[10]
+
+
+def test_modularity_matches_brute(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.graph import label_propagation, modularity_stats
+
+    edges = _two_cliques_bridge()
+    labels = label_propagation(_edges_ds(rd, edges), rounds=4)
+    out = (modularity_stats(_edges_ds(rd, edges), labels)
+           .to_pandas().sort_values("lab").reset_index(drop=True))
+    lab = _brute_lp(edges, 4)
+    exp = _brute_modularity(edges, lab)
+    got = {int(r.lab): (int(r.m_in), int(r.d_tot), int(r.q_num))
+           for r in out.itertuples()}
+    assert got == exp
+    # a clean two-clique split has strongly positive modularity
+    m = len(_undirected(edges))
+    q = sum(v[2] for v in exp.values()) / (4 * m * m)
+    assert q > 0.4

@@ -2511,3 +2511,326 @@ def sssp(edges_ds, sources, src: str = "src", dst: str = "dst",
         if frontier_ds.count() == 0:
             return dist_ds.sort("node")
     raise RuntimeError(f"sssp: no fixpoint within {max_rounds} rounds")
+
+
+def _undirected_distinct(edges_ds, src: str, dst: str):
+    """Distinct undirected edge set (u < v, self-loops dropped) —
+    block-local unordered-pair combiner → ONE native groupby (the
+    `clustering_coefficients` dedup shape).  Node ids must fit 31
+    bits for the packed combiner key (documented across this tier)."""
+    from ray.data.aggregate import Count
+
+    def undirect(b: pa.Table) -> pa.Table:
+        u = pc.cast(b[src], pa.int64()).to_numpy(zero_copy_only=False)
+        v = pc.cast(b[dst], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        key = np.unique(lo * (np.int64(1) << 31) + hi)
+        return pa.table({
+            "u": pa.array(key >> 31, pa.int64()),
+            "v": pa.array(key & ((1 << 31) - 1), pa.int64())})
+
+    return (edges_ds.map_batches(undirect, batch_format="pyarrow")
+            .groupby(["u", "v"]).aggregate(Count(alias_name="_c"))
+            .drop_columns(["_c"]).materialize())
+
+
+def _lab_majority(nodes: np.ndarray, labs: np.ndarray,
+                  ns: np.ndarray):
+    """(node, lab, n) rows → per node the lab with max Σn, ties to the
+    SMALLEST lab (the determinism rule) — one lexsort + reduceat."""
+    o = np.lexsort((labs, nodes))
+    nd, lb, nn = nodes[o], labs[o], ns[o]
+    pair_first = np.ones(len(nd), bool)
+    pair_first[1:] = (nd[1:] != nd[:-1]) | (lb[1:] != lb[:-1])
+    starts = np.flatnonzero(pair_first)
+    psum = np.add.reduceat(nn, starts) if len(starts) else nn[:0]
+    pn, pl = nd[starts], lb[starts]
+    # per node: argmax count, tie → min lab.  lexsort keys: node asc,
+    # count desc, lab asc → first row of each node run wins.
+    o2 = np.lexsort((pl, -psum, pn))
+    pn, pl = pn[o2], pl[o2]
+    node_first = np.ones(len(pn), bool)
+    node_first[1:] = pn[1:] != pn[:-1]
+    return pn[node_first], pl[node_first]
+
+
+def label_propagation(edges_ds, rounds: int = 4, src: str = "src",
+                      dst: str = "dst", distributed: bool = False,
+                      broadcast_limit: int = 2_000_000,
+                      num_partitions: int = 32):
+    """Synchronous label-propagation communities (Raghavan et al. 2007,
+    public method) over the DISTINCT UNDIRECTED edge set →
+    Dataset(node:int64, lab:int64).  Every node starts as its own
+    label; each round every node adopts the most frequent label among
+    its neighbors, ties to the SMALLEST label — fully deterministic,
+    bit-identical at any parallelism, and exactly ``rounds`` rounds of
+    the synchronous update (early-stop when a round changes nothing is
+    a pure optimization: further rounds are the identity).  Host-level
+    community detection is the crawl-tier grouping for domain-aware
+    sampling/dedup that plain connected components over-merges.
+
+    Reference parity anchor: tesseract-rs has no graph surface
+    (src/api.rs — documents independent); this extends the
+    `pagerank`/`bfs_depth`/`k_core` crawl-graph tier.
+
+    Scale shapes (both produce identical labels):
+
+    - default: the label table lives as two sorted int64 arrays
+      broadcast per round (``ray.put``), gated by ``broadcast_limit``
+      (exact count, fail-loud).  Each round: one edge scan emitting
+      per-block pre-counted (node, neighbor-lab, n) partials → ONE
+      hash(node) co-group running the vectorized majority kernel →
+      a node-proportional label pull (inside the same gate).
+    - ``distributed=True``: labels stay a Dataset; each round is TWO
+      slim co-group exchanges (edges⋈labels on hash(src) to emit
+      neighbor labels, then candidates⋈labels on hash(node) to fold
+      the majority) — nothing node-proportional reaches the driver.
+    """
+    import ray
+
+    edges = _undirected_distinct(edges_ds, src, dst)
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            b["u"].to_numpy(zero_copy_only=False),
+            b["v"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"node": pa.array(ids, pa.int64())})
+
+    def count_pairs(dstv: np.ndarray, labv: np.ndarray) -> pa.Table:
+        """(node, lab) occurrences → pre-counted slim partial rows."""
+        o = np.lexsort((labv, dstv))
+        d, l = dstv[o], labv[o]
+        first = np.ones(len(d), bool)
+        first[1:] = (d[1:] != d[:-1]) | (l[1:] != l[:-1])
+        starts = np.flatnonzero(first)
+        n = (np.add.reduceat(np.ones(len(d), np.int64), starts)
+             if len(starts) else np.empty(0, np.int64))
+        return pa.table({"node": pa.array(d[starts], pa.int64()),
+                         "lab": pa.array(l[starts], pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    if not distributed:
+        rows = (edges.map_batches(node_partial, batch_format="pyarrow")
+                .take_all())
+        nodes = np.unique(np.fromiter((r["node"] for r in rows),
+                                      np.int64, len(rows)))
+        if len(nodes) > broadcast_limit:
+            raise ValueError(
+                f"label_propagation: {len(nodes)} nodes exceed "
+                f"broadcast_limit {broadcast_limit}; pass "
+                "distributed=True (co-group labels)")
+        labs = nodes.copy()
+        for _ in range(rounds):
+            ref = ray.put((nodes, labs))
+
+            def emit(t: pa.Table, _r=ref) -> pa.Table:
+                nn, ll = ray.get(_r)
+                u = t["u"].to_numpy(zero_copy_only=False)
+                v = t["v"].to_numpy(zero_copy_only=False)
+                lu = ll[np.searchsorted(nn, u)]
+                lv = ll[np.searchsorted(nn, v)]
+                return count_pairs(np.concatenate([u, v]),
+                                   np.concatenate([lv, lu]))
+
+            def tag(t: pa.Table) -> pa.Table:
+                n = t["node"].to_numpy(zero_copy_only=False)
+                part = np.abs(n) % np.int64(num_partitions)
+                return t.append_column("_part",
+                                       pa.array(part, pa.int64()))
+
+            def majority(g: pa.Table) -> pa.Table:
+                pn, pl = _lab_majority(
+                    g["node"].to_numpy(zero_copy_only=False),
+                    g["lab"].to_numpy(zero_copy_only=False),
+                    g["n"].to_numpy(zero_copy_only=False))
+                return pa.table({"node": pa.array(pn, pa.int64()),
+                                 "lab": pa.array(pl, pa.int64())})
+
+            upd = (edges.map_batches(emit, batch_format="pyarrow",
+                                     batch_size=262_144)
+                   .map_batches(tag, batch_format="pyarrow")
+                   .groupby("_part")
+                   .map_groups(majority, batch_format="pyarrow")
+                   .to_pandas())
+            un = upd["node"].to_numpy(np.int64)
+            ul = upd["lab"].to_numpy(np.int64)
+            new_labs = labs.copy()
+            new_labs[np.searchsorted(nodes, un)] = ul
+            if np.array_equal(new_labs, labs):
+                break
+            labs = new_labs
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "lab": pa.array(labs, pa.int64())}))
+
+    # ---- distributed: the label table stays a Dataset ----
+    def part_of(ids: np.ndarray) -> np.ndarray:
+        return np.abs(ids) % np.int64(num_partitions)
+
+    from ray.data.aggregate import Count
+
+    labels_ds = (edges.map_batches(node_partial, batch_format="pyarrow")
+                 .groupby("node").aggregate(Count(alias_name="_c"))
+                 .drop_columns(["_c"])
+                 .map_batches(lambda t: pa.table({
+                     "node": pc.cast(t["node"], pa.int64()),
+                     "lab": pc.cast(t["node"], pa.int64())}),
+                     batch_format="pyarrow")
+                 .materialize())
+    for _ in range(rounds):
+        def tag_edges(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            a = np.concatenate([u, v])      # label-lookup key (src)
+            b = np.concatenate([v, u])      # receiver
+            return pa.table({
+                "_part": pa.array(part_of(a), pa.int64()),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "_side": pa.array(np.zeros(len(a), np.int8))})
+
+        def tag_labels(t: pa.Table) -> pa.Table:
+            n = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(n), pa.int64()),
+                "a": pa.array(n, pa.int64()),
+                "b": pc.cast(t["lab"], pa.int64()),
+                "_side": pa.array(np.ones(len(n), np.int8))})
+
+        both = (edges.map_batches(tag_edges, batch_format="pyarrow")
+                .union(labels_ds.map_batches(tag_labels,
+                                             batch_format="pyarrow")))
+
+        def relay(g: pa.Table) -> pa.Table:
+            side = g["_side"].to_numpy(zero_copy_only=False)
+            a = g["a"].to_numpy(zero_copy_only=False)
+            b = g["b"].to_numpy(zero_copy_only=False)
+            lm = side == 1
+            ln, ll = a[lm], b[lm]
+            o = np.argsort(ln, kind="stable")
+            ln, ll = ln[o], ll[o]
+            es, er = a[~lm], b[~lm]
+            lab = ll[np.searchsorted(ln, es)]
+            return count_pairs(er, lab)
+
+        cand = (both.groupby("_part").map_groups(
+            relay, batch_format="pyarrow"))
+
+        def tag_cand(t: pa.Table) -> pa.Table:
+            n = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(n), pa.int64()),
+                "node": pc.cast(t["node"], pa.int64()),
+                "lab": pc.cast(t["lab"], pa.int64()),
+                "n": pc.cast(t["n"], pa.int64()),
+                "_side": pa.array(np.zeros(len(n), np.int8))})
+
+        def tag_cur(t: pa.Table) -> pa.Table:
+            n = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(n), pa.int64()),
+                "node": pc.cast(t["node"], pa.int64()),
+                "lab": pc.cast(t["lab"], pa.int64()),
+                "n": pa.array(np.zeros(len(n), np.int64), pa.int64()),
+                "_side": pa.array(np.ones(len(n), np.int8))})
+
+        pair = (cand.map_batches(tag_cand, batch_format="pyarrow")
+                .union(labels_ds.map_batches(tag_cur,
+                                             batch_format="pyarrow")))
+
+        def fold(g: pa.Table) -> pa.Table:
+            side = g["_side"].to_numpy(zero_copy_only=False)
+            nd = g["node"].to_numpy(zero_copy_only=False)
+            lb = g["lab"].to_numpy(zero_copy_only=False)
+            nn = g["n"].to_numpy(zero_copy_only=False)
+            cm = side == 0
+            pn, pl = _lab_majority(nd[cm], lb[cm], nn[cm])
+            on, ol = nd[~cm], lb[~cm]
+            o = np.argsort(on, kind="stable")
+            on, ol = on[o], ol[o]
+            upd = _member(pn, on)
+            out = ol.copy()
+            out[upd] = pl[np.searchsorted(pn, on[upd])]
+            return pa.table({"node": pa.array(on, pa.int64()),
+                             "lab": pa.array(out, pa.int64())})
+
+        labels_ds = (pair.groupby("_part")
+                     .map_groups(fold, batch_format="pyarrow")
+                     .materialize())
+    return labels_ds
+
+
+def modularity_stats(edges_ds, labels_ds, src: str = "src",
+                     dst: str = "dst", node_col: str = "node",
+                     lab_col: str = "lab",
+                     broadcast_limit: int = 2_000_000):
+    """Exact integer Newman modularity sufficient statistics per
+    community over the distinct undirected edge set →
+    Dataset(lab:int64, m_in:int64, d_tot:int64, q_num:int64) where
+
+        q_num(c) = 4·m·m_in(c) − d_tot(c)²        (m = |edges|)
+
+    and global modularity Q = Σ_c q_num(c) / (4·m²) — the partition-
+    quality score for ``label_propagation`` output, exact ints so the
+    SQL oracle replays it bit-for-bit.  The label table is broadcast
+    (sorted-array searchsorted attach) behind an exact-count
+    fail-loud gate; both passes are block combiner → native Sum."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    edges = _undirected_distinct(edges_ds, src, dst)
+    m = edges.count()
+    n_lab = labels_ds.count()
+    if n_lab > broadcast_limit:
+        raise ValueError(
+            f"modularity_stats: {n_lab} label rows exceed "
+            f"broadcast_limit {broadcast_limit}; attach labels with "
+            "ops/cc.attach_labels (co-group) and pre-aggregate")
+    lt = labels_ds.select_columns([node_col, lab_col]).to_pandas()
+    ln = lt[node_col].to_numpy(np.int64)
+    ll = lt[lab_col].to_numpy(np.int64)
+    o = np.argsort(ln, kind="stable")
+    ref = ray.put((ln[o], ll[o]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        nn, ll2 = ray.get(ref)
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        lu = ll2[np.searchsorted(nn, u)]
+        lv = ll2[np.searchsorted(nn, v)]
+        # intra-community edges per lab + degree mass per lab
+        labs = np.concatenate([lu[lu == lv], lu, lv])
+        kinds = np.concatenate([
+            np.zeros((lu == lv).sum(), np.int64),
+            np.ones(len(lu) * 2, np.int64)])
+        o2 = np.lexsort((kinds, labs))
+        la, ki = labs[o2], kinds[o2]
+        first = np.ones(len(la), bool)
+        first[1:] = (la[1:] != la[:-1]) | (ki[1:] != ki[:-1])
+        starts = np.flatnonzero(first)
+        cnt = (np.add.reduceat(np.ones(len(la), np.int64), starts)
+               if len(starts) else np.empty(0, np.int64))
+        la, ki = la[starts], ki[starts]
+        return pa.table({
+            "lab": pa.array(la, pa.int64()),
+            "m_in": pa.array(np.where(ki == 0, cnt, 0), pa.int64()),
+            "d_tot": pa.array(np.where(ki == 1, cnt, 0), pa.int64())})
+
+    agg = (edges.map_batches(partial, batch_format="pyarrow")
+           .groupby("lab")
+           .aggregate(Sum("m_in", alias_name="m_in"),
+                      Sum("d_tot", alias_name="d_tot")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        mi = pc.cast(t["m_in"], pa.int64()).to_numpy(zero_copy_only=False)
+        dt = pc.cast(t["d_tot"], pa.int64()).to_numpy(zero_copy_only=False)
+        q = 4 * np.int64(m) * mi - dt * dt
+        return pa.table({
+            "lab": pc.cast(t["lab"], pa.int64()),
+            "m_in": pa.array(mi, pa.int64()),
+            "d_tot": pa.array(dt, pa.int64()),
+            "q_num": pa.array(q, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
