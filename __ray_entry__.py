@@ -10843,6 +10843,43 @@ _LP_SQL_BODY = (
         for r in (1, 2, 3, 4)))
 
 
+def _q_embedding_rp8(sf_dir: str):
+    """Deterministic JL sign projection of the 64-d embeddings to 8
+    int64 coordinates (``ops/similarity.random_project``), rolled up
+    per (label, j) as exact integer sums — the pre-ANN dimensionality
+    reduction with a full SQL replay of quantization, the shared-LCG
+    sign matrix, and the projection."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from xtract.ops.similarity import random_project
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "label", "embedding"])
+    proj = random_project(emb, d_out=8)
+    out = (proj.groupby(["label", "j"])
+           .aggregate(Count(alias_name="n"),
+                      Sum("p", alias_name="sum_p")))
+    return out.map_batches(lambda t: pa.table({
+        "label": pc.cast(t["label"], pa.int64()),
+        "j": pc.cast(t["j"], pa.int64()),
+        "n": pc.cast(t["n"], pa.int64()),
+        "sum_p": pc.cast(t["sum_p"], pa.int64())}),
+        batch_format="pyarrow").sort(["label", "j"])
+
+
+def _embedding_rp8_sql() -> str:
+    return (
+        "SELECT CAST(label AS BIGINT) AS label, j.j AS j, "
+        "CAST(count(*) / 64 AS BIGINT) AS n, "
+        "CAST(sum((CASE WHEN (((((i.i - 1) * 8 + j.j) * 2654435761 "
+        "+ 12345) % 4294967296) // 65536) % 2 = 0 THEN 1 ELSE -1 END) "
+        "* CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1048576) "
+        "AS BIGINT)) AS BIGINT) AS sum_p "
+        "FROM embeddings, range(1, 65) i(i), range(0, 8) j(j) "
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 def _q_host_communities(sf_dir: str):
     """Synchronous label-propagation communities
     (``ops/graph.label_propagation``, 4 deterministic rounds,
@@ -11011,6 +11048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_mmr": _q_knn_mmr,
         "host_weighted_sssp": _q_host_weighted_sssp,
         "host_communities": _q_host_communities,
+        "embedding_rp8": _q_embedding_rp8,
         "host_modularity": _q_host_modularity,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
@@ -13383,6 +13421,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM c, t GROUP BY t.n_a, t.n_b",
         "embedding_coreset": _coreset_sql(5),
         "knn_mmr": _mmr_sql(5, 20),
+        "embedding_rp8": _embedding_rp8_sql(),
         "host_communities":
             f"WITH {_LP_SQL_BODY} "
             "SELECT node, lab FROM l4 ORDER BY node",

@@ -263,3 +263,52 @@ def test_modularity_matches_brute(ray_session):
     m = len(_undirected(edges))
     q = sum(v[2] for v in exp.values()) / (4 * m * m)
     assert q > 0.4
+
+
+# -------------------------------------------------- random projection
+
+def test_random_project_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.similarity import random_project
+
+    rng = np.random.RandomState(4)
+    X = rng.randn(50, 12).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(50, dtype=np.int64)),
+        "label": pa.array(np.zeros(50, np.int64)),
+        "embedding": pa.array(X.tolist(),
+                              pa.list_(pa.float32()))})).repartition(6)
+    out = random_project(ds, d_out=8).to_pandas()
+    # sequential reference
+    unit = 1 << 20
+    q = np.floor(X.astype(np.float64) * unit).astype(np.int64)
+    k = np.arange(12 * 8, dtype=np.int64)
+    h = (k * 2654435761 + 12345) % (1 << 32)
+    S = np.where((h >> 16) & 1 == 0, 1, -1).reshape(12, 8)
+    P = q @ S
+    got = out.set_index(["vec_id", "j"])["p"]
+    for i in range(50):
+        for j in range(8):
+            assert got[(i, j)] == P[i, j]
+    # sign matrix must not be the degenerate parity stripe
+    assert 20 < (S > 0).sum() < 76
+
+
+def test_random_project_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.similarity import random_project
+
+    rng = np.random.RandomState(6)
+    X = rng.randn(40, 5).astype(np.float32)
+    mk = lambda p: rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "label": pa.array(np.arange(40, dtype=np.int64) % 3),
+        "embedding": pa.array(X.tolist(), pa.list_(pa.float32())),
+    })).repartition(p)
+    a = (random_project(mk(1), d_out=4).to_pandas()
+         .sort_values(["vec_id", "j"]).reset_index(drop=True))
+    b = (random_project(mk(7), d_out=4).to_pandas()
+         .sort_values(["vec_id", "j"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)

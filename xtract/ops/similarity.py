@@ -1022,3 +1022,45 @@ def mmr_select(ds, query_vec, k: int = 5, pool: int = 20,
         remaining.remove(w)
     return pd.DataFrame(rows, columns=["sel_round", id_col, "rel",
                                        "max_sim"]).astype("int64")
+
+
+def random_project(ds, d_out: int = 8, col: str = "embedding",
+                   id_cols: "tuple[str, ...]" = ("vec_id", "label"),
+                   unit: int = 1 << 20):
+    """Deterministic Johnson–Lindenstrauss sign projection (Achlioptas
+    2003, public method): y = q · S where q = floor(x·unit) int64
+    micro-units (the ``distributed_kmeans`` quantization contract) and
+    S[i, j] ∈ {+1, −1} comes from bit 16 of the shared LCG at
+    k = i·d_out + j — exact integers end to end, bit-identical at any
+    parallelism, and fully replayable in SQL.  The pre-ANN
+    dimensionality-reduction step: distances shrink by a bounded
+    factor while each vector drops to ``d_out`` int64 columns.
+
+    One streaming pass, one matmul per block, sign matrix built
+    inside the task from the closure (a few KB — no broadcast
+    needed).  → Dataset(id_cols..., j:int64, p:int64) in long format
+    (row per projected coordinate)."""
+    a, c, m = 2654435761, 12345, 1 << 32
+
+    def signs(d_in: int) -> np.ndarray:
+        k = np.arange(d_in * d_out, dtype=np.int64)
+        h = (k * a + c) % m
+        return np.where((h >> 16) & 1 == 0, 1, -1).astype(
+            np.int64).reshape(d_in, d_out)
+
+    def project(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        X = np.asarray(b[col].to_pylist(), np.float64)
+        q = np.floor(X * unit).astype(np.int64)
+        P = q @ signs(q.shape[1])
+        n = len(q)
+        cols = {ic: pa.concat_arrays(
+            [pc.cast(b[ic], pa.int64()).combine_chunks()] * d_out)
+            for ic in id_cols}
+        cols["j"] = pa.array(np.repeat(np.arange(d_out, dtype=np.int64),
+                                       n), pa.int64())
+        cols["p"] = pa.array(P.T.ravel(), pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
