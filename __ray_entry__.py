@@ -10819,7 +10819,7 @@ def _comm_edges(sf_dir: str):
     return docs.map_batches(edges, batch_format="pyarrow")
 
 
-_LP_SQL_BODY = (
+_COMM_GRAPH_SQL = (
     "nodes AS (SELECT DISTINCT CAST(doc_id % 60 AS BIGINT) AS h "
     "FROM documents), "
     "e0 AS (SELECT h AS u, (h // 10) * 10 + (h % 10 + 1) % 10 AS v "
@@ -10830,8 +10830,11 @@ _LP_SQL_BODY = (
     "ee0 AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v "
     "FROM e0 WHERE u <> v), "
     "ee AS (SELECT u AS s, v AS d FROM ee0 "
-    "UNION ALL SELECT v, u FROM ee0), "
-    "l0 AS (SELECT h AS node, h AS lab FROM nodes)"
+    "UNION ALL SELECT v, u FROM ee0)")
+
+_LP_SQL_BODY = (
+    _COMM_GRAPH_SQL
+    + ", l0 AS (SELECT h AS node, h AS lab FROM nodes)"
     + "".join(
         f", c{r} AS (SELECT e.d AS node, l.lab, count(*) AS c "
         f"FROM ee e JOIN l{r-1} l ON l.node = e.s GROUP BY 1, 2), "
@@ -10878,6 +10881,58 @@ def _embedding_rp8_sql() -> str:
         "AS BIGINT)) AS BIGINT) AS sum_p "
         "FROM embeddings, range(1, 65) i(i), range(0, 8) j(j) "
         "GROUP BY 1, 2 ORDER BY 1, 2")
+
+
+def _q_host_mis(sf_dir: str):
+    """Deterministic Luby maximal independent set
+    (``ops/graph.maximal_independent_set``) over the planted host
+    graph — conflict-free host sampling; the oracle unrolls three
+    Luby rounds with the SAME splitmix64 priorities via the shared
+    mix64 CTE chain."""
+    from xtract.ops.graph import maximal_independent_set
+
+    out = maximal_independent_set(_comm_edges(sf_dir)).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _host_mis_sql(rounds: int = 3) -> str:
+    gold = 0x9E3779B97F4A7C15
+    parts = [_COMM_GRAPH_SQL,
+             "a0 AS (SELECT h AS node FROM nodes)"]
+    mis_names = []
+    for r in range(1, rounds + 1):
+        rc = (r * gold) % _U64
+        parts.append(
+            f"pb{r} AS (SELECT node, CAST((CAST(node AS HUGEINT) + "
+            f"{rc}) % {_U64} AS UBIGINT) AS x{r} FROM a{r-1})")
+        ctes, last = _sql_chain(
+            f"pb{r}", _sql_mix64(f"x{r}", f"pri{r}", f"m{r}"),
+            f"pp{r}_")
+        parts.extend(ctes)
+        parts.append(
+            f"minn{r} AS (SELECT e.s AS node, min(p2.pri{r}) AS mn "
+            f"FROM ee e JOIN {last} p1 ON p1.node = e.s "
+            f"JOIN {last} p2 ON p2.node = e.d GROUP BY 1)")
+        parts.append(
+            f"mis{r} AS (SELECT p.node FROM {last} p "
+            f"LEFT JOIN minn{r} m USING (node) "
+            f"WHERE m.mn IS NULL OR p.pri{r} < m.mn)")
+        parts.append(
+            f"a{r} AS (SELECT a.node FROM a{r-1} a "
+            f"WHERE a.node NOT IN (SELECT node FROM mis{r}) "
+            f"AND a.node NOT IN (SELECT e.s FROM ee e "
+            f"JOIN mis{r} j ON j.node = e.d))")
+        mis_names.append(
+            f"SELECT node, {r} AS r FROM mis{r}")
+    union = " UNION ALL ".join(mis_names)
+    parts.append(f"misall AS ({union})")
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT n.h AS node, "
+        "CAST(m.node IS NOT NULL AS BIGINT) AS in_mis, "
+        "CAST(COALESCE(m.r, 0) AS BIGINT) AS mis_round "
+        "FROM nodes n LEFT JOIN misall m ON m.node = n.h "
+        "ORDER BY 1")
 
 
 def _q_host_communities(sf_dir: str):
@@ -11048,6 +11103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_mmr": _q_knn_mmr,
         "host_weighted_sssp": _q_host_weighted_sssp,
         "host_communities": _q_host_communities,
+        "host_mis": _q_host_mis,
         "embedding_rp8": _q_embedding_rp8,
         "host_modularity": _q_host_modularity,
         "orders_anti_events": _q_orders_anti_events,
@@ -13422,6 +13478,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_coreset": _coreset_sql(5),
         "knn_mmr": _mmr_sql(5, 20),
         "embedding_rp8": _embedding_rp8_sql(),
+        "host_mis": _host_mis_sql(),
         "host_communities":
             f"WITH {_LP_SQL_BODY} "
             "SELECT node, lab FROM l4 ORDER BY node",

@@ -312,3 +312,74 @@ def test_random_project_partition_invariant(ray_session):
     b = (random_project(mk(7), d_out=4).to_pandas()
          .sort_values(["vec_id", "j"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------ maximal independent set
+
+def _brute_luby(edges):
+    from xtract.ops.graph import _luby_pri
+
+    und = _undirected(edges)
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    active = set(adj)
+    mis = {}
+    r = 0
+    while active:
+        r += 1
+        pri = {n: int(_luby_pri(np.array([n], np.int64), r)[0])
+               for n in active}
+        join = {n for n in active
+                if all(pri[n] < pri[b] for b in adj[n] if b in active)}
+        for n in join:
+            mis[n] = r
+        active -= join
+        active -= {b for n in join for b in adj[n]}
+    return mis, set(adj)
+
+
+def test_mis_matches_sequential_luby(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.graph import maximal_independent_set
+
+    edges = _rand_graph(seed=13, n_nodes=50, n_edges=220)
+    out = maximal_independent_set(_edges_ds(rd, edges)).to_pandas()
+    mis, all_nodes = _brute_luby(edges)
+    got = {int(r.node): int(r.mis_round) for r in out.itertuples()
+           if r.in_mis}
+    assert got == mis
+    assert set(out.node) == all_nodes
+
+
+def test_mis_is_independent_and_maximal(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.graph import maximal_independent_set
+
+    edges = _rand_graph(seed=21, n_nodes=80, n_edges=300)
+    out = maximal_independent_set(_edges_ds(rd, edges)).to_pandas()
+    m = set(out[out.in_mis == 1].node)
+    und = _undirected(edges)
+    assert not any(u in m and v in m for u, v in und)  # independent
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for n in set(out.node) - m:                        # maximal
+        assert adj[n] & m
+
+
+def test_mis_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.graph import maximal_independent_set
+
+    edges = _rand_graph(seed=2, n_nodes=30, n_edges=120)
+    a = (maximal_independent_set(_edges_ds(rd, edges))
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (maximal_independent_set(_edges_ds(rd, edges).repartition(9))
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)

@@ -2834,3 +2834,139 @@ def modularity_stats(edges_ds, labels_ds, src: str = "src",
             "q_num": pa.array(q, pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _luby_pri(nodes: np.ndarray, r: int) -> np.ndarray:
+    """Deterministic per-round Luby priority: splitmix64 of
+    node + r·GOLD (uint64 wraparound) — a bijection per round, so no
+    ties ever; identical constant set replays in SQL via the shared
+    mix64 CTE chain."""
+    from .dedup import _mix64
+
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    return _mix64(nodes.astype(np.uint64) + np.uint64(r) * gold)
+
+
+def maximal_independent_set(edges_ds, src: str = "src",
+                            dst: str = "dst", max_rounds: int = 64,
+                            broadcast_limit: int = 2_000_000):
+    """Deterministic Luby maximal independent set (Luby 1986, public
+    method) over the distinct undirected edge set →
+    Dataset(node:int64, in_mis:int64, mis_round:int64) for every edge
+    endpoint (mis_round = the round a node joined, 0 for non-members).
+    The crawl-tier use: pick one representative per dense mirror /
+    template cluster such that no two picked hosts are directly
+    linked — a conflict-free sample the greedy sequential rule can't
+    produce distributedly.
+
+    Each round every ACTIVE node joins the MIS iff its splitmix64
+    priority (`_luby_pri` — tie-free by bijection) is strictly below
+    every active neighbor's; joiners and their neighbors deactivate.
+    Expected O(log n) rounds; fail-loud at ``max_rounds``.  The
+    active-set/MIS state lives as sorted driver arrays behind an
+    exact-count ``broadcast_limit`` gate (the `bfs_depth` placement);
+    both per-round passes are distributed edge scans emitting ≤1 slim
+    row per (block, node).
+
+    Reference parity anchor: tesseract-rs has no graph surface
+    (src/api.rs — documents independent); extends the
+    `pagerank`/`bfs_depth`/`label_propagation` crawl-graph tier.
+    """
+    import ray
+
+    edges = _undirected_distinct(edges_ds, src, dst)
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            b["u"].to_numpy(zero_copy_only=False),
+            b["v"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"node": pa.array(ids, pa.int64())})
+
+    rows = (edges.map_batches(node_partial, batch_format="pyarrow")
+            .take_all())
+    nodes = np.unique(np.fromiter((r["node"] for r in rows),
+                                  np.int64, len(rows)))
+    if len(nodes) > broadcast_limit:
+        raise ValueError(
+            f"maximal_independent_set: {len(nodes)} nodes exceed "
+            f"broadcast_limit {broadcast_limit}")
+    active = nodes.copy()
+    mis_nodes: list = []
+    mis_rounds: list = []
+
+    for r in range(1, max_rounds + 1):
+        if not len(active):
+            break
+        act_ref = ray.put(active)
+
+        def min_nbr(t: pa.Table, _a=act_ref, _r=r) -> pa.Table:
+            act = ray.get(_a)
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            both = _member(act, u) & _member(act, v)
+            u, v = u[both], v[both]
+            nd = np.concatenate([u, v])
+            npri = np.concatenate([_luby_pri(v, _r), _luby_pri(u, _r)])
+            if not len(nd):
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "mn": pa.array([], pa.uint64())})
+            o = np.lexsort((npri, nd))
+            n2, p2 = nd[o], npri[o]
+            first = np.ones(len(n2), bool)
+            first[1:] = n2[1:] != n2[:-1]
+            return pa.table({"node": pa.array(n2[first], pa.int64()),
+                             "mn": pa.array(p2[first], pa.uint64())})
+
+        got = (edges.map_batches(min_nbr, batch_format="pyarrow",
+                                 batch_size=262_144).to_pandas())
+        mn = np.full(len(active), np.iinfo(np.uint64).max, np.uint64)
+        if len(got):
+            gn = got["node"].to_numpy(np.int64)
+            gp = got["mn"].to_numpy(np.uint64)
+            o = np.lexsort((gp, gn))
+            gn, gp = gn[o], gp[o]
+            first = np.ones(len(gn), bool)
+            first[1:] = gn[1:] != gn[:-1]
+            gn, gp = gn[first], gp[first]
+            pos = np.searchsorted(active, gn)
+            mn[pos] = gp
+        joiners = active[_luby_pri(active, r) < mn]
+        mis_nodes.append(joiners)
+        mis_rounds.append(np.full(len(joiners), r, np.int64))
+        j_ref = ray.put(joiners)  # sorted (subset of sorted active)
+
+        def nbrs(t: pa.Table, _j=j_ref) -> pa.Table:
+            J = ray.get(_j)
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            out = np.unique(np.concatenate(
+                [v[_member(J, u)], u[_member(J, v)]]))
+            return pa.table({"node": pa.array(out, pa.int64())})
+
+        nb_rows = (edges.map_batches(nbrs, batch_format="pyarrow",
+                                     batch_size=262_144).take_all())
+        nb = (np.unique(np.fromiter((r2["node"] for r2 in nb_rows),
+                                    np.int64, len(nb_rows)))
+              if nb_rows else np.empty(0, np.int64))
+        drop = np.union1d(joiners, nb)
+        active = active[~_member(drop, active)]
+    else:
+        if len(active):
+            raise RuntimeError(
+                f"maximal_independent_set: not converged within "
+                f"{max_rounds} rounds")
+
+    mn_all = (np.concatenate(mis_nodes) if mis_nodes
+              else np.empty(0, np.int64))
+    mr_all = (np.concatenate(mis_rounds) if mis_rounds
+              else np.empty(0, np.int64))
+    o = np.argsort(mn_all, kind="stable")
+    mn_all, mr_all = mn_all[o], mr_all[o]
+    in_mis = _member(mn_all, nodes).astype(np.int64)
+    rnd = np.zeros(len(nodes), np.int64)
+    hit = in_mis == 1
+    rnd[hit] = mr_all[np.searchsorted(mn_all, nodes[hit])]
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "in_mis": pa.array(in_mis, pa.int64()),
+        "mis_round": pa.array(rnd, pa.int64())}))
