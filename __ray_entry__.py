@@ -10935,6 +10935,34 @@ def _host_mis_sql(rounds: int = 3) -> str:
         "ORDER BY 1")
 
 
+def _q_host_neighborhood_fn(sf_dir: str):
+    """Exact neighborhood function N(r) = ordered pairs within hop
+    distance r over the planted host graph
+    (``ops/anf.neighborhood_function``: bitset OR-propagation,
+    distributed edge scans, gated driver matrix; HyperANF register
+    swap documented for crawl scale).  Oracle = 4 unrolled
+    reachability joins."""
+    from xtract.ops.anf import neighborhood_function
+
+    return neighborhood_function(_comm_edges(sf_dir), max_r=4)
+
+
+def _host_neighborhood_fn_sql(max_r: int = 4) -> str:
+    parts = [_COMM_GRAPH_SQL,
+             "r0 AS (SELECT h AS u, h AS v FROM nodes)"]
+    for r in range(1, max_r + 1):
+        parts.append(
+            f"r{r} AS (SELECT DISTINCT u, v FROM (SELECT u, v "
+            f"FROM r{r-1} UNION ALL SELECT p.u, e.d FROM r{r-1} p "
+            f"JOIN ee e ON e.s = p.v))")
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS r, count(*) AS n_pairs FROM r{r}"
+        for r in range(max_r + 1))
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT CAST(r AS BIGINT) AS r, CAST(n_pairs AS BIGINT) "
+            f"AS n_pairs FROM ({sel}) ORDER BY r")
+
+
 def _q_host_communities(sf_dir: str):
     """Synchronous label-propagation communities
     (``ops/graph.label_propagation``, 4 deterministic rounds,
@@ -11104,6 +11132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_weighted_sssp": _q_host_weighted_sssp,
         "host_communities": _q_host_communities,
         "host_mis": _q_host_mis,
+        "host_neighborhood_fn": _q_host_neighborhood_fn,
         "embedding_rp8": _q_embedding_rp8,
         "host_modularity": _q_host_modularity,
         "orders_anti_events": _q_orders_anti_events,
@@ -13479,6 +13508,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_mmr": _mmr_sql(5, 20),
         "embedding_rp8": _embedding_rp8_sql(),
         "host_mis": _host_mis_sql(),
+        "host_neighborhood_fn": _host_neighborhood_fn_sql(),
         "host_communities":
             f"WITH {_LP_SQL_BODY} "
             "SELECT node, lab FROM l4 ORDER BY node",

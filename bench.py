@@ -352,6 +352,14 @@ def bench_once() -> dict:
     queries["late_scan"] = timed(
         lambda: len(_E.queries()["events_late_arrivals"](SF_DIR)))
 
+    # session-14 heavyweights: the skew-aware join over a 70%-hot key
+    # (frequency measure + broadcast-hot + cold co-group) and the
+    # exact AUC prefix scan over the scored corpus
+    queries["skew_join"] = timed(
+        lambda: _E.queries()["orders_skew_join"](SF_DIR).count())
+    queries["lr_auc"] = timed(
+        lambda: len(_E.queries()["lr_auc"](SF_DIR)))
+
     result = {
         "metric": "extracted documents/sec (byte-identical text per url)",
         "value": round(t_extract, 3),
