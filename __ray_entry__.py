@@ -10963,6 +10963,38 @@ def _host_neighborhood_fn_sql(max_r: int = 4) -> str:
             f"AS n_pairs FROM ({sel}) ORDER BY r")
 
 
+def _q_host_harmonic(sf_dir: str):
+    """Truncated harmonic centrality over the planted host graph
+    (``ops/anf.harmonic_centrality``: exact lcm-weighted integer
+    distance shells off the bitset propagation); oracle = unrolled
+    reachability deltas."""
+    from xtract.ops.anf import harmonic_centrality
+
+    return harmonic_centrality(_comm_edges(sf_dir), max_r=4)
+
+
+def _host_harmonic_sql(max_r: int = 4) -> str:
+    import math
+
+    L = math.lcm(*range(1, max_r + 1))
+    parts = [_COMM_GRAPH_SQL,
+             "r0 AS (SELECT h AS u, h AS v FROM nodes)"]
+    for r in range(1, max_r + 1):
+        parts.append(
+            f"r{r} AS (SELECT DISTINCT u, v FROM (SELECT u, v "
+            f"FROM r{r-1} UNION ALL SELECT p.u, e.d FROM r{r-1} p "
+            f"JOIN ee e ON e.s = p.v))")
+    for r in range(max_r + 1):
+        parts.append(
+            f"c{r} AS (SELECT u, count(*) AS n FROM r{r} GROUP BY 1)")
+    terms = " + ".join(
+        f"(c{r}.n - c{r-1}.n) * {L // r}" for r in range(1, max_r + 1))
+    joins = " ".join(f"JOIN c{r} USING (u)" for r in range(1, max_r + 1))
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT c0.u AS node, CAST({terms} AS BIGINT) AS h_num, "
+            f"CAST({L} AS BIGINT) AS lcm FROM c0 {joins} ORDER BY 1")
+
+
 def _q_host_communities(sf_dir: str):
     """Synchronous label-propagation communities
     (``ops/graph.label_propagation``, 4 deterministic rounds,
@@ -11133,6 +11165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_communities": _q_host_communities,
         "host_mis": _q_host_mis,
         "host_neighborhood_fn": _q_host_neighborhood_fn,
+        "host_harmonic": _q_host_harmonic,
         "embedding_rp8": _q_embedding_rp8,
         "host_modularity": _q_host_modularity,
         "orders_anti_events": _q_orders_anti_events,
@@ -13509,6 +13542,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_rp8": _embedding_rp8_sql(),
         "host_mis": _host_mis_sql(),
         "host_neighborhood_fn": _host_neighborhood_fn_sql(),
+        "host_harmonic": _host_harmonic_sql(),
         "host_communities":
             f"WITH {_LP_SQL_BODY} "
             "SELECT node, lab FROM l4 ORDER BY node",

@@ -83,3 +83,62 @@ def test_anf_gate_fails_loud(ray_session):
     with pytest.raises(ValueError, match="HyperANF"):
         neighborhood_function(_edges_ds(rd, edges), max_r=2,
                               broadcast_limit=2)
+
+
+def _brute_harmonic(edges, max_r):
+    import math
+
+    L = math.lcm(*range(1, max_r + 1))
+    adj = {}
+    nodes = set()
+    for u, v in edges:
+        nodes.update((u, v))
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    out = {}
+    for s in nodes:
+        dist = {s: 0}
+        frontier = [s]
+        d = 0
+        h = 0
+        while frontier and d < max_r:
+            d += 1
+            nxt = []
+            for x in frontier:
+                for b in adj.get(x, ()):
+                    if b not in dist:
+                        dist[b] = d
+                        nxt.append(b)
+                        h += L // d
+            frontier = nxt
+        out[s] = h
+    return out
+
+
+def test_harmonic_matches_bfs_reference(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.anf import harmonic_centrality
+
+    rng = np.random.RandomState(17)
+    edges = [e for e in zip(rng.randint(0, 35, 90).tolist(),
+                            rng.randint(0, 35, 90).tolist())
+             if e[0] != e[1]]
+    got = harmonic_centrality(_edges_ds(rd, edges), max_r=5)
+    exp = _brute_harmonic(edges, 5)
+    assert {int(r.node): int(r.h_num)
+            for r in got.itertuples()} == exp
+    assert (got.lcm == 60).all()
+
+
+def test_harmonic_star_center_wins(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.anf import harmonic_centrality
+
+    edges = [(0, i) for i in range(1, 9)]
+    out = harmonic_centrality(_edges_ds(rd, edges), max_r=3)
+    h = dict(zip(out.node, out.h_num))
+    assert h[0] == max(h.values())
+    assert all(h[i] == h[1] for i in range(2, 9))
