@@ -10995,6 +10995,69 @@ def _host_harmonic_sql(max_r: int = 4) -> str:
             f"CAST({L} AS BIGINT) AS lcm FROM c0 {joins} ORDER BY 1")
 
 
+def _q_host_coloring(sf_dir: str):
+    """MIS-layered graph coloring (``ops/coloring.mis_coloring``) —
+    conflict-free crawl waves over the planted host graph; the oracle
+    nests 5 colors × 4 unrolled Luby rounds through the shared mix64
+    CTE chain with the same (color−1)·64+round priorities."""
+    from xtract.ops.coloring import mis_coloring
+
+    out = mis_coloring(_comm_edges(sf_dir)).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _host_coloring_sql(colors: int = 5, rounds: int = 4) -> str:
+    gold = 0x9E3779B97F4A7C15
+    # Every CTE is MATERIALIZED: the nested unroll references a{c}_{r-1}
+    # / mis / ee repeatedly, and DuckDB's default inlining would expand
+    # the chain exponentially (and reopen the parquet per reference).
+    graph_mat = _COMM_GRAPH_SQL.replace(" AS (SELECT", " AS MATERIALIZED (SELECT")
+    parts = [graph_mat,
+             "u0 AS MATERIALIZED (SELECT h AS node FROM nodes)"]
+    sel = []
+    for c in range(1, colors + 1):
+        parts.append(f"a{c}_0 AS MATERIALIZED (SELECT node FROM u{c-1})")
+        for r in range(1, rounds + 1):
+            rg = (c - 1) * 64 + r
+            rc = (rg * gold) % _U64
+            parts.append(
+                f"pb{c}_{r} AS MATERIALIZED (SELECT node, CAST((CAST(node AS "
+                f"HUGEINT) + {rc}) % {_U64} AS UBIGINT) AS x{c}_{r} "
+                f"FROM a{c}_{r-1})")
+            ctes, last = _sql_chain(
+                f"pb{c}_{r}",
+                _sql_mix64(f"x{c}_{r}", f"pri{c}_{r}", f"m{c}_{r}"),
+                f"pp{c}_{r}_")
+            parts.extend(x.replace(" AS (SELECT", " AS MATERIALIZED "
+                                   "(SELECT", 1) for x in ctes)
+            parts.append(
+                f"minn{c}_{r} AS MATERIALIZED (SELECT e.s AS node, "
+                f"min(p2.pri{c}_{r}) AS mn FROM ee e "
+                f"JOIN {last} p1 ON p1.node = e.s "
+                f"JOIN {last} p2 ON p2.node = e.d GROUP BY 1)")
+            parts.append(
+                f"mis{c}_{r} AS MATERIALIZED (SELECT p.node FROM {last} p "
+                f"LEFT JOIN minn{c}_{r} m USING (node) "
+                f"WHERE m.mn IS NULL OR p.pri{c}_{r} < m.mn)")
+            parts.append(
+                f"a{c}_{r} AS MATERIALIZED (SELECT a.node FROM a{c}_{r-1} a "
+                f"WHERE a.node NOT IN (SELECT node FROM mis{c}_{r}) "
+                f"AND a.node NOT IN (SELECT e.s FROM ee e "
+                f"JOIN mis{c}_{r} j ON j.node = e.d "
+                f"WHERE e.s IN (SELECT node FROM a{c}_{r-1})))")
+        union = " UNION ALL ".join(
+            f"SELECT node FROM mis{c}_{r}" for r in range(1, rounds + 1))
+        parts.append(f"miscol{c} AS MATERIALIZED (SELECT DISTINCT node FROM ({union}))")
+        parts.append(
+            f"u{c} AS MATERIALIZED (SELECT node FROM u{c-1} "
+            f"WHERE node NOT IN (SELECT node FROM miscol{c}))")
+        sel.append(f"SELECT node, {c} AS color FROM miscol{c}")
+    parts.append("colall AS (" + " UNION ALL ".join(sel) + ")")
+    return ("WITH " + ", ".join(parts) + " "
+            "SELECT n.h AS node, CAST(c.color AS BIGINT) AS color "
+            "FROM nodes n JOIN colall c ON c.node = n.h ORDER BY 1")
+
+
 def _q_host_communities(sf_dir: str):
     """Synchronous label-propagation communities
     (``ops/graph.label_propagation``, 4 deterministic rounds,
@@ -11166,6 +11229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_mis": _q_host_mis,
         "host_neighborhood_fn": _q_host_neighborhood_fn,
         "host_harmonic": _q_host_harmonic,
+        "host_coloring": _q_host_coloring,
         "embedding_rp8": _q_embedding_rp8,
         "host_modularity": _q_host_modularity,
         "orders_anti_events": _q_orders_anti_events,
@@ -13543,6 +13607,7 @@ def oracle_sql() -> dict[str, str]:
         "host_mis": _host_mis_sql(),
         "host_neighborhood_fn": _host_neighborhood_fn_sql(),
         "host_harmonic": _host_harmonic_sql(),
+        "host_coloring": _host_coloring_sql(),
         "host_communities":
             f"WITH {_LP_SQL_BODY} "
             "SELECT node, lab FROM l4 ORDER BY node",
