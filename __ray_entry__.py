@@ -11058,6 +11058,40 @@ def _host_coloring_sql(colors: int = 5, rounds: int = 4) -> str:
             "FROM nodes n JOIN colall c ON c.node = n.h ORDER BY 1")
 
 
+def _q_orders_orc_roundtrip(sf_dir: str):
+    """ORC sink→source roundtrip (``ops/formats.write_orc`` /
+    ``read_orc``: content-hash-named one-file-per-block sink with
+    atomic rename, file-parallel column-pruned reader) — the
+    warehouse-interchange surface; the post-roundtrip rollup must
+    equal the straight-SQL aggregate."""
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from xtract.ops.formats import read_orc, write_orc
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice"]).map_batches(
+        lambda t: pa.table({
+            "status": t["o_orderstatus"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                pc.cast(t["o_totalprice"], pa.float64()), 100)),
+                pa.int64())}), batch_format="pyarrow")
+    out_dir = tempfile.mkdtemp(prefix="xtract_orc_")
+    manifest = write_orc(orders, out_dir).to_pandas()
+    files = sorted(manifest["path"])
+    back = read_orc(files, columns=["status", "cents"])
+    agg = back.groupby("status").aggregate(
+        Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+    return agg.map_batches(lambda t: pa.table({
+        "status": t["status"],
+        "n": pc.cast(t["n"], pa.int64()),
+        "sum_cents": pc.cast(t["sum_cents"], pa.int64())}),
+        batch_format="pyarrow").sort("status")
+
+
 def _q_host_communities(sf_dir: str):
     """Synchronous label-propagation communities
     (``ops/graph.label_propagation``, 4 deterministic rounds,
@@ -11230,6 +11264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_neighborhood_fn": _q_host_neighborhood_fn,
         "host_harmonic": _q_host_harmonic,
         "host_coloring": _q_host_coloring,
+        "orders_orc_roundtrip": _q_orders_orc_roundtrip,
         "embedding_rp8": _q_embedding_rp8,
         "host_modularity": _q_host_modularity,
         "orders_anti_events": _q_orders_anti_events,
@@ -13608,6 +13643,12 @@ def oracle_sql() -> dict[str, str]:
         "host_neighborhood_fn": _host_neighborhood_fn_sql(),
         "host_harmonic": _host_harmonic_sql(),
         "host_coloring": _host_coloring_sql(),
+        "orders_orc_roundtrip":
+            "SELECT o_orderstatus AS status, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) "
+            "* 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+            "FROM orders GROUP BY 1 ORDER BY 1",
         "host_communities":
             f"WITH {_LP_SQL_BODY} "
             "SELECT node, lab FROM l4 ORDER BY node",
