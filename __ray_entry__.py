@@ -11092,6 +11092,49 @@ def _q_orders_orc_roundtrip(sf_dir: str):
         batch_format="pyarrow").sort("status")
 
 
+def _q_lr_kfold(sf_dir: str):
+    """3-fold cross-validated confusion of the quality classifier
+    (``ops/xval.kfold_confusion``: deterministic doc_id%3 folds, one
+    exact-integer GD train per complement, held-out confusion);
+    oracle = three renamed copies of the shared GD CTE body."""
+    from xtract.ops.xval import kfold_confusion
+
+    feats = (_docs(sf_dir, ["doc_id", "text", "n_chars"])
+             .map_batches(_lr_featurize, batch_format="pyarrow")
+             .materialize())
+    return kfold_confusion(feats, ["x0", "x1", "x2", "x3"], "y", k=3)
+
+
+def _lr_kfold_sql(k: int = 3) -> str:
+    import re
+
+    parts, sels = [], []
+    for fold in range(k):
+        body, sig = _lr_sql_parts(
+            train_where=f"doc_id % {k} <> {fold}")
+        suf = f"_k{fold}"
+        body2 = re.sub(r"\b(f|ftr|s[1-4]|w[1-4]|q[2-4])\b",
+                       lambda m: m.group(1) + suf, body)
+        parts.append(body2)
+        sels.append(
+            f"SELECT {fold} AS fold, "
+            f"sum(CASE WHEN y = 1 AND {sig} >= 500000 THEN 1 ELSE 0 "
+            f"END) AS tp, "
+            f"sum(CASE WHEN y = 0 AND {sig} >= 500000 THEN 1 ELSE 0 "
+            f"END) AS fp, "
+            f"sum(CASE WHEN y = 1 AND {sig} < 500000 THEN 1 ELSE 0 "
+            f"END) AS fn, "
+            f"sum(CASE WHEN y = 0 AND {sig} < 500000 THEN 1 ELSE 0 "
+            f"END) AS tn "
+            f"FROM f{suf}, w4{suf} WHERE doc_id % {k} = {fold}")
+    union = " UNION ALL ".join(sels)
+    return (
+        "WITH " + ", ".join(parts) +
+        " SELECT CAST(fold AS BIGINT) AS fold, CAST(tp AS BIGINT) AS "
+        "tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn, "
+        f"CAST(tn AS BIGINT) AS tn FROM ({union}) ORDER BY fold")
+
+
 def _q_host_communities(sf_dir: str):
     """Synchronous label-propagation communities
     (``ops/graph.label_propagation``, 4 deterministic rounds,
@@ -11265,6 +11308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_harmonic": _q_host_harmonic,
         "host_coloring": _q_host_coloring,
         "orders_orc_roundtrip": _q_orders_orc_roundtrip,
+        "lr_kfold": _q_lr_kfold,
         "embedding_rp8": _q_embedding_rp8,
         "host_modularity": _q_host_modularity,
         "orders_anti_events": _q_orders_anti_events,
@@ -13643,6 +13687,7 @@ def oracle_sql() -> dict[str, str]:
         "host_neighborhood_fn": _host_neighborhood_fn_sql(),
         "host_harmonic": _host_harmonic_sql(),
         "host_coloring": _host_coloring_sql(),
+        "lr_kfold": _lr_kfold_sql(),
         "orders_orc_roundtrip":
             "SELECT o_orderstatus AS status, "
             "CAST(count(*) AS BIGINT) AS n, "
