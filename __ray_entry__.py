@@ -11161,6 +11161,64 @@ def _q_host_modularity(sf_dir: str):
     return out.sort_values("lab").reset_index(drop=True)
 
 
+def _q_event_type_salted_join(sf_dir: str):
+    """Fragment-replicate ("salted") join on a key hot on BOTH sides
+    (``ops/joins.salted_join``): event_type has ~5 distinct values, so
+    every key is hot in both the per-user and the per-day count tables
+    — the shape where skew_join's broadcast gate raises.  Each hot key
+    fragments its LARGER side across ``n_salts`` partitions and
+    replicates the smaller; the oracle is the same join in SQL (the
+    salting is an internal routing decision, rows are identical)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from xtract.ops.joins import salted_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    left = (ev.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "event_type": t["event_type"]}),
+        batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="n")))
+    right = (ev.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "day": pc.strftime(t["ts"], format="%Y-%m-%d")}),
+        batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="m")))
+    joined = salted_join(left, right, on="event_type",
+                         hot_count=20, n_salts=8)
+    out = (joined.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "nm": pc.multiply(pc.cast(t["n"], pa.int64()),
+                              pc.cast(t["m"], pa.int64()))}),
+        batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("nm", alias_name="nm_sum"),
+                   Count(alias_name="n_pairs")))
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "nm_sum": pc.cast(t["nm_sum"], pa.int64()),
+            "n_pairs": pc.cast(t["n_pairs"], pa.int64())}),
+        batch_format="pyarrow").sort("event_type")
+
+
+def _event_type_salted_join_sql() -> str:
+    return (
+        "WITH l AS (SELECT user_id, event_type, count(*) AS n "
+        "FROM events GROUP BY 1, 2), "
+        "r AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, "
+        "count(*) AS m FROM events GROUP BY 1, 2) "
+        "SELECT l.event_type, CAST(sum(l.n * r.m) AS BIGINT) AS nm_sum, "
+        "count(*) AS n_pairs FROM l JOIN r ON l.event_type = "
+        "r.event_type GROUP BY 1 ORDER BY 1")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -11311,6 +11369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lr_kfold": _q_lr_kfold,
         "embedding_rp8": _q_embedding_rp8,
         "host_modularity": _q_host_modularity,
+        "event_type_salted_join": _q_event_type_salted_join,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -13728,4 +13787,5 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.dst, r.d + e.w FROM r JOIN e ON e.src = r.node) "
             "SELECT node, CAST(min(d) AS BIGINT) AS dist FROM r "
             "GROUP BY 1 ORDER BY 1",
+        "event_type_salted_join": _event_type_salted_join_sql(),
     }

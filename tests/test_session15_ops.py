@@ -1,0 +1,123 @@
+"""Session-15 ops: salted fragment-replicate join (hot on BOTH
+sides), HyperANF registers, exact-integer PCA scatter, decision
+stump/tree splits, RRF rank fusion."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------- salted_join
+
+def _both_hot_frames(seed=7, n_left=2000, n_right=900):
+    """Key 42 is hot on BOTH sides; a spread of cold keys around it."""
+    rng = np.random.RandomState(seed)
+    lk = np.where(rng.rand(n_left) < 0.5, np.int64(42),
+                  rng.randint(0, 40, n_left))
+    rk = np.where(rng.rand(n_right) < 0.4, np.int64(42),
+                  rng.randint(0, 40, n_right))
+    left = pd.DataFrame({"k": lk.astype(np.int64),
+                         "x": np.arange(n_left, dtype=np.int64)})
+    right = pd.DataFrame({"rk": rk.astype(np.int64),
+                          "y": np.arange(n_right, dtype=np.int64)})
+    return left, right
+
+
+def _run_salted(rd, left, right, lparts=8, rparts=4, **kw):
+    from xtract.ops.joins import salted_join
+
+    lds = rd.from_arrow(pa.Table.from_pandas(left)).repartition(lparts)
+    rds = rd.from_arrow(pa.Table.from_pandas(right)).repartition(rparts)
+    return salted_join(lds, rds, on="k", right_on="rk", **kw)
+
+
+def _norm(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_salted_join_matches_pandas_merge(ray_session):
+    import ray.data as rd
+
+    left, right = _both_hot_frames()
+    out, stats = _run_salted(rd, left, right, hot_count=200,
+                             n_salts=4, return_stats=True)
+    exp = left.merge(right, left_on="k", right_on="rk").drop(
+        columns=["rk"])
+    pd.testing.assert_frame_equal(_norm(out.to_pandas()), _norm(exp))
+    assert stats["n_hot_keys"] == 1
+    # key 42: ~1000 left rows vs ~360 right rows → fragment LEFT
+    assert stats["n_frag_left"] == 1 and stats["n_frag_right"] == 0
+
+
+def test_salted_join_invariant_to_salts_and_partitioning(ray_session):
+    import ray.data as rd
+
+    left, right = _both_hot_frames(seed=13)
+    a = _run_salted(rd, left, right, hot_count=100, n_salts=3,
+                    lparts=2, rparts=9).to_pandas()
+    b = _run_salted(rd, left, right, hot_count=100, n_salts=11,
+                    lparts=16, rparts=1, num_partitions=5).to_pandas()
+    pd.testing.assert_frame_equal(_norm(a), _norm(b))
+
+
+def test_salted_join_fragments_bigger_side_per_key(ray_session):
+    """Key 1 hot-left, key 2 hot-right → routed to opposite sides."""
+    import ray.data as rd
+
+    left = pd.DataFrame({
+        "k": np.array([1] * 50 + [2] * 3 + [7], np.int64),
+        "x": np.arange(54, dtype=np.int64)})
+    right = pd.DataFrame({
+        "rk": np.array([1] * 3 + [2] * 50 + [7], np.int64),
+        "y": np.arange(54, dtype=np.int64)})
+    out, stats = _run_salted(rd, left, right, hot_count=10, n_salts=4,
+                             return_stats=True)
+    assert stats["n_frag_left"] == 1 and stats["n_frag_right"] == 1
+    exp = left.merge(right, left_on="k", right_on="rk").drop(
+        columns=["rk"])
+    pd.testing.assert_frame_equal(_norm(out.to_pandas()), _norm(exp))
+
+
+def test_salted_join_int64_keys_exact(ray_session):
+    """Keys beyond 2^53 must not collide (the ADVICE float trap)."""
+    import ray.data as rd
+
+    big = np.int64(1) << 60
+    left = pd.DataFrame({
+        "k": np.array([big] * 20 + [big + 2, 5], np.int64),
+        "x": np.arange(22, dtype=np.int64)})
+    right = pd.DataFrame({
+        "rk": np.array([big] * 15 + [big + 2, 5], np.int64),
+        "y": np.arange(17, dtype=np.int64)})
+    out = _run_salted(rd, left, right, hot_count=10,
+                      n_salts=4).to_pandas()
+    exp = left.merge(right, left_on="k", right_on="rk").drop(
+        columns=["rk"])
+    pd.testing.assert_frame_equal(_norm(out), _norm(exp))
+
+
+def test_salted_join_no_hot_falls_back(ray_session):
+    import ray.data as rd
+
+    left, right = _both_hot_frames(seed=3)
+    out, stats = _run_salted(rd, left, right, hot_count=10_000,
+                             return_stats=True)
+    assert stats["n_hot_keys"] == 0
+    exp = left.merge(right, left_on="k", right_on="rk").drop(
+        columns=["rk"])
+    pd.testing.assert_frame_equal(_norm(out.to_pandas()), _norm(exp))
+
+
+def test_salted_join_gate(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame({"k": np.arange(30, dtype=np.int64) % 3,
+                         "x": np.arange(30, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.arange(30, dtype=np.int64) % 3,
+                          "y": np.arange(30, dtype=np.int64)})
+    with pytest.raises(RuntimeError, match="max_hot_keys"):
+        _run_salted(rd, left, right, hot_count=5, max_hot_keys=1)

@@ -1086,7 +1086,7 @@ def skew_join(left_ds, right_ds, on: str, right_on: str | None = None,
         raise RuntimeError(
             f"skew_join: {n_rh} right rows on hot keys exceeds "
             f"max_hot_right_rows={max_hot_right_rows}; the hot side "
-            f"is large on BOTH sides — use a salted co-group instead")
+            f"is large on BOTH sides — use salted_join instead")
     # column-wise conversion keeps int64 keys exact (no null-pad here,
     # but mirror equi_join_cogroup's dtype discipline)
     rh_tbl = pa.concat_tables(
@@ -1122,4 +1122,164 @@ def skew_join(left_ds, right_ds, on: str, right_on: str | None = None,
                                     num_partitions=num_partitions,
                                     suffix=suffix)
     out = hot_joined.union(cold_joined)
+    return (out, stats) if return_stats else out
+
+
+def salted_join(left_ds, right_ds, on: str, right_on: str | None = None,
+                hot_count: int = 100_000, n_salts: int = 16,
+                max_hot_keys: int = 100_000, num_partitions: int = 32,
+                suffix: str = "_r", return_stats: bool = False):
+    """Fragment-replicate ("salted") INNER equi-join for keys hot on
+    BOTH sides — the path :func:`skew_join` raises toward when the
+    right side's hot rows are too large to broadcast.
+
+    Public technique (Pig's skewed join / Spark salting): every hot
+    key picks a **fragment side** (its LARGER side by measured
+    frequency) and a **replicate side** (the smaller).  Fragment rows
+    carry one salt in ``0..n_salts-1``; replicate rows are emitted
+    once per salt.  Cold keys carry salt 0 on both sides.  ONE hash
+    co-group on ``(key, salt)`` then runs a cython ``pandas.merge``
+    per partition, so a hot key's work spreads over ``n_salts``
+    partitions and per-partition memory is bounded by the SMALLER
+    side's rows per hot key — never the product.  Each (left-row,
+    right-row) pair meets in exactly one partition, so the output
+    multiset equals ``equi_join_cogroup(how="inner")`` at any
+    parallelism and any ``n_salts``.
+
+    Frequency measurement is the skew-proof combiner shape
+    (per-block ``value_counts`` → slim ``groupby().Sum``); the hot-key
+    table is exact-counted against ``max_hot_keys`` BEFORE any
+    ``take_all`` (the ``DRIVER_CC_LIMIT`` pattern).
+
+    Reference parity anchor: generalizes ``pipeline.extract_pages``'s
+    oversized-document salting to the relational tier; tesseract-rs
+    has no join surface (src/api.rs processes documents
+    independently)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .agg import _hash_part
+
+    right_on = right_on or on
+    lnames = list(left_ds.schema().names)
+    rnames = list(right_ds.schema().names)
+    ltypes = dict(zip(lnames, map(_as_pa_type, left_ds.schema().types)))
+    rtypes = dict(zip(rnames, map(_as_pa_type, right_ds.schema().types)))
+    key_type = ltypes[on]
+
+    def freq_of(ds, key: str):
+        def count_partial(b: pa.Table) -> pa.Table:
+            vc = pc.value_counts(b[key])
+            return pa.table({"k": pc.cast(vc.field("values"), key_type),
+                             "_n": pc.cast(vc.field("counts"), pa.int64())})
+        return (ds.select_columns([key])
+                .map_batches(count_partial, batch_format="pyarrow")
+                .groupby("k").aggregate(Sum("_n", alias_name="_n")))
+
+    lfreq = freq_of(left_ds, on).materialize()
+    rfreq = freq_of(right_ds, right_on).materialize()
+
+    def hot_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["_n"],
+                                         pa.scalar(int(hot_count))))
+
+    lhot = lfreq.map_batches(hot_only, batch_format="pyarrow").materialize()
+    rhot = rfreq.map_batches(hot_only, batch_format="pyarrow").materialize()
+    n_hot = lhot.count() + rhot.count()  # upper bound (union may overlap)
+    if n_hot > max_hot_keys:
+        raise RuntimeError(
+            f"salted_join: {n_hot} hot-key rows exceed max_hot_keys="
+            f"{max_hot_keys}; raise hot_count or the gate")
+    ln_map = {r["k"]: int(r["_n"]) for r in lhot.take_all()}
+    hot_keys = set(ln_map)
+    rn_map: dict = {}
+    for r in rhot.take_all():
+        rn_map[r["k"]] = int(r["_n"])
+        hot_keys.add(r["k"])
+    if not hot_keys:
+        out = equi_join_cogroup(left_ds, right_ds, on=on,
+                                right_on=right_on, how="inner",
+                                num_partitions=num_partitions,
+                                suffix=suffix)
+        stats = {"n_hot_keys": 0, "n_frag_left": 0, "n_frag_right": 0}
+        return (out, stats) if return_stats else out
+    # exact counts for hot keys missing from one side's hot table
+    # (hot on the OTHER side only) come from the full freq tables,
+    # pulled via a bounded is_in filter — never a full take_all.
+    for freq, m in ((lfreq, ln_map), (rfreq, rn_map)):
+        need = [k for k in hot_keys if k not in m]
+        if need:
+            na = pa.array(sorted(need), type=key_type)
+            got = freq.map_batches(
+                lambda b, _na=na: b.filter(pc.is_in(b["k"], value_set=_na)),
+                batch_format="pyarrow").take_all()
+            for r in got:
+                m[r["k"]] = int(r["_n"])
+    # fragment the LARGER side (ties fragment left)
+    frag_left = sorted(k for k in hot_keys
+                       if ln_map.get(k, 0) >= rn_map.get(k, 0))
+    frag_right = sorted(k for k in hot_keys
+                        if ln_map.get(k, 0) < rn_map.get(k, 0))
+    fl_arr = pa.array(frag_left, type=key_type)
+    fr_arr = pa.array(frag_right, type=key_type)
+    stats = {"n_hot_keys": len(hot_keys),
+             "n_frag_left": len(frag_left),
+             "n_frag_right": len(frag_right)}
+    route_ref = ray.put((fl_arr, fr_arr))
+    S = int(n_salts)
+
+    def tag(b: pa.Table, side: int, key: str) -> pa.Table:
+        fl, fr = ray.get(route_ref)
+        frag_arr = fl if side == 0 else fr   # this side fragments
+        repl_arr = fr if side == 0 else fl   # this side replicates
+        is_repl = pc.is_in(b[key], value_set=repl_arr)
+        single = b.filter(pc.invert(is_repl))
+        n1 = len(single)
+        salt1 = np.where(
+            pc.is_in(single[key], value_set=frag_arr)
+            .to_numpy(zero_copy_only=False),
+            np.arange(n1, dtype=np.int64) % S, 0)
+        pieces, salts = [single], [salt1]
+        repl = b.filter(is_repl)
+        if len(repl):
+            for s in range(S):
+                pieces.append(repl)
+                salts.append(np.full(len(repl), s, np.int64))
+        full = pa.concat_tables(pieces, promote_options="none")
+        salt = np.concatenate(salts)
+        hp = _hash_part(full[key], num_partitions)
+        part = (hp + salt) % np.int64(num_partitions)
+        n = len(full)
+        cols = {"_part": pa.array(part, pa.int64()),
+                "_salt": pa.array(salt, pa.int64()),
+                "_side": pa.array(np.full(n, side, np.int8))}
+        for c in lnames:
+            cols["l_" + c] = full[c] if side == 0 else pa.nulls(n, ltypes[c])
+        for c in rnames:
+            cols["r_" + c] = full[c] if side == 1 else pa.nulls(n, rtypes[c])
+        return pa.table(cols)
+
+    both = left_ds.map_batches(lambda b: tag(b, 0, on),
+                               batch_format="pyarrow").union(
+        right_ds.map_batches(lambda b: tag(b, 1, right_on),
+                             batch_format="pyarrow"))
+
+    def per_partition(t: pa.Table) -> pd.DataFrame:
+        side = t["_side"]
+        Lt = t.filter(pc.equal(side, 0))
+        Rt = t.filter(pc.equal(side, 1))
+        L = pd.DataFrame({c: Lt["l_" + c].to_pandas() for c in lnames})
+        L["_salt"] = Lt["_salt"].to_pandas()
+        R = pd.DataFrame({c: Rt["r_" + c].to_pandas() for c in rnames})
+        R["_salt"] = Rt["_salt"].to_pandas()
+        merged = L.merge(R, how="inner", left_on=[on, "_salt"],
+                         right_on=[right_on, "_salt"],
+                         suffixes=("", suffix))
+        merged = merged.drop(columns=["_salt"])
+        if right_on != on and right_on in merged.columns:
+            merged = merged.drop(columns=[right_on])
+        return merged
+
+    out = both.groupby("_part").map_groups(per_partition,
+                                           batch_format="pyarrow")
     return (out, stats) if return_stats else out
