@@ -11161,6 +11161,49 @@ def _q_host_modularity(sf_dir: str):
     return out.sort_values("lab").reset_index(drop=True)
 
 
+def _q_host_anf_hll(sf_dir: str):
+    """HyperANF over the planted host graph
+    (``ops/anf.hyper_anf``): per-node HLL register arrays propagated
+    as register-wise max — the crawl-scale swap the exact-bitset
+    gate names, with NO driver-resident state (two slim co-groups per
+    round).  The SQL-checked surface is the exact int64 register-state
+    checksum per round (reg_sum); the float HLL estimate stays
+    Python-side.  Oracle = splitmix64 bucket/rank rule via the shared
+    mix64 CTE chain + 4 unrolled reachability joins."""
+    from xtract.ops.anf import hyper_anf
+
+    out = hyper_anf(_comm_edges(sf_dir), max_r=4, p=4)
+    return out[["r", "reg_sum"]].astype("int64")
+
+
+def _host_anf_hll_sql(max_r: int = 4) -> str:
+    parts = [_COMM_GRAPH_SQL,
+             "hx AS (SELECT h, CAST(h AS UBIGINT) AS x0 FROM nodes)"]
+    ctes, last = _sql_chain("hx", _sql_mix64("x0", "mh", "hl"), "hl_")
+    parts.extend(ctes)
+    parts.append(
+        f"hr AS (SELECT h, CAST(mh % 16 AS BIGINT) AS b, "
+        f"CASE WHEN mh // 16 = 0 THEN 61 ELSE bit_count(xor("
+        f"CAST(mh // 16 AS BIGINT), CAST(mh // 16 AS BIGINT) - 1)) "
+        f"END AS rk FROM {last})")
+    parts.append("r0 AS (SELECT h AS u, h AS v FROM nodes)")
+    for r in range(1, max_r + 1):
+        parts.append(
+            f"r{r} AS (SELECT DISTINCT u, v FROM (SELECT u, v "
+            f"FROM r{r-1} UNION ALL SELECT p.u, e.d FROM r{r-1} p "
+            f"JOIN ee e ON e.s = p.v))")
+    for r in range(max_r + 1):
+        parts.append(
+            f"g{r} AS (SELECT p.u, hr.b, max(hr.rk) AS mx "
+            f"FROM r{r} p JOIN hr ON hr.h = p.v GROUP BY 1, 2)")
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS r, sum(mx) AS reg_sum FROM g{r}"
+        for r in range(max_r + 1))
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT CAST(r AS BIGINT) AS r, CAST(reg_sum AS BIGINT) "
+            f"AS reg_sum FROM ({sel}) ORDER BY r")
+
+
 def _q_event_type_salted_join(sf_dir: str):
     """Fragment-replicate ("salted") join on a key hot on BOTH sides
     (``ops/joins.salted_join``): event_type has ~5 distinct values, so
@@ -11370,6 +11413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_rp8": _q_embedding_rp8,
         "host_modularity": _q_host_modularity,
         "event_type_salted_join": _q_event_type_salted_join,
+        "host_anf_hll": _q_host_anf_hll,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -13788,4 +13832,5 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, CAST(min(d) AS BIGINT) AS dist FROM r "
             "GROUP BY 1 ORDER BY 1",
         "event_type_salted_join": _event_type_salted_join_sql(),
+        "host_anf_hll": _host_anf_hll_sql(),
     }

@@ -80,7 +80,7 @@ def test_anf_gate_fails_loud(ray_session):
     from xtract.ops.anf import neighborhood_function
 
     edges = [(0, 1), (1, 2), (2, 3)]
-    with pytest.raises(ValueError, match="HyperANF"):
+    with pytest.raises(ValueError, match="hyper_anf"):
         neighborhood_function(_edges_ds(rd, edges), max_r=2,
                               broadcast_limit=2)
 

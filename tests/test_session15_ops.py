@@ -121,3 +121,105 @@ def test_salted_join_gate(ray_session):
                           "y": np.arange(30, dtype=np.int64)})
     with pytest.raises(RuntimeError, match="max_hot_keys"):
         _run_salted(rd, left, right, hot_count=5, max_hot_keys=1)
+
+
+# ------------------------------------------------------------ hyper_anf
+
+def _hanf_edges(rd, edges):
+    s = np.array([e[0] for e in edges], np.int64)
+    d = np.array([e[1] for e in edges], np.int64)
+    return rd.from_arrow(pa.table({
+        "src": pa.array(s), "dst": pa.array(d)}))
+
+
+def _brute_hyper_regsums(edges, max_r, p):
+    """Sequential reference: BFS reach sets + the same splitmix64
+    bucket/rank rule → exact per-round register sums."""
+    from xtract.ops.anf import _node_registers
+
+    adj = {}
+    nodes = set()
+    for u, v in edges:
+        nodes.update((u, v))
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    nodes = sorted(nodes)
+    idx = {n: i for i, n in enumerate(nodes)}
+    base = _node_registers(np.array(nodes, np.int64), p)
+    reach = {n: {n} for n in nodes}
+    sums = []
+    for r in range(max_r + 1):
+        if r:
+            reach = {n: reach[n] | set().union(
+                *(reach[w] for w in adj.get(n, ())))
+                for n in nodes}
+        m = 1 << p
+        total = 0
+        for n in nodes:
+            regs = np.zeros(m, np.int64)
+            for v in reach[n]:
+                np.maximum(regs, base[idx[v]], out=regs)
+            total += int(regs.sum())
+        sums.append(total)
+    return sums
+
+
+def _rand_edges(seed=5, n_nodes=70, n_edges=200):
+    rng = np.random.RandomState(seed)
+    return list(zip(rng.randint(0, n_nodes, n_edges).tolist(),
+                    rng.randint(0, n_nodes, n_edges).tolist()))
+
+
+def test_hyper_anf_matches_sequential_registers(ray_session):
+    import ray.data as rd
+
+    edges = _rand_edges()
+    out = __import__("xtract.ops.anf", fromlist=["hyper_anf"]).hyper_anf(
+        _hanf_edges(rd, edges), max_r=4, p=4)
+    exp = _brute_hyper_regsums(edges, 4, 4)
+    assert out["reg_sum"].tolist() == exp
+
+
+def test_hyper_anf_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.anf import hyper_anf
+
+    edges = _rand_edges(seed=9, n_nodes=40, n_edges=90)
+    a = hyper_anf(_hanf_edges(rd, edges).repartition(1), max_r=3, p=4,
+                  num_partitions=3)
+    b = hyper_anf(_hanf_edges(rd, edges).repartition(13), max_r=3, p=4,
+                  num_partitions=17)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_hyper_anf_estimate_tracks_exact(ray_session):
+    """HLL estimate within the m=64 error band of the exact
+    neighborhood function on a connected random graph."""
+    import ray.data as rd
+
+    from xtract.ops.anf import hyper_anf, neighborhood_function
+
+    edges = _rand_edges(seed=2, n_nodes=80, n_edges=300)
+    ds = _hanf_edges(rd, edges)
+    exact = neighborhood_function(ds, max_r=3)
+    est = hyper_anf(ds, max_r=3, p=6)
+    for r in range(4):
+        e = exact.loc[exact.r == r, "n_pairs"].iloc[0]
+        h = est.loc[est.r == r, "est_pairs"].iloc[0]
+        assert abs(h - e) / e < 0.35, (r, e, h)
+
+
+def test_hyper_anf_converges_and_saturates(ray_session):
+    """Path graph 0-1-2-3: registers stop changing after r=3 and the
+    carried-forward rows repeat the fixpoint sum."""
+    import ray.data as rd
+
+    from xtract.ops.anf import hyper_anf
+
+    out = hyper_anf(_hanf_edges(rd, [(0, 1), (1, 2), (2, 3)]),
+                    max_r=6, p=4)
+    assert len(out) == 7
+    assert out["reg_sum"].is_monotonic_increasing
+    assert out["reg_sum"].iloc[3] == out["reg_sum"].iloc[6]
