@@ -11204,6 +11204,45 @@ def _host_anf_hll_sql(max_r: int = 4) -> str:
             f"AS reg_sum FROM ({sel}) ORDER BY r")
 
 
+def _q_embedding_scatter(sf_dir: str):
+    """Exact-integer PCA sufficient statistics over the 64-d
+    embeddings (``ops/pca.scatter_stats``): one streaming pass emits
+    per-block upper-triangle Gram partials of q = floor(x·2^10), ONE
+    native grouped Sum finishes — the distributed half of PCA (the
+    d×d eigh happens on the driver).  Long format (i, j, v): Gram
+    cells, per-dim sums (j = −1), row count (−1, −1).  Oracle = the
+    same quantization + self-join moment sums in SQL."""
+    import ray.data as rd
+
+    from xtract.ops.pca import scatter_stats
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["embedding"])
+    out = scatter_stats(emb, unit=1 << 10)
+    return out.map_batches(lambda t: pa.table({
+        "i": pc.cast(t["i"], pa.int64()),
+        "j": pc.cast(t["j"], pa.int64()),
+        "v": pc.cast(t["v"], pa.int64())}),
+        batch_format="pyarrow").sort(["i", "j"])
+
+
+def _embedding_scatter_sql() -> str:
+    return (
+        "WITH q AS (SELECT vec_id, i.i - 1 AS i, "
+        "CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1024) AS BIGINT) "
+        "AS qi FROM embeddings, range(1, 65) i(i)), "
+        "g AS (SELECT a.i AS i, b.i AS j, "
+        "CAST(sum(a.qi * b.qi) AS BIGINT) AS v "
+        "FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i "
+        "GROUP BY 1, 2), "
+        "s AS (SELECT i, CAST(-1 AS BIGINT) AS j, "
+        "CAST(sum(qi) AS BIGINT) AS v FROM q GROUP BY 1), "
+        "c AS (SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j, "
+        "count(*) AS v FROM embeddings) "
+        "SELECT i, j, v FROM (SELECT * FROM g UNION ALL "
+        "SELECT * FROM s UNION ALL SELECT * FROM c) ORDER BY i, j")
+
+
 def _q_event_type_salted_join(sf_dir: str):
     """Fragment-replicate ("salted") join on a key hot on BOTH sides
     (``ops/joins.salted_join``): event_type has ~5 distinct values, so
@@ -11414,6 +11453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_modularity": _q_host_modularity,
         "event_type_salted_join": _q_event_type_salted_join,
         "host_anf_hll": _q_host_anf_hll,
+        "embedding_scatter": _q_embedding_scatter,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -13833,4 +13873,5 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1 ORDER BY 1",
         "event_type_salted_join": _event_type_salted_join_sql(),
         "host_anf_hll": _host_anf_hll_sql(),
+        "embedding_scatter": _embedding_scatter_sql(),
     }

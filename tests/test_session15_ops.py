@@ -223,3 +223,102 @@ def test_hyper_anf_converges_and_saturates(ray_session):
     assert len(out) == 7
     assert out["reg_sum"].is_monotonic_increasing
     assert out["reg_sum"].iloc[3] == out["reg_sum"].iloc[6]
+
+
+# ----------------------------------------------------------------- PCA
+
+def _emb_ds(rd, X, ids=None):
+    n, d = X.shape
+    ids = np.arange(n, dtype=np.int64) if ids is None else ids
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(list(X.astype(np.float64)),
+                              pa.list_(pa.float64(), d))}))
+
+
+def _brute_scatter(X, unit):
+    q = np.floor(X * unit).astype(np.int64)
+    n, d = q.shape
+    G = q.T @ q
+    rows = {(-1, -1): n}
+    for i in range(d):
+        rows[(i, -1)] = int(q[:, i].sum())
+        for j in range(i, d):
+            rows[(i, j)] = int(G[i, j])
+    return rows
+
+
+def test_scatter_stats_exact(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.pca import scatter_stats
+
+    rng = np.random.RandomState(4)
+    X = rng.randn(300, 6)
+    out = scatter_stats(_emb_ds(rd, X), unit=1 << 10).to_pandas()
+    got = {(int(r.i), int(r.j)): int(r.v) for r in out.itertuples()}
+    assert got == _brute_scatter(X, 1 << 10)
+
+
+def test_scatter_stats_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.pca import scatter_stats
+
+    rng = np.random.RandomState(8)
+    X = rng.randn(200, 4)
+    a = scatter_stats(_emb_ds(rd, X).repartition(1)).to_pandas()
+    b = scatter_stats(_emb_ds(rd, X).repartition(17)).to_pandas()
+    key = ["i", "j"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
+
+
+def test_scatter_stats_headroom_gate(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.pca import scatter_stats
+
+    X = np.full((10, 2), 1000.0)
+    with pytest.raises(RuntimeError, match="headroom"):
+        scatter_stats(_emb_ds(rd, X), unit=1 << 30, headroom_bits=40)
+
+
+def test_pca_recovers_planted_axis(ray_session):
+    """Variance planted along one direction → the top component
+    aligns with it and projections match numpy's PCA."""
+    import ray.data as rd
+
+    from xtract.ops.pca import pca_components, pca_project, scatter_stats
+
+    rng = np.random.RandomState(11)
+    axis = np.array([3.0, 0.0, 4.0]) / 5.0
+    X = (rng.randn(400, 1) * 5.0) @ axis[None, :] + rng.randn(400, 3) * 0.1
+    ds = _emb_ds(rd, X)
+    stats = scatter_stats(ds, unit=1 << 16).to_pandas()
+    mean, comps, eig = pca_components(stats, k=2, unit=1 << 16)
+    assert abs(abs(float(comps[0] @ axis)) - 1.0) < 1e-3
+    assert eig[0] > 20 * eig[1]
+    proj = pca_project(ds, mean, comps).to_pandas()
+    P = np.stack(proj.sort_values("vec_id")["pc"].to_numpy())
+    # numpy reference on the same quantized mean/comps
+    exp = (X - mean) @ comps.T
+    assert np.allclose(P, exp, atol=1e-9)
+
+
+def test_pca_sign_rule_deterministic(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.pca import pca_components, scatter_stats
+
+    rng = np.random.RandomState(21)
+    X = rng.randn(150, 5) * np.array([4.0, 2.0, 1.0, 0.5, 0.1])
+    ds = _emb_ds(rd, X)
+    s1 = scatter_stats(ds.repartition(2), unit=1 << 14).to_pandas()
+    s2 = scatter_stats(ds.repartition(9), unit=1 << 14).to_pandas()
+    m1, c1, _ = pca_components(s1, k=3, unit=1 << 14)
+    m2, c2, _ = pca_components(s2, k=3, unit=1 << 14)
+    assert np.array_equal(c1, c2) and np.array_equal(m1, m2)
+    assert all(c1[r, int(np.argmax(np.abs(c1[r])))] > 0
+               for r in range(3))
