@@ -11243,6 +11243,100 @@ def _embedding_scatter_sql() -> str:
         "SELECT * FROM s UNION ALL SELECT * FROM c) ORDER BY i, j")
 
 
+def _q_doc_quality_tree(sf_dir: str):
+    """Depth-2 decision tree on the logreg quality features
+    (``ops/dtree.train_tree``): per level ONE histogram exchange
+    (per-block np.unique combiner → native Sum), exact-integer
+    misclassification-error splits with the (err, feat, thr) tie
+    rule, gated driver histogram.  Output = the flattened tree
+    (node, feat, thr, n, n_pos, pred); the oracle replays the entire
+    training — both split argmins and the leaf majorities — in SQL."""
+    from xtract.ops.dtree import train_tree, tree_table
+
+    feats = (_docs(sf_dir, ["doc_id", "text", "n_chars"])
+             .map_batches(_lr_featurize, batch_format="pyarrow")
+             .materialize())
+    tree = train_tree(feats, ["x1", "x2", "x3"], "y", depth=2)
+    return tree_table(tree)
+
+
+def _doc_quality_tree_sql() -> str:
+    fdefs = [
+        "(LEAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')), 1000) "
+        "// 4) - 12",
+        "LEAST((LENGTH(text) - LENGTH(REPLACE(text, 'table', ''))) "
+        "// 5, 200) - 3",
+        "LEAST((LENGTH(text) - LENGTH(REPLACE(text, 'key', ''))) "
+        "// 3, 200) - 2"]
+    parts = [
+        "fx AS (SELECT CAST(" + fdefs[0] + " AS BIGINT) AS f0, "
+        "CAST(" + fdefs[1] + " AS BIGINT) AS f1, "
+        "CAST(" + fdefs[2] + " AS BIGINT) AS f2, "
+        "CAST(n_chars >= 306 AS BIGINT) AS y FROM documents)"]
+
+    def split_ctes(node: int, src: str) -> None:
+        parts.append(
+            f"h{node} AS (SELECT feat, val, count(*) AS n, "
+            f"CAST(sum(y) AS BIGINT) AS npos FROM ("
+            f"SELECT 0 AS feat, f0 AS val, y FROM {src} UNION ALL "
+            f"SELECT 1, f1, y FROM {src} UNION ALL "
+            f"SELECT 2, f2, y FROM {src}) GROUP BY 1, 2)")
+        parts.append(
+            f"t{node} AS (SELECT feat, val, "
+            f"sum(n) OVER w AS nl, sum(npos) OVER w AS pl, "
+            f"sum(n) OVER (PARTITION BY feat) AS nt, "
+            f"sum(npos) OVER (PARTITION BY feat) AS pt, "
+            f"max(val) OVER (PARTITION BY feat) AS vmax "
+            f"FROM h{node} WINDOW w AS (PARTITION BY feat "
+            f"ORDER BY val ROWS UNBOUNDED PRECEDING))")
+        parts.append(
+            f"s{node} AS (SELECT feat, val AS thr, "
+            f"LEAST(pl, nl - pl) + LEAST(pt - pl, (nt - nl) - "
+            f"(pt - pl)) AS err FROM t{node} WHERE val < vmax "
+            f"ORDER BY err, feat, val LIMIT 1)")
+
+    split_ctes(0, "fx")
+    parts.append(
+        "a1 AS (SELECT fx.*, CASE WHEN (SELECT count(*) FROM s0) = 0 "
+        "THEN 0 WHEN (CASE (SELECT feat FROM s0) WHEN 0 THEN f0 "
+        "WHEN 1 THEN f1 ELSE f2 END) <= (SELECT thr FROM s0) "
+        "THEN 1 ELSE 2 END AS node FROM fx)")
+    parts.append("v1 AS (SELECT * FROM a1 WHERE node = 1)")
+    parts.append("v2 AS (SELECT * FROM a1 WHERE node = 2)")
+    split_ctes(1, "v1")
+    split_ctes(2, "v2")
+    parts.append(
+        "a2 AS (SELECT a1.*, CASE WHEN node = 0 THEN 0 "
+        "WHEN node = 1 THEN (CASE WHEN (SELECT count(*) FROM s1) = 0 "
+        "THEN 1 WHEN (CASE (SELECT feat FROM s1) WHEN 0 THEN f0 "
+        "WHEN 1 THEN f1 ELSE f2 END) <= (SELECT thr FROM s1) "
+        "THEN 3 ELSE 4 END) "
+        "ELSE (CASE WHEN (SELECT count(*) FROM s2) = 0 THEN 2 "
+        "WHEN (CASE (SELECT feat FROM s2) WHEN 0 THEN f0 "
+        "WHEN 1 THEN f1 ELSE f2 END) <= (SELECT thr FROM s2) "
+        "THEN 5 ELSE 6 END) END AS leaf FROM a1)")
+    parts.append(
+        "outp AS ("
+        "SELECT CAST(0 AS BIGINT) AS node, "
+        "COALESCE((SELECT feat FROM s0), -1) AS feat, "
+        "COALESCE((SELECT thr FROM s0), 0) AS thr, "
+        "count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos FROM fx "
+        "UNION ALL SELECT 1, COALESCE((SELECT feat FROM s1), -1), "
+        "COALESCE((SELECT thr FROM s1), 0), count(*), "
+        "CAST(sum(y) AS BIGINT) FROM v1 HAVING count(*) > 0 "
+        "UNION ALL SELECT 2, COALESCE((SELECT feat FROM s2), -1), "
+        "COALESCE((SELECT thr FROM s2), 0), count(*), "
+        "CAST(sum(y) AS BIGINT) FROM v2 HAVING count(*) > 0 "
+        "UNION ALL SELECT leaf, -1, 0, count(*), "
+        "CAST(sum(y) AS BIGINT) FROM a2 WHERE leaf >= 3 GROUP BY leaf)")
+    return ("WITH " + ", ".join(parts) +
+            " SELECT CAST(node AS BIGINT) AS node, "
+            "CAST(feat AS BIGINT) AS feat, CAST(thr AS BIGINT) AS thr, "
+            "CAST(n AS BIGINT) AS n, n_pos, "
+            "CAST(2 * n_pos > n AS BIGINT) AS pred FROM outp "
+            "ORDER BY node")
+
+
 def _q_event_type_salted_join(sf_dir: str):
     """Fragment-replicate ("salted") join on a key hot on BOTH sides
     (``ops/joins.salted_join``): event_type has ~5 distinct values, so
@@ -11454,6 +11548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_salted_join": _q_event_type_salted_join,
         "host_anf_hll": _q_host_anf_hll,
         "embedding_scatter": _q_embedding_scatter,
+        "doc_quality_tree": _q_doc_quality_tree,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -13874,4 +13969,5 @@ def oracle_sql() -> dict[str, str]:
         "event_type_salted_join": _event_type_salted_join_sql(),
         "host_anf_hll": _host_anf_hll_sql(),
         "embedding_scatter": _embedding_scatter_sql(),
+        "doc_quality_tree": _doc_quality_tree_sql(),
     }

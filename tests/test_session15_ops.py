@@ -322,3 +322,128 @@ def test_pca_sign_rule_deterministic(ray_session):
     assert np.array_equal(c1, c2) and np.array_equal(m1, m2)
     assert all(c1[r, int(np.argmax(np.abs(c1[r])))] > 0
                for r in range(3))
+
+
+# ------------------------------------------------------- decision tree
+
+def _brute_tree(X, y, depth):
+    """Sequential reference with identical split/tie rules."""
+    splits, nodes = {}, {0: None}
+
+    def route(row):
+        k = 0
+        while k in splits:
+            f, t = splits[k]
+            k = 2 * k + 1 if row[f] <= t else 2 * k + 2
+        return k
+
+    for level in range(depth + 1):
+        assign = np.array([route(r) for r in X])
+        for k in sorted(set(assign.tolist())):
+            m = assign == k
+            n_k, pos_k = int(m.sum()), int(y[m].sum())
+            nodes[k] = (n_k, pos_k)
+            if level == depth or n_k == 0:
+                continue
+            best = None
+            for f in range(X.shape[1]):
+                vals = np.sort(np.unique(X[m, f]))
+                for t in vals[:-1]:
+                    lm = m & (X[:, f] <= t)
+                    rm = m & (X[:, f] > t)
+                    pl, nl = int(y[lm].sum()), int(lm.sum())
+                    pr, nr = int(y[rm].sum()), int(rm.sum())
+                    err = min(pl, nl - pl) + min(pr, nr - pr)
+                    cand = (err, f, int(t))
+                    if best is None or cand < best:
+                        best = cand
+            if best is not None:
+                splits[k] = (best[1], best[2])
+                nodes.setdefault(2 * k + 1, None)
+                nodes.setdefault(2 * k + 2, None)
+    leaves = {k: v for k, v in nodes.items()
+              if k not in splits and v is not None}
+    return splits, leaves
+
+
+def _tree_ds(rd, X, y):
+    cols = {f"x{j}": pa.array(X[:, j], pa.int64())
+            for j in range(X.shape[1])}
+    cols["y"] = pa.array(y, pa.int64())
+    cols["rid"] = pa.array(np.arange(len(y), dtype=np.int64))
+    return rd.from_arrow(pa.table(cols))
+
+
+def _rand_xy(seed=6, n=600, f=3):
+    rng = np.random.RandomState(seed)
+    X = rng.randint(-8, 9, (n, f)).astype(np.int64)
+    y = ((X[:, 0] + 2 * X[:, 1] > 3) ^ (rng.rand(n) < 0.1)).astype(
+        np.int64)
+    return X, y
+
+
+def test_train_tree_matches_sequential(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.dtree import train_tree
+
+    X, y = _rand_xy()
+    tree = train_tree(_tree_ds(rd, X, y).repartition(7),
+                      ["x0", "x1", "x2"], "y", depth=2)
+    esplits, eleaves = _brute_tree(X, y, 2)
+    assert tree["splits"] == esplits
+    assert tree["leaves"] == eleaves
+
+
+def test_train_tree_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.dtree import train_tree
+
+    X, y = _rand_xy(seed=19, n=300)
+    a = train_tree(_tree_ds(rd, X, y).repartition(1),
+                   ["x0", "x1", "x2"], "y", depth=2)
+    b = train_tree(_tree_ds(rd, X, y).repartition(23),
+                   ["x0", "x1", "x2"], "y", depth=2,
+                   num_partitions=5)
+    assert a["splits"] == b["splits"] and a["leaves"] == b["leaves"]
+
+
+def test_tree_learns_separable_rule(ray_session):
+    """Noiseless axis-aligned depth-2 concept → zero training error
+    and score_tree reproduces the labels."""
+    import ray.data as rd
+
+    from xtract.ops.dtree import score_tree, train_tree
+
+    rng = np.random.RandomState(3)
+    X = rng.randint(-10, 11, (500, 3)).astype(np.int64)
+    y = ((X[:, 0] <= 2) & (X[:, 2] > -1)).astype(np.int64)
+    ds = _tree_ds(rd, X, y)
+    tree = train_tree(ds, ["x0", "x1", "x2"], "y", depth=2)
+    scored = score_tree(ds, tree, id_cols=("rid", "y")).to_pandas()
+    assert (scored["pred"] == scored["y"]).all()
+
+
+def test_tree_pure_node_stops(ray_session):
+    """A node whose features are all constant cannot split — it
+    stays a leaf even above the depth limit."""
+    import ray.data as rd
+
+    from xtract.ops.dtree import train_tree
+
+    X = np.zeros((40, 2), np.int64)
+    y = (np.arange(40) % 2).astype(np.int64)
+    tree = train_tree(_tree_ds(rd, X, y), ["x0", "x1"], "y", depth=2)
+    assert tree["splits"] == {} and tree["leaves"] == {0: (40, 20)}
+
+
+def test_tree_hist_gate(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.dtree import train_tree
+
+    X, y = _rand_xy(n=200)
+    with pytest.raises(RuntimeError, match="max_hist"):
+        train_tree(_tree_ds(rd, X, y), ["x0", "x1", "x2"], "y",
+                   depth=1, max_hist=3)
