@@ -11337,6 +11337,47 @@ def _doc_quality_tree_sql() -> str:
             "ORDER BY node")
 
 
+def _q_doc_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (``ops/ranking.rrf_fuse``) of two
+    retrievers — the BM25 top-20 and the global-length top-20 — with
+    the float 1/(k+r) replaced by floor(10^12/(60+r)) exact integer
+    division.  Both inputs are bounded top-k lists, so fusion is one
+    union + ONE slim grouped Sum/Count.  Oracle = the same two ranked
+    CTEs + integer-division fusion in SQL."""
+    import ray.data as rd
+
+    from xtract.ops.ranking import bm25_score, rrf_fuse
+
+    bm = bm25_score(_docs(sf_dir, ["doc_id", "text"]),
+                    _BM25_QUERY).to_pandas()  # 20 rows
+    bm_ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(bm["doc_id"].to_numpy(np.int64)),
+        "rank": pa.array(bm["rank"].to_numpy(np.int64))}))
+    lens = (_docs(sf_dir, ["doc_id", "n_chars"])
+            .sort(["n_chars", "doc_id"], descending=[True, False])
+            .limit(20).to_pandas())  # top-k result — driver-small
+    lens_ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(lens["doc_id"].to_numpy(np.int64)),
+        "rank": pa.array(np.arange(1, len(lens) + 1, dtype=np.int64))}))
+    out = rrf_fuse([bm_ds, lens_ds]).to_pandas()
+    out = out.sort_values(["rrf_score", "doc_id"],
+                          ascending=[False, True])
+    return out.reset_index(drop=True).astype("int64")
+
+
+def _doc_rrf_fusion_sql() -> str:
+    return (
+        "WITH b AS (" + _bm25_sql() + "), "
+        "l AS (SELECT doc_id, rank() OVER (ORDER BY n_chars DESC, "
+        "doc_id) AS rank FROM documents ORDER BY rank LIMIT 20), "
+        "u AS (SELECT doc_id, 1000000000000 // (60 + rank) AS c "
+        "FROM b UNION ALL "
+        "SELECT doc_id, 1000000000000 // (60 + rank) FROM l) "
+        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_score, "
+        "count(*) AS n_lists FROM u GROUP BY 1 "
+        "ORDER BY rrf_score DESC, doc_id")
+
+
 def _q_event_type_salted_join(sf_dir: str):
     """Fragment-replicate ("salted") join on a key hot on BOTH sides
     (``ops/joins.salted_join``): event_type has ~5 distinct values, so
@@ -11549,6 +11590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_anf_hll": _q_host_anf_hll,
         "embedding_scatter": _q_embedding_scatter,
         "doc_quality_tree": _q_doc_quality_tree,
+        "doc_rrf_fusion": _q_doc_rrf_fusion,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -13970,4 +14012,5 @@ def oracle_sql() -> dict[str, str]:
         "host_anf_hll": _host_anf_hll_sql(),
         "embedding_scatter": _embedding_scatter_sql(),
         "doc_quality_tree": _doc_quality_tree_sql(),
+        "doc_rrf_fusion": _doc_rrf_fusion_sql(),
     }

@@ -447,3 +447,46 @@ def test_tree_hist_gate(ray_session):
     with pytest.raises(RuntimeError, match="max_hist"):
         train_tree(_tree_ds(rd, X, y), ["x0", "x1", "x2"], "y",
                    depth=1, max_hist=3)
+
+
+# ------------------------------------------------------------ rrf_fuse
+
+def _ranked(rd, ids, ranks):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.array(ids, np.int64)),
+        "rank": pa.array(np.array(ranks, np.int64))}))
+
+
+def test_rrf_fuse_brute_force(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.ranking import rrf_fuse
+
+    a = _ranked(rd, [10, 20, 30], [1, 2, 3])
+    b = _ranked(rd, [20, 40], [1, 2])
+    out = rrf_fuse([a, b], k_const=60, scale=10 ** 6).to_pandas()
+    got = {int(r.doc_id): (int(r.rrf_score), int(r.n_lists))
+           for r in out.itertuples()}
+    s = 10 ** 6
+    assert got == {
+        10: (s // 61, 1),
+        20: (s // 62 + s // 61, 2),
+        30: (s // 63, 1),
+        40: (s // 62, 1)}
+
+
+def test_rrf_fuse_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.ranking import rrf_fuse
+
+    rng = np.random.RandomState(2)
+    ids = rng.permutation(200)[:50]
+    a = _ranked(rd, ids, np.arange(1, 51))
+    b = _ranked(rd, ids[::-1], np.arange(1, 51))
+    o1 = rrf_fuse([a.repartition(1), b.repartition(1)]).to_pandas()
+    o2 = rrf_fuse([a.repartition(9), b.repartition(4)]).to_pandas()
+    k = ["doc_id"]
+    pd.testing.assert_frame_equal(
+        o1.sort_values(k).reset_index(drop=True),
+        o2.sort_values(k).reset_index(drop=True))

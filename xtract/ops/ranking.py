@@ -438,3 +438,40 @@ def phrase_search(ds, phrase: str, key: str = "doc_id",
 
     return ds.select_columns([key, col]).map_batches(
         count_batch, batch_format="pyarrow")
+
+
+def rrf_fuse(lists, key: str = "doc_id", rank_col: str = "rank",
+             k_const: int = 60, scale: int = 10 ** 12):
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009,
+    public method) of N ranked candidate lists: score(d) =
+    Σ_lists floor(scale / (k_const + rank_d)) — the float 1/(k+r)
+    replaced by exact integer division so fusion is bit-identical at
+    any parallelism and SQL-replayable.  Docs absent from a list
+    contribute nothing; ``n_lists`` reports coverage.
+
+    Scale shape: each input is a top-k retriever output (bounded by
+    construction), so the whole fusion is one union + ONE slim
+    grouped Sum/Count — no corpus-cardinality data moves.  → Dataset
+    (key, rrf_score:int64, n_lists:int64)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def contrib(b: pa.Table) -> pa.Table:
+        r = b[rank_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            key: b[key],
+            "_c": pa.array(scale // (k_const + r), pa.int64())})
+
+    tagged = None
+    for ds in lists:
+        part = ds.map_batches(contrib, batch_format="pyarrow")
+        tagged = part if tagged is None else tagged.union(part)
+    out = (tagged.groupby(key)
+           .aggregate(Sum("_c", alias_name="rrf_score"),
+                      Count(alias_name="n_lists")))
+    return out.map_batches(
+        lambda t: pa.table({
+            key: t[key],
+            "rrf_score": pc.cast(t["rrf_score"], pa.int64()),
+            "n_lists": pc.cast(t["n_lists"], pa.int64())}),
+        batch_format="pyarrow")
