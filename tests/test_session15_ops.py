@@ -490,3 +490,43 @@ def test_rrf_fuse_partition_invariance(ray_session):
     pd.testing.assert_frame_equal(
         o1.sort_values(k).reset_index(drop=True),
         o2.sort_values(k).reset_index(drop=True))
+
+
+# ------------------------------------------------- distributed MIS
+
+def test_mis_distributed_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.graph import maximal_independent_set
+
+    edges = _rand_edges(seed=17, n_nodes=50, n_edges=140)
+    ds = _hanf_edges(rd, edges)
+    a = maximal_independent_set(ds).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    b = maximal_independent_set(
+        ds.repartition(7), distributed=True,
+        num_partitions=5).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_mis_distributed_properties(ray_session):
+    """Independence + maximality hold in distributed mode."""
+    import ray.data as rd
+
+    from xtract.ops.graph import maximal_independent_set
+
+    edges = [(u, v) for u, v in _rand_edges(seed=23, n_nodes=30,
+                                            n_edges=70) if u != v]
+    out = maximal_independent_set(
+        _hanf_edges(rd, edges), distributed=True).to_pandas()
+    mis = set(out.loc[out.in_mis == 1, "node"])
+    und = {(min(u, v), max(u, v)) for u, v in edges}
+    assert all(not (u in mis and v in mis) for u, v in und)
+    # maximality: every non-member has a MIS neighbor
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nonm = set(out.loc[out.in_mis == 0, "node"])
+    assert all(adj.get(n, set()) & mis for n in nonm)

@@ -2849,7 +2849,9 @@ def _luby_pri(nodes: np.ndarray, r: int) -> np.ndarray:
 
 def maximal_independent_set(edges_ds, src: str = "src",
                             dst: str = "dst", max_rounds: int = 64,
-                            broadcast_limit: int = 2_000_000):
+                            broadcast_limit: int = 2_000_000,
+                            distributed: bool = False,
+                            num_partitions: int = 32):
     """Deterministic Luby maximal independent set (Luby 1986, public
     method) over the distinct undirected edge set →
     Dataset(node:int64, in_mis:int64, mis_round:int64) for every edge
@@ -2866,7 +2868,11 @@ def maximal_independent_set(edges_ds, src: str = "src",
     active-set/MIS state lives as sorted driver arrays behind an
     exact-count ``broadcast_limit`` gate (the `bfs_depth` placement);
     both per-round passes are distributed edge scans emitting ≤1 slim
-    row per (block, node).
+    row per (block, node).  ``distributed=True`` keeps active/MIS
+    state as Datasets instead — four slim hash co-groups per round
+    (messages, join decision, joiner neighbors, deactivation), nothing
+    node-proportional on the driver, bit-identical to the broadcast
+    mode (same priorities, same rounds).
 
     Reference parity anchor: tesseract-rs has no graph surface
     (src/api.rs — documents independent); extends the
@@ -2875,6 +2881,8 @@ def maximal_independent_set(edges_ds, src: str = "src",
     import ray
 
     edges = _undirected_distinct(edges_ds, src, dst)
+    if distributed:
+        return _mis_distributed(edges, max_rounds, num_partitions)
 
     def node_partial(b: pa.Table) -> pa.Table:
         ids = np.unique(np.concatenate([
@@ -2889,7 +2897,7 @@ def maximal_independent_set(edges_ds, src: str = "src",
     if len(nodes) > broadcast_limit:
         raise ValueError(
             f"maximal_independent_set: {len(nodes)} nodes exceed "
-            f"broadcast_limit {broadcast_limit}")
+            f"broadcast_limit {broadcast_limit}; use distributed=True")
     active = nodes.copy()
     mis_nodes: list = []
     mis_rounds: list = []
@@ -2970,3 +2978,221 @@ def maximal_independent_set(edges_ds, src: str = "src",
         "node": pa.array(nodes, pa.int64()),
         "in_mis": pa.array(in_mis, pa.int64()),
         "mis_round": pa.array(rnd, pa.int64())}))
+
+
+def _mis_distributed(edges, max_rounds: int, num_partitions: int):
+    """Dataset-state Luby MIS: per round four slim co-groups —
+    (A) active⋈edges on hash(giver) → per-partition min active-nbr
+    priority per receiver, (B) messages⋈active on hash(node) → the
+    join decision (no-message active nodes join too), (C)
+    joiners⋈edges on hash(giver) → joiner neighborhoods, (D)
+    active⋈(joiners ∪ nbrs) anti-join → the surviving active set.
+    Same ``_luby_pri`` priorities as the broadcast mode →
+    bit-identical output."""
+    import ray
+    from ray.data.aggregate import Count
+
+    P = np.int64(num_partitions)
+
+    def part_of(ids: np.ndarray) -> np.ndarray:
+        return np.abs(ids) % P
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            b["u"].to_numpy(zero_copy_only=False),
+            b["v"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"node": pa.array(ids, pa.int64())})
+
+    nodes_ds = (edges.map_batches(node_partial, batch_format="pyarrow")
+                .groupby("node").aggregate(Count(alias_name="_n"))
+                .select_columns(["node"])).materialize()
+
+    def tag_nodes(t: pa.Table, side: int) -> pa.Table:
+        n = t["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_part": pa.array(part_of(n), pa.int64()),
+            "_side": pa.array(np.full(len(n), side, np.int8)),
+            "g": pa.array(n, pa.int64()),
+            "rcv": pa.array(np.zeros(len(n), np.int64), pa.int64()),
+            "pri": pa.array(np.zeros(len(n), np.uint64), pa.uint64())})
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        g = np.concatenate([u, v])
+        rcv = np.concatenate([v, u])
+        return pa.table({
+            "_part": pa.array(part_of(g), pa.int64()),
+            "_side": pa.array(np.ones(len(g), np.int8)),
+            "g": pa.array(g, pa.int64()),
+            "rcv": pa.array(rcv, pa.int64()),
+            "pri": pa.array(np.zeros(len(g), np.uint64), pa.uint64())})
+
+    edges_tagged = edges.map_batches(
+        tag_edges, batch_format="pyarrow").materialize()
+
+    active = nodes_ds
+    mis_parts: list = []
+    converged = False
+    for r in range(1, max_rounds + 1):
+        if active.count() == 0:
+            converged = True
+            break
+
+        def send(t: pa.Table, _r=r) -> pa.Table:
+            st = t.filter(pc.equal(t["_side"], 0))
+            ed = t.filter(pc.equal(t["_side"], 1))
+            act = np.sort(st["g"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+            g = ed["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+            rcv = ed["rcv"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            keep = _member(act, g)
+            g, rcv = g[keep], rcv[keep]
+            if not len(g):
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "mn": pa.array([], pa.uint64())})
+            pri = _luby_pri(g, _r)
+            o = np.lexsort((pri, rcv))
+            r2, p2 = rcv[o], pri[o]
+            first = np.ones(len(r2), bool)
+            first[1:] = r2[1:] != r2[:-1]
+            return pa.table({"node": pa.array(r2[first], pa.int64()),
+                             "mn": pa.array(p2[first], pa.uint64())})
+
+        msgs = (active.map_batches(lambda b: tag_nodes(b, 0),
+                                   batch_format="pyarrow")
+                .union(edges_tagged)
+                .groupby("_part")
+                .map_groups(send, batch_format="pyarrow"))
+
+        def tag_msgs(t: pa.Table) -> pa.Table:
+            n = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(part_of(n), pa.int64()),
+                "_side": pa.array(np.ones(len(n), np.int8)),
+                "g": pa.array(n, pa.int64()),
+                "rcv": pa.array(np.zeros(len(n), np.int64), pa.int64()),
+                "pri": t["mn"]})
+
+        def decide(t: pa.Table, _r=r) -> pa.Table:
+            st = t.filter(pc.equal(t["_side"], 0))
+            ms = t.filter(pc.equal(t["_side"], 1))
+            act = np.sort(st["g"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+            if not len(act):
+                return pa.table({"node": pa.array([], pa.int64())})
+            mn = np.full(len(act), np.iinfo(np.uint64).max, np.uint64)
+            gn = ms["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+            gp = ms["pri"].to_numpy(zero_copy_only=False).astype(
+                np.uint64)
+            keep = _member(act, gn)
+            gn, gp = gn[keep], gp[keep]
+            if len(gn):
+                o = np.lexsort((gp, gn))
+                gn, gp = gn[o], gp[o]
+                first = np.ones(len(gn), bool)
+                first[1:] = gn[1:] != gn[:-1]
+                np.minimum.at(mn, np.searchsorted(act, gn[first]),
+                              gp[first])
+            joiners = act[_luby_pri(act, _r) < mn]
+            return pa.table({"node": pa.array(joiners, pa.int64())})
+
+        joiners_ds = (msgs.map_batches(tag_msgs, batch_format="pyarrow")
+                      .union(active.map_batches(
+                          lambda b: tag_nodes(b, 0),
+                          batch_format="pyarrow"))
+                      .groupby("_part")
+                      .map_groups(decide, batch_format="pyarrow")
+                      ).materialize()
+        mis_parts.append(joiners_ds.map_batches(
+            lambda t, _r=r: t.append_column(
+                "mis_round", pa.array(np.full(len(t), _r, np.int64))),
+            batch_format="pyarrow").materialize())
+
+        def nbrs_of(t: pa.Table) -> pa.Table:
+            st = t.filter(pc.equal(t["_side"], 0))
+            ed = t.filter(pc.equal(t["_side"], 1))
+            J = np.sort(st["g"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+            g = ed["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+            rcv = ed["rcv"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            out = np.unique(rcv[_member(J, g)])
+            return pa.table({"node": pa.array(out, pa.int64())})
+
+        nbrs_ds = (joiners_ds.map_batches(
+                       lambda b: tag_nodes(b, 0),
+                       batch_format="pyarrow")
+                   .union(edges_tagged)
+                   .groupby("_part")
+                   .map_groups(nbrs_of, batch_format="pyarrow"))
+
+        def anti(t: pa.Table) -> pa.Table:
+            st = t.filter(pc.equal(t["_side"], 0))
+            dr = t.filter(pc.equal(t["_side"], 1))
+            act = st["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+            drop = np.sort(np.unique(
+                dr["g"].to_numpy(zero_copy_only=False).astype(np.int64)))
+            keep = act[~_member(drop, act)]
+            return pa.table({"node": pa.array(keep, pa.int64())})
+
+        drop_ds = joiners_ds.union(nbrs_ds)
+        active = (active.map_batches(lambda b: tag_nodes(b, 0),
+                                     batch_format="pyarrow")
+                  .union(drop_ds.map_batches(
+                      lambda b: tag_nodes(b, 1),
+                      batch_format="pyarrow"))
+                  .groupby("_part")
+                  .map_groups(anti, batch_format="pyarrow")
+                  ).materialize()
+    else:
+        converged = active.count() == 0
+    if not converged:
+        raise RuntimeError(
+            f"maximal_independent_set: not converged within "
+            f"{max_rounds} rounds")
+
+    if not mis_parts:  # empty graph
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "in_mis": pa.array([], pa.int64()),
+            "mis_round": pa.array([], pa.int64())}))
+    mis_all = mis_parts[0]
+    for extra in mis_parts[1:]:
+        mis_all = mis_all.union(extra)
+
+    def attach(t: pa.Table) -> pa.Table:
+        st = t.filter(pc.equal(t["_side"], 0))
+        ms = t.filter(pc.equal(t["_side"], 1))
+        n = st["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        jn = np.sort(ms["g"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+        jr = ms["pri"].to_numpy(zero_copy_only=False).astype(np.int64)[
+            np.argsort(ms["g"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64), kind="stable")]
+        hit = _member(jn, n)
+        rnd = np.zeros(len(n), np.int64)
+        rnd[hit] = jr[np.searchsorted(jn, n[hit])]
+        return pa.table({
+            "node": pa.array(n, pa.int64()),
+            "in_mis": pa.array(hit.astype(np.int64), pa.int64()),
+            "mis_round": pa.array(rnd, pa.int64())})
+
+    def tag_mis(t: pa.Table) -> pa.Table:
+        n = t["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_part": pa.array(part_of(n), pa.int64()),
+            "_side": pa.array(np.ones(len(n), np.int8)),
+            "g": pa.array(n, pa.int64()),
+            "rcv": pa.array(np.zeros(len(n), np.int64), pa.int64()),
+            "pri": pa.array(t["mis_round"].to_numpy(
+                zero_copy_only=False).astype(np.uint64), pa.uint64())})
+
+    out = (nodes_ds.map_batches(lambda b: tag_nodes(b, 0),
+                                batch_format="pyarrow")
+           .union(mis_all.map_batches(tag_mis, batch_format="pyarrow"))
+           .groupby("_part")
+           .map_groups(attach, batch_format="pyarrow"))
+    return out.sort("node")
