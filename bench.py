@@ -360,6 +360,16 @@ def bench_once() -> dict:
     queries["lr_auc"] = timed(
         lambda: len(_E.queries()["lr_auc"](SF_DIR)))
 
+    # session-15 heavyweights: the fragment-replicate salted join
+    # (hot on BOTH sides), depth-2 tree training (3 histogram
+    # exchanges), and the exact-integer PCA scatter pass (64×64 Gram)
+    queries["salted_join"] = timed(
+        lambda: _E.queries()["event_type_salted_join"](SF_DIR).count())
+    queries["dtree_train"] = timed(
+        lambda: len(_E.queries()["doc_quality_tree"](SF_DIR)))
+    queries["pca_scatter"] = timed(
+        lambda: _E.queries()["embedding_scatter"](SF_DIR).count())
+
     result = {
         "metric": "extracted documents/sec (byte-identical text per url)",
         "value": round(t_extract, 3),

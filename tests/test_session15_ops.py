@@ -530,3 +530,22 @@ def test_mis_distributed_properties(ray_session):
         adj.setdefault(v, set()).add(u)
     nonm = set(out.loc[out.in_mis == 0, "node"])
     assert all(adj.get(n, set()) & mis for n in nonm)
+
+
+# ------------------------------------------------- distributed k-core
+
+def test_k_core_distributed_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.graph import k_core
+
+    edges = _rand_edges(seed=31, n_nodes=60, n_edges=250)
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array(np.array([e[0] for e in edges], np.int64)),
+        "dst": pa.array(np.array([e[1] for e in edges], np.int64))}))
+    a = k_core(ds, k=4).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    b = k_core(ds.repartition(9), k=4, distributed=True,
+               num_partitions=5).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

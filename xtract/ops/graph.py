@@ -1379,7 +1379,8 @@ def bfs_depth(edges_ds, seeds, src: str = "src", dst: str = "dst",
 
 
 def k_core(edges_ds, k: int, src: str = "src", dst: str = "dst",
-           max_rounds: int = 30, removed_broadcast_limit: int = 2_000_000):
+           max_rounds: int = 30, removed_broadcast_limit: int = 2_000_000,
+           distributed: bool = False, num_partitions: int = 32):
     """k-core decomposition by iterative peeling → the subgraph in
     which every node has UNDIRECTED degree ≥ ``k`` (distinct
     neighbors; self-loops dropped).  Returns
@@ -1398,6 +1399,12 @@ def k_core(edges_ds, k: int, src: str = "src", dst: str = "dst",
     Deterministic: peeling is order-free within a round.  Raises if
     not converged after ``max_rounds`` (like `hits` overflow —
     fail-loud, never silent wrong answers).
+
+    ``distributed=True`` drops each round's peel set via TWO hash
+    co-group anti-joins (edges⋈low on hash(a), then on hash(b))
+    instead of the broadcast — no per-round driver set at all, same
+    edges surviving (peeling is order-free), for graphs where a
+    single round peels more than the broadcast gate allows.
     """
     import ray
     from ray.data.aggregate import Count, Sum
@@ -1443,10 +1450,14 @@ def k_core(edges_ds, k: int, src: str = "src", dst: str = "dst",
         if not n_low:
             converged = True
             break
+        if distributed:
+            e = _drop_endpoints_cogroup(e, low, num_partitions)
+            continue
         if n_low > removed_broadcast_limit:
             raise ValueError(
                 f"k_core: {n_low} nodes peel in one round, over "
-                f"removed_broadcast_limit {removed_broadcast_limit}")
+                f"removed_broadcast_limit {removed_broadcast_limit}; "
+                f"use distributed=True")
         rows = low.take_all()
         removed = np.sort(np.fromiter((r["node"] for r in rows),
                                       np.int64, len(rows)))
@@ -3196,3 +3207,48 @@ def _mis_distributed(edges, max_rounds: int, num_partitions: int):
            .groupby("_part")
            .map_groups(attach, batch_format="pyarrow"))
     return out.sort("node")
+
+
+def _drop_endpoints_cogroup(e, low_ds, num_partitions: int):
+    """Drop every edge touching a node in ``low_ds`` via two slim
+    hash co-group anti-joins (one per endpoint column) — the
+    distributed alternative to broadcasting the peel set."""
+    P = np.int64(num_partitions)
+
+    def one_side(e_ds, col: str):
+        other = "b" if col == "a" else "a"
+
+        def tag_e(t: pa.Table) -> pa.Table:
+            key = t[col].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(np.abs(key) % P, pa.int64()),
+                "_side": pa.array(np.zeros(len(key), np.int8)),
+                "x": pa.array(key, pa.int64()),
+                "y": pc.cast(t[other], pa.int64())})
+
+        def tag_low(t: pa.Table) -> pa.Table:
+            n = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_part": pa.array(np.abs(n) % P, pa.int64()),
+                "_side": pa.array(np.ones(len(n), np.int8)),
+                "x": pa.array(n, pa.int64()),
+                "y": pa.array(np.zeros(len(n), np.int64), pa.int64())})
+
+        def anti(t: pa.Table, _col=col, _other=other) -> pa.Table:
+            ed = t.filter(pc.equal(t["_side"], 0))
+            lo = t.filter(pc.equal(t["_side"], 1))
+            drop = np.sort(lo["x"].to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
+            x = ed["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+            y = ed["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = ~_member(drop, x)
+            return pa.table({_col: pa.array(x[keep], pa.int64()),
+                             _other: pa.array(y[keep], pa.int64())})
+
+        return (e_ds.map_batches(tag_e, batch_format="pyarrow")
+                .union(low_ds.map_batches(tag_low,
+                                          batch_format="pyarrow"))
+                .groupby("_part")
+                .map_groups(anti, batch_format="pyarrow"))
+
+    return one_side(one_side(e, "a"), "b").materialize()
