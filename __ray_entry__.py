@@ -11378,6 +11378,46 @@ def _doc_rrf_fusion_sql() -> str:
         "ORDER BY rrf_score DESC, doc_id")
 
 
+def _q_event_value_sampled_quantiles(sf_dir: str):
+    """Order-invariant sampled quantiles
+    (``ops/quantiles.sampled_quantiles``): the bottom-4096 rows by
+    splitmix64(event_id) form a deterministic uniform sample — the
+    crawl-scale quantile path for float columns where the integer
+    histogram refinement doesn't apply and a global sort is off the
+    table.  The sample is a pure function of the id set, so the SQL
+    oracle replays it exactly (mix64 chain → ORDER BY → LIMIT →
+    ceil(q·n) selection)."""
+    from xtract.ops.quantiles import sampled_quantiles
+
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+    out = sampled_quantiles(ev, "event_id", "value",
+                            {"p25": 0.25, "p50": 0.5,
+                             "p90": 0.9, "p99": 0.99}, s=4096)
+    return out.sort_values("name").reset_index(drop=True)
+
+
+def _event_value_sampled_quantiles_sql(s: int = 4096) -> str:
+    parts = ["ex AS (SELECT event_id, value, "
+             "CAST(event_id AS UBIGINT) AS x0 FROM events)"]
+    ctes, last = _sql_chain("ex", _sql_mix64("x0", "mh", "sq"), "sq_")
+    parts.extend(ctes)
+    parts.append(f"sel AS (SELECT value FROM {last} "
+                 f"ORDER BY mh LIMIT {s})")
+    parts.append("rk AS (SELECT value, row_number() OVER "
+                 "(ORDER BY value) AS r, count(*) OVER () AS n "
+                 "FROM sel)")
+    sels = " UNION ALL ".join(
+        f"SELECT '{name}' AS name, value FROM rk "
+        f"WHERE r = GREATEST(CAST(ceil({q} * n) AS BIGINT), 1)"
+        for name, q in (("p25", 0.25), ("p50", 0.5),
+                        ("p90", 0.9), ("p99", 0.99)))
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT name, value FROM ({sels}) ORDER BY name")
+
+
 def _q_event_type_salted_join(sf_dir: str):
     """Fragment-replicate ("salted") join on a key hot on BOTH sides
     (``ops/joins.salted_join``): event_type has ~5 distinct values, so
@@ -11591,6 +11631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_scatter": _q_embedding_scatter,
         "doc_quality_tree": _q_doc_quality_tree,
         "doc_rrf_fusion": _q_doc_rrf_fusion,
+        "event_value_sampled_quantiles": _q_event_value_sampled_quantiles,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -14013,4 +14054,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_scatter": _embedding_scatter_sql(),
         "doc_quality_tree": _doc_quality_tree_sql(),
         "doc_rrf_fusion": _doc_rrf_fusion_sql(),
+        "event_value_sampled_quantiles":
+            _event_value_sampled_quantiles_sql(),
     }

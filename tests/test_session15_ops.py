@@ -549,3 +549,41 @@ def test_k_core_distributed_matches_broadcast(ray_session):
                num_partitions=5).to_pandas().sort_values(
         "node").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------- sampled quantiles
+
+def test_sampled_quantiles_exact_below_s(ray_session):
+    """n ≤ s → the sample is the whole column → exact quantiles."""
+    import ray.data as rd
+
+    from xtract.ops.quantiles import sampled_quantiles
+
+    rng = np.random.RandomState(5)
+    vals = rng.randn(500) * 10
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(np.arange(500, dtype=np.int64)),
+        "v": pa.array(vals)}))
+    out = sampled_quantiles(ds, "id", "v",
+                            {"p50": 0.5, "p90": 0.9}, s=4096)
+    sv = np.sort(vals)
+    assert out.loc[0, "value"] == sv[int(np.ceil(0.5 * 500)) - 1]
+    assert out.loc[1, "value"] == sv[int(np.ceil(0.9 * 500)) - 1]
+
+
+def test_sampled_quantiles_invariance_and_band(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.quantiles import sampled_quantiles
+
+    rng = np.random.RandomState(7)
+    vals = rng.exponential(5.0, 20_000)
+    ids = rng.permutation(20_000).astype(np.int64)
+    t = pa.table({"id": pa.array(ids), "v": pa.array(vals)})
+    a = sampled_quantiles(rd.from_arrow(t).repartition(1),
+                          "id", "v", {"p50": 0.5}, s=2048)
+    b = sampled_quantiles(rd.from_arrow(t).repartition(31),
+                          "id", "v", {"p50": 0.5}, s=2048)
+    pd.testing.assert_frame_equal(a, b)  # bit-identical
+    exact = np.sort(vals)[int(np.ceil(0.5 * len(vals))) - 1]
+    assert abs(a.loc[0, "value"] - exact) / exact < 0.1

@@ -281,3 +281,48 @@ def grouped_weighted_median(ds, key: str, val: str, weight: str,
 
     return (counted.map_batches(tag, batch_format="pyarrow")
             .groupby("_part").map_groups(pick, batch_format="pyarrow"))
+
+
+def sampled_quantiles(ds, id_col: str, val_col: str,
+                      qs: "dict[str, float]", s: int = 4096):
+    """Approximate global quantiles from an ORDER-INVARIANT uniform
+    sample: keep the ``s`` rows with the smallest splitmix64(id)
+    priorities (a bottom-k sketch — deterministic, mergeable by min,
+    bit-identical at any parallelism, the same invariance argument as
+    ``ops/kmv``), then read each quantile off the sorted sampled
+    values with the discrete ceil(q·n) rule.
+
+    The crawl-scale path when ``exact_quantiles_global``'s integer
+    histogram refinement doesn't apply (float/unbounded values) and a
+    full ``Dataset.sort`` is off the table: error is the usual
+    O(1/√s) sampling band, but — unlike KLL/t-digest, whose output
+    depends on merge order — the selected SAMPLE is a pure function
+    of the id set, so results replay exactly in SQL and never drift
+    across parallelism.
+
+    Shape: one streaming pass with a per-block partial bottom-``s``
+    (≤ s rows leave each block), one sort+limit over the ≤ s·n_blocks
+    partials, one driver-side selection over s rows.  → DataFrame
+    (name, value) in ``qs`` insertion order."""
+    from .dedup import _mix64
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pri = _mix64(ids.astype(np.uint64))
+        vals = b[val_col].to_numpy(zero_copy_only=False)
+        k = min(s, len(ids))
+        sel = np.argpartition(pri, k - 1)[:k] if k < len(ids) else \
+            np.arange(len(ids))
+        # sign-flip keeps uint64 order under the int64 Dataset sort
+        pri_sortable = (pri[sel] ^ np.uint64(1 << 63)).astype(np.int64)
+        return pa.table({
+            "pri": pa.array(pri_sortable, pa.int64()),
+            "val": pa.array(vals[sel])})
+
+    top = (ds.select_columns([id_col, val_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .sort("pri").limit(s).to_pandas())
+    vals = np.sort(top["val"].to_numpy())
+    n = len(vals)
+    out = [(name, vals[_disc_index(n, q)]) for name, q in qs.items()]
+    return pd.DataFrame(out, columns=["name", "value"])
