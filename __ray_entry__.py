@@ -11418,6 +11418,176 @@ def _event_value_sampled_quantiles_sql(s: int = 4096) -> str:
             f" SELECT name, value FROM ({sels}) ORDER BY name")
 
 
+def _q_orders_late_ship_priority(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS semi-join with a cross-side predicate):
+    orders per priority that have at least one lineitem shipping
+    AFTER the order date.  Scale shape: the EXISTS collapses to a
+    slim per-orderkey grouped Max(l_shipdate) BEFORE the join — one
+    row per order, not per lineitem — then ONE large-×-large
+    orderkey co-group and a grouped Count."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max
+
+    from xtract.ops.joins import equi_join_cogroup
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"]).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "ship_us": pc.cast(t["l_shipdate"], pa.int64())}),
+        batch_format="pyarrow").groupby("l_orderkey").aggregate(
+        Max("ship_us", alias_name="max_ship_us"))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "od_us": pc.cast(t["o_orderdate"], pa.int64()),
+            "o_orderpriority": t["o_orderpriority"]}),
+        batch_format="pyarrow")
+    joined = equi_join_cogroup(orders, li, on="o_orderkey",
+                               right_on="l_orderkey", how="inner")
+    late = joined.map_batches(
+        lambda t: t.filter(pc.greater(t["max_ship_us"], t["od_us"])),
+        batch_format="pyarrow")
+    out = late.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_late_orders"))
+    return out.map_batches(lambda t: pa.table({
+        "o_orderpriority": t["o_orderpriority"],
+        "n_late_orders": pc.cast(t["n_late_orders"], pa.int64())}),
+        batch_format="pyarrow").sort("o_orderpriority")
+
+
+def _orders_late_ship_priority_sql() -> str:
+    return (
+        "WITH x AS (SELECT l_orderkey, max(l_shipdate) AS m "
+        "FROM lineitem GROUP BY 1) "
+        "SELECT o_orderpriority, count(*) AS n_late_orders "
+        "FROM orders JOIN x ON o_orderkey = l_orderkey "
+        "WHERE m > o_orderdate GROUP BY 1 ORDER BY 1")
+
+
+def _q_big_orders_top(sf_dir: str):
+    """TPC-H Q18 shape (HAVING over a grouped Sum, then join): the
+    20 largest orders by total lineitem quantity above a threshold,
+    with their priority — grouped Sum (slim) → having filter →
+    orderkey co-group join → deterministic top-20 by
+    (total_qty DESC, o_orderkey)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.joins import equi_join_cogroup
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"]).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64())}),
+        batch_format="pyarrow").groupby("l_orderkey").aggregate(
+        Sum("qty", alias_name="total_qty"))
+    big = li.map_batches(
+        lambda t: t.filter(pc.greater(t["total_qty"],
+                                      pa.scalar(180, pa.int64()))),
+        batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"])
+    joined = equi_join_cogroup(orders, big, on="o_orderkey",
+                               right_on="l_orderkey", how="inner")
+    out = (joined.sort(["total_qty", "o_orderkey"],
+                       descending=[True, False]).limit(20))
+    return out.map_batches(lambda t: pa.table({
+        "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+        "o_orderpriority": t["o_orderpriority"],
+        "total_qty": pc.cast(t["total_qty"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _big_orders_top_sql() -> str:
+    return (
+        "WITH x AS (SELECT l_orderkey, "
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS "
+        "total_qty FROM lineitem GROUP BY 1 "
+        "HAVING total_qty > 180) "
+        "SELECT o_orderkey, o_orderpriority, total_qty "
+        "FROM orders JOIN x ON o_orderkey = l_orderkey "
+        "ORDER BY total_qty DESC, o_orderkey LIMIT 20")
+
+
+def _q_lineitem_late_by_flag(sf_dir: str):
+    """TPC-H Q12 shape (conditional aggregates over a large-×-large
+    join): per l_returnflag the line count, the count shipping after
+    the order date, and of those the count on urgent/high-priority
+    orders — one orderkey co-group join, vectorized conditional
+    partials, ONE grouped Sum."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from xtract.ops.joins import equi_join_cogroup
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"]
+    ).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_returnflag": t["l_returnflag"],
+            "ship_us": pc.cast(t["l_shipdate"], pa.int64())}),
+        batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "od_us": pc.cast(t["o_orderdate"], pa.int64()),
+            "urgent": pc.cast(pc.is_in(
+                t["o_orderpriority"],
+                value_set=pa.array(["1-URGENT", "2-HIGH"])),
+                pa.int64())}),
+        batch_format="pyarrow")
+    joined = equi_join_cogroup(li, orders, on="l_orderkey",
+                               right_on="o_orderkey", how="inner")
+
+    def partials(t: pa.Table) -> pa.Table:
+        late = pc.cast(pc.greater(t["ship_us"], t["od_us"]),
+                       pa.int64())
+        late_np = late.to_numpy(zero_copy_only=False)
+        urg = t["urgent"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "one": pa.array(np.ones(len(t), np.int64), pa.int64()),
+            "late": late,
+            "late_urgent": pa.array(late_np * urg, pa.int64())})
+
+    out = (joined.map_batches(partials, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("one", alias_name="n_lines"),
+                      Sum("late", alias_name="n_late"),
+                      Sum("late_urgent", alias_name="n_late_urgent")))
+    return out.map_batches(lambda t: pa.table({
+        "l_returnflag": t["l_returnflag"],
+        "n_lines": pc.cast(t["n_lines"], pa.int64()),
+        "n_late": pc.cast(t["n_late"], pa.int64()),
+        "n_late_urgent": pc.cast(t["n_late_urgent"], pa.int64())}),
+        batch_format="pyarrow").sort("l_returnflag")
+
+
+def _lineitem_late_by_flag_sql() -> str:
+    return (
+        "SELECT l_returnflag, count(*) AS n_lines, "
+        "CAST(sum(CAST(l_shipdate > o_orderdate AS BIGINT)) AS BIGINT) "
+        "AS n_late, "
+        "CAST(sum(CAST(l_shipdate > o_orderdate AND o_orderpriority "
+        "IN ('1-URGENT', '2-HIGH') AS BIGINT)) AS BIGINT) AS "
+        "n_late_urgent "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY 1 ORDER BY 1")
+
+
 def _q_event_type_salted_join(sf_dir: str):
     """Fragment-replicate ("salted") join on a key hot on BOTH sides
     (``ops/joins.salted_join``): event_type has ~5 distinct values, so
@@ -11632,6 +11802,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_tree": _q_doc_quality_tree,
         "doc_rrf_fusion": _q_doc_rrf_fusion,
         "event_value_sampled_quantiles": _q_event_value_sampled_quantiles,
+        "orders_late_ship_priority": _q_orders_late_ship_priority,
+        "big_orders_top": _q_big_orders_top,
+        "lineitem_late_by_flag": _q_lineitem_late_by_flag,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -14056,4 +14229,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_rrf_fusion": _doc_rrf_fusion_sql(),
         "event_value_sampled_quantiles":
             _event_value_sampled_quantiles_sql(),
+        "orders_late_ship_priority": _orders_late_ship_priority_sql(),
+        "big_orders_top": _big_orders_top_sql(),
+        "lineitem_late_by_flag": _lineitem_late_by_flag_sql(),
     }
