@@ -11588,6 +11588,107 @@ def _lineitem_late_by_flag_sql() -> str:
         "GROUP BY 1 ORDER BY 1")
 
 
+def _q_doc_quality_forest(sf_dir: str):
+    """Bagged random forest (``ops/dtree.train_forest``): 3 stump
+    trees on the logreg quality features, each trained on a
+    deterministic Poisson(1) bootstrap — resampling is a WEIGHT
+    column (the ``ops/bootstrap`` replica rule), never a data copy;
+    weighted histograms keep everything exact-integer.  Output = the
+    3 flattened stumps; the oracle replays each tree's weighted
+    split argmin and leaf majorities with the shared mix64 chain +
+    Poisson threshold literals."""
+    from xtract.ops.dtree import train_forest, tree_table
+
+    feats = (_docs(sf_dir, ["doc_id", "text", "n_chars"])
+             .map_batches(_lr_featurize, batch_format="pyarrow")
+             .materialize())
+    import pandas as pd
+
+    forest = train_forest(feats, ["x1", "x2", "x3"], "y",
+                          id_col="doc_id", n_trees=3, depth=1)
+    outs = []
+    for t, tree in enumerate(forest):
+        tt = tree_table(tree)
+        tt.insert(0, "tree", t)
+        outs.append(tt)
+    return pd.concat(outs).reset_index(drop=True).astype("int64")
+
+
+def _doc_quality_forest_sql(n_trees: int = 3) -> str:
+    from xtract.ops.bootstrap import POISSON1_THRESHOLDS
+
+    case = "CASE " + " ".join(
+        f"WHEN u{{t}} < {v} THEN {k}"
+        for k, v in enumerate(POISSON1_THRESHOLDS)) + " ELSE 9 END"
+    fdefs = [
+        "(LEAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')), 1000) "
+        "// 4) - 12",
+        "LEAST((LENGTH(text) - LENGTH(REPLACE(text, 'table', ''))) "
+        "// 5, 200) - 3",
+        "LEAST((LENGTH(text) - LENGTH(REPLACE(text, 'key', ''))) "
+        "// 3, 200) - 2"]
+    parts = [
+        "fb AS (SELECT doc_id, CAST(" + fdefs[0] + " AS BIGINT) AS f0, "
+        "CAST(" + fdefs[1] + " AS BIGINT) AS f1, "
+        "CAST(" + fdefs[2] + " AS BIGINT) AS f2, "
+        "CAST(n_chars >= 306 AS BIGINT) AS y FROM documents)"]
+    tree_sel = []
+    for t in range(n_trees):
+        parts.append(
+            f"h0t{t} AS (SELECT *, CAST((CAST(doc_id AS HUGEINT) * "
+            f"{n_trees} + {t}) % {_U64} AS UBIGINT) AS x0t{t} FROM fb)")
+        ctes, last = _sql_chain(
+            f"h0t{t}", _sql_mix64(f"x0t{t}", f"u{t}", f"fw{t}"),
+            f"fw{t}_")
+        parts.extend(ctes)
+        parts.append(
+            f"ft{t} AS (SELECT f0, f1, f2, y, "
+            f"{case.format(t=t)} AS w FROM {last} "
+            f"WHERE {case.format(t=t)} > 0)")
+        parts.append(
+            f"ht{t} AS (SELECT feat, val, CAST(sum(w) AS BIGINT) AS n, "
+            f"CAST(sum(w * y) AS BIGINT) AS npos FROM ("
+            f"SELECT 0 AS feat, f0 AS val, y, w FROM ft{t} UNION ALL "
+            f"SELECT 1, f1, y, w FROM ft{t} UNION ALL "
+            f"SELECT 2, f2, y, w FROM ft{t}) GROUP BY 1, 2)")
+        parts.append(
+            f"tt{t} AS (SELECT feat, val, "
+            f"sum(n) OVER w AS nl, sum(npos) OVER w AS pl, "
+            f"sum(n) OVER (PARTITION BY feat) AS nt, "
+            f"sum(npos) OVER (PARTITION BY feat) AS pt, "
+            f"max(val) OVER (PARTITION BY feat) AS vmax "
+            f"FROM ht{t} WINDOW w AS (PARTITION BY feat "
+            f"ORDER BY val ROWS UNBOUNDED PRECEDING))")
+        parts.append(
+            f"st{t} AS (SELECT feat, val AS thr, "
+            f"LEAST(pl, nl - pl) + LEAST(pt - pl, (nt - nl) - "
+            f"(pt - pl)) AS err FROM tt{t} WHERE val < vmax "
+            f"ORDER BY err, feat, val LIMIT 1)")
+        parts.append(
+            f"at{t} AS (SELECT ft{t}.*, CASE WHEN "
+            f"(SELECT count(*) FROM st{t}) = 0 THEN 0 WHEN "
+            f"(CASE (SELECT feat FROM st{t}) WHEN 0 THEN f0 "
+            f"WHEN 1 THEN f1 ELSE f2 END) <= "
+            f"(SELECT thr FROM st{t}) THEN 1 ELSE 2 END AS node "
+            f"FROM ft{t})")
+        tree_sel.append(
+            f"SELECT {t} AS tree, CAST(0 AS BIGINT) AS node, "
+            f"COALESCE((SELECT feat FROM st{t}), -1) AS feat, "
+            f"COALESCE((SELECT thr FROM st{t}), 0) AS thr, "
+            f"CAST(sum(w) AS BIGINT) AS n, "
+            f"CAST(sum(w * y) AS BIGINT) AS n_pos FROM ft{t}")
+        tree_sel.append(
+            f"SELECT {t}, node, -1, 0, CAST(sum(w) AS BIGINT), "
+            f"CAST(sum(w * y) AS BIGINT) FROM at{t} "
+            f"WHERE node > 0 GROUP BY node")
+    union = " UNION ALL ".join(tree_sel)
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT CAST(tree AS BIGINT) AS tree, node, "
+            f"CAST(feat AS BIGINT) AS feat, CAST(thr AS BIGINT) AS thr, "
+            f"n, n_pos, CAST(2 * n_pos > n AS BIGINT) AS pred "
+            f"FROM ({union}) ORDER BY tree, node")
+
+
 def _q_event_type_salted_join(sf_dir: str):
     """Fragment-replicate ("salted") join on a key hot on BOTH sides
     (``ops/joins.salted_join``): event_type has ~5 distinct values, so
@@ -11805,6 +11906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_late_ship_priority": _q_orders_late_ship_priority,
         "big_orders_top": _q_big_orders_top,
         "lineitem_late_by_flag": _q_lineitem_late_by_flag,
+        "doc_quality_forest": _q_doc_quality_forest,
         "orders_anti_events": _q_orders_anti_events,
         "user_first_event_daily": _q_user_first_event_daily,
         "doc_split_assign": _q_doc_split_assign,
@@ -14232,4 +14334,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_late_ship_priority": _orders_late_ship_priority_sql(),
         "big_orders_top": _big_orders_top_sql(),
         "lineitem_late_by_flag": _lineitem_late_by_flag_sql(),
+        "doc_quality_forest": _doc_quality_forest_sql(),
     }

@@ -587,3 +587,93 @@ def test_sampled_quantiles_invariance_and_band(ray_session):
     pd.testing.assert_frame_equal(a, b)  # bit-identical
     exact = np.sort(vals)[int(np.ceil(0.5 * len(vals))) - 1]
     assert abs(a.loc[0, "value"] - exact) / exact < 0.1
+
+
+# ------------------------------------------------------- random forest
+
+def _brute_weighted_tree(X, y, w, depth):
+    """Sequential weighted reference (zero-weight rows excluded from
+    histograms AND threshold candidates, matching train_tree)."""
+    keep = w > 0
+    X, y, w = X[keep], y[keep], w[keep]
+    splits, nodes = {}, {0: None}
+
+    def route(row):
+        k = 0
+        while k in splits:
+            f, t = splits[k]
+            k = 2 * k + 1 if row[f] <= t else 2 * k + 2
+        return k
+
+    for level in range(depth + 1):
+        assign = np.array([route(r) for r in X])
+        for k in sorted(set(assign.tolist())):
+            m = assign == k
+            n_k, pos_k = int(w[m].sum()), int((w[m] * y[m]).sum())
+            nodes[k] = (n_k, pos_k)
+            if level == depth:
+                continue
+            best = None
+            for f in range(X.shape[1]):
+                vals = np.sort(np.unique(X[m, f]))
+                for t in vals[:-1]:
+                    lm = m & (X[:, f] <= t)
+                    rm = m & (X[:, f] > t)
+                    pl, nl = int((w[lm] * y[lm]).sum()), int(w[lm].sum())
+                    pr, nr = int((w[rm] * y[rm]).sum()), int(w[rm].sum())
+                    err = min(pl, nl - pl) + min(pr, nr - pr)
+                    cand = (err, f, int(t))
+                    if best is None or cand < best:
+                        best = cand
+            if best is not None:
+                splits[k] = (best[1], best[2])
+                nodes.setdefault(2 * k + 1, None)
+                nodes.setdefault(2 * k + 2, None)
+    leaves = {k: v for k, v in nodes.items()
+              if k not in splits and v is not None}
+    return splits, leaves
+
+
+def test_forest_matches_sequential_weighted_trees(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.bootstrap import _weights
+    from xtract.ops.dtree import train_forest
+
+    X, y = _rand_xy(seed=41, n=400)
+    ids = np.arange(400, dtype=np.int64)
+    cols = {f"x{j}": pa.array(X[:, j]) for j in range(3)}
+    cols["y"] = pa.array(y)
+    cols["doc_id"] = pa.array(ids)
+    ds = rd.from_arrow(pa.table(cols)).repartition(6)
+    forest = train_forest(ds, ["x0", "x1", "x2"], "y",
+                          id_col="doc_id", n_trees=3, depth=1)
+    for t, tree in enumerate(forest):
+        w = _weights(ids, t, 3)
+        es, el = _brute_weighted_tree(X, y, w, 1)
+        assert tree["splits"] == es and tree["leaves"] == el
+
+
+def test_forest_vote_and_invariance(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.dtree import score_forest, train_forest
+
+    rng = np.random.RandomState(9)
+    X = rng.randint(-10, 11, (500, 3)).astype(np.int64)
+    y = ((X[:, 0] <= 2) & (X[:, 2] > -1)).astype(np.int64)
+    cols = {f"x{j}": pa.array(X[:, j]) for j in range(3)}
+    cols["y"] = pa.array(y)
+    cols["doc_id"] = pa.array(np.arange(500, dtype=np.int64))
+    t = pa.table(cols)
+    ds1 = rd.from_arrow(t).repartition(1)
+    ds2 = rd.from_arrow(t).repartition(17)
+    f1 = train_forest(ds1, ["x0", "x1", "x2"], "y",
+                      id_col="doc_id", n_trees=5, depth=2)
+    f2 = train_forest(ds2, ["x0", "x1", "x2"], "y",
+                      id_col="doc_id", n_trees=5, depth=2)
+    assert all(a["splits"] == b["splits"] and a["leaves"] == b["leaves"]
+               for a, b in zip(f1, f2))
+    scored = score_forest(ds1, f1, id_cols=("doc_id", "y")).to_pandas()
+    acc = (scored["pred"] == scored["y"]).mean()
+    assert acc > 0.93  # bagged noiseless depth-2 concept (bootstrap noise)

@@ -51,11 +51,15 @@ def _route(X: np.ndarray, splits: dict) -> np.ndarray:
 
 def train_tree(ds, feature_cols: "list[str]", label_col: str = "y",
                depth: int = 2, max_hist: int = 2_000_000,
-               num_partitions: int = 32) -> dict:
+               num_partitions: int = 32,
+               weight_col: "str | None" = None) -> dict:
     """→ {"splits": {node: (feat_idx, thr)}, "leaves": {node: (n,
     n_pos)}, "nodes": {node: (n, n_pos)}, "feature_cols": [...]} —
     one histogram exchange per level, driver state = one histogram
-    per level (gated) + the O(2^depth) tree."""
+    per level (gated) + the O(2^depth) tree.  ``weight_col`` (int64
+    ≥ 0) turns every count into a weight sum — the bagging hook for
+    :func:`train_forest`; zero-weight rows leave the histogram (and
+    the threshold candidate set) entirely."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -73,14 +77,22 @@ def train_tree(ds, feature_cols: "list[str]", label_col: str = "y",
                          axis=1)
             y = b[label_col].to_numpy(zero_copy_only=False).astype(
                 np.int64)
+            if weight_col is not None:
+                w = (b[weight_col].to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+                keep = w > 0
+                X, y, w = X[keep], y[keep], w[keep]
+            else:
+                w = np.ones(len(y), np.int64)
             node = _route(X, sp)
             outs = {"node": [], "feat": [], "val": [], "n": [],
                     "npos": []}
             for f in range(F):
                 keys = np.stack([node, X[:, f]], axis=1)
                 uniq, inv = np.unique(keys, axis=0, return_inverse=True)
-                n = np.bincount(inv, minlength=len(uniq))
-                npos = np.bincount(inv, weights=y,
+                n = np.bincount(inv, weights=w,
+                                minlength=len(uniq)).astype(np.int64)
+                npos = np.bincount(inv, weights=w * y,
                                    minlength=len(uniq)).astype(np.int64)
                 outs["node"].append(uniq[:, 0])
                 outs["feat"].append(np.full(len(uniq), f, np.int64))
@@ -90,7 +102,9 @@ def train_tree(ds, feature_cols: "list[str]", label_col: str = "y",
             return pa.table({k: pa.array(np.concatenate(v), pa.int64())
                              for k, v in outs.items()})
 
-        hist = (ds.select_columns(list(feature_cols) + [label_col])
+        proj = list(feature_cols) + [label_col] + (
+            [weight_col] if weight_col else [])
+        hist = (ds.select_columns(proj)
                 .map_batches(hist_partial, batch_format="pyarrow")
                 .groupby(["node", "feat", "val"])
                 .aggregate(Sum("n", alias_name="n"),
@@ -176,6 +190,71 @@ def score_tree(ds, tree: dict, id_cols: "tuple[str, ...]" = ("doc_id",)):
         cols = {ic: b[ic] for ic in id_cols}
         cols["node"] = pa.array(node, pa.int64())
         cols["pred"] = pa.array(pred, pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def add_bootstrap_weight(ds, id_col: str, t: int, n_trees: int,
+                         out_col: str = "_w"):
+    """Deterministic Poisson(1) bagging weight per (row, tree):
+    w = InvCDF(splitmix64(id·n_trees + t)) — the
+    ``ops/bootstrap`` replica rule, so forests are bit-identical at
+    any parallelism and the SQL oracle shares the threshold
+    literals."""
+    from .bootstrap import _weights
+
+    def attach(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            out_col, pa.array(_weights(ids, t, n_trees), pa.int64()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def train_forest(ds, feature_cols: "list[str]", label_col: str = "y",
+                 id_col: str = "doc_id", n_trees: int = 5,
+                 depth: int = 2, **tree_kw) -> "list[dict]":
+    """Bagged random forest: ``n_trees`` misclassification-error
+    trees, each trained on a deterministic Poisson(1) bootstrap
+    (weighted histograms — no data is copied, resampling is a weight
+    column).  Sequential over trees, one histogram exchange per
+    (tree, level); everything stays exact-integer → the whole forest
+    is bit-identical at any parallelism."""
+    forest = []
+    for t in range(n_trees):
+        wds = add_bootstrap_weight(ds, id_col, t, n_trees)
+        forest.append(train_tree(wds, feature_cols, label_col,
+                                 depth=depth, weight_col="_w",
+                                 **tree_kw))
+    return forest
+
+
+def score_forest(ds, forest: "list[dict]",
+                 id_cols: "tuple[str, ...]" = ("doc_id",)):
+    """Majority vote over the forest (pred = 1 iff 2·votes >
+    n_trees); one broadcast routing pass per batch → Dataset
+    (id_cols..., votes, pred)."""
+    T = len(forest)
+    luts = []
+    for tree in forest:
+        pred_of = {k: int(2 * p > n)
+                   for k, (n, p) in tree["leaves"].items()}
+        lut = np.zeros(max(pred_of, default=0) + 1, np.int64)
+        for k, p in pred_of.items():
+            lut[k] = p
+        luts.append((tree["splits"], tree["feature_cols"], lut))
+
+    def score(b: pa.Table) -> pa.Table:
+        votes = np.zeros(len(b), np.int64)
+        for splits, fcols, lut in luts:
+            X = np.stack([b[c].to_numpy(zero_copy_only=False)
+                          .astype(np.int64) for c in fcols], axis=1)
+            votes += lut[_route(X, splits)]
+        cols = {ic: b[ic] for ic in id_cols}
+        cols["votes"] = pa.array(votes, pa.int64())
+        cols["pred"] = pa.array((2 * votes > T).astype(np.int64),
+                                pa.int64())
         return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")
