@@ -11469,6 +11469,81 @@ def _orders_late_ship_priority_sql() -> str:
         "WHERE m > o_orderdate GROUP BY 1 ORDER BY 1")
 
 
+def _q_doc_quality_boost(sf_dir: str):
+    """Gradient-boosted stumps on the logreg quality features
+    (``ops/boost.train_boost``): 3 squared-loss boosting rounds in
+    exact integer micro-units — per round ONE histogram exchange
+    (per-block np.unique combiner → native Sum), arbitrary-precision
+    gain argmax ``S_L²//n_L + S_R²//n_R`` on the gated driver
+    histogram, truncating-division leaf values and lr=1/2 updates.
+    Output = per-doc (score, pred); the oracle replays the ENTIRE
+    training — every round's histogram, HUGEINT gain argmax and
+    score update — in SQL."""
+    from xtract.ops.boost import score_boost, train_boost
+
+    feats = (_docs(sf_dir, ["doc_id", "text", "n_chars"])
+             .map_batches(_lr_featurize, batch_format="pyarrow")
+             .materialize())
+    model = train_boost(feats, ["x1", "x2", "x3"], rounds=3)
+    return score_boost(feats, model).sort("doc_id")
+
+
+def _doc_quality_boost_sql(rounds: int = 3, lr_num: int = 1,
+                           lr_den: int = 2) -> str:
+    fdefs = [
+        "(LEAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')), 1000) "
+        "// 4) - 12",
+        "LEAST((LENGTH(text) - LENGTH(REPLACE(text, 'table', ''))) "
+        "// 5, 200) - 3",
+        "LEAST((LENGTH(text) - LENGTH(REPLACE(text, 'key', ''))) "
+        "// 3, 200) - 2"]
+    parts = [
+        "fx AS MATERIALIZED (SELECT doc_id, CAST(" + fdefs[0] + " AS BIGINT) AS f0, "
+        "CAST(" + fdefs[1] + " AS BIGINT) AS f1, "
+        "CAST(" + fdefs[2] + " AS BIGINT) AS f2, "
+        "CAST(n_chars >= 306 AS BIGINT) * 1000000 AS tgt "
+        "FROM documents)",
+        "b0 AS MATERIALIZED (SELECT fx.*, CAST((SELECT CAST(sum(tgt) AS HUGEINT) "
+        "// count(*) FROM fx) AS BIGINT) AS sc FROM fx)"]
+    for t in range(1, rounds + 1):
+        p = f"b{t - 1}"
+        parts.append(
+            f"h{t} AS MATERIALIZED (SELECT feat, val, count(*) AS n, "
+            f"CAST(sum(tgt - sc) AS HUGEINT) AS sr FROM ("
+            f"SELECT 0 AS feat, f0 AS val, tgt, sc FROM {p} UNION ALL "
+            f"SELECT 1, f1, tgt, sc FROM {p} UNION ALL "
+            f"SELECT 2, f2, tgt, sc FROM {p}) GROUP BY 1, 2)")
+        parts.append(
+            f"t{t} AS MATERIALIZED (SELECT feat, val, "
+            f"sum(n) OVER w AS nl, sum(sr) OVER w AS sl, "
+            f"sum(n) OVER (PARTITION BY feat) AS nt, "
+            f"sum(sr) OVER (PARTITION BY feat) AS st, "
+            f"max(val) OVER (PARTITION BY feat) AS vmax "
+            f"FROM h{t} WINDOW w AS (PARTITION BY feat "
+            f"ORDER BY val ROWS UNBOUNDED PRECEDING))")
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT feat, val AS thr, sl // nl AS vl, "
+            f"(st - sl) // (nt - nl) AS vr, "
+            f"(sl * sl) // nl + ((st - sl) * (st - sl)) // (nt - nl) "
+            f"AS gain FROM t{t} WHERE val < vmax "
+            f"ORDER BY gain DESC, feat, val LIMIT 1)")
+        leaf = (
+            f"CASE WHEN (SELECT count(*) FROM s{t}) = 0 THEN "
+            f"(SELECT CAST(sum(tgt - sc) AS HUGEINT) // count(*) "
+            f"FROM {p}) WHEN (CASE (SELECT feat FROM s{t}) "
+            f"WHEN 0 THEN f0 WHEN 1 THEN f1 ELSE f2 END) <= "
+            f"(SELECT thr FROM s{t}) THEN (SELECT vl FROM s{t}) "
+            f"ELSE (SELECT vr FROM s{t}) END")
+        parts.append(
+            f"b{t} AS MATERIALIZED (SELECT doc_id, f0, f1, f2, tgt, "
+            f"CAST(sc + ({lr_num} * ({leaf})) // {lr_den} AS BIGINT) "
+            f"AS sc FROM {p})")
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT doc_id, sc AS score, "
+            f"CAST(2 * sc > 1000000 AS BIGINT) AS pred "
+            f"FROM b{rounds} ORDER BY doc_id")
+
+
 def _q_big_orders_top(sf_dir: str):
     """TPC-H Q18 shape (HAVING over a grouped Sum, then join): the
     20 largest orders by total lineitem quantity above a threshold,
@@ -12068,6 +12143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_outlinks": _q_page_outlinks,
         "doc_pii_redact": _q_doc_pii_redact,
         "substring_dedup": _q_substring_dedup,
+        "doc_quality_boost": _q_doc_quality_boost,
     }
 
 
@@ -14335,4 +14411,5 @@ def oracle_sql() -> dict[str, str]:
         "big_orders_top": _big_orders_top_sql(),
         "lineitem_late_by_flag": _lineitem_late_by_flag_sql(),
         "doc_quality_forest": _doc_quality_forest_sql(),
+        "doc_quality_boost": _doc_quality_boost_sql(),
     }
