@@ -11544,6 +11544,65 @@ def _doc_quality_boost_sql(rounds: int = 3, lr_num: int = 1,
             f"FROM b{rounds} ORDER BY doc_id")
 
 
+def _q_lr_isotonic(sf_dir: str):
+    """Isotonic (PAV) calibration of the trained quality classifier
+    (``ops/mleval.isotonic_calibrate``): the corpus collapses to the
+    distinct-p_micro table via one grouped Sum, then exact
+    integer-cross-product pool merging on the gated driver table.
+    Output = the calibration step function (one row per distinct
+    score, cal_p non-decreasing).  Oracle = the minimax
+    characterization ŷ_k = max_{i≤k} min_{j≥k} avg(i..j) over the
+    prefix-sum table — an O(m²) pairs CTE + one suffix-min window —
+    which equals the PAV pooled rate (Ayer et al.; exact here because
+    IEEE division is correctly rounded and distinct rationals with
+    denominators ≤ n are farther apart than double rounding error at
+    bench scale)."""
+    from xtract.ops.logreg import score_logreg, train_logreg
+    from xtract.ops.mleval import isotonic_calibrate
+
+    feats = (_docs(sf_dir, ["doc_id", "text", "n_chars"])
+             .map_batches(_lr_featurize, batch_format="pyarrow")
+             .materialize())
+    model = train_logreg(feats, ["x0", "x1", "x2", "x3"], "y",
+                         steps=4, lr=32)
+    scored = score_logreg(feats, model, ["doc_id", "y"])
+    out = isotonic_calibrate(scored, "p_micro", "y")
+    for c in ("p_micro", "n", "n_pos", "cal_num", "cal_den"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _lr_isotonic_sql() -> str:
+    body, sig = _lr_sql_parts()
+    return (
+        f"WITH {body}, "
+        f"scd AS MATERIALIZED (SELECT {sig} AS s, y FROM f, w4), "
+        "dst AS MATERIALIZED (SELECT s, count(*) AS n, "
+        "CAST(sum(y) AS BIGINT) AS n_pos FROM scd GROUP BY 1), "
+        "r AS MATERIALIZED (SELECT s, n, n_pos, "
+        "row_number() OVER (ORDER BY s) AS k, "
+        "sum(n) OVER (ORDER BY s) AS cn, "
+        "sum(n_pos) OVER (ORDER BY s) AS cp FROM dst), "
+        "pairs AS MATERIALIZED (SELECT a.k AS i, b.k AS j, "
+        "CAST(b.cp - a.cp + a.n_pos AS DOUBLE) / "
+        "CAST(b.cn - a.cn + a.n AS DOUBLE) AS avgv "
+        "FROM r a JOIN r b ON b.k >= a.k), "
+        "sm AS MATERIALIZED (SELECT i, j AS k, "
+        "min(avgv) OVER (PARTITION BY i ORDER BY j DESC "
+        "ROWS UNBOUNDED PRECEDING) AS mn FROM pairs), "
+        "cal AS (SELECT k, max(mn) AS cal_p FROM sm GROUP BY k), "
+        "pool AS (SELECT r.k, r.s, r.n, r.n_pos, cal.cal_p, "
+        "cal.cal_p - lag(cal.cal_p, 1, -1.0) OVER (ORDER BY r.k) "
+        "AS stp FROM r JOIN cal USING (k)), "
+        "grp AS (SELECT *, sum(CASE WHEN stp != 0 THEN 1 ELSE 0 END) "
+        "OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS pid FROM pool) "
+        "SELECT s AS p_micro, n, n_pos, "
+        "CAST(sum(n_pos) OVER (PARTITION BY pid) AS BIGINT) "
+        "AS cal_num, "
+        "CAST(sum(n) OVER (PARTITION BY pid) AS BIGINT) AS cal_den, "
+        "cal_p FROM grp ORDER BY p_micro")
+
+
 def _q_big_orders_top(sf_dir: str):
     """TPC-H Q18 shape (HAVING over a grouped Sum, then join): the
     20 largest orders by total lineitem quantity above a threshold,
@@ -12144,6 +12203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_redact": _q_doc_pii_redact,
         "substring_dedup": _q_substring_dedup,
         "doc_quality_boost": _q_doc_quality_boost,
+        "lr_isotonic": _q_lr_isotonic,
     }
 
 
@@ -14412,4 +14472,5 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_late_by_flag": _lineitem_late_by_flag_sql(),
         "doc_quality_forest": _doc_quality_forest_sql(),
         "doc_quality_boost": _doc_quality_boost_sql(),
+        "lr_isotonic": _lr_isotonic_sql(),
     }

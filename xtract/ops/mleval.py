@@ -213,3 +213,84 @@ def conformal_binary(scored, label_col: str, p_col: str,
     return {"qhat": qhat, "n_cal": n_cal, "rank": rank,
             "n_eval": int(s["sum(n)"]), "n_covered": int(s["sum(cov)"]),
             "sum_set_size": int(s["sum(sz)"])}
+
+
+def isotonic_calibrate(ds, p_col: str, label_col: str,
+                       max_scores: int = 2_000_000):
+    """Isotonic-regression (pool-adjacent-violators) calibration of a
+    classifier score — the step-function complement to the fixed
+    reliability deciles of :func:`calibration_bins` (public method:
+    Zadrozny & Elkan's isotonic calibration; Ayer et al.'s PAV).
+
+    Scale shape: the corpus collapses to the DISTINCT-score table via
+    one grouped Sum/Count (the ``roc_auc`` cardinality argument —
+    bounded by score cardinality, not rows); PAV itself is inherently
+    sequential, so it runs driver-side over that table behind an
+    exact-count ``max_scores`` fail-loud gate.  Pool merging compares
+    empirical rates as INTEGER cross-products (``pos_a·n_b >
+    pos_b·n_a`` with Python ints), so the fit is bit-identical at any
+    parallelism; the one float is the final IEEE division
+    ``cal_p = cal_num/cal_den`` (correctly rounded, so it depends only
+    on the pooled rational — the property the SQL minimax oracle
+    relies on).
+
+    → pandas DataFrame (``p_col``, n, n_pos, cal_num, cal_den, cal_p)
+    sorted by score: one row per distinct score, ``cal_p``
+    non-decreasing.  Equal-rate neighbours ARE merged, so the pools
+    are the maximal level sets of the (unique) fitted function and
+    ``(cal_num, cal_den)`` is canonical too.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = t[p_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, inv = np.unique(p, return_inverse=True)
+        n = np.bincount(inv, minlength=len(vals)).astype(np.int64)
+        npos = np.zeros(len(vals), np.int64)
+        np.add.at(npos, inv, y)
+        return pa.table({p_col: pa.array(vals, pa.int64()),
+                         "n": pa.array(n, pa.int64()),
+                         "n_pos": pa.array(npos, pa.int64())})
+
+    d = (ds.select_columns([p_col, label_col])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby(p_col)
+         .aggregate(Sum("n", alias_name="n"),
+                    Sum("n_pos", alias_name="n_pos"))).materialize()
+    m = d.count()
+    if m == 0:
+        raise ValueError("isotonic_calibrate: empty input")
+    if m > max_scores:
+        raise RuntimeError(
+            f"isotonic_calibrate: {m} distinct scores > "
+            f"max_scores={max_scores}; quantize the score first")
+    df = d.to_pandas().sort_values(p_col).reset_index(drop=True)
+
+    # PAV stack: pools of (n, n_pos, span); merge while the last two
+    # are non-increasing (>= keeps equal-rate pools together → pools
+    # are the maximal level sets).
+    pools: "list[list[int]]" = []
+    for n_i, p_i in zip(df["n"].to_numpy(np.int64),
+                        df["n_pos"].to_numpy(np.int64)):
+        pools.append([int(n_i), int(p_i), 1])
+        while (len(pools) > 1 and
+               pools[-2][1] * pools[-1][0] >=
+               pools[-1][1] * pools[-2][0]):
+            b = pools.pop()
+            pools[-1][0] += b[0]
+            pools[-1][1] += b[1]
+            pools[-1][2] += b[2]
+
+    cal_num = np.empty(len(df), np.int64)
+    cal_den = np.empty(len(df), np.int64)
+    k = 0
+    for n_p, p_p, span in pools:
+        cal_num[k:k + span] = p_p
+        cal_den[k:k + span] = n_p
+        k += span
+    out = df.copy()
+    out["cal_num"] = cal_num
+    out["cal_den"] = cal_den
+    out["cal_p"] = cal_num / cal_den
+    return out
