@@ -114,3 +114,29 @@ def test_isotonic_gate(ray_session):
     with pytest.raises(RuntimeError, match="max_scores"):
         isotonic_calibrate(_ds_of(rd, df, 3), "p_micro", "y",
                            max_scores=3)
+
+
+def test_apply_isotonic_roundtrip_and_clamp(ray_session):
+    import ray.data as rd
+
+    from xtract.ops.mleval import apply_isotonic
+
+    df = _rows(seed=21)
+    df["doc_id"] = np.arange(len(df), dtype=np.int64)
+    tbl = isotonic_calibrate(_ds_of(rd, df, 5), "p_micro", "y")
+    out = (apply_isotonic(_ds_of(rd, df, 5), tbl, "p_micro")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    lut = tbl.set_index("p_micro")
+    exp = lut.loc[df["p_micro"], "cal_p"].to_numpy()
+    np.testing.assert_array_equal(out["cal_p"].to_numpy(), exp)
+    # unseen scores: below-min clamps to first pool, between-scores
+    # takes the largest fitted score below, above-max the last pool
+    probe = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "p_micro": np.array([-5, int(tbl["p_micro"].iloc[1]) + 1,
+                             10**9], np.int64)})
+    got = (apply_isotonic(_ds_of(rd, probe, 1), tbl, "p_micro")
+           .to_pandas().sort_values("doc_id"))
+    assert got["cal_p"].iloc[0] == tbl["cal_p"].iloc[0]
+    assert got["cal_p"].iloc[1] == tbl["cal_p"].iloc[1]
+    assert got["cal_p"].iloc[2] == tbl["cal_p"].iloc[-1]

@@ -294,3 +294,34 @@ def isotonic_calibrate(ds, p_col: str, label_col: str,
     out["cal_den"] = cal_den
     out["cal_p"] = cal_num / cal_den
     return out
+
+
+def apply_isotonic(ds, table, p_col: str,
+                   id_cols: "tuple[str, ...]" = ("doc_id",),
+                   out_col: str = "cal_p"):
+    """Score with a fitted :func:`isotonic_calibrate` table: the
+    step table is ``ray.put`` once and each batch does ONE
+    searchsorted lookup.  Unseen scores take the pool of the largest
+    fitted score ≤ p (clamped at the ends) — the standard step-
+    function extrapolation, deterministic.  → Dataset(id_cols...,
+    ``p_col``, cal_num, cal_den, ``out_col``)."""
+    import ray
+
+    scores = np.ascontiguousarray(table[p_col].to_numpy(np.int64))
+    num = np.ascontiguousarray(table["cal_num"].to_numpy(np.int64))
+    den = np.ascontiguousarray(table["cal_den"].to_numpy(np.int64))
+    ref = ray.put((scores, num, den))
+
+    def apply(b: pa.Table, _ref=ref) -> pa.Table:
+        sc, nm, dn = ray.get(_ref)
+        p = b[p_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.clip(np.searchsorted(sc, p, side="right") - 1,
+                      0, len(sc) - 1)
+        cols = {ic: b[ic] for ic in id_cols}
+        cols[p_col] = pa.array(p, pa.int64())
+        cols["cal_num"] = pa.array(nm[idx], pa.int64())
+        cols["cal_den"] = pa.array(dn[idx], pa.int64())
+        cols[out_col] = pa.array(nm[idx] / dn[idx], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(apply, batch_format="pyarrow")
