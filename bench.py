@@ -369,6 +369,8 @@ def bench_once() -> dict:
         lambda: len(_E.queries()["doc_quality_tree"](SF_DIR)))
     queries["pca_scatter"] = timed(
         lambda: _E.queries()["embedding_scatter"](SF_DIR).count())
+    queries["boost_train_score"] = timed(
+        lambda: _E.queries()["doc_quality_boost"](SF_DIR).count())
 
     result = {
         "metric": "extracted documents/sec (byte-identical text per url)",
