@@ -701,14 +701,17 @@ def _q_knn_ivf_int(sf_dir: str):
                        iters=p["iters"], train_mod=p["train_mod"])
 
 
-def _ivf_prefix_sql() -> str:
+def _ivf_prefix_sql(p=None) -> str:
     """Shared oracle prefix for the integer-k-means family: quantize
     (floor(x·65536)+65536), init centroids from evenly spaced rows of
     the id-ordered training sample, ``iters`` unrolled Lloyd rounds
     (argmin squared-L2 assignment, ``sum // count`` update, empty
     cells keep their centroid), then assign EVERY vector → ``vasg``.
-    Ends mid-WITH (trailing comma) so callers append their own CTEs."""
-    p = _IVF_INT
+    Ends mid-WITH (trailing comma) so callers append their own CTEs.
+    ``p`` overrides the `_IVF_INT` parameter set (the second
+    SemDeDup configuration uses its own cells/iters/stride)."""
+    if p is None:
+        p = _IVF_INT
     q = (f"WITH idx AS (SELECT unnest(range({p['dim']})) AS j), "
          "emb_e AS (SELECT vec_id, j, "
          "CAST(floor(embedding[j + 1] * 65536) AS BIGINT) + 65536 AS q "
@@ -2136,13 +2139,47 @@ def _q_embedding_dedup(sf_dir: str):
     return embedding_dedup(aug)
 
 
-def _q_semantic_dedup(sf_dir: str):
-    """SemDeDup-style semantic dedup: k-means cells + within-cell exact
-    cosine verify.  Float clustering → rows-only check (the LSH variant
-    `embedding_dedup` covers the same contract)."""
-    from xtract.ops.dedup import semdedup
+_SEMDEDUP2 = dict(n_cells=4, iters=2, train_mod=3, dim=64,
+                  eps=8_000_000_000)
 
-    return semdedup(_emb(sf_dir), n_clusters=16)
+
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup at a SECOND integer configuration (4 cells, 2 Lloyd
+    rounds, stride-3 training sample, wider eps) — SQL-checked like
+    its `semantic_dedup_int` sibling via the parameterized
+    k-means-replay oracle (round 4: this slot previously ran the
+    float `ops/dedup.semdedup`, which stays in the library with its
+    planted-pair pytest coverage; float cell assignment is not
+    SQL-replayable, so the query surface now exercises the integer
+    path at a distinct config instead of reporting rows-only)."""
+    from xtract.ops.similarity import semantic_dedup_int
+
+    p = _SEMDEDUP2
+    return semantic_dedup_int(_emb(sf_dir), eps=p["eps"],
+                              n_cells=p["n_cells"], iters=p["iters"],
+                              train_mod=p["train_mod"])
+
+
+def _semantic_dedup2_sql() -> str:
+    """Oracle for the second SemDeDup configuration: the SAME
+    parameterized integer-k-means prefix at `_SEMDEDUP2`'s params →
+    within-cell earlier-id pairs → squared-L2 → dup flag."""
+    p = dict(_IVF_INT, **{k: v for k, v in _SEMDEDUP2.items()
+                          if k != "eps"})
+    q = _ivf_prefix_sql(p)
+    q += (
+        "pairs AS (SELECT a.vec_id AS xa, b.vec_id AS xb FROM vasg a "
+        "JOIN vasg b ON a.cell = b.cell AND b.vec_id < a.vec_id), "
+        "pd AS (SELECT p.xa, p.xb, "
+        "sum((ea.q - eb.q) * (ea.q - eb.q)) AS d FROM pairs p "
+        "JOIN emb_e ea ON ea.vec_id = p.xa "
+        "JOIN emb_e eb ON eb.vec_id = p.xb AND eb.j = ea.j "
+        "GROUP BY p.xa, p.xb), "
+        f"dup AS (SELECT DISTINCT xa AS vec_id FROM pd "
+        f"WHERE d <= {_SEMDEDUP2['eps']}) "
+        "SELECT e.vec_id, e.vec_id IN (SELECT vec_id FROM dup) AS is_dup "
+        "FROM embeddings e")
+    return q
 
 
 def _q_knn_ivfsq(sf_dir: str):
@@ -2171,11 +2208,18 @@ def _q_knn_ivfsq(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
+    """Float IVF ANN (stratified-sample k-means cells + streaming
+    per-cell partial top-k).  Probes ALL cells (nprobe = n_cells) so
+    the result is the EXACT brute-force top-10 → SQL-checked against
+    the brute-force cosine oracle (the `knn_ivfsq` precedent, round
+    4; sub-full-nprobe recall is pytest-covered)."""
     from xtract.ops.similarity import knn_ivf
 
     emb = _emb(sf_dir)
     q0 = [r["embedding"] for r in emb.take(1)][0]
-    return knn_ivf(emb, np.asarray([q0], np.float64), k=10)
+    out = knn_ivf(emb, np.asarray([q0], np.float64), k=10,
+                  n_cells=8, nprobe=8).to_pandas()
+    return out[["rank", "vec_id"]]
 
 
 _BM25_QUERY = "data stream join window dup"
@@ -2627,13 +2671,74 @@ def _q_doc_bits_per_char(sf_dir: str):
 
 def _q_bpe_subword_stats(sf_dir: str):
     """Trained-BPE tokenization (train on the corpus head, broadcast
-    merges, encode distributed) — per-doc subword counts.  BPE is not
-    SQL-expressible → rows-only check."""
+    merges, encode distributed) — per-doc subword counts.  SQL-checked
+    (round 4): the oracle replays the ENTIRE training loop as 120
+    unrolled merge rounds (adjacent-pair counts → freq-desc/lex-asc
+    argmax → leftmost-nonoverlap merge application via island parity)
+    and reads each word's encoding off the final training table —
+    valid because (a) the 20k-word training head covers every distinct
+    corpus word here, so training's word table IS the corpus
+    vocabulary, and (b) greedy min-rank encoding equals in-order
+    single-pass merge application when all merge output strings are
+    distinct (guaranteed structurally by BPE training; asserted for
+    this corpus in tests/test_r4_fixes.py)."""
     from xtract.ops.bpe import bpe_encode, train_bpe
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     merges = train_bpe(docs, num_merges=120, max_words=20_000)
     return bpe_encode(docs, merges).select_columns(["doc_id", "n_subwords"])
+
+
+def _bpe_subword_stats_sql(num_merges: int = 120,
+                           max_words: int = 20_000) -> str:
+    """DuckDB replay of `train_bpe` + `bpe_encode` (see
+    `_q_bpe_subword_stats` docstring for the equivalence argument).
+    Per round t: pc_t adjacent-pair counts (f-weighted, overlapping
+    positions included, exactly `_pair_counts`), bp_t the argmax pair
+    (count desc, then lexicographic x,y — UTF-8 byte order = Python
+    code-point order here), c_t candidate positions, k_t the kept
+    (leftmost-nonoverlapping) ones via consecutive-run parity, s_t the
+    merged symbol table renumbered.  An empty bp_t (max pair count
+    < min_pair_freq=2) makes every later round a no-op — the unrolled
+    twin of Python's `break`."""
+    parts = [
+        "WITH toks AS MATERIALIZED (SELECT doc_id, unnest(regexp_split_to_array("
+        "lower(coalesce(text,'')), '[^a-z]+')) AS w FROM documents), "
+        "occ AS MATERIALIZED (SELECT doc_id, w FROM toks WHERE w != ''), "
+        f"wf AS MATERIALIZED (SELECT w, count(*) AS f FROM occ GROUP BY 1 "
+        f"ORDER BY f DESC, w LIMIT {max_words}), "
+        "s0 AS MATERIALIZED (SELECT w, f, p, CASE WHEN p <= len(w) THEN "
+        "substr(w, CAST(p AS INT), 1) ELSE '</w>' END AS s FROM ("
+        "SELECT w, f, unnest(range(1, len(w) + 2)) AS p FROM wf))"]
+    for t in range(1, num_merges + 1):
+        q = t - 1
+        parts.append(
+            f"pc{t} AS MATERIALIZED (SELECT a.s AS x, b.s AS y, sum(a.f) AS c "
+            f"FROM s{q} a JOIN s{q} b ON b.w = a.w AND b.p = a.p + 1 "
+            f"GROUP BY 1, 2), "
+            f"bp{t} AS MATERIALIZED (SELECT x, y FROM pc{t} WHERE c >= 2 "
+            f"ORDER BY c DESC, x, y LIMIT 1), "
+            f"c{t} AS MATERIALIZED (SELECT a.w, a.p FROM s{q} a "
+            f"JOIN s{q} b ON b.w = a.w AND b.p = a.p + 1 "
+            f"JOIN bp{t} m ON a.s = m.x AND b.s = m.y), "
+            f"k{t} AS MATERIALIZED (SELECT w, p FROM (SELECT w, p, "
+            f"p - row_number() OVER (PARTITION BY w ORDER BY p) AS isl "
+            f"FROM c{t}) QUALIFY (p - min(p) OVER "
+            f"(PARTITION BY w, isl)) % 2 = 0), "
+            f"s{t} AS MATERIALIZED (SELECT w, f, row_number() OVER "
+            f"(PARTITION BY w ORDER BY p) AS p, s FROM ("
+            f"SELECT a.w, a.f, a.p, CASE WHEN k.p IS NOT NULL THEN "
+            f"a.s || (SELECT y FROM bp{t}) ELSE a.s END AS s "
+            f"FROM s{q} a LEFT JOIN k{t} k ON k.w = a.w AND k.p = a.p "
+            f"WHERE NOT EXISTS (SELECT 1 FROM k{t} k2 "
+            f"WHERE k2.w = a.w AND k2.p = a.p - 1)))")
+    parts.append(
+        f"ns AS MATERIALIZED (SELECT w, count(*) AS n FROM s{num_merges} GROUP BY 1) "
+        "SELECT d.doc_id, CAST(coalesce(sum(ns.n), 0) AS BIGINT) "
+        "AS n_subwords FROM documents d "
+        "LEFT JOIN occ o ON o.doc_id = d.doc_id "
+        "LEFT JOIN ns ON ns.w = o.w GROUP BY 1 ORDER BY 1")
+    return ", ".join(parts[:-1]) + ", " + parts[-1]
 
 
 def _q_top_parts_per_brand(sf_dir: str):
@@ -2751,13 +2856,139 @@ def _q_media_features(sf_dir: str):
         ["media_id", "kind", "decode_status"])
 
 
+def _media_hash_suffix_sql(hx: str = "hx") -> str:
+    """Shared oracle tail for the media near-dup family: 4×16-bit
+    banding of the 64-bit fingerprint, bucket-pair candidates, exact
+    hamming ≤ 6 verify (``bit_count(xor(...))``), recursive
+    transitive closure, min-id cluster labels — the SQL replay of
+    ``ops/dedup.simhash_dedup(precomputed=True)`` (bucket runs stay
+    far below `HOT_RUN_CAP` on this corpus, so the star cap never
+    engages and all-pairs is the exact pipeline)."""
+    return (
+        f"bnd AS (SELECT mid, fp, b, (fp >> (b * 16)) & 65535 AS chunk "
+        f"FROM {hx}, unnest(range(4)) AS ub(b)), "
+        "prs AS (SELECT DISTINCT a.mid AS a, b.mid AS b "
+        "FROM bnd a JOIN bnd b ON a.b = b.b AND a.chunk = b.chunk "
+        "AND a.mid < b.mid "
+        "WHERE bit_count(xor(a.fp, b.fp)) <= 6), "
+        "edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs), "
+        "reach(s, d) AS (SELECT a, b FROM edges UNION "
+        "SELECT r.s, e.b FROM reach r JOIN edges e ON r.d = e.a), "
+        "lbl AS (SELECT s AS mid, least(min(d), s) AS cl "
+        "FROM reach GROUP BY s) "
+        f"SELECT {hx}.mid AS media_id, "
+        f"CAST(coalesce(l.cl, {hx}.mid) AS BIGINT) AS cluster_id "
+        f"FROM {hx} LEFT JOIN lbl l ON l.mid = {hx}.mid")
+
+
+def _ahash_bits_sql(src: str) -> str:
+    """aHash replay over ``src(vid, seed, w, h)`` rows → ``abits(vid,
+    i, bit)``: the synthetic ramp pixels (``_synth_pixels``), exact
+    3·gray cell sums, and the cross-multiplied integer threshold of
+    the round-4 exact `average_hash` (weights A/a_c in HUGEINT;
+    ``product()`` returns a double but cell extents ≤ 2^53 keep it
+    exact)."""
+    return (
+        "px AS (SELECT vid, w, h, y, x, "
+        "(x * 7 + seed) % 256 + (y * 11 + 3 * seed) % 256 + "
+        "((x + y) * 5 + 7 * seed) % 256 AS g3 "
+        f"FROM {src}, unnest(range(h)) AS uy(y), "
+        "unnest(range(w)) AS ux(x)), "
+        "cells AS (SELECT vid, (8 * y + 7) // h AS r, "
+        "(8 * x + 7) // w AS c, sum(g3) AS s FROM px GROUP BY 1, 2, 3), "
+        f"dyt AS (SELECT vid, r, ((r + 1) * h) // 8 - (r * h) // 8 "
+        f"AS dy FROM {src}, unnest(range(8)) AS ur(r)), "
+        f"dxt AS (SELECT vid, c, ((c + 1) * w) // 8 - (c * w) // 8 "
+        f"AS dx FROM {src}, unnest(range(8)) AS uc(c)), "
+        "pyv AS (SELECT vid, CAST(product(dy) AS HUGEINT) AS prod_y "
+        "FROM dyt GROUP BY 1), "
+        "pxv AS (SELECT vid, CAST(product(dx) AS HUGEINT) AS prod_x "
+        "FROM dxt GROUP BY 1), "
+        "terms AS (SELECT ce.vid, ce.r, ce.c, "
+        "CAST(ce.s AS HUGEINT) * (pyv.prod_y // dyt.dy) * "
+        "(pxv.prod_x // dxt.dx) AS t "
+        "FROM cells ce JOIN dyt ON dyt.vid = ce.vid AND dyt.r = ce.r "
+        "JOIN dxt ON dxt.vid = ce.vid AND dxt.c = ce.c "
+        "JOIN pyv ON pyv.vid = ce.vid JOIN pxv ON pxv.vid = ce.vid), "
+        "tot AS (SELECT vid, sum(t) AS total FROM terms GROUP BY 1), "
+        "abits AS (SELECT t.vid, t.r * 8 + t.c AS i, "
+        "CASE WHEN 64 * t.t > tot.total THEN 1 ELSE 0 END AS bit "
+        "FROM terms t JOIN tot ON tot.vid = t.vid)")
+
+
+_PACK_SIGNED = (
+    "sum(CASE WHEN i = 0 THEN -9223372036854775808 * bit "
+    "ELSE bit * (CAST(1 AS BIGINT) << (63 - i)) END)")
+
+
+def _image_near_dups_sql() -> str:
+    """Full-pipeline oracle for image_near_dups: synth-generator
+    replay → exact-integer aHash → banding/hamming/CC (see
+    `_media_hash_suffix_sql`)."""
+    return (
+        "WITH RECURSIVE src AS (SELECT doc_id AS vid, doc_id AS seed, "
+        "8 + (doc_id % 32) AS w, 8 + (doc_id * 7 % 32) AS h "
+        "FROM documents WHERE doc_id % 3 = 0), "
+        + _ahash_bits_sql("src") + ", "
+        "hx AS (SELECT vid AS mid, CAST(" + _PACK_SIGNED + " AS BIGINT) "
+        "AS fp FROM abits GROUP BY vid), "
+        + _media_hash_suffix_sql())
+
+
+def _video_near_dups_sql() -> str:
+    """Full-pipeline oracle for video_near_dups: per-frame aHash over
+    the XRAW frame seeds (stride is always 1 here — n_frames ≤ 24 →
+    ≤ 16 kept frames are simply the first min(n_frames, 16)), bitwise
+    majority with ties→1, then the shared banding/hamming/CC tail."""
+    return (
+        "WITH RECURSIVE vids AS (SELECT doc_id AS mid, "
+        "8 + (doc_id % 32) AS w, 8 + (doc_id * 7 % 32) AS h, "
+        "least(1 + doc_id % 24, 16) AS n_picked "
+        "FROM documents WHERE doc_id % 3 = 2), "
+        "src AS (SELECT mid * 32 + fi AS vid, mid + fi AS seed, w, h "
+        "FROM vids, unnest(range(n_picked)) AS uf(fi)), "
+        + _ahash_bits_sql("src") + ", "
+        "mbits AS (SELECT vid // 32 AS mid, i, sum(bit) AS nb "
+        "FROM abits GROUP BY 1, 2), "
+        "vbits AS (SELECT m.mid, m.i, CASE WHEN 2 * m.nb >= "
+        "v.n_picked THEN 1 ELSE 0 END AS bit "
+        "FROM mbits m JOIN vids v ON v.mid = m.mid), "
+        "hx AS (SELECT mid, CAST(" + _PACK_SIGNED + " AS BIGINT) AS fp "
+        "FROM vbits GROUP BY mid), "
+        + _media_hash_suffix_sql())
+
+
+def _audio_near_dups_sql() -> str:
+    """Full-pipeline oracle for audio_near_dups: synth sine replay
+    (same IEEE op order as the numpy generator — validated
+    fingerprint-exact over every clip), integer energy-delta
+    fingerprint, shared banding/hamming/CC tail."""
+    return (
+        "WITH RECURSIVE aud AS (SELECT doc_id AS mid, "
+        "800 + (doc_id % 7) * 160 AS n, "
+        "110.0 + (doc_id % 40) * 13.0 AS freq "
+        "FROM documents WHERE doc_id % 3 = 1), "
+        "samp AS (SELECT mid, (65 * t + 64) // n AS k, "
+        "CAST(trunc(sin(2 * pi() * freq * t / 16000.0) * 12000) "
+        "AS BIGINT) AS s FROM aud, unnest(range(n)) AS u(t)), "
+        "en AS (SELECT mid, k, sum(s * s) AS e FROM samp "
+        "GROUP BY mid, k), "
+        "fbits AS (SELECT a.mid, a.k - 1 AS i, "
+        "CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit "
+        "FROM en a JOIN en b ON b.mid = a.mid AND b.k = a.k - 1 "
+        "WHERE a.k >= 1), "
+        "hx AS (SELECT mid, CAST(" + _PACK_SIGNED + " AS BIGINT) AS fp "
+        "FROM fbits GROUP BY mid), "
+        + _media_hash_suffix_sql())
+
+
 def _q_image_near_dups(sf_dir: str):
     """Perceptual image near-dup clusters
-    (``ops/multimodal.image_near_dups``): BMP decode → 64-bit aHash in
-    an actor-pool stage → the SHARED simhash banding / capped pair /
-    hamming-verify / CC pipeline (`precomputed=True`).  Rows-only (no
-    SQL image decoding); clustering exactness is pytest-covered
-    (scale-invariant dup, noise bound, corrupt-payload accounting)."""
+    (``ops/multimodal.image_near_dups``): BMP decode → 64-bit
+    exact-integer aHash in an actor-pool stage → the SHARED simhash
+    banding / capped pair / hamming-verify / CC pipeline
+    (`precomputed=True`).  SQL-checked (round 4): the oracle replays
+    generator → aHash → banding → hamming → closure end-to-end."""
     from xtract.ops.multimodal import image_near_dups, synth_media_batch
 
     media = _docs(sf_dir, ["doc_id"]).map_batches(
@@ -2771,8 +3002,9 @@ def _q_image_near_dups(sf_dir: str):
 def _q_audio_near_dups(sf_dir: str):
     """Audio near-dup clusters (``ops/multimodal.audio_near_dups``):
     WAV decode → energy-delta fingerprint (volume-invariant) → the
-    shared precomputed-hash dedup pipeline.  Rows-only; exactness
-    pytest-covered."""
+    shared precomputed-hash dedup pipeline.  SQL-checked (round 4):
+    the oracle replays sine-generator → integer energy fingerprint →
+    banding → hamming → closure end-to-end."""
     from xtract.ops.multimodal import audio_near_dups, synth_media_batch
 
     media = _docs(sf_dir, ["doc_id"]).map_batches(
@@ -2787,7 +3019,9 @@ def _q_video_near_dups(sf_dir: str):
     """Video near-dup clusters (``ops/multimodal.video_near_dups``):
     XRAW frame decode → majority-of-frame-aHash clip fingerprint
     (frame-rate and rescale invariant) → the shared precomputed-hash
-    dedup pipeline.  Rows-only; exactness pytest-covered."""
+    dedup pipeline.  SQL-checked (round 4): the oracle replays
+    per-frame exact aHash → bitwise majority → banding → hamming →
+    closure end-to-end."""
     from xtract.ops.multimodal import synth_media_batch, video_near_dups
 
     media = _docs(sf_dir, ["doc_id"]).map_batches(
@@ -5178,12 +5412,18 @@ def _q_event_transitions(sf_dir: str):
 
 
 def _q_event_type_approx_users(sf_dir: str):
-    """Grouped HLL (``ops/sketch.grouped_approx_distinct``): approx
-    distinct users per event type — deterministic and partition-
-    independent (pytest tolerance + cross-layout equality); exact
-    twin query `event_type_unique_users` is the accuracy reference."""
+    """Grouped HLL (``ops/sketch.grouped_approx_distinct``) asserted
+    against its exact twin IN the query (round 4, previously
+    rows-only): emits per event type the EXACT distinct-user count
+    (SQL-checked) plus ``approx_ok`` = |HLL − exact| ≤ 2% · exact —
+    the oracle asserts TRUE, so an HLL estimate drifting outside the
+    envelope (measured ≈1.3% worst-case at p=12 on this corpus;
+    2σ ≈ 3.2%) breaks the hash match.  Both sides join driver-side
+    over the ≤5 event-type rows (bounded).  Determinism and
+    partition-independence are pytest-covered."""
     import ray.data as rd
 
+    from xtract.ops.agg import count_distinct_per_key
     from xtract.ops.sketch import grouped_approx_distinct
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
@@ -5193,9 +5433,19 @@ def _q_event_type_approx_users(sf_dir: str):
         return pa.table({"event_type": b["event_type"],
                          "user": pc.cast(b["user_id"], pa.string())})
 
-    return grouped_approx_distinct(
+    est = grouped_approx_distinct(
         ev.map_batches(s, batch_format="pyarrow"), "event_type", "user",
-        p=12)
+        p=12).to_pandas()
+    exact = count_distinct_per_key(ev, "event_type",
+                                   "user_id").to_pandas()
+    m = exact.merge(est, on="event_type")
+    # integer-exact 2% envelope: |est − exact|·50 ≤ exact
+    ok = (50 * (m["approx_distinct"] - m["n_distinct"]).abs()
+          <= m["n_distinct"])
+    return pa.table({
+        "event_type": pa.array(m["event_type"], pa.string()),
+        "n_users": pa.array(m["n_distinct"].astype("int64"), pa.int64()),
+        "approx_ok": pa.array(ok.to_numpy(), pa.bool_())})
 
 
 def _q_user_value_ffill(sf_dir: str):
@@ -14064,6 +14314,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup": _embedding_dedup_sql(),
         "bm25_top20": _bm25_sql(),
         "bm25_index_top20": _bm25_sql(),
+        "bpe_subword_stats": _bpe_subword_stats_sql(),
+        "image_near_dups": _image_near_dups_sql(),
+        "audio_near_dups": _audio_near_dups_sql(),
+        "video_near_dups": _video_near_dups_sql(),
         "doc_repetition": _doc_repetition_sql(),
         "page_outlinks": _page_outlinks_sql(),
         "doc_pii_redact": _pii_sql(),
@@ -14154,6 +14408,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e CROSS JOIN q) "
             "SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rank, vec_id "
             "FROM scored ORDER BY score DESC, vec_id LIMIT 10",
+        # knn_ivf (float path) probes ALL cells too → exact top-10
+        "knn_ivf":
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+            "scored AS (SELECT e.vec_id, "
+            "list_cosine_similarity(e.embedding, q.qe) AS score "
+            "FROM embeddings e CROSS JOIN q) "
+            "SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rank, vec_id "
+            "FROM scored ORDER BY score DESC, vec_id LIMIT 10",
+        "semantic_dedup": _semantic_dedup2_sql(),
         "doc_upsample_mix": _upsample_mix_sql(),
         "doc_hash_split": _hash_split_sql(),
         "doc_content_split": _CONTENT_SPLIT_SQL,
@@ -14299,6 +14562,11 @@ def oracle_sql() -> dict[str, str]:
         "event_type_unique_users":
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
             "FROM events GROUP BY event_type",
+        # approx twin: exact count SQL-checked; approx_ok TRUE asserts
+        # the ±2% HLL envelope (a drifting estimate breaks the match)
+        "event_type_approx_users":
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+            "AS n_users, TRUE AS approx_ok FROM events GROUP BY event_type",
         "nation_revenue":
             "SELECT n_name, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
             "AS BIGINT) AS revenue_cents, count(*) AS n_orders "

@@ -372,6 +372,26 @@ def bench_once() -> dict:
     queries["boost_train_score"] = timed(
         lambda: _E.queries()["doc_quality_boost"](SF_DIR).count())
 
+    # round-4: one representative per previously-UNTIMED family, so a
+    # regression in the storage / robots / quantile / streaming /
+    # sketch tiers shows up in BENCH diffs (verdict r3 item 4)
+    def _q_rows(name):
+        out = _E.queries()[name](SF_DIR)
+        return out.count() if hasattr(out, "count") else len(out)
+
+    for bname, qname in [
+        ("time_travel", "events_time_travel"),          # versioned store
+        ("zorder_box", "events_zorder_box"),            # Z-order layout
+        ("sorted_join", "orders_sorted_join"),          # sorted layout
+        ("bucketed_agg", "customer_spend_bucketed"),    # bucketed layout
+        ("robots_filter", "host_robots_filter"),        # robots tier
+        ("price_quantiles", "order_price_quantiles"),   # exact quantiles
+        ("stream_watermark", "events_stream_window"),   # watermark window
+        ("stream_sessions", "user_sessions_stream"),    # session windows
+        ("anf_hll", "host_anf_hll"),                    # HLL sketch tier
+    ]:
+        queries[bname] = timed(lambda q=qname: _q_rows(q))
+
     result = {
         "metric": "extracted documents/sec (byte-identical text per url)",
         "value": round(t_extract, 3),
@@ -425,11 +445,14 @@ def hardware_ceiling(lo: int, hi: int) -> float:
 def main() -> None:
     if "--scaling" in sys.argv:
         lo, hi = 8, 32
-        # best of 2 fresh processes per level (single-node timing noise)
-        r_lo = min((run_subprocess(lo) for _ in range(2)),
-                   key=lambda r: r["value"])
-        r_hi = min((run_subprocess(hi) for _ in range(2)),
-                   key=lambda r: r["value"])
+        # MEDIAN of 3 fresh processes per level (round-4 hardening:
+        # best-of-2 let one lucky outlier carry the claim on this
+        # noisy box; the median is the honest central estimate)
+        runs_lo = sorted((run_subprocess(lo) for _ in range(3)),
+                         key=lambda r: r["value"])
+        runs_hi = sorted((run_subprocess(hi) for _ in range(3)),
+                         key=lambda r: r["value"])
+        r_lo, r_hi = runs_lo[1], runs_hi[1]
         thr_lo, thr_hi = r_lo["docs_per_s"], r_hi["docs_per_s"]
         eff = (thr_hi / thr_lo) / (hi / lo)
         ceiling = hardware_ceiling(lo, hi)
@@ -437,7 +460,10 @@ def main() -> None:
             "metric": "scaling efficiency (docs/s at 8 vs 32 cpus)",
             "value": round(eff, 3), "unit": "efficiency",
             "checksum_equal_across_parallelism":
-                r_lo.get("checksum") == r_hi.get("checksum"),
+                len({r.get("checksum") for r in runs_lo + runs_hi}) == 1,
+            "samples_per_level": 3, "estimator": "median",
+            "docs_per_s_8_all": [r["docs_per_s"] for r in runs_lo],
+            "docs_per_s_32_all": [r["docs_per_s"] for r in runs_hi],
             "sec_8": r_lo["value"], "sec_32": r_hi["value"],
             "docs_per_s_8": thr_lo, "docs_per_s_32": thr_hi,
             "mb_per_s_8": r_lo["mb_html_per_s"], "mb_per_s_32": r_hi["mb_html_per_s"],

@@ -210,6 +210,17 @@ class Extractor:
             # src/api.rs:445-456): extra column, canonical schema untouched
             t = t.append_column("cleaned_html",
                                 pa.array(debug_html, pa.string()))
+        if self.cfg.keep_input:
+            # set_input_image/get_input_image round-trip analogue
+            # (src/api.rs:675-697): the raw input payload rides through
+            # byte-identical (zero-copy from the incoming batch when the
+            # column exists; null stays null — per-row NullPointerError
+            # analogue)
+            if "html" in batch.column_names:
+                raw = batch["html"].combine_chunks().cast(pa.binary())
+            else:
+                raw = pa.nulls(n, pa.binary())
+            t = t.append_column("input_bytes", raw)
         return t
 
 

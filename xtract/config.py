@@ -48,6 +48,7 @@ VARIABLE_REGISTRY: dict[str, tuple[type, Any]] = {
     "keep_tables": (bool, True),
     "keep_captions": (bool, True),
     "debug": (bool, False),
+    "keep_input": (bool, False),        # raw-input passthrough (set/get_input_image analogue, src/api.rs:675-697)
     "scope_prefix": (str, ""),          # tag-path prefix filter (set_rectangle analogue, src/api.rs:1289-1296)
     "segment_only": (bool, False),      # analyse_layout analogue (src/api.rs:1353-1364)
     "assets_dir": (str, ""),            # extra language tables (datapath analogue, src/api.rs:71-97)
@@ -104,6 +105,13 @@ class ExtractionConfig:
     keep_tables: bool = True
     keep_captions: bool = True
     debug: bool = False
+    #: carry the raw input payload through to the output as
+    #: ``input_bytes`` (the set_input_image/get_input_image round-trip
+    #: analogue, reference src/api.rs:675-697): the engine keeps the
+    #: document it was given and hands it back byte-identical; rows
+    #: with no input (null html) round-trip as null — the per-row
+    #: NullPointerError analogue (error.rs surface → status column).
+    keep_input: bool = False
     scope_prefix: str = ""
     segment_only: bool = False
     assets_dir: str = ""

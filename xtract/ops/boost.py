@@ -82,6 +82,8 @@ def train_boost(ds, feature_cols: "list[str]", label_col: str = "y",
     from ray.data.aggregate import Count, Sum
 
     F = len(feature_cols)
+    if F == 0:
+        raise ValueError("train_boost: feature_cols must be non-empty")
     slim = ds.select_columns(list(feature_cols) + [label_col])
 
     def base_partial(t: pa.Table) -> pa.Table:
@@ -94,11 +96,19 @@ def train_boost(ds, feature_cols: "list[str]", label_col: str = "y",
     n_total = int(base["sum(n)"] or 0)
     if n_total == 0:
         raise ValueError("train_boost: empty dataset")
-    # int64 headroom for per-block Σr partials: |r| ≤ unit·(rounds+2)
-    if n_total * unit * (rounds + 2) >= (1 << 62):
+    # int64 headroom for per-block Σr partials: residuals can grow by
+    # a factor ≤ (1 + lr_num/lr_den) per round (each stump's scaled
+    # leaf value is at most the residual magnitude it fits), so the
+    # exact worst case after `rounds` rounds is
+    # unit·(1 + lr_num/lr_den)^rounds, plus 2·unit truncation slack —
+    # NOT unit·(rounds+2), which the old gate assumed and which is
+    # exceeded for rounds ≥ 5 at the default lr = 1/2.
+    r_bound = (-(-(unit * (lr_den + lr_num) ** rounds)
+                 // lr_den ** rounds) + 2 * unit)
+    if n_total * r_bound >= (1 << 62):
         raise RuntimeError(
-            f"train_boost: n·unit·(rounds+2) = "
-            f"{n_total * unit * (rounds + 2)} ≥ 2^62; lower unit")
+            f"train_boost: n·unit·(1+lr)^rounds = "
+            f"{n_total * r_bound} ≥ 2^62; lower unit or rounds")
     f0 = _tdiv(int(base["sum(sy)"]) * unit, n_total)
 
     model = {"f0": f0, "stumps": [], "lr_num": lr_num,
@@ -142,6 +152,10 @@ def train_boost(ds, feature_cols: "list[str]", label_col: str = "y",
         h = hist.to_pandas().sort_values(
             ["feat", "val"]).reset_index(drop=True)
 
+        # every feature's histogram slice partitions the same rows, so
+        # any single slice sums to the global Σr; feature 0 always
+        # exists (F ≥ 1 enforced above) and one slice stays inside
+        # int64 where the F-slice total F·Σr might not
         s_total = int(h[h.feat == 0]["sr"].sum())
         best = None  # (-gain, feat, thr, vl, vr) — Python ints, exact
         for f in range(F):
@@ -171,7 +185,7 @@ def train_boost(ds, feature_cols: "list[str]", label_col: str = "y",
 
 def boost_table(model: dict) -> pd.DataFrame:
     """Flatten to (round, feat, thr, v_left, v_right) rows; round 0
-    is the base score as (−1, f0, f0, f0)."""
+    is the base score as (−1, 0, f0, f0)."""
     rows = [(0, -1, 0, model["f0"], model["f0"])]
     rows += [(t + 1, f, thr, vl, vr)
              for t, (f, thr, vl, vr) in enumerate(model["stumps"])]

@@ -29,15 +29,28 @@ import pyarrow as pa
 
 def mis_coloring(edges_ds, src: str = "src", dst: str = "dst",
                  max_colors: int = 64, max_rounds: int = 64,
-                 broadcast_limit: int = 2_000_000):
+                 broadcast_limit: int = 2_000_000,
+                 distributed: bool = False,
+                 num_partitions: int = 32):
     """→ Dataset(node:int64, color:int64 ≥ 1) for every edge endpoint;
     adjacent nodes always differ.  Fail-loud at ``max_colors`` /
-    ``max_rounds`` (expected O(Δ) colors, O(log n) rounds each)."""
+    ``max_rounds`` (expected O(Δ) colors, O(log n) rounds each).
+
+    ``distributed=True`` routes each color layer through the
+    Dataset-state Luby MIS (`ops/graph._mis_distributed` with
+    round_offset (c−1)·64 over the still-uncolored node set) —
+    nothing node-proportional on the driver, bit-identical colors to
+    the broadcast mode (same priorities, same layer order); use it
+    past ``broadcast_limit`` (web-scale host graphs exceed 2M nodes
+    routinely)."""
     import ray
 
     from .graph import _luby_pri, _member, _undirected_distinct
 
     edges = _undirected_distinct(edges_ds, src, dst)
+    if distributed:
+        return _mis_coloring_distributed(edges, max_colors, max_rounds,
+                                         num_partitions)
 
     def node_partial(b: pa.Table) -> pa.Table:
         ids = np.unique(np.concatenate([
@@ -52,7 +65,8 @@ def mis_coloring(edges_ds, src: str = "src", dst: str = "dst",
     if len(nodes) > broadcast_limit:
         raise ValueError(
             f"mis_coloring: {len(nodes)} nodes exceed broadcast_limit "
-            f"{broadcast_limit}")
+            f"{broadcast_limit}; pass distributed=True (co-group "
+            f"state, bit-identical colors)")
     uncolored = nodes.copy()
     color = np.zeros(len(nodes), np.int64)
 
@@ -138,3 +152,91 @@ def mis_coloring(edges_ds, src: str = "src", dst: str = "dst",
     return ray.data.from_arrow(pa.table({
         "node": pa.array(nodes, pa.int64()),
         "color": pa.array(color, pa.int64())}))
+
+
+def _mis_coloring_distributed(edges, max_colors: int, max_rounds: int,
+                              num_partitions: int):
+    """Dataset-state MIS layering: color c = one
+    `graph._mis_distributed` run at round_offset (c−1)·64 over the
+    still-uncolored node set (so priorities — and therefore colors —
+    are bit-identical to the broadcast mode), then one slim hash
+    co-group anti-join drops the new color class from the uncolored
+    set.  The tagged edge table materializes ONCE and is reused by
+    every layer.  Driver state: per-color exact counts only."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    from .graph import (_consolidate, _member, _mis_distributed,
+                        _mis_tag_edges)
+
+    P = np.int64(num_partitions)
+    edges_tagged = _mis_tag_edges(edges, num_partitions)
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            b["u"].to_numpy(zero_copy_only=False),
+            b["v"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"node": pa.array(ids, pa.int64())})
+
+    uncolored = _consolidate(
+        edges.map_batches(node_partial, batch_format="pyarrow")
+        .groupby("node").aggregate(Count(alias_name="_n"))
+        .select_columns(["node"]), num_partitions)
+
+    def tag_nodes(t: pa.Table, side: int) -> pa.Table:
+        n = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "_part": pa.array(np.abs(n) % P, pa.int64()),
+            "_side": pa.array(np.full(len(n), side, np.int8)),
+            "node": pa.array(n, pa.int64())})
+
+    def anti(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(t["_side"], 0))
+        drop = t.filter(pc.equal(t["_side"], 1))
+        k = keep["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.sort(np.unique(
+            drop["node"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)))
+        return pa.table({"node": pa.array(k[~_member(d, k)],
+                                          pa.int64())})
+
+    colored_parts: list = []
+    for c in range(1, max_colors + 1):
+        if uncolored.count() == 0:
+            break
+        mis = _mis_distributed(edges, max_rounds, num_partitions,
+                               round_offset=(c - 1) * 64,
+                               nodes_ds=uncolored,
+                               edges_tagged=edges_tagged)
+        members = _consolidate(mis.map_batches(
+            lambda t: t.filter(pc.equal(t["in_mis"], 1))
+            .select(["node"]), batch_format="pyarrow"), num_partitions)
+        colored_parts.append(members.map_batches(
+            lambda t, _c=c: pa.table({
+                "node": t["node"],
+                "color": pa.array(np.full(len(t), _c, np.int64))}),
+            batch_format="pyarrow").materialize())
+        # iterated state: consolidate before the next layer consumes
+        # it (see graph._consolidate — map_groups' empty-schema blocks
+        # degrade re-consumption catastrophically)
+        uncolored = _consolidate(uncolored.map_batches(
+            lambda b: tag_nodes(b, 0), batch_format="pyarrow")
+            .union(members.map_batches(
+                lambda b: tag_nodes(b, 1), batch_format="pyarrow"))
+            .groupby("_part")
+            .map_groups(anti, batch_format="pyarrow"), num_partitions)
+    else:
+        if uncolored.count():
+            raise RuntimeError(
+                f"mis_coloring: not colored within {max_colors} "
+                f"colors")
+
+    if not colored_parts:  # empty graph
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "color": pa.array([], pa.int64())}))
+    out = colored_parts[0]
+    for extra in colored_parts[1:]:
+        out = out.union(extra)
+    return out.sort("node")

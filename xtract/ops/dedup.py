@@ -724,8 +724,13 @@ def embedding_dedup(ds, key: str = "vec_id", col: str = "embedding",
                     n_probe_bits: int = 0, dim: "int | None" = None):
     """→ Dataset(vec_id, cluster_id): cosine-similarity near-dup via
     random-hyperplane LSH buckets + exact verify within buckets.
-    Hyperplanes are a deterministic seeded Gaussian matrix broadcast to
-    all tasks.
+    Hyperplanes are a deterministic seeded Gaussian matrix
+    regenerated INSIDE each task from the fixed seed and the batch's
+    own dimensionality (dim·n_planes ≈ a few hundred floats — cheaper
+    to recompute than to ship, and it removes any driver-side
+    ``take(1)`` dim probe; the seed makes every task's matrix
+    bit-identical).  ``dim``, when given, is asserted against the
+    data.
 
     ``n_probe_bits``: MULTI-PROBE recall knob — each vector is also
     emitted into the buckets reached by flipping its ``n_probe_bits``
@@ -733,22 +738,19 @@ def embedding_dedup(ds, key: str = "vec_id", col: str = "embedding",
     near-dup pairs that straddle a hyperplane boundary.  Costs
     (1 + n_probe_bits)× bucket rows; duplicate candidate pairs across
     probes are harmless (connected components absorbs them)."""
-    import ray
-
-    if dim is None:
-        # read the dimensionality from the schema (fixed-size list) when
-        # possible; a one-row take is the last resort only
-        sch = ds.schema()
-        t = dict(zip(sch.names, sch.types))[col]
-        dim = (t.list_size if isinstance(t, pa.FixedSizeListType)
-               else len(ds.take(1)[0][col]))
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((dim, n_planes))
-    planes_ref = ray.put(planes)
 
     def bucketize(b: pa.Table) -> pa.Table:
-        pl = ray.get(planes_ref)
         vecs = np.asarray(b[col].to_pylist(), np.float64)
+        if vecs.ndim != 2:  # empty batch
+            return pa.table({key: b[key],
+                             "bucket": pa.array([], pa.int64()),
+                             col: b[col]})
+        if dim is not None and vecs.shape[1] != dim:
+            raise ValueError(
+                f"embedding_dedup: batch dim {vecs.shape[1]} != "
+                f"declared dim {dim}")
+        pl = np.random.default_rng(42).standard_normal(
+            (vecs.shape[1], n_planes))
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms

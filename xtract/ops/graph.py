@@ -1901,7 +1901,9 @@ def clustering_coefficients(edges_ds, src: str = "src", dst: str = "dst",
 
 
 def butterfly_counts(ds, group_col: str, item_col: str,
-                     num_partitions: int = 64):
+                     num_partitions: int = 64,
+                     max_group_items: int = 8192,
+                     oversized: str = "error"):
     """Per-item butterfly (bipartite 4-cycle) counts over the
     group–item bipartite graph: butterflies(p) = Σ_q C(co(p,q), 2)
     where co(p,q) = #groups containing both items — the bipartite
@@ -1914,9 +1916,23 @@ def butterfly_counts(ds, group_col: str, item_col: str,
     self-merge emits item pairs with LOCAL counts → ONE native Sum
     over the pair key → each pair explodes to its two endpoints with
     C(n,2) → grouped Sum.  Per-group pair blowup is quadratic in
-    group size — the same bounded-group assumption the co-purchase
-    op documents (orders, shingle buckets); for unbounded groups cap
-    upstream.  All counts exact integers.
+    group size; because the coarse co-group lands EVERY row of a
+    group in one partition, the distinct item count per group is
+    known exactly in-partition BEFORE any pair is materialized, and
+    groups above ``max_group_items`` are gated there:
+
+    - ``oversized="error"`` (default): fail loudly naming the group
+      and the cap — one viral group (a template item in 10⁶ crawled
+      pages) would otherwise emit ~10¹² pairs in one partition (the
+      `HOT_RUN_CAP` hazard of ``ops/dedup``, where a star cap is
+      sound for connectivity but would CHANGE these exact counts).
+    - ``oversized="drop"``: exclude oversized groups entirely and
+      count exactly over the rest — the web-scale discipline (a
+      group that big is boilerplate/template co-occurrence, not
+      signal).  Retained pair emission is then bounded by
+      Σ C(min(m_g, cap), 2).
+
+    All counts exact integers.
 
     → Dataset(item int64, n_butterflies int64), rows with ≥1
     butterfly.
@@ -1925,6 +1941,11 @@ def butterfly_counts(ds, group_col: str, item_col: str,
     from ray.data.aggregate import Sum
 
     from .agg import _hash_part
+
+    if oversized not in ("error", "drop"):
+        raise ValueError(
+            f"butterfly_counts: oversized={oversized!r} not in "
+            f"('error', 'drop')")
 
     def tag(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -1938,6 +1959,19 @@ def butterfly_counts(ds, group_col: str, item_col: str,
             "o": g["o"].to_numpy(zero_copy_only=False),
             "p": g["p"].to_numpy(zero_copy_only=False),
         }).drop_duplicates()
+        # exact per-group distinct-item gate BEFORE the m² self-merge:
+        # the coarse co-group guarantees this partition holds the
+        # ENTIRE group, so the count is global, not a per-block guess
+        vc = df["o"].value_counts()
+        big = vc[vc > max_group_items]
+        if len(big):
+            if oversized == "error":
+                raise ValueError(
+                    f"butterfly_counts: group {int(big.index[0])} has "
+                    f"{int(big.iloc[0])} distinct items > "
+                    f"max_group_items={max_group_items}; raise the cap "
+                    f"or pass oversized='drop' to exclude such groups")
+            df = df[~df["o"].isin(big.index)]
         m = df.merge(df, on="o")
         m = m[m["p_x"] < m["p_y"]]
         # pack (p1, p2) into ONE int64 key (ids must fit 31 bits — the
@@ -2991,7 +3025,44 @@ def maximal_independent_set(edges_ds, src: str = "src",
         "mis_round": pa.array(rnd, pa.int64())}))
 
 
-def _mis_distributed(edges, max_rounds: int, num_partitions: int):
+def _consolidate(ds, num_partitions: int):
+    """Consolidate iterated-state Datasets before the next round
+    consumes them: ``groupby(...).map_groups`` emits EMPTY blocks with
+    empty schemas for group-less partitions, and re-consuming such a
+    dataset in later unions degrades catastrophically (measured ~6×
+    PER LAYER in `mis_coloring`'s color loop — 14 nodes took minutes).
+    One `repartition(P)` rebuilds clean uniform blocks and restores
+    constant per-round cost; P = the co-group partition count, so the
+    block count stays scale-appropriate (never a single driver-sized
+    block)."""
+    return ds.repartition(num_partitions).materialize()
+
+
+def _mis_tag_edges(edges, num_partitions: int):
+    """Distinct undirected edges → the doubled giver/receiver rows
+    `_mis_distributed`'s co-groups consume (materialized; tag once,
+    reuse across MIS layers)."""
+    P = np.int64(num_partitions)
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        g = np.concatenate([u, v])
+        rcv = np.concatenate([v, u])
+        return pa.table({
+            "_part": pa.array(np.abs(g) % P, pa.int64()),
+            "_side": pa.array(np.ones(len(g), np.int8)),
+            "g": pa.array(g, pa.int64()),
+            "rcv": pa.array(rcv, pa.int64()),
+            "pri": pa.array(np.zeros(len(g), np.uint64), pa.uint64())})
+
+    return edges.map_batches(
+        tag_edges, batch_format="pyarrow").materialize()
+
+
+def _mis_distributed(edges, max_rounds: int, num_partitions: int,
+                     round_offset: int = 0, nodes_ds=None,
+                     edges_tagged=None):
     """Dataset-state Luby MIS: per round four slim co-groups —
     (A) active⋈edges on hash(giver) → per-partition min active-nbr
     priority per receiver, (B) messages⋈active on hash(node) → the
@@ -2999,7 +3070,16 @@ def _mis_distributed(edges, max_rounds: int, num_partitions: int):
     joiners⋈edges on hash(giver) → joiner neighborhoods, (D)
     active⋈(joiners ∪ nbrs) anti-join → the surviving active set.
     Same ``_luby_pri`` priorities as the broadcast mode →
-    bit-identical output."""
+    bit-identical output.
+
+    ``round_offset`` shifts the priority round index (round r draws
+    priorities at ``round_offset + r``) and ``nodes_ds`` overrides
+    the initial active set (a distinct ``node:int64`` Dataset) — the
+    two hooks `ops/coloring.mis_coloring(distributed=True)` needs to
+    replay its per-color layers (color c uses offset (c−1)·64 over
+    the still-uncolored nodes) bit-identically to its broadcast mode.
+    Edges whose endpoints are not in ``nodes_ds`` are ignored: givers
+    outside it send nothing, receivers outside it drop messages."""
     import ray
     from ray.data.aggregate import Count
 
@@ -3014,9 +3094,13 @@ def _mis_distributed(edges, max_rounds: int, num_partitions: int):
             b["v"].to_numpy(zero_copy_only=False)]))
         return pa.table({"node": pa.array(ids, pa.int64())})
 
-    nodes_ds = (edges.map_batches(node_partial, batch_format="pyarrow")
-                .groupby("node").aggregate(Count(alias_name="_n"))
-                .select_columns(["node"])).materialize()
+    if nodes_ds is None:
+        nodes_ds = (edges.map_batches(node_partial,
+                                      batch_format="pyarrow")
+                    .groupby("node").aggregate(Count(alias_name="_n"))
+                    .select_columns(["node"])).materialize()
+    else:
+        nodes_ds = _consolidate(nodes_ds, num_partitions)
 
     def tag_nodes(t: pa.Table, side: int) -> pa.Table:
         n = t["node"].to_numpy(zero_copy_only=False)
@@ -3027,20 +3111,10 @@ def _mis_distributed(edges, max_rounds: int, num_partitions: int):
             "rcv": pa.array(np.zeros(len(n), np.int64), pa.int64()),
             "pri": pa.array(np.zeros(len(n), np.uint64), pa.uint64())})
 
-    def tag_edges(t: pa.Table) -> pa.Table:
-        u = t["u"].to_numpy(zero_copy_only=False)
-        v = t["v"].to_numpy(zero_copy_only=False)
-        g = np.concatenate([u, v])
-        rcv = np.concatenate([v, u])
-        return pa.table({
-            "_part": pa.array(part_of(g), pa.int64()),
-            "_side": pa.array(np.ones(len(g), np.int8)),
-            "g": pa.array(g, pa.int64()),
-            "rcv": pa.array(rcv, pa.int64()),
-            "pri": pa.array(np.zeros(len(g), np.uint64), pa.uint64())})
-
-    edges_tagged = edges.map_batches(
-        tag_edges, batch_format="pyarrow").materialize()
+    if edges_tagged is None:
+        # callers looping over MIS layers (mis_coloring) pass the
+        # tagged edge table in so it materializes ONCE, not per layer
+        edges_tagged = _mis_tag_edges(edges, num_partitions)
 
     active = nodes_ds
     mis_parts: list = []
@@ -3050,7 +3124,7 @@ def _mis_distributed(edges, max_rounds: int, num_partitions: int):
             converged = True
             break
 
-        def send(t: pa.Table, _r=r) -> pa.Table:
+        def send(t: pa.Table, _r=round_offset + r) -> pa.Table:
             st = t.filter(pc.equal(t["_side"], 0))
             ed = t.filter(pc.equal(t["_side"], 1))
             act = np.sort(st["g"].to_numpy(zero_copy_only=False)
@@ -3086,13 +3160,15 @@ def _mis_distributed(edges, max_rounds: int, num_partitions: int):
                 "rcv": pa.array(np.zeros(len(n), np.int64), pa.int64()),
                 "pri": t["mn"]})
 
-        def decide(t: pa.Table, _r=r) -> pa.Table:
+        def decide(t: pa.Table, _r=round_offset + r,
+                   _rl=r) -> pa.Table:
             st = t.filter(pc.equal(t["_side"], 0))
             ms = t.filter(pc.equal(t["_side"], 1))
             act = np.sort(st["g"].to_numpy(zero_copy_only=False)
                           .astype(np.int64))
             if not len(act):
-                return pa.table({"node": pa.array([], pa.int64())})
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "mis_round": pa.array([], pa.int64())})
             mn = np.full(len(act), np.iinfo(np.uint64).max, np.uint64)
             gn = ms["g"].to_numpy(zero_copy_only=False).astype(np.int64)
             gp = ms["pri"].to_numpy(zero_copy_only=False).astype(
@@ -3107,19 +3183,20 @@ def _mis_distributed(edges, max_rounds: int, num_partitions: int):
                 np.minimum.at(mn, np.searchsorted(act, gn[first]),
                               gp[first])
             joiners = act[_luby_pri(act, _r) < mn]
-            return pa.table({"node": pa.array(joiners, pa.int64())})
+            return pa.table({
+                "node": pa.array(joiners, pa.int64()),
+                "mis_round": pa.array(
+                    np.full(len(joiners), _rl, np.int64))})
 
         joiners_ds = (msgs.map_batches(tag_msgs, batch_format="pyarrow")
                       .union(active.map_batches(
                           lambda b: tag_nodes(b, 0),
                           batch_format="pyarrow"))
                       .groupby("_part")
-                      .map_groups(decide, batch_format="pyarrow")
-                      ).materialize()
-        mis_parts.append(joiners_ds.map_batches(
-            lambda t, _r=r: t.append_column(
-                "mis_round", pa.array(np.full(len(t), _r, np.int64))),
-            batch_format="pyarrow").materialize())
+                      .map_groups(decide, batch_format="pyarrow"))
+        # consumed 3× per round — consolidate (see _consolidate)
+        joiners_ds = _consolidate(joiners_ds, num_partitions)
+        mis_parts.append(joiners_ds)
 
         def nbrs_of(t: pa.Table) -> pa.Table:
             st = t.filter(pc.equal(t["_side"], 0))
@@ -3148,15 +3225,15 @@ def _mis_distributed(edges, max_rounds: int, num_partitions: int):
             keep = act[~_member(drop, act)]
             return pa.table({"node": pa.array(keep, pa.int64())})
 
-        drop_ds = joiners_ds.union(nbrs_ds)
+        drop_ds = joiners_ds.select_columns(["node"]).union(nbrs_ds)
         active = (active.map_batches(lambda b: tag_nodes(b, 0),
                                      batch_format="pyarrow")
                   .union(drop_ds.map_batches(
                       lambda b: tag_nodes(b, 1),
                       batch_format="pyarrow"))
                   .groupby("_part")
-                  .map_groups(anti, batch_format="pyarrow")
-                  ).materialize()
+                  .map_groups(anti, batch_format="pyarrow"))
+        active = _consolidate(active, num_partitions)
     else:
         converged = active.count() == 0
     if not converged:

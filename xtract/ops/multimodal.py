@@ -238,6 +238,13 @@ class DecodeStage:
     def decode_one(self, payload: bytes, kind: str, meta: dict) -> np.ndarray:
         if payload[:2] == b"BM":
             return _image_features(decode_bmp(payload))
+        if payload[:2] == b"\xFF\xD8":
+            # real-crawl path: baseline JPEG (round 4 — pure-numpy
+            # decoder in ops/jpeg; progressive raises inside and lands
+            # as unsupported_codec like any other missing codec)
+            from .jpeg import decode_jpeg
+
+            return _image_features(decode_jpeg(payload))
         if payload[:4] == b"RIFF":
             return _audio_features(*decode_wav(payload))
         if payload[:4] == _XRAW_MAGIC:
@@ -295,8 +302,13 @@ class ResizeStage:
         self.height = height
 
     def resize_one(self, payload: bytes, meta: dict) -> bytes:
-        return encode_bmp(resize_nearest(decode_bmp(payload),
-                                         self.width, self.height))
+        if payload[:2] == b"\xFF\xD8":  # baseline JPEG input
+            from .jpeg import decode_jpeg
+
+            px = decode_jpeg(payload)
+        else:
+            px = decode_bmp(payload)
+        return encode_bmp(resize_nearest(px, self.width, self.height))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
@@ -351,23 +363,47 @@ class FrameSampleStage:
 
 def average_hash(pixels: np.ndarray, grid: int = 8) -> int:
     """64-bit perceptual average-hash (aHash, public algorithm):
-    grayscale → ``grid×grid`` mean-pooled cells → bit = cell > global
-    mean.  Robust to resizing and mild noise, pure numpy, no DCT."""
-    gray = pixels.astype(np.float64).mean(axis=2)
-    h, w = gray.shape
+    grayscale → ``grid×grid`` mean-pooled cells → bit = cell mean >
+    global mean.  Robust to resizing and mild noise, no DCT.
+
+    EXACT integer arithmetic throughout (round 4): grayscale is kept
+    as 3·gray = r+g+b, and the threshold compare is cross-multiplied
+    onto the common denominator A = ∏dy·∏dx of all cell areas —
+    ``64·S_c·(A/a_c) > Σ_j S_j·(A/a_j)`` in arbitrary-precision
+    Python ints.  The float version flipped 143/21k hashes on exact
+    cell-mean ties depending on summation order; the integer form is
+    reproducible across float environments and SQL-replayable (the
+    near-dup oracle re-derives it in HUGEINT)."""
+    g3 = pixels.astype(np.int64).sum(axis=2)  # 3·gray, exact
+    h, w = g3.shape
     ys = (np.arange(grid) * h // grid).clip(0, h - 1)
     xs = (np.arange(grid) * w // grid).clip(0, w - 1)
-    # block means via cumulative sum (exact, no resize artifacts)
-    cs = np.zeros((h + 1, w + 1))
-    cs[1:, 1:] = gray.cumsum(0).cumsum(1)
+    cs = np.zeros((h + 1, w + 1), np.int64)
+    cs[1:, 1:] = g3.cumsum(0).cumsum(1)
     yb = np.r_[ys, h]
     xb = np.r_[xs, w]
     cells = (cs[yb[1:]][:, xb[1:]] - cs[yb[:-1]][:, xb[1:]]
              - cs[yb[1:]][:, xb[:-1]] + cs[yb[:-1]][:, xb[:-1]])
-    area = np.outer(yb[1:] - yb[:-1], xb[1:] - xb[:-1])
-    means = cells / np.maximum(area, 1)
-    bits = (means > means.mean()).ravel()
-    return int(np.packbits(bits).view(">u8")[0])
+    dy = (yb[1:] - yb[:-1]).astype(int)
+    dx = (xb[1:] - xb[:-1]).astype(int)
+    prod_y = 1
+    for v in dy:
+        prod_y *= max(int(v), 1)
+    prod_x = 1
+    for v in dx:
+        prod_x *= max(int(v), 1)
+    A = prod_y * prod_x
+    # weight per cell: A // a_c (exact — a_c = dy_r·dx_c divides A)
+    wy = [prod_y // max(int(v), 1) for v in dy]
+    wx = [prod_x // max(int(v), 1) for v in dx]
+    S = cells.tolist()
+    terms = [int(S[r][c]) * wy[r] * wx[c]
+             for r in range(grid) for c in range(grid)]
+    total = sum(terms)
+    v = 0
+    for t in terms:
+        v = (v << 1) | (1 if grid * grid * t > total else 0)
+    return v
 
 
 class ImageHashStage:
@@ -386,7 +422,12 @@ class ImageHashStage:
             try:
                 if kind != "image" or not p:
                     raise ValueError
-                h = average_hash(decode_bmp(p))
+                if p[:2] == b"\xFF\xD8":  # baseline JPEG (real crawls)
+                    from .jpeg import decode_jpeg
+
+                    h = average_hash(decode_jpeg(p))
+                else:
+                    h = average_hash(decode_bmp(p))
                 hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
                 status.append("ok")
             except Exception:

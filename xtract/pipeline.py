@@ -317,6 +317,22 @@ def read_extracted(out_dir: str, columns: Optional[Sequence[str]] = None):
     return rd.read_parquet(files, columns=list(columns) if columns else None)
 
 
+def get_input_bytes(extracted_ds):
+    """``get_input_image`` analogue (reference src/api.rs:684-697):
+    return the raw input payload the engine was given, per url, from an
+    extracted Dataset produced under ``ExtractionConfig(keep_input=
+    True)``.  Raises if no input was kept — the engine-level
+    NullPointerError of the reference (a per-ROW missing input is a
+    null cell instead: the row-level error surface)."""
+    schema = extracted_ds.schema()
+    if "input_bytes" not in schema.names:
+        raise ValueError(
+            "get_input_bytes: no input kept — extract with "
+            "ExtractionConfig(keep_input=True) (set_input_image "
+            "analogue) first")
+    return extracted_ds.select_columns(["url", "input_bytes"])
+
+
 def manifest_path(out_dir: str, shard_id: str) -> str:
     return os.path.join(out_dir, f"shard={shard_id}", "manifest.json")
 
