@@ -2054,7 +2054,8 @@ def _q_render_formats(sf_dir: str):
     from xtract.render import render_pages
 
     return render_pages(_pages(sf_dir).limit(40),
-                        formats=("hocr", "tsv", "alto", "markdown"))
+                        formats=("hocr", "tsv", "alto", "markdown",
+                                 "artifact"))
 
 
 def _q_minhash_dedup(sf_dir: str):

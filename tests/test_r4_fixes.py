@@ -212,6 +212,63 @@ def test_keep_input_round_trips_config(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# artifact renderer (true rendered-artifact sink, result_renderer.rs:69-82)
+# ---------------------------------------------------------------------------
+
+_ARTIFACT_HTML = (
+    b"<html><head><title>T</title></head><body>"
+    b"<nav><a href='/a'>home</a> <a href='/b'>about</a> "
+    b"<a href='/c'>contact</a> <a href='/d'>more</a></nav>"
+    b"<h1>A real heading here</h1>"
+    b"<p>" + b"This paragraph carries the actual article content. " * 4
+    + b"</p></body></html>")
+
+
+def test_artifact_renderer_structure(ray_session):
+    import re
+
+    from xtract.extract import extract_document
+    from xtract.config import DEFAULT_CONFIG
+    from xtract.render import render_artifact
+
+    r = extract_document(_ARTIFACT_HTML, None, "en", DEFAULT_CONFIG,
+                         collect_blocks=True)
+    art = render_artifact("https://x.example.org/p", r["blocks"])
+    assert art.startswith("<!DOCTYPE html>")
+    assert "https://x.example.org/p" in art
+    # self-contained: no external fetches
+    assert "http" not in re.sub(r"https://x\.example\.org/p", "", art) \
+        or "src=" not in art
+    # every nav link targets an existing section anchor
+    links = re.findall(r'href="#(s\d+e\d+)"', art)
+    ids = set(re.findall(r'id="(s\d+e\d+)"', art))
+    assert links and set(links) <= ids
+    # anchors are the blocks' real byte spans
+    kept = [b for b in r["blocks"] if b.is_content]
+    assert {f"s{b.span_start}e{b.span_end}" for b in kept} == ids
+    # dropped-boilerplate accounting present
+    assert "boilerplate blocks dropped" in art
+    # deterministic
+    assert art == render_artifact("https://x.example.org/p", r["blocks"])
+
+
+def test_artifact_in_render_pages(ray_session):
+    import ray.data as rd
+
+    from xtract.render import render_pages
+
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(["https://x.example.org/p"], pa.string()),
+        "warc_ts": pa.array([None], pa.timestamp("us")),
+        "html": pa.array([_ARTIFACT_HTML], pa.binary()),
+        "text": pa.array([None], pa.string()),
+        "lang": pa.array(["en"], pa.string())}))
+    out = render_pages(pages, formats=("artifact",)).to_pandas()
+    assert list(out["format"]) == ["artifact"]
+    assert out["payload"][0].startswith("<!DOCTYPE html>")
+
+
+# ---------------------------------------------------------------------------
 # boost: tightened headroom gate + empty-feature raise
 # ---------------------------------------------------------------------------
 

@@ -180,6 +180,60 @@ def render_markdown(url: str, blocks: list[Block]) -> str:
     return "\n\n".join(out)
 
 
+def render_artifact(url: str, blocks: list[Block]) -> str:
+    """Self-contained HTML composite artifact — the TRUE
+    rendered-artifact sink (the searchable-PDF renderer analogue,
+    reference ``src/result_renderer.rs:69-82``): where the reference
+    overlays an invisible text layer on the page image at pixel
+    coordinates, this emits one standalone document carrying the
+    extracted text layer with every content block ANCHORED at its
+    byte-span "coordinates" (``id="s{start}e{end}"``), a navigable
+    block index (role, span, confidence) linking into the layer, and
+    dropped-boilerplate accounting.  Everything inline (CSS included),
+    zero external fetches, deterministic byte output — a pure function
+    of the classified blocks, like every renderer in this registry."""
+    content = [b for b in blocks if b.is_content]
+    dropped = [b for b in blocks if not b.is_content]
+    out = [
+        "<!DOCTYPE html>",
+        "<html><head><meta charset=\"utf-8\">",
+        f"<title>xtract artifact: {escape(url)}</title>",
+        "<style>body{font-family:sans-serif;max-width:60em;margin:auto}"
+        "nav ol{font-size:small}section{border-left:3px solid #ccc;"
+        "padding-left:.6em;margin:.8em 0}section h3{font-size:small;"
+        "color:#666;margin:0}.lowconf{border-left-color:#c66}"
+        "</style></head><body>",
+        f"<header><h1>{escape(url)}</h1>"
+        f"<p>{len(content)} content blocks kept, "
+        f"{len(dropped)} boilerplate blocks dropped</p></header>",
+        "<nav><ol>",
+    ]
+    for b in content:
+        out.append(
+            f"  <li><a href=\"#s{b.span_start}e{b.span_end}\">"
+            f"{escape(b.block_type)} [{b.span_start}..{b.span_end}] "
+            f"conf {b.confidence:.0f}</a></li>")
+    out.append("</ol></nav><main>")
+    for b in content:
+        cls = " class=\"lowconf\"" if b.confidence < 50 else ""
+        out.append(
+            f"<section id=\"s{b.span_start}e{b.span_end}\"{cls} "
+            f"data-block={quoteattr(str(b.block_id))} "
+            f"data-type={quoteattr(b.block_type)} "
+            f"data-span={quoteattr(f'{b.span_start}:{b.span_end}')} "
+            f"data-conf={quoteattr(f'{b.confidence:.0f}')}>")
+        out.append(f"  <h3>{escape(b.block_type)} "
+                   f"#{b.block_id}</h3>")
+        for line in b.text.split("\n"):
+            out.append(f"  <p>{escape(line)}</p>")
+        out.append("</section>")
+    out.append("</main><footer><p>dropped spans: "
+               + escape(" ".join(f"{b.span_start}:{b.span_end}"
+                                 for b in dropped))
+               + "</p></footer></body></html>")
+    return "\n".join(out)
+
+
 def render_unlv(url: str, blocks: list[Block]) -> str:
     """UNLV-style projection: accent-folded ASCII-ish text via the
     deterministic NFKD table (``get_unlv_text`` analogue)."""
@@ -190,6 +244,7 @@ def render_unlv(url: str, blocks: list[Block]) -> str:
 
 RENDERERS: dict[str, Callable[[str, list[Block]], str]] = {
     "text": render_text,
+    "artifact": render_artifact,
     "hocr": render_hocr,
     "alto": render_alto,
     "tsv": render_tsv,
@@ -202,7 +257,8 @@ RENDERERS: dict[str, Callable[[str, list[Block]], str]] = {
 }
 
 #: sink self-description (get_extension analogue, src/result_renderer.rs:141-185)
-EXTENSIONS = {"text": "txt", "hocr": "hocr", "alto": "xml", "tsv": "tsv",
+EXTENSIONS = {"text": "txt", "artifact": "html", "hocr": "hocr",
+              "alto": "xml", "tsv": "tsv",
               "box": "box", "box_lstm": "box", "box_wordstr": "box",
               "sidecar": "json", "unlv": "unlv", "markdown": "md"}
 
