@@ -298,8 +298,11 @@ def hyper_anf(edges_ds, max_r: int = 6, p: int = 4,
         return pa.table({"node": pa.array(ids, pa.int64()),
                          "regs": _fsb_arr(_node_registers(ids, p), m)})
 
-    state = nodes_ds.map_batches(init_regs,
-                                 batch_format="pyarrow").materialize()
+    from .graph import _consolidate
+
+    state = _consolidate(nodes_ds.map_batches(init_regs,
+                                              batch_format="pyarrow"),
+                         num_partitions)
 
     def stats_partial(b: pa.Table) -> pa.Table:
         regs = _fsb_np(b["regs"], m)
@@ -393,12 +396,16 @@ def hyper_anf(edges_ds, max_r: int = 6, p: int = 4,
             part = _hash_part(b["node"], num_partitions)
             return b.append_column("_part", pa.array(part, pa.int64()))
 
-        new_state = (msgs.union(state)
-                     .map_batches(part_by_node, batch_format="pyarrow")
-                     .groupby("_part")
-                     .map_groups(lambda t: merge(t.drop_columns(["_part"])),
-                                 batch_format="pyarrow")
-                     ).materialize()
+        # iterated state: consolidate before the next round consumes
+        # it (graph._consolidate — map_groups' empty-schema blocks
+        # degrade re-consumption catastrophically; this loop went
+        # 187 s → seconds at sf0.1 when consolidated)
+        new_state = _consolidate(
+            msgs.union(state)
+            .map_batches(part_by_node, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(lambda t: merge(t.drop_columns(["_part"])),
+                        batch_format="pyarrow"), num_partitions)
         state = new_state
         new_sum, new_est = stats_of(state)
         out.append((r, new_sum, new_est))
