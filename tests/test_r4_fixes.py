@@ -142,6 +142,44 @@ def test_coloring_distributed_partition_invariant(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# connected_components_ds: pointer jumping + fail-loud convergence
+# ---------------------------------------------------------------------------
+
+def test_cc_deep_chain_converges(ray_session):
+    # a 600-node path has diameter 599: plain min-label propagation at
+    # the old default (10 rounds) silently returned ~590 bogus
+    # components; pointer jumping converges in O(log n) rounds
+    import ray.data as rd
+
+    from xtract.ops.cc import connected_components_ds
+
+    N = 600
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array(np.arange(N - 1), pa.int64()),
+        "b": pa.array(np.arange(1, N), pa.int64())}))
+    df = connected_components_ds(ds, num_partitions=4).to_pandas()
+    assert len(df) == N
+    assert (df.label == 0).all()
+
+
+def test_cc_unconverged_fails_loud(ray_session):
+    # exhausting max_rounds without the fixpoint must RAISE, never
+    # silently return wrong labels
+    import ray.data as rd
+
+    from xtract.ops.cc import connected_components_ds
+
+    N = 200
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array(np.arange(N - 1), pa.int64()),
+        "b": pa.array(np.arange(1, N), pa.int64())}))
+    with pytest.raises(RuntimeError, match="not converged"):
+        # jump disabled (jump_after > max_rounds) → diameter-bound
+        connected_components_ds(ds, num_partitions=4, max_rounds=4,
+                                jump_after=99)
+
+
+# ---------------------------------------------------------------------------
 # embedding_dedup: in-task planes, dim assert, no driver probe
 # ---------------------------------------------------------------------------
 

@@ -45,9 +45,21 @@ def _part_of(arr: np.ndarray, num_partitions: int) -> np.ndarray:
 
 
 def connected_components_ds(edges_ds, num_partitions: int = 8,
-                            max_rounds: int = 10):
+                            max_rounds: int = 30, jump_after: int = 3):
     """edges Dataset(a:int64, b:int64) → Dataset(node:int64, label:int64)
     with label = min node id of the component.
+
+    Each round is ONE neighbor min-propagation exchange; from round
+    ``jump_after`` on, a pointer-jumping exchange follows (label ←
+    label[label], the classic shortcutting step — public
+    Shiloach–Vishkin line), so convergence is O(log diameter) rounds,
+    not O(diameter): a 4000-node chain converges in ~15 rounds where
+    plain propagation needs 4000 (round 4: the old loop silently
+    returned UNCONVERGED labels past ``max_rounds`` — 3960 bogus
+    components on that chain).  The first ``jump_after`` rounds skip
+    the jump so the common shallow case (near-dup stars/cliques,
+    which finish in 1–3 rounds) pays nothing extra.  Exhausting
+    ``max_rounds`` without reaching the fixpoint now FAILS LOUD.
 
     The edge list is materialized once at entry — it is consumed every
     round, and without pinning each round would re-execute the whole
@@ -118,17 +130,62 @@ def connected_components_ds(edges_ds, num_partitions: int = 8,
         return pa.table({"node": pa.array(ud, pa.int64()),
                          "label": pa.array(mins, pa.int64())})
 
+    def tag_query(t: pa.Table) -> pa.Table:
+        # pointer-jump queries: keyed by the LABEL value, so each query
+        # co-locates with the provider row whose node == that label
+        # (labels are node ids and every node has a label row)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(_part_of(lab, num_partitions), pa.int64()),
+            "node": t["node"],
+            "label": pa.array(np.full(len(t), _SENTINEL), pa.int64()),
+            "neighbor": t["label"],
+        })
+
+    def shortcut_part(g: pa.Table) -> pa.Table:
+        """label ← label[label]: providers (node→label) resolve each
+        query's current label to that label-node's own label."""
+        node = g["node"].to_numpy(zero_copy_only=False)
+        label = g["label"].to_numpy(zero_copy_only=False)
+        neigh = g["neighbor"].to_numpy(zero_copy_only=False)
+        is_prov = neigh == _SENTINEL
+        pn, pl = node[is_prov], label[is_prov]
+        order = np.argsort(pn, kind="stable")
+        pn, pl = pn[order], pl[order]
+        qn, ql = node[~is_prov], neigh[~is_prov]
+        # total lookup: every queried label id has a provider row here
+        new = pl[np.searchsorted(pn, ql)]
+        return pa.table({"node": pa.array(qn, pa.int64()),
+                         "label": pa.array(new, pa.int64())})
+
     adj_rows = adj.map_batches(tag_adj, batch_format="pyarrow").materialize()
-    for _ in range(max_rounds):
+    converged = False
+    for r in range(max_rounds):
         lbl_rows = labels.map_batches(tag_lbl, batch_format="pyarrow")
         msgs = lbl_rows.union(adj_rows).groupby("part").map_groups(
             propagate_part, batch_format="pyarrow")
         labels = msgs.groupby("node").aggregate(
             Min("label", alias_name="label")).materialize()
+        if r + 1 >= jump_after:
+            # pointer jumping (one co-group; output repartitioned — the
+            # iterated-state consolidation discipline, see SCALE.md)
+            labels = (labels.map_batches(tag_query,
+                                         batch_format="pyarrow")
+                      .union(labels.map_batches(tag_lbl,
+                                                batch_format="pyarrow"))
+                      .groupby("part")
+                      .map_groups(shortcut_part, batch_format="pyarrow")
+                      .repartition(num_partitions)).materialize()
         new_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if new_sum == prev_sum:  # labels only decrease → fixpoint reached
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_ds: not converged within "
+            f"{max_rounds} rounds (O(log diameter) with pointer "
+            f"jumping — raise max_rounds)")
     return labels
 
 
