@@ -61,3 +61,17 @@ def test_redirect_query_matches_closed_form(ray_session):
     out = E.queries()["url_redirect_chains"]("/root/testdata/sf0.001")
     assert (out["final_doc"] == out["doc_id"] - out["doc_id"] % 8).all()
     assert (out["hops"] == out["doc_id"] % 8).all()
+
+
+def test_redirect_cycle_fails_loud(ray_session):
+    """A 3-cycle (0→1→2→0) has no terminal: the doubling loop can
+    never finish — it must RAISE naming the cycle cause, never return
+    half-doubled pointers (round 4)."""
+    import pytest
+
+    from xtract.ops.graph import resolve_pointer_chains
+
+    ptr = np.array([1, 2, 0, 3], np.int64)  # 3-cycle + one terminal
+    with pytest.raises(RuntimeError, match="cycle"):
+        resolve_pointer_chains(_state_from_ptr(ptr), partitions=2,
+                               max_rounds=6)

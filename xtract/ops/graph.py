@@ -793,6 +793,16 @@ def resolve_pointer_chains(state_ds, partitions: int = 16,
         state = nxt  # 'moving' is ignored by tag_both; dropped at end
         if still == 0:
             break
+    else:
+        # a redirect CYCLE has no terminal: pointers keep moving
+        # forever (64 doublings cover any acyclic chain of length
+        # < 2^64, so exhaustion ⇒ cycles).  Fail loud rather than
+        # return half-doubled pointers/hops (round 4).
+        raise RuntimeError(
+            f"resolve_pointer_chains: {still} pointers still moving "
+            f"after {max_rounds} doubling rounds — redirect cycles "
+            f"have no terminal; break cycles upstream (drop one edge "
+            f"per cycle) before resolving")
     return state.drop_columns(["moving"])
 
 
