@@ -48,7 +48,8 @@ def test_pagerank_isolated_nodes_get_base(ray_session):
 
 def test_pagerank_broadcast_gate(ray_session):
     with pytest.raises(ValueError, match="broadcast_limit"):
-        pagerank(_edges([1, 2, 3], [2, 3, 1]), iters=1, broadcast_limit=2)
+        pagerank(_edges([1, 2, 3], [2, 3, 1]), iters=1, broadcast_limit=2,
+                 on_gate="error")
 
 
 def test_pagerank_mass_conserved_on_cycle_graph(ray_session):
@@ -199,7 +200,7 @@ def test_hits_isolated_node_and_gate(ray_session):
     assert set(df["node"]) == {1, 2, 99}
     assert df.set_index("node").loc[99, "hub_micro"] == 0
     with pytest.raises(ValueError):
-        hits(_edges([1], [2]), broadcast_limit=1)
+        hits(_edges([1], [2]), broadcast_limit=1, on_gate="error")
 
 
 def test_hits_broadcast_equals_distributed(ray_session):
@@ -311,7 +312,7 @@ def test_bfs_depth_broadcast_gate(ray_session):
 
     with pytest.raises(ValueError, match="broadcast_limit"):
         bfs_depth(_edges([1, 2], [2, 3]), [1], max_depth=5,
-                  broadcast_limit=1)
+                  broadcast_limit=1, on_gate="error")
 
 
 # ---------------------------------------------------------------------------

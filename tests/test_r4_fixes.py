@@ -117,7 +117,7 @@ def test_coloring_distributed_past_broadcast_gate(ray_session):
                             rng.randint(0, 14, 26).tolist())
              if e[0] != e[1]]
     with pytest.raises(ValueError, match="distributed=True"):
-        mis_coloring(_edges_ds(edges), broadcast_limit=5)
+        mis_coloring(_edges_ds(edges), broadcast_limit=5, on_gate="error")
     got = (mis_coloring(_edges_ds(edges), distributed=True,
                         num_partitions=3)
            .to_pandas().sort_values("node").reset_index(drop=True))

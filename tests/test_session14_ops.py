@@ -71,7 +71,7 @@ def test_sssp_broadcast_gate_fails_loud(ray_session):
 
     edges = [(0, 1, 1), (1, 2, 1), (2, 3, 1)]
     with pytest.raises(ValueError, match="broadcast_limit"):
-        sssp(_edges_ds(rd, edges), [0], broadcast_limit=2)
+        sssp(_edges_ds(rd, edges), [0], broadcast_limit=2, on_gate="error")
 
 
 def test_sssp_unreachable_nodes_absent(ray_session):

@@ -31,7 +31,7 @@ def mis_coloring(edges_ds, src: str = "src", dst: str = "dst",
                  max_colors: int = 64, max_rounds: int = 64,
                  broadcast_limit: int = 2_000_000,
                  distributed: bool = False,
-                 num_partitions: int = 32):
+                 num_partitions: int = 32, on_gate: str = "auto"):
     """→ Dataset(node:int64, color:int64 ≥ 1) for every edge endpoint;
     adjacent nodes always differ.  Fail-loud at ``max_colors`` /
     ``max_rounds`` (expected O(Δ) colors, O(log n) rounds each).
@@ -63,10 +63,11 @@ def mis_coloring(edges_ds, src: str = "src", dst: str = "dst",
     nodes = np.unique(np.fromiter((r["node"] for r in rows),
                                   np.int64, len(rows)))
     if len(nodes) > broadcast_limit:
-        raise ValueError(
-            f"mis_coloring: {len(nodes)} nodes exceed broadcast_limit "
-            f"{broadcast_limit}; pass distributed=True (co-group "
-            f"state, bit-identical colors)")
+        from .graph import _gate
+        _gate("mis_coloring", f"{len(nodes)} nodes exceed "
+              f"broadcast_limit {broadcast_limit}", on_gate)
+        return _mis_coloring_distributed(edges, max_colors, max_rounds,
+                                         num_partitions)
     uncolored = nodes.copy()
     color = np.zeros(len(nodes), np.int64)
 

@@ -33,9 +33,29 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+_log = logging.getLogger("xtract.ops.graph")
+
+
+def _gate(op: str, detail: str, on_gate: str) -> None:
+    """Broadcast-gate policy for ops with a bit-identical distributed
+    mode.  ``on_gate='auto'`` (the default) emits ONE log line and the
+    caller falls through to the co-group/Dataset-state path — a 100-TB
+    operator never has to hand-flip ``distributed=True`` on gate trip.
+    ``on_gate='error'`` preserves the fail-loud raise for callers that
+    want the trip surfaced (e.g. to re-plan partitioning first)."""
+    if on_gate == "error":
+        raise ValueError(f"{op}: {detail}; pass distributed=True")
+    if on_gate != "auto":
+        raise ValueError(
+            f"{op}: on_gate must be 'auto' or 'error', got {on_gate!r}")
+    _log.warning("%s: %s — auto-routing to the bit-identical "
+                 "distributed path", op, detail)
 
 
 def _sorted_lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray,
@@ -99,12 +119,15 @@ def _node_set(edges_ds, src: str, dst: str, nodes_ds):
 def pagerank(edges_ds, src: str = "src", dst: str = "dst", iters: int = 5,
              damping_pct: int = 85, unit: int = 1_000_000,
              nodes_ds=None, distributed: bool = False,
-             broadcast_limit: int = 2_000_000, num_partitions: int = 32):
+             broadcast_limit: int = 2_000_000, num_partitions: int = 32,
+             on_gate: str = "auto"):
     """→ Dataset(node:int64, pagerank_micro:int64) after ``iters``
     integer power-iteration rounds.  r₀ = ``unit`` for every node;
     rₖ₊₁(v) = base + damping_pct·Σ_{(u,v)∈E} (rₖ(u) // deg(u)) // 100
     with base = (100−damping_pct)·unit // 100.  Deterministic and
     bit-identical at any parallelism (integer floor ops only).
+    Past ``broadcast_limit`` nodes the rank state auto-routes to the
+    bit-identical co-group path (``on_gate='error'`` raises instead).
     """
     import ray
     from ray.data.aggregate import Sum
@@ -117,9 +140,9 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst", iters: int = 5,
     nodes = _node_set(edges_ds, src, dst, nodes_ds).materialize()
     n_nodes = nodes.count()
     if not distributed and n_nodes > broadcast_limit:
-        raise ValueError(
-            f"pagerank: {n_nodes} nodes exceed broadcast_limit "
-            f"{broadcast_limit}; pass distributed=True (co-group ranks)")
+        _gate("pagerank", f"{n_nodes} nodes exceed broadcast_limit "
+              f"{broadcast_limit}", on_gate)
+        distributed = True
 
     edges = edges_ds.select_columns([src, dst]).materialize()
 
@@ -970,7 +993,8 @@ def anchor_text_profile(links_ds, target_col: str = "href",
 
 def hits(edges_ds, src: str = "src", dst: str = "dst", iters: int = 3,
          unit: int = 1_000_000, nodes_ds=None, distributed: bool = False,
-         broadcast_limit: int = 2_000_000, num_partitions: int = 32):
+         broadcast_limit: int = 2_000_000, num_partitions: int = 32,
+         on_gate: str = "auto"):
     """→ Dataset(node:int64, hub_micro:int64, auth_micro:int64) after
     ``iters`` HITS rounds — the hubs/authorities complement of
     `pagerank` (link-directory vs destination quality; the pair is the
@@ -999,9 +1023,9 @@ def hits(edges_ds, src: str = "src", dst: str = "dst", iters: int = 3,
     nodes = _node_set(edges_ds, src, dst, nodes_ds).materialize()
     n_nodes = nodes.count()
     if not distributed and n_nodes > broadcast_limit:
-        raise ValueError(
-            f"hits: {n_nodes} nodes exceed broadcast_limit "
-            f"{broadcast_limit}; pass distributed=True (co-group state)")
+        _gate("hits", f"{n_nodes} nodes exceed broadcast_limit "
+              f"{broadcast_limit}", on_gate)
+        distributed = True
     edges = edges_ds.select_columns([src, dst]).materialize()
 
     if distributed:
@@ -1218,7 +1242,8 @@ def _member(sorted_keys: np.ndarray, probe: np.ndarray) -> np.ndarray:
 
 def bfs_depth(edges_ds, seeds, src: str = "src", dst: str = "dst",
               max_depth: int = 15, distributed: bool = False,
-              broadcast_limit: int = 2_000_000, num_partitions: int = 32):
+              broadcast_limit: int = 2_000_000, num_partitions: int = 32,
+              on_gate: str = "auto"):
     """Multi-source BFS hop distance over a directed link graph →
     Dataset(node:int64, depth:int64) for every node whose min-hop
     distance from ANY seed is ≤ ``max_depth`` (crawl-depth estimation:
@@ -1260,10 +1285,17 @@ def bfs_depth(edges_ds, seeds, src: str = "src", dst: str = "dst",
         d = 0
         while len(frontier) and d < max_depth:
             if len(visited) > broadcast_limit:
-                raise ValueError(
-                    f"bfs_depth: {len(visited)} reached nodes exceed "
-                    f"broadcast_limit {broadcast_limit}; pass "
-                    "distributed=True (co-group frontier)")
+                _gate("bfs_depth", f"{len(visited)} reached nodes "
+                      f"exceed broadcast_limit {broadcast_limit}",
+                      on_gate)
+                # restart in Dataset-state mode (bit-identical; the
+                # driver-held visited/frontier arrays cannot be
+                # handed over mid-flight)
+                return bfs_depth(
+                    edges, seed_arr, src=src, dst=dst,
+                    max_depth=max_depth, distributed=True,
+                    broadcast_limit=broadcast_limit,
+                    num_partitions=num_partitions)
             f_ref = ray.put(np.sort(frontier))
 
             def step(t: pa.Table, _f=f_ref) -> pa.Table:
@@ -1390,7 +1422,8 @@ def bfs_depth(edges_ds, seeds, src: str = "src", dst: str = "dst",
 
 def k_core(edges_ds, k: int, src: str = "src", dst: str = "dst",
            max_rounds: int = 30, removed_broadcast_limit: int = 2_000_000,
-           distributed: bool = False, num_partitions: int = 32):
+           distributed: bool = False, num_partitions: int = 32,
+           on_gate: str = "auto"):
     """k-core decomposition by iterative peeling → the subgraph in
     which every node has UNDIRECTED degree ≥ ``k`` (distinct
     neighbors; self-loops dropped).  Returns
@@ -1464,10 +1497,14 @@ def k_core(edges_ds, k: int, src: str = "src", dst: str = "dst",
             e = _drop_endpoints_cogroup(e, low, num_partitions)
             continue
         if n_low > removed_broadcast_limit:
-            raise ValueError(
-                f"k_core: {n_low} nodes peel in one round, over "
-                f"removed_broadcast_limit {removed_broadcast_limit}; "
-                f"use distributed=True")
+            _gate("k_core", f"{n_low} nodes peel in one round, over "
+                  f"removed_broadcast_limit {removed_broadcast_limit}",
+                  on_gate)
+            # flip to co-group peeling for this and all later rounds
+            # (edge state is already a Dataset — no restart needed)
+            distributed = True
+            e = _drop_endpoints_cogroup(e, low, num_partitions)
+            continue
         rows = low.take_all()
         removed = np.sort(np.fromiter((r["node"] for r in rows),
                                       np.int64, len(rows)))
@@ -2347,7 +2384,7 @@ def k_truss(edges_ds, k: int = 3, src: str = "src", dst: str = "dst",
 def sssp(edges_ds, sources, src: str = "src", dst: str = "dst",
          weight: str = "w", max_rounds: int = 50,
          distributed: bool = False, broadcast_limit: int = 2_000_000,
-         num_partitions: int = 32):
+         num_partitions: int = 32, on_gate: str = "auto"):
     """Weighted single/multi-source shortest paths (POSITIVE integer
     weights) → Dataset(node:int64, dist:int64) for every reachable
     node — the weighted complement of `bfs_depth` (hop counts) when
@@ -2399,10 +2436,14 @@ def sssp(edges_ds, sources, src: str = "src", dst: str = "dst",
         f_nodes, f_dist = nodes, dist    # frontier (sorted by node)
         for _ in range(max_rounds):
             if len(nodes) > broadcast_limit:
-                raise ValueError(
-                    f"sssp: {len(nodes)} reached nodes exceed "
-                    f"broadcast_limit {broadcast_limit}; pass "
-                    "distributed=True (co-group frontier)")
+                _gate("sssp", f"{len(nodes)} reached nodes exceed "
+                      f"broadcast_limit {broadcast_limit}", on_gate)
+                # restart in Dataset-state mode (bit-identical)
+                return sssp(edges, seed_arr, src=src, dst=dst,
+                            weight=weight, max_rounds=max_rounds,
+                            distributed=True,
+                            broadcast_limit=broadcast_limit,
+                            num_partitions=num_partitions)
             f_ref = ray.put((f_nodes, f_dist))
 
             def relax(t: pa.Table, _f=f_ref) -> pa.Table:
@@ -2614,7 +2655,7 @@ def _lab_majority(nodes: np.ndarray, labs: np.ndarray,
 def label_propagation(edges_ds, rounds: int = 4, src: str = "src",
                       dst: str = "dst", distributed: bool = False,
                       broadcast_limit: int = 2_000_000,
-                      num_partitions: int = 32):
+                      num_partitions: int = 32, on_gate: str = "auto"):
     """Synchronous label-propagation communities (Raghavan et al. 2007,
     public method) over the DISTINCT UNDIRECTED edge set →
     Dataset(node:int64, lab:int64).  Every node starts as its own
@@ -2672,10 +2713,12 @@ def label_propagation(edges_ds, rounds: int = 4, src: str = "src",
         nodes = np.unique(np.fromiter((r["node"] for r in rows),
                                       np.int64, len(rows)))
         if len(nodes) > broadcast_limit:
-            raise ValueError(
-                f"label_propagation: {len(nodes)} nodes exceed "
-                f"broadcast_limit {broadcast_limit}; pass "
-                "distributed=True (co-group labels)")
+            _gate("label_propagation", f"{len(nodes)} nodes exceed "
+                  f"broadcast_limit {broadcast_limit}", on_gate)
+            return label_propagation(
+                edges_ds, rounds=rounds, src=src, dst=dst,
+                distributed=True, broadcast_limit=broadcast_limit,
+                num_partitions=num_partitions)
         labs = nodes.copy()
         for _ in range(rounds):
             ref = ray.put((nodes, labs))
@@ -2906,7 +2949,8 @@ def maximal_independent_set(edges_ds, src: str = "src",
                             dst: str = "dst", max_rounds: int = 64,
                             broadcast_limit: int = 2_000_000,
                             distributed: bool = False,
-                            num_partitions: int = 32):
+                            num_partitions: int = 32,
+                            on_gate: str = "auto"):
     """Deterministic Luby maximal independent set (Luby 1986, public
     method) over the distinct undirected edge set →
     Dataset(node:int64, in_mis:int64, mis_round:int64) for every edge
@@ -2950,9 +2994,9 @@ def maximal_independent_set(edges_ds, src: str = "src",
     nodes = np.unique(np.fromiter((r["node"] for r in rows),
                                   np.int64, len(rows)))
     if len(nodes) > broadcast_limit:
-        raise ValueError(
-            f"maximal_independent_set: {len(nodes)} nodes exceed "
-            f"broadcast_limit {broadcast_limit}; use distributed=True")
+        _gate("maximal_independent_set", f"{len(nodes)} nodes exceed "
+              f"broadcast_limit {broadcast_limit}", on_gate)
+        return _mis_distributed(edges, max_rounds, num_partitions)
     active = nodes.copy()
     mis_nodes: list = []
     mis_rounds: list = []

@@ -158,7 +158,8 @@ def roc_auc(ds, score_col: str, label_col: str):
 
 def conformal_binary(scored, label_col: str, p_col: str,
                      split_col: str, alpha_num: int = 1,
-                     alpha_den: int = 10, p_scale: int = 1_000_000):
+                     alpha_den: int = 10, p_scale: int = 1_000_000,
+                     max_pull: int = 2_000_000):
     """Split conformal prediction (Vovk et al.; Angelopoulos & Bates
     2021 tutorial — public method) for a binary scorer emitting
     integer micro-probabilities: calibrate the nonconformity quantile
@@ -169,8 +170,9 @@ def conformal_binary(scored, label_col: str, p_col: str,
 
     Exact integers throughout: ``rank = ⌈(n_cal+1)(1−α)⌉`` by integer
     ceiling, q̂ is an order statistic fetched as the (n_cal−rank+1)-th
-    LARGEST — a sort+limit pull of only ~α·n_cal slim rows — and
-    coverage/set-size are one partial-sum pass.
+    LARGEST — a sort+limit pull of only ~α·n_cal slim rows, gated by
+    ``max_pull`` (exact count, fail-loud) — and coverage/set-size are
+    one partial-sum pass.
 
     → dict {qhat, n_cal, rank, n_eval, n_covered, sum_set_size}."""
     import pyarrow.compute as pc
@@ -192,6 +194,11 @@ def conformal_binary(scored, label_col: str, p_col: str,
     rank = -((-(n_cal + 1) * (alpha_den - alpha_num)) // alpha_den)
     rank = min(rank, n_cal)
     k2 = n_cal - rank + 1
+    if k2 > max_pull:
+        raise ValueError(
+            f"conformal_binary: quantile pull of {k2} rows "
+            f"(~α·n_cal, n_cal={n_cal}) exceeds max_pull {max_pull}; "
+            "subsample the calibration split or raise max_pull")
     pulled = (calib.map_batches(nc_batch, batch_format="pyarrow")
               .sort("nc", descending=True).limit(k2).to_pandas())
     qhat = int(pulled["nc"].min())
