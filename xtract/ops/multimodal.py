@@ -11,17 +11,21 @@ environment, so everything here is stdlib+numpy — and therefore real,
 deterministic, and tested end-to-end):
 
 - **image**: 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up) —
-  ``decode_bmp``/``encode_bmp`` via ``struct``; features are real
-  per-channel statistics; resize is a real nearest-neighbor kernel.
+  ``decode_bmp``/``encode_bmp`` via ``struct``; baseline JPEG
+  (`ops/jpeg`, pure numpy, round 4); PNG (`ops/png`, stdlib zlib +
+  numpy, round 5 — the reference's own ingest format,
+  cli/src/main.rs:144-145).  Features are real per-channel
+  statistics; resize is a real nearest-neighbor kernel.
 - **audio**: 16-bit PCM WAV via the stdlib ``wave`` module; features
   are real RMS / zero-crossing / coarse FFT magnitudes.
 - **video**: the ``XRAW`` frame container (magic + u32 frame count +
   length-prefixed BMP frames — defined here, trivially parseable);
   frame sampling decodes the real frames.
-- **anything else** (JPEG/PNG/MP4/...) needs codecs this container
-  does not ship: ``decode_one`` raises ``NotImplementedError`` and the
-  row gets ``decode_status='unsupported_codec'`` — the honest path, to
-  be swapped for PIL/libav when the dependency exists.
+- **anything else** (progressive/arithmetic JPEG, 16-bit/interlaced
+  PNG, MP4/...) needs codecs this container does not ship:
+  ``decode_one`` raises ``NotImplementedError`` and the row gets
+  ``decode_status='unsupported_codec'`` — the honest path, to be
+  swapped for PIL/libav when the dependency exists.
 """
 
 from __future__ import annotations
@@ -46,6 +50,7 @@ MEDIA_SCHEMA = pa.schema([
 FEATURE_DIM = 32
 
 _XRAW_MAGIC = b"XRAW"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 # ---------------------------------------------------------------------------
@@ -151,18 +156,31 @@ def _synth_pixels(seed: int, w: int, h: int) -> np.ndarray:
 
 
 def synth_media_batch(batch: pa.Table) -> pa.Table:
-    """documents rows → deterministic REAL media rows: BMP images, PCM
-    WAV audio, XRAW video — every payload decodes with the kernels
-    above (no fakes)."""
+    """documents rows → deterministic REAL media rows: BMP/PNG images,
+    PCM WAV audio, XRAW video — every payload decodes with the kernels
+    above (no fakes).  Image container rotates by (doc_id//3) % 3:
+    BMP / PNG RGB / PNG RGBA-opaque — all lossless over the SAME
+    synthesized pixels, so every downstream feature/hash (and each SQL
+    oracle, which replays the pixel generator from doc_id) is
+    container-independent by construction."""
     ids = batch["doc_id"].to_pylist()
     rows = []
     for d in ids:
         kind = ("image", "audio", "video")[d % 3]
         w, h = 8 + (d % 32), 8 + (d * 7 % 32)
         if kind == "image":
-            payload = encode_bmp(_synth_pixels(d, w, h))
+            px = _synth_pixels(d, w, h)
+            container = (d // 3) % 3
+            if container == 0:
+                payload, codec = encode_bmp(px), "bmp"
+            else:
+                from .png import encode_png
+
+                payload = encode_png(px, 2 if container == 1 else 6,
+                                     filter_mode="cycle")
+                codec = "png"
             meta = {"width": w, "height": h, "sample_rate": 0,
-                    "n_frames": 1, "codec": "bmp"}
+                    "n_frames": 1, "codec": codec}
         elif kind == "audio":
             rate = 16000
             n = 800 + (d % 7) * 160
@@ -245,6 +263,12 @@ class DecodeStage:
             from .jpeg import decode_jpeg
 
             return _image_features(decode_jpeg(payload))
+        if payload[:8] == _PNG_SIG:
+            # real-crawl path: PNG (round 5 — stdlib zlib + numpy in
+            # ops/png; 16-bit/interlaced raise inside → unsupported)
+            from .png import decode_png
+
+            return _image_features(decode_png(payload))
         if payload[:4] == b"RIFF":
             return _audio_features(*decode_wav(payload))
         if payload[:4] == _XRAW_MAGIC:
@@ -306,6 +330,10 @@ class ResizeStage:
             from .jpeg import decode_jpeg
 
             px = decode_jpeg(payload)
+        elif payload[:8] == _PNG_SIG:  # PNG input
+            from .png import decode_png
+
+            px = decode_png(payload)
         else:
             px = decode_bmp(payload)
         return encode_bmp(resize_nearest(px, self.width, self.height))
@@ -426,6 +454,10 @@ class ImageHashStage:
                     from .jpeg import decode_jpeg
 
                     h = average_hash(decode_jpeg(p))
+                elif p[:8] == _PNG_SIG:  # PNG (real crawls)
+                    from .png import decode_png
+
+                    h = average_hash(decode_png(p))
                 else:
                     h = average_hash(decode_bmp(p))
                 hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
