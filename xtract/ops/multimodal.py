@@ -21,7 +21,7 @@ deterministic, and tested end-to-end):
 - **video**: the ``XRAW`` frame container (magic + u32 frame count +
   length-prefixed BMP frames — defined here, trivially parseable);
   frame sampling decodes the real frames.
-- **anything else** (progressive/arithmetic JPEG, 16-bit/interlaced
+- **anything else** (arithmetic-coded JPEG, 16-bit/interlaced
   PNG, MP4/...) needs codecs this container does not ship:
   ``decode_one`` raises ``NotImplementedError`` and the row gets
   ``decode_status='unsupported_codec'`` — the honest path, to be
@@ -257,9 +257,9 @@ class DecodeStage:
         if payload[:2] == b"BM":
             return _image_features(decode_bmp(payload))
         if payload[:2] == b"\xFF\xD8":
-            # real-crawl path: baseline JPEG (round 4 — pure-numpy
-            # decoder in ops/jpeg; progressive raises inside and lands
-            # as unsupported_codec like any other missing codec)
+            # real-crawl path: baseline + progressive JPEG (pure-numpy
+            # decoder in ops/jpeg; arithmetic-coded raises inside and
+            # lands as unsupported_codec like any other missing codec)
             from .jpeg import decode_jpeg
 
             return _image_features(decode_jpeg(payload))
