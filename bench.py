@@ -389,6 +389,13 @@ def bench_once() -> dict:
         ("stream_watermark", "events_stream_window"),   # watermark window
         ("stream_sessions", "user_sessions_stream"),    # session windows
         ("anf_hll", "host_anf_hll"),                    # HLL sketch tier
+        # round-5: the remaining untimed iterative-graph tier — the
+        # ops most sensitive to the iterated-state pathology class the
+        # round-4 _consolidate fix addressed (verdict r4 item 5)
+        ("host_pagerank", "host_pagerank"),             # power iteration
+        ("host_scc", "host_scc"),                       # fwd∩bwd labels
+        ("host_communities", "host_communities"),       # label propagation
+        ("host_k_core", "host_k_core"),                 # iterative peeling
     ]:
         queries[bname] = timed(lambda q=qname: _q_rows(q))
 
