@@ -83,10 +83,8 @@ def test_low_bit_depth_gray_and_trns_palette():
 
 
 def test_unsupported_and_corrupt_rejected():
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        decode_png(_raw_png(1, 1, 16, 0, b"\x00\x00\x00"))
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        decode_png(_raw_png(1, 1, 8, 0, b"\x00\x00", interlace=1))
+    with pytest.raises(ValueError, match="depth"):
+        decode_png(_raw_png(1, 1, 16, 3, b"\x00\x00\x00"))  # 16-bit palette
     with pytest.raises(ValueError, match="PNG"):
         decode_png(b"not a png at all")
     good = encode_png(np.zeros((3, 3, 3), np.uint8))
@@ -184,3 +182,68 @@ def test_synth_media_rotates_containers_losslessly(ray_session):
         p = r["payload"]
         got = decode_png(p) if p[:8] == PNG_SIG else decode_bmp(p)
         assert np.array_equal(got, exp), d
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlacing + 16-bit depth — round 5
+# ---------------------------------------------------------------------------
+
+def test_adam7_roundtrip_all_types_and_sizes():
+    rng = np.random.default_rng(11)
+    # sizes straddling the 8x8 pass grid, incl. degenerate dims
+    for (h, w) in [(1, 1), (3, 5), (8, 8), (13, 29), (40, 17)]:
+        px = rng.integers(0, 256, (h, w, 3), np.uint8)
+        for ct in (2, 6):
+            got = decode_png(encode_png(px, ct, filter_mode="cycle",
+                                        interlace=True))
+            assert np.array_equal(got, px), (h, w, ct)
+        g = rng.integers(0, 256, (h, w), np.uint8)
+        got = decode_png(encode_png(g, 0, filter_mode="cycle",
+                                    interlace=True))
+        assert np.array_equal(got, np.repeat(g[:, :, None], 3, 2))
+    # interlaced palette
+    pal = (rng.integers(0, 7, (11, 19), np.uint8)[:, :, None]
+           * np.array([31, 17, 3], np.uint8)[None, None, :])
+    got = decode_png(encode_png(pal, 3, filter_mode="cycle",
+                                interlace=True))
+    assert np.array_equal(got, pal)
+
+
+def test_16bit_roundtrip_and_high_byte():
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (9, 14, 3), np.uint8)
+    # v·257 widening → high byte == v: exact round-trip
+    for interlace in (False, True):
+        got = decode_png(encode_png(px, 2, bit_depth=16,
+                                    filter_mode="cycle",
+                                    interlace=interlace))
+        assert np.array_equal(got, px), interlace
+    g = rng.integers(0, 256, (7, 5), np.uint8)
+    got = decode_png(encode_png(g, 0, bit_depth=16))
+    assert np.array_equal(got, np.repeat(g[:, :, None], 3, 2))
+    # hand-built 16-bit gray where low byte differs: high byte wins
+    rows = b"\x00" + bytes([0x12, 0xFF, 0xAB, 0x00])  # two pixels
+    out = decode_png(_raw_png(2, 1, 16, 0, rows))
+    assert out[0, 0, 0] == 0x12 and out[0, 1, 0] == 0xAB
+
+
+def test_interlaced_16bit_through_stages(ray_session):
+    # an Adam7 16-bit RGBA PNG must hash/cluster like its plain encode
+    import ray.data as rd
+
+    from xtract.ops.multimodal import image_near_dups
+
+    base = _synth_pixels(33, 40, 32)
+    other = _synth_pixels(200, 40, 32)
+    rows = [
+        {"media_id": 1, "kind": "image", "payload": encode_png(base)},
+        {"media_id": 2, "kind": "image",
+         "payload": encode_png(base, 6, bit_depth=16, interlace=True,
+                               filter_mode="cycle")},
+        {"media_id": 3, "kind": "image",
+         "payload": encode_png(other, interlace=True)},
+    ]
+    out = image_near_dups(rd.from_items(rows)).to_pandas()
+    c = dict(zip(out.media_id, out.cluster_id))
+    assert c[1] == c[2]
+    assert c[3] != c[1]

@@ -6,20 +6,20 @@ image format still taking the ``unsupported_codec`` path.
 
 Decoder: chunk walk with CRC verification, IHDR/PLTE/tRNS/IDAT/IEND,
 zlib inflate, all five scanline filters (None/Sub/Up/Average/Paeth),
-bit depths 1/2/4/8 for grayscale and palette, 8-bit RGB / gray+alpha /
-RGBA.  Alpha channels are composited over white with exact integer
-arithmetic (deterministic at any parallelism).  Output is always
-(h, w, 3) uint8 RGB — the shape every multimodal stage consumes
+bit depths 1/2/4/8 for grayscale and palette, 8- and 16-bit RGB /
+gray / gray+alpha / RGBA (16-bit downconverted by high byte), and
+Adam7 interlacing (seven independently-filtered passes).  Alpha
+channels are composited over white with exact integer arithmetic
+(deterministic at any parallelism).  Output is always (h, w, 3) uint8
+RGB — the shape every multimodal stage consumes
 (`ops/multimodal._image_features` / `average_hash` / `encode_bmp`).
-16-bit samples and Adam7 interlacing raise ``NotImplementedError`` —
-callers catch per row into ``status='unsupported_codec'``, the typed
-per-row error discipline (reference src/error.rs surface); corrupt
-streams raise ``ValueError`` → ``decode_error``.
+Corrupt streams raise ``ValueError`` → the typed per-row
+``status='decode_error'`` discipline (reference src/error.rs surface).
 
-Encoder: non-interlaced 8-bit gray / RGB / palette / RGBA with a
-selectable scanline filter (or ``filter_mode='cycle'`` to exercise
-every unfilter path) — enough to synthesize REAL decodable fixtures
-that round-trip through any standards-conforming decoder.
+Encoder: 8- or 16-bit gray / RGB / palette / RGBA, linear or Adam7,
+with a selectable scanline filter (or ``filter_mode='cycle'`` to
+exercise every unfilter path) — enough to synthesize REAL decodable
+fixtures that round-trip through any standards-conforming decoder.
 
 Everything is specification-driven (ISO/IEC 15948 / RFC 2083 — the
 public PNG spec); the Sub filter's serial recurrence is a per-residue
@@ -39,8 +39,8 @@ import numpy as np
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
-_DEPTHS_OK = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 4: (8,),
-              6: (8,)}
+_DEPTHS_OK = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+              4: (8, 16), 6: (8, 16)}
 
 
 # ---------------------------------------------------------------------------
@@ -116,15 +116,57 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, fbytes: int
 def _unpack_samples(recon: np.ndarray, w: int, depth: int,
                     channels: int) -> np.ndarray:
     """(h, stride) reconstructed bytes → (h, w·channels) samples at
-    native depth (no rescale)."""
-    if depth == 8:
-        return recon[:, :w * channels]
-    bits = np.unpackbits(recon, axis=1)
+    8-bit precision (16-bit takes the high byte — the standard
+    downconversion; sub-byte depths stay native, rescaled later)."""
     n = w * channels
+    if depth == 8:
+        return recon[:, :n]
+    if depth == 16:
+        return np.ascontiguousarray(recon[:, :2 * n])[:, ::2]
+    bits = np.unpackbits(recon, axis=1)
     weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
     vals = (bits[:, :n * depth].reshape(recon.shape[0], n, depth)
             .astype(np.uint16) * weights).sum(axis=2)
     return vals.astype(np.uint8)
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _decode_pixel_data(raw: np.ndarray, w: int, h: int, depth: int,
+                       channels: int, interlace: int) -> np.ndarray:
+    """Inflated filtered scanlines → (h, w, channels) uint8 samples,
+    handling both the linear layout and the Adam7 seven-pass layout
+    (each pass an independently-filtered sub-image)."""
+    fbytes = max(1, channels * depth // 8)
+    if interlace == 0:
+        stride = (w * channels * depth + 7) // 8
+        if len(raw) != h * (stride + 1):
+            raise ValueError("png: scanline payload size mismatch")
+        recon = _unfilter(raw, h, stride, fbytes)
+        return _unpack_samples(recon, w, depth, channels).reshape(
+            h, w, channels)
+    out = np.zeros((h, w, channels), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wi = (w - x0 + dx - 1) // dx
+        hi = (h - y0 + dy - 1) // dy
+        if wi <= 0 or hi <= 0:
+            continue
+        stride = (wi * channels * depth + 7) // 8
+        need = hi * (stride + 1)
+        sub = raw[pos:pos + need]
+        if len(sub) != need:
+            raise ValueError("png: truncated interlaced pass")
+        pos += need
+        recon = _unfilter(sub, hi, stride, fbytes)
+        out[y0::dy, x0::dx, :] = _unpack_samples(
+            recon, wi, depth, channels).reshape(hi, wi, channels)
+    if pos != len(raw):
+        raise ValueError("png: trailing bytes after interlaced passes")
+    return out
 
 
 def _composite_white(rgb: np.ndarray, alpha: np.ndarray) -> np.ndarray:
@@ -136,9 +178,10 @@ def _composite_white(rgb: np.ndarray, alpha: np.ndarray) -> np.ndarray:
 
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → (h, w, 3) uint8 RGB.  Alpha composited over white;
-    low-bit gray rescaled to full range; palette resolved via PLTE
-    (+ tRNS alpha if present).  Raises ``NotImplementedError`` for
-    16-bit / interlaced streams, ``ValueError`` for corrupt ones."""
+    low-bit gray rescaled to full range; 16-bit samples downconverted
+    (high byte); Adam7 interlaced streams deinterlaced (round 5);
+    palette resolved via PLTE (+ tRNS alpha if present).  Raises
+    ``ValueError`` for corrupt streams."""
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG payload")
     ihdr = None
@@ -161,26 +204,18 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("png: zero dimension")
     if comp != 0 or filt != 0:
         raise ValueError("png: bad compression/filter method")
-    if interlace == 1:
-        raise NotImplementedError("png: Adam7 interlacing unsupported")
-    if interlace != 0:
+    if interlace not in (0, 1):
         raise ValueError(f"png: bad interlace {interlace}")
     if color not in _CHANNELS:
         raise ValueError(f"png: bad color type {color}")
-    if depth == 16:
-        raise NotImplementedError("png: 16-bit samples unsupported")
     if depth not in _DEPTHS_OK[color]:
         raise ValueError(f"png: depth {depth} invalid for color {color}")
     channels = _CHANNELS[color]
-    stride = (w * channels * depth + 7) // 8
     try:
         raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
     except zlib.error as e:
         raise ValueError(f"png: inflate failed ({e})")
-    if len(raw) != h * (stride + 1):
-        raise ValueError("png: scanline payload size mismatch")
-    recon = _unfilter(raw, h, stride, max(1, channels * depth // 8))
-    samples = _unpack_samples(recon, w, depth, channels)
+    samples = _decode_pixel_data(raw, w, h, depth, channels, interlace)
 
     if color == 0:  # grayscale
         g = samples.reshape(h, w)
@@ -248,25 +283,43 @@ def _filter_row(rec: np.ndarray, prev: np.ndarray, ft: int,
     return rec - pred
 
 
+def _filter_image(flat: np.ndarray, fbytes: int, filter_mode) -> bytes:
+    """(rows, row_bytes) uint8 → filtered scanline bytes (one filter
+    byte + filtered data per row; fresh prev per sub-image)."""
+    body = bytearray()
+    prev = np.zeros(flat.shape[1], np.uint8)
+    for y in range(flat.shape[0]):
+        ft = (y % 5) if filter_mode == "cycle" else int(filter_mode)
+        body.append(ft)
+        body += _filter_row(flat[y], prev, ft, fbytes).tobytes()
+        prev = flat[y]
+    return bytes(body)
+
+
 def encode_png(pixels: np.ndarray, color_type: int = 2,
-               filter_mode=0) -> bytes:
+               filter_mode=0, interlace: bool = False,
+               bit_depth: int = 8) -> bytes:
     """uint8 pixels → PNG bytes.  ``color_type``: 0 gray ((h,w) or
     (h,w,1)), 2 RGB (h,w,3), 3 palette (h,w,3 with ≤256 distinct
     colors), 6 RGBA ((h,w,3) gains opaque alpha, or (h,w,4)).
     ``filter_mode``: a fixed filter type 0–4, or ``'cycle'`` to use
     filter (row % 5) per row — every decoder unfilter path in one
-    fixture."""
+    fixture.  ``interlace=True`` writes the Adam7 seven-pass layout.
+    ``bit_depth=16`` (gray/RGB/RGBA only) widens samples as v·257, so
+    the decoder's high-byte downconversion round-trips exactly."""
     px = np.ascontiguousarray(pixels, np.uint8)
     plte_body = None
+    if bit_depth not in (8, 16) or (bit_depth == 16 and color_type == 3):
+        raise ValueError("encode_png: bad bit depth for color type")
     if color_type == 0:
         if px.ndim == 3:
             px = px[:, :, 0]
         h, w = px.shape
-        flat = px.reshape(h, w)
+        samples = px.reshape(h, w, 1)
         channels = 1
     elif color_type == 2:
         h, w, _ = px.shape
-        flat = px.reshape(h, w * 3)
+        samples = px
         channels = 3
     elif color_type == 3:
         h, w, _ = px.shape
@@ -276,32 +329,44 @@ def encode_png(pixels: np.ndarray, color_type: int = 2,
             raise ValueError(
                 f"encode_png: {len(colors)} colors exceed palette size")
         plte_body = colors.astype(np.uint8).tobytes()
-        flat = inverse.astype(np.uint8).reshape(h, w)
+        samples = inverse.astype(np.uint8).reshape(h, w, 1)
         channels = 1
     elif color_type == 6:
         if px.shape[2] == 3:
             px = np.concatenate(
                 [px, np.full(px.shape[:2] + (1,), 255, np.uint8)], axis=2)
         h, w, _ = px.shape
-        flat = px.reshape(h, w * 4)
+        samples = px
         channels = 4
     else:
         raise ValueError(f"encode_png: color type {color_type} "
                          "unsupported (use 0/2/3/6)")
 
-    fbytes = max(1, channels)
+    def row_bytes(sub: np.ndarray) -> np.ndarray:
+        """(hi, wi, channels) samples → (hi, stride) uint8 rows."""
+        hi, wi = sub.shape[:2]
+        if bit_depth == 16:
+            wide = (sub.astype(np.uint16) * 257).astype(">u2")
+            return np.frombuffer(wide.tobytes(), np.uint8).reshape(
+                hi, wi * channels * 2)
+        return sub.reshape(hi, wi * channels)
+
+    fbytes = max(1, channels * bit_depth // 8)
     out = [PNG_SIG,
-           _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8,
-                                       color_type, 0, 0, 0))]
+           _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, bit_depth,
+                                       color_type, 0, 0,
+                                       1 if interlace else 0))]
     if plte_body is not None:
         out.append(_chunk(b"PLTE", plte_body))
-    body = bytearray()
-    prev = np.zeros(flat.shape[1], np.uint8)
-    for y in range(h):
-        ft = (y % 5) if filter_mode == "cycle" else int(filter_mode)
-        body.append(ft)
-        body += _filter_row(flat[y], prev, ft, fbytes).tobytes()
-        prev = flat[y]
-    out.append(_chunk(b"IDAT", zlib.compress(bytes(body), 6)))
+    if interlace:
+        body = b""
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            body += _filter_image(row_bytes(sub), fbytes, filter_mode)
+    else:
+        body = _filter_image(row_bytes(samples), fbytes, filter_mode)
+    out.append(_chunk(b"IDAT", zlib.compress(body, 6)))
     out.append(_chunk(b"IEND", b""))
     return b"".join(out)
