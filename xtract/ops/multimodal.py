@@ -11,10 +11,11 @@ environment, so everything here is stdlib+numpy — and therefore real,
 deterministic, and tested end-to-end):
 
 - **image**: 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up) —
-  ``decode_bmp``/``encode_bmp`` via ``struct``; baseline JPEG
-  (`ops/jpeg`, pure numpy, round 4); PNG (`ops/png`, stdlib zlib +
-  numpy, round 5 — the reference's own ingest format,
-  cli/src/main.rs:144-145).  Features are real per-channel
+  ``decode_bmp``/``encode_bmp`` via ``struct``; baseline AND
+  progressive JPEG (`ops/jpeg`, pure numpy); PNG incl. Adam7 and
+  16-bit (`ops/png`, stdlib zlib + numpy — the reference's own
+  ingest format, cli/src/main.rs:144-145); GIF incl. animation
+  (`ops/gif`, pure-Python LZW).  Features are real per-channel
   statistics; resize is a real nearest-neighbor kernel.
 - **audio**: 16-bit PCM WAV via the stdlib ``wave`` module; features
   are real RMS / zero-crossing / coarse FFT magnitudes.
@@ -51,6 +52,7 @@ FEATURE_DIM = 32
 
 _XRAW_MAGIC = b"XRAW"
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
 
 
 # ---------------------------------------------------------------------------
@@ -265,10 +267,20 @@ class DecodeStage:
             return _image_features(decode_jpeg(payload))
         if payload[:8] == _PNG_SIG:
             # real-crawl path: PNG (round 5 — stdlib zlib + numpy in
-            # ops/png; 16-bit/interlaced raise inside → unsupported)
+            # ops/png, incl. Adam7 and 16-bit)
             from .png import decode_png
 
             return _image_features(decode_png(payload))
+        if payload[:6] in _GIF_SIGS:
+            # real-crawl path: GIF (round 5 — LZW in ops/gif);
+            # animated GIFs report their frame count like XRAW videos
+            from .gif import decode_gif_frames
+
+            frames = decode_gif_frames(payload)
+            feats = _image_features(frames[0])
+            if len(frames) > 1:
+                feats[22] = len(frames)
+            return feats
         if payload[:4] == b"RIFF":
             return _audio_features(*decode_wav(payload))
         if payload[:4] == _XRAW_MAGIC:
@@ -334,6 +346,10 @@ class ResizeStage:
             from .png import decode_png
 
             px = decode_png(payload)
+        elif payload[:6] in _GIF_SIGS:  # GIF input (first frame)
+            from .gif import decode_gif
+
+            px = decode_gif(payload)
         else:
             px = decode_bmp(payload)
         return encode_bmp(resize_nearest(px, self.width, self.height))
@@ -361,8 +377,10 @@ class ResizeStage:
 
 class FrameSampleStage:
     """Actor stage: REAL video frame sampling — parses the XRAW
-    container and emits one row per sampled frame (every ``stride``-th),
-    frame payload = the actual BMP bytes."""
+    container (frame payload = the actual BMP bytes) or an animated
+    GIF (round 5; frames re-encoded as BMP so every emitted frame
+    shares one payload format) and emits one row per sampled frame
+    (every ``stride``-th)."""
 
     def __init__(self, stride: int = 4) -> None:
         self.stride = stride
@@ -373,9 +391,16 @@ class FrameSampleStage:
         payloads = batch["payload"].to_pylist()
         out = {"media_id": [], "frame_index": [], "frame": []}
         for mid, kind, p in zip(ids, kinds, payloads):
-            if kind != "video" or not p or p[:4] != _XRAW_MAGIC:
+            if kind != "video" or not p:
                 continue
-            frames = decode_xraw(p)
+            if p[:4] == _XRAW_MAGIC:
+                frames = decode_xraw(p)
+            elif p[:6] in _GIF_SIGS:
+                from .gif import decode_gif_frames
+
+                frames = [encode_bmp(f) for f in decode_gif_frames(p)]
+            else:
+                continue
             for fi in range(0, len(frames), self.stride):
                 out["media_id"].append(mid)
                 out["frame_index"].append(fi)
@@ -458,6 +483,10 @@ class ImageHashStage:
                     from .png import decode_png
 
                     h = average_hash(decode_png(p))
+                elif p[:6] in _GIF_SIGS:  # GIF (real crawls)
+                    from .gif import decode_gif
+
+                    h = average_hash(decode_gif(p))
                 else:
                     h = average_hash(decode_bmp(p))
                 hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
