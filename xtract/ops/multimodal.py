@@ -15,7 +15,10 @@ deterministic, and tested end-to-end):
   progressive JPEG (`ops/jpeg`, pure numpy); PNG incl. Adam7 and
   16-bit (`ops/png`, stdlib zlib + numpy — the reference's own
   ingest format, cli/src/main.rs:144-145); GIF incl. animation
-  (`ops/gif`, pure-Python LZW).  Features are real per-channel
+  (`ops/gif`, pure-Python LZW); TIFF (`ops/tiff` — none/LZW/
+  deflate/PackBits, predictor, both byte orders).  That completes
+  the reference image layer's ingest set (leptonica reads
+  BMP/PNG/JPEG/GIF/TIFF).  Features are real per-channel
   statistics; resize is a real nearest-neighbor kernel.
 - **audio**: 16-bit PCM WAV via the stdlib ``wave`` module; features
   are real RMS / zero-crossing / coarse FFT magnitudes.
@@ -53,6 +56,7 @@ FEATURE_DIM = 32
 _XRAW_MAGIC = b"XRAW"
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _GIF_SIGS = (b"GIF87a", b"GIF89a")
+_TIFF_SIGS = (b"II*\x00", b"MM\x00*")
 
 
 # ---------------------------------------------------------------------------
@@ -281,6 +285,12 @@ class DecodeStage:
             if len(frames) > 1:
                 feats[22] = len(frames)
             return feats
+        if payload[:4] in _TIFF_SIGS:
+            # reference-parity path: TIFF (round 5 — leptonica's
+            # remaining ingest format, ops/tiff)
+            from .tiff import decode_tiff
+
+            return _image_features(decode_tiff(payload))
         if payload[:4] == b"RIFF":
             return _audio_features(*decode_wav(payload))
         if payload[:4] == _XRAW_MAGIC:
@@ -350,6 +360,10 @@ class ResizeStage:
             from .gif import decode_gif
 
             px = decode_gif(payload)
+        elif payload[:4] in _TIFF_SIGS:  # TIFF input
+            from .tiff import decode_tiff
+
+            px = decode_tiff(payload)
         else:
             px = decode_bmp(payload)
         return encode_bmp(resize_nearest(px, self.width, self.height))
@@ -487,6 +501,10 @@ class ImageHashStage:
                     from .gif import decode_gif
 
                     h = average_hash(decode_gif(p))
+                elif p[:4] in _TIFF_SIGS:  # TIFF (real crawls)
+                    from .tiff import decode_tiff
+
+                    h = average_hash(decode_tiff(p))
                 else:
                     h = average_hash(decode_bmp(p))
                 hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
