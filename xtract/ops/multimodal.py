@@ -99,29 +99,149 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return out
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
-    """int16 mono samples → WAV bytes (stdlib ``wave``)."""
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as f:
-        f.setnchannels(1)
-        f.setsampwidth(2)
-        f.setframerate(sample_rate)
-        f.writeframes(samples.astype("<i2").tobytes())
-    return buf.getvalue()
+def _ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """G.711 μ-law bytes → int16 (standard public formula)."""
+    c = (~codes.astype(np.int32)) & 0xFF
+    sign = c & 0x80
+    exp = (c >> 4) & 7
+    mant = c & 0xF
+    mag = (((mant << 3) | 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    x = samples.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = (np.log2(mag).astype(np.int32) - 7).clip(0, 7)
+    mant = (mag >> (exp + 3)) & 0xF
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def _alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes → int16 (sign bit 0x80 = positive)."""
+    a = codes.astype(np.int32) ^ 0x55
+    exp = (a >> 4) & 7
+    mant = a & 0xF
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)
+
+
+_ALAW_SEG_END = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF,
+                          0x7FF, 0xFFF], np.int32)
+
+
+def _alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """Standard G.711 linear→A-law (public seg-table algorithm):
+    13-bit magnitude, first segment whose end covers it, 4-bit
+    mantissa at shift ``seg`` (1 for segments 0–1), XOR 0x55."""
+    pcm = samples.astype(np.int32) >> 3
+    mask = np.where(pcm >= 0, 0xD5, 0x55)
+    pcm = np.where(pcm >= 0, pcm, -pcm - 1)
+    seg = np.searchsorted(_ALAW_SEG_END, pcm)
+    shift = np.where(seg < 2, 1, seg)
+    aval = np.where(seg >= 8, 0x7F,
+                    (seg << 4) | ((pcm >> shift) & 0xF))
+    return ((aval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int,
+               fmt: str = "pcm16") -> bytes:
+    """int16 mono samples → WAV bytes.  ``fmt``: ``pcm16`` (stdlib
+    ``wave``), or round-5 manual writers ``pcm8``/``pcm24``/
+    ``float32``/``ulaw``/``alaw`` for real-crawl audio diversity."""
+    if fmt == "pcm16":
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(sample_rate)
+            f.writeframes(samples.astype("<i2").tobytes())
+        return buf.getvalue()
+    s = samples.astype(np.int32)
+    if fmt == "pcm8":
+        tag, bits, payload = 1, 8, (((s >> 8) + 128) & 0xFF
+                                    ).astype(np.uint8).tobytes()
+    elif fmt == "pcm24":
+        wide = (s << 8).astype("<i4").tobytes()
+        payload = b"".join(wide[i:i + 3] for i in range(0, len(wide), 4))
+        tag, bits = 1, 24
+    elif fmt == "float32":
+        tag, bits = 3, 32
+        payload = (s / 32768.0).astype("<f4").tobytes()
+    elif fmt == "ulaw":
+        tag, bits, payload = 7, 8, _ulaw_encode(s).tobytes()
+    elif fmt == "alaw":
+        tag, bits, payload = 6, 8, _alaw_encode(s).tobytes()
+    else:
+        raise ValueError(f"encode_wav: unknown fmt {fmt!r}")
+    block = bits // 8
+    fmt_chunk = struct.pack("<HHIIHH", tag, 1, sample_rate,
+                            sample_rate * block, block, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """WAV bytes → (int16 mono samples, sample_rate)."""
-    with wave.open(io.BytesIO(data), "rb") as f:
-        if f.getsampwidth() != 2:
-            raise NotImplementedError("only 16-bit PCM WAV supported")
-        rate = f.getframerate()
-        nch = f.getnchannels()
-        raw = f.readframes(f.getnframes())
-    samples = np.frombuffer(raw, "<i2")
+    """WAV bytes → (int16 mono samples, sample_rate).  Manual RIFF
+    walk (round 5 — the stdlib ``wave`` module is PCM-only):
+    8/16/24/32-bit PCM, IEEE float32, G.711 μ-law and A-law, plus
+    WAVE_FORMAT_EXTENSIBLE wrappers; multi-channel mixes down."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    payload = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (n,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + n]
+        if len(body) != n:
+            raise ValueError("wav: truncated chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            payload = body
+        pos += 8 + n + (n & 1)  # chunks are word-aligned
+    if fmt is None or payload is None or len(fmt) < 16:
+        raise ValueError("wav: missing fmt/data chunk")
+    tag, nch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag == 0xFFFE and len(fmt) >= 26:  # extensible: real tag in GUID
+        (tag,) = struct.unpack("<H", fmt[24:26])
+    if nch == 0:
+        raise ValueError("wav: zero channels")
+    if tag == 1:  # integer PCM
+        if bits == 8:
+            s = (np.frombuffer(payload, np.uint8).astype(np.int32)
+                 - 128) << 8
+        elif bits == 16:
+            s = np.frombuffer(payload, "<i2").astype(np.int32)
+        elif bits == 24:
+            b = np.frombuffer(payload, np.uint8)
+            b = b[:len(b) - len(b) % 3].reshape(-1, 3).astype(np.int32)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            s = (np.where(v >= 1 << 23, v - (1 << 24), v)) >> 8
+        elif bits == 32:
+            s = np.frombuffer(payload, "<i4").astype(np.int64) >> 16
+        else:
+            raise NotImplementedError(f"wav: {bits}-bit PCM unsupported")
+    elif tag == 3 and bits == 32:  # IEEE float
+        f = np.frombuffer(payload, "<f4").astype(np.float64)
+        s = np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int32)
+    elif tag == 7 and bits == 8:  # μ-law
+        s = _ulaw_decode(np.frombuffer(payload, np.uint8)).astype(np.int32)
+    elif tag == 6 and bits == 8:  # A-law
+        s = _alaw_decode(np.frombuffer(payload, np.uint8)).astype(np.int32)
+    else:
+        raise NotImplementedError(
+            f"wav: format tag {tag} / {bits}-bit unsupported")
+    s = s[:len(s) - len(s) % nch]
     if nch > 1:
-        samples = samples.reshape(-1, nch).mean(axis=1).astype(np.int16)
-    return samples, rate
+        s = s.reshape(-1, nch).mean(axis=1)
+    return s.astype(np.int16), rate
 
 
 def encode_xraw(frames: list[bytes]) -> bytes:
