@@ -20,8 +20,10 @@ deterministic, and tested end-to-end):
   the reference image layer's ingest set (leptonica reads
   BMP/PNG/JPEG/GIF/TIFF).  Features are real per-channel
   statistics; resize is a real nearest-neighbor kernel.
-- **audio**: 16-bit PCM WAV via the stdlib ``wave`` module; features
-  are real RMS / zero-crossing / coarse FFT magnitudes.
+- **audio**: WAV via a manual RIFF walk (round 5) — 8/16/24/32-bit
+  PCM, IEEE float32, G.711 μ-law/A-law, extensible wrappers, stereo
+  mixdown; features are real RMS / zero-crossing / coarse FFT
+  magnitudes.
 - **video**: the ``XRAW`` frame container (magic + u32 frame count +
   length-prefixed BMP frames — defined here, trivially parseable);
   frame sampling decodes the real frames.
