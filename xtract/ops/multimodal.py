@@ -16,10 +16,12 @@ deterministic, and tested end-to-end):
   16-bit (`ops/png`, stdlib zlib + numpy — the reference's own
   ingest format, cli/src/main.rs:144-145); GIF incl. animation
   (`ops/gif`, pure-Python LZW); TIFF (`ops/tiff` — none/LZW/
-  deflate/PackBits, predictor, both byte orders).  That completes
-  the reference image layer's ingest set (leptonica reads
-  BMP/PNG/JPEG/GIF/TIFF).  Features are real per-channel
-  statistics; resize is a real nearest-neighbor kernel.
+  deflate/PackBits, predictor, both byte orders); lossless WebP
+  (`ops/webp` — full VP8L: prefix codes, LZ77, color cache, all
+  four transforms).  That completes the reference image layer's
+  ingest set (leptonica reads BMP/PNG/JPEG/GIF/TIFF/WEBP).
+  Features are real per-channel statistics; resize is a real
+  nearest-neighbor kernel.
 - **audio**: WAV via a manual RIFF walk (round 5) — 8/16/24/32-bit
   PCM, IEEE float32, G.711 μ-law/A-law, extensible wrappers, stereo
   mixdown; features are real RMS / zero-crossing / coarse FFT
@@ -413,6 +415,12 @@ class DecodeStage:
             from .tiff import decode_tiff
 
             return _image_features(decode_tiff(payload))
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            # real-crawl path: lossless WebP (round 5 — VP8L in
+            # ops/webp; lossy VP8 raises inside → unsupported)
+            from .webp import decode_webp
+
+            return _image_features(decode_webp(payload))
         if payload[:4] == b"RIFF":
             return _audio_features(*decode_wav(payload))
         if payload[:4] == _XRAW_MAGIC:
@@ -486,6 +494,10 @@ class ResizeStage:
             from .tiff import decode_tiff
 
             px = decode_tiff(payload)
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from .webp import decode_webp
+
+            px = decode_webp(payload)
         else:
             px = decode_bmp(payload)
         return encode_bmp(resize_nearest(px, self.width, self.height))
@@ -627,6 +639,10 @@ class ImageHashStage:
                     from .tiff import decode_tiff
 
                     h = average_hash(decode_tiff(p))
+                elif p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+                    from .webp import decode_webp
+
+                    h = average_hash(decode_webp(p))
                 else:
                     h = average_hash(decode_bmp(p))
                 hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
