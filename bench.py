@@ -396,6 +396,11 @@ def bench_once() -> dict:
         ("host_scc", "host_scc"),                       # fwd∩bwd labels
         ("host_communities", "host_communities"),       # label propagation
         ("host_k_core", "host_k_core"),                 # iterative peeling
+        # round-5: the multimodal tier was the last untimed family —
+        # synth → decode/hash actor pools → banded near-dup closure
+        ("media_features", "media_features"),           # codec decode
+        ("image_near_dups", "image_near_dups"),         # aHash + banding
+        ("video_near_dups", "video_near_dups"),         # frame majority
     ]:
         queries[bname] = timed(lambda q=qname: _q_rows(q))
 
