@@ -456,7 +456,11 @@ def hardware_ceiling(lo: int, hi: int) -> float:
 
 def main() -> None:
     if "--scaling" in sys.argv:
-        lo, hi = 8, 32
+        # default 8 vs 32; XTRACT_SCALING_LO/HI pick another N-vs-4N
+        # pair (4 vs 16 leaves the 32-vCPU box unsaturated at the top
+        # level — closer to what distinct N vs 4N NODES would show)
+        lo = int(os.environ.get("XTRACT_SCALING_LO", "8"))
+        hi = int(os.environ.get("XTRACT_SCALING_HI", "32"))
         # MEDIAN of 3 fresh processes per level (round-4 hardening:
         # best-of-2 let one lucky outlier carry the claim on this
         # noisy box; the median is the honest central estimate)
